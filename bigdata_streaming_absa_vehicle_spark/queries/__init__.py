@@ -1,0 +1,16 @@
+"""The declared query surface (SURVEY.md section 2).
+
+Importing this package populates the registry; `all_queries()` is what
+`__spark_entry__.queries()` / `oracle_sql()` and the tests consume.
+"""
+
+from .registry import QuerySpec, all_queries, query  # noqa: F401
+
+# Import side-effect: each module registers its queries.
+from . import relational  # noqa: E402,F401
+from . import joins  # noqa: E402,F401
+from . import windows  # noqa: E402,F401
+from . import setops  # noqa: E402,F401
+from . import text_json  # noqa: E402,F401
+from . import llm_pipeline  # noqa: E402,F401
+from . import pipelines  # noqa: E402,F401

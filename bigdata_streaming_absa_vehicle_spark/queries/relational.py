@@ -1,0 +1,462 @@
+"""Batch relational core: projection, predicates, aggregation, sort/top-k.
+
+SURVEY.md §2B (P-01..P-05), §2D (A-01..A-11), §2E (O-01..O-05). These are the
+dashboard-shaped queries the reference computes downstream in Postgres/pandas
+(e.g. vehicle streamlit_app.py:91-132) re-expressed as engine-native Spark
+plans. All double aggregates use exact-decimal summation (see
+functions/deterministic.py) so results are bit-identical to the DuckDB oracle.
+
+Scale notes (100 TB):
+  - group-bys here are partial+final hash aggregates (map-side combine) —
+    shuffle volume is |groups|, not |rows|.
+  - top-k queries compile to TakeOrderedAndProject (no global sort).
+  - every scan projects only referenced columns (parquet column pruning) and
+    pushes filters into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import davg, dsum, dsum_expr
+from ..functions.deterministic import oracle_davg as odavg
+from ..functions.deterministic import oracle_dsum as odsum
+from ..tables import load
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# P — projection / filtering / derivation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_projection",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("P-01", "S-03"),
+)
+def q01_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column select + total-order sort (reference selectExpr/select,
+    spark_kafka_consumer_dag.py:47,54). Column pruning reaches the scan."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q02_filter_predicate",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_type IN ('purchase', 'error') AND value > 100.0
+    ORDER BY event_id
+    """,
+    tags=("P-04",),
+)
+def q02_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership + range predicate (reference class filter
+    vehicle_consumer.py:94, lifted out of the UDF into the scan)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("purchase", "error") & (F.col("value") > 100.0))
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q02b_fillna",
+    oracle="""
+    SELECT doc_id, COALESCE(NULLIF(lang, 'zh'), 'unknown') AS lang_filled
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("P-04", "F-13"),
+)
+def q02b_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null handling (reference pdf['review'].fillna(''),
+    spark_kafka_consumer_dag.py:145) — nullif/coalesce as relational ops."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("lang_filled", F.coalesce(F.nullif("lang", F.lit("zh")), F.lit("unknown")))
+        .select("doc_id", "lang_filled")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q03_derived_cast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+           CAST(l_linenumber AS VARCHAR) AS line_str
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("P-02", "P-05"),
+)
+def q03_derived_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """withColumn chains + casts (reference vehicle_consumer.py:118-122)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("revenue", F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+        .withColumn("ship_date", F.date_format("l_shipdate", "yyyy-MM-dd"))
+        .withColumn("line_str", F.col("l_linenumber").cast("string"))
+        .select("l_orderkey", "l_linenumber", "revenue", "ship_date", "line_str")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A — aggregation (dashboard queries made engine-native)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q04_group_sum_multikey",
+    oracle=f"""
+    SELECT user_id, event_type,
+           {odsum('value')} AS total_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+    tags=("A-01",),
+)
+def q04_group_sum_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total per (camera, vehicle_type) analog — vehicle streamlit_app.py:91-95.
+    Partial+final hash agg; shuffle carries one row per group."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(dsum("value").alias("total_value"), F.count("*").alias("n_events"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "q05_group_count",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("A-02",),
+)
+def q05_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency count (sentiment value_counts analog, absa streamlit_app.py:76-82)."""
+    return load(spark, sf_dir, "documents").groupBy("lang").count().withColumnRenamed("count", "n_docs").orderBy("lang")
+
+
+@query(
+    "q06_grand_totals",
+    oracle=f"""
+    SELECT {odsum('l_quantity')} AS sum_qty,
+           {odsum('l_extendedprice')} AS sum_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+    tags=("A-03", "A-07"),
+)
+def q06_grand_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grand totals (df['count'].sum() analog, vehicle streamlit_app.py:130)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q07_count_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(DISTINCT l_orderkey) AS n_ord
+    FROM lineitem
+    """,
+    tags=("A-04",),
+)
+def q07_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nunique() analog (vehicle streamlit_app.py:131-132)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.countDistinct("l_orderkey").alias("n_ord"),
+    )
+
+
+@query(
+    "q07b_approx_count_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_orderkey) AS exact_orders, TRUE AS within_tol
+    FROM lineitem
+    """,
+    tags=("A-05",),
+)
+def q07b_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ count-distinct — the 100 TB-scale variant of A-04: no
+    distinct shuffle, register merge is commutative hence deterministic. The
+    hash-checked contract is the exact count plus an in-engine 5%-tolerance
+    assertion on the sketch."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+    return agg.select(
+        "exact_orders",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= 0.05 * F.col("exact_orders")
+        ).alias("within_tol"),
+    )
+
+
+@query(
+    "q08_time_bucket",
+    oracle=f"""
+    SELECT date_trunc('minute', ts) AS minute, event_type,
+           COUNT(*) AS n_events, {odsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY minute, event_type
+    """,
+    tags=("A-06", "F-04"),
+)
+def q08_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-minute trend (vehicle streamlit_app.py:111-124) — batch twin of the
+    streaming tumbling window (T-05); same result set by construction."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("minute", "ts").alias("minute"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .orderBy("minute", "event_type")
+    )
+
+
+@query(
+    "q09_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {odsum('l_quantity')} AS sum_qty,
+           {odsum('l_extendedprice')} AS sum_base_price,
+           {odsum('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+           {odsum('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)', 6)} AS sum_charge,
+           {odavg('l_quantity')} AS avg_qty,
+           {odavg('l_extendedprice')} AS avg_price,
+           {odavg('l_discount', 4)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("A-01", "A-03", "A-08", "P-04"),
+)
+def q09_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped pricing summary — the dashboard-aggregation
+    shape (A-01/A-06) at fact-table scale. One scan, filter pushed to parquet,
+    partial+final hash agg over 6 groups: the plan that survives 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum_expr("l_extendedprice * (1 - l_discount)", 6).alias("sum_disc_price"),
+            dsum_expr("(l_extendedprice * (1 - l_discount)) * (1 + l_tax)", 6).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q10_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           {odsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag, l_linestatus
+    """,
+    tags=("A-09",),
+)
+def q10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup: per-(flag,status), per-flag, and grand totals in one pass —
+    the dashboard computes these as three separate pandas passes
+    (vehicle streamlit_app.py:91-132)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().alias("gid"), dsum("l_quantity").alias("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty")
+        .orderBy(F.col("gid"), F.col("l_returnflag"), F.col("l_linestatus"))
+    )
+
+
+@query(
+    "q11_pivot",
+    oracle="""
+    SELECT lang,
+           COUNT(*) FILTER (WHERE source = 'src0') AS src0,
+           COUNT(*) FILTER (WHERE source = 'src1') AS src1,
+           COUNT(*) FILTER (WHERE source = 'src2') AS src2,
+           COUNT(*) FILTER (WHERE source = 'src3') AS src3,
+           COUNT(*) FILTER (WHERE source = 'src4') AS src4
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("A-10",),
+)
+def q11_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (aspects × sentiments matrix analog, absa streamlit_app.py:76-94).
+    Fixed pivot value list — no extra pass to discover values, and the plan is
+    a single hash agg regardless of input size."""
+    docs = load(spark, sf_dir, "documents")
+    piv = docs.groupBy("lang").pivot("source", [f"src{i}" for i in range(5)]).count()
+    # pivot-count yields null for empty cells; dashboards (and the oracle) want 0
+    return piv.select(
+        "lang", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in piv.columns if c != "lang"]
+    ).orderBy("lang")
+
+
+@query(
+    "q23_collect_set",
+    oracle="""
+    SELECT user_id,
+           STRING_AGG(DISTINCT event_type, ',' ORDER BY event_type) AS types_seen
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("A-11", "F-09"),
+)
+def q23_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group label set, sorted + comma-joined (reference builds
+    'car,bus,...' with ','.join at vehicle_consumer.py:96-98)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types_seen"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O — sorts, limits, top-k, sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q12_latest_topn",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 200
+    """,
+    tags=("O-01", "O-02"),
+)
+def q12_latest_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-200 dashboard query (vehicle streamlit_app.py:43-50) with a keyed
+    tie-break. Spark plans TakeOrderedAndProject: per-partition top-k then a
+    k-merge on the driver — no global sort at any scale."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(200)
+    )
+
+
+@query(
+    "q13_grouped_topk",
+    oracle=f"""
+    WITH totals AS (
+        SELECT event_type, user_id, {odsum('value')} AS total_value
+        FROM events GROUP BY event_type, user_id
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY total_value DESC, user_id
+        ) AS rn
+        FROM totals
+    )
+    SELECT event_type, user_id, total_value, rn
+    FROM ranked WHERE rn <= 5
+    ORDER BY event_type, rn
+    """,
+    tags=("O-05", "W-01"),
+)
+def q13_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 users per event type (per-camera busiest-minutes analog).
+    Aggregate first (shrinks to |groups| rows), then rank — the window runs
+    over the reduced set, not the raw fact table."""
+    ev = load(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(dsum("value").alias("total_value"))
+    w = W.partitionBy("event_type").orderBy(F.desc("total_value"), F.asc("user_id"))
+    return (
+        totals.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("event_type", "rn")
+    )
+
+
+@query(
+    "q14_global_sort",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 1000
+    """,
+    tags=("O-04",),
+)
+def q14_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit. With a LIMIT Spark avoids the range-partitioned
+    sort-exchange entirely (TakeOrderedAndProject)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(1000)
+    )
+
+
+@query(
+    "q15_keyed_sample",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '20'
+    ORDER BY event_id
+    """,
+    tags=("O-03",),
+)
+def q15_keyed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/8 sample via key hashing — the declared seeded/keyed
+    variant of the reference's ORDER BY RANDOM() LIMIT 300 (absa
+    streamlit_app.py:42). Hash-stable across engines, runs, and partitionings,
+    unlike rand(seed) which depends on partition layout."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 2) < "20")
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    )
