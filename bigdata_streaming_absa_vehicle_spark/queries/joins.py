@@ -1,1 +1,240 @@
-"""Placeholder — populated in a later milestone."""
+"""Joins (SURVEY.md §2F, J-01..J-07). The reference never joins two DataFrames
+— its dashboards read standalone result tables — but the engine surface must
+answer dashboard-style rollups over the normalized star schema, and streaming
+enrichment replaces the reference's hard-coded Python dict lookups
+(consumer_postgres_streaming.py:53).
+
+Scale notes:
+  - dimension joins (nation/region/customer at TPC-H ratios) broadcast — no
+    shuffle of the fact table; q16b pins the hint, the others let Catalyst +
+    AQE decide (autoBroadcastJoinThreshold=32m in the session factory).
+  - the star join (q17) joins facts largest-last so AQE can re-order and
+    broadcast every dimension; lineitem is shuffled at most once (on
+    l_orderkey) at any scale.
+  - the theta join (q21) is a broadcast-nested-loop against a tiny bands
+    relation — the only safe shape for a non-equi predicate at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import dsum, dsum_expr
+from ..functions.deterministic import oracle_dsum as odsum
+from ..tables import load
+from .registry import query
+
+
+@query(
+    "q16_join_inner",
+    oracle=f"""
+    SELECT c_mktsegment,
+           {odsum('o_totalprice')} AS segment_revenue,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("J-01",),
+)
+def q16_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join fact->dimension, revenue per market segment."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(dsum("o_totalprice").alias("segment_revenue"), F.count("*").alias("n_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q16b_broadcast_join",
+    oracle=f"""
+    SELECT c_mktsegment,
+           {odsum('o_totalprice')} AS segment_revenue,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("J-02",),
+)
+def q16b_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as q16 with an explicit broadcast hint: the fact table is
+    never shuffled for the join — the plan that must hold at 100 TB where
+    customer fits in memory but orders does not."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(dsum("o_totalprice").alias("segment_revenue"), F.count("*").alias("n_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q17_star_join",
+    oracle=f"""
+    SELECT r_name, n_name,
+           {odsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+    tags=("J-03",),
+)
+def q17_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join: revenue by region/nation. Dimensions broadcast,
+    the single fact-side shuffle is the lineitem⋈orders key exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum_expr("l_extendedprice * (1 - l_discount)", 6).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@query(
+    "q18_left_join",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment,
+           COUNT(o_orderkey) AS n_orders,
+           COALESCE({odsum('o_totalprice')}, 0.0) AS customer_revenue
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    ORDER BY c_custkey
+    """,
+    tags=("J-04",),
+)
+def q18_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping order-less customers (n_orders = 0, revenue 0)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("customer_revenue"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q19_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 400000
+    )
+    ORDER BY c_custkey
+    """,
+    tags=("J-05",),
+)
+def q19_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): customers with at least one 400k+ order.
+    Semi joins ship only the join key of the right side — no payload shuffle."""
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q20_anti_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_inactive
+    FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 450000
+    )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("J-06",),
+)
+def q20_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers who never placed a 450k+ order,
+    by segment (the all-customers-have-orders variant is vacuously empty on
+    the testdata)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_inactive"))
+        .orderBy("c_mktsegment")
+    )
+
+
+PRICE_BANDS = [
+    ("band_00_100k", 0.0, 100000.0),
+    ("band_100_200k", 100000.0, 200000.0),
+    ("band_200_300k", 200000.0, 300000.0),
+    ("band_300_400k", 300000.0, 400000.0),
+    ("band_400k_up", 400000.0, 1e12),
+]
+
+
+@query(
+    "q21_range_join",
+    oracle=f"""
+    SELECT band,
+           COUNT(*) AS n_orders,
+           {odsum('o_totalprice')} AS band_revenue
+    FROM orders
+    JOIN (VALUES
+        ('band_00_100k', 0.0, 100000.0),
+        ('band_100_200k', 100000.0, 200000.0),
+        ('band_200_300k', 200000.0, 300000.0),
+        ('band_300_400k', 300000.0, 400000.0),
+        ('band_400k_up', 400000.0, 1e12)
+    ) AS bands(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    ORDER BY band
+    """,
+    tags=("J-07",),
+)
+def q21_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join against a tiny in-memory bands relation — plans as a
+    broadcast nested-loop join, the only non-equi join shape that scales
+    (never a cartesian shuffle)."""
+    orders = load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("band_revenue"))
+        .orderBy("band")
+    )

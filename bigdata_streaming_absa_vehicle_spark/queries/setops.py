@@ -1,1 +1,68 @@
-"""Placeholder — populated in a later milestone."""
+"""Set operations (SURVEY.md §2H, U-01/U-02): union all/distinct, intersect,
+except. The reference's ready-made fixture is test_data.csv + test_data_bak.csv
+(identical copies merged then deduped); here the same shapes run over the
+driver testdata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .registry import query
+
+
+@query(
+    "q26u_union_dedup",
+    oracle="""
+    WITH unioned AS (
+        SELECT doc_id, lang FROM documents WHERE lang = 'en'
+        UNION ALL
+        SELECT doc_id, lang FROM documents WHERE source = 'src0'
+    )
+    SELECT lang,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT doc_id) AS n_distinct
+    FROM unioned
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("U-01",),
+)
+def q26u_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-all of two overlapping selections, counted raw vs deduped —
+    the merge-two-backfills shape (U-01), with unionByName so column order
+    can never silently misalign."""
+    docs = load(spark, sf_dir, "documents")
+    a = docs.filter(F.col("lang") == "en").select("doc_id", "lang")
+    b = docs.filter(F.col("source") == "src0").select("doc_id", "lang")
+    return (
+        a.unionByName(b)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_rows"), F.countDistinct("doc_id").alias("n_distinct"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q27u_intersect_except",
+    oracle="""
+    WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         buyers   AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT 'both' AS cohort, user_id FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
+    UNION ALL
+    SELECT 'click_only' AS cohort, user_id FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+    ORDER BY cohort, user_id
+    """,
+    tags=("U-02",),
+)
+def q27u_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT and EXCEPT cohorts (clickers vs buyers) tagged and unioned
+    into one deterministic result set."""
+    ev = load(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clickers.intersect(buyers).select(F.lit("both").alias("cohort"), "user_id")
+    click_only = clickers.subtract(buyers).select(F.lit("click_only").alias("cohort"), "user_id")
+    return both.unionByName(click_only).orderBy("cohort", "user_id")
