@@ -1,0 +1,220 @@
+"""Similarity search over embedding columns (SURVEY.md §2K, X-03):
+exact brute-force cosine top-k as the correctness baseline, and a
+hyperplane-LSH bucketed variant as the scale path.
+
+Design notes:
+  - cosine is computed JVM-side with higher-order array expressions
+    (zip_with + aggregate) in float64; the sequential left-to-right summation
+    is bit-identical to DuckDB's list_cosine_similarity on DOUBLE[] —
+    verified empirically, so exact top-k is hash-checkable.
+  - the LSH planes are derived from md5 (hash64), NOT an RNG, so Spark, the
+    DuckDB oracle, and any retry compute the same buckets. Bucket assignment
+    is map-only (no explode/shuffle); candidate generation joins on
+    (table, bucket) keys.
+  - at 100 TB: brute-force top-k shuffles |probes| x |corpus| score triples —
+    linear but heavy; the LSH path prunes the corpus to matching buckets
+    before any scoring, which is the operator you actually run at scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+N_TABLES = 4  # OR-ed hash tables
+PLANES_PER_TABLE = 4  # AND-ed bits per table
+EMBEDDING_DIM = 64
+
+
+def _plane_weight(table: int, plane: int, dim: int) -> int:
+    """Deterministic pseudo-random weight in [-1000, 1000] from md5 — the
+    same value the SQL-side hash64 family would produce, computed once on the
+    driver and inlined as a literal (planes are tiny: tables*planes*dim)."""
+    h = hashlib.md5(f"plane:{table}:{plane}:{dim}".encode()).hexdigest()
+    return int(h[:15], 16) % 2001 - 1000
+
+
+def plane_weights(
+    n_tables: int = N_TABLES, planes_per_table: int = PLANES_PER_TABLE, dim: int = EMBEDDING_DIM
+) -> list[list[list[int]]]:
+    return [
+        [[_plane_weight(t, p, d) for d in range(dim)] for p in range(planes_per_table)]
+        for t in range(n_tables)
+    ]
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns, sequential float64."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def _dot_literal(vec_col: Column, weights: list[int]) -> Column:
+    """w . vec with the plane weights inlined as an array literal — map-only."""
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    return F.aggregate(
+        F.zip_with(warr, vec_col, lambda w, x: w * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def bucket_columns(vec_col: Column, weights: list[list[list[int]]]) -> list[Column]:
+    """One int bucket per hash table: bit p = sign(plane_p . vec)."""
+    cols = []
+    for t, table in enumerate(weights):
+        b = F.lit(0)
+        for p, plane in enumerate(table):
+            b = b + F.when(_dot_literal(vec_col, plane) >= 0, F.lit(1 << p)).otherwise(0)
+        cols.append(b.alias(f"bucket_{t}"))
+    return cols
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: every probe scored against the whole corpus, ranked by
+    (cosine desc, vec_id asc) for a deterministic tie-break. Probes broadcast."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).cast("array<double>").alias("pvec")
+    )
+    scored = (
+        c.join(F.broadcast(p), F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", cosine(F.col("pvec"), F.col("vec")).alias("cos"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", F.round("cos", 6).alias("cosine"), "rank")
+        .orderBy("probe_id", "rank")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: score only corpus vectors sharing >= 1 hash-table bucket
+    with the probe. Deterministic (md5-derived planes) so the result is
+    hash-checkable; recall vs exact top-k is property-tested separately."""
+    weights = plane_weights()
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        *bucket_columns(F.col(vec_col).cast("array<double>"), weights),
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("pvec"),
+        *bucket_columns(F.col(vec_col).cast("array<double>"), weights),
+    )
+    # unpivot buckets to (id, table, bucket) and bucket-join
+    n = len(weights)
+    stack = ", ".join(f"{t}, bucket_{t}" for t in range(n))
+    c_long = c.selectExpr("vec_id", "vec", f"stack({n}, {stack}) AS (tbl, bucket)")
+    p_long = p.selectExpr("probe_id", "pvec", f"stack({n}, {stack}) AS (tbl, bucket)")
+    cand = (
+        c_long.join(p_long, ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", "pvec", "vec")
+        .dropDuplicates(["probe_id", "vec_id"])
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.select("probe_id", "vec_id", cosine(F.col("pvec"), F.col("vec")).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", F.round("cos", 6).alias("cosine"), "rank")
+        .orderBy("probe_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins
+# ---------------------------------------------------------------------------
+
+
+def _oracle_plane_dot(plane: list[int]) -> str:
+    """list_reduce dot product of an inlined plane literal with `vec`."""
+    lit = "[" + ", ".join(f"{w}.0" for w in plane) + "]"
+    return (
+        f"list_reduce(list_transform(range(1, {len(plane) + 1}), "
+        f"i -> ({lit})[i] * vec[i]), (x, y) -> x + y)"
+    )
+
+
+def oracle_cosine_topk(probe_filter: str, k: int = 10) -> str:
+    return f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pvec
+        FROM embeddings WHERE {probe_filter}
+    ), scored AS (
+        SELECT probe_id, e.vec_id,
+               list_cosine_similarity(pvec, e.embedding::DOUBLE[]) AS cos
+        FROM probes, embeddings e
+        WHERE e.vec_id <> probe_id
+    ), ranked AS (
+        SELECT probe_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT probe_id, vec_id, ROUND(cos, 6) AS cosine, rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY probe_id, rank
+    """
+
+
+def oracle_lsh_topk(probe_filter: str, k: int = 5) -> str:
+    weights = plane_weights()
+    bucket_exprs = ",\n               ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN {_oracle_plane_dot(plane)} >= 0 THEN {1 << p} ELSE 0 END"
+            for p, plane in enumerate(table)
+        )
+        + f") AS bucket_{t}"
+        for t, table in enumerate(weights)
+    )
+    bucket_union = "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, vec, {t} AS tbl, bucket_{t} AS bucket FROM wide"
+        for t in range(len(weights))
+    )
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ), wide AS (
+        SELECT vec_id, vec,
+               {bucket_exprs}
+        FROM vecs
+    ), bucketed AS (
+        {bucket_union}
+    ), cand AS (
+        SELECT DISTINCT p.vec_id AS probe_id, c.vec_id, p.vec AS pvec, c.vec
+        FROM bucketed p
+        JOIN bucketed c ON p.tbl = c.tbl AND p.bucket = c.bucket
+        WHERE p.vec_id IN (SELECT vec_id FROM embeddings WHERE {probe_filter})
+          AND c.vec_id <> p.vec_id
+    ), ranked AS (
+        SELECT probe_id, vec_id,
+               list_cosine_similarity(pvec, vec) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY list_cosine_similarity(pvec, vec) DESC, vec_id) AS rank
+        FROM cand
+    )
+    SELECT probe_id, vec_id, ROUND(cos, 6) AS cosine, rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY probe_id, rank
+    """

@@ -1,1 +1,353 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-data-pipeline query surface (SURVEY.md §2K, X-01..X-05): dedup
+(exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine),
+similarity search (exact + LSH ANN), text analysis, multimodal columns.
+
+Every query here is deterministic end-to-end (md5-derived hash families, no
+RNG) so even the LSH pipelines are HASH-checked against DuckDB oracles that
+replicate the same algorithm; recall properties are tested separately in
+tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..operators import text_analysis as ta
+from ..functions.deterministic import davg
+from ..functions.deterministic import oracle_davg as odavg
+from ..tables import load
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# X-01 exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q40_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_key,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY canonical_id
+    """,
+    tags=("X-01",),
+)
+def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: canonical id = min doc_id per distinct
+    text. Hashing first shrinks the shuffle key from full documents to 16
+    bytes — the shape that matters when `text` is megabytes."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("content_key"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+        .orderBy("canonical_id")
+    )
+
+
+@query(
+    "q40b_dedup_keep_first",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+    ORDER BY doc_id
+    """,
+    tags=("X-01",),
+)
+def q40b_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first-copy dedup (dropDuplicates semantics made deterministic:
+    min-id wins, not partition luck)."""
+    docs = load(spark, sf_dir, "documents")
+    canonical = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        docs.join(canonical.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-02 near-dedup: MinHash-LSH, SimHash, n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q41_minhash_lsh_neardup",
+    oracle=dd.oracle_minhash_lsh_pairs(threshold=0.5),
+    tags=("X-02", "J-09"),
+)
+def q41_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (shingle -> 16 minhashes -> 8 bands ->
+    bucket join -> exact-Jaccard verify >= 0.5). The oracle replicates the
+    identical md5-derived algorithm in SQL, so this is hash-checked, not just
+    property-checked."""
+    return dd.minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query(
+    "q42_simhash",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in range(1, len(toks) - 1)]) AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        WHERE len(toks) >= 3
+    )
+    SELECT doc_id,
+           list_reduce(
+               list_transform(range(0, 48), b -> CASE WHEN
+                   list_reduce(list_transform(sh, e -> CASE WHEN
+                       (CAST(('0x' || substr(md5('sim:' || e), 1, 15)) AS BIGINT) >> b) & 1 = 1
+                       THEN 1 ELSE -1 END), (x, y) -> x + y) >= 0
+                   THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END),
+               (x, y) -> x + y) AS simhash
+    FROM t
+    ORDER BY doc_id
+    """,
+    tags=("X-02",),
+)
+def q42_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash fingerprints over distinct 3-shingles — map-only
+    higher-order expression, no shuffle at all; near-dup candidates are then
+    hamming-distance pairs (q42b)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = dd.tokens("text")
+    base = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.array_distinct(dd.shingles(F.col("toks"), 3)).alias("sh"))
+    )
+    return base.select("doc_id", dd.simhash(F.col("sh"), 48).alias("simhash")).orderBy("doc_id")
+
+
+@query(
+    "q43_ngram_jaccard_pairs",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in range(1, len(toks) - 1)]) AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE a.doc_id % 20 = 0
+      AND len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("X-02",),
+)
+def q43_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force n-gram Jaccard from a probe subset (doc_id % 20 = 0) —
+    the exact baseline the LSH pipeline is measured against."""
+    docs = load(spark, sf_dir, "documents")
+    toks = dd.tokens("text")
+    base = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.array_distinct(dd.shingles(F.col("toks"), 3)).alias("sh"))
+    )
+    probes = base.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    others = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        probes.join(others, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(dd.jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "q44_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("X-02", "X-03"),
+)
+def q44_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4 — the testdata's
+    max pairwise cosine is ~0.51, so this finds the closest-pair tail)."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").cast("array<double>").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").cast("array<double>").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.cosine(F.col("ea"), F.col("eb")).alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-03 similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q45_cosine_topk",
+    oracle=sim.oracle_cosine_topk("vec_id < 10", k=10),
+    tags=("X-03",),
+)
+def q45_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 10 probe vectors, deterministic
+    (cosine desc, vec_id asc) tie-break."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
+
+
+@query(
+    "q46_lsh_ann_topk",
+    oracle=sim.oracle_lsh_topk("vec_id < 10", k=5),
+    tags=("X-03",),
+)
+def q46_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via hyperplane LSH (4 tables x 4 bits, md5-derived planes):
+    scores only bucket-sharing candidates. Deterministic, so hash-checked
+    against an oracle replicating the same buckets; recall vs q45 is
+    property-tested."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# X-04 text analysis
+# ---------------------------------------------------------------------------
+
+
+_TOKENS_EXPR = "len(string_split_regex(trim(text), '\\s+'))"
+
+
+@query(
+    "q47_text_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           {odavg('n_chars')} AS avg_chars,
+           {odavg(_TOKENS_EXPR)} AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("X-04",),
+)
+def q47_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            davg("n_chars").alias("avg_chars"),
+            davg(ta.whitespace_token_count(F.col("text"))).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q48_quality_and_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '{ta.BPE_PATTERN}')) AS bpe_tokens,
+           {ta.oracle_quality_score('text')} AS quality
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("X-04",),
+)
+def q48_quality_and_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts (whitespace + BPE-ish regex) and the
+    length/stopword/punctuation quality score."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        ta.whitespace_token_count(t).alias("ws_tokens"),
+        ta.bpe_token_count(t).alias("bpe_tokens"),
+        ta.quality_score(t).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q49_lang_id",
+    oracle=f"""
+    SELECT {ta.oracle_lang_guess('text')} AS lang_guess,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    ORDER BY lang_guess
+    """,
+    tags=("X-04",),
+)
+def q49_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic, aggregated (the synthetic corpus is
+    English-flavored word soup, so the interesting part is the deterministic
+    argmax-with-tie-order machinery, not linguistic accuracy)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(ta.lang_guess(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang_guess")
+    )
+
+
+@query(
+    "q50_fingerprint",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS first_doc,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    ORDER BY first_doc
+    """,
+    tags=("X-04", "X-01"),
+)
+def q50_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint groups (whitespace-insensitive exact
+    dedup key)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(ta.fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("first_doc"), F.count("*").alias("n_docs"))
+        .orderBy("first_doc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-05 multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q51_multimodal_decode",
+    oracle=mm.ORACLE_DECODED_META,
+    tags=("X-05", "D-01"),
+)
+def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata struct -> Arrow-batched mapInPandas 'decode'
+    (md5-derived stub for the cv2 call, real Spark plumbing) — the engine
+    rewrite of the reference's per-row base64+imdecode UDF
+    (vehicle_consumer.py:78-111)."""
+    docs = load(spark, sf_dir, "documents")
+    return mm.decode_image_meta(mm.with_payload(docs)).orderBy("doc_id")

