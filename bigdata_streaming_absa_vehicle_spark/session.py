@@ -18,6 +18,10 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def get_spark(app_name: str = "bigdata-streaming-absa-vehicle-spark",
               extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Build (or reuse) the engine SparkSession.
@@ -26,6 +30,13 @@ def get_spark(app_name: str = "bigdata-streaming-absa-vehicle-spark",
     is overridden by AQE's coalesce, so the setting is a ceiling not a constant.
     """
     cpus = default_parallelism()
+    # Python workers unpickle UDF closures that reference this package; make
+    # sure they can import it regardless of the driver's cwd. On a cluster
+    # the same is done with --py-files / spark.submit.pyFiles.
+    root = _repo_root()
+    pythonpath = os.environ.get("PYTHONPATH", "")
+    if root not in pythonpath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{root}{os.pathsep}{pythonpath}" if pythonpath else root
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -39,6 +50,7 @@ def get_spark(app_name: str = "bigdata-streaming-absa-vehicle-spark",
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # testdata events.parquet stores TIMESTAMP(NANOS); read as epoch-nanos
         # long and convert in the loader (tables.load) — Spark has no ns type.

@@ -1,0 +1,66 @@
+"""Kafka source/sink builders (SURVEY.md S-01/S-07).
+
+Mirrors the reference consumers' envelope handling
+(spark_kafka_consumer_dag.py:37-54: readStream kafka -> CAST(value AS STRING)
+-> from_json(fixed schema) -> select("d.*")) and pulls the reference's
+kafka-python producer loop (producer.py:38-53) into the engine as a
+to_json/writeStream sink.
+
+No broker exists in the test container, so these builders are exercised up to
+plan construction in tests; the parse stage (the part with semantics) is the
+same `parse_envelope` used by the file-replay source, which IS hash-tested.
+
+Scale notes: one Kafka partition maps to one Spark input partition — topic
+partitioning is the parallelism ceiling; maxOffsetsPerTrigger bounds
+micro-batch size (back-pressure), exactly as the reference configures
+(50/trigger, spark_kafka_consumer_dag.py:43).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+):
+    """Kafka stream reader with the reference's options (S-01)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return reader
+
+
+def parse_envelope(kafka_df: DataFrame, schema: T.StructType) -> DataFrame:
+    """CAST(value AS STRING) -> from_json(declared schema) -> flatten.
+    Schema is declared, never inferred on the stream (SURVEY §1.3); a
+    mismatched envelope yields nulls, which downstream filters route to a
+    dead-letter path instead of crashing the query."""
+    return (
+        kafka_df.selectExpr("CAST(value AS STRING) AS json_str")
+        .select(F.from_json("json_str", schema).alias("d"))
+        .select("d.*")
+    )
+
+
+def to_kafka_sink(df: DataFrame, brokers: str, topic: str, checkpoint: str):
+    """JSON-serialize all columns onto a topic (S-07) — the engine-native form
+    of the reference's external kafka-python producer."""
+    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )

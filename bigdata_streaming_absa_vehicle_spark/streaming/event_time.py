@@ -1,0 +1,137 @@
+"""Event-time operators (SURVEY.md T-05..T-10): tumbling/sliding/session
+windows with watermarks, stateful dedup, and arbitrary stateful processing.
+
+The reference computes its per-minute trend in the dashboard AFTER the sink
+(vehicle streamlit_app.py:111-124) and has no withWatermark anywhere; here the
+same aggregations run in-stream with bounded state. Every operator has a
+batch twin (same function, batch DataFrame in) registered with a DuckDB
+oracle — the streaming run is then compared against the hash-verified batch
+twin (tests/test_streaming.py), the SURVEY §5.2.2 batch-equivalence scheme.
+
+Scale notes: watermarks bound state eviction; the session factory pins the
+RocksDB state store so state spills off-heap; window aggs are partial+final
+like any groupBy (shuffle carries one row per open (key, window)).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import dsum
+
+DEFAULT_WATERMARK = "10 minutes"
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window_size: str = "1 minute",
+    watermark: str | None = DEFAULT_WATERMARK,
+    key: str = "event_type",
+) -> DataFrame:
+    """T-05: per-(window, key) counts + value sum. Works on a streaming or a
+    batch DataFrame — the batch form is the hash-checked twin."""
+    src = events.withWatermark("ts", watermark) if watermark and events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window_size).alias("win"), key)
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window_size: str = "10 minutes",
+    slide: str = "1 minute",
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """T-06: sliding windows (each event lands in size/slide windows)."""
+    src = events.withWatermark("ts", watermark) if watermark and events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window_size, slide).alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = DEFAULT_WATERMARK,
+    key: str = "user_id",
+) -> DataFrame:
+    """T-07: session windows per key (gap-based)."""
+    src = events.withWatermark("ts", watermark) if watermark and events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("win"), key)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key,
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """T-08: stateful dedup for at-least-once producers (the reference's
+    producer retries=3 can duplicate sends, vehicle_producer_single.py:92).
+    State is evicted once the watermark passes — bounded memory."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
+#: output schema of running_totals
+RUNNING_TOTALS_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+def running_totals(events: DataFrame) -> DataFrame:
+    """T-10: arbitrary stateful op — running per-user totals across batches
+    via applyInPandasWithState (RocksDB-backed at scale). The batch twin is a
+    plain groupBy, which the equivalence test compares against."""
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count("*").alias("n_events"), dsum("value").alias("total_value")
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # cents-exact accumulation (mirrors the decimal-exact batch sum)
+            total += int(pdf["value"].mul(100).round().sum())
+        state.update((n, int(total)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total / 100.0]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType="n long, total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

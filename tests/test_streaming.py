@@ -1,0 +1,211 @@
+"""Streaming tests (SURVEY.md §5.2.2-3): every event-time op runs as a real
+micro-batched stream (file replay, one file per trigger) and is compared to
+its hash-verified batch twin; the kill/resume test reproduces the reference's
+fault-injection scheme (simulated crash + checkpoint restart,
+spark_kafka_consumer_dag.py:160-162) and asserts exactly-once output through
+the idempotent sink.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_streaming_absa_vehicle_spark.sources.files import events_stream
+from bigdata_streaming_absa_vehicle_spark.streaming.event_time import (
+    dedup_within_watermark,
+    running_totals,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+from bigdata_streaming_absa_vehicle_spark.streaming.sinks import idempotent_parquet_writer
+from bigdata_streaming_absa_vehicle_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="stream_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def run_to_memory(spark, stream_df, name, mode="complete"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def as_sorted_rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_stream_equals_batch_twin(spark, tmpdir):
+    stream = events_stream(spark, SF_DIR, f"{tmpdir}/stage", n_files=6)
+    result = run_to_memory(spark, tumbling_counts(stream), "tumbling_t")
+    batch = tumbling_counts(load(spark, SF_DIR, "events"))
+    cols = ["window_start", "window_end", "event_type", "n_events", "total_value"]
+    assert as_sorted_rows(result, cols) == as_sorted_rows(batch, cols)
+
+
+def test_sliding_stream_equals_batch_twin(spark, tmpdir):
+    stream = events_stream(spark, SF_DIR, f"{tmpdir}/stage", n_files=4)
+    result = run_to_memory(spark, sliding_counts(stream), "sliding_t")
+    batch = sliding_counts(load(spark, SF_DIR, "events"))
+    cols = ["window_start", "window_end", "n_events"]
+    assert as_sorted_rows(result, cols) == as_sorted_rows(batch, cols)
+
+
+def test_session_stream_equals_batch_twin(spark, tmpdir):
+    stream = events_stream(spark, SF_DIR, f"{tmpdir}/stage", n_files=4)
+    result = run_to_memory(spark, session_counts(stream), "session_t")
+    batch = session_counts(load(spark, SF_DIR, "events"))
+    cols = ["session_start", "session_end", "user_id", "n_events"]
+    assert as_sorted_rows(result, cols) == as_sorted_rows(batch, cols)
+
+
+def test_append_mode_watermark_completeness(spark, tmpdir):
+    """Append mode emits only watermark-closed windows; everything emitted
+    must match the batch twin exactly, and all windows older than
+    (max_ts - watermark) must have been emitted (T-09 late-data contract)."""
+    stream = events_stream(spark, SF_DIR, f"{tmpdir}/stage", n_files=6)
+    emitted = run_to_memory(
+        spark, tumbling_counts(stream, watermark="10 minutes"), "append_t", mode="append"
+    )
+    batch = tumbling_counts(load(spark, SF_DIR, "events"))
+    cols = ["window_start", "window_end", "event_type", "n_events", "total_value"]
+    emitted_rows = set(as_sorted_rows(emitted, cols))
+    batch_rows = set(as_sorted_rows(batch, cols))
+    assert emitted_rows <= batch_rows, "append emitted a window that disagrees with batch"
+    max_ts = load(spark, SF_DIR, "events").agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    # margin: a window whose end sits exactly at the final watermark may be
+    # legitimately held until a next (never-arriving) trigger
+    closed_before = max_ts - datetime.timedelta(minutes=11)
+    must_emit = {r for r in batch_rows if r[1] < closed_before}
+    assert must_emit <= emitted_rows, "a closed window was never emitted"
+
+
+def test_stateful_dedup_within_watermark(spark, tmpdir):
+    """T-08: duplicated sends (the producer-retry scenario) collapse to one
+    row per event_id."""
+    ev = load(spark, SF_DIR, "events")
+    doubled = ev.unionByName(ev)  # every event sent twice
+    doubled.repartition(6).write.mode("overwrite").parquet(f"{tmpdir}/stage")
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(f"{tmpdir}/stage")
+    )
+    deduped = dedup_within_watermark(stream, ["event_id"], watermark="30 days")
+    out = f"{tmpdir}/out"
+    q = (
+        deduped.writeStream.foreachBatch(idempotent_parquet_writer(out))
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    n_distinct = ev.select("event_id").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_stream_static_join(spark, tmpdir):
+    """J-08: streaming events enriched against a static dimension — same
+    result as the batch join."""
+    stream = events_stream(spark, SF_DIR, f"{tmpdir}/stage", n_files=4)
+    dim = spark.createDataFrame(
+        [(i, f"user_{i}", "vip" if i % 3 == 0 else "std") for i in range(15)],
+        "user_id long, user_name string, tier string",
+    )
+    joined = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("tier")
+        .agg(F.count("*").alias("n"))
+    )
+    result = run_to_memory(spark, joined, "ssjoin_t")
+    batch = (
+        load(spark, SF_DIR, "events")
+        .join(dim, "user_id")
+        .groupBy("tier")
+        .agg(F.count("*").alias("n"))
+    )
+    assert as_sorted_rows(result, ["tier", "n"]) == as_sorted_rows(batch, ["tier", "n"])
+
+
+def test_running_totals_stateful(spark, tmpdir):
+    """T-10: applyInPandasWithState running totals — the final per-user state
+    must equal the batch groupBy."""
+    stream = events_stream(spark, SF_DIR, f"{tmpdir}/stage", n_files=5)
+    totals = running_totals(stream)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("running_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode re-emits a row per batch; the LAST emit per user is the total
+    final = (
+        spark.table("running_t")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+    )
+    batch = running_totals(load(spark, SF_DIR, "events"))
+    cols = ["user_id", "n_events", "total_value"]
+    assert as_sorted_rows(final, cols) == as_sorted_rows(batch, cols)
+
+
+def test_kill_resume_exactly_once(spark, tmpdir):
+    """T-04/S-09: crash mid-stream (the reference's simulated crash,
+    spark_kafka_consumer_dag.py:160-162), restart from the checkpoint, and
+    assert the idempotent sink holds exactly-once row counts."""
+    ev = load(spark, SF_DIR, "events")
+    ev.repartition(8).write.mode("overwrite").parquet(f"{tmpdir}/stage")
+    out, ckpt = f"{tmpdir}/out", f"{tmpdir}/ckpt"
+    sink = idempotent_parquet_writer(out)
+
+    crashed = {"yes": False}
+
+    def crashing_sink(batch_df, batch_id):
+        if batch_id == 2 and not crashed["yes"]:
+            crashed["yes"] = True
+            sink(batch_df, batch_id)  # write THEN crash: replay must not duplicate
+            raise RuntimeError("Simulated crash at batch 2")
+        sink(batch_df, batch_id)
+
+    def start(fn):
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmpdir}/stage")
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start(crashing_sink)
+    with pytest.raises(Exception, match="Simulated crash|STREAM_FAILED"):
+        q.awaitTermination(120)
+    assert crashed["yes"]
+
+    q2 = start(sink)  # restart from checkpoint, healthy sink
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count(), "crash+resume lost or duplicated rows"
+    assert got.select("event_id").distinct().count() == ev.count()
