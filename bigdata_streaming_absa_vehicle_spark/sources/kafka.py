@@ -54,12 +54,19 @@ def parse_envelope(kafka_df: DataFrame, schema: T.StructType) -> DataFrame:
     )
 
 
+def kafka_payload(df: DataFrame) -> DataFrame:
+    """All columns JSON-serialized into the Kafka value envelope — the
+    engine-native form of the reference's producer loop (producer.py:38-53:
+    json.dumps(dict) -> utf-8 bytes). Unit-testable without a broker: the
+    round trip payload -> parse_envelope is identity."""
+    return df.select(F.to_json(F.struct(*df.columns)).cast("binary").alias("value"))
+
+
 def to_kafka_sink(df: DataFrame, brokers: str, topic: str, checkpoint: str):
-    """JSON-serialize all columns onto a topic (S-07) — the engine-native form
-    of the reference's external kafka-python producer."""
-    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    """JSON-serialize all columns onto a topic (S-07)."""
     return (
-        payload.writeStream.format("kafka")
+        kafka_payload(df)
+        .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("topic", topic)
         .option("checkpointLocation", checkpoint)

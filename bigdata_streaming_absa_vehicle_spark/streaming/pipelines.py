@@ -38,6 +38,25 @@ def absa_stream(kafka_df: DataFrame, model_version: str = "v0") -> DataFrame:
     return absa_transform(parse_envelope(kafka_df, REVIEW_ENVELOPE), model_version)
 
 
+VEHICLE_CLASSES = ("car", "bus", "truck", "motorbike")
+
+
+def detected_classes(frame_data_col: str = "frame_data"):
+    """The deterministic detection contract shared by the pipeline and the
+    UDTF/explode surface (D-07): per-class presence bits + membership derived
+    from the frame content hash (the real YOLO model swaps in behind the same
+    array<string> contract, D-01)."""
+    classes = F.array(*[F.lit(c) for c in VEHICLE_CLASSES])
+    frame_hash = F.md5(F.unbase64(frame_data_col))
+    return F.filter(
+        classes,
+        lambda c: F.conv(F.substring(F.md5(F.concat(frame_hash, c)), 1, 4), 16, 10)
+        .cast("long")
+        .bitwiseAND(1)
+        == 1,
+    )
+
+
 def vehicle_transform(parsed: DataFrame) -> DataFrame:
     """Parsed frame envelope -> vehicle_counts rows (db/init.sql:4-11 shape).
 
@@ -46,16 +65,7 @@ def vehicle_transform(parsed: DataFrame) -> DataFrame:
     hash (the real model swaps in behind the same struct, D-01). Relational
     work the reference buried in the UDF — class filtering, type-string
     assembly (vehicle_consumer.py:94-98) — happens in engine expressions."""
-    classes = F.array(F.lit("car"), F.lit("bus"), F.lit("truck"), F.lit("motorbike"))
-    frame_hash = F.md5(F.unbase64("frame_data"))
-    # deterministic per-class presence bits + count from the content hash
-    picked = F.filter(
-        classes,
-        lambda c: F.conv(F.substring(F.md5(F.concat(frame_hash, c)), 1, 4), 16, 10)
-        .cast("long")
-        .bitwiseAND(1)
-        == 1,
-    )
+    picked = detected_classes("frame_data")
     detection = F.struct(
         F.size("picked").cast("int").alias("count"),
         F.concat_ws(",", "picked").alias("vehicle_types"),
