@@ -19,6 +19,37 @@ from bigdata_streaming_absa_vehicle_spark.queries import all_queries
 from bigdata_streaming_absa_vehicle_spark.session import get_spark
 
 
+def streaming_throughput(spark, sf_dir: str) -> dict[str, float]:
+    """Events replayed as a micro-batched stream through the T-05 windowed
+    aggregation, end to end — rows/sec to compare against the reference's
+    configured ~10 rows/s ingest ceiling (BASELINE.md)."""
+    import shutil
+    import tempfile
+
+    from bigdata_streaming_absa_vehicle_spark.sources.files import events_stream
+    from bigdata_streaming_absa_vehicle_spark.streaming.event_time import tumbling_counts
+    from bigdata_streaming_absa_vehicle_spark.tables import load
+
+    n_rows = load(spark, sf_dir, "events").count()
+    stage = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        stream = events_stream(spark, sf_dir, f"{stage}/in", n_files=8)
+        t0 = time.perf_counter()
+        q = (
+            tumbling_counts(stream)
+            .writeStream.format("noop")
+            .option("checkpointLocation", f"{stage}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return {"rows": n_rows, "wall_s": round(wall, 4), "rows_per_sec": round(n_rows / wall, 1)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
@@ -35,6 +66,8 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    stream_stats = streaming_throughput(spark, sf_dir)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -44,6 +77,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "streaming": stream_stats,
             }
         )
     )

@@ -228,7 +228,10 @@ def q21_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast nested-loop join, the only non-equi join shape that scales
     (never a cartesian shuffle)."""
     orders = load(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    # literal relation built JVM-side (VALUES): createDataFrame over a python
+    # list plans a Scan ExistingRDD that drags python workers into the query
+    rows = ", ".join(f"('{b}', {lo}D, {hi}D)" for b, lo, hi in PRICE_BANDS)
+    bands = spark.sql(f"SELECT * FROM VALUES {rows} AS bands(band, lo, hi)")
     return (
         orders.join(
             F.broadcast(bands),

@@ -89,24 +89,24 @@ def q66_grouped_map_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flat AS (
         SELECT label,
-               unnest(range(1, len(embedding) + 1)) AS pos,
+               CAST(unnest(range(0, len(embedding))) AS INTEGER) AS pos,
                CAST(unnest(embedding) AS DOUBLE) AS val
         FROM embeddings
-    ), per_pos AS (
-        SELECT label, pos, AVG(val) AS m, COUNT(*) AS n
-        FROM flat GROUP BY label, pos
     )
-    SELECT label,
-           list(m ORDER BY pos) AS centroid,
-           CAST(MAX(n) AS BIGINT) AS n_vectors
-    FROM per_pos GROUP BY label ORDER BY label
+    SELECT label, pos,
+           ROUND(AVG(val), 6) AS centroid_val,
+           COUNT(*) AS n_vectors
+    FROM flat GROUP BY label, pos
+    ORDER BY label, pos
     """,
     tags=("D-06", "X-03"),
 )
 def q67_grouped_agg_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D-06: per-label embedding centroid as a grouped-agg pandas UDF (the
-    vector-mean kernel an IVF index builds on). Certified at 6-dp float
-    tolerance against the oracle's unnest-and-average formulation."""
+    """D-06: per-label embedding centroid as an array-returning grouped-agg
+    pandas UDF (the vector-mean kernel an IVF index builds on), flattened to
+    one (label, pos) row per component for the oracle compare. Rounded to
+    6 dp: pandas' and DuckDB's float64 summation orders differ harmlessly
+    below that."""
 
     @F.pandas_udf("array<double>")
     def centroid(vecs: pd.Series) -> list:
@@ -120,13 +120,14 @@ def q67_grouped_agg_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         return len(vecs)
 
     emb = load(spark, sf_dir, "embeddings")
+    wide = emb.groupBy("label").agg(
+        centroid("embedding").alias("centroid"),
+        n_vecs("embedding").alias("n_vectors"),
+    )
     return (
-        emb.groupBy("label")
-        .agg(
-            centroid("embedding").alias("centroid"),
-            n_vecs("embedding").alias("n_vectors"),
-        )
-        .orderBy("label")
+        wide.select("label", "n_vectors", F.posexplode("centroid").alias("pos", "val"))
+        .select("label", "pos", F.round("val", 6).alias("centroid_val"), "n_vectors")
+        .orderBy("label", "pos")
     )
 
 

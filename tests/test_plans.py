@@ -1,0 +1,106 @@
+"""Physical-plan regression tests (SURVEY.md §4.2): the scale properties the
+engine depends on — predicate pushdown into parquet, column pruning,
+broadcast joins for small dims, partial+final aggregation, top-k instead of
+global sort — asserted on the actual executed plans, so a refactor that
+silently de-optimizes a query fails CI, not the 100 TB run.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_streaming_absa_vehicle_spark.queries import all_queries
+from bigdata_streaming_absa_vehicle_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    li = load(spark, SF_DIR, "lineitem")
+    df = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "l_returnflag" in plan.split("PushedFilters")[1].split("\n")[0], (
+        "filter on l_returnflag did not reach the parquet scan:\n" + plan
+    )
+
+
+def test_column_pruning_reaches_parquet_scan(spark):
+    li = load(spark, SF_DIR, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema, (
+        "projection did not prune unused columns from the scan:\n" + plan
+    )
+
+
+def test_small_dim_join_broadcasts(spark):
+    q = all_queries()["q16b_broadcast_join"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, "small-dim join did not broadcast:\n" + plan
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    """J-03: region/nation/customer are tiny next to orders — every dim side
+    of the star join should broadcast (no sort-merge exchange of the fact)."""
+    q = all_queries()["q17_star_join"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, "star join fell back to sort-merge:\n" + plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_aggregation_is_partial_plus_final(spark):
+    q = all_queries()["q04_group_sum_multikey"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2, (
+        "groupBy did not plan map-side partial aggregation:\n" + plan
+    )
+
+
+def test_order_by_limit_plans_top_k(spark):
+    q = all_queries()["q12_latest_topn"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, (
+        "ORDER BY ... LIMIT did not plan top-k (global sort instead):\n" + plan
+    )
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    """J-07: the only scalable non-equi join shape is broadcasting the tiny
+    side; a cartesian shuffle would be quadratic at scale."""
+    q = all_queries()["q21_range_join"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_lsh_candidate_join_carries_no_document_payload(spark):
+    """The MinHash LSH band join must shuffle ids + band keys only — shingle
+    sets enter the plan only at the verify re-join (SURVEY §2K scale shape).
+    Auto-broadcast is disabled so the band join plans its at-scale shape (a
+    shuffle exchange on (band_idx, band_key)) even on the tiny test table."""
+    q = all_queries()["q41_minhash_lsh_neardup"]
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(q.fn(spark, SF_DIR), mode="extended")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    physical = plan.split("== Physical Plan ==")[-1]
+    exchanges = [l for l in physical.splitlines() if "hashpartitioning(band_idx" in l]
+    assert exchanges, "no band-key exchange found in plan:\n" + physical
+    # the exchange rows on the candidate side must not carry shingle sets;
+    # sh_set may appear only in the verify re-join exchanges (keyed by doc id)
+    for line in exchanges:
+        assert "sh_set" not in line, "LSH band shuffle carries shingle sets:\n" + line
