@@ -236,6 +236,122 @@ def lsh_topk(
     )
 
 
+def exact_centroids(emb: DataFrame, key_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """(cid, cvec): per-key centroid with ORDER-INDEPENDENT component means
+    (decimal-exact sums / count), so Spark and the DuckDB oracle compute
+    bit-identical centroid vectors regardless of row order — the property
+    that makes the IVF path hash-checkable end-to-end."""
+    from ..functions.deterministic import dsum
+
+    flat = emb.select(
+        F.col(key_col).alias("cid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    )
+    per = flat.groupBy("cid", "pos").agg((dsum("val", scale=12) / F.count("val")).alias("m"))
+    return per.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cvec")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: assign every corpus vector to its nearest centroid
+    (broadcast cross-score + rank-1 — the inverted lists), search only the
+    n_probe nearest lists per probe, exact-score the candidates, keep top-k.
+
+    At scale this is the textbook shape: centroid count ~sqrt(n), assignment
+    is a map-side broadcast pass, the candidate join shuffles only probed
+    cluster ids, and each probe scores |n/C| * n_probe vectors instead of n.
+    Deterministic throughout (exact-decimal centroids, (cos desc, id) ties)
+    so the whole pipeline hash-matches the oracle."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).cast("array<double>").alias("pvec")
+    )
+    assign_w = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    assigned = (
+        c.crossJoin(F.broadcast(centroids))
+        .withColumn("ccos", cosine(F.col("vec"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(assign_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", "cid")
+    )
+    probe_w = W.partitionBy("probe_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    probed = (
+        p.crossJoin(F.broadcast(centroids))
+        .withColumn("ccos", cosine(F.col("pvec"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= n_probe)
+        .select("probe_id", "pvec", "cid")
+    )
+    rank_w = W.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        probed.join(assigned, "cid")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", cosine(F.col("pvec"), F.col("vec")).alias("cos"))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", F.round("cos", 6).alias("cosine"), "rank")
+        .orderBy("probe_id", "rank")
+    )
+
+
+def oracle_ivf_topk(probe_filter: str, k: int = 5, n_probe: int = 2) -> str:
+    """DuckDB twin of exact_centroids + ivf_topk over `embeddings`."""
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings
+    ), flat AS (
+        SELECT label AS cid,
+               unnest(range(0, len(vec))) AS pos,
+               unnest(vec) AS val
+        FROM vecs
+    ), per AS (
+        SELECT cid, pos,
+               CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(val) AS m
+        FROM flat GROUP BY cid, pos
+    ), cents AS (
+        SELECT cid, list(m ORDER BY pos) AS cvec FROM per GROUP BY cid
+    ), assigned AS (
+        SELECT vec_id, vec, cid FROM (
+            SELECT v.vec_id, v.vec, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY list_cosine_similarity(v.vec, c.cvec) DESC, c.cid) AS rn
+            FROM vecs v CROSS JOIN cents c
+        ) WHERE rn = 1
+    ), probed AS (
+        SELECT probe_id, pvec, cid FROM (
+            SELECT p.vec_id AS probe_id, p.vec AS pvec, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                       ORDER BY list_cosine_similarity(p.vec, c.cvec) DESC, c.cid) AS rn
+            FROM vecs p CROSS JOIN cents c
+            WHERE {probe_filter.replace('vec_id', 'p.vec_id')}
+        ) WHERE rn <= {n_probe}
+    ), ranked AS (
+        SELECT probe_id, vec_id,
+               list_cosine_similarity(pvec, vec) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                   ORDER BY list_cosine_similarity(pvec, vec) DESC, vec_id) AS rank
+        FROM probed JOIN assigned USING (cid)
+        WHERE vec_id <> probe_id
+    )
+    SELECT probe_id, vec_id, ROUND(cos, 6) AS cosine, rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY probe_id, rank
+    """
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins
 # ---------------------------------------------------------------------------

@@ -73,6 +73,38 @@ def fingerprint(text: Column) -> Column:
     )
 
 
+#: Rabin-Karp rolling-hash parameters: base fits tokens-hashes < 2^31 so
+#: acc*B + h < 2^31 * 2^31 never overflows int64 in either engine
+RH_BASE = 1_000_003
+RH_MOD = 2_147_483_647  # 2^31 - 1
+
+
+def rolling_fingerprint(tokens: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over a token array:
+    acc_i = (acc_{i-1} * B + h(token_i)) mod P — the incremental-update
+    fingerprint family (Rabin-Karp); unlike the md5 fingerprint it can be
+    extended chunk-by-chunk without rereading the document. Left fold, exact
+    int64 in both engines."""
+    from .dedup import hash64
+
+    return F.aggregate(
+        tokens,
+        F.expr("0L"),
+        lambda acc, t: (acc * RH_BASE + hash64("rh", t) % RH_MOD) % RH_MOD,
+    )
+
+
+def oracle_rolling_fingerprint(tokens_expr: str) -> str:
+    from .dedup import oracle_hash64
+
+    h = oracle_hash64("rh", "t")
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({tokens_expr}, t -> {h} % {RH_MOD})), "
+        f"(acc, h) -> (acc * {RH_BASE} + h) % {RH_MOD})"
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins (kept textually adjacent so drift is visible in review)
 # ---------------------------------------------------------------------------

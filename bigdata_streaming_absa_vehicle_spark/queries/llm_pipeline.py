@@ -242,6 +242,21 @@ def q46_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@query(
+    "q46b_ivf_ann_topk",
+    oracle=sim.oracle_ivf_topk("vec_id < 10", k=5, n_probe=2),
+    tags=("X-03", "D-06"),
+)
+def q46b_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via IVF: exact-decimal per-label centroids as the coarse
+    quantizer, nearest-centroid inverted lists, probes search the 2 nearest
+    lists. Each probe scores ~n*n_probe/C vectors instead of n — the
+    complementary scale path to q46's LSH."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = sim.exact_centroids(emb)
+    return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), cents, k=5, n_probe=2)
+
+
 # ---------------------------------------------------------------------------
 # X-04 text analysis
 # ---------------------------------------------------------------------------
@@ -347,6 +362,28 @@ def q50_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("first_doc"), F.count("*").alias("n_docs"))
         .orderBy("first_doc")
     )
+
+
+_ORACLE_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+
+@query(
+    "q50b_rolling_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {ta.oracle_rolling_fingerprint(_ORACLE_TOKS)} AS rfp
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("X-04",),
+)
+def q50b_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp polynomial rolling hash over the token stream — the
+    order-sensitive, incrementally-updatable fingerprint (vs q50's batch md5);
+    exact int64 fold, identical in both engines."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select("doc_id", ta.rolling_fingerprint(toks).alias("rfp")).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

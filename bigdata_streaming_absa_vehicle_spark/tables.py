@@ -47,3 +47,15 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql queries."""
     for name in TABLE_NAMES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Write a result table hive-partitioned on its natural pruning key —
+    the engine's replacement for the reference's Postgres B-tree indexes
+    (db/init.sql:14-15): a date/camera filter then prunes whole directories
+    at planning time (PartitionFilters in the scan) instead of scanning and
+    filtering. At 100 TB, partition on the dominant filter column (event
+    date, camera, lang) and keep files ~128 MB-1 GB via AQE coalesce."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

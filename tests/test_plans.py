@@ -86,6 +86,22 @@ def test_range_join_is_broadcast_nested_loop(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
+    """Result tables written via write_partitioned prune whole partitions at
+    plan time — the engine's replacement for the reference's Postgres B-tree
+    indexes (db/init.sql:14-15)."""
+    from bigdata_streaming_absa_vehicle_spark.tables import write_partitioned
+
+    ev = load(spark, SF_DIR, "events").withColumn("event_date", F.to_date("ts"))
+    out = str(tmp_path / "events_by_date")
+    write_partitioned(ev, out, ["event_date"])
+    one_day = ev.select("event_date").distinct().limit(1).collect()[0][0]
+    df = spark.read.parquet(out).filter(F.col("event_date") == F.lit(one_day))
+    plan = plan_of(df)
+    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "event_date" in pf, "date filter did not become a partition filter:\n" + plan
+
+
 def test_lsh_candidate_join_carries_no_document_payload(spark):
     """The MinHash LSH band join must shuffle ids + band keys only — shingle
     sets enter the plan only at the verify re-join (SURVEY §2K scale shape).
