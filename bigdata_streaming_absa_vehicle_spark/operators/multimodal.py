@@ -82,6 +82,82 @@ def decode_image_pixels(media: DataFrame) -> DataFrame:
     )
 
 
+def sample_frames(
+    frames: DataFrame,
+    every_n: int = 5,
+    key_col: str = "camera_id",
+    order_cols: tuple[str, ...] = ("frame_time", "frame_id"),
+) -> DataFrame:
+    """Frame sampling: keep every Nth frame per stream key, by event-time
+    order — the relational form of the reference producer's FPS_LIMIT
+    throttle (vehicle_producer_single.py:26, a time.sleep loop). Runs as a
+    ranking window, so the heavy payload column never moves except for
+    surviving frames (filter before any downstream decode). order_cols must
+    be a total order within the key (pass a frame id as tie-break) or the
+    sample is nondeterministic."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key_col).orderBy(*order_cols)
+    return (
+        frames.withColumn("_fidx", F.row_number().over(w))
+        .filter((F.col("_fidx") - 1) % every_n == 0)
+        .drop("_fidx")
+    )
+
+
+#: output schema of resize_images
+RESIZED_SCHEMA = "doc_id long, out_width int, out_height int, out_bytes int"
+
+
+def resize_images(media: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Arrow-batched resize: aspect-preserving fit into max_dim x max_dim.
+    The geometry arithmetic is real; the pixel resample is STUBBED (cv2/PIL
+    absent) — out_bytes is the deterministic md5-meta stand-in, and the two
+    marked lines are where cv2.resize would run. Same mapInPandas plumbing
+    contract as decode_image_meta."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            md5s = pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest())
+            w = md5s.map(lambda h: int(h[:4], 16) % 1920 + 1)
+            h = md5s.map(lambda h_: int(h_[4:8], 16) % 1080 + 1)
+            scale = (max_dim / pd.concat([w, h], axis=1).max(axis=1)).clip(upper=1.0)
+            out_w = (w * scale).astype(int).clip(lower=1)
+            out_h = (h * scale).astype(int).clip(lower=1)
+            # STUB resample: real impl would be cv2.resize(img, (out_w, out_h))
+            out_bytes = out_w * out_h * 3
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_width": out_w.astype("int32"),
+                    "out_height": out_h.astype("int32"),
+                    "out_bytes": out_bytes.astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+ORACLE_RESIZED = """
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 1920 + 1 AS w,
+               CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 1080 + 1 AS h
+        FROM documents
+    ), scaled AS (
+        SELECT doc_id, w, h,
+               least(256.0 / greatest(w, h), 1.0) AS scale
+        FROM dims
+    )
+    SELECT doc_id,
+           CAST(greatest(floor(w * scale), 1) AS INTEGER) AS out_width,
+           CAST(greatest(floor(h * scale), 1) AS INTEGER) AS out_height,
+           CAST(greatest(floor(w * scale), 1) * greatest(floor(h * scale), 1) * 3
+                AS INTEGER) AS out_bytes
+    FROM scaled
+    ORDER BY doc_id
+"""
+
 ORACLE_DECODED_META = """
     SELECT doc_id,
            md5(text) AS content_md5,

@@ -403,3 +403,50 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vehicle_consumer.py:78-111)."""
     docs = load(spark, sf_dir, "documents")
     return mm.decode_image_meta(mm.with_payload(docs)).orderBy("doc_id")
+
+
+@query(
+    "q52_frame_sample",
+    oracle="""
+    WITH frames AS (
+        SELECT 'CAM_' || CAST(user_id % 2 AS VARCHAR) AS camera_id,
+               event_id AS frame_id,
+               date_trunc('second', ts) AS frame_time
+        FROM events
+    ), numbered AS (
+        SELECT camera_id, frame_id, frame_time,
+               ROW_NUMBER() OVER (PARTITION BY camera_id
+                                  ORDER BY frame_time, frame_id) AS rn
+        FROM frames
+    )
+    SELECT camera_id, frame_id, frame_time
+    FROM numbered WHERE (rn - 1) % 5 = 0
+    ORDER BY camera_id, frame_id
+    """,
+    tags=("X-05",),
+)
+def q52_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-5th-frame sampling per camera in event-time order — the
+    relational form of the reference producer's FPS throttle
+    (vehicle_producer_single.py:26); payload columns survive the ranking
+    window only for kept frames."""
+    ev = load(spark, sf_dir, "events")
+    frames = ev.select(
+        F.concat(F.lit("CAM_"), (F.col("user_id") % 2).cast("string")).alias("camera_id"),
+        F.col("event_id").alias("frame_id"),
+        F.date_trunc("second", "ts").alias("frame_time"),
+    )
+    return mm.sample_frames(frames, every_n=5).orderBy("camera_id", "frame_id")
+
+
+@query(
+    "q53_resize_meta",
+    oracle=mm.ORACLE_RESIZED,
+    tags=("X-05",),
+)
+def q53_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize geometry via mapInPandas (pixel resample
+    stubbed, arithmetic and Arrow plumbing real): fit into 256x256, output
+    dimensions + RGB byte size."""
+    docs = load(spark, sf_dir, "documents")
+    return mm.resize_images(mm.with_payload(docs), max_dim=256).orderBy("doc_id")

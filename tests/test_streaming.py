@@ -169,6 +169,43 @@ def test_running_totals_stateful(spark, tmpdir):
     assert as_sorted_rows(final, cols) == as_sorted_rows(batch, cols)
 
 
+def test_absa_pipeline_end_to_end_stream(spark, tmpdir):
+    """SURVEY §3.1 as a live stream: documents -> kafka-shaped JSON envelope
+    (the producer serialization, S-07) -> micro-batched replay -> parse ->
+    normalize -> pandas_udf inference -> idempotent sink. The sink contents
+    must equal the batch twin (q60's transform), which is itself
+    oracle-hash-checked — transitive correctness for the full streaming graph."""
+    from pyspark.sql import functions as F
+
+    from bigdata_streaming_absa_vehicle_spark.schemas import REVIEW_ENVELOPE
+    from bigdata_streaming_absa_vehicle_spark.sources.kafka import kafka_payload, parse_envelope
+    from bigdata_streaming_absa_vehicle_spark.streaming.pipelines import absa_transform
+
+    docs = load(spark, SF_DIR, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), F.col("text").alias("review")
+    )
+    # producer side: serialize to the kafka value envelope, stage as files
+    kafka_payload(docs).repartition(4).write.mode("overwrite").parquet(f"{tmpdir}/stage")
+    raw = (
+        spark.readStream.schema("value binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/stage")
+    )
+    result = absa_transform(parse_envelope(raw, REVIEW_ENVELOPE), model_version="v0")
+    out = f"{tmpdir}/out"
+    q = (
+        result.writeStream.foreachBatch(idempotent_parquet_writer(out))
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).drop("batch_id")
+    batch = absa_transform(docs, model_version="v0")
+    cols = sorted(batch.columns)
+    assert as_sorted_rows(got, cols) == as_sorted_rows(batch, cols)
+
+
 def test_kill_resume_exactly_once(spark, tmpdir):
     """T-04/S-09: crash mid-stream (the reference's simulated crash,
     spark_kafka_consumer_dag.py:160-162), restart from the checkpoint, and
