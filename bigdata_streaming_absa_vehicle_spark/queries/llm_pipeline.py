@@ -127,6 +127,93 @@ def q42_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select("doc_id", dd.simhash(F.col("sh"), 48).alias("simhash")).orderBy("doc_id")
 
 
+_SIMHASH_SQL = r"""
+        SELECT doc_id,
+               list_reduce(
+                   list_transform(range(0, 48), b -> CASE WHEN
+                       list_reduce(list_transform(sh, e -> CASE WHEN
+                           (CAST(('0x' || substr(md5('sim:' || e), 1, 15)) AS BIGINT) >> b) & 1 = 1
+                           THEN 1 ELSE -1 END), (x, y) -> x + y) >= 0
+                       THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END),
+                   (x, y) -> x + y) AS simhash
+        FROM (
+            SELECT doc_id,
+                   list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in range(1, len(toks) - 1)]) AS sh
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+            WHERE len(toks) >= 3
+        )
+"""
+
+
+@query(
+    "q42b_simhash_hamming_pairs",
+    oracle=f"""
+    WITH sims AS (
+        {_SIMHASH_SQL}
+    ), banded AS (
+        SELECT doc_id, simhash, b.b AS band_idx, (simhash >> (b.b * 12)) & 4095 AS band_key
+        FROM sims, range(0, 4) b(b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           bit_count(xor(x.simhash, y.simhash)) AS hamming
+    FROM cand
+    JOIN sims x ON x.doc_id = doc_a
+    JOIN sims y ON y.doc_id = doc_b
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= 12
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("X-02",),
+)
+def q42b_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: band the 48-bit fingerprint into 4 x
+    12-bit keys (any pair within hamming distance 3 shares >= 1 band —
+    pigeonhole; wider distances are caught when differing bits cluster),
+    bucket-join on band keys, verify with exact popcount(xor) <= 12. The
+    shuffle carries (doc_id, band key, 8-byte sketch) — same scale shape as
+    the MinHash LSH path but with a single-int64 sketch, so the verify step
+    needs no re-join."""
+    docs = load(spark, sf_dir, "documents")
+    toks = dd.tokens("text")
+    sims = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            dd.simhash(F.array_distinct(dd.shingles(F.col("toks"), 3)), 48).alias("simhash"),
+        )
+    )
+    band = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_idx")
+    banded = sims.select("doc_id", "simhash", band).select(
+        "doc_id",
+        "simhash",
+        "band_idx",
+        dd._shiftright_col(F.col("simhash"), F.col("band_idx") * 12)
+        .bitwiseAND(F.lit(4095))
+        .alias("band_key"),
+    )
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band_idx", "band_key"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band_idx", "band_key"
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= 12)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @query(
     "q43_ngram_jaccard_pairs",
     oracle=r"""

@@ -169,6 +169,47 @@ def test_running_totals_stateful(spark, tmpdir):
     assert as_sorted_rows(final, cols) == as_sorted_rows(batch, cols)
 
 
+def test_processing_time_trigger(spark, tmpdir):
+    """T-01: the reference's 5 s processing-time cadence
+    (spark_kafka_consumer_dag.py:187) — a short-cadence trigger fires
+    repeatedly and drains the staged files without availableNow."""
+    ev = load(spark, SF_DIR, "events").limit(200)
+    ev.repartition(2).write.mode("overwrite").parquet(f"{tmpdir}/stage")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/stage")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pt_trigger_t")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table("pt_trigger_t").count() < 200:
+            time.sleep(1)
+        assert spark.table("pt_trigger_t").count() == 200
+        assert len(q.recentProgress) >= 2, "processing-time trigger should fire per batch"
+    finally:
+        q.stop()
+
+
+def test_console_preview_sink(spark, capsys):
+    """S-06: the per-batch preview the reference prints
+    (spark_kafka_consumer_dag.py:156-157)."""
+    from bigdata_streaming_absa_vehicle_spark.streaming.sinks import console_preview_writer
+
+    df = load(spark, SF_DIR, "events").limit(3)
+    console_preview_writer(num_rows=2)(df, 7)
+    out = capsys.readouterr().out
+    assert "[batch 7] 3 rows" in out
+
+
 def test_absa_pipeline_end_to_end_stream(spark, tmpdir):
     """SURVEY §3.1 as a live stream: documents -> kafka-shaped JSON envelope
     (the producer serialization, S-07) -> micro-batched replay -> parse ->
