@@ -50,6 +50,57 @@ def q16_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join: the fact side gets a pseudo-random salt in
+    [0, n_salts), the dim side is replicated n_salts times, and the join runs
+    on (key, salt) — a hot key's rows spread over n_salts tasks instead of
+    one straggler. The salt values never affect the RESULT (every fact row
+    still meets its dim row exactly once), so the oracle is the plain join.
+
+    AQE's skew-join splitting handles moderate skew automatically; explicit
+    salting is for the pathological keys (one camera id = half the traffic)
+    where a single post-split partition still exceeds a task. Dim replication
+    costs n_salts x |dim| — use on small-to-medium dims only."""
+    salt = F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+    fact_s = fact.withColumn("_salt", salt)
+    dim_s = dim.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    return fact_s.join(dim_s, [key, "_salt"], how).drop("_salt")
+
+
+@query(
+    "q16c_salted_join",
+    oracle=f"""
+    SELECT c_mktsegment,
+           {odsum('o_totalprice')} AS segment_revenue,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("J-01",),
+)
+def q16c_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q16 through the skew-salting path — same oracle, same result, hot-key
+    rows spread across 8 tasks (the decomposition you reach for when one key
+    dominates and even AQE's split partitions exceed a task)."""
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS o_custkey", "c_mktsegment"
+    )
+    return (
+        salted_join(orders, cust, "o_custkey", n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(dsum("o_totalprice").alias("segment_revenue"), F.count("*").alias("n_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
 @query(
     "q16b_broadcast_join",
     oracle=f"""

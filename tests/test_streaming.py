@@ -247,6 +247,95 @@ def test_absa_pipeline_end_to_end_stream(spark, tmpdir):
     assert as_sorted_rows(got, cols) == as_sorted_rows(batch, cols)
 
 
+def test_vehicle_pipeline_end_to_end_stream(spark, tmpdir):
+    """SURVEY §3.2 as a live stream: frame envelopes -> replay -> parse ->
+    deterministic detection -> vehicle_counts rows -> idempotent sink; sink
+    equals the oracle-hash-checked batch twin (q62's transform)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_streaming_absa_vehicle_spark.schemas import FRAME_ENVELOPE
+    from bigdata_streaming_absa_vehicle_spark.sources.kafka import kafka_payload, parse_envelope
+    from bigdata_streaming_absa_vehicle_spark.streaming.pipelines import vehicle_transform
+
+    ev = load(spark, SF_DIR, "events")
+    envelope = ev.select(
+        F.concat(F.lit("CAM_"), (F.col("user_id") % 2).cast("string")).alias("camera_id"),
+        F.unix_timestamp("ts").cast("double").alias("timestamp"),
+        F.base64(F.col("props").cast("binary")).alias("frame_data"),
+    )
+    kafka_payload(envelope).repartition(4).write.mode("overwrite").parquet(f"{tmpdir}/stage")
+    raw = (
+        spark.readStream.schema("value binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/stage")
+    )
+    result = vehicle_transform(parse_envelope(raw, FRAME_ENVELOPE)).drop("processed_at")
+    out = f"{tmpdir}/out"
+    q = (
+        result.writeStream.foreachBatch(idempotent_parquet_writer(out))
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).drop("batch_id")
+    batch = vehicle_transform(envelope).drop("processed_at")
+    cols = sorted(batch.columns)
+    assert as_sorted_rows(got, cols) == as_sorted_rows(batch, cols)
+
+
+def test_stream_stream_interval_join(spark, tmpdir):
+    """J-10 (extension): watermarked stream-stream join — purchases matched
+    to the same user's clicks within the preceding 10 minutes, both sides
+    replayed as real micro-batched streams. Emitted pairs must be a subset of
+    the batch interval join and must cover every pair watermark-closed before
+    end of input."""
+    from pyspark.sql import functions as F
+
+    ev = load(spark, SF_DIR, "events")
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    buys_b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("bu"), F.col("ts").alias("buy_ts"), F.col("event_id").alias("buy_id")
+    )
+
+    from bigdata_streaming_absa_vehicle_spark.sources.files import replay_as_stream
+
+    # quasi-ordered replay (range-partitioned on event time) — a shuffled
+    # replay would advance the watermark to ~max on the first batch and
+    # declare everything after it late
+    clicks = replay_as_stream(
+        spark, clicks_b, f"{tmpdir}/clicks", n_files=4, order_col="click_ts"
+    ).withWatermark("click_ts", "30 minutes")
+    buys = replay_as_stream(
+        spark, buys_b, f"{tmpdir}/buys", n_files=4, order_col="buy_ts"
+    ).withWatermark("buy_ts", "30 minutes")
+    cond = (
+        (F.col("cu") == F.col("bu"))
+        & (F.col("click_ts") <= F.col("buy_ts"))
+        & (F.col("click_ts") >= F.col("buy_ts") - F.expr("INTERVAL 120 MINUTES"))
+    )
+    joined = clicks.join(buys, cond).select("buy_id", "click_id", "buy_ts")
+    result = run_to_memory(spark, joined, "ssj_t", mode="append")
+    batch = clicks_b.join(buys_b, cond).select("buy_id", "click_id", "buy_ts")
+    got = set(as_sorted_rows(result, ["buy_id", "click_id"]))
+    want_rows = batch.collect()
+    want = {(r.buy_id, r.click_id) for r in want_rows}
+    assert got <= want, "stream-stream join emitted a pair the batch join does not have"
+    # append emits a pair once BOTH sides pass the watermark; pairs whose
+    # buy_ts sits within (watermark + interval + margin) of end-of-input may
+    # legitimately still be buffered when the replay stops
+    import datetime
+
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    closed_before = max_ts - datetime.timedelta(minutes=30 + 120 + 30)
+    must_emit = {(r.buy_id, r.click_id) for r in want_rows if r.buy_ts < closed_before}
+    assert must_emit <= got, (
+        f"stream-stream join never emitted closed pairs: {sorted(must_emit - got)}"
+    )
+
+
 def test_kill_resume_exactly_once(spark, tmpdir):
     """T-04/S-09: crash mid-stream (the reference's simulated crash,
     spark_kafka_consumer_dag.py:160-162), restart from the checkpoint, and
