@@ -93,6 +93,21 @@ def test_lsh_ann_recall_vs_exact(spark):
     assert recall >= 0.3, f"ANN recall collapsed: {recall:.2f}"
 
 
+def test_ivf_ann_recall_vs_exact(spark):
+    """IVF with n_probe=2 of ~10 lists must beat blind chance comfortably and
+    every returned neighbor must come from a probed list (bucket-join
+    correctness is implied by the oracle hash check; this guards recall)."""
+    emb = load(spark, SF_DIR, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    cents = sim.exact_centroids(emb)
+    exact = sim.cosine_topk(emb, probes, k=5).collect()
+    ann = sim.ivf_topk(emb, probes, cents, k=5, n_probe=2).collect()
+    exact_set = {(r.probe_id, r.vec_id) for r in exact}
+    ann_set = {(r.probe_id, r.vec_id) for r in ann}
+    recall = len(exact_set & ann_set) / len(exact_set)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall:.2f}"
+
+
 def test_multimodal_pixel_decode_is_explicit_stub(spark):
     docs = load(spark, SF_DIR, "documents")
     media = mm.with_payload(docs)
