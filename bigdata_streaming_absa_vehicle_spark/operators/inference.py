@@ -51,13 +51,13 @@ class StubAbsaModel:
         ]
 
     def predict(self, texts: pd.Series) -> pd.DataFrame:
+        def argmax_for(t: str, a: str) -> int:
+            logits = self.logits_for(t, a)  # hoisted: one hash pass, not one per candidate
+            return max(range(ABSA_NUM_CLASSES), key=lambda c: (logits[c], -c))
+
         out = {}
         for aspect in ABSA_ASPECTS:
-            out[aspect] = texts.map(
-                lambda t, a=aspect: max(
-                    range(ABSA_NUM_CLASSES), key=lambda c: (self.logits_for(t, a)[c], -c)
-                )
-            )
+            out[aspect] = texts.map(lambda t, a=aspect: argmax_for(t, a))
         return pd.DataFrame(out)
 
 

@@ -23,9 +23,10 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..schemas import EMBEDDING_DIM
+
 N_TABLES = 4  # OR-ed hash tables
 PLANES_PER_TABLE = 4  # AND-ed bits per table
-EMBEDDING_DIM = 64
 
 
 def _plane_weight(table: int, plane: int, dim: int) -> int:
@@ -119,6 +120,8 @@ def quantized_neardup_pairs(
         quantized_unit_vec(F.col(vec_col).cast("array<double>")).alias("qv"),
     )
     rows = q.collect()  # corpus-wide broadcast (the prune output at scale)
+    if not rows:
+        return spark.createDataFrame([], "vec_a long, vec_b long, cosine double")
     ids_all = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat_all = np.stack([np.asarray(r["qv"], dtype=np.int64) for r in rows])
     bc = spark.sparkContext.broadcast((ids_all, mat_all))

@@ -66,7 +66,11 @@ def salted_join(
     AQE's skew-join splitting handles moderate skew automatically; explicit
     salting is for the pathological keys (one camera id = half the traffic)
     where a single post-split partition still exceeds a task. Dim replication
-    costs n_salts x |dim| — use on small-to-medium dims only."""
+    costs n_salts x |dim| — use on small-to-medium dims only. Join types
+    that preserve unmatched DIM rows (right/full outer) are rejected: the
+    replicated dim would surface n_salts copies of each unmatched row."""
+    if how in ("right", "rightouter", "right_outer", "full", "outer", "fullouter", "full_outer"):
+        raise ValueError(f"salted_join cannot preserve unmatched dim rows (how={how!r})")
     salt = F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
     fact_s = fact.withColumn("_salt", salt)
     dim_s = dim.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))

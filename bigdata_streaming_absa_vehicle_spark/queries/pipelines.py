@@ -86,15 +86,16 @@ def q61_absa_sentiment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_VEHICLE_CLASSES = ["car", "bus", "truck", "motorbike"]
+from ..streaming.pipelines import VEHICLE_CLASSES as _VEHICLE_CLASSES  # noqa: E402
 
 
 def _vehicle_oracle() -> str:
     bit = (
         "(CAST(('0x' || substr(md5(md5(props) || '{c}'), 1, 4)) AS BIGINT) & 1) = 1"
     )
+    classes_lit = "[" + ",".join(f"'{c}'" for c in _VEHICLE_CLASSES) + "]"
     picked = (
-        "list_filter(['car','bus','truck','motorbike'], c -> CASE "
+        f"list_filter({classes_lit}, c -> CASE "
         + " ".join(
             f"WHEN c = '{c}' THEN " + bit.format(c=c) for c in _VEHICLE_CLASSES
         )

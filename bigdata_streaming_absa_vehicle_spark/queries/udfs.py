@@ -141,11 +141,13 @@ def _frame_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DETECTIONS_ORACLE = """
+_CLASSES_LIT = "[" + ",".join(f"'{c}'" for c in VEHICLE_CLASSES) + "]"
+
+_DETECTIONS_ORACLE = f"""
     WITH frames AS (
         SELECT 'CAM_' || CAST(user_id % 2 AS VARCHAR) AS camera_id,
                date_trunc('second', ts) AS frame_time,
-               list_filter(['car','bus','truck','motorbike'],
+               list_filter({_CLASSES_LIT},
                    c -> (CAST(('0x' || substr(md5(md5(props) || c), 1, 4)) AS BIGINT) & 1) = 1
                ) AS picked
         FROM events

@@ -121,8 +121,15 @@ def running_totals(events: DataFrame) -> DataFrame:
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
-            # cents-exact accumulation (mirrors the decimal-exact batch sum)
-            total += int(pdf["value"].mul(100).round().sum())
+            # cents-exact accumulation mirroring the batch twin's
+            # decimal(28,2) cast, which rounds HALF-UP (away from zero) —
+            # pandas' .round() is half-even and diverges on exact half-cents
+            # (e.g. 0.125 -> 12 vs the decimal cast's 13)
+            import numpy as np
+
+            v = pdf["value"].to_numpy()
+            cents = np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)
+            total += int(cents.sum())
         state.update((n, int(total)))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total / 100.0]}

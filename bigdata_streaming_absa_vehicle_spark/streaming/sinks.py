@@ -41,11 +41,16 @@ def idempotent_jdbc_writer(
     exercised only when a JDBC driver and database exist (the tests use the
     parquet variant; same contract)."""
 
+    _MISSING_TABLE_MARKERS = ("does not exist", "doesn't exist", "not found", "unknown table")
+
     def write(batch_df: DataFrame, batch_id: int) -> None:
         import py4j  # noqa: F401  (jvm bridge always present under pyspark)
 
         spark = batch_df.sparkSession
-        # best-effort delete of a previous attempt of this batch
+        # delete any previous attempt of this batch; a failed delete (other
+        # than table-missing on first write) MUST abort the batch — swallowing
+        # it and appending anyway would duplicate the replayed rows, the exact
+        # failure mode this sink exists to prevent
         try:
             conn_props = dict(properties)
             jvm_props = spark.sparkContext._jvm.java.util.Properties()
@@ -58,8 +63,9 @@ def idempotent_jdbc_writer(
                 stmt.close()
             finally:
                 conn.close()
-        except Exception:
-            pass  # table may not exist yet; append below creates it
+        except Exception as e:
+            if not any(m in str(e).lower() for m in _MISSING_TABLE_MARKERS):
+                raise  # let the stream fail and retry this batch from checkpoint
         (
             batch_df.withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
@@ -74,7 +80,13 @@ def console_preview_writer(num_rows: int = 5) -> Callable[[DataFrame, int], None
     (spark_kafka_consumer_dag.py:156-157)."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        print(f"[batch {batch_id}] {batch_df.count()} rows")
-        batch_df.show(num_rows, truncate=80)
+        # one pass over the lineage: cache before the two actions, else the
+        # whole batch transform (inference included) runs twice
+        batch_df.persist()
+        try:
+            print(f"[batch {batch_id}] {batch_df.count()} rows")
+            batch_df.show(num_rows, truncate=80)
+        finally:
+            batch_df.unpersist()
 
     return write
