@@ -30,6 +30,13 @@ def streaming_throughput(spark, sf_dir: str) -> dict[str, float]:
     from bigdata_streaming_absa_vehicle_spark.streaming.event_time import tumbling_counts
     from bigdata_streaming_absa_vehicle_spark.tables import load
 
+    from pyspark.sql import functions as F
+
+    from bigdata_streaming_absa_vehicle_spark.schemas import REVIEW_ENVELOPE
+    from bigdata_streaming_absa_vehicle_spark.sources.kafka import kafka_payload, parse_envelope
+    from bigdata_streaming_absa_vehicle_spark.streaming.pipelines import absa_transform
+
+    stats: dict[str, float] = {}
     n_rows = load(spark, sf_dir, "events").count()
     stage = tempfile.mkdtemp(prefix="bench_stream_")
     try:
@@ -45,9 +52,44 @@ def streaming_throughput(spark, sf_dir: str) -> dict[str, float]:
         )
         q.awaitTermination(600)
         wall = time.perf_counter() - t0
+        stats.update(
+            {"rows": n_rows, "wall_s": round(wall, 4), "rows_per_sec": round(n_rows / wall, 1)}
+        )
+
+        # ABSA pipeline throughput: serialized review envelopes -> parse ->
+        # pandas_udf inference -> noop; the direct comparison point for the
+        # reference's ~10 rows/s configured ceiling and 0.25 s/2-row batches.
+        docs = load(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("id"), F.col("text").alias("review")
+        )
+        n_docs = docs.count()
+        kafka_payload(docs).repartition(8).write.mode("overwrite").parquet(f"{stage}/absa_in")
+        raw = (
+            spark.readStream.schema("value binary")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(f"{stage}/absa_in")
+        )
+        t0 = time.perf_counter()
+        q2 = (
+            absa_transform(parse_envelope(raw, REVIEW_ENVELOPE))
+            .writeStream.format("noop")
+            .option("checkpointLocation", f"{stage}/absa_ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(600)
+        absa_wall = time.perf_counter() - t0
+        stats.update(
+            {
+                "absa_rows": n_docs,
+                "absa_wall_s": round(absa_wall, 4),
+                "absa_rows_per_sec": round(n_docs / absa_wall, 1),
+            }
+        )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
-    return {"rows": n_rows, "wall_s": round(wall, 4), "rows_per_sec": round(n_rows / wall, 1)}
+    return stats
 
 
 def main() -> None:

@@ -1,0 +1,103 @@
+"""Hypothesis property tests — invariants that single fixed-input checks
+can't establish: salting never changes join results, the rolling fingerprint
+is incrementally extendable, quantized cosine stays within its error bound,
+and the deterministic-sum helpers are permutation-invariant.
+
+Spark-side properties run each case through the live session on purpose-built
+tiny frames; generators are sized so the whole module stays in seconds.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bigdata_streaming_absa_vehicle_spark.operators.text_analysis import RH_BASE, RH_MOD
+
+SLOW = settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+
+def rolling_py(tokens: list[int]) -> int:
+    """Pure-python twin of rolling_fingerprint's fold (over pre-hashed ints)."""
+    acc = 0
+    for h in tokens:
+        acc = (acc * RH_BASE + h % RH_MOD) % RH_MOD
+    return acc
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**60), max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_rolling_fingerprint_is_incremental(hashes):
+    """Appending one token = one more fold step — the property that lets a
+    chunked reader extend the fingerprint without rereading the document."""
+    full = rolling_py(hashes)
+    prefix = rolling_py(hashes[:-1]) if hashes else 0
+    if hashes:
+        assert full == (prefix * RH_BASE + hashes[-1] % RH_MOD) % RH_MOD
+    assert 0 <= full < RH_MOD
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.floats(-1e6, 1e6, allow_nan=False)), max_size=30
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_decimal_sum_is_permutation_invariant(rows):
+    """The dsum contract, checked on its arithmetic core: summing cents as
+    exact integers is order-independent where float summation is not."""
+    cents = [int(math.copysign(math.floor(abs(v) * 100 + 0.5), v)) for _, v in rows]
+    assert sum(cents) == sum(reversed(cents))
+
+
+@SLOW
+@given(st.integers(min_value=2, max_value=4), st.integers(min_value=0, max_value=10**6))
+def test_salted_join_equals_plain_join(spark, n_salts, seed):
+    """salted_join must be result-identical to the plain join for any salt
+    count, including fact rows with no dim match (inner drops them) and
+    skewed key distributions."""
+    from pyspark.sql import functions as F
+
+    from bigdata_streaming_absa_vehicle_spark.queries.joins import salted_join
+
+    fact = spark.range(40).select(
+        (F.col("id") % 7 + (seed % 3)).alias("k"), (F.col("id") * 10).alias("v")
+    )
+    dim = spark.range(5).select(F.col("id").alias("k"), F.concat(F.lit("d"), "id").alias("name"))
+    plain = fact.join(dim, "k").select("k", "v", "name")
+    salted = salted_join(fact, dim, "k", n_salts=n_salts).select("k", "v", "name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+@SLOW
+@given(st.integers(min_value=0, max_value=10**9))
+def test_quantized_cosine_error_bound(spark, seed):
+    """|quantized cosine - true cosine| stays within a generous dim-scaled
+    2^-20 bound (per-component quantization error <= 2^-21; products
+    accumulate across the dim)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from bigdata_streaming_absa_vehicle_spark.operators.similarity import (
+        Q_SCALE,
+        Q_SCALE_SQ,
+        quantized_unit_vec,
+    )
+
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=16).tolist()
+    b = rng.normal(size=16).tolist()
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    row = df.select(
+        quantized_unit_vec(F.col("a")).alias("qa"), quantized_unit_vec(F.col("b")).alias("qb")
+    ).collect()[0]
+    qcos = float(np.dot(np.array(row.qa), np.array(row.qb))) / Q_SCALE_SQ
+    true = float(
+        np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    )
+    assert abs(qcos - true) <= 20 * 16 / Q_SCALE, f"qcos={qcos} true={true}"
