@@ -54,6 +54,28 @@ def parse_envelope(kafka_df: DataFrame, schema: T.StructType) -> DataFrame:
     )
 
 
+def parse_with_dead_letter(
+    kafka_df: DataFrame, schema: T.StructType, required: list[str] | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Envelope parse with a dead-letter path: rows whose required fields
+    parse to null (schema drift — the reference shipped exactly this bug,
+    producer writing {"Review"} while the consumer expected {id, review},
+    SURVEY §3.1.1) go to a (raw_value, offset-ish) dead-letter frame for
+    replay/inspection instead of silently flowing nulls downstream or
+    crashing the stream. Both returned frames work in batch and streaming."""
+    required = required or [f.name for f in schema.fields]
+    tagged = kafka_df.selectExpr("CAST(value AS STRING) AS raw_value").select(
+        "raw_value", F.from_json("raw_value", schema).alias("d")
+    )
+    ok = None
+    for name in required:
+        cond = F.col(f"d.{name}").isNotNull()
+        ok = cond if ok is None else (ok & cond)
+    valid = tagged.filter(ok).select("d.*")
+    dead = tagged.filter(~ok).select("raw_value")
+    return valid, dead
+
+
 def kafka_payload(df: DataFrame) -> DataFrame:
     """All columns JSON-serialized into the Kafka value envelope — the
     engine-native form of the reference's producer loop (producer.py:38-53:

@@ -61,6 +61,25 @@ def test_parse_envelope_schema_mismatch_yields_nulls(spark):
     assert ok.Review == "wrong shape"
 
 
+def test_parse_with_dead_letter_splits_schema_drift(spark):
+    """The reference's producer/consumer envelope drift, handled: valid rows
+    flatten, drifted rows land in the dead-letter frame with their raw value."""
+    from bigdata_streaming_absa_vehicle_spark.sources.kafka import parse_with_dead_letter
+
+    raw = kafka_shaped(
+        spark,
+        [
+            b'{"id": "1", "review": "good"}',
+            b'{"Review": "wrong envelope"}',
+            b"not json at all",
+        ],
+    )
+    valid, dead = parse_with_dead_letter(raw, REVIEW_ENVELOPE)
+    assert [(r.id, r.review) for r in valid.collect()] == [("1", "good")]
+    dead_rows = sorted(r.raw_value for r in dead.collect())
+    assert dead_rows == ["not json at all", '{"Review": "wrong envelope"}']
+
+
 def test_kafka_payload_roundtrip(spark):
     """S-07 producer sink serialization: payload -> parse_envelope is identity."""
     src = spark.createDataFrame(
