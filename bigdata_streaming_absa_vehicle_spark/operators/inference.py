@@ -71,6 +71,22 @@ def load_model(version: str) -> StubAbsaModel:
     return model
 
 
+def evaluate_and_promote(
+    candidate_metrics: dict[str, float],
+    champion_metrics: dict[str, float] | None,
+    metric: str = "acc",
+) -> bool:
+    """The reference's retrain gate (dags/absa_streaming_lifecycle_full.py:38-63:
+    promote the candidate iff its eval metric beats the champion's;
+    eval_result.json carries {new_model_acc, best_model_acc}). Kept as a pure
+    decision function — orchestration (file moves, DAG scheduling) stays
+    outside the engine per SURVEY §3.3; the streaming side reacts through the
+    version-keyed worker cache (load_model) when the champion file changes."""
+    if champion_metrics is None:
+        return True
+    return candidate_metrics[metric] > champion_metrics[metric]
+
+
 def model_version_from_path(model_dir: str) -> str:
     """mtime-derived version string, the reference's champion-file scheme
     (spark_kafka_consumer_dag.py:111-124) without driver-side polling loops."""

@@ -50,6 +50,17 @@ def test_worker_model_cache_is_version_keyed():
     assert m0a is not m1
 
 
+def test_evaluate_and_promote_gate():
+    """Mirrors the reference's promote-iff-better rule, including its live
+    eval_result.json values (acc 0.856 vs best 0.83 -> promote)."""
+    from bigdata_streaming_absa_vehicle_spark.operators.inference import evaluate_and_promote
+
+    assert evaluate_and_promote({"acc": 0.856}, {"acc": 0.83})
+    assert not evaluate_and_promote({"acc": 0.80}, {"acc": 0.83})
+    assert not evaluate_and_promote({"acc": 0.83}, {"acc": 0.83}), "ties must not promote"
+    assert evaluate_and_promote({"acc": 0.5}, None), "first model always promotes"
+
+
 def test_model_version_from_mtime(tmp_path):
     d = tmp_path / "model_dir"
     d.mkdir()
