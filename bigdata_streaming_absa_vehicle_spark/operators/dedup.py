@@ -180,6 +180,9 @@ def minhash_lsh_pairs(
             "doc_id_",
             F.array_distinct(shingles(F.col("toks"), shingle_k)).alias("sh_set"),
         )
+        # consumed twice (signature branch + verify re-join); materialize the
+        # shingle sets once rather than re-tokenizing the corpus per branch
+        .localCheckpoint(eager=False)
     )
     # two-step projection: the signature fold is aliased once, then referenced
     # n_hashes times — multiple references stop CollapseProject from inlining

