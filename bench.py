@@ -108,7 +108,10 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
-    stream_stats = streaming_throughput(spark, sf_dir)
+    try:
+        stream_stats = streaming_throughput(spark, sf_dir)
+    except Exception as e:  # the batch suite result must survive a streaming hiccup
+        stream_stats = {"error": str(e)[:200]}
 
     total = round(sum(timings.values()), 4)
     print(
