@@ -97,20 +97,24 @@ def quantized_neardup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All pairs (a < b) with quantized cosine >= threshold.
+    """All pairs (a < b) with quantized cosine >= threshold — fully
+    distributed block-tile matmul, NO driver collect / corpus broadcast.
 
-    The pair scoring runs as an exact int64 matrix product in numpy via
-    mapInPandas against a broadcast of the quantized corpus — dot products of
-    2^20-scaled 64-dim unit vectors stay < 2^46, so the arithmetic is exact
-    and order-independent (measured ~30x faster than the interpreted
-    higher-order-function cosine at sf0.1). `cosine` is the quantized value
-    dot/2^40, within 2^-19 of true cosine — the declared semantics of this
-    operator, mirrored exactly by the oracle.
+    Rows hash into `n_blocks` blocks on vec_id; the B(B+1)/2 block pairs
+    form a tiny spark.range relation; each tile (i, j) cogroups block i
+    (rows) with block j (columns) into ONE applyInPandas task that runs the
+    exact int64 numpy matmul for its tile. Dot products of 2^20-scaled
+    64-dim unit vectors stay < 2^46, so the arithmetic is exact and
+    order-independent; `cosine` is dot/2^40, within 2^-19 of true cosine —
+    the declared semantics, mirrored exactly by the oracle.
 
-    Scale shape: O(n^2) by definition — at corpus scale you LSH-prune first
-    (minhash_lsh_pairs / lsh_topk) and reserve this kernel for verify; the
-    broadcast side is the prune output, not the full corpus."""
+    Scale shape: each row is shuffled to ~B+1 tiles, so data movement is
+    O(n*B) while the O(n^2) arithmetic spreads evenly over executors and
+    driver memory stays O(1). All-pairs-above-threshold is quadratic by
+    definition — at corpus scale run banded_neardup_pairs (band-prune +
+    exact verify) instead and reserve this as the exact-verify tile engine."""
     import numpy as np
     import pandas as pd
 
@@ -118,35 +122,228 @@ def quantized_neardup_pairs(
     q = emb.select(
         F.col(id_col).alias("vec_id"),
         quantized_unit_vec(F.col(vec_col).cast("array<double>")).alias("qv"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(n_blocks)).alias("blk"),
+    ).localCheckpoint(eager=False)  # consumed by both tile sides — compute once
+
+    bi = spark.range(n_blocks).select(F.col("id").alias("i"))
+    bj = spark.range(n_blocks).select(F.col("id").alias("j"))
+    tiles = bi.crossJoin(bj).filter(F.col("i") <= F.col("j"))  # B(B+1)/2 rows
+
+    # Both tile sides derive from q, which trips Spark's ambiguous-self-join
+    # detector under cogroup — so tag each side and union into ONE grouped
+    # relation instead (same shuffle volume, one applyInPandas per tile).
+    rows_side = (
+        q.alias("qr")
+        .join(F.broadcast(tiles.alias("tr")), F.col("qr.blk") == F.col("tr.i"))
+        .select(
+            F.col("tr.i").alias("i"),
+            F.col("tr.j").alias("j"),
+            F.lit(0).alias("side"),
+            "qr.vec_id",
+            "qr.qv",
+        )
     )
-    rows = q.collect()  # corpus-wide broadcast (the prune output at scale)
-    if not rows:
-        return spark.createDataFrame([], "vec_a long, vec_b long, cosine double")
-    ids_all = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat_all = np.stack([np.asarray(r["qv"], dtype=np.int64) for r in rows])
-    bc = spark.sparkContext.broadcast((ids_all, mat_all))
+    cols_side = (
+        q.alias("qc")
+        .join(F.broadcast(tiles.alias("tc")), F.col("qc.blk") == F.col("tc.j"))
+        .select(
+            F.col("tc.i").alias("i"),
+            F.col("tc.j").alias("j"),
+            F.lit(1).alias("side"),
+            "qc.vec_id",
+            "qc.qv",
+        )
+    )
 
-    def score(it):
-        ids, mat = bc.value
-        for pdf in it:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_mat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
-            dots = a_mat @ mat.T  # exact int64
-            qcos = dots / Q_SCALE_SQ
-            keep = (qcos >= threshold) & (a_ids[:, None] < ids[None, :])
-            ai, bj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai],
-                    "vec_b": ids[bj],
-                    "cosine_raw": qcos[ai, bj],
-                }
-            )
+    def tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        left = pdf[pdf["side"] == 0]
+        right = pdf[pdf["side"] == 1]
+        if left.empty or right.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine_raw": []})
+        a_ids = left["vec_id"].to_numpy(dtype=np.int64)
+        b_ids = right["vec_id"].to_numpy(dtype=np.int64)
+        a_mat = np.stack([np.asarray(v, dtype=np.int64) for v in left["qv"]])
+        b_mat = np.stack([np.asarray(v, dtype=np.int64) for v in right["qv"]])
+        qcos = (a_mat @ b_mat.T) / Q_SCALE_SQ  # exact int64 dots
+        keep = qcos >= threshold
+        if key[0] == key[1]:  # diagonal tile: same rows both sides
+            keep &= a_ids[:, None] < b_ids[None, :]
+        else:  # off-diagonal: blocks disjoint, normalize pair order
+            keep &= a_ids[:, None] != b_ids[None, :]
+        ai, bj_ = np.nonzero(keep)
+        va, vb = a_ids[ai], b_ids[bj_]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(va, vb),
+                "vec_b": np.maximum(va, vb),
+                "cosine_raw": qcos[ai, bj_],
+            }
+        )
 
-    pairs = q.mapInPandas(score, schema="vec_a long, vec_b long, cosine_raw double")
+    pairs = (
+        rows_side.unionByName(cols_side)
+        .groupBy("i", "j")
+        .applyInPandas(tile, schema="vec_a long, vec_b long, cosine_raw double")
+    )
     return pairs.select(
         "vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine")
     ).orderBy("vec_a", "vec_b")
+
+
+#: banding parameters for the scale-path near-dup (hyperplane signature over
+#: the quantized vector, split into bands — candidates share >= 1 band)
+N_QBANDS = 4
+QBITS_PER_BAND = 6
+
+
+def _qplane_weight(band: int, bit: int, dim: int) -> int:
+    """Deterministic integer plane weight for the banding signature — a
+    different md5 family than lsh_topk's planes so the two operators stay
+    independent."""
+    h = hashlib.md5(f"qplane:{band}:{bit}:{dim}".encode()).hexdigest()
+    return int(h[:15], 16) % 2001 - 1000
+
+
+def qband_weights(
+    n_bands: int = N_QBANDS, bits: int = QBITS_PER_BAND, dim: int = EMBEDDING_DIM
+) -> list[list[list[int]]]:
+    return [
+        [[_qplane_weight(b, p, d) for d in range(dim)] for p in range(bits)]
+        for b in range(n_bands)
+    ]
+
+
+def _int_dot_literal(qv_col: Column, weights: list[int]) -> Column:
+    """w . qv as exact int64 (|w| <= 1000, |qv_i| <= 2^20, dim 64 ->
+    |dot| < 2^37): identical in Spark and DuckDB regardless of order."""
+    warr = F.array(*[F.lit(w).cast("long") for w in weights])
+    return F.aggregate(
+        F.zip_with(warr, qv_col, lambda w, x: w * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def banded_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs at scale: band-prune candidates, then exact
+    int64-verify ONLY the candidates — the operator you run at 100 TB
+    instead of all-pairs.
+
+    Stage 1 (map-only): quantize to 2^20 fixed point, hash into a
+    N_QBANDS x QBITS_PER_BAND hyperplane sign signature (integer plane dots
+    on the quantized vector — exact, engine-independent).
+    Stage 2: explode to (band_idx, band_val, vec_id) and self-join on the
+    band key — the candidate shuffle carries ONLY ids + band keys, never
+    vectors (the q41 MinHash-LSH shape the plan tests assert).
+    Stage 3: join the quantized vectors back for surviving candidates and
+    verify with the exact JVM-side int64 fold; keep qcos >= threshold.
+
+    Declared semantics (mirrored by the oracle): pairs sharing >= 1 band
+    AND quantized cosine >= threshold — the standard LSH near-dup contract;
+    recall vs all-pairs is a tunable of (bands, bits)."""
+    weights = qband_weights()
+    n_bands = len(weights)
+    q = emb.select(
+        F.col(id_col).alias("vec_id"),
+        quantized_unit_vec(F.col(vec_col).cast("array<double>")).alias("qv"),
+    ).localCheckpoint(eager=False)  # consumed 3x: band explode + both verify sides
+
+    band_cols = []
+    for b, band in enumerate(weights):
+        v = F.lit(0)
+        for p, plane in enumerate(band):
+            v = v + F.when(_int_dot_literal(F.col("qv"), plane) >= 0, F.lit(1 << p)).otherwise(0)
+        band_cols.append(v.alias(f"band_{b}"))
+    wide = q.select("vec_id", *band_cols)
+    stack = ", ".join(f"{b}, band_{b}" for b in range(n_bands))
+    long = wide.selectExpr("vec_id", f"stack({n_bands}, {stack}) AS (band_idx, band_val)")
+
+    a, b_ = long.alias("a"), long.alias("b")
+    cand = (
+        a.join(b_, ["band_idx", "band_val"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    qa = q.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"))
+    qb = q.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(qa, "vec_a")
+        .join(qb, "vec_b")
+        .withColumn("qcos", dot / F.lit(Q_SCALE_SQ))
+        .filter(F.col("qcos") >= threshold)
+        .select("vec_a", "vec_b", F.round("qcos", 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def oracle_banded_neardup(threshold: float = 0.4) -> str:
+    """DuckDB twin of banded_neardup_pairs — same quantization, same integer
+    plane family, same band keys, same exact int64 verify."""
+    weights = qband_weights()
+    dim = EMBEDDING_DIM
+
+    def plane_dot(plane: list[int]) -> str:
+        lit = "[" + ", ".join(str(w) for w in plane) + "]"
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(({lit})[i] AS BIGINT) * qv[i]), (x, y) -> x + y)"
+        )
+
+    band_exprs = ",\n               ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN {plane_dot(plane)} >= 0 THEN {1 << p} ELSE 0 END"
+            for p, plane in enumerate(band)
+        )
+        + f") AS band_{b}"
+        for b, band in enumerate(weights)
+    )
+    band_union = "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, {b} AS band_idx, band_{b} AS band_val FROM wide"
+        for b in range(len(weights))
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(ve, x -> CAST(floor(
+                   x / sqrt(list_reduce(list_transform(ve, y -> y*y), (a,b) -> a+b))
+                   * {Q_SCALE} + 0.5) AS BIGINT)) AS qv
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings)
+    ), wide AS (
+        SELECT vec_id,
+               {band_exprs}
+        FROM q
+    ), bands AS (
+        {band_union}
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        WHERE a.vec_id < b.vec_id
+    ), scored AS (
+        SELECT vec_a, vec_b,
+               list_reduce(list_transform(range(1, {dim + 1}),
+                                          i -> qa.qv[i] * qb.qv[i]),
+                           (x, y) -> x + y) / {Q_SCALE_SQ} AS qcos
+        FROM cand
+        JOIN q qa ON qa.vec_id = cand.vec_a
+        JOIN q qb ON qb.vec_id = cand.vec_b
+    )
+    SELECT vec_a, vec_b, ROUND(qcos, 6) AS cosine
+    FROM scored WHERE qcos >= {threshold}
+    ORDER BY vec_a, vec_b
+    """
 
 
 ORACLE_QUANTIZED_NEARDUP = f"""

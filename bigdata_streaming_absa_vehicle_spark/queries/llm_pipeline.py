@@ -300,10 +300,26 @@ def q43_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q44_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.4 — the testdata's
     max pairwise cosine is ~0.51, so this finds the closest-pair tail).
-    Cosine is computed in 2^20 fixed point so the n^2 kernel runs as exact,
-    order-independent int64 numpy matmul (see quantized_neardup_pairs) —
-    ~30x the interpreted expression formulation, same oracle guarantees."""
+    Cosine is computed in 2^20 fixed point so the pair kernel runs as exact,
+    order-independent int64 numpy matmul, distributed as cogrouped block
+    tiles — no driver collect, no corpus broadcast (see
+    quantized_neardup_pairs). q44b is the band-pruned variant you run when
+    all-pairs is too quadratic."""
     return sim.quantized_neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@query(
+    "q44b_banded_neardup",
+    oracle=sim.oracle_banded_neardup(threshold=0.4),
+    tags=("X-02", "X-03"),
+)
+def q44b_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dup: hyperplane band-prune on the quantized signature,
+    then exact int64 verify of candidates only — candidate shuffle carries
+    ids + band keys, never vectors (the q41 LSH shape). Declared semantics
+    include the prune (mirrored by the oracle): pairs sharing >= 1 of 4
+    6-bit bands with quantized cosine >= 0.4."""
+    return sim.banded_neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 # ---------------------------------------------------------------------------

@@ -32,11 +32,16 @@ ORACLE_SF_DIR = "/root/testdata/sf0.01"
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS). The conf must be set on
+        # WHATEVER session calls us — callers (driver harnesses included)
+        # build their own vanilla SparkSession, so setting it only in our
+        # session factory is not enough. It is runtime-settable.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) — Spark (µs precision) reads it
-        # as epoch-nanos long under spark.sql.legacy.parquet.nanosAsLong; floor
-        # to µs with integer division (matches DuckDB's ns->µs truncation).
+        # Under nanosAsLong, ts arrives as epoch-nanos long; floor to µs with
+        # integer division (matches DuckDB's ns->µs truncation).
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
