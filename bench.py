@@ -98,8 +98,14 @@ def main() -> None:
     spark = get_spark("bench")
 
     specs = all_queries()
-    # warm the JVM/codegen once with the flagship query
+    # warm the JVM/codegen once with the flagship query, and the Python
+    # worker pool once with a trivial Arrow roundtrip — so the first
+    # Arrow-batched query in the suite isn't charged the one-time daemon
+    # fork/import cost the rest of the suite then reuses
     specs["q09_pricing_summary"].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    spark.range(1000).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in sorted(specs):

@@ -97,6 +97,96 @@ def minhash_signature(shingle_col: Column, n_hashes: int = N_HASHES) -> Column:
     )
 
 
+def minhash_signature_batched(sh_col: Column | str, n_hashes: int = N_HASHES) -> Column:
+    """Arrow-batched numpy twin of :func:`minhash_signature` — identical
+    values (exact integer arithmetic: md5-derived base hash mod P, affine
+    transforms, element-wise min — no float, no order sensitivity), but
+    hashlib+numpy replace the interpreted zip_with/least fold, which is the
+    dominant cost at corpus scale after the md5s themselves. Same hash
+    family, so the DuckDB oracle is unchanged. Map-only like the HOF
+    variant; prefer this in hot paths, the HOF one where a Python runtime
+    on executors is unwanted."""
+    coeffs = _mh_coeffs(n_hashes)
+    a_np = np.array([a for a, _ in coeffs], dtype=np.int64)
+    b_np = np.array([b for _, b in coeffs], dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _mh(sh: pd.Series) -> pd.Series:
+        out = []
+        for arr in sh:
+            if len(arr) == 0:
+                out.append([MH_PRIME] * n_hashes)
+                continue
+            h = np.fromiter(
+                (int(hashlib.md5(b"mh:" + s.encode()).hexdigest()[:15], 16) for s in arr),
+                dtype=np.int64,
+                count=len(arr),
+            ) % MH_PRIME
+            # a < P < 2^31 and h < P, so a*h+b < 2^62: exact int64, same as the JVM
+            sigs = ((a_np[None, :] * h[:, None] + b_np[None, :]) % MH_PRIME).min(axis=0)
+            out.append(sigs.tolist())
+        return pd.Series(out)
+
+    return _mh(F.col(sh_col) if isinstance(sh_col, str) else sh_col)
+
+
+def shingle_sigs_batched(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """(doc_id_, sh_set, sig_arr) in ONE Arrow pass: tokenize, shingle,
+    distinct, MinHash — fusing the three map-only stages that dominate q41.
+
+    Tokenization replicates the declared JVM semantics exactly so the DuckDB
+    oracle is unchanged: strip ASCII SPACES only (Spark/DuckDB `trim` do not
+    touch tabs/newlines), split on `\\s+` with re.ASCII (Java regex `\\s` is
+    the ASCII class), rows with fewer than k tokens dropped. Shingle-set
+    order differs from array_distinct's first-seen order is NOT a concern:
+    every consumer (min-fold signature, set intersect/union sizes) is
+    order-insensitive."""
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+    coeffs = _mh_coeffs(n_hashes)
+    a_np = np.array([a for a, _ in coeffs], dtype=np.int64)
+    b_np = np.array([b for _, b in coeffs], dtype=np.int64)
+
+    def fused(it):
+        for pdf in it:
+            ids, sets, sigs = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = ws.split(txt.strip(" "))
+                if len(toks) < shingle_k:
+                    continue
+                grams = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + shingle_k])
+                        for i in range(len(toks) - shingle_k + 1)
+                    )
+                )
+                h = np.fromiter(
+                    (
+                        int(hashlib.md5(b"mh:" + s.encode()).hexdigest()[:15], 16)
+                        for s in grams
+                    ),
+                    dtype=np.int64,
+                    count=len(grams),
+                ) % MH_PRIME
+                sig = ((a_np[None, :] * h[:, None] + b_np[None, :]) % MH_PRIME).min(axis=0)
+                ids.append(did)
+                sets.append(grams)
+                sigs.append(sig.tolist())
+            if ids:  # empty frames carry no dtype for Arrow's list<string>
+                yield pd.DataFrame({"doc_id_": ids, "sh_set": sets, "sig_arr": sigs})
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        fused, schema="doc_id_ long, sh_set array<string>, sig_arr array<long>"
+    )
+
+
 def band_keys(n_hashes: int = N_HASHES, rows: int = BAND_ROWS) -> list[Column]:
     """LSH band keys: md5 over each `rows`-slice of the signature columns."""
     keys = []
@@ -203,25 +293,16 @@ def minhash_lsh_pairs(
     identical backup copy (SURVEY.md §5.1); this operator generalizes to
     *near* duplicates at corpus scale.
     """
-    toks = tokens(text_col)
-    base = (
-        docs.select(F.col(id_col).alias("doc_id_"), toks.alias("toks"))
-        .filter(F.size("toks") >= shingle_k)
-        .select(
-            "doc_id_",
-            F.array_distinct(shingles(F.col("toks"), shingle_k)).alias("sh_set"),
-        )
-        # consumed twice (signature branch + verify re-join); materialize the
-        # shingle sets once rather than re-tokenizing the corpus per branch
-        .localCheckpoint(eager=False)
+    # ONE fused Arrow pass (tokenize -> shingle -> distinct -> signature),
+    # materialized once and consumed by both the banding branch and the
+    # verify re-join
+    base = shingle_sigs_batched(docs, id_col, text_col, shingle_k, n_hashes).localCheckpoint(
+        eager=False
     )
-    # two-step projection: the signature fold is aliased once, then referenced
+    # two-step projection: the signature array is aliased once, then referenced
     # n_hashes times — multiple references stop CollapseProject from inlining
-    # (and so re-computing) the fold per extracted element
-    sig_arr = base.select(
-        "doc_id_", "sh_set", minhash_signature(F.col("sh_set"), n_hashes).alias("sig_arr")
-    )
-    sigs = sig_arr.select(
+    # (and so re-computing) it per extracted element
+    sigs = base.select(
         "doc_id_",
         "sh_set",
         *[F.col("sig_arr")[i].alias(f"sig_{i}") for i in range(n_hashes)],

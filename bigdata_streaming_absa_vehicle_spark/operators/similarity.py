@@ -92,6 +92,35 @@ def quantized_unit_vec(vec_col: Column) -> Column:
     return F.transform(vec_col, lambda x: F.floor(x / norm * Q_SCALE + 0.5).cast("long"))
 
 
+def quantized_batched(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, qv): quantized_unit_vec computed in Arrow-batched numpy —
+    bit-identical to the HOF column (and the DuckDB oracle) because the sum
+    of squares is taken with cumsum, which is a strict left-to-right
+    sequential fold exactly like list_reduce / F.aggregate (np.sum's pairwise
+    summation would NOT match), and the remaining ops (divide, multiply,
+    add 0.5, floor) are elementwise IEEE double in both engines. ~40x the
+    interpreted per-row HOF fold; property-tested against the HOF twin."""
+    import numpy as np
+    import pandas as pd
+
+    def quantize(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.sqrt(np.cumsum(vecs * vecs, axis=1)[:, -1])
+            qv = np.floor((vecs / norms[:, None]) * Q_SCALE + 0.5).astype(np.int64)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy(dtype=np.int64), "qv": list(qv)}
+            )
+
+    return emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)).mapInPandas(
+        quantize, schema="vec_id long, qv array<long>"
+    )
+
+
 def quantized_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,
@@ -119,11 +148,11 @@ def quantized_neardup_pairs(
     import pandas as pd
 
     spark = emb.sparkSession
-    q = emb.select(
-        F.col(id_col).alias("vec_id"),
-        quantized_unit_vec(F.col(vec_col).cast("array<double>")).alias("qv"),
-        F.pmod(F.col(id_col).cast("long"), F.lit(n_blocks)).alias("blk"),
-    ).localCheckpoint(eager=False)  # consumed by both tile sides — compute once
+    q = (
+        quantized_batched(emb, id_col, vec_col)
+        .withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)))
+        .localCheckpoint(eager=False)  # consumed by both tile sides — compute once
+    )
 
     bi = spark.range(n_blocks).select(F.col("id").alias("i"))
     bj = spark.range(n_blocks).select(F.col("id").alias("j"))
@@ -246,22 +275,43 @@ def banded_neardup_pairs(
     Declared semantics (mirrored by the oracle): pairs sharing >= 1 band
     AND quantized cosine >= threshold — the standard LSH near-dup contract;
     recall vs all-pairs is a tunable of (bands, bits)."""
-    weights = qband_weights()
-    n_bands = len(weights)
-    q = emb.select(
-        F.col(id_col).alias("vec_id"),
-        quantized_unit_vec(F.col(vec_col).cast("array<double>")).alias("qv"),
-    ).localCheckpoint(eager=False)  # consumed 3x: band explode + both verify sides
+    import numpy as np
+    import pandas as pd
 
-    band_cols = []
-    for b, band in enumerate(weights):
-        v = F.lit(0)
-        for p, plane in enumerate(band):
-            v = v + F.when(_int_dot_literal(F.col("qv"), plane) >= 0, F.lit(1 << p)).otherwise(0)
-        band_cols.append(v.alias(f"band_{b}"))
-    wide = q.select("vec_id", *band_cols)
-    stack = ", ".join(f"{b}, band_{b}" for b in range(n_bands))
-    long = wide.selectExpr("vec_id", f"stack({n_bands}, {stack}) AS (band_idx, band_val)")
+    weights = qband_weights()
+    n_bands, bits = len(weights), len(weights[0])
+    # (n_bands*bits, dim) int64 plane matrix — tiny, shipped in the closure
+    w_mat = np.array(
+        [plane for band in weights for plane in band], dtype=np.int64
+    )
+    pows = (1 << np.arange(bits, dtype=np.int64)).reshape(1, 1, bits)
+
+    q = quantized_batched(emb, id_col, vec_col).localCheckpoint(
+        eager=False
+    )  # consumed 3x: band signature + both verify sides
+
+    def signature(it):
+        # All n_bands*bits plane dots in one exact-int64 matmul per Arrow
+        # batch (the interpreted per-row HOF fold is ~40x slower here), then
+        # pack sign bits into per-band values. Emitted long-form: one row per
+        # (vec_id, band_idx) — the candidate join key.
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            dots = mat @ w_mat.T  # (n, n_bands*bits), |dot| < 2^37: exact
+            bits_on = (dots >= 0).reshape(len(ids), n_bands, bits)
+            vals = (bits_on * pows).sum(axis=2)  # (n, n_bands)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, n_bands),
+                    "band_idx": np.tile(np.arange(n_bands, dtype=np.int64), len(ids)),
+                    "band_val": vals.reshape(-1),
+                }
+            )
+
+    long = q.mapInPandas(signature, schema="vec_id long, band_idx long, band_val long")
 
     a, b_ = long.alias("a"), long.alias("b")
     cand = (
@@ -272,19 +322,32 @@ def banded_neardup_pairs(
     )
     qa = q.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"))
     qb = q.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"))
-    dot = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return (
+
+    def verify(it):
+        # Exact int64 row-wise dot per candidate pair, Arrow-batched.
+        for pdf in it:
+            if pdf.empty:
+                continue
+            am = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qa"]])
+            bm = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qb"]])
+            qcos = np.einsum("ij,ij->i", am, bm) / Q_SCALE_SQ
+            keep = qcos >= threshold
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy(dtype=np.int64)[keep],
+                    "vec_b": pdf["vec_b"].to_numpy(dtype=np.int64)[keep],
+                    "qcos": qcos[keep],
+                }
+            )
+
+    scored = (
         cand.join(qa, "vec_a")
         .join(qb, "vec_b")
-        .withColumn("qcos", dot / F.lit(Q_SCALE_SQ))
-        .filter(F.col("qcos") >= threshold)
-        .select("vec_a", "vec_b", F.round("qcos", 6).alias("cosine"))
-        .orderBy("vec_a", "vec_b")
+        .mapInPandas(verify, schema="vec_a long, vec_b long, qcos double")
     )
+    return scored.select(
+        "vec_a", "vec_b", F.round("qcos", 6).alias("cosine")
+    ).orderBy("vec_a", "vec_b")
 
 
 def oracle_banded_neardup(threshold: float = 0.4) -> str:
@@ -394,6 +457,50 @@ def cosine_topk(
     )
 
 
+def bucketed_batched(
+    df: DataFrame,
+    id_col_in: str,
+    id_out: str,
+    vec_col: str,
+    vec_out: str,
+    weights: list[list[list[int]]],
+) -> DataFrame:
+    """(id, vec, bucket_0..T-1) with all T*P plane dots done in one
+    Arrow-batched numpy pass. The float dot uses cumsum — a strict
+    left-to-right sequential fold, bit-identical to the interpreted
+    bucket_columns HOF and DuckDB's list_reduce (np.dot/matmul would
+    reorder the accumulation and flip borderline sign bits)."""
+    import numpy as np
+    import pandas as pd
+
+    w_mat = np.array(
+        [plane for table in weights for plane in table], dtype=np.float64
+    )  # (T*P, dim)
+    nt, pp = len(weights), len(weights[0])
+    pows = (1 << np.arange(pp)).astype(np.int32)
+
+    def assign(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            prods = vecs[:, None, :] * w_mat[None, :, :]  # (n, T*P, dim)
+            dots = np.cumsum(prods, axis=2)[:, :, -1]  # sequential fold
+            bits = (dots >= 0).reshape(-1, nt, pp)
+            vals = (bits * pows[None, None, :]).sum(axis=2).astype(np.int32)
+            out = {id_out: pdf[id_col_in].to_numpy(np.int64), vec_out: list(vecs)}
+            for t in range(nt):
+                out[f"bucket_{t}"] = vals[:, t]
+            yield pd.DataFrame(out)
+
+    schema = f"{id_out} long, {vec_out} array<double>, " + ", ".join(
+        f"bucket_{t} int" for t in range(nt)
+    )
+    return df.select(
+        F.col(id_col_in), F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).mapInPandas(assign, schema=schema)
+
+
 def lsh_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -405,16 +512,8 @@ def lsh_topk(
     with the probe. Deterministic (md5-derived planes) so the result is
     hash-checkable; recall vs exact top-k is property-tested separately."""
     weights = plane_weights()
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
-        *bucket_columns(F.col(vec_col).cast("array<double>"), weights),
-    )
-    p = probes.select(
-        F.col(id_col).alias("probe_id"),
-        F.col(vec_col).cast("array<double>").alias("pvec"),
-        *bucket_columns(F.col(vec_col).cast("array<double>"), weights),
-    )
+    c = bucketed_batched(corpus, id_col, "vec_id", vec_col, "vec", weights)
+    p = bucketed_batched(probes, id_col, "probe_id", vec_col, "pvec", weights)
     # unpivot buckets to (id, table, bucket) and bucket-join
     n = len(weights)
     stack = ", ".join(f"{t}, bucket_{t}" for t in range(n))

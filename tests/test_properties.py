@@ -101,3 +101,110 @@ def test_quantized_cosine_error_bound(spark, seed):
         np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
     )
     assert abs(qcos - true) <= 20 * 16 / Q_SCALE, f"qcos={qcos} true={true}"
+
+
+@SLOW
+@given(st.integers(min_value=0, max_value=10**9))
+def test_quantized_batched_equals_hof(spark, seed):
+    """The Arrow-batched quantizer must be BIT-identical to the interpreted
+    HOF column for arbitrary vectors — the property that keeps the numpy
+    fast path and the DuckDB oracle in lockstep (cumsum = sequential fold)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from bigdata_streaming_absa_vehicle_spark.operators.similarity import (
+        quantized_batched,
+        quantized_unit_vec,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = [
+        (i, (rng.normal(size=64) * 10.0 ** float(rng.integers(-3, 4))).tolist())
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    hof = {
+        r.vec_id: list(r.qv)
+        for r in df.select(
+            "vec_id", quantized_unit_vec(F.col("embedding")).alias("qv")
+        ).collect()
+    }
+    batched = {r.vec_id: list(r.qv) for r in quantized_batched(df).collect()}
+    assert hof == batched
+
+
+@SLOW
+@given(st.integers(min_value=0, max_value=10**9))
+def test_bucketed_batched_equals_hof(spark, seed):
+    """LSH bucket assignment: the batched cumsum plane dots must reproduce the
+    interpreted bucket_columns HOF exactly, sign-borderline cases included."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from bigdata_streaming_absa_vehicle_spark.operators.similarity import (
+        bucket_columns,
+        bucketed_batched,
+        plane_weights,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = [(i, rng.normal(size=64).tolist()) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    weights = plane_weights()
+    hof = {
+        r.vec_id: tuple(r[f"bucket_{t}"] for t in range(len(weights)))
+        for r in df.select(
+            "vec_id", *bucket_columns(F.col("embedding"), weights)
+        ).collect()
+    }
+    batched = {
+        r.vec_id: tuple(r[f"bucket_{t}"] for t in range(len(weights)))
+        for r in bucketed_batched(df, "vec_id", "vec_id", "embedding", "vec", weights).collect()
+    }
+    assert hof == batched
+
+
+@SLOW
+@given(st.integers(min_value=0, max_value=10**9))
+def test_minhash_fused_equals_hof(spark, seed):
+    """The fused tokenize->shingle->signature Arrow pass must agree with the
+    pure-expression pipeline (tokens -> shingles -> minhash_signature) on
+    both the shingle SET and the signature, for texts with irregular
+    whitespace."""
+    import random as pyrandom
+
+    from pyspark.sql import functions as F
+
+    from bigdata_streaming_absa_vehicle_spark.operators.dedup import (
+        minhash_signature,
+        shingle_sigs_batched,
+        shingles,
+        tokens,
+    )
+
+    rng = pyrandom.Random(seed)
+    words = ["alpha", "beta", "gamma", "delta", "x", "yy"]
+    texts = []
+    for i in range(6):
+        n = rng.randint(0, 8)
+        sep = rng.choice([" ", "  ", "\t", " \t "])
+        texts.append((i, sep.join(rng.choice(words) for _ in range(n)) + rng.choice(["", " ", "  "])))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    base = (
+        df.select(F.col("doc_id").alias("doc_id_"), tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id_", F.array_distinct(shingles(F.col("toks"), 3)).alias("sh_set"))
+    )
+    hof = {
+        r.doc_id_: (frozenset(r.sh_set), tuple(r.sig))
+        for r in base.select(
+            "doc_id_", "sh_set", minhash_signature(F.col("sh_set")).alias("sig")
+        ).collect()
+    }
+    fused = {
+        r.doc_id_: (frozenset(r.sh_set), tuple(r.sig_arr))
+        for r in shingle_sigs_batched(df).collect()
+    }
+    assert hof == fused
