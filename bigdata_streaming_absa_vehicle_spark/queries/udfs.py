@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..streaming.pipelines import VEHICLE_CLASSES, detected_classes
+from ..streaming.pipelines import VEHICLE_CLASSES, with_detections
 from ..tables import load
 from .registry import query
 
@@ -166,10 +166,12 @@ def q68_detections_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D-07 scale path: frame -> one row per detected object via the built-in
     posexplode (whole-stage codegen, no Python boundary) — the relational form
     of the reference's UDF-internal detection list (vehicle_consumer.py:96-98)."""
-    env = _frame_envelope(spark, sf_dir).withColumn("picked", detected_classes("frame_data"))
+    env = with_detections(_frame_envelope(spark, sf_dir))
+    # no size(picked) > 0 pre-filter: posexplode (outer=false) already yields
+    # zero rows for empty arrays, and the pushed-down filter would re-evaluate
+    # the whole detection expression below the hash projection
     return (
-        env.filter(F.size("picked") > 0)
-        .select("camera_id", "frame_time", F.posexplode("picked").alias("pos", "vehicle"))
+        env.select("camera_id", "frame_time", F.posexplode("picked").alias("pos", "vehicle"))
         .orderBy("camera_id", "frame_time", "pos")
     )
 
@@ -188,7 +190,7 @@ def q69_detections_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i, v in enumerate(types_str.split(",")):
                     yield i, v
 
-    env = _frame_envelope(spark, sf_dir).withColumn("picked", detected_classes("frame_data"))
+    env = with_detections(_frame_envelope(spark, sf_dir))
     flat = env.select(
         "camera_id", "frame_time", F.concat_ws(",", "picked").alias("types_str")
     )

@@ -55,6 +55,15 @@ def get_spark(app_name: str = "bigdata-streaming-absa-vehicle-spark",
         # testdata events.parquet stores TIMESTAMP(NANOS); read as epoch-nanos
         # long and convert in the loader (tables.load) — Spark has no ns type.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate synthesizes size(arr)>0 below every
+        # non-outer explode and pushes it through projections, re-inlining
+        # (and so double-evaluating) expensive array expressions — a net
+        # loss whenever building the array costs more than generating zero
+        # rows from it (q68's hash-derived detections). Semantics-neutral.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # Streaming state at scale: RocksDB-backed state store (SURVEY 7.3.2).
         .config(
             "spark.sql.streaming.stateStore.providerClass",

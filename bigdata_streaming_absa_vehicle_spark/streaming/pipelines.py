@@ -41,20 +41,47 @@ def absa_stream(kafka_df: DataFrame, model_version: str = "v0") -> DataFrame:
 VEHICLE_CLASSES = ("car", "bus", "truck", "motorbike")
 
 
-def detected_classes(frame_data_col: str = "frame_data"):
-    """The deterministic detection contract shared by the pipeline and the
-    UDTF/explode surface (D-07): per-class presence bits + membership derived
-    from the frame content hash (the real YOLO model swaps in behind the same
-    array<string> contract, D-01)."""
-    classes = F.array(*[F.lit(c) for c in VEHICLE_CLASSES])
-    frame_hash = F.md5(F.unbase64(frame_data_col))
-    return F.filter(
-        classes,
-        lambda c: F.conv(F.substring(F.md5(F.concat(frame_hash, c)), 1, 4), 16, 10)
-        .cast("long")
-        .bitwiseAND(1)
-        == 1,
+def detected_classes_from_hash(frame_hash_col) -> "F.Column":
+    """Per-class membership array from a PRECOMPUTED md5(frame) column.
+
+    Formulated as concat(when(bit_c, [c]) ...) rather than a filter() HOF:
+    every branch stays inside whole-stage codegen (array lambdas are
+    interpreted), and the hash column is referenced once per class, which
+    stops CollapseProject from inlining (and so recomputing) the content
+    md5 per class — see with_detections for the two-step projection."""
+    h = F.col(frame_hash_col) if isinstance(frame_hash_col, str) else frame_hash_col
+    empty = F.array().cast("array<string>")
+    parts = [
+        F.when(
+            F.conv(F.substring(F.md5(F.concat(h, F.lit(c))), 1, 4), 16, 10)
+            .cast("long")
+            .bitwiseAND(1)
+            == 1,
+            F.array(F.lit(c)),
+        ).otherwise(empty)
+        for c in VEHICLE_CLASSES
+    ]
+    return F.concat(*parts)
+
+
+def with_detections(df: DataFrame, frame_data_col: str = "frame_data") -> DataFrame:
+    """df + `picked` array<string>: the deterministic detection contract
+    shared by the pipeline and the UDTF/explode surface (D-07) — per-class
+    presence bits from the frame content hash (the real YOLO model swaps in
+    behind the same array<string> contract, D-01). The frame hash gets its
+    own projection and |classes| downstream references, so it materializes
+    once per row."""
+    return (
+        df.withColumn("frame_hash_", F.md5(F.unbase64(frame_data_col)))
+        .withColumn("picked", detected_classes_from_hash("frame_hash_"))
+        .drop("frame_hash_")
     )
+
+
+def detected_classes(frame_data_col: str = "frame_data"):
+    """Single-expression form of the detection contract (recomputes the
+    content hash per class); prefer with_detections in per-row hot paths."""
+    return detected_classes_from_hash(F.md5(F.unbase64(frame_data_col)))
 
 
 def vehicle_transform(parsed: DataFrame) -> DataFrame:
@@ -65,13 +92,12 @@ def vehicle_transform(parsed: DataFrame) -> DataFrame:
     hash (the real model swaps in behind the same struct, D-01). Relational
     work the reference buried in the UDF — class filtering, type-string
     assembly (vehicle_consumer.py:94-98) — happens in engine expressions."""
-    picked = detected_classes("frame_data")
     detection = F.struct(
         F.size("picked").cast("int").alias("count"),
         F.concat_ws(",", "picked").alias("vehicle_types"),
     )
     return (
-        parsed.withColumn("picked", picked)
+        with_detections(parsed)
         .withColumn("detection", detection)
         .filter(F.col("detection.count") > 0)
         .select(
