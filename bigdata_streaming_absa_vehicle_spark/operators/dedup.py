@@ -130,6 +130,45 @@ def minhash_signature_batched(sh_col: Column | str, n_hashes: int = N_HASHES) ->
     return _mh(F.col(sh_col) if isinstance(sh_col, str) else sh_col)
 
 
+def _iter_shingle_sets(pdf: pd.DataFrame, id_col: str, text_col: str, shingle_k: int, ws):
+    """(doc_id, distinct k-shingles) per row, replicating the declared JVM
+    tokenization exactly so the DuckDB oracles are unchanged: strip ASCII
+    SPACES only (Spark/DuckDB `trim` do not touch tabs/newlines), split on
+    `\\s+` with re.ASCII (Java regex `\\s` is the ASCII class), rows with
+    fewer than k tokens dropped. That the shingle-set order differs from
+    array_distinct's first-seen order is NOT a concern: every consumer
+    (min/majority folds, set intersect/union sizes) is order-insensitive."""
+    for did, txt in zip(pdf[id_col], pdf[text_col]):
+        toks = ws.split(txt.strip(" "))
+        if len(toks) < shingle_k:
+            continue
+        grams = list(
+            dict.fromkeys(
+                " ".join(toks[i : i + shingle_k]) for i in range(len(toks) - shingle_k + 1)
+            )
+        )
+        yield did, grams
+
+
+def _ws_re():
+    import re
+
+    return re.compile(r"\s+", re.ASCII)
+
+
+def spread_to_cores(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a frame that has FEWER scan splits than the
+    cluster has slots — the testdata tables are single parquet files, so a
+    per-row Python kernel would otherwise run on one worker. At scale the
+    scan already has thousands of splits and this is a no-op (no shuffle);
+    the guard keeps the operator from adding a shuffle where parallelism
+    already exists."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingle_sigs_batched(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -138,18 +177,9 @@ def shingle_sigs_batched(
     n_hashes: int = N_HASHES,
 ) -> DataFrame:
     """(doc_id_, sh_set, sig_arr) in ONE Arrow pass: tokenize, shingle,
-    distinct, MinHash — fusing the three map-only stages that dominate q41.
-
-    Tokenization replicates the declared JVM semantics exactly so the DuckDB
-    oracle is unchanged: strip ASCII SPACES only (Spark/DuckDB `trim` do not
-    touch tabs/newlines), split on `\\s+` with re.ASCII (Java regex `\\s` is
-    the ASCII class), rows with fewer than k tokens dropped. Shingle-set
-    order differs from array_distinct's first-seen order is NOT a concern:
-    every consumer (min-fold signature, set intersect/union sizes) is
-    order-insensitive."""
-    import re
-
-    ws = re.compile(r"\s+", re.ASCII)
+    distinct, MinHash — fusing the three map-only stages that dominate q41
+    (see _iter_shingle_sets for the tokenization-parity contract)."""
+    ws = _ws_re()
     coeffs = _mh_coeffs(n_hashes)
     a_np = np.array([a for a, _ in coeffs], dtype=np.int64)
     b_np = np.array([b for _, b in coeffs], dtype=np.int64)
@@ -157,16 +187,7 @@ def shingle_sigs_batched(
     def fused(it):
         for pdf in it:
             ids, sets, sigs = [], [], []
-            for did, txt in zip(pdf[id_col], pdf[text_col]):
-                toks = ws.split(txt.strip(" "))
-                if len(toks) < shingle_k:
-                    continue
-                grams = list(
-                    dict.fromkeys(
-                        " ".join(toks[i : i + shingle_k])
-                        for i in range(len(toks) - shingle_k + 1)
-                    )
-                )
+            for did, grams in _iter_shingle_sets(pdf, id_col, text_col, shingle_k, ws):
                 h = np.fromiter(
                     (
                         int(hashlib.md5(b"mh:" + s.encode()).hexdigest()[:15], 16)
@@ -182,8 +203,77 @@ def shingle_sigs_batched(
             if ids:  # empty frames carry no dtype for Arrow's list<string>
                 yield pd.DataFrame({"doc_id_": ids, "sh_set": sets, "sig_arr": sigs})
 
-    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+    return spread_to_cores(docs.select(F.col(id_col), F.col(text_col))).mapInPandas(
         fused, schema="doc_id_ long, sh_set array<string>, sig_arr array<long>"
+    )
+
+
+def shingle_simhash_batched(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    n_bits: int = 48,
+) -> DataFrame:
+    """(doc_id, simhash) in ONE Arrow pass: tokenize -> distinct k-shingles
+    -> 48-bit SimHash (same md5 'sim' family and majority-vote fold as
+    :func:`simhash` / :func:`simhash_batched`, so the oracle SQL is
+    unchanged). Map-only; fuses what q42/q42b previously computed as a JVM
+    shingle chain feeding a separate pandas UDF."""
+    ws = _ws_re()
+    shifts = np.arange(n_bits, dtype=np.uint64)
+
+    def fused(it):
+        for pdf in it:
+            ids, outs = [], []
+            for did, grams in _iter_shingle_sets(pdf, id_col, text_col, shingle_k, ws):
+                h = np.fromiter(
+                    (
+                        int(hashlib.md5(b"sim:" + s.encode()).hexdigest()[:15], 16)
+                        for s in grams
+                    ),
+                    dtype=np.uint64,
+                    count=len(grams),
+                )
+                bits = ((h[:, None] >> shifts[None, :]) & 1).astype(np.int32)
+                votes = (bits * 2 - 1).sum(axis=0)
+                ids.append(did)
+                outs.append(int(((votes >= 0).astype(np.int64) << shifts.astype(np.int64)).sum()))
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "simhash": outs})
+
+    return spread_to_cores(docs.select(F.col(id_col), F.col(text_col))).mapInPandas(
+        fused, schema="doc_id long, simhash long"
+    )
+
+
+def shingle_hashes_batched(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    seed: str = "jac",
+) -> DataFrame:
+    """(doc_id, hs, sz): 60-bit shingle hashes (hash64 family, same md5
+    derivation as the JVM expression) + set size, fused into one Arrow pass
+    — the postings input for the inverted-index Jaccard join (q43)."""
+    ws = _ws_re()
+    prefix = f"{seed}:".encode()
+
+    def fused(it):
+        for pdf in it:
+            ids, hss, szs = [], [], []
+            for did, grams in _iter_shingle_sets(pdf, id_col, text_col, shingle_k, ws):
+                ids.append(did)
+                hss.append(
+                    [int(hashlib.md5(prefix + s.encode()).hexdigest()[:15], 16) for s in grams]
+                )
+                szs.append(len(grams))
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "hs": hss, "sz": szs})
+
+    return spread_to_cores(docs.select(F.col(id_col), F.col(text_col))).mapInPandas(
+        fused, schema="doc_id long, hs array<long>, sz int"
     )
 
 

@@ -116,9 +116,12 @@ def quantized_batched(
                 {"vec_id": pdf[id_col].to_numpy(dtype=np.int64), "qv": list(qv)}
             )
 
-    return emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)).mapInPandas(
-        quantize, schema="vec_id long, qv array<long>"
-    )
+    # no spread_to_cores here: the numpy quantizer is matmul-cheap, and the
+    # downstream joins re-shuffle anyway — an extra round-robin exchange
+    # measured net-negative (unlike the md5-loop document kernels)
+    return emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).mapInPandas(quantize, schema="vec_id long, qv array<long>")
 
 
 def quantized_neardup_pairs(

@@ -120,13 +120,7 @@ def q42_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.simhash_batched); near-dup candidates are then hamming-distance
     pairs (q42b)."""
     docs = load(spark, sf_dir, "documents")
-    toks = dd.tokens("text")
-    base = (
-        docs.select("doc_id", toks.alias("toks"))
-        .filter(F.size("toks") >= 3)
-        .select("doc_id", F.array_distinct(dd.shingles(F.col("toks"), 3)).alias("sh"))
-    )
-    return base.select("doc_id", dd.simhash_batched("sh", 48).alias("simhash")).orderBy("doc_id")
+    return dd.shingle_simhash_batched(docs, "doc_id", "text", 3, 48).orderBy("doc_id")
 
 
 _SIMHASH_SQL = r"""
@@ -181,14 +175,8 @@ def q42b_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MinHash LSH path but with a single-int64 sketch, so the verify step
     needs no re-join."""
     docs = load(spark, sf_dir, "documents")
-    toks = dd.tokens("text")
     sims = (
-        docs.select("doc_id", toks.alias("toks"))
-        .filter(F.size("toks") >= 3)
-        .select(
-            "doc_id",
-            dd.simhash_batched(F.array_distinct(dd.shingles(F.col("toks"), 3)), 48).alias("simhash"),
-        )
+        dd.shingle_simhash_batched(docs, "doc_id", "text", 3, 48)
         # both self-join sides read the sketches; materialize once instead of
         # recomputing the fold per side (the in-query form of persisting the
         # sketch table, which is what a real deployment does) — measured 2x
@@ -254,16 +242,8 @@ def q43_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     string-set SQL. This is the shape that scales: postings shuffle on
     16-byte keys; the O(pairs) work is proportional to actual overlap."""
     docs = load(spark, sf_dir, "documents")
-    toks = dd.tokens("text")
     base = (
-        docs.select("doc_id", toks.alias("toks"))
-        .filter(F.size("toks") >= 3)
-        .select("doc_id", F.array_distinct(dd.shingles(F.col("toks"), 3)).alias("sh"))
-        .select(
-            "doc_id",
-            F.transform("sh", lambda s: dd.hash64("jac", s)).alias("hs"),
-            F.size("sh").alias("sz"),
-        )
+        dd.shingle_hashes_batched(docs, "doc_id", "text", 3, "jac")
         # probes and corpus postings both read the hashed shingles; hash once
         .localCheckpoint(eager=False)
     )

@@ -120,3 +120,36 @@ def test_lsh_candidate_join_carries_no_document_payload(spark):
     # sh_set may appear only in the verify re-join exchanges (keyed by doc id)
     for line in exchanges:
         assert "sh_set" not in line, "LSH band shuffle carries shingle sets:\n" + line
+
+
+def test_embedding_neardup_is_distributed_tiles(spark):
+    """X-02 scale shape (q44): the exact all-pairs kernel must run as
+    grouped block tiles — no driver collect (the plan is pure
+    FlatMapGroupsInPandas over shuffled tile keys) and no broadcast of the
+    corpus rows (only the tiny tile relation broadcasts)."""
+    q = all_queries()["q44_embedding_neardup"]
+    plan = plan_of(q.fn(spark, SF_DIR), mode="extended")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "FlatMapGroupsInPandas" in physical, physical
+    # the only broadcast is the B(B+1)/2 tile-id relation built from Range
+    for seg in physical.split("BroadcastExchange")[1:]:
+        assert "qv" not in seg.split("\n")[1], (
+            "quantized corpus is being broadcast:\n" + physical
+        )
+
+
+def test_banded_neardup_candidate_join_carries_ids_only(spark):
+    """X-02 scale shape (q44b): the band-key candidate join must shuffle
+    (band_idx, band_val, vec_id) only — quantized vectors enter the plan at
+    the verify re-join, keyed by id, for surviving candidates."""
+    q = all_queries()["q44b_banded_neardup"]
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(q.fn(spark, SF_DIR), mode="extended")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    physical = plan.split("== Physical Plan ==")[-1]
+    exchanges = [l for l in physical.splitlines() if "hashpartitioning(band_idx" in l]
+    assert exchanges, "no band-key exchange found in plan:\n" + physical
+    for line in exchanges:
+        assert "qv" not in line, "band candidate shuffle carries vectors:\n" + line
