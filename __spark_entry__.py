@@ -77,8 +77,9 @@ _WINDOW_PRIORITY = (
     "q67_grouped_agg_centroid",
     "q68_detections_exploded",
     "q69_detections_udtf",
+    # new this round: as-of join (J-11) needs its first hard signal
+    "q72_asof_join",
     # proven round-1 flagships padding the window to 50
-    "q01_projection",
     "q09_pricing_summary",
     "q16b_broadcast_join",
     "q21_range_join",

@@ -374,3 +374,49 @@ def q71_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "q72_asof_join",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id % 100 AS k, ts FROM events
+    ), px AS (
+        SELECT o_custkey % 100 AS k,
+               o_orderdate::TIMESTAMP AS t,
+               max(o_totalprice) AS last_price
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT ev.event_id, ev.k, ev.ts, px.last_price
+    FROM ev ASOF LEFT JOIN px ON ev.k = px.k AND ev.ts >= px.t
+    ORDER BY event_id
+    """,
+    tags=("J-11",),
+)
+def q72_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-11 as-of join (beyond-reference): each event picks up the most
+    recent order price at-or-before its timestamp for its customer bucket.
+    One shuffle + in-partition sort via the tagged-union running-last window
+    (operators/asof.py) — no range-join candidate blowup; the oracle is
+    DuckDB's native ASOF LEFT JOIN, so the semantics are pinned to the
+    textbook definition, nulls-before-first-quote included."""
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 100).alias("k"), "ts"
+    )
+    px = (
+        load(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_custkey") % 100).alias("k"),
+            F.col("o_orderdate").cast("timestamp").alias("t"),
+            "o_totalprice",
+        )
+        .groupBy("k", "t")
+        .agg(F.max("o_totalprice").alias("last_price"))
+    )
+    return (
+        asof_join(ev, px, "k", "ts", "t", ["last_price"])
+        .select("event_id", "k", "ts", "last_price")
+        .orderBy("event_id")
+    )

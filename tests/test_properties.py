@@ -208,3 +208,44 @@ def test_minhash_fused_equals_hof(spark, seed):
         for r in shingle_sigs_batched(df).collect()
     }
     assert hof == fused
+
+
+@SLOW
+@given(st.integers(min_value=0, max_value=10**9))
+def test_asof_join_equals_naive_range_formulation(spark, seed):
+    """The one-shuffle tagged-union as-of join must equal the naive
+    range-join + keep-latest formulation for arbitrary tie/no-match
+    layouts — including right rows at exactly the left timestamp (<=
+    semantics) and left rows before any right row (null payload)."""
+    import random as pyrandom
+
+    from pyspark.sql import functions as F
+
+    from bigdata_streaming_absa_vehicle_spark.operators.asof import asof_join
+
+    rng = pyrandom.Random(seed)
+    lrows = [(i, rng.randint(0, 3), rng.randint(0, 20)) for i in range(25)]
+    rrows = {(rng.randint(0, 3), rng.randint(0, 20)): None for _ in range(12)}
+    rrows = [(k, t, float(k * 100 + t)) for (k, t) in rrows]
+    left = spark.createDataFrame(lrows, "event_id long, k long, t long")
+    right = spark.createDataFrame(rrows, "k long, rt long, price double")
+
+    got = {
+        r.event_id: r.price
+        for r in asof_join(left, right, "k", "t", "rt", ["price"]).collect()
+    }
+
+    naive = (
+        left.join(right, (left.k == right.k) & (left.t >= right.rt), "left")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "event_id"
+                ).orderBy(F.desc_nulls_last("rt"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    want = {r.event_id: r.price for r in naive.collect()}
+    assert got == want
