@@ -77,14 +77,14 @@ _WINDOW_PRIORITY = (
     "q67_grouped_agg_centroid",
     "q68_detections_exploded",
     "q69_detections_udtf",
-    # new this round: as-of join (J-11) needs its first hard signal
+    # new this round: as-of join, chunking, salient terms need first signals
     "q72_asof_join",
+    "q73_chunking",
+    "q74_salient_terms",
     # proven round-1 flagships padding the window to 50
     "q09_pricing_summary",
     "q16b_broadcast_join",
     "q21_range_join",
-    "q24w_rank_dense",
-    "q26u_union_dedup",
     "q41_minhash_lsh_neardup",
     "q42_simhash",
     "q70_shipping_priority",

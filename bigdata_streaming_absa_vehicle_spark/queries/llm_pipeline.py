@@ -541,3 +541,90 @@ def q53_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensions + RGB byte size."""
     docs = load(spark, sf_dir, "documents")
     return mm.resize_images(mm.with_payload(docs), max_dim=256).orderBy("doc_id")
+
+
+@query(
+    "q73_chunking",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           len(toks[(1 + i*48):(64 + i*48)]) AS n_tokens,
+           array_to_string(toks[(1 + i*48):(64 + i*48)], ' ') AS chunk_text
+    FROM t, UNNEST(range(0, CAST(floor((len(toks) - 1) / 48) AS BIGINT) + 1)) AS u(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("X-04",),
+)
+def q73_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for pretraining pipelines: 64-token windows with
+    16-token overlap (stride 48). Pure JVM — tokenize, posexplode the chunk
+    starts, slice — map-only plus the explode; at 100 TB this is the
+    pre-tokenizer sharding pass and shuffles nothing."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", dd.tokens("text").alias("toks"))
+    n_chunks = F.floor((F.size("toks") - 1) / 48) + 1
+    return (
+        t.select(
+            "doc_id",
+            "toks",
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("pos", "chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size(F.slice("toks", F.col("chunk_idx") * 48 + 1, 64)).alias("n_tokens"),
+            F.concat_ws(" ", F.slice("toks", F.col("chunk_idx") * 48 + 1, 64)).alias(
+                "chunk_text"
+            ),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
+    "q74_salient_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), ranked AS (
+        SELECT doc_id, term, tf.tf, df.df,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY tf.tf DESC, df.df ASC, term ASC) AS rank
+        FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, tf, df, rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+    tags=("X-04",),
+)
+def q74_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document salient terms — the tf-idf pipeline shape (term explode,
+    per-doc tf, corpus df, join, per-doc top-k) with an integers-only score
+    (tf desc, df asc, term asc) so Spark and DuckDB agree bit-for-bit (a
+    float idf would hash-flake on last-ulp log() differences between
+    engines). Two shuffles: tf groupBy and the df broadcast-join back; the
+    per-doc rank is a keyed window, no global sort until the final ORDER."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(dd.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("term"))
+    return (
+        tf.join(df, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "rank")
+        .orderBy("doc_id", "rank")
+    )
