@@ -29,9 +29,39 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers regardless of
+    how the session was built. Our own session factory exports PYTHONPATH to
+    executors, but the driver contract hands us ARBITRARY vanilla sessions —
+    there, workers resolve package-referencing UDF closures only if the
+    process cwd happens to be the repo root. addPyFile is the runtime
+    equivalent of --py-files: zip the package once per session and ship it,
+    so cloudpickle's by-reference module lookups succeed everywhere."""
+    sc = spark.sparkContext
+    if getattr(sc, "_graft_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"bigdata_streaming_absa_vehicle_spark_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    sc._graft_pkg_shipped = True
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    _ship_package(spark)
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS). The conf must be set on
         # WHATEVER session calls us — callers (driver harnesses included)
