@@ -81,9 +81,9 @@ _WINDOW_PRIORITY = (
     "q72_asof_join",
     "q73_chunking",
     "q74_salient_terms",
+    "q75_grouped_percentiles",
     # proven round-1 flagships padding the window to 50
     "q09_pricing_summary",
-    "q16b_broadcast_join",
     "q21_range_join",
     "q41_minhash_lsh_neardup",
     "q42_simhash",

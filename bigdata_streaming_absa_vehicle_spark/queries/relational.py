@@ -464,3 +464,38 @@ def q15_keyed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value")
         .orderBy("event_id")
     )
+
+
+@query(
+    "q75_grouped_percentiles",
+    oracle="""
+    WITH q AS (
+        SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.75, 0.99]) AS qs
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, qs[1] AS p25, qs[2] AS p50, qs[3] AS p75, qs[4] AS p99
+    FROM q ORDER BY event_type
+    """,
+    tags=("A-12",),
+)
+def q75_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-12 exact grouped percentiles (beyond-reference): Spark's exact
+    `percentile` and DuckDB's quantile_cont share the same sort + linear
+    interpolation (a + (b-a)*frac in IEEE double), verified bit-exact — no
+    rounding needed in the contract. One shuffle on the group key; at scale
+    swap in approx_percentile (t-digest) when exactness can yield (that
+    variant is A-05's sketch-style tradeoff, kept out of the hash check)."""
+    ev = load(spark, sf_dir, "events")
+    qs = F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.99))")
+    return (
+        ev.groupBy("event_type")
+        .agg(qs.alias("qs"))
+        .select(
+            "event_type",
+            F.col("qs")[0].alias("p25"),
+            F.col("qs")[1].alias("p50"),
+            F.col("qs")[2].alias("p75"),
+            F.col("qs")[3].alias("p99"),
+        )
+        .orderBy("event_type")
+    )
