@@ -82,9 +82,9 @@ _WINDOW_PRIORITY = (
     "q73_chunking",
     "q74_salient_terms",
     "q75_grouped_percentiles",
+    "q76_stratified_sample",
     # proven round-1 flagships padding the window to 50
     "q09_pricing_summary",
-    "q21_range_join",
     "q41_minhash_lsh_neardup",
     "q42_simhash",
     "q70_shipping_priority",

@@ -628,3 +628,45 @@ def q74_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", "rank")
         .orderBy("doc_id", "rank")
     )
+
+
+#: per-language keep rates for the stratified sampler — the dataset-mixing
+#: weights a pretraining pipeline applies when rebalancing sources
+STRATA_RATES = {"en": 0.25, "de": 0.9, "es": 0.9, "fr": 0.9, "zh": 0.5}
+
+
+@query(
+    "q76_stratified_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 1000 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang, bucket
+    FROM keyed
+    WHERE bucket < 1000 * (CASE lang
+        {" ".join(f"WHEN '{k}' THEN {v}" for k, v in STRATA_RATES.items())}
+        ELSE 0.0 END)
+    ORDER BY doc_id
+    """,
+    tags=("O-06", "X-04"),
+)
+def q76_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the dataset-mixing primitive: each
+    language keeps a configured fraction, decided by an md5 bucket of the
+    row key rather than an RNG, so the sample is reproducible across runs,
+    engines, and retries (and survives repartitioning, unlike
+    df.sample's partition-seeded draw). Map-only: no shuffle, the rate
+    lookup is a broadcast-free literal CASE."""
+    docs = load(spark, sf_dir, "documents")
+    rate = F.lit(0.0)
+    for k, v in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        (dd.hash64("strat", F.col("doc_id").cast("string")) % 1000).alias("bucket"),
+    )
+    return keyed.filter(F.col("bucket") < 1000 * rate).orderBy("doc_id")
