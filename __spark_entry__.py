@@ -27,31 +27,62 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness checks the FIRST 50 entries of queries()
-# in dict order.  Round 1 checked registry insertion order[0:50], leaving the
-# 24 LLM-pipeline/inference/window-twin/UDF queries (q42b-q69) with no hard
-# signal.  This priority list front-loads (a) the 15 queries that ERR'd in
-# round 1 on the events-nanos harness bug (now fixed in tables.load) and
-# (b) the 24 never-checked queries, padding the window to 50 with proven
-# flagships.  The 24 round-1-green queries rotate past the window; their green
-# CORRECTNESS_r01 rows stand as evidence.
+# in dict order, so this priority list IS the rotation policy.  Rotation
+# history (so full-coverage evidence can be reconstructed without git
+# archaeology):
+#   - Round 1 (CORRECTNESS_r01.json): registry insertion order[0:50] — the
+#     relational/join/scalar surface q01-q42.  15 ERR'd on the events-nanos
+#     harness bug (fixed in tables.load); the rest green.
+#   - Round 2 (CORRECTNESS_r02.json): front-loaded the 15 round-1-ERR
+#     queries + the 24 never-checked LLM-pipeline/inference/window-twin/UDF
+#     queries (q42b-q69) + the 5 new operators (q72-q76) + 5 proven
+#     flagships.  All 50 green; the 30 round-1-green relational queries sat
+#     past the window on their r01 evidence.
+#   - Round 3 (this file): rotates those 30 round-1-green queries BACK IN so
+#     every query has driver evidence against current code (their last
+#     driver rows predate the round-2 dedup/similarity/tables/session
+#     refactors), then fills the remainder with queries new this round
+#     (first-ever signal) and the most-recently-changed round-2 set.
+#     Queries left past the window hold fresh green rows from
+#     CORRECTNESS_r02.json and are re-hash-checked by the pytest oracle
+#     suite every session.
 _WINDOW_PRIORITY = (
-    # round-1 ERR (events nanos) — must re-verify green
-    "q02_filter_predicate",
-    "q04_group_sum_multikey",
-    "q08_time_bucket",
-    "q12_latest_topn",
-    "q13_grouped_topk",
-    "q15_keyed_sample",
-    "q22w_lag_delta",
-    "q23_collect_set",
-    "q25w_moving_avg",
-    "q27u_intersect_except",
-    "q30_json_extract",
-    "q30b_from_json_struct",
-    "q31_json_roundtrip",
-    "q36_sigmoid_math",
-    "q37_epoch_roundtrip",
-    # round-1 never-checked (past the 50-entry window)
+    # -- 30 round-1-green queries rotated back in (last driver row: r1) --
+    "q01_projection",
+    "q02b_fillna",
+    "q03_derived_cast",
+    "q05_group_count",
+    "q06_grand_totals",
+    "q07_count_distinct",
+    "q07b_approx_count_distinct",
+    "q10_rollup",
+    "q11_pivot",
+    "q14_global_sort",
+    "q16_join_inner",
+    "q16b_broadcast_join",
+    "q16c_salted_join",
+    "q17_star_join",
+    "q18_left_join",
+    "q19_semi_join",
+    "q20_anti_join",
+    "q21_range_join",
+    "q23w_running_sum",
+    "q24w_rank_dense",
+    "q26u_union_dedup",
+    "q28_normalize_text",
+    "q29_regexp_extract",
+    "q32_base64_binary",
+    "q32b_unbase64_roundtrip",
+    "q33_string_assembly",
+    "q34_split_tokens",
+    "q35_argmax_array",
+    "q40_exact_dedup",
+    "q40b_dedup_keep_first",
+    # -- queries NEW this round: first-ever driver signal --
+    "q77_interval_join_batch",
+    # -- most-recently-changed round-2 set (r2-green, code touched since) --
+    "q41_minhash_lsh_neardup",
+    "q42_simhash",
     "q42b_simhash_hamming_pairs",
     "q43_ngram_jaccard_pairs",
     "q44_embedding_neardup",
@@ -59,36 +90,16 @@ _WINDOW_PRIORITY = (
     "q45_cosine_topk",
     "q46_lsh_ann_topk",
     "q46b_ivf_ann_topk",
-    "q47_text_stats",
-    "q48_quality_and_tokens",
-    "q49_lang_id",
-    "q50_fingerprint",
-    "q50b_rolling_fingerprint",
-    "q51_multimodal_decode",
-    "q52_frame_sample",
-    "q53_resize_meta",
-    "q60_absa_inference_batch",
-    "q61_absa_sentiment_counts",
-    "q62_vehicle_pipeline_batch",
-    "q63_tumbling_window_batch",
-    "q64_sliding_window_batch",
-    "q65_session_window_batch",
-    "q66_grouped_map_scale",
-    "q67_grouped_agg_centroid",
-    "q68_detections_exploded",
-    "q69_detections_udtf",
-    # new this round: as-of join, chunking, salient terms need first signals
     "q72_asof_join",
     "q73_chunking",
     "q74_salient_terms",
     "q75_grouped_percentiles",
     "q76_stratified_sample",
-    # proven round-1 flagships padding the window to 50
-    "q09_pricing_summary",
-    "q41_minhash_lsh_neardup",
-    "q42_simhash",
-    "q70_shipping_priority",
-    "q71_returned_item_report",
+    "q62_vehicle_pipeline_batch",
+    "q68_detections_exploded",
+    "q69_detections_udtf",
+    "q60_absa_inference_batch",
+    "q61_absa_sentiment_counts",
 )
 
 

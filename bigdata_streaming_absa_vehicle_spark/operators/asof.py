@@ -36,6 +36,15 @@ def asof_join(
     """Left as-of join: left columns + value_cols from the latest right row
     with right_time <= left_time (nulls when no prior right row exists).
     `right` must be unique per (key, right_time)."""
+    clashes = set(value_cols) & set(left.columns)
+    if clashes:
+        raise ValueError(
+            f"value_cols {sorted(clashes)} collide with left columns — rename "
+            "one side; silently overwriting the left column would null it out"
+        )
+    reserved = {"_t", "_side"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(f"columns {sorted(reserved)} are reserved by asof_join")
     l_tagged = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(0))
     for v in value_cols:
         l_tagged = l_tagged.withColumn(v, F.lit(None).cast(right.schema[v].dataType))

@@ -139,6 +139,11 @@ def _iter_shingle_sets(pdf: pd.DataFrame, id_col: str, text_col: str, shingle_k:
     array_distinct's first-seen order is NOT a concern: every consumer
     (min/majority folds, set intersect/union sizes) is order-insensitive."""
     for did, txt in zip(pdf[id_col], pdf[text_col]):
+        if not isinstance(txt, str):
+            # NULL document: the JVM twin's tokens column is null, so the
+            # size(tokens) >= k filter drops the row — match that silently
+            # instead of AttributeError-ing the whole Arrow task
+            continue
         toks = ws.split(txt.strip(" "))
         if len(toks) < shingle_k:
             continue

@@ -111,6 +111,15 @@ def quantized_batched(
                 continue
             vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             norms = np.sqrt(np.cumsum(vecs * vecs, axis=1)[:, -1])
+            if not norms.all():
+                # a zero vector has no direction: the HOF twin silently casts
+                # NaN->0 while DuckDB errors the cast, so there is no parity
+                # to preserve — fail loudly instead of emitting INT64_MIN
+                bad = pdf[id_col].to_numpy()[norms == 0.0]
+                raise ValueError(
+                    f"zero-norm embedding(s) {bad[:5].tolist()}: cosine is "
+                    "undefined; filter zero vectors upstream"
+                )
             qv = np.floor((vecs / norms[:, None]) * Q_SCALE + 0.5).astype(np.int64)
             yield pd.DataFrame(
                 {"vec_id": pdf[id_col].to_numpy(dtype=np.int64), "qv": list(qv)}

@@ -420,3 +420,56 @@ def q72_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "k", "ts", "last_price")
         .orderBy("event_id")
     )
+
+
+@query(
+    "q77_interval_join_batch",
+    oracle="""
+    WITH b AS (
+        SELECT user_id AS bu, ts AS buy_ts, event_id AS buy_id
+        FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT user_id AS cu, ts AS click_ts, event_id AS click_id
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT buy_id, click_id, buy_ts, click_ts
+    FROM b JOIN c
+      ON bu = cu
+     AND click_ts BETWEEN buy_ts - INTERVAL 120 MINUTES AND buy_ts
+    ORDER BY buy_id, click_id
+    """,
+    tags=("J-10",),
+)
+def q77_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-10 batch twin: purchases matched to the same user's clicks within
+    the preceding 120 minutes — the exact pair set the watermarked
+    stream-stream join (tests/test_streaming.py::
+    test_stream_stream_interval_join, reference anchor SURVEY §2F J-10)
+    must converge to, here as a deterministic batch query so the driver
+    hash-checks it against DuckDB and the streaming PROP test compares
+    against a hash-checked twin rather than an ad-hoc local join.
+
+    Scale shape: bucketed interval join (operators/interval.py) — join key
+    (user_id, 120-minute bucket), left side exploded to <= 2 buckets,
+    exact BETWEEN post-filter. Candidates are bounded by interval
+    co-occupancy instead of per-user all-pairs, and hot users spread
+    across their timeline in the shuffle."""
+    from ..operators.interval import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("bu"),
+        F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    pairs = interval_join(
+        buys, clicks, "bu", "cu", "buy_ts", "click_ts", lower_s=-120 * 60, upper_s=0
+    )
+    return pairs.select("buy_id", "click_id", "buy_ts", "click_ts").orderBy(
+        "buy_id", "click_id"
+    )

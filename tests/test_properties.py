@@ -249,3 +249,93 @@ def test_asof_join_equals_naive_range_formulation(spark, seed):
     )
     want = {r.event_id: r.price for r in naive.collect()}
     assert got == want
+
+
+@SLOW
+@given(st.integers(min_value=0, max_value=10**9))
+def test_interval_join_equals_naive_range_join(spark, seed):
+    """The bucketed interval join (explode-to-2-buckets + equi-join +
+    BETWEEN post-filter) must produce exactly the naive key-join + range
+    filter pair set for arbitrary timestamp layouts — including pairs that
+    straddle a bucket boundary and exact-boundary hits (inclusive ends)."""
+    import datetime
+    import random as pyrandom
+
+    from bigdata_streaming_absa_vehicle_spark.operators.interval import interval_join
+
+    rng = pyrandom.Random(seed)
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts():
+        return t0 + datetime.timedelta(seconds=rng.randint(0, 5000))
+
+    lrows = [(i, rng.randint(0, 3), ts()) for i in range(20)]
+    rrows = [(100 + i, rng.randint(0, 3), ts()) for i in range(20)]
+    left = spark.createDataFrame(lrows, "lid long, lk long, lt timestamp")
+    right = spark.createDataFrame(rrows, "rid long, rk long, rt timestamp")
+    lower, upper = -600, 300
+
+    got = {
+        (r.lid, r.rid)
+        for r in interval_join(
+            left, right, "lk", "rk", "lt", "rt", lower_s=lower, upper_s=upper
+        ).collect()
+    }
+    from pyspark.sql import functions as F
+
+    naive = left.join(
+        right,
+        (F.col("lk") == F.col("rk"))
+        & (F.col("rt") >= F.col("lt") + F.expr(f"INTERVAL {lower} SECONDS"))
+        & (F.col("rt") <= F.col("lt") + F.expr(f"INTERVAL {upper} SECONDS")),
+    )
+    want = {(r.lid, r.rid) for r in naive.collect()}
+    assert got == want
+
+
+def test_asof_join_rejects_column_collisions(spark):
+    """value_cols colliding with an existing left column must raise instead
+    of silently nulling the left column out (ADVICE r2)."""
+    import pytest
+
+    from bigdata_streaming_absa_vehicle_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 0, 1.0)], "event_id long, t long, price double")
+    right = spark.createDataFrame([(0, 0, 2.0)], "k long, rt long, price double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left.withColumnRenamed("event_id", "k"), right, "k", "t", "rt", ["price"])
+    left2 = spark.createDataFrame([(1, 0, 7)], "k long, t long, _side long")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left2, right, "k", "t", "rt", [])
+
+
+def test_quantized_batched_rejects_zero_vector(spark):
+    """A zero-norm embedding has no cosine direction; the batched kernel
+    must fail loudly (ADVICE r2) instead of emitting INT64_MIN garbage."""
+    import pytest
+
+    from bigdata_streaming_absa_vehicle_spark.operators.similarity import quantized_batched
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, 2.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="zero-norm"):
+        quantized_batched(df).collect()
+
+
+def test_shingle_kernels_drop_null_text(spark):
+    """NULL documents must be dropped (the JVM twin's size(tokens) >= k
+    filter drops them), not crash the Arrow task (ADVICE r2)."""
+    from bigdata_streaming_absa_vehicle_spark.operators.dedup import (
+        shingle_hashes_batched,
+        shingle_sigs_batched,
+        shingle_simhash_batched,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, None), (3, "x")],
+        "doc_id long, text string",
+    )
+    assert [r[0] for r in shingle_sigs_batched(df).collect()] == [1]
+    assert [r[0] for r in shingle_simhash_batched(df).collect()] == [1]
+    assert [r[0] for r in shingle_hashes_batched(df).collect()] == [1]

@@ -318,7 +318,11 @@ def test_stream_stream_interval_join(spark, tmpdir):
     )
     joined = clicks.join(buys, cond).select("buy_id", "click_id", "buy_ts")
     result = run_to_memory(spark, joined, "ssj_t", mode="append")
-    batch = clicks_b.join(buys_b, cond).select("buy_id", "click_id", "buy_ts")
+    # the batch side is the driver-hash-checked twin q77 (same pair
+    # predicate), so this PROP test anchors to HASH-verified semantics
+    from bigdata_streaming_absa_vehicle_spark.queries import all_queries
+
+    batch = all_queries()["q77_interval_join_batch"].fn(spark, SF_DIR)
     got = set(as_sorted_rows(result, ["buy_id", "click_id"]))
     want_rows = batch.collect()
     want = {(r.buy_id, r.click_id) for r in want_rows}
