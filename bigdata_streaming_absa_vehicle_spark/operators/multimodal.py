@@ -73,13 +73,77 @@ def decode_image_meta(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=DECODED_META_SCHEMA)
 
 
+#: schema of the real pixel-decode output (active when cv2/PIL is installed)
+DECODED_PIXELS_SCHEMA = (
+    "doc_id long, width int, height int, n_channels int, mean_intensity double"
+)
+
+
+def _pixel_backend():
+    """('cv2'|'pil', module) if an image library is importable, else None.
+    Resolved at call time so dropping cv2 or Pillow into the environment
+    upgrades decode_image_pixels with zero code change."""
+    try:
+        import cv2  # noqa: PLC0415
+
+        return ("cv2", cv2)
+    except ImportError:
+        pass
+    try:
+        import PIL.Image  # noqa: PLC0415
+
+        return ("pil", PIL.Image)
+    except ImportError:
+        return None
+
+
 def decode_image_pixels(media: DataFrame) -> DataFrame:
-    """The genuinely-unstubable path: actual pixel decode requires cv2/PIL,
-    absent from this container."""
-    raise NotImplementedError(
-        "pixel decode requires cv2/PIL (not in this container); "
-        "decode_image_meta() exercises the identical mapInPandas plumbing"
-    )
+    """Real pixel decode (reference: cv2.imdecode at vehicle_consumer.py:81-83)
+    behind the same Arrow mapInPandas contract as decode_image_meta. When
+    neither cv2 nor Pillow is importable — the case in this container — it
+    raises NotImplementedError at the clearly-marked point instead of
+    shipping a kernel that would crash every task; decode_image_meta() is
+    the deterministic stand-in exercising identical plumbing."""
+    if _pixel_backend() is None:
+        raise NotImplementedError(
+            "pixel decode requires cv2/PIL (not in this container); "
+            "decode_image_meta() exercises the identical mapInPandas plumbing"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415
+
+        kind, mod = _pixel_backend()  # re-resolve on the worker
+        rows: dict[str, list] = {k: [] for k in
+                                 ("doc_id", "width", "height", "n_channels", "mean_intensity")}
+
+        def emit(did, arr):
+            h, w = arr.shape[:2]
+            c = 1 if arr.ndim == 2 else arr.shape[2]
+            rows["doc_id"].append(did)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["n_channels"].append(c)
+            rows["mean_intensity"].append(float(arr.astype(np.float64).mean()))
+
+        for pdf in it:
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if kind == "cv2":
+                    arr = mod.imdecode(np.frombuffer(payload, np.uint8), mod.IMREAD_UNCHANGED)
+                    if arr is None:
+                        continue  # undecodable payload: drop, don't kill the task
+                else:
+                    import io  # noqa: PLC0415
+
+                    try:
+                        arr = np.asarray(mod.open(io.BytesIO(payload)))
+                    except Exception:
+                        continue
+                emit(did, arr)
+        if rows["doc_id"]:
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=DECODED_PIXELS_SCHEMA)
 
 
 def sample_frames(

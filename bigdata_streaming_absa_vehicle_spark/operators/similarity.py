@@ -326,11 +326,15 @@ def banded_neardup_pairs(
     long = q.mapInPandas(signature, schema="vec_id long, band_idx long, band_val long")
 
     a, b_ = long.alias("a"), long.alias("b")
+    # NO distinct here: a pair sharing k bands is verified k times (k <=
+    # n_bands, a constant) and deduped AFTER the threshold filter — the
+    # survivors are orders of magnitude fewer than the candidates, so one
+    # small post-verify exchange replaces a full candidate-set exchange
+    # (round-2 verdict item; the plan test pins the exchange count)
     cand = (
         a.join(b_, ["band_idx", "band_val"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
     )
     qa = q.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"))
     qb = q.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"))
@@ -357,9 +361,11 @@ def banded_neardup_pairs(
         .join(qb, "vec_b")
         .mapInPandas(verify, schema="vec_a long, vec_b long, qcos double")
     )
-    return scored.select(
-        "vec_a", "vec_b", F.round("qcos", 6).alias("cosine")
-    ).orderBy("vec_a", "vec_b")
+    return (
+        scored.select("vec_a", "vec_b", F.round("qcos", 6).alias("cosine"))
+        .distinct()  # duplicate band hits carry identical qcos
+        .orderBy("vec_a", "vec_b")
+    )
 
 
 def oracle_banded_neardup(threshold: float = 0.4) -> str:

@@ -109,10 +109,46 @@ def test_ivf_ann_recall_vs_exact(spark):
 
 
 def test_multimodal_pixel_decode_is_explicit_stub(spark):
+    """Without an image library the pixel path must refuse loudly; with one
+    installed it auto-upgrades (covered by the test below)."""
+    if mm._pixel_backend() is not None:
+        pytest.skip("cv2/PIL present: the real decode path is active")
     docs = load(spark, SF_DIR, "documents")
     media = mm.with_payload(docs)
     with pytest.raises(NotImplementedError):
         mm.decode_image_pixels(media)
+
+
+def test_multimodal_pixel_decode_real_when_library_present(spark):
+    """Auto-upgrade contract: the moment cv2 or Pillow is importable,
+    decode_image_pixels decodes real images under DECODED_PIXELS_SCHEMA.
+    Skipped (not failed) in containers without an image library."""
+    if mm._pixel_backend() is None:
+        pytest.skip("no image library in this container")
+    import io
+    import struct
+    import zlib
+
+    def tiny_png(w, h, rgb):
+        # minimal valid RGB PNG written by hand (no library needed to ENCODE)
+        def chunk(tag, data):
+            c = tag + data
+            return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+        raw = b"".join(b"\x00" + bytes(rgb) * w for _ in range(h))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    rows = [(1, tiny_png(4, 3, (10, 20, 30))), (2, tiny_png(2, 2, (0, 0, 0)))]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in mm.decode_image_pixels(media).collect()}
+    assert got[1].width == 4 and got[1].height == 3 and got[1].n_channels == 3
+    assert abs(got[1].mean_intensity - 20.0) < 1e-9
+    assert got[2].width == 2 and got[2].mean_intensity == 0.0
 
 
 def test_multimodal_meta_matches_engine_hash(spark):

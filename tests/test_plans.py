@@ -153,3 +153,13 @@ def test_banded_neardup_candidate_join_carries_ids_only(spark):
     assert exchanges, "no band-key exchange found in plan:\n" + physical
     for line in exchanges:
         assert "qv" not in line, "band candidate shuffle carries vectors:\n" + line
+    # pair-key dedup must run AFTER verify (on the few survivors), never on
+    # the full candidate set: no (vec_a, vec_b) exchange below the verify
+    # kernel in the tree (r2 verdict item — one fewer candidate-set exchange)
+    import re
+
+    assert "MapInPandas verify" in physical, physical
+    below_verify = physical.split("MapInPandas verify", 1)[1]
+    assert not re.search(r"hashpartitioning\(vec_a#\d+L, vec_b#", below_verify), (
+        "candidate set is exchanged on the pair key before verify:\n" + physical
+    )
