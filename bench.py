@@ -36,24 +36,33 @@ def streaming_throughput(spark, sf_dir: str) -> dict[str, float]:
     from bigdata_streaming_absa_vehicle_spark.sources.kafka import kafka_payload, parse_envelope
     from bigdata_streaming_absa_vehicle_spark.streaming.pipelines import absa_transform
 
-    stats: dict[str, float] = {}
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        return s[len(s) // 2]
+
+    stats: dict[str, object] = {}
     n_rows = load(spark, sf_dir, "events").count()
     stage = tempfile.mkdtemp(prefix="bench_stream_")
+    n_runs = 3  # medians: single-shot rows/s moved ~2x across identical
+    # code between rounds (JIT/page-cache warm-up noise); the median of 3
+    # makes round-over-round comparison trustworthy (r2 verdict item)
     try:
-        stream = events_stream(spark, sf_dir, f"{stage}/in", n_files=8)
-        t0 = time.perf_counter()
-        q = (
-            tumbling_counts(stream)
-            .writeStream.format("noop")
-            .option("checkpointLocation", f"{stage}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(600)
-        wall = time.perf_counter() - t0
+        win_runs: list[float] = []
+        for run in range(n_runs):
+            stream = events_stream(spark, sf_dir, f"{stage}/in{run}", n_files=8)
+            t0 = time.perf_counter()
+            q = (
+                tumbling_counts(stream)
+                .writeStream.format("noop")
+                .option("checkpointLocation", f"{stage}/ckpt{run}")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+            win_runs.append(round(n_rows / (time.perf_counter() - t0), 1))
         stats.update(
-            {"rows": n_rows, "wall_s": round(wall, 4), "rows_per_sec": round(n_rows / wall, 1)}
+            {"rows": n_rows, "rows_per_sec": median(win_runs), "rows_per_sec_runs": win_runs}
         )
 
         # ABSA pipeline throughput: serialized review envelopes -> parse ->
@@ -64,27 +73,29 @@ def streaming_throughput(spark, sf_dir: str) -> dict[str, float]:
         )
         n_docs = docs.count()
         kafka_payload(docs).repartition(8).write.mode("overwrite").parquet(f"{stage}/absa_in")
-        raw = (
-            spark.readStream.schema("value binary")
-            .option("maxFilesPerTrigger", 2)
-            .parquet(f"{stage}/absa_in")
-        )
-        t0 = time.perf_counter()
-        q2 = (
-            absa_transform(parse_envelope(raw, REVIEW_ENVELOPE))
-            .writeStream.format("noop")
-            .option("checkpointLocation", f"{stage}/absa_ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q2.awaitTermination(600)
-        absa_wall = time.perf_counter() - t0
+        absa_runs: list[float] = []
+        for run in range(n_runs):
+            raw = (
+                spark.readStream.schema("value binary")
+                .option("maxFilesPerTrigger", 2)
+                .parquet(f"{stage}/absa_in")
+            )
+            t0 = time.perf_counter()
+            q2 = (
+                absa_transform(parse_envelope(raw, REVIEW_ENVELOPE))
+                .writeStream.format("noop")
+                .option("checkpointLocation", f"{stage}/absa_ckpt{run}")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q2.awaitTermination(600)
+            absa_runs.append(round(n_docs / (time.perf_counter() - t0), 1))
         stats.update(
             {
                 "absa_rows": n_docs,
-                "absa_wall_s": round(absa_wall, 4),
-                "absa_rows_per_sec": round(n_docs / absa_wall, 1),
+                "absa_rows_per_sec": median(absa_runs),
+                "absa_rows_per_sec_runs": absa_runs,
             }
         )
     finally:
@@ -106,6 +117,19 @@ def main() -> None:
     spark.range(1000).mapInPandas(
         lambda it: it, schema="id long"
     ).write.mode("overwrite").format("noop").save()
+    # ... and the pandas_udf inference path (per-worker model cache): the
+    # first ABSA query otherwise pays a second warm-up the suite never
+    # re-pays (r2 verdict item — per-query fixed-overhead tail)
+    specs["q60_absa_inference_batch"].fn(spark, "/root/testdata/sf0.001").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    # NOTE on table caching (r2 verdict suggestion, tried and rejected by
+    # measurement): cache()+count() on every base table made the suite ~14%
+    # SLOWER at sf0.1 — the InMemoryRelation defeats parquet column pruning
+    # (narrow projections scan all cached columns) and skews join-size
+    # estimates (q17 star join 1.0 s -> 5.3 s).  The parquet scans are
+    # already OS-page-cached on the second read; keep the declarative scans.
 
     timings: dict[str, float] = {}
     for name in sorted(specs):

@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.ordering import pin
+
 #: defaults tuned for the testdata's planted near-duplicates (3-shingle
 #: Jaccard >= 0.5 for planted pairs, < 0.1 background)
 N_HASHES = 16
@@ -431,7 +433,7 @@ def minhash_lsh_pairs(
             "doc_a", "doc_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard")
         )
         .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
+        .transform(pin).orderBy("doc_a", "doc_b")
     )
 
 

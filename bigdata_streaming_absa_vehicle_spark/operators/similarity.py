@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 
 from ..schemas import EMBEDDING_DIM
 
+from ..functions.ordering import pin
+
 N_TABLES = 4  # OR-ed hash tables
 PLANES_PER_TABLE = 4  # AND-ed bits per table
 
@@ -228,7 +230,7 @@ def quantized_neardup_pairs(
     )
     return pairs.select(
         "vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine")
-    ).orderBy("vec_a", "vec_b")
+    ).transform(pin).orderBy("vec_a", "vec_b")
 
 
 #: banding parameters for the scale-path near-dup (hyperplane signature over
@@ -364,7 +366,7 @@ def banded_neardup_pairs(
     return (
         scored.select("vec_a", "vec_b", F.round("qcos", 6).alias("cosine"))
         .distinct()  # duplicate band hits carry identical qcos
-        .orderBy("vec_a", "vec_b")
+        .transform(pin).orderBy("vec_a", "vec_b")
     )
 
 
@@ -471,7 +473,7 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("probe_id", "vec_id", F.round("cos", 6).alias("cosine"), "rank")
-        .orderBy("probe_id", "rank")
+        .transform(pin).orderBy("probe_id", "rank")
     )
 
 
@@ -532,24 +534,32 @@ def lsh_topk(
     weights = plane_weights()
     c = bucketed_batched(corpus, id_col, "vec_id", vec_col, "vec", weights)
     p = bucketed_batched(probes, id_col, "probe_id", vec_col, "pvec", weights)
-    # unpivot buckets to (id, table, bucket) and bucket-join
+    # unpivot buckets to (id, table, bucket) and bucket-join IDS ONLY — the
+    # candidate dedup must never shuffle the embedding arrays (same shape as
+    # the q41/q44b band joins); vectors re-join per surviving candidate.
+    # The probe side (queries, small by definition) broadcasts both times —
+    # at scale the corpus never shuffles at all for the candidate stage.
     n = len(weights)
     stack = ", ".join(f"{t}, bucket_{t}" for t in range(n))
-    c_long = c.selectExpr("vec_id", "vec", f"stack({n}, {stack}) AS (tbl, bucket)")
-    p_long = p.selectExpr("probe_id", "pvec", f"stack({n}, {stack}) AS (tbl, bucket)")
+    c_long = c.selectExpr("vec_id", f"stack({n}, {stack}) AS (tbl, bucket)")
+    p_long = p.selectExpr("probe_id", f"stack({n}, {stack}) AS (tbl, bucket)")
     cand = (
-        c_long.join(p_long, ["tbl", "bucket"])
+        c_long.join(F.broadcast(p_long), ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", "pvec", "vec")
+        .select("probe_id", "vec_id")
         .dropDuplicates(["probe_id", "vec_id"])
+    )
+    scored = (
+        cand.join(c.select("vec_id", "vec"), "vec_id")
+        .join(F.broadcast(p.select("probe_id", "pvec")), "probe_id")
+        .select("probe_id", "vec_id", cosine(F.col("pvec"), F.col("vec")).alias("cos"))
     )
     w = W.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
-        cand.select("probe_id", "vec_id", cosine(F.col("pvec"), F.col("vec")).alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("probe_id", "vec_id", F.round("cos", 6).alias("cosine"), "rank")
-        .orderBy("probe_id", "rank")
+        .transform(pin).orderBy("probe_id", "rank")
     )
 
 
@@ -620,7 +630,7 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= k)
         .select("probe_id", "vec_id", F.round("cos", 6).alias("cosine"), "rank")
-        .orderBy("probe_id", "rank")
+        .transform(pin).orderBy("probe_id", "rank")
     )
 
 

@@ -24,6 +24,7 @@ from ..functions.deterministic import dsum, dsum_expr
 from ..functions.deterministic import oracle_dsum as odsum
 from ..tables import load
 from .registry import query
+from ..functions.ordering import pin
 
 
 @query(
@@ -46,7 +47,7 @@ def q16_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(dsum("o_totalprice").alias("segment_revenue"), F.count("*").alias("n_orders"))
-        .orderBy("c_mktsegment")
+        .transform(pin).orderBy("c_mktsegment")
     )
 
 
@@ -101,7 +102,7 @@ def q16c_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         salted_join(orders, cust, "o_custkey", n_salts=8)
         .groupBy("c_mktsegment")
         .agg(dsum("o_totalprice").alias("segment_revenue"), F.count("*").alias("n_orders"))
-        .orderBy("c_mktsegment")
+        .transform(pin).orderBy("c_mktsegment")
     )
 
 
@@ -127,7 +128,7 @@ def q16b_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(dsum("o_totalprice").alias("segment_revenue"), F.count("*").alias("n_orders"))
-        .orderBy("c_mktsegment")
+        .transform(pin).orderBy("c_mktsegment")
     )
 
 
@@ -165,7 +166,7 @@ def q17_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum_expr("l_extendedprice * (1 - l_discount)", 6).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
-        .orderBy("r_name", "n_name")
+        .transform(pin).orderBy("r_name", "n_name")
     )
 
 
@@ -192,7 +193,7 @@ def q18_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_orderkey").alias("n_orders"),
             F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("customer_revenue"),
         )
-        .orderBy("c_custkey")
+        .transform(pin).orderBy("c_custkey")
     )
 
 
@@ -217,7 +218,7 @@ def q19_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+        .transform(pin).orderBy("c_custkey")
     )
 
 
@@ -245,7 +246,7 @@ def q20_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_inactive"))
-        .orderBy("c_mktsegment")
+        .transform(pin).orderBy("c_mktsegment")
     )
 
 
@@ -294,7 +295,7 @@ def q21_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("band")
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("band_revenue"))
-        .orderBy("band")
+        .transform(pin).orderBy("band")
     )
 
 
@@ -330,7 +331,7 @@ def q70_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum_expr("l_extendedprice * (1 - l_discount)", 6).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
-        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .transform(pin).orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
 
@@ -371,7 +372,7 @@ def q71_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum_expr("l_extendedprice * (1 - l_discount)", 6).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
-        .orderBy(F.desc("revenue"), "c_custkey")
+        .transform(pin).orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
 
@@ -418,7 +419,7 @@ def q72_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         asof_join(ev, px, "k", "ts", "t", ["last_price"])
         .select("event_id", "k", "ts", "last_price")
-        .orderBy("event_id")
+        .transform(pin).orderBy("event_id")
     )
 
 
@@ -470,6 +471,6 @@ def q77_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = interval_join(
         buys, clicks, "bu", "cu", "buy_ts", "click_ts", lower_s=-120 * 60, upper_s=0
     )
-    return pairs.select("buy_id", "click_id", "buy_ts", "click_ts").orderBy(
+    return pairs.select("buy_id", "click_id", "buy_ts", "click_ts").transform(pin).orderBy(
         "buy_id", "click_id"
     )

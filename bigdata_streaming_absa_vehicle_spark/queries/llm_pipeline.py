@@ -21,6 +21,7 @@ from ..functions.deterministic import davg
 from ..functions.deterministic import oracle_davg as odavg
 from ..tables import load
 from .registry import query
+from ..functions.ordering import pin
 
 # ---------------------------------------------------------------------------
 # X-01 exact dedup
@@ -47,7 +48,7 @@ def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.groupBy(F.md5(F.col("text").cast("binary")).alias("content_key"))
         .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
-        .orderBy("canonical_id")
+        .transform(pin).orderBy("canonical_id")
     )
 
 
@@ -68,7 +69,7 @@ def q40b_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.join(canonical.select("doc_id"), "doc_id", "left_semi")
         .select("doc_id", "lang")
-        .orderBy("doc_id")
+        .transform(pin).orderBy("doc_id")
     )
 
 
@@ -120,7 +121,7 @@ def q42_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.simhash_batched); near-dup candidates are then hamming-distance
     pairs (q42b)."""
     docs = load(spark, sf_dir, "documents")
-    return dd.shingle_simhash_batched(docs, "doc_id", "text", 3, 48).orderBy("doc_id")
+    return dd.shingle_simhash_batched(docs, "doc_id", "text", 3, 48).transform(pin).orderBy("doc_id")
 
 
 _SIMHASH_SQL = r"""
@@ -204,7 +205,7 @@ def q42b_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= 12)
-        .orderBy("doc_a", "doc_b")
+        .transform(pin).orderBy("doc_a", "doc_b")
     )
 
 
@@ -268,7 +269,7 @@ def q43_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("jaccard") >= 0.2)
-        .orderBy("doc_a", "doc_b")
+        .transform(pin).orderBy("doc_a", "doc_b")
     )
 
 
@@ -379,7 +380,7 @@ def q47_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("n_chars").alias("avg_chars"),
             davg(ta.whitespace_token_count(F.col("text"))).alias("avg_tokens"),
         )
-        .orderBy("lang")
+        .transform(pin).orderBy("lang")
     )
 
 
@@ -405,7 +406,7 @@ def q48_quality_and_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ta.whitespace_token_count(t).alias("ws_tokens"),
         ta.bpe_token_count(t).alias("bpe_tokens"),
         ta.quality_score(t).alias("quality"),
-    ).orderBy("doc_id")
+    ).transform(pin).orderBy("doc_id")
 
 
 @query(
@@ -428,7 +429,7 @@ def q49_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(ta.lang_guess(F.col("text")).alias("lang_guess"))
         .groupBy("lang_guess")
         .agg(F.count("*").alias("n_docs"))
-        .orderBy("lang_guess")
+        .transform(pin).orderBy("lang_guess")
     )
 
 
@@ -451,7 +452,7 @@ def q50_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.groupBy(ta.fingerprint(F.col("text")).alias("fp"))
         .agg(F.min("doc_id").alias("first_doc"), F.count("*").alias("n_docs"))
-        .orderBy("first_doc")
+        .transform(pin).orderBy("first_doc")
     )
 
 
@@ -474,7 +475,7 @@ def q50b_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact int64 fold, identical in both engines."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    return docs.select("doc_id", ta.rolling_fingerprint(toks).alias("rfp")).orderBy("doc_id")
+    return docs.select("doc_id", ta.rolling_fingerprint(toks).alias("rfp")).transform(pin).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -493,7 +494,7 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite of the reference's per-row base64+imdecode UDF
     (vehicle_consumer.py:78-111)."""
     docs = load(spark, sf_dir, "documents")
-    return mm.decode_image_meta(mm.with_payload(docs)).orderBy("doc_id")
+    return mm.decode_image_meta(mm.with_payload(docs)).transform(pin).orderBy("doc_id")
 
 
 @query(
@@ -527,7 +528,7 @@ def q52_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("frame_id"),
         F.date_trunc("second", "ts").alias("frame_time"),
     )
-    return mm.sample_frames(frames, every_n=5).orderBy("camera_id", "frame_id")
+    return mm.sample_frames(frames, every_n=5).transform(pin).orderBy("camera_id", "frame_id")
 
 
 @query(
@@ -540,7 +541,7 @@ def q53_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     stubbed, arithmetic and Arrow plumbing real): fit into 256x256, output
     dimensions + RGB byte size."""
     docs = load(spark, sf_dir, "documents")
-    return mm.resize_images(mm.with_payload(docs), max_dim=256).orderBy("doc_id")
+    return mm.resize_images(mm.with_payload(docs), max_dim=256).transform(pin).orderBy("doc_id")
 
 
 @query(
@@ -581,7 +582,7 @@ def q73_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "chunk_text"
             ),
         )
-        .orderBy("doc_id", "chunk_idx")
+        .transform(pin).orderBy("doc_id", "chunk_idx")
     )
 
 
@@ -626,7 +627,7 @@ def q74_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tf", "df", "rank")
-        .orderBy("doc_id", "rank")
+        .transform(pin).orderBy("doc_id", "rank")
     )
 
 
@@ -669,4 +670,4 @@ def q76_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (dd.hash64("strat", F.col("doc_id").cast("string")) % 1000).alias("bucket"),
     )
-    return keyed.filter(F.col("bucket") < 1000 * rate).orderBy("doc_id")
+    return keyed.filter(F.col("bucket") < 1000 * rate).transform(pin).orderBy("doc_id")

@@ -51,7 +51,7 @@ def q60_absa_inference_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference path: spark_kafka_consumer_dag.py:137-175, rebuilt
     executor-side per consumer_postgres_streaming.py:74-91)."""
     reviews = _documents_as_reviews(spark, sf_dir)
-    return absa_transform(reviews, model_version="v0").orderBy(
+    return absa_transform(reviews, model_version="v0").transform(pin).orderBy(
         F.col("review_id").cast("long")
     )
 
@@ -82,11 +82,12 @@ def q61_absa_sentiment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         preds.selectExpr(f"stack({len(ABSA_ASPECTS)}, {stack_expr}) AS (aspect, label)")
         .groupBy("aspect", "label")
         .agg(F.count("*").alias("n"))
-        .orderBy("aspect", "label")
+        .transform(pin).orderBy("aspect", "label")
     )
 
 
 from ..streaming.pipelines import VEHICLE_CLASSES as _VEHICLE_CLASSES  # noqa: E402
+from ..functions.ordering import pin
 
 
 def _vehicle_oracle() -> str:
@@ -133,7 +134,7 @@ def q62_vehicle_pipeline_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         vehicle_transform(envelope)
         .drop("processed_at")
-        .orderBy("camera_id", "frame_time", "vehicle_type")
+        .transform(pin).orderBy("camera_id", "frame_time", "vehicle_type")
     )
 
 
@@ -155,7 +156,7 @@ def q63_tumbling_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the T-05 tumbling window — same function the streaming
     test runs with a watermark; window() semantics vs explicit date_trunc."""
     ev = load(spark, sf_dir, "events")
-    return tumbling_counts(ev).orderBy("window_start", "event_type")
+    return tumbling_counts(ev).transform(pin).orderBy("window_start", "event_type")
 
 
 @query(
@@ -178,7 +179,7 @@ def q64_sliding_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the T-06 sliding window (10 min window, 1 min slide:
     every event lands in 10 windows — the oracle expands via range join)."""
     ev = load(spark, sf_dir, "events")
-    return sliding_counts(ev).orderBy("window_start")
+    return sliding_counts(ev).transform(pin).orderBy("window_start")
 
 
 @query(
@@ -210,4 +211,4 @@ def q65_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the oracle's gaps-and-islands formulation — same sessions, same
     boundaries (end = last event + gap)."""
     ev = load(spark, sf_dir, "events")
-    return session_counts(ev).orderBy("user_id", "session_start")
+    return session_counts(ev).transform(pin).orderBy("user_id", "session_start")

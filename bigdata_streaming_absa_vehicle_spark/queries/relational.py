@@ -24,6 +24,7 @@ from ..functions.deterministic import oracle_davg as odavg
 from ..functions.deterministic import oracle_dsum as odsum
 from ..tables import load
 from .registry import query
+from ..functions.ordering import pin
 
 # ---------------------------------------------------------------------------
 # P — projection / filtering / derivation
@@ -45,7 +46,7 @@ def q01_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")
+        .transform(pin).orderBy("l_orderkey", "l_linenumber")
     )
 
 
@@ -66,7 +67,7 @@ def q02_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.filter(F.col("event_type").isin("purchase", "error") & (F.col("value") > 100.0))
         .select("event_id", "user_id", "event_type", "value")
-        .orderBy("event_id")
+        .transform(pin).orderBy("event_id")
     )
 
 
@@ -86,7 +87,7 @@ def q02b_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.withColumn("lang_filled", F.coalesce(F.nullif("lang", F.lit("zh")), F.lit("unknown")))
         .select("doc_id", "lang_filled")
-        .orderBy("doc_id")
+        .transform(pin).orderBy("doc_id")
     )
 
 
@@ -110,7 +111,7 @@ def q03_derived_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ship_date", F.date_format("l_shipdate", "yyyy-MM-dd"))
         .withColumn("line_str", F.col("l_linenumber").cast("string"))
         .select("l_orderkey", "l_linenumber", "revenue", "ship_date", "line_str")
-        .orderBy("l_orderkey", "l_linenumber")
+        .transform(pin).orderBy("l_orderkey", "l_linenumber")
     )
 
 
@@ -138,7 +139,7 @@ def q04_group_sum_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id", "event_type")
         .agg(dsum("value").alias("total_value"), F.count("*").alias("n_events"))
-        .orderBy("user_id", "event_type")
+        .transform(pin).orderBy("user_id", "event_type")
     )
 
 
@@ -152,7 +153,7 @@ def q04_group_sum_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q05_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency count (sentiment value_counts analog, absa streamlit_app.py:76-82)."""
-    return load(spark, sf_dir, "documents").groupBy("lang").count().withColumnRenamed("count", "n_docs").orderBy("lang")
+    return load(spark, sf_dir, "documents").groupBy("lang").count().withColumnRenamed("count", "n_docs").transform(pin).orderBy("lang")
 
 
 @query(
@@ -244,7 +245,7 @@ def q08_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.date_trunc("minute", "ts").alias("minute"), "event_type")
         .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
-        .orderBy("minute", "event_type")
+        .transform(pin).orderBy("minute", "event_type")
     )
 
 
@@ -285,7 +286,7 @@ def q09_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("l_discount", 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(pin).orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -310,7 +311,7 @@ def q10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(F.grouping_id().alias("gid"), dsum("l_quantity").alias("sum_qty"))
         .select("l_returnflag", "l_linestatus", "gid", "sum_qty")
-        .orderBy(F.col("gid"), F.col("l_returnflag"), F.col("l_linestatus"))
+        .transform(pin).orderBy(F.col("gid"), F.col("l_returnflag"), F.col("l_linestatus"))
     )
 
 
@@ -338,7 +339,7 @@ def q11_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pivot-count yields null for empty cells; dashboards (and the oracle) want 0
     return piv.select(
         "lang", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in piv.columns if c != "lang"]
-    ).orderBy("lang")
+    ).transform(pin).orderBy("lang")
 
 
 @query(
@@ -359,7 +360,7 @@ def q23_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id")
         .agg(F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types_seen"))
-        .orderBy("user_id")
+        .transform(pin).orderBy("user_id")
     )
 
 
@@ -385,7 +386,7 @@ def q12_latest_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return (
         ev.select("event_id", "ts", "user_id", "event_type", "value")
-        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .transform(pin).orderBy(F.desc("ts"), F.desc("event_id"))
         .limit(200)
     )
 
@@ -418,7 +419,7 @@ def q13_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         totals.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
-        .orderBy("event_type", "rn")
+        .transform(pin).orderBy("event_type", "rn")
     )
 
 
@@ -438,7 +439,7 @@ def q14_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice", "o_orderdate")
-        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .transform(pin).orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(1000)
     )
 
@@ -462,7 +463,7 @@ def q15_keyed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.filter(F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 2) < "20")
         .select("event_id", "event_type", "value")
-        .orderBy("event_id")
+        .transform(pin).orderBy("event_id")
     )
 
 
@@ -497,5 +498,5 @@ def q75_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qs")[2].alias("p75"),
             F.col("qs")[3].alias("p99"),
         )
-        .orderBy("event_type")
+        .transform(pin).orderBy("event_type")
     )

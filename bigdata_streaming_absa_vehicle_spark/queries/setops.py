@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from .registry import query
+from ..functions.ordering import pin
 
 
 @query(
@@ -41,7 +42,7 @@ def q26u_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.unionByName(b)
         .groupBy("lang")
         .agg(F.count("*").alias("n_rows"), F.countDistinct("doc_id").alias("n_distinct"))
-        .orderBy("lang")
+        .transform(pin).orderBy("lang")
     )
 
 
@@ -65,4 +66,4 @@ def q27u_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
     both = clickers.intersect(buyers).select(F.lit("both").alias("cohort"), "user_id")
     click_only = clickers.subtract(buyers).select(F.lit("click_only").alias("cohort"), "user_id")
-    return both.unionByName(click_only).orderBy("cohort", "user_id")
+    return both.unionByName(click_only).transform(pin).orderBy("cohort", "user_id")

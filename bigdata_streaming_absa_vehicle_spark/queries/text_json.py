@@ -15,6 +15,7 @@ from ..functions.deterministic import dsum
 from ..functions.deterministic import oracle_dsum as odsum
 from ..tables import load
 from .registry import query
+from ..functions.ordering import pin
 
 
 @query(
@@ -39,7 +40,7 @@ def q28_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), r"\s+", " "
         )
     )
-    return docs.select("doc_id", norm.alias("norm_text")).orderBy("doc_id")
+    return docs.select("doc_id", norm.alias("norm_text")).transform(pin).orderBy("doc_id")
 
 
 @query(
@@ -62,7 +63,7 @@ def q29_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_extract("text", r"(sp\w+)", 1).alias("first_sp_word"),
         F.regexp_extract("text", r"(\d+)", 1).alias("first_number"),
-    ).orderBy("doc_id")
+    ).transform(pin).orderBy("doc_id")
 
 
 @query(
@@ -86,7 +87,7 @@ def q30_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
         .groupBy((F.col("k") % 10).alias("k_bucket"))
         .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
-        .orderBy("k_bucket")
+        .transform(pin).orderBy("k_bucket")
     )
 
 
@@ -110,7 +111,7 @@ def q30b_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("parsed", F.from_json("props", EVENT_PROPS))
         .select("event_id", F.col("parsed.k").alias("k"))
         .filter(F.col("k") > 90)
-        .orderBy("event_id")
+        .transform(pin).orderBy("event_id")
     )
 
 
@@ -147,7 +148,7 @@ def q31_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("parsed.event_type").alias("type_rt"),
             F.col("parsed.user_id").alias("user_rt"),
         )
-        .orderBy("event_id")
+        .transform(pin).orderBy("event_id")
     )
 
 
@@ -174,7 +175,7 @@ def q32_base64_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.base64(payload), 1, 24).alias("b64_prefix"),
         F.md5(payload).alias("content_md5"),
         F.octet_length(payload).alias("n_bytes"),
-    ).orderBy("doc_id")
+    ).transform(pin).orderBy("doc_id")
 
 
 @query(
@@ -196,7 +197,7 @@ def q32b_unbase64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(rt).alias("roundtrip_md5"),
         (F.md5(rt) == F.md5(payload)).alias("intact"),
-    ).orderBy("doc_id")
+    ).transform(pin).orderBy("doc_id")
 
 
 @query(
@@ -218,7 +219,7 @@ def q33_string_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat_ws(":", "lang", "source").alias("lang_source"),
         F.format_string("%s#%s", F.col("lang"), F.col("n_chars").cast("string")).alias("tagged"),
-    ).orderBy("doc_id")
+    ).transform(pin).orderBy("doc_id")
 
 
 @query(
@@ -241,7 +242,7 @@ def q34_split_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-    ).orderBy("doc_id")
+    ).transform(pin).orderBy("doc_id")
 
 
 @query(
@@ -264,7 +265,7 @@ def q35_argmax_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.array_position("embedding", F.array_max("embedding")).alias("argmax_idx"),
         F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
-    ).orderBy("vec_id")
+    ).transform(pin).orderBy("vec_id")
 
 
 @query(
@@ -284,7 +285,7 @@ def q36_sigmoid_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.round(1.0 / (1.0 + F.exp(-(F.col("value") - 100.0) / 50.0)), 6).alias("sigmoid_score"),
-    ).orderBy("event_id")
+    ).transform(pin).orderBy("event_id")
 
 
 @query(
@@ -310,4 +311,4 @@ def q37_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_s.alias("epoch_s"),
         F.timestamp_seconds(epoch_s).alias("ts_rt"),
         F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
-    ).orderBy("event_id")
+    ).transform(pin).orderBy("event_id")

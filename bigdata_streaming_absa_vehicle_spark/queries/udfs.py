@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from ..streaming.pipelines import VEHICLE_CLASSES, with_detections
 from ..tables import load
 from .registry import query
+from ..functions.ordering import pin
 
 
 @query(
@@ -80,7 +81,7 @@ def q66_grouped_map_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             scale,
             schema="o_orderkey long, o_orderpriority string, o_totalprice double, scaled double",
         )
-        .orderBy("o_orderkey")
+        .transform(pin).orderBy("o_orderkey")
     )
 
 
@@ -127,7 +128,7 @@ def q67_grouped_agg_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         wide.select("label", "n_vectors", F.posexplode("centroid").alias("pos", "val"))
         .select("label", "pos", F.round("val", 6).alias("centroid_val"), "n_vectors")
-        .orderBy("label", "pos")
+        .transform(pin).orderBy("label", "pos")
     )
 
 
@@ -172,7 +173,7 @@ def q68_detections_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole detection expression below the hash projection
     return (
         env.select("camera_id", "frame_time", F.posexplode("picked").alias("pos", "vehicle"))
-        .orderBy("camera_id", "frame_time", "pos")
+        .transform(pin).orderBy("camera_id", "frame_time", "pos")
     )
 
 
@@ -197,5 +198,5 @@ def q69_detections_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         flat.lateralJoin(SplitDetections(F.col("types_str").outer()))
         .select("camera_id", "frame_time", "pos", "vehicle")
-        .orderBy("camera_id", "frame_time", "pos")
+        .transform(pin).orderBy("camera_id", "frame_time", "pos")
     )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..functions.deterministic import oracle_dsum as odsum
 from ..tables import load
 from .registry import query
+from ..functions.ordering import pin
 
 _DECIMAL = "decimal(28,2)"
 
@@ -43,7 +44,7 @@ def q22w_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("event_type").orderBy("minute")
     return (
         per_minute.withColumn("delta_vs_prev", F.col("n") - F.lag("n", 1).over(w))
-        .orderBy("event_type", "minute")
+        .transform(pin).orderBy("event_type", "minute")
     )
 
 
@@ -76,7 +77,7 @@ def q23w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderdate",
             F.sum(F.col("o_totalprice").cast(_DECIMAL)).over(w).cast("double").alias("running_spend"),
         )
-        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+        .transform(pin).orderBy("o_custkey", "o_orderdate", "o_orderkey")
     )
 
 
@@ -103,7 +104,7 @@ def q24w_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rank().over(w).alias("bal_rank"),
             F.dense_rank().over(w).alias("bal_dense_rank"),
         )
-        .orderBy("c_nationkey", "bal_rank", "c_custkey")
+        .transform(pin).orderBy("c_nationkey", "bal_rank", "c_custkey")
     )
 
 
@@ -137,5 +138,5 @@ def q25w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "moving_sum_6",
             F.sum(F.col("minute_value").cast(_DECIMAL)).over(w).cast("double"),
         )
-        .orderBy("minute")
+        .transform(pin).orderBy("minute")
     )

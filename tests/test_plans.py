@@ -19,6 +19,17 @@ from bigdata_streaming_absa_vehicle_spark.tables import load
 SF_DIR = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(autouse=True)
+def _unpinned_sorts(spark):
+    """Disable the pre-sort localCheckpoint (functions/ordering.pin) so
+    explain() shows the real pre-sort pipeline instead of Scan ExistingRDD —
+    the physical plan under test is identical with pinning on; the
+    checkpoint only changes where the range-sampler reads from."""
+    spark.conf.set("spark.graft.pin_sorts", "false")
+    yield
+    spark.conf.unset("spark.graft.pin_sorts")
+
+
 def plan_of(df, mode: str = "formatted") -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
