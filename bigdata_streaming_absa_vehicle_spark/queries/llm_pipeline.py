@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import components as cc
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
@@ -671,3 +672,45 @@ def q76_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dd.hash64("strat", F.col("doc_id").cast("string")) % 1000).alias("bucket"),
     )
     return keyed.filter(F.col("bucket") < 1000 * rate).transform(pin).orderBy("doc_id")
+
+
+@query(
+    "q78_dedup_clusters",
+    oracle=f"""
+    WITH comp AS ({{components}})
+    SELECT d.doc_id,
+           COALESCE(comp.component, d.doc_id) AS cluster_id,
+           COALESCE(comp.component, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+    ORDER BY doc_id
+    """.format(
+        components=cc.oracle_components_sql(dd.oracle_minhash_lsh_pairs(threshold=0.5))
+    ),
+    tags=("X-02",),
+)
+def q78_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS from q41's pair relation via distributed
+    min-label connected components (operators/components.py), electing the
+    min doc_id as the cluster's canonical document — the assignment you
+    group on to drop duplicate copies from a training corpus. Documents in
+    no pair form singleton clusters. Oracle: DuckDB recursive CTE over the
+    identical pair SQL, so the fixpoint is hash-pinned."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    nodes = pairs.select(F.col("doc_a").alias("n")).union(
+        pairs.select(F.col("doc_b").alias("n"))
+    ).distinct()
+    comp = cc.connected_components(nodes, pairs, "n", "doc_a", "doc_b")
+    return (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+            (F.coalesce(F.col("component"), F.col("doc_id")) == F.col("doc_id")).alias(
+                "is_canonical"
+            ),
+        )
+        .transform(pin)
+        .orderBy("doc_id")
+    )

@@ -385,3 +385,46 @@ def test_banded_neardup_recall_on_planted_duplicates(spark, seed):
         assert recall >= 0.7, (
             f"banded recall {recall:.2f} on {len(planted)} planted pairs"
         )
+
+
+@SLOW
+@given(st.integers(min_value=0, max_value=10**9))
+def test_connected_components_equals_union_find(spark, seed):
+    """Min-label propagation must produce exactly the min-id-per-component
+    labeling of a reference union-find, for arbitrary random graphs —
+    including isolated nodes, self-loops dropped, and multi-hop chains
+    (the convergence-loop case a single propagation round would miss)."""
+    import random as pyrandom
+
+    from bigdata_streaming_absa_vehicle_spark.operators.components import (
+        connected_components,
+    )
+
+    rng = pyrandom.Random(seed)
+    n = 20
+    edges = [(rng.randint(0, n - 1), rng.randint(0, n - 1)) for _ in range(12)]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {i: min(j for j in range(n) if find(j) == find(i)) for i in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edf = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    got = {
+        r.id: r.component
+        for r in connected_components(nodes, edf, "id", "src", "dst").collect()
+    }
+    assert got == want
