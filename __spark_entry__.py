@@ -80,6 +80,9 @@ _WINDOW_PRIORITY = (
     "q40b_dedup_keep_first",
     # -- queries NEW this round: first-ever driver signal --
     "q77_interval_join_batch",
+    "q78_dedup_clusters",
+    "q79_pii_redaction",
+    "q80_corpus_prep",
     # -- most-recently-changed round-2 set (r2-green, code touched since) --
     "q41_minhash_lsh_neardup",
     "q42_simhash",
@@ -93,13 +96,10 @@ _WINDOW_PRIORITY = (
     "q72_asof_join",
     "q73_chunking",
     "q74_salient_terms",
-    "q75_grouped_percentiles",
     "q76_stratified_sample",
     "q62_vehicle_pipeline_batch",
     "q68_detections_exploded",
     "q69_detections_udtf",
-    "q60_absa_inference_batch",
-    "q61_absa_sentiment_counts",
 )
 
 

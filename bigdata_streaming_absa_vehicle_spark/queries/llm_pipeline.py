@@ -714,3 +714,129 @@ def q78_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("doc_id")
     )
+
+
+#: PII patterns shared by q79's Spark and oracle sides — bracket classes
+#: only (no backslash escapes), so Java regex and RE2 parse them identically
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PHONE_RE = "[+][0-9]{1,3}[ ][0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "q79_pii_redaction",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail.example.com or +1 555-0142'
+               ELSE text END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(t, '{PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM seeded
+    ORDER BY doc_id
+    """,
+    tags=("X-04", "F-02"),
+)
+def q79_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass a training corpus runs before
+    anything else: count and replace email/phone occurrences, emit the md5
+    of the redacted text so the oracle pins the FULL redacted content, not
+    just the counts. The synthetic corpus carries no PII, so every fifth
+    document gets a deterministic PII-shaped suffix INSIDE the query (the
+    identical expression runs in the oracle) — the operator under test is
+    the regex kernel, which is map-only JVM codegen at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1 555-0142"),
+        ),
+    ).otherwise(F.col("text"))
+    red = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+            F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+            F.md5(red).alias("redacted_md5"),
+        )
+        .transform(pin)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q80_corpus_prep",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, text,
+               {{lang}} AS lang,
+               {{quality}} AS quality
+        FROM documents
+    ), kept AS (
+        SELECT * FROM scored WHERE lang = 'en' AND quality >= 0.5
+    ), dd AS (
+        SELECT doc_id, lang, quality, text,
+               row_number() OVER (
+                   PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   ORDER BY doc_id
+               ) AS rn
+        FROM kept
+    )
+    SELECT doc_id, lang, quality,
+           len(regexp_extract_all(lower(text), '{{bpe}}')) AS bpe_tokens
+    FROM dd WHERE rn = 1
+    ORDER BY doc_id
+    """.format(
+        lang=ta.oracle_lang_guess("text"),
+        quality=ta.oracle_quality_score("text"),
+        bpe=ta.BPE_PATTERN,
+    ),
+    tags=("X-04", "X-01"),
+)
+def q80_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation — the composed pipeline a pretraining
+    dataset actually runs, as ONE declarative plan Catalyst optimizes
+    whole: language-ID filter -> quality-score filter -> exact dedup on the
+    normalized-content fingerprint (keep lowest doc_id) -> token counting
+    for the survivors. Filters are map-only and run BEFORE the dedup
+    shuffle (predicate order matters at 100 TB: the only exchange is on the
+    16-byte fingerprint of the ~half of the corpus that survives the cheap
+    filters)."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        t.alias("text"),
+        ta.lang_guess(t).alias("lang"),
+        ta.quality_score(t).alias("quality"),
+    )
+    kept = scored.filter((F.col("lang") == "en") & (F.col("quality") >= 0.5))
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy(ta.fingerprint(F.col("text"))).orderBy("doc_id")
+    )
+    return (
+        kept.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            "quality",
+            ta.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        )
+        .transform(pin)
+        .orderBy("doc_id")
+    )
