@@ -840,3 +840,104 @@ def q80_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("doc_id")
     )
+
+
+#: vocabulary ordering shared by q81/q82: frequency desc, token asc — a
+#: TOTAL order, so ids are deterministic in both engines
+_VOCAB_SQL = r"""
+        SELECT token,
+               row_number() OVER (ORDER BY tf DESC, token ASC) AS token_id,
+               tf, df
+        FROM (
+            SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+            FROM (
+                SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+                FROM documents
+            )
+            GROUP BY token
+        )
+"""
+
+
+def _vocab(docs: DataFrame, top_n: int = 1000) -> DataFrame:
+    """(token, token_id, tf, df), ids by the total order (tf desc, token
+    asc), truncated to top_n. One explode + one groupBy(token) shuffle; the
+    id-assigning window is a single global sort of the VOCABULARY (bounded,
+    tiny next to the corpus), not the corpus."""
+    from pyspark.sql import Window as W
+
+    flat = docs.select("doc_id", F.explode(dd.tokens("text")).alias("token"))
+    freq = flat.groupBy("token").agg(
+        F.count("*").alias("tf"), F.count_distinct("doc_id").alias("df")
+    )
+    w = W.orderBy(F.desc("tf"), F.asc("token"))
+    return (
+        freq.withColumn("token_id", F.row_number().over(w))
+        .filter(F.col("token_id") <= top_n)
+        .select("token", "token_id", "tf", "df")
+    )
+
+
+@query(
+    "q81_vocabulary",
+    oracle=f"""
+    WITH vocab AS ({_VOCAB_SQL})
+    SELECT token, token_id, tf, df
+    FROM vocab
+    WHERE token_id <= 1000
+    ORDER BY token_id
+    """,
+    tags=("X-04", "A-04"),
+)
+def q81_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building — the tokenizer-training primitive: term and
+    document frequencies for every token (see _vocab)."""
+    return _vocab(load(spark, sf_dir, "documents")).transform(pin).orderBy("token_id")
+
+
+@query(
+    "q82_token_ids",
+    oracle=f"""
+    WITH vocab AS ({_VOCAB_SQL}),
+    flat AS (
+        SELECT doc_id, unnest(tk) AS token, generate_subscripts(tk, 1) AS pos
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents)
+    ),
+    enc AS (
+        SELECT f.doc_id, f.pos,
+               COALESCE(CASE WHEN v.token_id <= 1000 THEN v.token_id END, 0) AS token_id
+        FROM flat f LEFT JOIN vocab v USING (token)
+    )
+    SELECT doc_id, list(token_id ORDER BY pos) AS ids
+    FROM enc GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("X-04", "D-05"),
+)
+def q82_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id encoding — the text -> int sequence step every training run
+    ends with: each document becomes its array of q81 vocabulary ids in
+    token order, 0 for out-of-vocabulary. The vocabulary joins as a
+    broadcast (it is bounded at 1000 rows by construction), so encoding is
+    MAP-ONLY over the corpus: posexplode -> broadcast-join -> re-assemble
+    ordered by position. The only corpus shuffle is the groupBy(doc_id)
+    re-assembly, keyed by the 8-byte id."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = _vocab(docs).select("token", "token_id")
+    flat = docs.select(
+        "doc_id", F.posexplode(dd.tokens("text")).alias("pos", "token")
+    )
+    enc = flat.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("token_id"), F.lit(0)).alias("token_id")
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                lambda s: s["token_id"],
+            ).alias("ids")
+        )
+        .transform(pin)
+        .orderBy("doc_id")
+    )

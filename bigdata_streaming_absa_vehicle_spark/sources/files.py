@@ -72,3 +72,24 @@ def events_stream(spark: SparkSession, sf_dir: str, staging_dir: str, n_files: i
     return replay_as_stream(
         spark, load(spark, sf_dir, "events"), staging_dir, n_files, order_col="ts"
     )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    mode: str = "FAILFAST",
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """JSON-lines source with a DECLARED schema (S-02 extension): the
+    interchange format web-scale text corpora actually ship in. Schema
+    inference is refused on purpose — at 100 TB an inference pass is a full
+    extra scan, and drifting inferred types break downstream plans; declare
+    the schema and let malformed lines fail fast (default) or land in
+    `corrupt_col` (mode='PERMISSIVE') for quarantine-and-continue pipelines.
+    Line-delimited JSON splits by newline, so a single file still fans out
+    across executors."""
+    reader = spark.read.schema(schema).option("mode", mode)
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    return reader.json(path)

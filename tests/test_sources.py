@@ -166,3 +166,26 @@ def test_read_jdbc_roundtrip_embedded_derby(spark):
             predicates=["K < 1"], partition_column="K",
             lower_bound=0, upper_bound=1, num_partitions=1,
         )
+
+
+def test_read_jsonl_declared_schema(spark, tmp_path):
+    """S-02 (JSONL): declared schema, FAILFAST default, PERMISSIVE quarantine
+    of malformed lines into the corrupt column."""
+    import pytest
+
+    from bigdata_streaming_absa_vehicle_spark.sources.files import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha beta"}\n'
+        '{"doc_id": 2, "text": "gamma"}\n'
+        "not json at all\n"
+    )
+    schema = "doc_id long, text string, _bad string"
+    ok = read_jsonl(spark, str(p), schema, mode="PERMISSIVE", corrupt_col="_bad")
+    rows = {r.doc_id: (r.text, r._bad) for r in ok.collect()}
+    assert rows[1] == ("alpha beta", None) and rows[2] == ("gamma", None)
+    assert None in rows and rows[None][1] == "not json at all"
+
+    with pytest.raises(Exception):
+        read_jsonl(spark, str(p), "doc_id long, text string").collect()
