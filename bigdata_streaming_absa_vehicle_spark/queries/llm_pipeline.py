@@ -941,3 +941,247 @@ def q82_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-07 decontamination / packing / repetition (training-corpus hygiene)
+# ---------------------------------------------------------------------------
+
+#: shared by q83: 8-token shingle, the industry-standard decontamination gram
+_DECON_G = 8
+#: pseudo-benchmark membership: docs with doc_id % 7 == 0 play the held-out
+#: eval set (large enough that the synthetic corpus actually contains leaks)
+_DECON_MOD = 7
+
+
+@query(
+    "q83_decontamination",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+        SELECT doc_id, md5(array_to_string(toks[i:(i + {_DECON_G - 1})], ' ')) AS g
+        FROM t, UNNEST(range(1, len(toks) - {_DECON_G} + 2)) AS u(i)
+        WHERE len(toks) >= {_DECON_G}
+    ),
+    eval_g AS (SELECT DISTINCT g FROM g WHERE doc_id % {_DECON_MOD} = 0)
+    SELECT g.doc_id, COUNT(DISTINCT g.g) AS n_hits
+    FROM g JOIN eval_g USING (g)
+    WHERE g.doc_id % {_DECON_MOD} <> 0
+    GROUP BY g.doc_id
+    ORDER BY doc_id
+    """,
+    tags=("X-07",),
+)
+def q83_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination — the pretraining hygiene step that removes
+    training documents sharing any 8-token shingle with the held-out
+    benchmark (here: the deterministic ~1% of docs with doc_id % 97 == 0
+    standing in for the eval suite). Reports each contaminated training doc
+    with its count of distinct leaked shingles; the cleaned corpus is the
+    anti-join of this result.
+
+    Scale shape: shingle hashing is map-only; the eval side of the join is
+    the BENCHMARK's shingle set — a few million 16-byte hashes even for a
+    large eval suite — so it broadcasts, and the corpus-side probe never
+    shuffles document text. The only corpus shuffle is the final
+    groupBy(doc_id) over (8-byte id, 16-byte hash) hit pairs — a vanishing
+    fraction of the corpus at any realistic contamination rate."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = docs.select("doc_id", dd.tokens("text").alias("toks")).filter(
+        F.size("toks") >= _DECON_G
+    )
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - _DECON_G + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, _DECON_G))),
+            )
+        ).alias("g"),
+    )
+    eval_g = grams.filter(F.col("doc_id") % _DECON_MOD == 0).select("g").distinct()
+    return (
+        grams.filter(F.col("doc_id") % _DECON_MOD != 0)
+        .join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_hits"))
+        .transform(pin)
+        .orderBy("doc_id")
+    )
+
+
+#: q84 training-sequence length (tokens per packed sample)
+_SEQ_LEN = 128
+#: q84 cap on prefix-sum bucket count: the doc-id range is carved into at
+#: most this many buckets, so the bucket-offset running sum always runs over
+#: a bounded (driver-sized) list no matter the corpus size
+_PACK_MAX_BUCKETS = 4096
+
+
+def pack_sequences(docs: DataFrame, seq_len: int, max_buckets: int = _PACK_MAX_BUCKETS) -> DataFrame:
+    """Concat-and-chunk packing core (see q84_sequence_packing). The packed
+    output is invariant to `max_buckets` — bucket width only shapes the
+    two-level prefix-sum execution, never the global token positions
+    (property-tested in tests/test_llm_ops.py)."""
+    from pyspark.sql import Window as W
+
+    d = docs.select("doc_id", dd.tokens("text").alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    # adaptive bucket width: one metadata-cheap max(doc_id) agg keeps the
+    # bucket list bounded at max_buckets rows regardless of corpus size
+    width = d.agg(
+        F.greatest(
+            F.lit(1), F.ceil((F.max("doc_id") + 1) / max_buckets)
+        ).alias("w")
+    )
+    d = d.crossJoin(F.broadcast(width)).withColumn(
+        "bucket", F.floor(F.col("doc_id") / F.col("w"))
+    )
+    bucket_offsets = (
+        d.groupBy("bucket")
+        .agg(F.sum("n").alias("bn"))
+        .withColumn(
+            "bucket_start",
+            F.coalesce(
+                F.sum("bn").over(
+                    W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "bucket_start")
+    )
+    within = W.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    tok = (
+        d.join(F.broadcast(bucket_offsets), "bucket")
+        .withColumn(
+            "start", F.col("bucket_start") + F.coalesce(F.sum("n").over(within), F.lit(0))
+        )
+        .select("doc_id", "start", F.posexplode("toks").alias("pos", "tok"))
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("start") + F.col("pos")).alias("gpos"),
+        )
+    )
+    return (
+        tok.withColumn("seq_id", F.floor(F.col("gpos") / seq_len))
+        .groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("gpos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("seq_md5"),
+        )
+    )
+
+
+@query(
+    "q84_sequence_packing",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    d AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               COALESCE(SUM(len(toks)) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS start
+        FROM t
+    ),
+    tok AS (
+        SELECT doc_id, start + i - 1 AS gpos, toks[i] AS tok
+        FROM d, UNNEST(range(1, n + 1)) AS u(i)
+    )
+    SELECT CAST(floor(gpos / {_SEQ_LEN}) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           md5(string_agg(tok, ' ' ORDER BY gpos)) AS seq_md5
+    FROM tok
+    GROUP BY seq_id
+    ORDER BY seq_id
+    """,
+    tags=("X-07", "W-03"),
+)
+def q84_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the step that turns a tokenized
+    corpus into fixed-length training samples: every token gets a global
+    position in doc_id order and sequence k owns positions [128k, 128k+128).
+
+    The global prefix sum is computed WITHOUT a single-partition window:
+    docs are bucketed by doc_id range (at most _PACK_MAX_BUCKETS buckets —
+    width adapts to the corpus via one metadata-cheap max(doc_id)), the
+    per-bucket token totals get a running sum on that bounded bucket list,
+    the offsets broadcast-join back, and the within-bucket running sum runs
+    partitioned by bucket. At 100 TB that is one narrow agg + one window
+    per bucket — the textbook distributed scan/prefix-sum shape. The final
+    groupBy(seq_id) re-assembly shuffles each token exactly once, keyed by
+    an 8-byte id."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return pack_sequences(docs, _SEQ_LEN).transform(pin).orderBy("seq_id")
+
+
+@query(
+    "q85_repetition_ratio",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+        SELECT doc_id, array_to_string(toks[i:(i + 2)], ' ') AS g
+        FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 3
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(DISTINCT g) AS n_distinct,
+           1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS rep_ratio
+    FROM g
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("X-07",),
+)
+def q85_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition — the boilerplate/spam quality signal:
+    fraction of duplicated token 3-grams per document (0 = no repetition).
+    Pure JVM expressions (transform/slice/array_distinct), map-only, no
+    shuffle except the deterministic final sort; the corpus-scale plan is
+    a single narrow scan."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = docs.select("doc_id", dd.tokens("text").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.concat_ws(" ", F.slice("toks", i, 3)),
+    )
+    return (
+        t.select(
+            "doc_id",
+            F.size(grams).cast("long").alias("n_grams"),
+            F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+        )
+        .withColumn(
+            "rep_ratio",
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams").cast("double"),
+        )
+        .transform(pin)
+        .orderBy("doc_id")
+    )

@@ -162,3 +162,14 @@ def test_multimodal_meta_matches_engine_hash(spark):
     )
     bad = joined.filter(F.col("jvm_md5") != F.col("content_md5")).count()
     assert bad == 0
+
+
+def test_pack_sequences_invariant_to_bucket_width(spark):
+    """q84's packed output must not depend on the prefix-sum bucket split —
+    bucket width shapes execution, never global token positions."""
+    from bigdata_streaming_absa_vehicle_spark.queries.llm_pipeline import pack_sequences
+
+    docs = load(spark, SF_DIR, "documents").filter(F.col("text").isNotNull())
+    a = pack_sequences(docs, 128, max_buckets=4096).orderBy("seq_id").collect()
+    b = pack_sequences(docs, 128, max_buckets=7).orderBy("seq_id").collect()
+    assert a == b and len(a) > 0
