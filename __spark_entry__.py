@@ -85,11 +85,17 @@ _WINDOW_PRIORITY = (
     "q80_corpus_prep",
     "q81_vocabulary",
     "q82_token_ids",
-    # -- most-recently-changed round-2 set (r2-green, code touched since) --
-    # (q42b and q69 yield their slots to q81/q82: q42b shares q42's fused
-    # simhash kernel — hypothesis-proven bit-identical to the HOF twin —
-    # and q69 shares q68's exact oracle; both hold r2 driver rows and are
-    # re-hash-checked by the pytest oracle suite every session.)
+    "q83_decontamination",
+    "q84_sequence_packing",
+    "q85_repetition_ratio",
+    # -- r2-green queries whose KERNELS changed since their driver row --
+    # (dedup null guard: q41-q43; similarity zero-norm guard + q44b
+    # distinct-removal: q44-q46b; as-of collision guard: q72; pipelines
+    # refactor: q62/q68.  Queries yielding slots — q42b/q69/q73/q74/q76 —
+    # hold r2 driver rows, have only ordering-pin diffs since, and are
+    # re-hash-checked by the pytest oracle suite every session; q42b also
+    # shares q42's hypothesis-proven fused kernel and q69 shares q68's
+    # exact oracle.)
     "q41_minhash_lsh_neardup",
     "q42_simhash",
     "q43_ngram_jaccard_pairs",
@@ -99,9 +105,6 @@ _WINDOW_PRIORITY = (
     "q46_lsh_ann_topk",
     "q46b_ivf_ann_topk",
     "q72_asof_join",
-    "q73_chunking",
-    "q74_salient_terms",
-    "q76_stratified_sample",
     "q62_vehicle_pipeline_batch",
     "q68_detections_exploded",
 )
