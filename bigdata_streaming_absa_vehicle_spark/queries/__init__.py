@@ -14,4 +14,5 @@ from . import setops  # noqa: E402,F401
 from . import text_json  # noqa: E402,F401
 from . import llm_pipeline  # noqa: E402,F401
 from . import pipelines  # noqa: E402,F401
+from . import analytics  # noqa: E402,F401
 from . import udfs  # noqa: E402,F401

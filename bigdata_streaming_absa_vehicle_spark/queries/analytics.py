@@ -1,0 +1,212 @@
+"""Behavioral-analytics query surface (SURVEY.md §2, X-08): funnel
+conversion, cohort retention, heavy-hitter key profiling over the `events`
+stream — the OLAP workload an event-analytics engine runs at 100 TB.
+
+All three are expressed as single-pass window/agg plans: no self-joins, no
+per-step joins, no driver-side loops. The funnel in particular replaces the
+textbook k-way self-join (O(events^k) candidates) with one per-user ordered
+window scan — the shape that survives a 1000-executor corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.ordering import pin
+from ..tables import load
+from .registry import query
+
+#: funnel step gap: each step must follow the previous within this window
+_FUNNEL_GAP_MIN = 30
+
+
+@query(
+    "q86_funnel",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, ts,
+               MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_view
+        FROM events
+    ),
+    c AS (
+        SELECT user_id, event_type, ts, last_view,
+               MAX(CASE WHEN event_type = 'click'
+                         AND last_view IS NOT NULL
+                         AND ts - last_view <= INTERVAL {_FUNNEL_GAP_MIN} MINUTE
+                        THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_qclick
+        FROM e
+    ),
+    per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+               MAX(CASE WHEN event_type = 'click' AND last_view IS NOT NULL
+                         AND ts - last_view <= INTERVAL {_FUNNEL_GAP_MIN} MINUTE
+                        THEN 1 ELSE 0 END) AS s2,
+               MAX(CASE WHEN event_type = 'purchase' AND last_qclick IS NOT NULL
+                         AND ts - last_qclick <= INTERVAL {_FUNNEL_GAP_MIN} MINUTE
+                        THEN 1 ELSE 0 END) AS s3
+        FROM c GROUP BY user_id
+    )
+    SELECT step, step_name, n_users FROM (
+        SELECT 1 AS step, 'view' AS step_name, CAST(SUM(s1) AS BIGINT) AS n_users FROM per_user
+        UNION ALL
+        SELECT 2, 'click_after_view', CAST(SUM(s2) AS BIGINT) FROM per_user
+        UNION ALL
+        SELECT 3, 'purchase_after_click', CAST(SUM(s3) AS BIGINT) FROM per_user
+    ) ORDER BY step
+    """,
+    tags=("X-08", "W-02"),
+)
+def q86_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion (view -> click -> purchase, each step within 30
+    minutes of the previous): how many users reach each step.
+
+    Scale shape: ONE window scan per user ordered by (ts, event_id) — the
+    tie-broken total order keeps the ROWS frame deterministic across
+    engines — instead of the k-way self-join. Each user's events shuffle
+    once on the 8-byte user_id; the per-user state is two running MAX
+    timestamps, so skewed users cost memory O(1), not O(events^2)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    gap = F.expr(f"INTERVAL {_FUNNEL_GAP_MIN} MINUTES")
+    e = ev.withColumn(
+        "last_view", F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    qclick = (
+        (F.col("event_type") == "click")
+        & F.col("last_view").isNotNull()
+        & (F.col("ts") <= F.col("last_view") + gap)
+    )
+    e = e.withColumn("last_qclick", F.max(F.when(qclick, F.col("ts"))).over(w))
+    completed = (
+        (F.col("event_type") == "purchase")
+        & F.col("last_qclick").isNotNull()
+        & (F.col("ts") <= F.col("last_qclick") + gap)
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("s1"),
+        F.max(F.when(qclick, 1).otherwise(0)).alias("s2"),
+        F.max(F.when(completed, 1).otherwise(0)).alias("s3"),
+    )
+    steps = per_user.agg(
+        F.sum("s1").alias("n1"), F.sum("s2").alias("n2"), F.sum("s3").alias("n3")
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("step"),
+                    F.lit("view").alias("step_name"),
+                    F.col("n1").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit(2).alias("step"),
+                    F.lit("click_after_view").alias("step_name"),
+                    F.col("n2").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit(3).alias("step"),
+                    F.lit("purchase_after_click").alias("step_name"),
+                    F.col("n3").alias("n_users"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.step", "s.step_name", "s.n_users")
+    return steps.transform(pin).orderBy("step")
+
+
+@query(
+    "q87_cohort_retention",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts,
+               MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day
+        FROM events
+    )
+    SELECT cohort_day,
+           datediff('day', cohort_day, CAST(ts AS DATE)) AS day_offset,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM u
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+    tags=("X-08", "A-04"),
+)
+def q87_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted distinct
+    on each subsequent active day offset — the engagement matrix behind
+    every retention curve.
+
+    Scale shape: the cohort assignment is an unordered per-user window MIN
+    (one hash shuffle on user_id, no sort), then a (date, smallint)-keyed
+    distinct-count agg with map-side partials. No join back against the
+    user dimension."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.withColumn(
+        "cohort_day",
+        F.min(F.to_date("ts")).over(W.partitionBy("user_id")),
+    )
+    return (
+        u.select(
+            # cast date->timestamp for the comparison harness: DuckDB DATE
+            # lands in pandas as datetime64, Spark DateType as date objects
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .transform(pin)
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@query(
+    "q88_heavy_hitters",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    ),
+    t AS (SELECT SUM(n_events) AS total FROM c)
+    SELECT user_id, n_events,
+           CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE) AS share
+    FROM c, t
+    ORDER BY n_events DESC, user_id ASC
+    LIMIT 20
+    """,
+    tags=("X-08", "O-01"),
+)
+def q88_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter key profile: the 20 hottest user_ids with their share of
+    all events — the diagnostic that tells you whether a join/agg on this
+    key needs salting or AQE skew handling before you run it at 100 TB.
+
+    Scale shape: per-key counts with map-side partials, the grand total as
+    a 1-row agg broadcast back (never an unpartitioned window over the key
+    space), TakeOrderedAndProject for the deterministic top-20."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    total = c.agg(F.sum("n_events").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(20)
+    )
