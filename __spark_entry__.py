@@ -88,14 +88,18 @@ _WINDOW_PRIORITY = (
     "q83_decontamination",
     "q84_sequence_packing",
     "q85_repetition_ratio",
+    "q86_funnel",
+    "q87_cohort_retention",
+    "q88_heavy_hitters",
     # -- r2-green queries whose KERNELS changed since their driver row --
     # (dedup null guard: q41-q43; similarity zero-norm guard + q44b
-    # distinct-removal: q44-q46b; as-of collision guard: q72; pipelines
-    # refactor: q62/q68.  Queries yielding slots — q42b/q69/q73/q74/q76 —
-    # hold r2 driver rows, have only ordering-pin diffs since, and are
-    # re-hash-checked by the pytest oracle suite every session; q42b also
-    # shares q42's hypothesis-proven fused kernel and q69 shares q68's
-    # exact oracle.)
+    # distinct-removal: q44-q46b.  Queries yielding slots hold r2 driver
+    # rows and are re-hash-checked by the pytest oracle suite every
+    # session: q42b/q62/q68/q69/q73/q74/q76 have only ordering-pin diffs
+    # since r2 — q42b also shares q42's hypothesis-proven fused kernel,
+    # q69 shares q68's exact oracle — and q72's diff is a new
+    # collision-guard raise, a no-op on non-colliding inputs, covered by
+    # the as-of property tests.)
     "q41_minhash_lsh_neardup",
     "q42_simhash",
     "q43_ngram_jaccard_pairs",
@@ -104,9 +108,6 @@ _WINDOW_PRIORITY = (
     "q45_cosine_topk",
     "q46_lsh_ann_topk",
     "q46b_ivf_ann_topk",
-    "q72_asof_join",
-    "q62_vehicle_pipeline_batch",
-    "q68_detections_exploded",
 )
 
 
