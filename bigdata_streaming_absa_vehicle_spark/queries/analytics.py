@@ -210,3 +210,54 @@ def q88_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), F.asc("user_id"))
         .limit(20)
     )
+
+
+@query(
+    "q90_hll_mergeable_rollup",
+    oracle="""
+    SELECT date_trunc('week', CAST(ts AS DATE)) AS week,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tol
+    FROM events
+    GROUP BY week
+    ORDER BY week
+    """,
+    tags=("A-13", "A-05"),
+)
+def q90_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (A-13): per-DAY HyperLogLog sketches of
+    distinct users, merged up to per-WEEK estimates WITHOUT rescanning the
+    events — the re-aggregation pattern that makes 100 TB dashboards cheap:
+    daily sketches are a few KB each, so the weekly (or monthly, or
+    all-time) rollup merges O(days) sketches instead of shuffling O(events)
+    keys again.
+
+    The hash-checked contract is the q07b pattern: exact weekly distincts
+    plus an in-engine 5%-tolerance assertion on the merged-sketch estimate
+    (lgConfigK=14 => ~1% expected error). Sketch build and merge are
+    deterministic: fixed hash seed, commutative register-max merge."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("week", F.to_date("ts")).alias("week")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
+        F.count_distinct("user_id").alias("exact_day_users"),
+    )
+    weekly_sketch = daily.groupBy(
+        F.date_trunc("week", "day").alias("week")
+    ).agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+    weekly_exact = ev.groupBy(day).agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        weekly_exact.join(weekly_sketch, "week")
+        .select(
+            "week",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_tol"),
+        )
+        .transform(pin)
+        .orderBy("week")
+    )

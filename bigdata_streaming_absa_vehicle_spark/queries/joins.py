@@ -474,3 +474,86 @@ def q77_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("buy_id", "click_id", "buy_ts", "click_ts").transform(pin).orderBy(
         "buy_id", "click_id"
     )
+
+
+@query(
+    "q89_full_outer_join",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, day
+    ),
+    e AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_errors
+        FROM events WHERE event_type = 'error' GROUP BY user_id, day
+    )
+    SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+           CAST(COALESCE(p.day, e.day) AS TIMESTAMP) AS day,
+           COALESCE(n_purchases, 0) AS n_purchases,
+           COALESCE(n_errors, 0) AS n_errors
+    FROM p FULL OUTER JOIN e ON p.user_id = e.user_id AND p.day = e.day
+    ORDER BY user_id, day
+    """,
+    tags=("J-12",),
+)
+def q89_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (J-12): per-user-day purchase counts against error
+    counts, preserving days where only one side has activity — unmatched
+    rows genuinely survive from BOTH sides (purchase-only and error-only
+    user-days). Shuffle-hash/sort-merge on the composite key; full outer
+    cannot broadcast (both sides' unmatched rows must surface), which is
+    exactly why the salted-join helper rejects it."""
+    ev = load(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", day)
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", day)
+        .agg(F.count("*").alias("n_errors"))
+    )
+    return (
+        p.join(e, ["user_id", "day"], "full_outer")
+        .select(
+            "user_id",
+            F.col("day").cast("timestamp").alias("day"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+        )
+        .transform(pin)
+        .orderBy("user_id", "day")
+    )
+
+
+@query(
+    "q89b_right_outer_join",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment,
+           COUNT(o_orderkey) AS n_orders,
+           COALESCE({odsum('o_totalprice')}, 0.0) AS customer_revenue
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    ORDER BY c_custkey
+    """,
+    tags=("J-12",),
+)
+def q89b_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join — q18's mirror with the fact side on the left:
+    order-less customers still appear because the RIGHT (customer) side is
+    preserved. Catalyst canonicalizes this to the same plan as the left
+    join, which is the point: direction is syntax, not execution."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("customer_revenue"),
+        )
+        .transform(pin)
+        .orderBy("c_custkey")
+    )
