@@ -91,23 +91,22 @@ _WINDOW_PRIORITY = (
     "q86_funnel",
     "q87_cohort_retention",
     "q88_heavy_hitters",
-    # -- r2-green queries whose KERNELS changed since their driver row --
-    # (dedup null guard: q41-q43; similarity zero-norm guard + q44b
-    # distinct-removal: q44-q46b.  Queries yielding slots hold r2 driver
-    # rows and are re-hash-checked by the pytest oracle suite every
-    # session: q42b/q62/q68/q69/q73/q74/q76 have only ordering-pin diffs
-    # since r2 — q42b also shares q42's hypothesis-proven fused kernel,
-    # q69 shares q68's exact oracle — and q72's diff is a new
-    # collision-guard raise, a no-op on non-colliding inputs, covered by
-    # the as-of property tests.)
+    "q89_full_outer_join",
+    "q89b_right_outer_join",
+    "q90_hll_mergeable_rollup",
+    "q91_sessionize",
+    "q92_rank_family_full",
+    # -- one representative per KERNEL changed since its r2 driver row --
+    # (q41 for the dedup-kernel null guard shared by q41/q42/q42b/q43;
+    # q44 for the similarity zero-norm guard shared by q44/q45/q46/q46b;
+    # q44b for its candidate-dedup rewrite.  The non-representative
+    # kernel-sharers plus the ordering-pin-only queries
+    # (q62/q68/q69/q73/q74/q76) and guard-only q72 hold r2 driver rows and
+    # are re-hash-checked by the pytest oracle suite — incl. hypothesis
+    # kernel-equivalence and recall property tests — every session.)
     "q41_minhash_lsh_neardup",
-    "q42_simhash",
-    "q43_ngram_jaccard_pairs",
     "q44_embedding_neardup",
     "q44b_banded_neardup",
-    "q45_cosine_topk",
-    "q46_lsh_ann_topk",
-    "q46b_ivf_ann_topk",
 )
 
 

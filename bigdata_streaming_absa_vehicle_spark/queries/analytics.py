@@ -261,3 +261,73 @@ def q90_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("week")
     )
+
+
+#: q91 inactivity gap that closes a session
+_SESSION_GAP_MIN = 30
+
+
+@query(
+    "q91_sessionize",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) <= INTERVAL {_SESSION_GAP_MIN} MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_idx
+        FROM g
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM s
+    GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+    """,
+    tags=("X-08", "T-07", "W-02"),
+)
+def q91_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session ASSIGNMENT by 30-minute inactivity gap — the batch
+    twin of the T-07 session window that also hands back which session each
+    event belongs to (session ids, starts, durations), which the windowed
+    agg alone cannot.
+
+    Scale shape: the classic gaps-and-islands plan — one shuffle on
+    user_id, one per-user sort, two running windows (lag flag + running
+    sum), then an agg keyed by (user_id, session_idx). No self-join, no
+    session-count blowup; a skewed user costs one task's sort, not O(n^2).
+    The (ts, event_id) tie-broken order keeps every engine's frame
+    identical."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(f"INTERVAL {_SESSION_GAP_MIN} MINUTES")
+    g = ev.withColumn(
+        "new_session",
+        F.when(F.col("ts") <= F.lag("ts").over(w) + gap, 0).otherwise(1),
+    )
+    s = g.withColumn(
+        "session_idx",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        s.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+        )
+        .transform(pin)
+        .orderBy("user_id", "session_idx")
+    )

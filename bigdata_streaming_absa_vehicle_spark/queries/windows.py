@@ -140,3 +140,48 @@ def q25w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(pin).orderBy("minute")
     )
+
+
+@query(
+    "q92_rank_family_full",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER w AS price_quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           first_value(o_orderkey) OVER wf AS cheapest_key,
+           last_value(o_orderkey) OVER wf AS priciest_key,
+           nth_value(o_orderkey, 3) OVER wf AS third_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+           wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_orderkey
+    """,
+    tags=("W-01",),
+)
+def q92_rank_family_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the ranking-function family beyond W-01's
+    row_number/rank/dense_rank: ntile, percent_rank, cume_dist, and the
+    frame-navigation trio first/last/nth_value — all over a (o_totalprice,
+    o_orderkey) tie-broken total order so every function is deterministic
+    (ntile bucket boundaries and the VALUE functions are order-sensitive;
+    a non-total order would flake across engines). One shuffle on the
+    partition key, one sort, all eight functions in a single WindowExec."""
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("price_quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.first_value("o_orderkey").over(wf).alias("cheapest_key"),
+            F.last_value("o_orderkey").over(wf).alias("priciest_key"),
+            F.nth_value("o_orderkey", 3).over(wf).alias("third_key"),
+        )
+        .transform(pin)
+        .orderBy("o_orderkey")
+    )
