@@ -189,3 +189,43 @@ def test_read_jsonl_declared_schema(spark, tmp_path):
 
     with pytest.raises(Exception):
         read_jsonl(spark, str(p), "doc_id long, text string").collect()
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """S-10: both sides bucketed on the join key with the same bucket count
+    => the sort-merge join consumes buckets as pre-shuffled input — NO
+    Exchange in the physical plan — and results match the plain join."""
+    from bigdata_streaming_absa_vehicle_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+    from bigdata_streaming_absa_vehicle_spark.tables import load
+
+    orders = load(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    write_bucketed(
+        orders, "t_orders_b", ["o_custkey"], 4, path=str(tmp_path / "ob")
+    )
+    write_bucketed(
+        cust, "t_cust_b", ["c_custkey"], 4, path=str(tmp_path / "cb")
+    )
+    try:
+        ob, cb = read_bucketed(spark, "t_orders_b"), read_bucketed(spark, "t_cust_b")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = ob.join(cb, ob.o_custkey == cb.c_custkey)
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            # same rows as the un-bucketed join
+            plain = orders.join(cust, orders.o_custkey == cust.c_custkey)
+            assert j.count() == plain.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
