@@ -331,3 +331,92 @@ def q91_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("user_id", "session_idx")
     )
+
+
+@query(
+    "q93_cube_grouping",
+    oracle="""
+    SELECT event_type,
+           CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_events,
+           GROUPING(event_type) AS g_type,
+           GROUPING(CAST(ts AS DATE)) AS g_day
+    FROM events
+    GROUP BY CUBE(event_type, CAST(ts AS DATE))
+    ORDER BY g_type, g_day, event_type, day
+    """,
+    tags=("A-09",),
+)
+def q93_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING flags — A-09's missing half beyond rollup: all
+    four (type, day) aggregation levels in one pass, each row labelled with
+    per-column GROUPING indicators so consumers can tell a real NULL from a
+    subtotal. Spark executes cube as a single Expand + hash agg — one
+    shuffle for all granularities, not one scan per level."""
+    ev = load(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    return (
+        ev.select(F.col("event_type"), day.alias("day"))
+        .cube("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.grouping("event_type").alias("g_type"),
+            F.grouping("day").alias("g_day"),
+        )
+        .select(
+            "event_type",
+            F.col("day").cast("timestamp").alias("day"),
+            "n_events",
+            F.col("g_type").cast("int").alias("g_type"),
+            F.col("g_day").cast("int").alias("g_day"),
+        )
+        .transform(pin)
+        .orderBy("g_type", "g_day", "event_type", "day")
+    )
+
+
+@query(
+    "q94_approx_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS exact_p50,
+           quantile_cont(value, 0.95) AS exact_p95,
+           TRUE AS p50_ok, TRUE AS p95_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("A-12", "A-05"),
+)
+def q94_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate grouped percentiles — A-12's 100 TB path: exact
+    percentiles need a per-group sort (or at least a full value shuffle);
+    `approx_percentile` runs a mergeable KLL-style summary with map-side
+    partials, one narrow agg. Contract is the q07b/q90 pattern: the exact
+    values hash-check against DuckDB quantile_cont (interpolation bit-exact,
+    proven by q75), and the sketch estimate carries an in-engine assertion
+    that it lands within 10% of the group's value range."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("percentile(value, 0.95)").alias("exact_p95"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("ap50"),
+        F.expr("approx_percentile(value, 0.95, 1000)").alias("ap95"),
+        (F.max("value") - F.min("value")).alias("rng"),
+    )
+    tol = 0.10
+    return (
+        agg.select(
+            "event_type",
+            "exact_p50",
+            "exact_p95",
+            (F.abs(F.col("ap50") - F.col("exact_p50")) <= tol * F.col("rng")).alias(
+                "p50_ok"
+            ),
+            (F.abs(F.col("ap95") - F.col("exact_p95")) <= tol * F.col("rng")).alias(
+                "p95_ok"
+            ),
+        )
+        .transform(pin)
+        .orderBy("event_type")
+    )

@@ -174,3 +174,24 @@ def test_banded_neardup_candidate_join_carries_ids_only(spark):
     assert not re.search(r"hashpartitioning\(vec_a#\d+L, vec_b#", below_verify), (
         "candidate set is exchanged on the pair key before verify:\n" + physical
     )
+
+
+def test_shuffle_hash_hint_switches_strategy(spark):
+    """Join-strategy hints are honored: SHUFFLE_HASH builds a hash map per
+    partition (no sort of either side — the right call when one side is
+    much smaller but over the broadcast threshold), and results match the
+    un-hinted sort-merge join."""
+    orders = load(spark, SF_DIR, "orders").select("o_custkey", "o_totalprice")
+    cust = load(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = orders.join(
+            cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey
+        )
+        plain = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        assert "ShuffledHashJoin" in plan_of(hinted)
+        assert "SortMergeJoin" in plan_of(plain)
+        assert hinted.count() == plain.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
