@@ -96,16 +96,17 @@ _WINDOW_PRIORITY = (
     "q90_hll_mergeable_rollup",
     "q91_sessionize",
     "q92_rank_family_full",
-    # -- one representative per KERNEL changed since its r2 driver row --
-    # (q41 for the dedup-kernel null guard shared by q41/q42/q42b/q43;
-    # q44 for the similarity zero-norm guard shared by q44/q45/q46/q46b;
-    # q44b for its candidate-dedup rewrite.  The non-representative
-    # kernel-sharers plus the ordering-pin-only queries
-    # (q62/q68/q69/q73/q74/q76) and guard-only q72 hold r2 driver rows and
-    # are re-hash-checked by the pytest oracle suite — incl. hypothesis
-    # kernel-equivalence and recall property tests — every session.)
-    "q41_minhash_lsh_neardup",
-    "q44_embedding_neardup",
+    "q93_cube_grouping",
+    "q94_approx_percentiles",
+    # -- representative of the kernels changed since their r2 driver row --
+    # (q44b saw the only algorithmic rewrite — candidate dedup deferred
+    # past verify — and exercises the similarity zero-norm guard; the
+    # dedup-kernel null guard (q41/q42/q42b/q43), the other zero-norm
+    # sharers (q44/q45/q46/q46b), ordering-pin-only queries
+    # (q62/q68/q69/q73/q74/q76), and guard-only q72 hold r2 driver rows
+    # and are re-hash-checked by the pytest oracle suite — incl.
+    # hypothesis kernel-equivalence and recall property tests — every
+    # session.)
     "q44b_banded_neardup",
 )
 
