@@ -557,3 +557,109 @@ def q89b_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "q95_tpch_q5_local_supplier",
+    oracle=f"""
+    SELECT n_name,
+           {odsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("J-03",),
+)
+def q95_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): six-way join where customer and
+    supplier must share a nation — the canonical join-order benchmark.
+
+    Scale shape: the one genuinely big join (lineitem x orders) shuffles on
+    the 8-byte orderkey with the date filter pushed to the orders scan
+    FIRST (Catalyst pushes it below the join, shrinking the build side a
+    year's worth); supplier/nation/region broadcast; the c_nationkey =
+    s_nationkey filter applies post-join as a cheap residual. AQE re-plans
+    the orders side to broadcast if the filtered year is small enough."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum_expr("l_extendedprice * (1 - l_discount)", 6).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .transform(pin)
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@query(
+    "q96_tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {odsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15'
+      AND l_shipdate  > TIMESTAMP '1997-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    tags=("J-03", "O-01"),
+)
+def q96_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): top-10 unshipped orders by revenue for
+    one market segment — filter-heavy join + grouped top-k.
+
+    Scale shape: both date filters and the segment filter push to the
+    scans; customer (filtered to one segment) broadcasts into orders, the
+    orders->lineitem join shuffles on orderkey only after orders shrank;
+    the final ORDER BY ... LIMIT 10 is TakeOrderedAndProject — no global
+    sort materializes. Revenue is decimal-exact so the DESC order is
+    engine-stable; (o_orderdate, l_orderkey) break ties totally."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-03-15"
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-03-15"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum_expr("l_extendedprice * (1 - l_discount)", 6).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
