@@ -92,23 +92,21 @@ _WINDOW_PRIORITY = (
     "q87_cohort_retention",
     "q88_heavy_hitters",
     "q89_full_outer_join",
-    "q89b_right_outer_join",
     "q90_hll_mergeable_rollup",
     "q91_sessionize",
     "q92_rank_family_full",
     "q93_cube_grouping",
     "q94_approx_percentiles",
-    # -- representative of the kernels changed since their r2 driver row --
-    # (q44b saw the only algorithmic rewrite — candidate dedup deferred
-    # past verify — and exercises the similarity zero-norm guard; the
-    # dedup-kernel null guard (q41/q42/q42b/q43), the other zero-norm
-    # sharers (q44/q45/q46/q46b), ordering-pin-only queries
-    # (q62/q68/q69/q73/q74/q76), and guard-only q72 hold r2 driver rows
-    # and are re-hash-checked by the pytest oracle suite — incl.
-    # hypothesis kernel-equivalence and recall property tests — every
-    # session.)
-    "q44b_banded_neardup",
+    "q95_tpch_q5_local_supplier",
+    "q96_tpch_q3_shipping_priority",
 )
+# Window budget note: 30 rotations + 20 of the 21 queries new this round
+# fill the 50 exactly.  q89b (right outer — Catalyst canonicalizes it to
+# q18's left-join plan, same oracle family) sits past the window on its
+# pytest-oracle evidence.  The r2-refactored dedup/similarity queries
+# (q41-q46b, q62/q68/q69/q72/q73/q74/q76) hold r2 driver rows and are
+# re-hash-checked by the pytest oracle suite — incl. hypothesis
+# kernel-equivalence and recall property tests — every session.
 
 
 def _ordered_specs():
