@@ -22,6 +22,37 @@ from .registry import query
 _FUNNEL_GAP_MIN = 30
 
 
+def funnel_per_user(ev: DataFrame, gap_min: int = _FUNNEL_GAP_MIN) -> DataFrame:
+    """(user_id, s1, s2, s3) funnel-step flags — the single-window-scan core
+    of q86 (property-tested against the naive join formulation in
+    tests/test_properties.py)."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    gap = F.expr(f"INTERVAL {gap_min} MINUTES")
+    e = ev.withColumn(
+        "last_view", F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    qclick = (
+        (F.col("event_type") == "click")
+        & F.col("last_view").isNotNull()
+        & (F.col("ts") <= F.col("last_view") + gap)
+    )
+    e = e.withColumn("last_qclick", F.max(F.when(qclick, F.col("ts"))).over(w))
+    completed = (
+        (F.col("event_type") == "purchase")
+        & F.col("last_qclick").isNotNull()
+        & (F.col("ts") <= F.col("last_qclick") + gap)
+    )
+    return e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("s1"),
+        F.max(F.when(qclick, 1).otherwise(0)).alias("s2"),
+        F.max(F.when(completed, 1).otherwise(0)).alias("s3"),
+    )
+
+
 @query(
     "q86_funnel",
     oracle=f"""
@@ -65,6 +96,7 @@ _FUNNEL_GAP_MIN = 30
     """,
     tags=("X-08", "W-02"),
 )
+
 def q86_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel conversion (view -> click -> purchase, each step within 30
     minutes of the previous): how many users reach each step.
@@ -74,32 +106,7 @@ def q86_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — instead of the k-way self-join. Each user's events shuffle
     once on the 8-byte user_id; the per-user state is two running MAX
     timestamps, so skewed users cost memory O(1), not O(events^2)."""
-    ev = load(spark, sf_dir, "events")
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    gap = F.expr(f"INTERVAL {_FUNNEL_GAP_MIN} MINUTES")
-    e = ev.withColumn(
-        "last_view", F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
-    )
-    qclick = (
-        (F.col("event_type") == "click")
-        & F.col("last_view").isNotNull()
-        & (F.col("ts") <= F.col("last_view") + gap)
-    )
-    e = e.withColumn("last_qclick", F.max(F.when(qclick, F.col("ts"))).over(w))
-    completed = (
-        (F.col("event_type") == "purchase")
-        & F.col("last_qclick").isNotNull()
-        & (F.col("ts") <= F.col("last_qclick") + gap)
-    )
-    per_user = e.groupBy("user_id").agg(
-        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("s1"),
-        F.max(F.when(qclick, 1).otherwise(0)).alias("s2"),
-        F.max(F.when(completed, 1).otherwise(0)).alias("s3"),
-    )
+    per_user = funnel_per_user(load(spark, sf_dir, "events"))
     steps = per_user.agg(
         F.sum("s1").alias("n1"), F.sum("s2").alias("n2"), F.sum("s3").alias("n3")
     ).select(
@@ -308,9 +315,19 @@ def q91_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     session-count blowup; a skewed user costs one task's sort, not O(n^2).
     The (ts, event_id) tie-broken order keeps every engine's frame
     identical."""
-    ev = load(spark, sf_dir, "events")
+    return (
+        sessionize_events(load(spark, sf_dir, "events"))
+        .transform(pin)
+        .orderBy("user_id", "session_idx")
+    )
+
+
+def sessionize_events(ev: DataFrame, gap_min: int = _SESSION_GAP_MIN) -> DataFrame:
+    """(user_id, session_idx, n_events, session_start, duration_us) — the
+    gaps-and-islands core of q91 (property-tested against a pure-python
+    per-user simulation in tests/test_properties.py)."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.expr(f"INTERVAL {_SESSION_GAP_MIN} MINUTES")
+    gap = F.expr(f"INTERVAL {gap_min} MINUTES")
     g = ev.withColumn(
         "new_session",
         F.when(F.col("ts") <= F.lag("ts").over(w) + gap, 0).otherwise(1),
@@ -319,17 +336,10 @@ def q91_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_idx",
         F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
     )
-    return (
-        s.groupBy("user_id", "session_idx")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.min("ts").alias("session_start"),
-            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
-                "duration_us"
-            ),
-        )
-        .transform(pin)
-        .orderBy("user_id", "session_idx")
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
     )
 
 

@@ -428,3 +428,111 @@ def test_connected_components_equals_union_find(spark, seed):
         for r in connected_components(nodes, edf, "id", "src", "dst").collect()
     }
     assert got == want
+
+
+@SLOW
+@given(st.integers(min_value=0, max_value=10**9))
+def test_funnel_window_equals_naive_join_formulation(spark, seed):
+    """q86's single-window-scan funnel must equal the naive join/EXISTS
+    formulation for arbitrary event layouts — including exact-timestamp
+    ties, where the window's (ts, event_id) ROWS frame means 'the view row
+    precedes the click row in the total order'."""
+    import datetime
+    import random as pyrandom
+
+    from pyspark.sql import functions as F
+
+    from bigdata_streaming_absa_vehicle_spark.queries.analytics import funnel_per_user
+
+    rng = pyrandom.Random(seed)
+    base = datetime.datetime(2024, 1, 1)
+    types = ["view", "click", "purchase", "other"]
+    rows = [
+        (
+            i,
+            rng.randint(0, 2),
+            base + datetime.timedelta(minutes=rng.randint(0, 120)),
+            types[rng.randint(0, 3)],
+        )
+        for i in range(40)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.user_id: (r.s1, r.s2, r.s3) for r in funnel_per_user(ev, 30).collect()
+    }
+
+    # naive: qualified click = EXISTS view preceding in (ts, event_id) order
+    # within 30 min; completion = EXISTS qualified click preceding within 30
+    # min of the purchase
+    gap = datetime.timedelta(minutes=30)
+    by_user: dict[int, list] = {}
+    for eid, uid, ts, et in rows:
+        by_user.setdefault(uid, []).append((ts, eid, et))
+    want = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        s1 = any(et == "view" for _, _, et in evs)
+        qclicks = []
+        for ts, eid, et in evs:
+            if et == "click":
+                if any(
+                    vet == "view" and (vts, veid) < (ts, eid) and ts <= vts + gap
+                    for vts, veid, vet in evs
+                ):
+                    qclicks.append((ts, eid))
+        s3 = any(
+            et == "purchase"
+            and any((qts, qeid) < (ts, eid) and ts <= qts + gap for qts, qeid in qclicks)
+            for ts, eid, et in evs
+        )
+        want[uid] = (int(s1), int(bool(qclicks)), int(s3))
+    assert got == want
+
+
+@SLOW
+@given(st.integers(min_value=0, max_value=10**9))
+def test_sessionize_equals_python_simulation(spark, seed):
+    """q91's gaps-and-islands sessionization must equal a direct per-user
+    scan for arbitrary gap layouts (incl. exact-timestamp ties and events
+    exactly at the 30-minute boundary, which stay in-session: <=)."""
+    import datetime
+    import random as pyrandom
+
+    from bigdata_streaming_absa_vehicle_spark.queries.analytics import sessionize_events
+
+    rng = pyrandom.Random(seed)
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            rng.randint(0, 2),
+            base + datetime.timedelta(minutes=rng.choice([0, 5, 30, 31, 60, 95, 180])),
+        )
+        for i in range(30)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        (r.user_id, r.session_idx): (r.n_events, r.session_start, r.duration_us)
+        for r in sessionize_events(ev, 30).collect()
+    }
+
+    gap = datetime.timedelta(minutes=30)
+    by_user: dict[int, list] = {}
+    for eid, uid, ts in rows:
+        by_user.setdefault(uid, []).append((ts, eid))
+    want = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        idx = 0
+        sessions: list[list] = []
+        for j, (ts, eid) in enumerate(evs):
+            if j == 0 or ts > evs[j - 1][0] + gap:
+                idx += 1
+                sessions.append([])
+            sessions[-1].append(ts)
+        for k, sess in enumerate(sessions, start=1):
+            dur = int((sess[-1] - sess[0]).total_seconds() * 1_000_000)
+            want[(uid, k)] = (len(sess), sess[0], dur)
+    assert got == want
