@@ -1130,7 +1130,16 @@ def q84_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by bucket. At 100 TB that is one narrow agg + one window
     per bucket — the textbook distributed scan/prefix-sum shape. The final
     groupBy(seq_id) re-assembly shuffles each token exactly once, keyed by
-    an 8-byte id."""
+    an 8-byte id.
+
+    Deliberate trade: the bucket-offsets branch re-reads and re-tokenizes
+    the corpus (Spark materializes nothing between DAG branches), but that
+    branch shuffles only (bucket, partial-sum) pairs — 16 bytes per doc.
+    The alternative (persisting the tokenized frame) trades a full corpus
+    materialization for the second tokenize pass; at 100 TB the narrow
+    recompute is the cheaper side of that trade. Plan-asserted: every
+    single-partition exchange is bounded
+    (tests/test_plans.py::test_sequence_packing_single_partition_window_is_bucket_level_only)."""
     docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return pack_sequences(docs, _SEQ_LEN).transform(pin).orderBy("seq_id")
 

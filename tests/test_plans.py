@@ -195,3 +195,70 @@ def test_shuffle_hash_hint_switches_strategy(spark):
         assert hinted.count() == plain.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_token_encoding_broadcasts_vocabulary(spark):
+    """q82: the bounded vocabulary must broadcast into the corpus-side
+    token join — encoding is map-only over the corpus."""
+    q = all_queries()["q82_token_ids"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_decontamination_broadcasts_eval_set(spark):
+    """q83: the benchmark shingle set broadcasts; the corpus probe side
+    never shuffles document text."""
+    q = all_queries()["q83_decontamination"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sequence_packing_single_partition_window_is_bucket_level_only(spark):
+    """q84: every single-partition exchange in the plan is BOUNDED — the
+    two 1-row max(doc_id) width aggregates (one per branch of the shared
+    tokenized frame) and the bucket-offset running sum (capped at
+    _PACK_MAX_BUCKETS rows). The corpus-level running sum is partitioned
+    by bucket, and the corpus-scale shuffles are keyed by bucket/seq_id."""
+    q = all_queries()["q84_sequence_packing"]
+    plan = plan_of(q.fn(spark, SF_DIR), "extended")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert phys.count("Exchange SinglePartition") == 3, phys
+    # the corpus windows are hash-partitioned by bucket, never global
+    assert "hashpartitioning(bucket" in phys, phys
+    for line in phys.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "bucket" in line, line
+
+
+def test_heavy_hitters_broadcasts_grand_total(spark):
+    """q88: the grand total is a 1-row broadcast nested-loop join, not an
+    unpartitioned window over the key space."""
+    q = all_queries()["q88_heavy_hitters"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_cube_is_single_expand_pass(spark):
+    """q93: CUBE executes as one Expand + hash agg — one shuffle for all
+    four granularities, not one scan per level."""
+    q = all_queries()["q93_cube_grouping"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert plan.count("Expand") >= 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_tpch_q3_uses_top_k_not_global_sort(spark):
+    """q96: ORDER BY ... LIMIT 10 must be TakeOrderedAndProject — no global
+    sort materializes."""
+    q = all_queries()["q96_tpch_q3_shipping_priority"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q5_broadcasts_all_dims(spark):
+    """q95: supplier/nation/region all broadcast; the only big shuffle is
+    the lineitem-orders-customer spine."""
+    q = all_queries()["q95_tpch_q5_local_supplier"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
