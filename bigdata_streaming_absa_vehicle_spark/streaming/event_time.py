@@ -142,3 +142,76 @@ def running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+#: output schema of sessionize_stream (matches the q91 batch columns)
+SESSIONIZE_SCHEMA = (
+    "user_id long, session_idx long, n_events long, "
+    "session_start timestamp, duration_us long"
+)
+
+
+def sessionize_stream(events: DataFrame, gap_min: int = 30) -> DataFrame:
+    """Streaming gaps-and-islands sessionization — the applyInPandasWithState
+    twin of queries/analytics.sessionize_events (q91): per-user session ids
+    assigned incrementally across micro-batches, each CLOSED session emitted
+    exactly once the moment an event lands more than `gap_min` past the
+    session's last event.
+
+    State per user is four longs (open-session idx/start/last/count) — a
+    RocksDB-backed skew-proof footprint; emission is append-mode (closed
+    sessions are immutable facts). A session still open when the stream
+    pauses stays in state and closes on the next qualifying event, so
+    replay/resume never double-emits (exactly-once via the checkpoint as
+    usual). The stream-equals-batch test closes trailing sessions with a
+    far-future flush event per user and compares against the hash-checked
+    q91 batch twin."""
+    if not events.isStreaming:
+        from ..queries.analytics import sessionize_events
+
+        return sessionize_events(events, gap_min)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_min * 60 * 1_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        idx, start_us, last_us, n = (
+            state.get if state.exists else (0, None, None, 0)
+        )
+        out: list[tuple] = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        for ts in rows["ts"]:
+            # pandas Timestamp.value is ns since epoch
+            t_us = ts.value // 1000
+            if start_us is None:
+                idx, start_us, last_us, n = idx + 1, t_us, t_us, 1
+            elif t_us > last_us + gap_us:
+                out.append((key[0], idx, n, start_us, last_us - start_us))
+                idx, start_us, last_us, n = idx + 1, t_us, t_us, 1
+            else:
+                last_us, n = max(last_us, t_us), n + 1
+        state.update((idx, start_us, last_us, n))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [o[0] for o in out],
+                    "session_idx": [o[1] for o in out],
+                    "n_events": [o[2] for o in out],
+                    "session_start": pd.to_datetime(
+                        [o[3] for o in out], unit="us"
+                    ),
+                    "duration_us": [o[4] for o in out],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSIONIZE_SCHEMA,
+        stateStructType="idx long, start_us long, last_us long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -380,3 +380,45 @@ def test_kill_resume_exactly_once(spark, tmpdir):
     got = spark.read.parquet(out)
     assert got.count() == ev.count(), "crash+resume lost or duplicated rows"
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_sessionize_stream_equals_batch(spark, tmpdir):
+    """T-10/X-08: streaming gaps-and-islands sessionization must emit
+    exactly the batch twin's sessions. A far-future flush event per user
+    closes every real trailing session deterministically (the flush events'
+    own sessions stay open in state and are never emitted)."""
+    from bigdata_streaming_absa_vehicle_spark.queries.analytics import sessionize_events
+    from bigdata_streaming_absa_vehicle_spark.sources.files import replay_as_stream
+    from bigdata_streaming_absa_vehicle_spark.streaming.event_time import (
+        sessionize_stream,
+    )
+
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "ts")
+    flush = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("mx"), F.max("event_id").alias("me"))
+        .select(
+            (F.col("me") + 10_000_000).alias("event_id"),
+            "user_id",
+            (F.col("mx") + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+        )
+    )
+    # flush must be later than EVERY user's last event AND the global
+    # watermark path is irrelevant (NoTimeout) — per-user max + 10 days is
+    # far beyond the 30-minute gap
+    stream = replay_as_stream(
+        spark, ev.unionByName(flush), f"{tmpdir}/stage", n_files=6, order_col="ts"
+    )
+    q = (
+        sessionize_stream(stream, 30)
+        .writeStream.format("memory")
+        .queryName("sessions_s")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("sessions_s")
+    want = sessionize_events(ev, 30)
+    cols = ["user_id", "session_idx", "n_events", "session_start", "duration_us"]
+    assert as_sorted_rows(got, cols) == as_sorted_rows(want, cols)
