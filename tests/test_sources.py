@@ -229,3 +229,34 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_python_datasource_synthetic_events(spark):
+    """S-11: the Python DataSource API generator — deterministic across
+    partition layouts (same rows whether 2 or 8 partitions), correct
+    partition fan-out, typed schema."""
+    from bigdata_streaming_absa_vehicle_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    a = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 500)
+        .option("n_partitions", 2)
+        .load()
+    )
+    b = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 500)
+        .option("n_partitions", 8)
+        .load()
+    )
+    assert a.rdd.getNumPartitions() == 2 and b.rdd.getNumPartitions() == 8
+    ra, rb = sorted(a.collect()), sorted(b.collect())
+    assert ra == rb and len(ra) == 500
+    assert a.schema.simpleString() == (
+        "struct<event_id:bigint,user_id:bigint,event_type:string,"
+        "value:double,ts:timestamp>"
+    )
+    # deterministic content: same seed => same first row on every run
+    first = ra[0]
+    assert first.event_id == 0 and 0 <= first.user_id < 100
