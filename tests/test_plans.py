@@ -119,11 +119,12 @@ def test_lsh_candidate_join_carries_no_document_payload(spark):
     Auto-broadcast is disabled so the band join plans its at-scale shape (a
     shuffle exchange on (band_idx, band_key)) even on the tiny test table."""
     q = all_queries()["q41_minhash_lsh_neardup"]
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = plan_of(q.fn(spark, SF_DIR), mode="extended")
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     physical = plan.split("== Physical Plan ==")[-1]
     exchanges = [l for l in physical.splitlines() if "hashpartitioning(band_idx" in l]
     assert exchanges, "no band-key exchange found in plan:\n" + physical
@@ -154,11 +155,12 @@ def test_banded_neardup_candidate_join_carries_ids_only(spark):
     (band_idx, band_val, vec_id) only — quantized vectors enter the plan at
     the verify re-join, keyed by id, for surviving candidates."""
     q = all_queries()["q44b_banded_neardup"]
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = plan_of(q.fn(spark, SF_DIR), mode="extended")
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     physical = plan.split("== Physical Plan ==")[-1]
     exchanges = [l for l in physical.splitlines() if "hashpartitioning(band_idx" in l]
     assert exchanges, "no band-key exchange found in plan:\n" + physical
