@@ -107,6 +107,10 @@ _WINDOW_PRIORITY = (
 # (q41-q46b, q62/q68/q69/q72/q73/q74/q76) hold r2 driver rows and are
 # re-hash-checked by the pytest oracle suite — incl. hypothesis
 # kernel-equivalence and recall property tests — every session.
+# Queries added AFTER this round's window was finalized (q97+ — the
+# correlated-subquery family and later additions) likewise sit past the
+# window on pytest-oracle evidence (verified at sf0.01, the driver's own
+# scale) and take first rotation priority in round 4.
 
 
 def _ordered_specs():

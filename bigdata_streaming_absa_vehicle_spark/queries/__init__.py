@@ -16,3 +16,4 @@ from . import llm_pipeline  # noqa: E402,F401
 from . import pipelines  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import udfs  # noqa: E402,F401
+from . import subqueries  # noqa: E402,F401

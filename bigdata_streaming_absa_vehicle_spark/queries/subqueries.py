@@ -1,0 +1,120 @@
+"""Correlated-subquery SQL surface (SURVEY.md §2F, SQ-01..SQ-03): EXISTS,
+correlated scalar, and IN+HAVING subqueries in the TPC-H Q4/Q17/Q18 shapes.
+
+These are the one query family that is *authored as SQL*, on purpose: the
+engine's SQL front-end must accept the subquery forms users write, and
+Catalyst's decorrelation (RewritePredicateSubquery / RewriteCorrelatedScalarSubquery)
+must turn them into the join shapes every other §2F row certifies — a
+left-semi join for EXISTS/IN, an aggregate-then-join for the correlated
+scalar. tests/test_plans.py asserts exactly that: no per-row subquery
+execution survives into the physical plan, so at 100 TB these cost one
+keyed shuffle each, identical to their hand-decorrelated twins (q19 semi
+join, q16 agg join).
+
+Each query is ONE SQL string run verbatim on both Spark and DuckDB —
+engine-portable ANSI SQL is itself part of the contract. Determinism notes:
+`l_quantity` is integer-valued (driver testdata), so AVG/SUM over it are
+exact in IEEE double regardless of accumulation order; money sums go
+through the decimal detour (functions/deterministic.py).
+
+Reference anchor: the reference app has no SQL front-end at all (its only
+"queries" are pandas over Postgres reads, e.g. the dashboard aggregations at
+projects/vehicle_count/streamlit/streamlit_app.py:91-124) — this family is
+declared engine surface per SURVEY §2F.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..tables import load
+from .registry import query
+
+_PRECISION = 28
+
+
+def _run_sql(spark: SparkSession, sf_dir: str, sql: str, tables: tuple[str, ...]) -> DataFrame:
+    """Register the needed testdata tables as temp views (same names DuckDB
+    pre-registers) and run the shared SQL text through Spark's parser."""
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+#: TPC-H Q4 shape on the driver schema (no l_commitdate/l_receiptdate in the
+#: testdata, so "late" = shipped >75 days after the order date).
+_Q97_SQL = """
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-04-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 75 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+"""
+
+
+@query("q97_exists_subquery", oracle=_Q97_SQL, tags=("SQ-01",))
+def q97_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape): orders in one quarter with at
+    least one line shipped >75 days late, counted per priority. Catalyst
+    decorrelates to a left-semi join on l_orderkey (plan-asserted); the date
+    filter pushes to the orders scan. At scale: one semi-join shuffle on the
+    8-byte order key, lineitem pre-filtered by the pushed ship-date bound."""
+    return _run_sql(spark, sf_dir, _Q97_SQL, ("orders", "lineitem"))
+
+
+#: TPC-H Q17 shape: small-quantity lineitems of one brand, priced against
+#: each part's own average order quantity.
+_Q98_SQL = f"""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL({_PRECISION},2))) AS DOUBLE) / 7.0
+               AS avg_weekly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11'
+      AND l.l_quantity < (
+        SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@query("q98_scalar_subquery", oracle=_Q98_SQL, tags=("SQ-02",))
+def q98_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape). Catalyst rewrites the
+    per-row AVG into one aggregate over lineitem joined back on l_partkey —
+    lineitem is scanned twice but shuffled on the same key both times, and
+    the brand filter broadcasts through the part join. AVG(l_quantity) is
+    exact (integer-valued doubles), so the 0.5*avg threshold is bit-identical
+    across engines; the money sum takes the decimal detour."""
+    return _run_sql(spark, sf_dir, _Q98_SQL, ("lineitem", "part"))
+
+
+#: TPC-H Q18 shape: large-volume orders via IN (GROUP BY ... HAVING).
+_Q99_SQL = f"""
+    SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL({_PRECISION},2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 180)
+    GROUP BY c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+"""
+
+
+@query("q99_group_having_in", oracle=_Q99_SQL, tags=("SQ-03",))
+def q99_group_having_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN + GROUP BY/HAVING subquery (TPC-H Q18 shape): customers behind the
+    largest-volume orders. The IN list is itself an aggregate over lineitem;
+    Catalyst plans it as an aggregate feeding a left-semi join, then the
+    star join and final top-100 (TakeOrderedAndProject). SUM(l_quantity) in
+    the HAVING is exact (integer-valued doubles); the output quantity sum
+    takes the decimal detour. Tie-break: (o_totalprice DESC, o_orderkey)."""
+    return _run_sql(spark, sf_dir, _Q99_SQL, ("customer", "orders", "lineitem"))

@@ -264,3 +264,32 @@ def test_tpch_q5_broadcasts_all_dims(spark):
     q = all_queries()["q95_tpch_q5_local_supplier"]
     plan = plan_of(q.fn(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark):
+    """q97: Catalyst's RewritePredicateSubquery must turn the correlated
+    EXISTS into a left-semi join — no per-row subquery node may survive into
+    the physical plan (at 100 TB a surviving subquery is a scan per row)."""
+    q = all_queries()["q97_exists_subquery"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+    assert "Subquery" not in plan, plan
+
+
+def test_scalar_subquery_decorrelates_to_aggregate_join(spark):
+    """q98: the correlated scalar AVG becomes one aggregate over lineitem
+    joined back on l_partkey — plan shows the aggregate + join, and no
+    correlated-subquery node."""
+    q = all_queries()["q98_scalar_subquery"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert "HashAggregate" in plan, plan
+    assert "Subquery" not in plan, plan
+
+
+def test_in_having_subquery_decorrelates_to_semi_join(spark):
+    """q99: the IN (GROUP BY ... HAVING) list plans as aggregate -> left-semi
+    join feeding the star join, with the final LIMIT as top-k."""
+    q = all_queries()["q99_group_having_in"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
