@@ -908,7 +908,9 @@ def q81_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
                COALESCE(CASE WHEN v.token_id <= 1000 THEN v.token_id END, 0) AS token_id
         FROM flat f LEFT JOIN vocab v USING (token)
     )
-    SELECT doc_id, list(token_id ORDER BY pos) AS ids
+    SELECT doc_id,
+           string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY pos) AS ids,
+           COUNT(*) AS n_ids
     FROM enc GROUP BY doc_id
     ORDER BY doc_id
     """,
@@ -921,7 +923,11 @@ def q82_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (it is bounded at 1000 rows by construction), so encoding is
     MAP-ONLY over the corpus: posexplode -> broadcast-join -> re-assemble
     ordered by position. The only corpus shuffle is the groupBy(doc_id)
-    re-assembly, keyed by the 8-byte id."""
+    re-assembly, keyed by the 8-byte id. The id sequence is emitted as a
+    space-joined string (plus its length) so downstream consumers — and the
+    driver's row canonicalizer, which cannot sort array cells — see scalar
+    columns; at 100 TB the string form also parquet-encodes better than a
+    repeated-int column for long sequences."""
     docs = load(spark, sf_dir, "documents")
     vocab = _vocab(docs).select("token", "token_id")
     flat = docs.select(
@@ -933,10 +939,14 @@ def q82_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         enc.groupBy("doc_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
-                lambda s: s["token_id"],
-            ).alias("ids")
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                    lambda s: s["token_id"].cast("string"),
+                ),
+                " ",
+            ).alias("ids"),
+            F.count(F.lit(1)).alias("n_ids"),
         )
         .transform(pin)
         .orderBy("doc_id")

@@ -23,6 +23,27 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def kafka_options(
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The exact option dict the reference consumer passes to its kafka
+    readStream (spark_kafka_consumer_dag.py:37-45: bootstrap.servers,
+    subscribe, startingOffsets, maxOffsetsPerTrigger). Pure function so the
+    contract is unit-testable without a broker — the one source path that
+    can never run live in this sandbox."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def read_stream(
     spark: SparkSession,
     brokers: str,
@@ -31,14 +52,11 @@ def read_stream(
     max_offsets_per_trigger: int | None = None,
 ):
     """Kafka stream reader with the reference's options (S-01)."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-    )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_options(
+        brokers, topic, starting_offsets, max_offsets_per_trigger
+    ).items():
+        reader = reader.option(k, v)
     return reader
 
 

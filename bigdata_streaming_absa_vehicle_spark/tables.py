@@ -62,19 +62,34 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     _ship_package(spark)
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS). The conf must be set on
-        # WHATEVER session calls us — callers (driver harnesses included)
-        # build their own vanilla SparkSession, so setting it only in our
-        # session factory is not enough. It is runtime-settable.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # Under nanosAsLong, ts arrives as epoch-nanos long; floor to µs with
-        # integer division (matches DuckDB's ns->µs truncation).
-        from pyspark.sql import functions as F
+    df = _canonical_timestamps(df, name)
+    return df
 
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+def _canonical_timestamps(df: DataFrame, name: str) -> DataFrame:
+    """Normalize every timestamp column to the session-default TIMESTAMP type
+    at µs precision, version-robustly.
+
+    The testdata stores `events.ts` as parquet TIMESTAMP(NANOS) and the date
+    columns as TIMESTAMP(MICROS) with isAdjustedToUTC=false. How those arrive
+    depends on the engine: Spark <= 4.0 with
+    spark.sql.legacy.parquet.nanosAsLong=true reads nanos as an epoch-nanos
+    LONG, while Spark 4.1+ ignores that conf (silently) and reads both
+    flavors natively as TIMESTAMP_NTZ. Branching on the ACTUAL dtype instead
+    of the engine version means a future Spark bump fails the one schema
+    canary test instead of 50 queries: LONG ts -> timestamp_micros(ts DIV
+    1000) (integer flooring, matching DuckDB's ns->µs truncation; native
+    nanos decode floors identically), TIMESTAMP_NTZ -> cast to TIMESTAMP
+    (wall-clock-preserving under the canonical UTC session timezone)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -98,6 +98,28 @@ def test_read_stream_builder_options(spark):
     assert reader is not None  # options live JVM-side; load() needs a broker
 
 
+def test_kafka_options_contract_matches_reference():
+    """The generated option dict must match the reference consumer's exactly
+    (spark_kafka_consumer_dag.py:37-45: kafka.bootstrap.servers, subscribe,
+    startingOffsets=latest, maxOffsetsPerTrigger=50) — cheap insurance on
+    the one source that can never run against a live broker here."""
+    from bigdata_streaming_absa_vehicle_spark.sources.kafka import kafka_options
+
+    assert kafka_options("kafka:9092", "absa-reviews", "latest", 50) == {
+        "kafka.bootstrap.servers": "kafka:9092",
+        "subscribe": "absa-reviews",
+        "startingOffsets": "latest",
+        "maxOffsetsPerTrigger": "50",
+    }
+    # maxOffsetsPerTrigger is optional, exactly as in the reference's
+    # vehicle consumer (no trigger bound set there).
+    assert kafka_options("kafka:9092", "traffic-frames") == {
+        "kafka.bootstrap.servers": "kafka:9092",
+        "subscribe": "traffic-frames",
+        "startingOffsets": "latest",
+    }
+
+
 def test_read_csv_declared_schema(spark, tmpdir):
     path = os.path.join(tmpdir, "reviews.csv")
     with open(path, "w", encoding="utf-8") as f:
