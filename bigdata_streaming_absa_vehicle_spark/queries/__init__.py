@@ -17,3 +17,5 @@ from . import pipelines  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import udfs  # noqa: E402,F401
 from . import subqueries  # noqa: E402,F401
+from . import features  # noqa: E402,F401
+from . import tpch_extra  # noqa: E402,F401

@@ -1,0 +1,462 @@
+"""Feature-engineering query surface (SURVEY.md §2K extensions, W-04 /
+X-09 / X-10): the operations a training-data pipeline runs between raw
+tables and model-ready features — time-windowed rolling features, per-group
+normalization, histograms and equi-depth binning, embedding quantization,
+BM25 relevance scoring, and SCD-2 dimension upserts.
+
+Everything is deterministic end-to-end: double SUMs go through the
+decimal-exact helpers (functions/deterministic.py), per-row IEEE double math
+is identical operand-for-operand in Spark and DuckDB, and every query ends
+in a pinned total-order sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.deterministic import dsum, oracle_dsum as odsum
+from ..functions.ordering import pin
+from ..tables import load
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# W-04: time-range window frames (RANGE BETWEEN INTERVAL ... PRECEDING)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q100_time_range_window",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE) AS rolling_sum_1h,
+           COUNT(*) OVER w AS rolling_cnt_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    tags=("W-04", "W-03"),
+)
+def q100_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour sum/count — the time-range window frame
+    (RANGE on event time, not ROWS) behind "activity in the last hour"
+    features. The frame is keyed on epoch-µs so both engines bound it
+    identically; peers (equal timestamps) share a frame by definition, so
+    no tie-break is needed. The sum is decimal-exact (frame order is
+    engine-dependent).
+
+    Scale shape: one shuffle on user_id, then a per-partition sort —
+    identical cost to any per-user window; no self-join, no range join.
+    At 100 TB this is THE shape for temporal features: the alternative
+    events-x-events interval self-join is quadratic per user."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.sum(F.col("value").cast("decimal(28,2)"))
+            .over(w)
+            .cast("double")
+            .alias("rolling_sum_1h"),
+            F.count(F.lit(1)).over(w).alias("rolling_cnt_1h"),
+        )
+        .transform(pin)
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-09: per-group normalization (z-score)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q101_group_zscore",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS s2
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.s1 / s.n)
+                 / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)), 6) AS zscore
+    FROM events e JOIN s USING (event_type)
+    ORDER BY e.event_id
+    """,
+    tags=("X-09", "A-08"),
+)
+def q101_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization — the standard feature-scaling step.
+    Group mean/variance come from exact decimal SUM and SUM-of-squares
+    (value is 2-dp, its square 4-dp, both exactly representable in
+    decimal(29,4)); the final (x - mean)/std runs in IEEE double with
+    bit-identical operands in both engines.
+
+    Scale shape: stats are a 5-row aggregate that BROADCASTS back onto the
+    events scan — the normalization itself is map-only, no second shuffle
+    of the fact table. Same stats-then-broadcast shape as q88's heavy
+    hitters."""
+    ev = load(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(14,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).cast("double").alias("s1"),
+        F.sum(d * d).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round((F.col("value") - mean) / F.sqrt(var), 6).alias("zscore"),
+        )
+        .transform(pin)
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-09: fixed-width histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q102_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(FLOOR(value / 10) AS INT) AS bucket,
+           COUNT(*) AS n,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM events
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+    tags=("X-09", "A-01"),
+)
+def q102_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (bucket = floor(value/10)) per event type — the
+    distribution profile run before choosing normalization/clipping for a
+    feature. MIN/MAX of doubles are order-independent, counts are exact;
+    nothing needs the decimal detour.
+
+    Scale shape: single partial+final hash aggregate on a ~170-key space —
+    map-side combine collapses each partition to the bucket count before
+    the shuffle, so shuffle volume is O(buckets), not O(rows)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 10).cast("int").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .transform(pin)
+        .orderBy("event_type", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-09: equi-depth (decile) binning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q103_equidepth_bins",
+    oracle="""
+    WITH edges AS (
+        SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS es
+        FROM events
+    ),
+    b AS (
+        SELECT e.value,
+               1 + len(list_filter(edges.es, x -> e.value > x)) AS bin
+        FROM events e, edges
+    )
+    SELECT bin, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+    tags=("X-09", "A-12"),
+)
+def q103_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile binning: exact decile edges, then each row assigned
+    bin = 1 + (# edges strictly below its value) — the discretization step
+    for quantile features / calibration buckets. Spark's exact
+    `percentile` and DuckDB's `quantile_cont` share the same definition
+    (linear interpolation at rank p*(n-1)), so the edges are bit-identical.
+
+    Scale shape: the edge computation is ONE aggregate (percentile merges
+    per-partition), the 9-edge array broadcasts, and bin assignment is
+    map-only — the naive alternative (global ntile) is a single-partition
+    window over the whole table. At 100 TB swap the exact percentile for
+    approx_percentile and keep the identical broadcast+map shape."""
+    ev = load(spark, sf_dir, "events")
+    edges = ev.agg(
+        F.expr(
+            "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("es")
+    )
+    binned = ev.join(F.broadcast(edges)).select(
+        "value",
+        (
+            F.lit(1)
+            + F.size(F.filter("es", lambda x: F.col("value") > x))
+        ).alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .transform(pin)
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-09: embedding int8 quantization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q104_embed_quantize",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           CAST(list_sum(list_transform(e, x -> CAST(FLOOR(x / scale + 0.5) AS BIGINT))) AS BIGINT) AS qsum,
+           ROUND(list_max(list_transform(e, x -> abs(FLOOR(x / scale + 0.5) * scale - x))), 6) AS max_err
+    FROM q
+    ORDER BY vec_id
+    """,
+    tags=("X-09", "X-03"),
+)
+def q104_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization: per-vector scale = max|x|/127,
+    q_i = floor(x_i/scale + 0.5), plus the max dequantization error — the
+    compression step before shipping an embedding corpus to an ANN index.
+    floor(x+0.5) is used instead of round() because round() half-way rules
+    differ across engines while floor is pure IEEE arithmetic.
+
+    Scale shape: map-only over the embeddings table, all inside JVM
+    higher-order array functions (transform/aggregate) — no Python
+    boundary, no shuffle until the presentation sort."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(e, lambda x: F.abs(x))) / F.lit(127.0)
+    # Internal name `_scale` is deliberately distinct from the output alias:
+    # Spark 3.4+ lateral column aliases make a later select item resolve
+    # `col("scale")` to the ROUNDED alias earlier in the same list, which
+    # would quantize against the rounded scale and corrupt max_err.
+    df = emb.select("vec_id", e.alias("e"), scale.alias("_scale"))
+    quant = F.transform(F.col("e"), lambda x: F.floor(x / F.col("_scale") + F.lit(0.5)))
+    return (
+        df.select(
+            "vec_id",
+            F.round("_scale", 6).alias("scale"),
+            F.aggregate(
+                quant, F.lit(0).cast("bigint"), lambda acc, q: acc + q
+            ).alias("qsum"),
+            F.round(
+                F.array_max(
+                    F.zip_with(
+                        quant,
+                        F.col("e"),
+                        lambda q, x: F.abs(q * F.col("_scale") - x),
+                    )
+                ),
+                6,
+            ).alias("max_err"),
+        )
+        .transform(pin)
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-09: BM25 relevance scoring
+# ---------------------------------------------------------------------------
+
+#: fixed query terms (present in the synthetic corpus vocabulary)
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "q105_bm25",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+    ),
+    corpus AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        WHERE token IN ('spark', 'join', 'window')
+        GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               ROUND(
+                   ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+                   * (tf.tf * ({_BM25_K1} + 1))
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / corpus.avgdl)),
+                   6) AS term_score
+        FROM tf
+        JOIN df USING (token)
+        JOIN dl USING (doc_id)
+        CROSS JOIN corpus
+    )
+    SELECT doc_id,
+           CAST(SUM(CAST(term_score AS DECIMAL(28,6))) AS DOUBLE) AS bm25,
+           COUNT(*) AS n_terms_hit
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("X-09", "X-04"),
+)
+def q105_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed query
+    ('spark join window') — the classic retrieval scorer used for
+    data-selection and hard-negative mining over a training corpus.
+    Per-term scores are IEEE-double with identical operands in both
+    engines, rounded to 6 dp, and the per-doc sum goes through exact
+    decimal so term addition order cannot flake the hash.
+
+    Scale shape: tokenize+explode is map-only; tf is a (doc, term) hash
+    aggregate over ONLY the matching terms (the IN filter prunes before
+    the shuffle); df and corpus stats are tiny aggregates that BROADCAST
+    back; scoring is map-only. No corpus-sized join ever shuffles text."""
+    from ..operators.dedup import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    idf = F.log(F.lit(1) + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    term_score = F.round(
+        idf
+        * (F.col("tf") * (k1 + F.lit(1)))
+        / (F.col("tf") + k1 * (F.lit(1) - b + b * F.col("dl") / F.col("avgdl"))),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(corpus))
+        .select("doc_id", term_score.alias("term_score"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("term_score").cast("decimal(28,6)")).cast("double").alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .transform(pin)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-10: SCD-2 dimension upsert (MERGE semantics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q106_scd2_upsert",
+    oracle="""
+    WITH upd AS (
+        SELECT c_custkey, c_acctbal + 100 AS new_acctbal
+        FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT c.c_custkey, c.c_name, c.c_acctbal AS acctbal, 0 AS version,
+           CASE WHEN u.c_custkey IS NULL THEN TRUE ELSE FALSE END AS is_current
+    FROM customer c LEFT JOIN upd u USING (c_custkey)
+    UNION ALL
+    SELECT c.c_custkey, c.c_name, u.new_acctbal AS acctbal, 1 AS version,
+           TRUE AS is_current
+    FROM customer c JOIN upd u USING (c_custkey)
+    ORDER BY c_custkey, version
+    """,
+    tags=("X-10", "J-04"),
+)
+def q106_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 dimension upsert (MERGE INTO semantics re-expressed as joins):
+    a deterministic change-set (every 10th customer gets +100 balance) is
+    merged into the customer dimension — matched rows close their current
+    version (is_current=false) and append a new version row; unmatched
+    rows pass through untouched. This is the warehouse "slowly changing
+    dimension" maintenance op the reference's Postgres side would do with
+    UPDATE+INSERT.
+
+    Scale shape: the change-set is usually ≪ the dimension, so it
+    BROADCASTS into both the close and the append legs; the union is
+    read-once per leg with column pruning. No full-dimension shuffle —
+    exactly how MERGE executes on a real lakehouse table format."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    upd = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + F.lit(100)).alias("new_acctbal")
+    )
+    upd_keys = F.broadcast(upd.select("c_custkey", F.lit(True).alias("_hit")))
+    existing = cust.join(upd_keys, "c_custkey", "left").select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit(0).alias("version"),
+        F.col("_hit").isNull().alias("is_current"),
+    )
+    appended = cust.join(F.broadcast(upd), "c_custkey").select(
+        "c_custkey",
+        "c_name",
+        F.col("new_acctbal").alias("acctbal"),
+        F.lit(1).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    return (
+        existing.unionByName(appended)
+        .transform(pin)
+        .orderBy("c_custkey", "version")
+    )

@@ -1,0 +1,351 @@
+"""Additional TPC-H-shaped analytics over the driver testdata schema
+(extends the q95/q96 star-join family and the q97-q99 subquery family):
+Q7 volume shipping, Q8 market share, Q13 order-count distribution,
+Q14 promo revenue, Q19 disjunctive-predicate join, Q22 adapted.
+
+The testdata is TPC-H-ish, not TPC-H (no partsupp, no l_shipmode/
+l_commitdate, no c_phone), so each query keeps its canonical TPC-H *shape*
+— the join topology, predicate structure, and aggregation pattern that make
+it a planner benchmark — with predicates adapted to the columns that exist.
+Doubles aggregate through the decimal-exact helpers so hashes are stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import dsum, dsum_expr, oracle_dsum as odsum
+from ..functions.ordering import pin
+from ..tables import load
+from .registry import query
+
+
+@query(
+    "q107_tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {odsum('volume', 6)} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("J-03",),
+)
+def q107_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade volume between two
+    nations by year — the double-dimension-alias join (nation joined TWICE
+    under different roles) with a disjunctive cross-filter.
+
+    Scale shape: the nation pair filter cannot push below either single
+    join, but both nation joins BROADCAST (25 rows) so the only shuffles
+    are lineitem->orders->customer on their 8-byte keys; the date filter
+    pushes to the lineitem scan, halving it before any join. year() stays
+    in codegen."""
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            dsum_expr("l_extendedprice * (1 - l_discount)", 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .transform(pin)
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q108_tpch_q14_promo_revenue",
+    oracle=f"""
+    SELECT ROUND(
+             100.0 * {odsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 6)}
+                   / {odsum('l_extendedprice * (1 - l_discount)', 6)},
+             6) AS promo_revenue_pct,
+           COUNT(*) AS n_lineitems
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+    tags=("J-01", "A-03"),
+)
+def q108_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promo revenue): percentage of one month's revenue from
+    promo parts — conditional aggregation over a fact-dimension join,
+    reduced to a single row. Both sums are decimal-exact; the ratio is one
+    IEEE division identical in both engines.
+
+    Scale shape: the month filter prunes lineitem at the scan; part joins
+    on the 8-byte partkey (broadcast when the dim fits, AQE decides);
+    conditional SUM is a map-side combine — one row crosses the final
+    exchange."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    promo = dsum_expr(
+        "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 6
+    )
+    total = dsum_expr("l_extendedprice * (1 - l_discount)", 6)
+    return joined.agg(
+        F.round(F.lit(100.0) * promo / total, 6).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@query(
+    "q109_tpch_q19_disjunctive",
+    oracle=f"""
+    SELECT {odsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("J-01", "P-04"),
+)
+def q109_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): an OR of three conjunct groups
+    spanning BOTH join sides — the classic disjunctive-predicate planning
+    test. A naive planner evaluates the OR as a post-join residual on the
+    full join; a good one still pushes the derivable single-side
+    implications (p_brand IN (...), p_size >= 1, l_quantity ranges) below
+    the join as scan filters.
+
+    Scale shape: Catalyst's constraint propagation extracts the IN-list
+    and range bounds to both scans (visible as PushedFilters), the join
+    stays a partkey equi-join with the OR as residual, and the result is
+    one row — map-side-combined."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+        | (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+        | (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            dsum_expr("l_extendedprice * (1 - l_discount)", 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "q110_tpch_q13_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("J-04", "A-02"),
+)
+def q110_tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT JOIN with an
+    extra non-equi predicate in the ON clause (NOT the WHERE — moving it
+    to WHERE would silently drop the zero-order customers), then a
+    two-level aggregation: orders per customer, customers per order-count.
+
+    Scale shape: the join shuffles both sides on custkey once; the first
+    aggregate reuses that partitioning (no second exchange — count per
+    custkey is partition-local after the join), and only the tiny
+    (c_count, custdist) histogram crosses the final shuffle."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .transform(pin)
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q111_tpch_q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           ROUND({odsum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END", 6)}
+                 / {odsum('volume', 6)}, 6) AS mkt_share,
+           COUNT(*) AS n_lineitems
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+          AND p_type = 'ECONOMY'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("J-03", "A-09"),
+)
+def q111_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3's share of ECONOMY-part
+    revenue sold into ASIA by year — an eight-way star join where one
+    nation alias filters the CUSTOMER side (via region) and the other
+    merely LABELS the supplier side for the conditional sum.
+
+    Scale shape: p_type pushes to the part scan and that filtered dim
+    broadcasts into lineitem FIRST (the most selective reduction);
+    orders/customer join on their keys; region+both nations broadcast.
+    The share division happens on two decimal-exact sums per year."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    share = dsum_expr(
+        "CASE WHEN supp_nation = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END",
+        6,
+    )
+    total = dsum_expr("l_extendedprice * (1 - l_discount)", 6)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(share / total, 6).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .transform(pin)
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q112_tpch_q22_global_sales",
+    oracle=f"""
+    WITH avg_bal AS (
+        SELECT {odsum('c_acctbal', 2)} / COUNT(*) AS a
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey % 5 AS cntrycode,
+           COUNT(*) AS numcust,
+           {odsum('c_acctbal', 2)} AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+    tags=("J-06", "A-01"),
+)
+def q112_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): rich customers (balance above
+    the positive-balance average — an uncorrelated scalar subquery) who
+    have NEVER ordered (anti join), bucketed by country code. The scalar
+    average is decimal-exact so the > threshold cannot flake on the last
+    bit.
+
+    Scale shape: the scalar aggregate is one row, broadcast into the
+    customer scan as a filter; the anti join shuffles customer against
+    orders' custkey projection ONLY (two 8-byte columns); the final
+    aggregate is 5 groups, map-side combined."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg((dsum("c_acctbal", 2) / F.count(F.lit(1))).alias("a"))
+    )
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    never_ordered = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        never_ordered.groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", 2).alias("totacctbal"),
+        )
+        .transform(pin)
+        .orderBy("cntrycode")
+    )

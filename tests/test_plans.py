@@ -293,3 +293,52 @@ def test_in_having_subquery_decorrelates_to_semi_join(spark):
     plan = plan_of(q.fn(spark, SF_DIR))
     assert "LeftSemi" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_zscore_stats_broadcast_not_second_shuffle(spark):
+    """q101: the 5-row group stats broadcast back onto the events scan —
+    normalization is map-only; the fact table never hash-shuffles."""
+    q = all_queries()["q101_group_zscore"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_equidepth_bins_broadcast_edges_map_only_assign(spark):
+    """q103: decile edges are one aggregate broadcast into a map-only bin
+    assignment — no global ntile window over the table."""
+    q = all_queries()["q103_equidepth_bins"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_disjunctive_join_pushes_implied_filters_both_sides(spark):
+    """q109 (TPC-H Q19 shape): the OR of conjunct groups must still push its
+    derivable single-side implications to BOTH parquet scans."""
+    q = all_queries()["q109_tpch_q19_disjunctive"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_quantity" in ln for ln in pushed), plan
+    assert any("p_brand" in ln for ln in pushed), plan
+
+
+def test_scd2_upsert_broadcasts_change_set(spark):
+    """q106: both MERGE legs join the change-set as a broadcast — the
+    dimension is never hash-shuffled."""
+    q = all_queries()["q106_scd2_upsert"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_time_range_window_single_user_shuffle(spark):
+    """q100: one hash exchange on user_id feeding one WindowExec — the
+    rolling-hour feature never self-joins."""
+    q = all_queries()["q100_time_range_window"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    # exactly one hash exchange (user_id -> window); the only other exchange
+    # is the presentation sort's range partitioning
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
