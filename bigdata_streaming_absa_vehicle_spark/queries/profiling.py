@@ -1,0 +1,273 @@
+"""Data-profiling and mergeable-aggregation query surface (SURVEY.md §2K
+extensions X-11 / A-14 / A-15): the table-health and distributed-correctness
+operations a 100 TB lakehouse runs constantly — one-pass column profiling
+(ANALYZE TABLE), a shard-partial/merge equivalence proof for mergeable
+aggregates, and a Count-Min sketch for mergeable frequency estimation.
+
+Deterministic: exact counts/min/max everywhere, md5-derived CMS hashes
+(operators/dedup.hash64, identical in DuckDB SQL), decimal-exact double sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.ordering import pin
+from ..operators.dedup import hash64
+from ..tables import load
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# X-11: one-pass column profiler (ANALYZE TABLE)
+# ---------------------------------------------------------------------------
+
+#: (column, kind) for the lineitem profile; kind drives which min/max slot fills
+_PROFILE_COLS = (
+    ("l_orderkey", "num"),
+    ("l_partkey", "num"),
+    ("l_suppkey", "num"),
+    ("l_linenumber", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_tax", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        else:
+            expr = f"CAST({c} AS VARCHAR)" if kind == "ts" else c
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms, xs = f"MIN({expr})", f"MAX({expr})"
+        parts.append(
+            f"SELECT '{c}' AS col_name, COUNT(*) AS n,"
+            f" COUNT(*) - COUNT({c}) AS n_null,"
+            f" COUNT(DISTINCT {c}) AS n_distinct,"
+            f" {mn} AS min_num, {mx} AS max_num,"
+            f" {ms} AS min_str, {xs} AS max_str FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
+
+
+@query("q113_column_profile", oracle=_profile_oracle(), tags=("X-11", "A-04"))
+def q113_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler — the ANALYZE TABLE / data-quality scan run
+    before a table joins a training pipeline: per column, row count, null
+    count, exact distinct count, and typed min/max (numeric columns fill
+    min_num/max_num, string/timestamp columns min_str/max_str).
+
+    Scale shape: ONE scan computes every per-column aggregate in a single
+    wide partial+final hash aggregate (the multi-count-distinct plans as
+    one Expand, cost ~n_cols compact rows per input row in the shuffle,
+    each carrying only that column's value); the wide 1-row result is then
+    exploded into the per-column report ON THE DRIVER-SIDE-SIZED relation,
+    not the fact table. At 100 TB swap COUNT(DISTINCT) for
+    approx_count_distinct and the same plan drops the Expand entirely."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c, kind in _PROFILE_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(F.col(c))).alias(f"{c}__nn"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__nd"))
+        if kind == "num":
+            aggs.append(F.min(c).cast("double").alias(f"{c}__mn"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__mx"))
+        else:
+            expr = F.col(c).cast("string") if kind == "ts" else F.col(c)
+            aggs.append(F.min(expr).alias(f"{c}__ms"))
+            aggs.append(F.max(expr).alias(f"{c}__xs"))
+    wide = li.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = []
+    for c, kind in _PROFILE_COLS:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_n").alias("n"),
+                F.col(f"{c}__nn").alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                (F.col(f"{c}__mn") if kind == "num" else null_d).alias("min_num"),
+                (F.col(f"{c}__mx") if kind == "num" else null_d).alias("max_num"),
+                (null_s if kind == "num" else F.col(f"{c}__ms")).alias("min_str"),
+                (null_s if kind == "num" else F.col(f"{c}__xs")).alias("max_str"),
+            )
+        )
+    return (
+        wide.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A-14: mergeable partial aggregates (shard -> merge == direct)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q114_partial_agg_merge",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("A-14", "A-01"),
+)
+def q114_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable partial aggregation, certified: the table is split into two
+    disjoint shards (l_orderkey parity — standing in for two days of
+    partitions, two clusters, or a stream's micro-batches), each shard
+    computes PARTIAL aggregates (decimal sum / count / min / max), and the
+    partials are MERGED (sum-of-sums, min-of-mins...) with derived stats
+    (avg) computed only at the end. The oracle aggregates the table
+    directly — a hash match PROVES merge(partials) == direct for this
+    aggregate family, the algebraic property every incremental /
+    cross-cluster / materialized-view rollup at 100 TB rests on. (q90 is
+    the same statement for HLL sketches; this is the exact-aggregate twin.)
+
+    Scale shape: two pruned scans -> per-shard partial agg (map-side
+    combined) -> a union'd merge agg over 2x5 tiny rows. The derived avg
+    deliberately comes from merged sum/count, never averaged averages."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity")
+    d = F.col("l_quantity").cast("decimal(28,2)")
+
+    def partial(shard: DataFrame) -> DataFrame:
+        return shard.groupBy("l_returnflag").agg(
+            F.sum(d).alias("p_sum"),
+            F.count(F.lit(1)).alias("p_n"),
+            F.min("l_quantity").alias("p_min"),
+            F.max("l_quantity").alias("p_max"),
+        )
+
+    even = partial(li.filter(F.col("l_orderkey") % 2 == 0))
+    odd = partial(li.filter(F.col("l_orderkey") % 2 == 1))
+    merged = (
+        even.unionByName(odd)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("p_sum").cast("double").alias("sum_qty"),
+            F.sum("p_n").alias("n"),
+            F.min("p_min").alias("min_qty"),
+            F.max("p_max").alias("max_qty"),
+        )
+    )
+    return (
+        merged.select(
+            "l_returnflag",
+            "sum_qty",
+            "n",
+            "min_qty",
+            "max_qty",
+            F.round(F.col("sum_qty") / F.col("n"), 6).alias("avg_qty"),
+        )
+        .transform(pin)
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A-15: Count-Min sketch (mergeable frequency estimation)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  #: hash rows
+_CMS_W = 64  #: counters per row
+
+
+def _cms_hash_sql(i: str, key: str) -> str:
+    """DuckDB twin of operators.dedup.hash64(f'cms{i}', key) % W."""
+    return (
+        f"CAST('0x' || substr(md5('cms' || {i} || ':' || {key}), 1, 15) AS BIGINT)"
+        f" % {_CMS_W}"
+    )
+
+
+@query(
+    "q115_count_min_sketch",
+    oracle=f"""
+    WITH cells AS (
+        SELECT i.i, {_cms_hash_sql('i.i', 'event_type')} AS cell, COUNT(*) AS c
+        FROM events, (SELECT unnest([0,1,2,3]) AS i) i
+        GROUP BY i.i, cell
+    ),
+    keys AS (
+        SELECT event_type, COUNT(*) AS exact_n FROM events GROUP BY event_type
+    )
+    SELECT k.event_type, k.exact_n, MIN(c.c) AS cms_est
+    FROM keys k
+    JOIN cells c ON c.cell = {_cms_hash_sql('c.i', 'k.event_type')}
+    GROUP BY k.event_type, k.exact_n
+    ORDER BY k.event_type
+    """,
+    tags=("A-15", "A-05"),
+)
+def q115_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (d=4 rows x w=64 counters, md5-derived hash family)
+    built over the event stream, then probed for every key: est =
+    min_i cms[i][h_i(key)] — the mergeable frequency sketch used where
+    exact per-key counts don't fit (CMS cells ADD across shards/windows,
+    exactly like q90's HLL registers). exact_n rides along so the result
+    certifies both the sketch build and the probe; CMS overestimates on
+    collisions, and the hash family is deterministic, so the overestimate
+    itself is engine-stable and hash-checkable.
+
+    Scale shape: the sketch build is a map-side-combined aggregate onto
+    d*w = 256 cells — shuffle volume is O(256), independent of row count;
+    the probe joins the (tiny) key list against the 256-cell relation as a
+    broadcast. Nothing driver-side."""
+    ev = load(spark, sf_dir, "events").select("event_type")
+    cells = (
+        ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            (hash64(f"cms{i}", F.col("event_type")) % _CMS_W).alias("cell"),
+                        )
+                        for i in range(_CMS_D)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .groupBy("i", "cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    keys = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = keys.select(
+        "event_type",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (hash64(f"cms{i}", F.col("event_type")) % _CMS_W).alias("cell"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("s"),
+    ).select("event_type", "exact_n", "s.i", "s.cell")
+    return (
+        probes.join(F.broadcast(cells), ["i", "cell"])
+        .groupBy("event_type", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+        .transform(pin)
+        .orderBy("event_type")
+    )

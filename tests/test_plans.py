@@ -342,3 +342,20 @@ def test_time_range_window_single_user_shuffle(spark):
     assert plan.count("hashpartitioning") == 1, plan
     assert "Window" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_column_profile_is_single_scan(spark):
+    """q113: the whole per-column profile comes from ONE lineitem scan (a
+    single wide aggregate + Expand for the multi-count-distinct), never a
+    scan per column."""
+    q = all_queries()["q113_column_profile"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_count_min_sketch_probe_broadcasts_cells(spark):
+    """q115: the 256-cell sketch relation broadcasts into the probe join —
+    the key list is never hash-shuffled against the sketch."""
+    q = all_queries()["q115_count_min_sketch"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
