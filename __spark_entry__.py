@@ -38,14 +38,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #     queries (q42b-q69) + the 5 new operators (q72-q76) + 5 proven
 #     flagships.  All 50 green; the 30 round-1-green relational queries sat
 #     past the window on their r01 evidence.
-#   - Round 3 (this file): rotates those 30 round-1-green queries BACK IN so
-#     every query has driver evidence against current code (their last
-#     driver rows predate the round-2 dedup/similarity/tables/session
-#     refactors), then fills the remainder with queries new this round
-#     (first-ever signal) and the most-recently-changed round-2 set.
-#     Queries left past the window hold fresh green rows from
-#     CORRECTNESS_r02.json and are re-hash-checked by the pytest oracle
-#     suite every session.
+#   - Round 3 (CORRECTNESS_r03.json): rotated the 30 round-1-green queries
+#     back in (all green again) + first-ever rows for q77-q96.  The sandbox
+#     Spark upgrade to 4.1.2 broke the events loader mid-round, so the 10
+#     events-based entries ERR'd and the round-3 bench crashed — fixed in
+#     tables._canonical_timestamps (dtype-branching loader).
+#   - Round 4 (this file): tiered re-certification on the fixed loader, see
+#     the tier comments inside _WINDOW_PRIORITY below.  Queries added in
+#     round 4 (q100-q118: features/tpch_extra/profiling/lakehouse modules)
+#     sit past the window on pytest-oracle evidence at sf0.01 and take
+#     first rotation priority in round 5.
 _WINDOW_PRIORITY = (
     # -- Round 4 window.  Tier 1: the 14 queries that have NEVER had a green
     # driver row (new in r3 and ERR'd on the events-loader bug, or added past

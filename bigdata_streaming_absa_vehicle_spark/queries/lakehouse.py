@@ -1,0 +1,235 @@
+"""Lakehouse-maintenance query surface (SURVEY.md §2K extensions X-12/X-13):
+Z-order clustering for multi-column data skipping, snapshot-diff CDC
+(changelog derivation between two table versions), and the event-sequence
+transition matrix. These are the table-maintenance / incremental-consumption
+operations a 100 TB lakehouse runs nightly.
+
+Deterministic: z-values are pure integer bit arithmetic, the diff op labels
+are exact comparisons, transition probabilities divide exact counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.ordering import pin
+from ..tables import load
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# X-12: Z-order clustering (multi-dimensional data skipping)
+# ---------------------------------------------------------------------------
+
+#: Spark SQL / DuckDB twins of the 16-bit interleave z(a, b); a fills even
+#: bit positions, b odd.  Pure integer shifts — bit-identical everywhere.
+_Z_SPARK = (
+    "aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, i) -> acc"
+    " + shiftleft(shiftright(a, i) & 1, 2*i)"
+    " + shiftleft(shiftright(b, i) & 1, 2*i + 1))"
+)
+_Z_DUCK = (
+    "CAST(list_sum(list_transform(range(16), i ->"
+    " (((a >> i) & 1) << (2*i)) + (((b >> i) & 1) << (2*i+1)))) AS BIGINT)"
+)
+
+
+@query(
+    "q116_zorder_cluster",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT user_id % 1024 AS a, CAST(FLOOR(value) AS BIGINT) AS b
+        FROM events
+    ),
+    z AS (
+        SELECT a, b, {_Z_DUCK} AS zval FROM keyed
+    )
+    SELECT zval >> 12 AS z_bucket,
+           COUNT(*) AS n,
+           MIN(a) AS min_a, MAX(a) AS max_a,
+           MIN(b) AS min_b, MAX(b) AS max_b
+    FROM z
+    GROUP BY z_bucket
+    ORDER BY z_bucket
+    """,
+    tags=("X-12",),
+)
+def q116_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering: interleave the bits of two filter columns
+    (user bucket, value magnitude) into one sort key, then report per
+    z-bucket min/max of BOTH dimensions. The point of the result: every
+    bucket is bounded in a AND in b simultaneously — so files written in
+    z-bucket order support min/max (zone-map) skipping for predicates on
+    EITHER column, which a single-column sort can only give to one. This
+    is the OPTIMIZE ZORDER BY maintenance op of lakehouse table formats,
+    re-expressed as a pure Spark pipeline.
+
+    Scale shape: the z-value is map-only integer bit arithmetic in
+    whole-stage codegen; the per-bucket stats are one map-side-combined
+    aggregate on ~256 keys. The real write path would range-partition by
+    zval (repartitionByRange) and write one file per range — same plan
+    plus an exchange that replaces the shuffle this aggregate does."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 1024).alias("a"),
+        F.floor(F.col("value")).cast("bigint").alias("b"),
+    )
+    z = ev.select("a", "b", F.expr(_Z_SPARK).alias("zval"))
+    return (
+        z.groupBy(F.shiftright("zval", 12).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("a").alias("min_a"),
+            F.max("a").alias("max_a"),
+            F.min("b").alias("min_b"),
+            F.max("b").alias("max_b"),
+        )
+        .transform(pin)
+        .orderBy("z_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-13: snapshot diff (CDC changelog between two table versions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q117_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+    ),
+    new AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 17 <> 3
+        UNION ALL
+        SELECT c_custkey + 1000000, 'ins_' || CAST(c_custkey AS VARCHAR), 0.0
+        FROM customer WHERE c_custkey % 23 = 5
+    )
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN n.c_custkey IS NULL THEN 'D'
+                WHEN o.c_custkey IS NULL THEN 'I'
+                ELSE 'U' END AS op,
+           o.c_acctbal AS old_acctbal,
+           n.c_acctbal AS new_acctbal
+    FROM old o FULL OUTER JOIN new n USING (c_custkey)
+    WHERE n.c_custkey IS NULL OR o.c_custkey IS NULL
+       OR o.c_acctbal <> n.c_acctbal OR o.c_name <> n.c_name
+    ORDER BY c_custkey
+    """,
+    tags=("X-13", "J-12"),
+)
+def q117_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC derivation: given two versions of a table (the
+    new one simulated deterministically — every 17th key deleted, every
+    10th rebalanced, every 23rd spawning an insert), emit the minimal
+    changelog (op I/U/D with before/after values) a downstream consumer
+    needs to incrementally catch up — the engine-side equivalent of a
+    table format's change data feed.
+
+    Scale shape: one full-outer join co-partitioned on the primary key is
+    the whole cost; on bucketed tables (S-10) it plans with zero
+    exchanges. Unchanged rows are filtered AFTER the join by cheap column
+    comparison — no row hashing pass, no second scan of either side."""
+    old = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    surv = old.filter(F.col("c_custkey") % 17 != 3).select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    ins = old.filter(F.col("c_custkey") % 23 == 5).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("ins_"), F.col("c_custkey").cast("string")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    new = surv.unionByName(ins)
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer")
+    return (
+        joined.filter(
+            F.col("n.c_custkey").isNull()
+            | F.col("o.c_custkey").isNull()
+            | (F.col("o.c_acctbal") != F.col("n.c_acctbal"))
+            | (F.col("o.c_name") != F.col("n.c_name"))
+        )
+        .select(
+            F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey")).alias("c_custkey"),
+            F.when(F.col("n.c_custkey").isNull(), "D")
+            .when(F.col("o.c_custkey").isNull(), "I")
+            .otherwise("U")
+            .alias("op"),
+            F.col("o.c_acctbal").alias("old_acctbal"),
+            F.col("n.c_acctbal").alias("new_acctbal"),
+        )
+        .transform(pin)
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-13 companion: event-sequence transition matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q118_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    ),
+    totals AS (
+        SELECT prev_type, SUM(n) AS row_total FROM pairs GROUP BY prev_type
+    )
+    SELECT p.prev_type, p.next_type, p.n,
+           ROUND(CAST(p.n AS DOUBLE) / t.row_total, 6) AS p_next
+    FROM pairs p JOIN totals t USING (prev_type)
+    ORDER BY prev_type, next_type
+    """,
+    tags=("X-13", "W-02"),
+)
+def q118_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order Markov counts +
+    probabilities) over per-user event sequences — the behavioral model
+    behind next-action prediction features and funnel design. Ties in the
+    per-user order are broken by event_id so the lag sequence is a total
+    order; probabilities divide exact counts.
+
+    Scale shape: one shuffle on user_id for the lag window, then a
+    map-side-combined aggregate onto the tiny (prev, next) key space; row
+    totals broadcast back. Never a self-join of events with itself."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias("p_next"),
+        )
+        .transform(pin)
+        .orderBy("prev_type", "next_type")
+    )

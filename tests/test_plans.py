@@ -359,3 +359,21 @@ def test_count_min_sketch_probe_broadcasts_cells(spark):
     q = all_queries()["q115_count_min_sketch"]
     plan = plan_of(q.fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_snapshot_diff_is_single_full_outer_join(spark):
+    """q117: the changelog costs exactly one full-outer join on the key —
+    no row-hash pass, no second scan pair beyond old/new."""
+    q = all_queries()["q117_snapshot_diff"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "FullOuter" in plan, plan
+
+
+def test_transition_matrix_no_self_join(spark):
+    """q118: lag window + aggregate — events never self-joins; row totals
+    come back as a broadcast."""
+    q = all_queries()["q118_transition_matrix"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert "Window" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
