@@ -65,18 +65,24 @@ def q113_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, exact distinct count, and typed min/max (numeric columns fill
     min_num/max_num, string/timestamp columns min_str/max_str).
 
-    Scale shape: ONE scan computes every per-column aggregate in a single
-    wide partial+final hash aggregate (the multi-count-distinct plans as
-    one Expand, cost ~n_cols compact rows per input row in the shuffle,
-    each carrying only that column's value); the wide 1-row result is then
-    exploded into the per-column report ON THE DRIVER-SIDE-SIZED relation,
-    not the fact table. At 100 TB swap COUNT(DISTINCT) for
-    approx_count_distinct and the same plan drops the Expand entirely."""
+    Scale shape: TWO scans, each with the aggregate strategy it wants.
+    Scan 1 computes counts/nulls/min/max in one ungrouped partial+final
+    aggregate (no Expand, no sort — grouping-free SortAggregate never
+    sorts). Scan 2 computes the 11 exact distinct counts via the
+    multi-distinct Expand rewrite, which stays in HashAggregate because
+    its buffers are pure counts. Mixing them into one aggregate (measured)
+    forces the WHOLE Expand through a grouped SortAggregate — the string
+    min/max buffers disqualify hash aggregation — sorting n_cols x rows:
+    22.5 s vs 2.9 s at sf0.1. The two 1-row results cross-join and explode
+    into the per-column report on the driver-sized relation. At 100 TB
+    swap COUNT(DISTINCT) for approx_count_distinct and scan 2 folds into
+    scan 1 (HLL buffers are hash-aggregable)."""
     li = load(spark, sf_dir, "lineitem")
     aggs = [F.count(F.lit(1)).alias("_n")]
+    dist_aggs = []
     for c, kind in _PROFILE_COLS:
         aggs.append((F.count(F.lit(1)) - F.count(F.col(c))).alias(f"{c}__nn"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__nd"))
+        dist_aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__nd"))
         if kind == "num":
             aggs.append(F.min(c).cast("double").alias(f"{c}__mn"))
             aggs.append(F.max(c).cast("double").alias(f"{c}__mx"))
@@ -84,7 +90,7 @@ def q113_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             expr = F.col(c).cast("string") if kind == "ts" else F.col(c)
             aggs.append(F.min(expr).alias(f"{c}__ms"))
             aggs.append(F.max(expr).alias(f"{c}__xs"))
-    wide = li.agg(*aggs)
+    wide = li.agg(*aggs).crossJoin(F.broadcast(li.agg(*dist_aggs)))
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
     structs = []
@@ -188,6 +194,31 @@ _CMS_D = 4  #: hash rows
 _CMS_W = 64  #: counters per row
 
 
+def cms_cells(df: DataFrame, key_col: str) -> DataFrame:
+    """Build the CMS cell relation (i, cell, c) for a key column — the
+    mergeable core of q115: cells from disjoint shards / micro-batches ADD
+    (certified by tests/test_streaming.py's stream-merge test and, for the
+    probe path, by the q115 hash)."""
+    return (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            (hash64(f"cms{i}", F.col(key_col)) % _CMS_W).alias("cell"),
+                        )
+                        for i in range(_CMS_D)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .groupBy("i", "cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def _cms_hash_sql(i: str, key: str) -> str:
     """DuckDB twin of operators.dedup.hash64(f'cms{i}', key) % W."""
     return (
@@ -230,24 +261,7 @@ def q115_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe joins the (tiny) key list against the 256-cell relation as a
     broadcast. Nothing driver-side."""
     ev = load(spark, sf_dir, "events").select("event_type")
-    cells = (
-        ev.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("i"),
-                            (hash64(f"cms{i}", F.col("event_type")) % _CMS_W).alias("cell"),
-                        )
-                        for i in range(_CMS_D)
-                    ]
-                )
-            ).alias("s")
-        )
-        .select("s.*")
-        .groupBy("i", "cell")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    cells = cms_cells(ev, "event_type")
     keys = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
     probes = keys.select(
         "event_type",

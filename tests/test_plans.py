@@ -344,13 +344,17 @@ def test_time_range_window_single_user_shuffle(spark):
     assert "Join" not in plan, plan
 
 
-def test_column_profile_is_single_scan(spark):
-    """q113: the whole per-column profile comes from ONE lineitem scan (a
-    single wide aggregate + Expand for the multi-count-distinct), never a
-    scan per column."""
+def test_column_profile_is_two_scans_hash_distinct(spark):
+    """q113: the whole per-column profile costs exactly TWO lineitem scans
+    (never one per column): min/max/nulls in one ungrouped aggregate, the
+    multi-count-distinct Expand in a second — kept separate so the distinct
+    rewrite stays in HashAggregate instead of dragging the whole Expand
+    through a grouped SortAggregate (measured 8x at sf0.1)."""
     q = all_queries()["q113_column_profile"]
     plan = plan_of(q.fn(spark, SF_DIR), "simple")
-    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("Expand") == 1, plan
+    assert "HashAggregate" in plan, plan
 
 
 def test_count_min_sketch_probe_broadcasts_cells(spark):

@@ -422,3 +422,38 @@ def test_sessionize_stream_equals_batch(spark, tmpdir):
     want = sessionize_events(ev, 30)
     cols = ["user_id", "session_idx", "n_events", "session_start", "duration_us"]
     assert as_sorted_rows(got, cols) == as_sorted_rows(want, cols)
+
+
+def test_cms_cells_merge_across_microbatches(spark, tmpdir):
+    """A-15 mergeability, streaming form: Count-Min cells built per
+    micro-batch and SUMMED across batches must equal the cells built over
+    the whole table in one pass — the property that lets a streaming
+    pipeline maintain a frequency sketch incrementally (same statement
+    q114 makes for exact aggregates and q90 for HLL)."""
+    from collections import Counter
+
+    from bigdata_streaming_absa_vehicle_spark.queries.profiling import cms_cells
+    from bigdata_streaming_absa_vehicle_spark.tables import load
+
+    merged: Counter = Counter()
+
+    def fn(batch_df, _bid):
+        for r in cms_cells(batch_df.select("event_type"), "event_type").collect():
+            merged[(r.i, r.cell)] += r.c
+
+    stream = events_stream(spark, SF_DIR, f"{tmpdir}/stage", n_files=5)
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    whole = {
+        (r.i, r.cell): r.c
+        for r in cms_cells(
+            load(spark, SF_DIR, "events").select("event_type"), "event_type"
+        ).collect()
+    }
+    assert dict(merged) == whole
