@@ -21,3 +21,4 @@ from . import features  # noqa: E402,F401
 from . import tpch_extra  # noqa: E402,F401
 from . import profiling  # noqa: E402,F401
 from . import lakehouse  # noqa: E402,F401
+from . import diagnostics  # noqa: E402,F401

@@ -1,0 +1,232 @@
+"""Pipeline-diagnostics query surface (SURVEY.md §2K extension X-14): the
+pre-flight checks a 100 TB pipeline runs BEFORE committing to an expensive
+plan — join fan-out profiling (will this join explode?), population-stability
+drift between time periods (has the feature distribution moved?), and BPE
+merge-pair counting (the first tokenizer-training iteration).
+
+Deterministic: integer counts everywhere; the few double expressions (skew
+ratio, PSI terms) are IEEE-identical operand-for-operand in both engines,
+rounded at 6 dp, and summed through exact decimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.ordering import pin
+from ..tables import load
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# X-14: join fan-out profile (explosion detector)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q119_join_fanout_profile",
+    oracle="""
+    WITH cl AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY k),
+    cr AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY k),
+    j AS (
+        SELECT COALESCE(cl.c, 0) AS c_l, COALESCE(cr.c, 0) AS c_r
+        FROM cl FULL OUTER JOIN cr USING (k)
+    )
+    SELECT COUNT(*) AS n_keys,
+           COUNT(*) FILTER (c_l > 0 AND c_r > 0) AS n_keys_both,
+           MAX(c_l) AS max_fanout_l,
+           MAX(c_r) AS max_fanout_r,
+           CAST(SUM(c_l * c_r) AS BIGINT) AS est_join_rows,
+           ROUND(CAST(MAX(c_l * c_r) AS DOUBLE)
+                 / (CAST(SUM(c_l * c_r) AS DOUBLE) / COUNT(*)), 6) AS hot_key_ratio
+    FROM j
+    """,
+    tags=("X-14", "A-01"),
+)
+def q119_join_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join fan-out profile — the explosion detector run BEFORE a big join:
+    per-key multiplicities on both sides, their maxima, the exact output
+    cardinality the equi-join would produce (sum over keys of c_l*c_r), and
+    how much of it the single hottest key contributes relative to the mean
+    (the salting decision input, complementing q88's single-table heavy
+    hitters).
+
+    Scale shape: each side collapses to (key, count) via map-side combine
+    BEFORE anything joins — the profile join moves two 16-byte relations,
+    never fact payloads, and is itself co-partitioned on the key. At
+    100 TB this costs two aggregates + one compact join versus discovering
+    the explosion mid-shuffle."""
+    cl = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c_l"))
+    )
+    cr = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c_r"))
+    )
+    j = cl.join(cr, "k", "full_outer").select(
+        F.coalesce("c_l", F.lit(0)).alias("c_l"),
+        F.coalesce("c_r", F.lit(0)).alias("c_r"),
+    )
+    prod = F.col("c_l") * F.col("c_r")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.count(F.when((F.col("c_l") > 0) & (F.col("c_r") > 0), 1)).alias("n_keys_both"),
+        F.max("c_l").alias("max_fanout_l"),
+        F.max("c_r").alias("max_fanout_r"),
+        F.sum(prod).cast("bigint").alias("est_join_rows"),
+        F.round(
+            F.max(prod).cast("double") / (F.sum(prod).cast("double") / F.count(F.lit(1))),
+            6,
+        ).alias("hot_key_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-14: population stability index (distribution drift)
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT = "2024-01-15"  #: period A = before, period B = on/after
+_PSI_BINS = 10
+_PSI_WIDTH = 33  #: value in [0, 327.53] -> floor(value/33) in 0..9
+
+
+@query(
+    "q120_psi_drift",
+    oracle=f"""
+    WITH binned AS (
+        SELECT CAST(FLOOR(value / {_PSI_WIDTH}) AS INT) AS bin,
+               CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 'a' ELSE 'b' END AS period
+        FROM events
+    ),
+    counts AS (
+        SELECT bin,
+               COUNT(*) FILTER (period = 'a') AS n_a,
+               COUNT(*) FILTER (period = 'b') AS n_b
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_a) AS DOUBLE) AS t_a, CAST(SUM(n_b) AS DOUBLE) AS t_b,
+               COUNT(*) AS k
+        FROM counts
+    ),
+    terms AS (
+        SELECT bin, n_a, n_b,
+               ROUND(((n_a + 1) / (t_a + k) - (n_b + 1) / (t_b + k))
+                     * ln(((n_a + 1) / (t_a + k)) / ((n_b + 1) / (t_b + k))), 6) AS psi_term
+        FROM counts, tot
+    )
+    SELECT bin, n_a, n_b, psi_term,
+           CAST(SUM(CAST(psi_term AS DECIMAL(28,6))) OVER () AS DOUBLE) AS psi_total
+    FROM terms
+    ORDER BY bin
+    """,
+    tags=("X-14", "A-06"),
+)
+def q120_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two time periods of the value
+    distribution — the drift monitor that decides whether a feature (or a
+    training corpus slice) still looks like what the model saw. Counts per
+    fixed-width bin per period, Laplace-smoothed shares ((n+1)/(total+k),
+    so empty bins never divide by zero), per-bin PSI terms at 6 dp, and
+    the decimal-exact total replicated on every row (PSI < 0.1 ~ stable,
+    > 0.25 ~ drifted).
+
+    Scale shape: one scan, one map-side-combined aggregate onto ~10 bins
+    with the period split folded into conditional counts; totals join back
+    as a broadcast of a 1-row relation. The window-SUM for psi_total runs
+    over 10 rows."""
+    ev = load(spark, sf_dir, "events").select(
+        F.floor(F.col("value") / _PSI_WIDTH).cast("int").alias("bin"),
+        (F.col("ts") < _PSI_SPLIT).alias("is_a"),
+    )
+    counts = ev.groupBy("bin").agg(
+        F.count(F.when(F.col("is_a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("is_a"), 1)).alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").cast("double").alias("t_a"),
+        F.sum("n_b").cast("double").alias("t_b"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    p_a = (F.col("n_a") + 1) / (F.col("t_a") + F.col("k"))
+    p_b = (F.col("n_b") + 1) / (F.col("t_b") + F.col("k"))
+    terms = counts.join(F.broadcast(tot)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round((p_a - p_b) * F.log(p_a / p_b), 6).alias("psi_term"),
+    )
+    from pyspark.sql.window import Window
+
+    return (
+        terms.withColumn(
+            "psi_total",
+            F.sum(F.col("psi_term").cast("decimal(28,6)"))
+            .over(Window.partitionBy())
+            .cast("double"),
+        )
+        .transform(pin)
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-14: BPE merge-pair counting (tokenizer training step)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q121_bpe_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS pair
+        FROM tok WHERE len(tk) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+    tags=("X-14", "X-06"),
+)
+def q121_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-pair counting — the inner loop of tokenizer training: count
+    every adjacent token pair across the corpus and surface the top
+    candidates for the next merge (q81's vocabulary builds the alphabet;
+    this ranks the merges). Ties break on the pair string so the top-20 is
+    a total order.
+
+    Scale shape: pair construction is a JVM higher-order transform over
+    the token array (map-only, no posexplode self-join); the count is a
+    map-side-combined aggregate on the pair string; ORDER BY+LIMIT plans
+    TakeOrderedAndProject — no global sort of the pair space."""
+    from ..operators.dedup import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    tk = tokens("text")
+    pairs = (
+        docs.select(tk.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("tk", i), F.element_at("tk", i + 1)
+                    ),
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )

@@ -381,3 +381,21 @@ def test_transition_matrix_no_self_join(spark):
     assert "Window" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_join_fanout_profile_joins_counts_not_facts(spark):
+    """q119: both sides collapse to (key, count) BEFORE the profile join —
+    the join's input aggregates sit below it in the plan, and no fact
+    payload column (o_custkey, l_quantity, ...) survives into the join."""
+    q = all_queries()["q119_join_fanout_profile"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    join_line = next(l for l in plan.splitlines() if "Join" in l and "FullOuter" in l)
+    assert "o_custkey" not in join_line and "l_quantity" not in join_line, plan
+
+
+def test_bpe_pairs_top_k_not_global_sort(spark):
+    """q121: the top-20 merge candidates plan as TakeOrderedAndProject —
+    the pair space is never globally sorted."""
+    q = all_queries()["q121_bpe_pairs"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
