@@ -45,7 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     tables._canonical_timestamps (dtype-branching loader).
 #   - Round 4 (this file): tiered re-certification on the fixed loader, see
 #     the tier comments inside _WINDOW_PRIORITY below.  Queries added in
-#     round 4 (q100-q121: features/tpch_extra/profiling/lakehouse/
+#     round 4 (q100-q123: features/tpch_extra/profiling/lakehouse/
 #     diagnostics modules) sit past the window on pytest-oracle evidence at
 #     sf0.01 and take first rotation priority in round 5.
 _WINDOW_PRIORITY = (

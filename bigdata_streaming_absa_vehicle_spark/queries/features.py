@@ -460,3 +460,95 @@ def q106_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("c_custkey", "version")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-09: time-series resample + forward fill
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q123_resample_ffill",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    daily AS (SELECT user_id, day, value FROM obs WHERE rn = 1),
+    grid AS (
+        SELECT u.user_id, g.day
+        FROM (SELECT DISTINCT user_id FROM events) u,
+             (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                            INTERVAL 1 DAY))::DATE AS day) g
+    )
+    SELECT g.user_id, CAST(g.day AS VARCHAR) AS day,
+           last_value(d.value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+           CASE WHEN d.value IS NULL THEN 0 ELSE 1 END AS observed
+    FROM grid g LEFT JOIN daily d USING (user_id, day)
+    ORDER BY user_id, day
+    """,
+    tags=("X-09", "W-03"),
+)
+def q123_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to a daily grid with forward fill — the
+    gap-filling step that turns irregular event streams into the regular
+    per-entity feature matrix a model trains on: one row per (user, day)
+    for the full month, carrying the day's LAST observed value (ties
+    broken by event_id) forward across unobserved days.
+
+    Scale shape: the daily last-observation is a per-(user, day) window
+    (one shuffle); the calendar grid is a LITERAL 30-element array
+    exploded against the distinct-user relation (never a range join); the
+    fill is one more per-user window pass. Rows out = users x days —
+    dense, but that IS the deliverable feature matrix; nothing
+    intermediate exceeds it."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    w_rn = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    daily = (
+        ev.select("user_id", day.alias("day"), "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01").cast("date"),
+                    F.lit("2024-01-30").cast("date"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("day"),
+        )
+    )
+    w_ff = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            # string label: DuckDB DATE round-trips to pandas as midnight
+            # datetime, so a typed date column can never hash-match — the
+            # grid label is the portable form
+            F.col("day").cast("string").alias("day"),
+            F.last("value", ignorenulls=True).over(w_ff).alias("value_ffill"),
+            F.when(F.col("value").isNull(), 0).otherwise(1).alias("observed"),
+        )
+        .transform(pin)
+        .orderBy("user_id", "day")
+    )

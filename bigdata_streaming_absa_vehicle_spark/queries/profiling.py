@@ -285,3 +285,84 @@ def q115_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-11 companion: correlation matrix from exact moments
+# ---------------------------------------------------------------------------
+
+#: numeric lineitem columns correlated pairwise (all 2-dp doubles, so their
+#: sums and cross-products are exact in decimal at scale 4)
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_oracle() -> str:
+    sums = ["COUNT(*) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS s_{c}")
+        sums.append(
+            f"CAST(SUM(CAST({c} AS DECIMAL(18,2)) * CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS ss_{c}"
+        )
+    pairs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            sums.append(
+                f"CAST(SUM(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2))) AS DOUBLE)"
+                f" AS sp_{a}_{b}"
+            )
+            pairs.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, n,"
+                f" ROUND((n * sp_{a}_{b} - s_{a} * s_{b})"
+                f" / sqrt((n * ss_{a} - s_{a} * s_{a}) * (n * ss_{b} - s_{b} * s_{b})), 6) AS r"
+                f" FROM m"
+            )
+    return (
+        "WITH m AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(pairs)
+        + "\nORDER BY col_a, col_b"
+    )
+
+
+@query("q122_correlation_matrix", oracle=_corr_oracle(), tags=("X-11", "A-08"))
+def q122_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the numeric fact columns,
+    computed from EXACT decimal moments (sums, squares, cross-products) in
+    one scan — the feature-redundancy screen run before model training.
+    The r formula then runs in IEEE double on identical operands in both
+    engines; summation order cannot flake it because every sum is decimal.
+
+    Scale shape: ONE ungrouped partial+final aggregate produces all 14
+    moments (map-side combined, 1 row crosses the exchange); the 6-pair
+    matrix explodes from that single row. This is also how you'd compute
+    it incrementally: the moments are A-14-mergeable partials."""
+    li = load(spark, sf_dir, "lineitem")
+    d = {c: F.col(c).cast("decimal(18,2)") for c in _CORR_COLS}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(d[c]).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(d[c] * d[c]).cast("double").alias(f"ss_{c}"))
+    pair_list = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            aggs.append(F.sum(d[a] * d[b]).cast("double").alias(f"sp_{a}_{b}"))
+            pair_list.append((a, b))
+    wide = li.agg(*aggs)
+    n = F.col("n")
+    structs = []
+    for a, b in pair_list:
+        sa, sb = F.col(f"s_{a}"), F.col(f"s_{b}")
+        ssa, ssb = F.col(f"ss_{a}"), F.col(f"ss_{b}")
+        sp = F.col(f"sp_{a}_{b}")
+        r = F.round(
+            (n * sp - sa * sb) / F.sqrt((n * ssa - sa * sa) * (n * ssb - sb * sb)), 6
+        )
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_a"), F.lit(b).alias("col_b"), n.alias("n"), r.alias("r")
+            )
+        )
+    return (
+        wide.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
+        .orderBy("col_a", "col_b")
+    )
