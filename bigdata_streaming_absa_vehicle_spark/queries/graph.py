@@ -1,0 +1,113 @@
+"""Graph-analytics query surface (SURVEY.md §2K extension X-15): PageRank
+with fixed unrolled iterations — the iterative NUMERIC twin of the
+connected-components operator (q78 certifies iterative label propagation;
+this certifies iterative float computation with engine-exact determinism).
+
+The graph is an md5-derived benchmark graph over the documents table (each
+doc links to 3 pseudo-random neighbors, operators/dedup.hash64 family) so
+the oracle can generate the identical edges in SQL; the OPERATOR — join
+contributions on src, decimal-exact sum per dst, damped update, repeat — is
+the deliverable and is graph-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.ordering import pin
+from ..operators.dedup import hash64, oracle_hash64
+from ..tables import load
+from .registry import query
+
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+_PR_FANOUT = 3  #: deterministic out-links per node
+
+
+def _pr_oracle() -> str:
+    edge_sel = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {oracle_hash64(f'pr{j}', 'CAST(doc_id AS VARCHAR)')} % n AS dst"
+        f" FROM documents, nn"
+        for j in range(_PR_FANOUT)
+    )
+    it_cte = ""
+    prev = "p0"
+    for it in range(1, _PR_ITERS + 1):
+        it_cte += f""",
+    s{it} AS (
+        SELECT e.dst AS doc_id,
+               CAST(SUM(CAST({prev}.pr / e.outdeg AS DECIMAL(28,18))) AS DOUBLE) AS s
+        FROM edges e JOIN {prev} ON e.src = {prev}.doc_id
+        GROUP BY e.dst
+    ),
+    p{it} AS (
+        SELECT n.doc_id,
+               ROUND(CAST({1 - _PR_DAMP!r} AS DOUBLE) / nn.n
+                     + CAST({_PR_DAMP!r} AS DOUBLE) * COALESCE(s{it}.s, 0.0), 12) AS pr
+        FROM (SELECT doc_id FROM documents) n
+        LEFT JOIN s{it} USING (doc_id), nn
+    )"""
+        prev = f"p{it}"
+    return f"""
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    raw_edges AS ({edge_sel}),
+    dedup_edges AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
+    edges AS (
+        SELECT src, dst, COUNT(*) OVER (PARTITION BY src) AS outdeg
+        FROM dedup_edges
+    ),
+    p0 AS (
+        SELECT doc_id, ROUND(CAST(1.0 AS DOUBLE) / nn.n, 12) AS pr FROM documents, nn
+    ){it_cte}
+    SELECT doc_id, pr FROM {prev} ORDER BY doc_id
+    """
+
+
+@query("q124_pagerank", oracle=_pr_oracle(), tags=("X-15", "X-02"))
+def q124_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, {it} fixed iterations, damping {d}: contributions join on
+    src, per-dst sums go through exact decimal (summation order cannot
+    flake the hash), the damped update rounds to 12 dp so the next
+    iteration's operands are bit-identical in both engines. Dangling mass
+    is dropped (both engines identically) — the standard simplification
+    for fixed-iteration benchmarks.
+
+    Scale shape: each iteration is ONE join of the edge list against the
+    current rank vector (both keyed by node id — co-partitionable, and at
+    100 TB you bucket both by node id so iterations are shuffle-free)
+    plus a map-side-combined per-dst aggregate; rank vectors stay
+    O(nodes). Lineage grows linearly with iterations — a production loop
+    localCheckpoints every few rounds exactly like
+    operators/components.py; 3 unrolled rounds stay shallow on purpose so
+    the oracle can mirror them.""".format(it=_PR_ITERS, d=_PR_DAMP)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # bounded metadata (node count), not a data collect
+    raw = None
+    for j in range(_PR_FANOUT):
+        e = docs.select(
+            F.col("doc_id").alias("src"),
+            (hash64(f"pr{j}", F.col("doc_id").cast("string")) % n).alias("dst"),
+        )
+        raw = e if raw is None else raw.unionByName(e)
+    edges = raw.filter(F.col("src") != F.col("dst")).distinct()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges = edges.join(outdeg, "src")
+    p = docs.select("doc_id", F.round(F.lit(1.0) / n, 12).alias("pr"))
+    for _ in range(_PR_ITERS):
+        contrib = edges.join(p, edges.src == p.doc_id).select(
+            F.col("dst").alias("doc_id"),
+            (F.col("pr") / F.col("outdeg")).cast("decimal(28,18)").alias("c"),
+        )
+        sums = contrib.groupBy("doc_id").agg(F.sum("c").cast("double").alias("s"))
+        p = docs.join(sums, "doc_id", "left").select(
+            "doc_id",
+            # literals mirror the oracle's explicit DOUBLE casts: DuckDB
+            # parses bare 0.85 as DECIMAL and decimal/double mixing would
+            # diverge in the last bits
+            F.round(
+                F.lit(1 - _PR_DAMP) / n + F.lit(_PR_DAMP) * F.coalesce("s", F.lit(0.0)),
+                12,
+            ).alias("pr"),
+        )
+    return p.transform(pin).orderBy("doc_id")
