@@ -66,7 +66,7 @@ def _pr_oracle() -> str:
 
 @query("q124_pagerank", oracle=_pr_oracle(), tags=("X-15", "X-02"))
 def q124_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank, {it} fixed iterations, damping {d}: contributions join on
+    """PageRank, 3 fixed iterations, damping 0.85: contributions join on
     src, per-dst sums go through exact decimal (summation order cannot
     flake the hash), the damped update rounds to 12 dp so the next
     iteration's operands are bit-identical in both engines. Dangling mass
@@ -80,7 +80,7 @@ def q124_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(nodes). Lineage grows linearly with iterations — a production loop
     localCheckpoints every few rounds exactly like
     operators/components.py; 3 unrolled rounds stay shallow on purpose so
-    the oracle can mirror them.""".format(it=_PR_ITERS, d=_PR_DAMP)
+    the oracle can mirror them."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()  # bounded metadata (node count), not a data collect
     raw = None
