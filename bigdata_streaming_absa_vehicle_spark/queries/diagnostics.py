@@ -193,7 +193,7 @@ def q120_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n DESC, pair
     LIMIT 20
     """,
-    tags=("X-14", "X-06"),
+    tags=("X-14",),
 )
 def q121_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-pair counting — the inner loop of tokenizer training: count

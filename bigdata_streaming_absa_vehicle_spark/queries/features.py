@@ -16,7 +16,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.deterministic import dsum, oracle_dsum as odsum
 from ..functions.ordering import pin
 from ..tables import load
 from .registry import query

@@ -887,7 +887,7 @@ def _vocab(docs: DataFrame, top_n: int = 1000) -> DataFrame:
     WHERE token_id <= 1000
     ORDER BY token_id
     """,
-    tags=("X-04", "A-04"),
+    tags=("X-06", "X-04", "A-04"),
 )
 def q81_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary building — the tokenizer-training primitive: term and
@@ -914,7 +914,7 @@ def q81_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM enc GROUP BY doc_id
     ORDER BY doc_id
     """,
-    tags=("X-04", "D-05"),
+    tags=("X-06", "X-04", "D-05"),
 )
 def q82_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-id encoding — the text -> int sequence step every training run

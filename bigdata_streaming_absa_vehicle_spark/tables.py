@@ -62,6 +62,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     _ship_package(spark)
+    # Harmless no-op on Spark 4.1+ (which reads TIMESTAMP(NANOS) natively),
+    # but required for a VANILLA session on Spark <= 4.0 to read
+    # events.parquet at all — without it the scan throws PARQUET_TYPE_ILLEGAL
+    # before the dtype branch in _canonical_timestamps can run.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     df = _canonical_timestamps(df, name)
     return df

@@ -2,8 +2,10 @@
 executed on Spark and on DuckDB over the same parquet tables and compared
 exactly (after canonicalization). Mirrors the driver's CORRECTNESS check.
 
-Runs at sf0.001 by default for speed; set SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01
-to run at the driver's oracle scale.
+Runs at sf0.01 by default — the driver's own oracle scale — so a green run
+is evidence at the scale the driver checks. Set
+SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.001 for a faster smoke pass while
+iterating.
 """
 
 from __future__ import annotations
@@ -16,7 +18,7 @@ from bigdata_streaming_absa_vehicle_spark.queries import all_queries
 
 from conftest import assert_frames_match, duck_sql
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 SPECS = all_queries()
 

