@@ -23,3 +23,4 @@ from . import profiling  # noqa: E402,F401
 from . import lakehouse  # noqa: E402,F401
 from . import diagnostics  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
+from . import training  # noqa: E402,F401

@@ -118,3 +118,128 @@ def q99_group_having_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     the HAVING is exact (integer-valued doubles); the output quantity sum
     takes the decimal detour. Tie-break: (o_totalprice DESC, o_orderkey)."""
     return _run_sql(spark, sf_dir, _Q99_SQL, ("customer", "orders", "lineitem"))
+
+
+#: TPC-H Q2 shape on the driver schema (no partsupp table, so the
+#: part-supplier "supply" relation is DISTINCT (l_partkey, l_suppkey) pairs
+#: from lineitem with unit cost l_extendedprice / l_quantity).
+_Q125_SQL = """
+    WITH supply AS (
+        SELECT DISTINCT l.l_partkey, l.l_suppkey,
+               s.s_name, s.s_acctbal, n.n_name,
+               l.l_extendedprice / l.l_quantity AS unit_cost
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT DISTINCT p.p_partkey, p.p_name, sp.s_name, sp.n_name,
+           ROUND(sp.s_acctbal, 6) AS s_acctbal,
+           ROUND(sp.unit_cost, 6) AS unit_cost
+    FROM part p
+    JOIN supply sp ON sp.l_partkey = p.p_partkey
+    WHERE p.p_size <= 10
+      AND p.p_type = 'LARGE'
+      AND sp.unit_cost = (
+        SELECT MIN(sp2.unit_cost) FROM supply sp2
+        WHERE sp2.l_partkey = p.p_partkey)
+    ORDER BY s_acctbal DESC, sp.n_name, sp.s_name, p.p_partkey
+    LIMIT 100
+"""
+
+
+@query("q125_tpch_q2_min_cost_supplier", oracle=_Q125_SQL, tags=("SQ-02", "J-03"))
+def q125_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each small LARGE-type
+    part, the EUROPE suppliers whose unit cost equals the part's regional
+    minimum — a correlated scalar MIN subquery over a four-way star join,
+    correlated through the OUTER relation's key.
+
+    Catalyst decorrelates the MIN into one aggregate over the supply CTE
+    joined back on partkey; the CTE is planned once per consumer with the
+    region/nation joins BROADCAST (25/5 rows), so the only large shuffles
+    are the partkey aggregations. The per-row unit-cost division is IEEE-
+    identical in both engines, and MIN over doubles is order-independent,
+    so the equality predicate is exact. Tie-break (acctbal DESC, nation,
+    supplier, partkey) makes the LIMIT deterministic."""
+    return _run_sql(
+        spark, sf_dir, _Q125_SQL, ("lineitem", "supplier", "nation", "region", "part")
+    )
+
+
+#: TPC-H Q15 shape: top supplier(s) by quarterly revenue via a CTE reused by
+#: both the projection and the scalar MAX subquery.
+_Q128_SQL = f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL({_PRECISION},6))) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+"""
+
+
+@query("q128_tpch_q15_top_supplier", oracle=_Q128_SQL, tags=("SQ-02", "A-01"))
+def q128_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) whose one-quarter revenue
+    equals the global maximum — an uncorrelated scalar MAX subquery over a
+    shared CTE (TPC-H's CREATE VIEW form).
+
+    The revenue CTE aggregates shipdate-pruned lineitem once per consumer
+    on the 8-byte suppkey; the MAX side reduces to ONE row broadcast into
+    the filter, and the supplier join is a broadcast too — so the whole
+    query is one keyed shuffle plus two broadcasts. The revenue sum takes
+    the decimal detour, making the MAX-equality exact across engines."""
+    return _run_sql(spark, sf_dir, _Q128_SQL, ("lineitem", "supplier"))
+
+
+#: TPC-H Q21 shape (no l_commitdate/l_receiptdate: "late" = shipped >60 days
+#: after the order date; no multi-line odd suppliers needed beyond that).
+_Q130_SQL = """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE n.n_name = 'NATION_3'
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+"""
+
+
+@query("q130_tpch_q21_waiting_supplier", oracle=_Q130_SQL, tags=("SQ-01", "J-05", "J-06"))
+def q130_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): NATION_3 suppliers who
+    shipped late on a finished multi-supplier order where NO other supplier
+    was also late — the hardest decorrelation in the TPC-H suite: a
+    correlated EXISTS and a correlated NOT EXISTS on the same relation.
+
+    Catalyst plans EXISTS as a left-semi and NOT EXISTS as a left-anti
+    join, both shuffled on the same 8-byte l_orderkey as the orders join —
+    three same-key shuffles that AQE coalesces off one exchange, no per-row
+    subquery execution (plan-asserted for the family). The late predicate
+    is a pure timestamp comparison, deterministic in both engines; the
+    nation filter broadcasts through supplier."""
+    return _run_sql(spark, sf_dir, _Q130_SQL, ("supplier", "nation", "lineitem", "orders"))

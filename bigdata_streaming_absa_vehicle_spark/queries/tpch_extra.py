@@ -349,3 +349,170 @@ def q112_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "q126_tpch_q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS supp_nation, l_year,
+           {odsum('l_extendedprice * (1 - l_discount) - p_retailprice * 0.08 * l_quantity', 6)}
+               AS profit,
+           COUNT(*) AS n_lineitems
+    FROM (
+        SELECT n.n_name, year(o.o_orderdate) AS l_year,
+               l.l_extendedprice, l.l_discount, l.l_quantity, p.p_retailprice
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%gear%'
+    )
+    GROUP BY supp_nation, l_year
+    ORDER BY supp_nation, l_year DESC
+    """,
+    tags=("J-03", "A-01"),
+)
+def q126_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): per-nation, per-year profit on one
+    part family. The testdata has no partsupp, so supply cost is the
+    deterministic proxy p_retailprice * 0.08 (per-row IEEE math, identical
+    in both engines); the profit sum takes the decimal detour.
+
+    Scale shape: the p_name LIKE filter prunes part BEFORE its join —
+    Catalyst pushes it to the scan, and the filtered dim (plus supplier and
+    nation) broadcasts, so the only big shuffle is lineitem->orders on the
+    8-byte orderkey. year() stays in codegen; two-column group key."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").alias("l_year"),
+        )
+        .agg(
+            dsum_expr(
+                "l_extendedprice * (1 - l_discount) - p_retailprice * 0.08 * l_quantity", 6
+            ).alias("profit"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .transform(pin)
+        .orderBy(F.col("supp_nation"), F.col("l_year").desc())
+    )
+
+
+@query(
+    "q127_tpch_q12_priority_class",
+    oracle="""
+    SELECT l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("J-01", "A-01"),
+)
+def q127_tpch_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-priority classes): one year of lineitems bucketed
+    by return flag (the testdata's stand-in for l_shipmode), counting
+    urgent/high-priority orders against the rest — the canonical
+    conditional-CASE aggregation over a fact-fact join.
+
+    Scale shape: the ship-date filter pushes to the lineitem scan (one year
+    of data read, PushedFilters-asserted for the family); the orders join
+    shuffles both sides on the 8-byte orderkey; both CASE-sums are map-side
+    combines, so 3 rows cross the final exchange. Integer sums are exact —
+    no decimal detour needed."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_returnflag")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .transform(pin)
+        .orderBy("ship_class")
+    )
+
+
+@query(
+    "q129_tpch_q16_supplier_count",
+    oracle="""
+    WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part
+    JOIN supply ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("J-06", "A-04"),
+)
+def q129_tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (supplier-relationship count): distinct suppliers able to
+    supply each qualifying (brand, type, size) bucket, excluding suppliers
+    with negative balances (the testdata's stand-in for the complaints NOT
+    IN subquery). No partsupp table, so the supply relation is DISTINCT
+    (l_partkey, l_suppkey) from lineitem.
+
+    Scale shape: the pair-distinct is one shuffle on a 16-byte composite
+    key; the exclusion list (negative-balance suppliers) is tiny and plans
+    as a BROADCAST anti join; part's brand/type/size filters push to its
+    scan and the filtered dim broadcasts. The final count-distinct shuffles
+    on the 3-column group key only."""
+    supply = (
+        load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#3")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_suppkey"))
+    )
+    return (
+        supply.join(
+            F.broadcast(bad_supp),
+            supply.l_suppkey == bad_supp.bad_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), supply.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .transform(pin)
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )

@@ -1,0 +1,366 @@
+"""Training-set assembly operators (SURVEY.md §2K extensions, X-16 / X-17):
+the steps between a cleaned corpus and a training run — temporal and
+group-aware train/val/test splitting with leakage accounting, deterministic
+per-key reservoir sampling, sequence-length bucketing for batch packing, and
+class-balance weighting.
+
+The reference app has none of these (its pipeline ends at Postgres inserts,
+e.g. consumer_postgres_streaming.py:120-135); they are declared engine
+surface for the 100 TB training-data use case. Everything is deterministic:
+splits are pure functions of (timestamp | md5(key)), sample priorities are
+md5 hashes, and the only double math is a final share/weight division whose
+operands are bit-identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.ordering import pin
+from ..tables import load
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# X-16: dataset splitting — temporal, with cross-split leakage accounting
+# ---------------------------------------------------------------------------
+
+_SPLIT_BOUNDS = ("2024-01-22", "2024-01-26")  # train < b0 <= val < b1 <= test
+
+
+@query(
+    "q131_temporal_split",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, ts,
+               CASE WHEN ts < TIMESTAMP '{_SPLIT_BOUNDS[0]}' THEN 'train'
+                    WHEN ts < TIMESTAMP '{_SPLIT_BOUNDS[1]}' THEN 'val'
+                    ELSE 'test' END AS split,
+               CASE WHEN ts < TIMESTAMP '{_SPLIT_BOUNDS[0]}' THEN 0
+                    WHEN ts < TIMESTAMP '{_SPLIT_BOUNDS[1]}' THEN 1
+                    ELSE 2 END AS split_rank
+        FROM events
+    ),
+    stats AS (
+        SELECT split, COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_users,
+               MIN(ts) AS min_ts, MAX(ts) AS max_ts
+        FROM base GROUP BY split
+    ),
+    user_splits AS (SELECT DISTINCT user_id, split, split_rank FROM base),
+    leak AS (
+        SELECT split, COUNT(*) AS n_leaked_users
+        FROM (
+            SELECT split, split_rank,
+                   MIN(split_rank) OVER (PARTITION BY user_id) AS first_rank
+            FROM user_splits
+        )
+        WHERE split_rank > first_rank
+        GROUP BY split
+    )
+    SELECT s.split, s.n_rows, s.n_users,
+           COALESCE(l.n_leaked_users, 0) AS n_leaked_users,
+           s.min_ts, s.max_ts
+    FROM stats s LEFT JOIN leak l ON s.split = l.split
+    ORDER BY s.split
+    """,
+    tags=("X-16", "A-04", "J-04"),
+)
+def q131_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/val/test split with leakage accounting: events are
+    assigned to splits by timestamp boundary, and each split reports how
+    many of its users ALSO appear in an earlier split — the cross-split
+    contamination a time-based split of user data must surface before
+    training (a user in both train and test leaks future behavior).
+
+    Scale shape: split assignment is a map-only CASE on the scan; the
+    per-split stats are one groupBy on a 3-value key; leakage needs one
+    shuffle on user_id (distinct (user, split) pairs, then a min-rank
+    window over each user's <=3 rows) — the fact payload never travels,
+    only (user_id, split_rank) pairs."""
+    b0, b1 = _SPLIT_BOUNDS
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    base = ev.withColumn(
+        "split",
+        F.when(F.col("ts") < b0, "train").when(F.col("ts") < b1, "val").otherwise("test"),
+    ).withColumn(
+        "split_rank",
+        F.when(F.col("ts") < b0, 0).when(F.col("ts") < b1, 1).otherwise(2),
+    )
+    stats = base.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+    user_splits = base.select("user_id", "split", "split_rank").distinct()
+    first = Window.partitionBy("user_id")
+    leak = (
+        user_splits.withColumn("first_rank", F.min("split_rank").over(first))
+        .filter(F.col("split_rank") > F.col("first_rank"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_leaked_users"))
+    )
+    return (
+        stats.join(F.broadcast(leak), "split", "left")
+        .select(
+            "split",
+            "n_rows",
+            "n_users",
+            F.coalesce("n_leaked_users", F.lit(0).cast("long")).alias("n_leaked_users"),
+            "min_ts",
+            "max_ts",
+        )
+        .transform(pin)
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-16: group-aware (hash-bucketed) split — every key wholly in one split
+# ---------------------------------------------------------------------------
+
+#: first hex nibble of md5(user_id) -> bucket 0..15; 12/2/2 train/val/test.
+_BUCKET_EXPR = "instr('0123456789abcdef', substr(md5(cast(user_id as {t})), 1, 1)) - 1"
+
+
+@query(
+    "q132_group_hash_split",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id,
+               {_BUCKET_EXPR.format(t='VARCHAR')} AS bucket
+        FROM events
+    ),
+    tagged AS (
+        SELECT user_id,
+               CASE WHEN bucket < 12 THEN 'train'
+                    WHEN bucket < 14 THEN 'val'
+                    ELSE 'test' END AS split,
+               bucket
+        FROM base
+    )
+    SELECT split, COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_users,
+           CAST(MIN(bucket) AS INT) AS min_bucket,
+           CAST(MAX(bucket) AS INT) AS max_bucket,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT user_id), 6)
+               AS events_per_user
+    FROM tagged
+    GROUP BY split
+    ORDER BY split
+    """,
+    tags=("X-16", "O-03"),
+)
+def q132_group_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split: the split is a pure function of
+    md5(user_id) (first hex nibble -> 16 buckets -> 12/2/2), so every
+    user's events land wholly in ONE split by construction — the
+    group-integrity guarantee a per-row random split cannot give, and the
+    standard way to keep a user's future interactions out of eval.
+
+    Scale shape: assignment is map-only (hash of the key, no state, no
+    join); reproducible across engines, runs, and backfills because the
+    hash replaces a seeded RNG. The stats aggregate shuffles once on the
+    3-value split key with distinct-user counting."""
+    bucket = F.expr(_BUCKET_EXPR.format(t="string"))
+    tagged = (
+        load(spark, sf_dir, "events")
+        .select("user_id")
+        .withColumn("bucket", bucket)
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 12, "train")
+            .when(F.col("bucket") < 14, "val")
+            .otherwise("test"),
+        )
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.min("bucket").cast("int").alias("min_bucket"),
+            F.max("bucket").cast("int").alias("max_bucket"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.count_distinct("user_id"), 6
+            ).alias("events_per_user"),
+        )
+        .transform(pin)
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-16: deterministic per-key reservoir sample (uniform A-res with md5 keys)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q133_reservoir_sample_per_key",
+    oracle="""
+    SELECT lang, doc_id, priority, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT lang, doc_id, priority,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS rk
+        FROM (
+            SELECT lang, doc_id,
+                   md5(lang || ':' || CAST(doc_id AS VARCHAR)) AS priority
+            FROM documents
+        )
+    )
+    WHERE rk <= 5
+    ORDER BY lang, rk
+    """,
+    tags=("X-16", "O-05"),
+)
+def q133_reservoir_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key reservoir sample: exactly k=5 documents per
+    language, chosen by md5 priority — Efraimidis-Spirakis A-res with the
+    seeded RNG replaced by a content hash, so the "random" sample is
+    reproducible across engines, runs, and incremental backfills (a new
+    document displaces the max-priority member iff its hash is smaller,
+    exactly the reservoir update rule).
+
+    Scale shape: priorities are map-only; selection is grouped top-k — here
+    a row_number window (one shuffle on the key), and because top-k-by-
+    priority is a mergeable aggregate, at 100 TB the same query runs as
+    partial per-partition reservoirs merged at the final agg (the q13
+    grouped-top-k pattern) with only k rows per key crossing the wire."""
+    pri = (
+        load(spark, sf_dir, "documents")
+        .select("lang", "doc_id")
+        .withColumn(
+            "priority", F.md5(F.concat(F.col("lang"), F.lit(":"), F.col("doc_id").cast("string")))
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        pri.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "doc_id", "priority", "rk")
+        .transform(pin)
+        .orderBy("lang", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-17: sequence-length bucketing + padding-waste accounting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q134_seq_length_buckets",
+    oracle="""
+    WITH tok AS (
+        SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT n_tokens,
+               CASE WHEN n_tokens <= 16 THEN 16
+                    WHEN n_tokens <= 32 THEN 32
+                    WHEN n_tokens <= 64 THEN 64
+                    WHEN n_tokens <= 128 THEN 128
+                    WHEN n_tokens <= 256 THEN 256
+                    WHEN n_tokens <= 512 THEN 512
+                    ELSE 1024 END AS bucket_cap
+        FROM tok
+    )
+    SELECT CAST(bucket_cap AS INT) AS bucket_cap,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(bucket_cap * COUNT(*) - SUM(n_tokens) AS BIGINT) AS padding_waste,
+           ROUND(CAST(bucket_cap * COUNT(*) - SUM(n_tokens) AS DOUBLE)
+                 / (bucket_cap * COUNT(*)), 6) AS waste_pct
+    FROM bucketed
+    GROUP BY bucket_cap
+    ORDER BY bucket_cap
+    """,
+    tags=("X-17", "X-04"),
+)
+def q134_seq_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing: documents grouped into power-of-two token
+    buckets with exact padding-waste accounting (pad-to-cap tokens burned
+    per bucket, and as a fraction) — the batch-shaping decision data a
+    training pipeline needs to pick packing vs padding per length class.
+
+    Scale shape: tokenization and bucket assignment are map-only whitespace
+    splits in codegen (same `\\s+` twin as the q47/q121 token family); the
+    aggregate shuffles 7 bucket rows. All arithmetic is integer-exact; the
+    one double division has bit-identical operands in both engines."""
+    tok = load(spark, sf_dir, "documents").select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens")
+    )
+    cap = (
+        F.when(F.col("n_tokens") <= 16, 16)
+        .when(F.col("n_tokens") <= 32, 32)
+        .when(F.col("n_tokens") <= 64, 64)
+        .when(F.col("n_tokens") <= 128, 128)
+        .when(F.col("n_tokens") <= 256, 256)
+        .when(F.col("n_tokens") <= 512, 512)
+        .otherwise(1024)
+    )
+    bucketed = tok.withColumn("bucket_cap", cap)
+    waste = F.col("bucket_cap") * F.count(F.lit(1)) - F.sum("n_tokens")
+    return (
+        bucketed.groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            waste.cast("long").alias("padding_waste"),
+            F.round(
+                waste.cast("double") / (F.col("bucket_cap") * F.count(F.lit(1))), 6
+            ).alias("waste_pct"),
+        )
+        .transform(pin)
+        .orderBy("bucket_cap")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-09: class-balance weights (inverse-frequency, sklearn "balanced" form)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q135_class_balance_weights",
+    oracle="""
+    WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_classes FROM c)
+    SELECT c.label, CAST(c.n AS BIGINT) AS n_rows,
+           ROUND(CAST(c.n AS DOUBLE) / t.total, 6) AS share,
+           ROUND(CAST(t.total AS DOUBLE) / (t.n_classes * c.n), 6) AS class_weight
+    FROM c, t
+    ORDER BY c.label
+    """,
+    tags=("X-09", "A-02"),
+)
+def q135_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights (sklearn's "balanced" heuristic,
+    weight = total / (n_classes * n_c)) plus each label's share — the
+    imbalance correction computed over the label column before training a
+    classifier on skewed data.
+
+    Scale shape: one groupBy on the label key produces the bounded
+    per-class relation; the grand total is a second aggregate over those
+    FEW rows (not a second scan) broadcast back via a 1-row cross join.
+    The weight divisions are double math on bit-identical operands."""
+    counts = (
+        load(spark, sf_dir, "embeddings").groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_classes")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "label",
+            F.col("n").alias("n_rows"),
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.col("total").cast("double") / (F.col("n_classes") * F.col("n")), 6
+            ).alias("class_weight"),
+        )
+        .transform(pin)
+        .orderBy("label")
+    )
