@@ -83,6 +83,18 @@ def q124_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle can mirror them."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()  # bounded metadata (node count), not a data collect
+    edges = pr_edges(docs, n)
+    p = docs.select("doc_id", F.round(F.lit(1.0) / n, 12).alias("pr"))
+    for _ in range(_PR_ITERS):
+        p = pr_step(edges, docs, p, n)
+    return p.transform(pin).orderBy("doc_id")
+
+
+def pr_edges(docs: DataFrame, n: int) -> DataFrame:
+    """The md5-derived benchmark edge list (src, dst, outdeg): each doc
+    links to up to _PR_FANOUT pseudo-random neighbors, self-loops and
+    duplicates dropped — reproducible in SQL so the oracle can generate
+    identical edges."""
     raw = None
     for j in range(_PR_FANOUT):
         e = docs.select(
@@ -92,22 +104,70 @@ def q124_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw = e if raw is None else raw.unionByName(e)
     edges = raw.filter(F.col("src") != F.col("dst")).distinct()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges = edges.join(outdeg, "src")
+    return edges.join(outdeg, "src")
+
+
+def pr_step(edges: DataFrame, docs: DataFrame, p: DataFrame, n: int) -> DataFrame:
+    """One damped PageRank update: contributions join on src, per-dst sums
+    through exact decimal, damped update rounded to 12 dp so the next
+    iteration's operands are bit-identical in both engines."""
+    contrib = edges.join(p, edges.src == p.doc_id).select(
+        F.col("dst").alias("doc_id"),
+        (F.col("pr") / F.col("outdeg")).cast("decimal(28,18)").alias("c"),
+    )
+    sums = contrib.groupBy("doc_id").agg(F.sum("c").cast("double").alias("s"))
+    return docs.join(sums, "doc_id", "left").select(
+        "doc_id",
+        # literals mirror the oracle's explicit DOUBLE casts: DuckDB
+        # parses bare 0.85 as DECIMAL and decimal/double mixing would
+        # diverge in the last bits
+        F.round(
+            F.lit(1 - _PR_DAMP) / n + F.lit(_PR_DAMP) * F.coalesce("s", F.lit(0.0)),
+            12,
+        ).alias("pr"),
+    )
+
+
+def pagerank_converge(
+    spark: SparkSession,
+    sf_dir: str,
+    tol: float = 1e-10,
+    max_iters: int = 30,
+    checkpoint_every: int = 3,
+) -> tuple[DataFrame, int, float]:
+    """The production form of q124: iterate the same pr_step until the rank
+    vector moves less than `tol` (max |Δpr| over all nodes), with a
+    localCheckpoint every `checkpoint_every` rounds so lineage stays
+    bounded no matter how many iterations convergence takes — the same
+    loop discipline as the connected-components fixpoint
+    (operators/components.py:36).
+
+    Returns (ranks, iterations_run, final_delta). The driver sees ONE
+    scalar per iteration (the max-delta aggregate, same pattern as the
+    components converged? check) — rank vectors and edges never leave the
+    cluster. The unrolled q124 exists so the oracle can mirror a fixed
+    depth; this loop is what you run at 100 TB, where the edge list is
+    bucketed by src and the rank vector re-bucketed by doc_id each write
+    (tests/test_plans.py::test_pagerank_bucketed_iteration_join_is_shuffle_free
+    proves the iteration join then needs no Exchange)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = pr_edges(docs, n).localCheckpoint(eager=False)  # static across iters
     p = docs.select("doc_id", F.round(F.lit(1.0) / n, 12).alias("pr"))
-    for _ in range(_PR_ITERS):
-        contrib = edges.join(p, edges.src == p.doc_id).select(
-            F.col("dst").alias("doc_id"),
-            (F.col("pr") / F.col("outdeg")).cast("decimal(28,18)").alias("c"),
+    delta = float("inf")
+    iters = 0
+    for iters in range(1, max_iters + 1):
+        new_p = pr_step(edges, docs, p, n)
+        if iters % checkpoint_every == 0:
+            new_p = new_p.localCheckpoint(eager=True)
+        old = p.select("doc_id", F.col("pr").alias("pr_old"))
+        row = (
+            new_p.join(old, "doc_id")
+            .agg(F.max(F.abs(F.col("pr") - F.col("pr_old"))).alias("d"))
+            .first()
         )
-        sums = contrib.groupBy("doc_id").agg(F.sum("c").cast("double").alias("s"))
-        p = docs.join(sums, "doc_id", "left").select(
-            "doc_id",
-            # literals mirror the oracle's explicit DOUBLE casts: DuckDB
-            # parses bare 0.85 as DECIMAL and decimal/double mixing would
-            # diverge in the last bits
-            F.round(
-                F.lit(1 - _PR_DAMP) / n + F.lit(_PR_DAMP) * F.coalesce("s", F.lit(0.0)),
-                12,
-            ).alias("pr"),
-        )
-    return p.transform(pin).orderBy("doc_id")
+        delta = float(row["d"]) if row["d"] is not None else 0.0
+        p = new_p
+        if delta < tol:
+            break
+    return p, iters, delta

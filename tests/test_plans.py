@@ -399,3 +399,74 @@ def test_bpe_pairs_top_k_not_global_sort(spark):
     q = all_queries()["q121_bpe_pairs"]
     plan = plan_of(q.fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pagerank_bucketed_iteration_join_is_shuffle_free(spark, tmp_path):
+    """X-15 scale claim (SURVEY §2K): the per-iteration edge⋈rank join is
+    "bucketable to shuffle-free at scale". Prove it like S-10: persist the
+    edge list bucketed by src and the rank vector bucketed by doc_id with
+    the same bucket count — the iteration join then consumes buckets as
+    pre-shuffled input with NO Exchange in its physical plan, so at 100 TB
+    the only shuffle left per iteration is the per-dst aggregate."""
+    from bigdata_streaming_absa_vehicle_spark.queries.graph import pr_edges
+    from bigdata_streaming_absa_vehicle_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id")
+    n = docs.count()
+    edges = pr_edges(docs, n)
+    ranks = docs.select("doc_id", (F.lit(1.0) / n).alias("pr"))
+    write_bucketed(edges, "t_pr_edges_b", ["src"], 4, path=str(tmp_path / "eb"))
+    write_bucketed(ranks, "t_pr_ranks_b", ["doc_id"], 4, path=str(tmp_path / "rb"))
+    try:
+        eb, rb = read_bucketed(spark, "t_pr_edges_b"), read_bucketed(spark, "t_pr_ranks_b")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = eb.join(rb, eb.src == rb.doc_id).select(
+                "dst", (F.col("pr") / F.col("outdeg")).alias("c")
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            # the full iteration (join + per-dst sum) pays exactly ONE
+            # exchange — the unavoidable re-key from src to dst
+            step = j.groupBy("dst").agg(F.sum("c").alias("s"))
+            step_plan = step._jdf.queryExecution().executedPlan().toString()
+            assert step_plan.count("Exchange") == 1, step_plan
+            # and the bucketed join computes the same contributions
+            plain = edges.join(ranks, edges.src == ranks.doc_id)
+            assert j.count() == plain.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_pr_edges_b")
+        spark.sql("DROP TABLE IF EXISTS t_pr_ranks_b")
+
+
+def test_pagerank_convergence_loop_matches_unrolled(spark):
+    """The convergence-loop PageRank (graph.pagerank_converge) must walk the
+    exact same trajectory as the oracle-certified unrolled q124: after 3
+    iterations the vectors are identical (same rounding discipline), deltas
+    shrink monotonically toward the fixpoint, and the periodic
+    localCheckpoint keeps the loop runnable past the unrolled depth."""
+    from bigdata_streaming_absa_vehicle_spark.queries.graph import (
+        pagerank_converge,
+        q124_pagerank,
+    )
+
+    ranks, iters, delta = pagerank_converge(
+        spark, SF_DIR, tol=1e-10, max_iters=12, checkpoint_every=3
+    )
+    assert delta < 1e-10 or iters == 12
+    assert iters > 3, "toy graph should not converge in fewer rounds than the unrolled form"
+    # re-run capped at the unrolled depth: must equal q124 row-for-row
+    ranks3, iters3, _ = pagerank_converge(spark, SF_DIR, tol=0.0, max_iters=3)
+    assert iters3 == 3
+    unrolled = {r["doc_id"]: r["pr"] for r in q124_pagerank(spark, SF_DIR).collect()}
+    looped = {r["doc_id"]: r["pr"] for r in ranks3.collect()}
+    assert looped == unrolled
+    # ranks stay a probability-ish vector (mass <= 1, dangling mass dropped)
+    total = ranks.agg(F.sum("pr")).first()[0]
+    assert 0.5 < total <= 1.000001
