@@ -43,83 +43,86 @@ def entry(spark: SparkSession) -> DataFrame:
 #     Spark upgrade to 4.1.2 broke the events loader mid-round, so the 10
 #     events-based entries ERR'd and the round-3 bench crashed — fixed in
 #     tables._canonical_timestamps (dtype-branching loader).
-#   - Round 4 (this file): tiered re-certification on the fixed loader, see
-#     the tier comments inside _WINDOW_PRIORITY below.  Queries added in
-#     round 4 (q100-q123: features/tpch_extra/profiling/lakehouse/
-#     diagnostics modules) sit past the window on pytest-oracle evidence at
-#     sf0.01 and take first rotation priority in round 5.
+#   - Round 4 (CORRECTNESS_r04.json): tiered re-certification on the fixed
+#     loader — 14 never-certified + 23 stale-events re-certs + 13 oldest
+#     pytest-only; all 50 green.  With the still-valid r1-r3 rows that gave
+#     every pre-round-4 query (q01-q99) driver evidence on the current
+#     engine; the 25 round-4 additions (q100-q124) sat past the window.
+#   - Round 5 (this file): first-ever rows for q100-q124, same-round
+#     certification for the 11 round-5 additions (q125-q135), and the 14
+#     oldest r1/r2-evidence rows re-certified — see the tier comments
+#     inside _WINDOW_PRIORITY below.
 _WINDOW_PRIORITY = (
-    # -- Round 4 window.  Tier 1: the 14 queries that have NEVER had a green
-    # driver row (new in r3 and ERR'd on the events-loader bug, or added past
-    # the r3 window).  The loader fix (tables._canonical_timestamps) un-blocks
-    # them; first-ever driver signal is the round's top goal (VERDICT r3 §next
-    # items 3/4/6). --
-    "q77_interval_join_batch",
-    "q82_token_ids",
-    "q86_funnel",
-    "q87_cohort_retention",
-    "q88_heavy_hitters",
-    "q89_full_outer_join",
-    "q89b_right_outer_join",
-    "q90_hll_mergeable_rollup",
-    "q91_sessionize",
-    "q93_cube_grouping",
-    "q94_approx_percentiles",
-    "q97_exists_subquery",
-    "q98_scalar_subquery",
-    "q99_group_having_in",
-    # -- Tier 2: the 23 events-touching queries whose only driver rows predate
-    # the sandbox's Spark 4.1.2 upgrade (judged stale-evidence FAIL(ts) in
-    # VERDICT r3) — re-certify them on the current engine. --
-    "q02_filter_predicate",
-    "q04_group_sum_multikey",
-    "q08_time_bucket",
-    "q12_latest_topn",
-    "q13_grouped_topk",
-    "q15_keyed_sample",
-    "q22w_lag_delta",
-    "q23_collect_set",
-    "q25w_moving_avg",
-    "q27u_intersect_except",
-    "q30b_from_json_struct",
-    "q31_json_roundtrip",
-    "q36_sigmoid_math",
-    "q37_epoch_roundtrip",
-    "q52_frame_sample",
-    "q62_vehicle_pipeline_batch",
-    "q63_tumbling_window_batch",
-    "q64_sliding_window_batch",
-    "q65_session_window_batch",
-    "q68_detections_exploded",
-    "q69_detections_udtf",
-    "q72_asof_join",
-    "q75_grouped_percentiles",
-    # -- Tier 3: 13 queries whose operators currently rest on pytest-only
-    # evidence (r2 driver rows at best) — one per only-pt operator ID:
-    # A-08, X-02, X-03 (exact/LSH/IVF), X-04, X-05, D-02, D-03, D-05,
-    # D-06, O-06. --
-    "q09_pricing_summary",
-    "q41_minhash_lsh_neardup",
-    "q44_embedding_neardup",
-    "q45_cosine_topk",
-    "q46_lsh_ann_topk",
-    "q46b_ivf_ann_topk",
-    "q47_text_stats",
-    "q51_multimodal_decode",
-    "q60_absa_inference_batch",
-    "q61_absa_sentiment_counts",
-    "q66_grouped_map_scale",
-    "q67_grouped_agg_centroid",
-    "q76_stratified_sample",
+    # -- Round 5 window.  Tier 1: the 25 round-4 queries (q100-q124) that
+    # hold pytest-oracle evidence only and have never had a driver
+    # CORRECTNESS row — first-ever driver certification closes the last
+    # evidence gap (VERDICT r4 "Next round" item 1). --
+    "q100_time_range_window",
+    "q101_group_zscore",
+    "q102_histogram",
+    "q103_equidepth_bins",
+    "q104_embed_quantize",
+    "q105_bm25",
+    "q106_scd2_upsert",
+    "q107_tpch_q7_volume_shipping",
+    "q108_tpch_q14_promo_revenue",
+    "q109_tpch_q19_disjunctive",
+    "q110_tpch_q13_order_distribution",
+    "q111_tpch_q8_market_share",
+    "q112_tpch_q22_global_sales",
+    "q113_column_profile",
+    "q114_partial_agg_merge",
+    "q115_count_min_sketch",
+    "q116_zorder_cluster",
+    "q117_snapshot_diff",
+    "q118_transition_matrix",
+    "q119_join_fanout_profile",
+    "q120_psi_drift",
+    "q121_bpe_pairs",
+    "q122_correlation_matrix",
+    "q123_resample_ffill",
+    "q124_pagerank",
+    # -- Tier 2: the 11 queries added in round 5 (TPC-H Q2/Q9/Q12/Q15/Q16/
+    # Q21 shapes + the X-16/X-17 training-set operators) — certified in the
+    # same round they were written so no new pytest-only backlog forms. --
+    "q125_tpch_q2_min_cost_supplier",
+    "q126_tpch_q9_product_profit",
+    "q127_tpch_q12_priority_class",
+    "q128_tpch_q15_top_supplier",
+    "q129_tpch_q16_supplier_count",
+    "q130_tpch_q21_waiting_supplier",
+    "q131_temporal_split",
+    "q132_group_hash_split",
+    "q133_reservoir_sample_per_key",
+    "q134_seq_length_buckets",
+    "q135_class_balance_weights",
+    # -- Tier 3: the 14 queries whose newest driver rows date from rounds
+    # 1-2 (none touch events, so those rows stayed valid across the Spark
+    # 4.1.2 upgrade, but they are the oldest evidence in the ledger) —
+    # re-certified per the <=3-round evidence-age policy (VERDICT r4 item 9). --
+    "q30_json_extract",
+    "q42_simhash",
+    "q42b_simhash_hamming_pairs",
+    "q43_ngram_jaccard_pairs",
+    "q44b_banded_neardup",
+    "q48_quality_and_tokens",
+    "q49_lang_id",
+    "q50_fingerprint",
+    "q50b_rolling_fingerprint",
+    "q53_resize_meta",
+    "q70_shipping_priority",
+    "q71_returned_item_report",
+    "q73_chunking",
+    "q74_salient_terms",
 )
-# Window budget note: 14 + 23 + 13 fill the 50 exactly.  Every query past the
-# window holds a green driver row that is still valid on the current engine —
-# the 40 r3 greens (none touch events) plus r1/r2 rows for the remaining
-# non-events queries (q30, q42-q43, q44b, q48-q50b, q53, q70, q71, q73, q74)
-# — and ALL of them are re-hash-checked by the pytest oracle suite at sf0.01
-# (the driver's own scale) every session.  If this window comes back green,
-# all 104 registry queries have driver evidence valid for the current
-# environment.
+# Window budget note: 25 + 11 + 14 fill the 50 exactly.  Every query past
+# the window holds a green driver row on the current engine from rounds 3-4
+# (CORRECTNESS_r03/r04; the round-4 window re-certified every events-touching
+# query after the Spark 4.1.2 loader fix), and the pytest oracle suite
+# (tests/test_oracle_queries.py) re-hash-checks ALL queries at sf0.01 — the
+# driver's own scale — in its default configuration.  If this window comes
+# back green, all 140 registry queries have driver evidence valid for the
+# current environment and no query's newest driver row is older than round 3.
 
 
 def _ordered_specs():

@@ -131,6 +131,15 @@ def main() -> None:
     specs["q60_absa_inference_batch"].fn(spark, "/root/testdata/sf0.001").write.mode(
         "overwrite"
     ).format("noop").save()
+    # ... and the global-sort path (range-partitioner sampling + sort
+    # codegen + the pin() localCheckpoint machinery): none of the warm-ups
+    # above compiles a SortExec, so the alphabetically-first timed query
+    # (q01, which ends in a pinned orderBy like every registry query) was
+    # absorbing that one-time cost — 1.29 s vs ~0.2 s steady-state at sf0.1
+    # (r4 verdict item 4).  Same codegen at sf0.001 compiles it for cents.
+    specs["q01_projection"].fn(spark, "/root/testdata/sf0.001").write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     # NOTE on table caching (r2 verdict suggestion, tried and rejected by
     # measurement): cache()+count() on every base table made the suite ~14%
@@ -160,9 +169,16 @@ def main() -> None:
         "sf": sf,
         "streaming": stream_stats,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    with open(detail_path, "w") as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
+    detail["date"] = time.strftime("%Y-%m-%d %H:%M:%S")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    # rolling copy for quick diffing + a per-round copy that is never
+    # overwritten by later rounds, so full per-query regression diffs stay
+    # possible round-over-round (r4 verdict item 6: r4's rolling file
+    # clobbered r3's and BENCH_r0N.json keeps only the top-3)
+    round_tag = os.environ.get("SPARK_GRAFT_ROUND", "r05")
+    for path in ("BENCH_DETAIL.json", f"BENCH_DETAIL_{round_tag}.json"):
+        with open(os.path.join(repo, path), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
 
     # The driver captures only the tail of stdout, so the LAST line must be a
     # SHORT self-contained JSON summary (round 1 recorded parsed=null because
