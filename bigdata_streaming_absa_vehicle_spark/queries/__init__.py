@@ -24,3 +24,5 @@ from . import lakehouse  # noqa: E402,F401
 from . import diagnostics  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
 from . import training  # noqa: E402,F401
+from . import matching  # noqa: E402,F401
+from . import timeseries  # noqa: E402,F401

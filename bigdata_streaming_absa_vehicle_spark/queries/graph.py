@@ -90,11 +90,11 @@ def q124_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.transform(pin).orderBy("doc_id")
 
 
-def pr_edges(docs: DataFrame, n: int) -> DataFrame:
-    """The md5-derived benchmark edge list (src, dst, outdeg): each doc
-    links to up to _PR_FANOUT pseudo-random neighbors, self-loops and
-    duplicates dropped — reproducible in SQL so the oracle can generate
-    identical edges."""
+def raw_edges(docs: DataFrame, n: int) -> DataFrame:
+    """The md5-derived benchmark edge list (src, dst): each doc links to up
+    to _PR_FANOUT pseudo-random neighbors, self-loops and duplicates
+    dropped — reproducible in SQL so the oracle can generate identical
+    edges."""
     raw = None
     for j in range(_PR_FANOUT):
         e = docs.select(
@@ -102,9 +102,113 @@ def pr_edges(docs: DataFrame, n: int) -> DataFrame:
             (hash64(f"pr{j}", F.col("doc_id").cast("string")) % n).alias("dst"),
         )
         raw = e if raw is None else raw.unionByName(e)
-    edges = raw.filter(F.col("src") != F.col("dst")).distinct()
+    return raw.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def pr_edges(docs: DataFrame, n: int) -> DataFrame:
+    """raw_edges plus each src's out-degree (the PageRank contribution
+    divisor)."""
+    edges = raw_edges(docs, n)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     return edges.join(outdeg, "src")
+
+
+def _oracle_edges_cte() -> str:
+    """DuckDB CTE fragment generating the identical benchmark edge list."""
+    edge_sel = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {oracle_hash64(f'pr{j}', 'CAST(doc_id AS VARCHAR)')} % n AS dst"
+        f" FROM documents, nn"
+        for j in range(_PR_FANOUT)
+    )
+    return f"""
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    raw_edges AS ({edge_sel}),
+    dedup_edges AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst)"""
+
+
+_TRI_ORACLE = f"""
+    WITH {_oracle_edges_cte()},
+    und AS (
+        SELECT src AS a, dst AS b FROM dedup_edges
+        UNION
+        SELECT dst, src FROM dedup_edges
+    ),
+    deg AS (SELECT a, COUNT(*) AS d FROM und GROUP BY a),
+    oriented AS (
+        SELECT u.a AS u, u.b AS v, da.d AS du, db.d AS dv
+        FROM und u
+        JOIN deg da ON u.a = da.a
+        JOIN deg db ON u.b = db.a
+        WHERE (da.d, u.a) < (db.d, u.b)
+    ),
+    tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM oriented e1
+        JOIN oriented e2 ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+        JOIN oriented e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    corners AS (
+        SELECT x AS doc_id FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    )
+    SELECT doc_id, COUNT(*) AS n_triangles
+    FROM corners GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("q136_triangle_count", oracle=_TRI_ORACLE, tags=("X-18",))
+def q136_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the undirected benchmark graph via
+    DEGREE-ORIENTED wedge enumeration: every undirected edge {a,b} is
+    oriented from the endpoint that is smaller under the (degree, id)
+    total order, each triangle {a,b,c} with a<b<c is then generated
+    exactly once as the wedge (a→b, a→c) closed by the oriented edge b→c,
+    and the three corners explode back out for per-node participation
+    counts. Integer-only — the hash cannot flake.
+
+    Scale shape: orientation is WHY this survives skew — a hub of degree D
+    keeps only its edges toward higher-degree endpoints, bounding
+    per-node wedge fan-out by O(sqrt(m)) instead of O(D^2) (the classic
+    MapReduce triangle-counting refinement: orient by degree, enumerate
+    wedges from the low end). Three shuffles total, all on 8-byte node or
+    16-byte pair keys: degree agg, wedge self-join on u, closing-edge
+    join on the (v, w) pair; edge payloads are two longs, never document
+    data. The corner explode is map-only and the final agg is
+    map-side-combined."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # bounded metadata (node count), not a data collect
+    edges = raw_edges(docs, n)
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("a").alias("_ka"), F.col("d").alias("du"))
+    db = deg.select(F.col("a").alias("_kb"), F.col("d").alias("dv"))
+    oriented = (
+        und.join(da, und.a == da._ka)
+        .join(db, und.b == db._kb)
+        .filter(F.struct("du", "a") < F.struct("dv", "b"))
+        .select(F.col("a").alias("u"), F.col("b").alias("v"), "du", "dv")
+    )
+    e1 = oriented.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("z"), F.col("dv").alias("dz"))
+    wedges = e1.join(e2, "u").filter(F.struct("dy", "y") < F.struct("dz", "z"))
+    closing = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tri = wedges.join(closing, ["y", "z"]).select(F.col("u").alias("x"), "y", "z")
+    corners = (
+        tri.select(F.col("x").alias("doc_id"))
+        .unionByName(tri.select(F.col("y").alias("doc_id")))
+        .unionByName(tri.select(F.col("z").alias("doc_id")))
+    )
+    return (
+        corners.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .transform(pin)
+        .orderBy("doc_id")
+    )
 
 
 def pr_step(edges: DataFrame, docs: DataFrame, p: DataFrame, n: int) -> DataFrame:

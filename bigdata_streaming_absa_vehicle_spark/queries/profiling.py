@@ -366,3 +366,106 @@ def q122_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.*")
         .orderBy("col_a", "col_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# A-16: Bloom-filter membership pre-filter (runtime-filter semantics)
+# ---------------------------------------------------------------------------
+
+_BF_M = 256  #: filter bits
+_BF_K = 3  #: hash functions
+_BF_NATION = 7  #: dimension predicate: suppliers of this nation
+
+
+def _bf_pos_sql(j: int, key: str) -> str:
+    """DuckDB twin of operators.dedup.hash64(f'bf{j}', key) % M."""
+    return (
+        f"CAST('0x' || substr(md5('bf{j}:' || CAST({key} AS VARCHAR)), 1, 15) AS BIGINT)"
+        f" % {_BF_M}"
+    )
+
+
+def _bf_oracle() -> str:
+    probe = " AND ".join(
+        f"{_bf_pos_sql(j, 'l_suppkey')} IN (SELECT pos FROM bits)" for j in range(_BF_K)
+    )
+    bit_sel = " UNION ".join(
+        f"SELECT {_bf_pos_sql(j, 's_suppkey')} AS pos FROM dim" for j in range(_BF_K)
+    )
+    return f"""
+    WITH dim AS (SELECT s_suppkey FROM supplier WHERE s_nationkey = {_BF_NATION}),
+    bits AS ({bit_sel}),
+    cand AS (SELECT l_suppkey, l_extendedprice, l_discount FROM lineitem WHERE {probe})
+    SELECT COUNT(*) AS n_candidates,
+           COUNT(CASE WHEN l_suppkey IN (SELECT s_suppkey FROM dim) THEN 1 END)
+               AS n_true,
+           COUNT(CASE WHEN l_suppkey IN (SELECT s_suppkey FROM dim) THEN NULL ELSE 1 END)
+               AS n_false_positive,
+           CAST(SUM(CAST(CASE WHEN l_suppkey IN (SELECT s_suppkey FROM dim)
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                    AS DECIMAL(28,6))) AS DOUBLE) AS revenue_true
+    FROM cand
+    """
+
+
+@query("q138_bloom_prefilter", oracle=_bf_oracle(), tags=("A-16", "J-05"))
+def q138_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pre-filter: build a 256-bit, 3-hash Bloom
+    filter over the dimension keys (suppliers of one nation), probe every
+    fact row map-only, then resolve candidates exactly — reporting
+    candidate count, true-match count, false-positive count, and revenue
+    over true matches. The md5-derived hash family makes the filter — and
+    therefore the FALSE-POSITIVE count itself — deterministic and
+    hash-checkable in both engines, certifying build and probe.
+
+    This is runtime-filter/DPP semantics made explicit: the same
+    mechanism Spark applies as `InSubquery`/bloom runtime filters, but as
+    a declared operator the pipeline can place anywhere (e.g. ship the
+    256-bit filter into a Kafka consumer to drop non-matching events
+    before the shuffle).
+
+    Scale shape: the filter build is an agg to <= k*|dim| distinct bit
+    positions (bounded by M=256 rows) collected into ONE broadcast row —
+    shuffle volume O(M) regardless of dim size; the probe is map-only
+    JVM codegen on the fact scan (k md5s per row, no join, no shuffle);
+    only surviving candidates pay the exact semi-join, which broadcasts
+    the dim. A filter that drops 99% of the fact before the join is the
+    difference between a 100 TB shuffle and a 1 TB one."""
+    dim = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == _BF_NATION)
+        .select("s_suppkey")
+    )
+
+    def positions(key):
+        return [hash64(f"bf{j}", key.cast("string")) % _BF_M for j in range(_BF_K)]
+
+    bits = None
+    for p in positions(F.col("s_suppkey")):
+        b = dim.select(p.alias("pos"))
+        bits = b if bits is None else bits.unionByName(b)
+    bits_arr = bits.distinct().agg(F.sort_array(F.collect_set("pos")).alias("bits"))
+
+    fact = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    probe_arr = F.array(*positions(F.col("l_suppkey")))
+    cand = (
+        fact.crossJoin(F.broadcast(bits_arr))
+        .filter(F.forall(probe_arr, lambda p: F.array_contains(F.col("bits"), p)))
+        .drop("bits")
+    )
+    marked = cand.join(
+        F.broadcast(dim.withColumn("hit", F.lit(1))),
+        cand.l_suppkey == dim.s_suppkey,
+        "left",
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).alias("n_true"),
+        F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias("n_false_positive"),
+        F.sum(F.when(F.col("hit").isNotNull(), rev).otherwise(F.lit(0).cast("decimal(28,6)")))
+        .cast("double")
+        .alias("revenue_true"),
+    )

@@ -1,0 +1,176 @@
+"""Time-series smoothing and robust anomaly detection (SURVEY.md §2K
+extension X-20): finite-lookback exponential moving average and
+median/MAD outlier flagging — the monitoring-grade feature ops a metrics
+pipeline runs over event streams (the reference's dashboards plot raw
+per-minute counts, vehicle streamlit_app.py:111-124; smoothing and
+anomaly flags are the obvious next derivative and declared engine
+surface here).
+
+Determinism: EWMA runs entirely in scaled INTEGER arithmetic (values in
+cents, weights 0.5^j as 5^j*10^(7-j)) with one final double division, so
+no decimal-typing or float-order hazard exists in either engine;
+median/MAD reuse the A-12 exact-percentile path proven bit-equal to
+DuckDB's quantile_cont (q75), and the 3*MAD comparison is IEEE-identical
+in both engines because its operands are.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.deterministic import oracle_dsum
+from ..functions.ordering import pin
+from ..tables import load
+from .registry import query
+
+_EWMA_LAGS = 8  #: current value + 7 lags
+_WSCALE = 10**7  #: weight denominator: w_j = 5^j * 10^(7-j) over 10^7
+
+#: integer weights, exactly 0.5^j * 10^7 for j = 0..7
+_IW = [5**j * 10 ** (7 - j) for j in range(_EWMA_LAGS)]
+
+
+def _ewma_oracle() -> str:
+    lag_cols = ",\n               ".join(
+        f"lag(xc, {j}) OVER w AS xc{j}" for j in range(1, _EWMA_LAGS)
+    )
+    num = " + ".join(
+        [f"xc * {_IW[0]}"]
+        + [f"COALESCE(xc{j} * {_IW[j]}, 0)" for j in range(1, _EWMA_LAGS)]
+    )
+    den = " + ".join(
+        [f"{_IW[0]}"]
+        + [
+            f"CASE WHEN xc{j} IS NOT NULL THEN {_IW[j]} ELSE 0 END"
+            for j in range(1, _EWMA_LAGS)
+        ]
+    )
+    return f"""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS xc
+        FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    lagged AS (
+        SELECT user_id, day, xc,
+               {lag_cols}
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    )
+    SELECT user_id, day,
+           ROUND(CAST(xc AS DOUBLE) / 100, 2) AS x,
+           ROUND(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) / 100, 6) AS ewma
+    FROM lagged ORDER BY user_id, day
+    """
+
+
+@query("q141_ewma_smoothing", oracle=_ewma_oracle(), tags=("X-20", "W-02"))
+def q141_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-lookback EWMA (alpha=0.5, 8 taps) over each user's daily
+    value series: ewma_t = sum_j 0.5^j * x_{t-j} / sum_j 0.5^j, the sums
+    running only over taps that exist (series starts are renormalized,
+    not zero-padded). The recursive EWMA truncated at 8 taps differs
+    from the infinite one by < 0.5^8 of the signal — and unlike the
+    recursion it is expressible as a pure window computation, no
+    sequential scan. All arithmetic is scaled-integer (values in cents,
+    weights 5^j*10^(7-j)), so both engines divide bit-identical operands.
+
+    Scale shape: one shuffle for the daily rollup (map-side combined),
+    one window pass per user ordered by day (the partition key is the
+    user — millions of small independent series, no global sort; max
+    term magnitude ~1e13, far inside int64). Lag-based = 'previous
+    OBSERVED day' semantics; calendar regularization is q123's resample
+    operator, composable upstream."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias("xc")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagged = daily
+    for j in range(1, _EWMA_LAGS):
+        lagged = lagged.withColumn(f"xc{j}", F.lag("xc", j).over(w))
+    num = F.col("xc") * _IW[0]
+    den = F.lit(_IW[0]).cast("long")
+    for j in range(1, _EWMA_LAGS):
+        num = num + F.coalesce(F.col(f"xc{j}") * _IW[j], F.lit(0).cast("long"))
+        den = den + F.when(F.col(f"xc{j}").isNotNull(), _IW[j]).otherwise(0)
+    return (
+        lagged.select(
+            "user_id",
+            "day",
+            F.round(F.col("xc").cast("double") / 100, 2).alias("x"),
+            F.round(num.cast("double") / den.cast("double") / 100, 6).alias("ewma"),
+        )
+        .transform(pin)
+        .orderBy("user_id", "day")
+    )
+
+
+@query(
+    "q142_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS dev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n_rows,
+           ROUND(MIN(d.med), 6) AS med,
+           ROUND(MIN(m.mad), 6) AS mad,
+           COUNT(CASE WHEN d.dev > 3 * m.mad THEN 1 END) AS n_outliers,
+           {oracle_dsum("CASE WHEN d.dev > 3 * m.mad THEN d.value ELSE 0 END", 2)}
+               AS outlier_value_sum
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+    tags=("X-20", "A-12"),
+)
+def q142_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: flag values whose absolute
+    deviation from the group MEDIAN exceeds 3x the group MAD (median
+    absolute deviation) — the monitoring-standard detector that, unlike
+    z-scores (q101), is not itself dragged by the outliers it hunts.
+    Reports per-group row count, median, MAD, outlier count and the
+    decimal-exact sum of outlying values.
+
+    Scale shape: two grouped exact-percentile aggregations (the A-12
+    path, one shuffle each on the small group key) with the per-group
+    scalars BROADCAST back onto the fact rows both times — the fact
+    relation itself never reshuffles; flagging and the final rollup are
+    map-side combined. At 100 TB swap the exact percentile for
+    approx_percentile and keep the identical dataflow."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    out = F.col("dev") > 3 * F.col("mad")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(F.when(out, 1).otherwise(0)).alias("n_outliers"),
+            F.sum(F.when(out, F.col("value")).otherwise(F.lit(0)).cast("decimal(28,2)"))
+            .cast("double")
+            .alias("outlier_value_sum"),
+        )
+        .transform(pin)
+        .orderBy("event_type")
+    )

@@ -516,3 +516,154 @@ def q129_tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
     )
+
+
+@query(
+    "q139_tpch_q11_important_parts",
+    oracle=f"""
+    WITH rel AS (
+        SELECT l_partkey, l_extendedprice * (1 - l_discount) AS val
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+    ),
+    tot AS (
+        SELECT {odsum('val', 6)} AS total,
+               COUNT(DISTINCT l_partkey) AS np
+        FROM rel
+    )
+    SELECT l_partkey, {odsum('val', 6)} AS value
+    FROM rel, tot
+    GROUP BY l_partkey, tot.total, tot.np
+    HAVING {odsum('val', 6)} > 1.5 / tot.np * tot.total
+    ORDER BY value DESC, l_partkey
+    """,
+    tags=("SQ-02", "A-01"),
+)
+def q139_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock) shape: per-part revenue for one nation's
+    suppliers, keeping only parts whose share exceeds a GLOBAL-scalar
+    threshold — the uncorrelated scalar subquery in HAVING that forces two
+    aggregations over the same filtered relation. The canonical fixed
+    fraction is made scale-free (1.5x the mean per-part share, with the
+    part count a second scalar from the same subquery) so the query stays
+    selective at every SF.
+
+    Scale shape: the filtered relation computes ONCE conceptually —
+    per-part agg and grand total are two aggregates over the same scan
+    (Catalyst reuses the exchange under AQE); the 1-row total
+    cross-joins in as a broadcast, so the HAVING is a map-only filter on
+    the per-part agg, never a second pass. Both nation and supplier
+    broadcast; the only real shuffle is lineitem on l_partkey."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    rel = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"),
+        )
+    )
+    tot = rel.agg(
+        dsum("val", 6).alias("total"),
+        F.count_distinct("l_partkey").alias("np"),
+    )
+    per_part = rel.groupBy("l_partkey").agg(dsum("val", 6).alias("value"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") > F.lit(1.5) / F.col("np") * F.col("total"))
+        .select("l_partkey", "value")
+        .transform(pin)
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+@query(
+    "q140_tpch_q20_excess_shippers",
+    oracle=f"""
+    SELECT s_name, ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+      AND s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'
+          )
+          GROUP BY l_suppkey, l_partkey
+          HAVING {odsum("CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'"
+                        " AND l_shipdate < TIMESTAMP '1997-01-01'"
+                        " THEN l_quantity ELSE 0 END", 2)}
+                 > 0.3 * {odsum('l_quantity', 2)}
+      )
+    ORDER BY s_name
+    """,
+    tags=("SQ-02", "J-05"),
+)
+def q140_tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion) shape: the nested
+    IN-within-IN with a correlated scalar aggregate — suppliers in one
+    nation who, for some widget part, shipped more than 30% of their
+    all-time quantity for that part during 1996. The oracle keeps the
+    canonical nested-subquery spelling; the engine runs the decorrelated
+    form Catalyst would produce: conditional + total sums in ONE grouped
+    aggregate over (supplier, part), then a semi-join chain.
+
+    Scale shape: the widget-part filter broadcasts into the lineitem scan
+    (a semi-join that prunes before the shuffle); the correlated scalar
+    decorrelates into a single (l_suppkey, l_partkey) hash aggregate with
+    both sums computed map-side-combined in one pass — never two scans,
+    never a per-group subquery; eligible suppliers collapse to a distinct
+    8-byte key list that semi-joins the (broadcast nation-filtered)
+    supplier dim. Quantity sums go through exact decimal so the 0.3x
+    threshold compares bit-identical operands in both engines."""
+    parts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    pair = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            dsum_expr(
+                "CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'"
+                " AND l_shipdate < TIMESTAMP '1997-01-01'"
+                " THEN l_quantity ELSE 0 END",
+                2,
+            ).alias("qty_1996"),
+            dsum("l_quantity", 2).alias("qty_total"),
+        )
+    )
+    eligible = (
+        pair.filter(F.col("qty_1996") > 0.3 * F.col("qty_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nat = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_5")
+        .select("n_nationkey")
+    )
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(eligible, supp.s_suppkey == eligible.l_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
+        .transform(pin)
+        .orderBy("s_name")
+    )
