@@ -26,3 +26,4 @@ from . import graph  # noqa: E402,F401
 from . import training  # noqa: E402,F401
 from . import matching  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
+from . import corpus  # noqa: E402,F401

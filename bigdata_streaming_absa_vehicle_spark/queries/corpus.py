@@ -1,0 +1,426 @@
+"""Corpus-level and embedding-space diagnostics (SURVEY.md §2K): shingle
+novelty / boilerplate scoring (X-04 family), the cross-source shingle
+contamination matrix (X-14 pipeline diagnostics), and the label-centroid
+cosine matrix over the embeddings table (X-03 family) — the "how healthy
+is my training corpus" reports a data pipeline runs after dedup and
+before mixing.
+
+Determinism: shingle scores are integer ratios (one final double divide);
+centroids and their cosines run in QUANTIZED integer arithmetic (each
+float component rounded to 1e-6 on the scan, all sums exact in int64 /
+decimal(38,0)), so both engines divide bit-identical operands — no float
+summation order exists anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.ordering import pin
+from ..operators import dedup as dd
+from ..tables import load
+from .registry import query
+
+_SH_K = 3  #: shingle width (tokens), matching the X-02 dedup family
+
+_ORACLE_SHINGLES = rf"""
+    t AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, source,
+               md5(array_to_string(toks[i:(i + {_SH_K - 1})], ' ')) AS sh
+        FROM t, UNNEST(range(1, len(toks) - {_SH_K} + 2)) AS u(i)
+        WHERE len(toks) >= {_SH_K}
+    )"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, sh): md5 of each DISTINCT 3-token shingle per doc."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = docs.select("doc_id", "source", dd.tokens("text").alias("toks")).filter(
+        F.size("toks") >= _SH_K
+    )
+    return t.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(F.transform(dd.shingles(F.col("toks"), _SH_K), lambda x: F.md5(x)))
+        ).alias("sh"),
+    )
+
+
+@query(
+    "q143_shingle_novelty",
+    oracle=f"""
+    WITH {_ORACLE_SHINGLES},
+    df AS (SELECT sh, COUNT(*) AS df FROM g GROUP BY sh)
+    SELECT g.doc_id,
+           COUNT(*) AS n_shingles,
+           ROUND(CAST(SUM(df.df) AS DOUBLE) / COUNT(*), 6) AS mean_df,
+           MAX(df.df) AS max_df,
+           ROUND(CAST(COUNT(CASE WHEN df.df = 1 THEN 1 END) AS DOUBLE) / COUNT(*), 6)
+               AS novelty
+    FROM g JOIN df USING (sh)
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+    tags=("X-04",),
+)
+def q143_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty/boilerplate score from shingle document
+    frequencies: for each doc, how many distinct 3-token shingles it has,
+    their mean and max corpus document-frequency, and the fraction unique
+    to this doc (novelty). High mean-df documents are boilerplate
+    (templates, navigation chrome) that near-dedup misses because no
+    single pair crosses the similarity threshold; they are the first
+    thing a corpus-quality pass downweights.
+
+    Scale shape: shingling is map-only (one md5 per distinct shingle);
+    the df table is one count-agg on the 16-byte shingle hash; the score
+    join re-shuffles only (doc_id, sh_hash) pairs — document text never
+    leaves the scan — and the per-doc rollup is map-side combined.
+    Integer ratios with one final double divide: no float accumulation."""
+    g = _doc_shingles(spark, sf_dir)
+    df = g.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        g.join(df, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(F.sum("df").cast("double") / F.count(F.lit(1)), 6).alias("mean_df"),
+            F.max("df").alias("max_df"),
+            F.round(
+                F.count(F.when(F.col("df") == 1, 1)).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+        .transform(pin)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q144_source_overlap",
+    oracle=f"""
+    WITH {_ORACLE_SHINGLES},
+    s AS (SELECT DISTINCT source, sh FROM g),
+    sizes AS (SELECT source, COUNT(*) AS n FROM s GROUP BY source),
+    shared AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    ORDER BY src_a, src_b
+    """,
+    tags=("X-14",),
+)
+def q144_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, the count of distinct 3-token shingles they share and the
+    Jaccard similarity of their shingle sets — the mixing-time diagnostic
+    that tells you two 'independent' crawl sources are actually mirrors
+    BEFORE you assign them separate sampling weights (q76) or count them
+    as independent evidence in dedup.
+
+    Scale shape: the (source, shingle) relation is distinct-reduced
+    FIRST (one shuffle on the 16-byte hash); the pair join then fans each
+    shingle out only to the sources that contain it — with S sources a
+    shingle contributes at most S(S-1)/2 pair rows, so the output is
+    bounded by S² regardless of corpus size, and the per-pair counts are
+    map-side combined. Source sizes broadcast back onto the S²-row
+    result."""
+    g = _doc_shingles(spark, sf_dir)
+    s = g.select("source", "sh").distinct()
+    sizes = s.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = s.select(F.col("source").alias("src_a"), "sh")
+    b = s.select(F.col("source").alias("src_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .transform(pin)
+        .orderBy("src_a", "src_b")
+    )
+
+
+_CQ = 10**6  #: centroid quantization: components rounded to 1e-6 on the scan
+
+
+@query(
+    "q145_centroid_cosine_matrix",
+    oracle=f"""
+    WITH flat AS (
+        SELECT label,
+               CAST(u.i AS INTEGER) AS pos,
+               CAST(ROUND(CAST(embedding[u.i + 1] AS DOUBLE) * {_CQ}) AS BIGINT) AS qv
+        FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
+    ),
+    cent AS (
+        SELECT label, pos, SUM(qv) AS s, COUNT(*) AS n
+        FROM flat GROUP BY label, pos
+    ),
+    pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               MIN(a.n) AS n_a, MIN(b.n) AS n_b,
+               SUM(CAST(a.s AS DECIMAL(19,0)) * CAST(b.s AS DECIMAL(19,0))) AS dot,
+               SUM(CAST(a.s AS DECIMAL(19,0)) * CAST(a.s AS DECIMAL(19,0))) AS na2,
+               SUM(CAST(b.s AS DECIMAL(19,0)) * CAST(b.s AS DECIMAL(19,0))) AS nb2
+        FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b, n_a, n_b,
+           ROUND(CAST(dot AS DOUBLE)
+                 / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)), 6) AS cosine
+    FROM pairs ORDER BY label_a, label_b
+    """,
+    tags=("X-03",),
+)
+def q145_centroid_cosine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids —
+    the class-confusability report (labels whose centroids sit close are
+    the ones a classifier will mix up, and the clusters an IVF index
+    (q46b) should NOT split across cells). Components are quantized to
+    1e-6 integers on the scan, so centroid sums are exact int64, the
+    dot/norm accumulations are exact decimal(38,0) integer products, and
+    both engines feed bit-identical operands to one final sqrt+divide —
+    float summation order never exists. The un-normalized integer sums
+    (s, n) stand in for the mean (s/n): cosine is scale-invariant, so
+    dividing by n·1e6 cancels and is skipped entirely.
+
+    Scale shape: one shuffle for the (label, pos) component sums
+    (map-side combined, output bounded by labels x dims); the pair join
+    runs over that bounded relation only — with L labels and D dims it
+    is L²D/2 rows no matter how many vectors exist. Nothing about the
+    raw embedding table is ever joined or re-shuffled."""
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("v").cast("double") * _CQ).cast("long").alias("qv"),
+    )
+    cent = flat.groupBy("label", "pos").agg(
+        F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos",
+        F.col("s").alias("s_a"), F.col("n").alias("n_a_"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos",
+        F.col("s").alias("s_b"), F.col("n").alias("n_b_"),
+    )
+    d19 = "decimal(19,0)"
+    pairs = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.min("n_a_").alias("n_a"),
+            F.min("n_b_").alias("n_b"),
+            F.sum(F.col("s_a").cast(d19) * F.col("s_b").cast(d19)).alias("dot"),
+            F.sum(F.col("s_a").cast(d19) * F.col("s_a").cast(d19)).alias("na2"),
+            F.sum(F.col("s_b").cast(d19) * F.col("s_b").cast(d19)).alias("nb2"),
+        )
+    )
+    return (
+        pairs.select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+        .transform(pin)
+        .orderBy("label_a", "label_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-02 companion: asymmetric containment (subset/quote detection)
+# ---------------------------------------------------------------------------
+
+_CONT_THR = 0.6  #: containment threshold: >=60% of the sub-doc's shingles
+_CONT_MOD = 10  #: probe subset: docs with doc_id % 10 == 0 play the screen
+
+
+@query(
+    "q146_containment_pairs",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in range(1, len(toks) - 1)]) AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        WHERE len(toks) >= 3
+    )
+    SELECT s.doc_id AS doc_sub, c.doc_id AS doc_super,
+           len(list_intersect(s.sh, c.sh)) AS n_common,
+           len(s.sh) AS n_sub,
+           ROUND(len(list_intersect(s.sh, c.sh))::DOUBLE / len(s.sh), 6)
+               AS containment
+    FROM t s JOIN t c ON s.doc_id <> c.doc_id
+    WHERE s.doc_id % {_CONT_MOD} = 0
+      AND len(list_intersect(s.sh, c.sh))::DOUBLE / len(s.sh) >= {_CONT_THR}
+    ORDER BY doc_sub, doc_super
+    """,
+    tags=("X-02",),
+)
+def q146_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-duplicate detection: shingle containment
+    C(sub→super) = |sh(sub) ∩ sh(super)| / |sh(sub)| from a probe subset
+    (doc_id % 10 == 0) against the whole corpus. Jaccard (q43) misses the
+    quote/subset case — a short doc fully embedded in a long one scores
+    low Jaccard but containment ≈ 1 — and containment is exactly how
+    boilerplate extraction and quote-chain dedup decide which side to
+    drop (the contained doc adds nothing).
+
+    Scale shape: identical inverted-index posting join as q43 — probes
+    explode to (16-byte hash, id) postings and equi-join the corpus
+    postings, so |A∩B| arrives from a codegen'd shuffle join + count and
+    zero-overlap pairs never materialize; the denominator is the probe's
+    own set size carried on the posting row. Direction costs nothing
+    extra: containment divides by the probe size instead of the union."""
+    docs = load(spark, sf_dir, "documents")
+    base = dd.shingle_hashes_batched(docs, "doc_id", "text", 3, "jac").localCheckpoint(
+        eager=False
+    )
+    probes = base.filter(F.col("doc_id") % _CONT_MOD == 0)
+    post_s = probes.select(
+        F.col("doc_id").alias("doc_sub"),
+        F.col("sz").alias("n_sub"),
+        F.explode("hs").alias("h"),
+    )
+    post_c = base.select(F.col("doc_id").alias("doc_super"), F.explode("hs").alias("h"))
+    return (
+        post_s.join(post_c, "h")
+        .filter(F.col("doc_sub") != F.col("doc_super"))
+        .groupBy("doc_sub", "doc_super", "n_sub")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common").cast("double") / F.col("n_sub"), 6),
+        )
+        .filter(F.col("n_common").cast("double") / F.col("n_sub") >= _CONT_THR)
+        .select("doc_sub", "doc_super", "n_common", "n_sub", "containment")
+        .transform(pin)
+        .orderBy("doc_sub", "doc_super")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-16 companion: sqrt-smoothed corpus mixing plan
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET_NUM, _MIX_BUDGET_DEN = 1, 2  #: token budget = 1/2 of the corpus
+_MIX_Q = 10**9  #: sqrt shares quantized to 1e-9 before summing
+
+
+@query(
+    "q147_mixing_plan",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per_src),
+    q AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE) / tot.total) * {_MIX_Q})
+                    AS BIGINT) AS qs,
+               tot.total AS total
+        FROM per_src, tot
+    ),
+    qq AS (SELECT CAST(SUM(qs) AS BIGINT) AS qsum FROM q)
+    SELECT source, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / total, 6) AS token_share,
+           ROUND(CAST(qs AS DOUBLE) / qq.qsum, 6) AS target_share,
+           ROUND((CAST(qs AS DOUBLE) / qq.qsum)
+                 * (CAST(total AS DOUBLE) * {_MIX_BUDGET_NUM} / {_MIX_BUDGET_DEN})
+                 / n_tokens, 6) AS epochs
+    FROM q, qq
+    ORDER BY source
+    """,
+    tags=("X-16",),
+)
+def q147_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sqrt-smoothed corpus mixing plan: per-source token counts, raw
+    token share, the sqrt-rebalanced target share (w_i ∝ sqrt(p_i) — the
+    standard multilingual/multi-source smoothing that upweights small
+    sources without letting any source dominate), and the resulting
+    epochs factor against a half-corpus token budget (epochs > 1 means
+    that source is upsampled / repeated). This is the table a pretraining
+    run's sampler is configured from.
+
+    Scale shape: token counting is map-only into one groupBy on the
+    bounded source key; everything after operates on the S-row relation
+    with two 1-row scalar cross-joins (both broadcast). The only doubles
+    are sqrt and the final divisions — sqrt shares are quantized to 1e-9
+    integers BEFORE summing, so the normalization constant is an exact
+    integer in both engines and no float accumulation exists."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(dd.tokens("text"))).alias("n_tokens"),
+    )
+    tot = per_src.agg(F.sum("n_tokens").alias("total"))
+    q = per_src.crossJoin(F.broadcast(tot)).withColumn(
+        "qs",
+        F.round(
+            F.sqrt(F.col("n_tokens").cast("double") / F.col("total")) * _MIX_Q
+        ).cast("long"),
+    )
+    qq = q.agg(F.sum("qs").alias("qsum"))
+    budget = F.col("total").cast("double") * _MIX_BUDGET_NUM / _MIX_BUDGET_DEN
+    return (
+        q.crossJoin(F.broadcast(qq))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("total"), 6).alias(
+                "token_share"
+            ),
+            F.round(F.col("qs").cast("double") / F.col("qsum"), 6).alias("target_share"),
+            F.round(
+                (F.col("qs").cast("double") / F.col("qsum")) * budget / F.col("n_tokens"),
+                6,
+            ).alias("epochs"),
+        )
+        .transform(pin)
+        .orderBy("source")
+    )
