@@ -121,8 +121,14 @@ _WINDOW_PRIORITY = (
 # query after the Spark 4.1.2 loader fix), and the pytest oracle suite
 # (tests/test_oracle_queries.py) re-hash-checks ALL queries at sf0.01 — the
 # driver's own scale — in its default configuration.  If this window comes
-# back green, all 140 registry queries have driver evidence valid for the
-# current environment and no query's newest driver row is older than round 3.
+# back green, all 140 pre-existing registry queries have driver evidence
+# valid for the current environment and no pre-round-5 query's newest
+# driver row is older than round 3.  The 12 operators written mid-round-5
+# (q136-q147: triangles, fuzzy join, bloom pre-filter, TPC-H Q11/Q20,
+# EWMA, MAD outliers, shingle novelty, source overlap, centroid cosines,
+# containment, mixing plan) hold pytest-oracle evidence at sf0.01 and sit
+# past the window — they are ROUND 6's tier-1 rotation priority, exactly
+# as q100-q124 were this round's.
 
 
 def _ordered_specs():

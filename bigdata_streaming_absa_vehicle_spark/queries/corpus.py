@@ -49,7 +49,9 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array_distinct(F.transform(dd.shingles(F.col("toks"), _SH_K), lambda x: F.md5(x)))
         ).alias("sh"),
-    )
+        # both consumers (q143, q144) read this relation twice (df/sizes agg
+        # + the score join); pin so the shingle explode computes once
+    ).localCheckpoint(eager=False)
 
 
 @query(
@@ -138,7 +140,8 @@ def q144_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combined. Source sizes broadcast back onto the S²-row
     result."""
     g = _doc_shingles(spark, sf_dir)
-    s = g.select("source", "sh").distinct()
+    # sizes + both pair-join legs read s — pin the distinct once
+    s = g.select("source", "sh").distinct().localCheckpoint(eager=False)
     sizes = s.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = s.select(F.col("source").alias("src_a"), "sh")
     b = s.select(F.col("source").alias("src_b"), "sh")
@@ -227,8 +230,12 @@ def q145_centroid_cosine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.round(F.col("v").cast("double") * _CQ).cast("long").alias("qv"),
     )
-    cent = flat.groupBy("label", "pos").agg(
-        F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n")
+    # both pair-join legs read cent — pin the (labels x dims) agg so the
+    # embeddings scan runs once
+    cent = (
+        flat.groupBy("label", "pos")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     a = cent.select(
         F.col("label").alias("label_a"), "pos",
@@ -393,9 +400,15 @@ def q147_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers BEFORE summing, so the normalization constant is an exact
     integer in both engines and no float accumulation exists."""
     docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    per_src = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(dd.tokens("text"))).alias("n_tokens"),
+    # the S-row agg feeds both the total and the share computation — pin it
+    # so the corpus tokenization scan runs once
+    per_src = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(dd.tokens("text"))).alias("n_tokens"),
+        )
+        .localCheckpoint(eager=False)
     )
     tot = per_src.agg(F.sum("n_tokens").alias("total"))
     q = per_src.crossJoin(F.broadcast(tot)).withColumn(
@@ -403,7 +416,7 @@ def q147_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sqrt(F.col("n_tokens").cast("double") / F.col("total")) * _MIX_Q
         ).cast("long"),
-    )
+    ).localCheckpoint(eager=False)
     qq = q.agg(F.sum("qs").alias("qsum"))
     budget = F.col("total").cast("double") * _MIX_BUDGET_NUM / _MIX_BUDGET_DEN
     return (

@@ -179,10 +179,14 @@ def q136_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()  # bounded metadata (node count), not a data collect
     edges = raw_edges(docs, n)
+    # und feeds both the degree agg and the orientation join; oriented
+    # feeds all three legs of the wedge join — pin each once so the edge
+    # pipeline computes once, not five times (lineage-only, no semantics)
     und = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
     da = deg.select(F.col("a").alias("_ka"), F.col("d").alias("du"))
@@ -192,6 +196,7 @@ def q136_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(db, und.b == db._kb)
         .filter(F.struct("du", "a") < F.struct("dv", "b"))
         .select(F.col("a").alias("u"), F.col("b").alias("v"), "du", "dv")
+        .localCheckpoint(eager=False)
     )
     e1 = oriented.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))
     e2 = oriented.select(F.col("u"), F.col("v").alias("z"), F.col("dv").alias("dz"))

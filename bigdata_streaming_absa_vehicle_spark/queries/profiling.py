@@ -378,24 +378,51 @@ _BF_NATION = 7  #: dimension predicate: suppliers of this nation
 
 
 def _bf_pos_sql(j: int, key: str) -> str:
-    """DuckDB twin of operators.dedup.hash64(f'bf{j}', key) % M."""
+    """DuckDB twin of the probe-side position extraction: byte j of ONE
+    md5-derived 60-bit hash (hash64('bf', key) >> 8j & 255) — one md5 per
+    row instead of k, the standard partitioned-hash Bloom compromise."""
     return (
-        f"CAST('0x' || substr(md5('bf{j}:' || CAST({key} AS VARCHAR)), 1, 15) AS BIGINT)"
-        f" % {_BF_M}"
+        f"(CAST('0x' || substr(md5('bf:' || CAST({key} AS VARCHAR)), 1, 15) AS BIGINT)"
+        f" >> {8 * j}) & {_BF_M - 1}"
+    )
+
+
+_BF_W = _BF_M // 32  #: filter words (32 bits per BIGINT word — see build)
+
+
+def _bf_word_sql(w: int) -> str:
+    """DuckDB build of filter word w: OR of 1<<(pos&31) over dim positions
+    landing in that word. 32-bit words because DuckDB raises on the 1<<63
+    a 64-bit-word build would need."""
+    return (
+        "bit_or(CASE WHEN (pos // 32) = "
+        f"{w} THEN (1::BIGINT << (pos & 31)) ELSE 0 END) AS w{w}"
     )
 
 
 def _bf_oracle() -> str:
-    probe = " AND ".join(
-        f"{_bf_pos_sql(j, 'l_suppkey')} IN (SELECT pos FROM bits)" for j in range(_BF_K)
-    )
-    bit_sel = " UNION ".join(
+    pos_union = " UNION ALL ".join(
         f"SELECT {_bf_pos_sql(j, 's_suppkey')} AS pos FROM dim" for j in range(_BF_K)
     )
+    words = ", ".join(_bf_word_sql(w) for w in range(_BF_W))
+
+    def probe_bit(j: int) -> str:
+        p = f"p{j}"
+        word_case = " ".join(
+            f"WHEN {w} THEN w{w}" for w in range(_BF_W)
+        )
+        return f"(((CASE ({p} // 32) {word_case} END) >> ({p} & 31)) & 1) = 1"
+
+    pcols = ", ".join(f"{_bf_pos_sql(j, 'l_suppkey')} AS p{j}" for j in range(_BF_K))
+    probe = " AND ".join(probe_bit(j) for j in range(_BF_K))
     return f"""
     WITH dim AS (SELECT s_suppkey FROM supplier WHERE s_nationkey = {_BF_NATION}),
-    bits AS ({bit_sel}),
-    cand AS (SELECT l_suppkey, l_extendedprice, l_discount FROM lineitem WHERE {probe})
+    bits AS (SELECT {words} FROM ({pos_union})),
+    probed AS (
+        SELECT l_suppkey, l_extendedprice, l_discount, {pcols}
+        FROM lineitem
+    ),
+    cand AS (SELECT l_suppkey, l_extendedprice, l_discount FROM probed, bits WHERE {probe})
     SELECT COUNT(*) AS n_candidates,
            COUNT(CASE WHEN l_suppkey IN (SELECT s_suppkey FROM dim) THEN 1 END)
                AS n_true,
@@ -424,13 +451,15 @@ def q138_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     256-bit filter into a Kafka consumer to drop non-matching events
     before the shuffle).
 
-    Scale shape: the filter build is an agg to <= k*|dim| distinct bit
-    positions (bounded by M=256 rows) collected into ONE broadcast row —
-    shuffle volume O(M) regardless of dim size; the probe is map-only
-    JVM codegen on the fact scan (k md5s per row, no join, no shuffle);
-    only surviving candidates pay the exact semi-join, which broadcasts
-    the dim. A filter that drops 99% of the fact before the join is the
-    difference between a 100 TB shuffle and a 1 TB one."""
+    Scale shape: the filter build is a bit_or aggregate straight into the
+    M/32 filter WORDS — one broadcast row of 8 longs, shuffle volume O(M)
+    regardless of dim size; the probe is map-only JVM codegen on the fact
+    scan (ONE md5 per row — the k positions are bytes of one 60-bit hash,
+    the standard partitioned-hash compromise — then pure shift/mask word
+    tests, no array scan, no join, no shuffle); only surviving candidates
+    pay the exact semi-join, which broadcasts the dim. A filter that
+    drops 99% of the fact before the join is the difference between a
+    100 TB shuffle and a 1 TB one."""
     dim = (
         load(spark, sf_dir, "supplier")
         .filter(F.col("s_nationkey") == _BF_NATION)
@@ -438,23 +467,55 @@ def q138_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def positions(key):
-        return [hash64(f"bf{j}", key.cast("string")) % _BF_M for j in range(_BF_K)]
+        h = hash64("bf", key.cast("string"))
+        return [F.shiftright(h, 8 * j).bitwiseAND(_BF_M - 1) for j in range(_BF_K)]
 
     bits = None
     for p in positions(F.col("s_suppkey")):
         b = dim.select(p.alias("pos"))
         bits = b if bits is None else bits.unionByName(b)
-    bits_arr = bits.distinct().agg(F.sort_array(F.collect_set("pos")).alias("bits"))
+    words = bits.agg(
+        *[
+            F.expr(
+                f"bit_or(CASE WHEN (pos DIV 32) = {w}"
+                " THEN shiftleft(1L, CAST(pos % 32 AS INT)) ELSE 0L END)"
+            ).alias(f"w{w}")
+            for w in range(_BF_W)
+        ]
+    ).select(F.array(*[F.coalesce(f"w{w}", F.lit(0).cast("long")) for w in range(_BF_W)]).alias("ws"))
 
+    # The filter words reach the probe as SCALAR SUBQUERIES (computed once
+    # by the engine, embedded as literals), NOT via a cross join — a
+    # crossJoin(broadcast(words)) plans a BroadcastNestedLoopJoin whose
+    # condition is evaluated interpreted, ~2x the whole query's cost; as
+    # scalar subqueries the probe stays a whole-stage-codegen map filter
+    # directly on the fact scan. The 60-bit hash is projected ONCE per row
+    # (bh); the k positions are byte extractions from it.
+    words.createOrReplaceTempView("graft_bf_words")
     fact = load(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_extendedprice", "l_discount"
     )
-    probe_arr = F.array(*positions(F.col("l_suppkey")))
-    cand = (
-        fact.crossJoin(F.broadcast(bits_arr))
-        .filter(F.forall(probe_arr, lambda p: F.array_contains(F.col("bits"), p)))
-        .drop("bits")
+    probed = fact.withColumn(
+        "bh",
+        F.expr(
+            "CAST(conv(substring(md5(concat('bf:', CAST(l_suppkey AS STRING))),"
+            " 1, 15), 16, 10) AS BIGINT)"
+        ),
     )
+
+    def probe_bit_sql(j: int) -> str:
+        # element_at on the 8-word array instead of an 8-branch CASE: the
+        # CASE form measured ~4x slower per probe in codegen
+        pos = f"(shiftright(bh, {8 * j}) & {_BF_M - 1})"
+        return (
+            f"(((element_at((SELECT ws FROM graft_bf_words),"
+            f" CAST({pos} DIV 32 AS INT) + 1))"
+            f" & shiftleft(1L, CAST({pos} % 32 AS INT))) != 0)"
+        )
+
+    cand = probed.filter(
+        F.expr(" AND ".join(probe_bit_sql(j) for j in range(_BF_K)))
+    ).drop("bh")
     marked = cand.join(
         F.broadcast(dim.withColumn("hit", F.lit(1))),
         cand.l_suppkey == dim.s_suppkey,

@@ -470,3 +470,38 @@ def test_pagerank_convergence_loop_matches_unrolled(spark):
     # ranks stay a probability-ish vector (mass <= 1, dangling mass dropped)
     total = ranks.agg(F.sum("pr")).first()[0]
     assert 0.5 < total <= 1.000001
+
+
+def test_bloom_probe_is_scan_side_filter(spark):
+    """A-16 (q138): the bloom words must reach the probe as scalar
+    subqueries, keeping the probe a codegen filter on the fact scan — a
+    crossJoin(broadcast(words)) would plan a BroadcastNestedLoopJoin whose
+    interpreted condition measured ~2x the whole query. The only join is
+    the exact candidate-resolve broadcast hash join."""
+    plan = plan_of(all_queries()["q138_bloom_prefilter"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # exactly one join NODE in the tree (the exact resolve BHJ); formatted
+    # output repeats the name in the details section, so count tree nodes
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Join") == 1 and "BroadcastHashJoin" in tree, plan
+    assert "Subquery" in plan, plan  # the words arrive as a subquery result
+
+
+def test_fuzzy_join_candidates_are_equi_join(spark):
+    """X-19 (q137): candidate generation must be an EQUI join on the
+    exploded length band — never a cartesian/theta product with the
+    levenshtein in the join condition."""
+    plan = plan_of(all_queries()["q137_fuzzy_word_pairs"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "levenshtein" in plan, plan  # verify runs post-join, in codegen
+
+
+def test_triangle_joins_are_equi(spark):
+    """X-18 (q136): the wedge self-join and the closing-edge join are
+    equi-joins on node / pair keys — no cartesian anywhere, and the
+    struct-comparison orientation filter stays a filter."""
+    plan = plan_of(all_queries()["q136_triangle_count"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
