@@ -29,19 +29,11 @@ Sizing notes for cluster use:
 
 from __future__ import annotations
 
-from collections.abc import Sequence
-
 from pyspark.sql import DataFrame, SparkSession
 
-
-def write_partitioned(
-    df: DataFrame,
-    path: str,
-    partition_cols: Sequence[str],
-    mode: str = "overwrite",
-) -> None:
-    """Persist `df` as directory-partitioned parquet at `path`."""
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+# single implementation — tables.write_partitioned predates this module and
+# test_plans.py::test_partitioned_write_enables_partition_pruning pins it
+from ..tables import write_partitioned  # noqa: F401
 
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:

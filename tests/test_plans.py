@@ -505,3 +505,36 @@ def test_triangle_joins_are_equi(spark):
     plan = plan_of(all_queries()["q136_triangle_count"].fn(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_native_runtime_bloom_filter_injects(spark):
+    """A-16 companion: Spark's own InjectRuntimeFilter plants a
+    might_contain(bloom_filter_agg(...)) probe on the fact side of a
+    shuffle join whose dim side carries a selective filter — the
+    engine-native version of q138's declared bloom pre-filter. Thresholds
+    are floor-gates sized for clusters (10GB application-side scan), so
+    the test lowers them to let kb-scale fixtures qualify; the REWRITE
+    under test is scale-independent."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load(spark, SF_DIR, "lineitem").select("l_suppkey", "l_extendedprice")
+        supp = (
+            load(spark, SF_DIR, "supplier")
+            .filter(F.col("s_acctbal") > 9000)
+            .select("s_suppkey")
+        )
+        j = li.join(supp, li.l_suppkey == supp.s_suppkey).agg(
+            F.sum("l_extendedprice").alias("s")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower() or "bloomfilter" in plan.lower(), plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
