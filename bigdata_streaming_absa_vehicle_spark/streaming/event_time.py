@@ -215,3 +215,58 @@ def sessionize_stream(events: DataFrame, gap_min: int = 30) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """T-10 on the Spark 4 transformWithStateInPandas API: the same
+    running per-user totals as :func:`running_totals`, expressed as a
+    StatefulProcessor with an explicit ValueState — the successor API to
+    applyInPandasWithState (typed state variables, timers, TTL, and
+    mandatory RocksDB backing at scale).
+
+    ENV-BLOCKED in this sandbox: the transformWithState driver worker
+    imports google.protobuf (state protocol messages), which is not
+    installed — the gated activation test
+    (tests/test_real_kernels.py::test_transform_with_state_running_totals)
+    arms automatically when protobuf appears. The batch path works
+    everywhere and equals running_totals' batch twin by construction.
+
+    Callers must set
+    spark.sql.streaming.stateStore.providerClass =
+    org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+    (transformWithState refuses the HDFS-backed provider)."""
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count("*").alias("n_events"), dsum("value").alias("total_value")
+        )
+
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._agg = handle.getValueState("agg", "n LONG, cents LONG")
+
+        def handleInputRows(self, key, rows, timer_values):
+            import numpy as np
+
+            n, cents = self._agg.get() if self._agg.exists() else (0, 0)
+            for pdf in rows:
+                v = pdf["value"].to_numpy()
+                n += len(pdf)
+                # cents-exact accumulation, HALF-UP like the batch twin's
+                # decimal(28,2) cast (see running_totals)
+                cents += int((np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).sum())
+            self._agg.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _Totals(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -153,3 +153,74 @@ def test_real_torch_model_satisfies_stub_contract(spark):
     row = out.collect()[0]
     assert row["pred"] in range(ABSA_NUM_CLASSES)
     assert dict(out.dtypes)["pred"] == "int"
+
+
+try:
+    _HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:  # parent package 'google' absent entirely
+    _HAS_PROTOBUF = False
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithStateInPandas driver worker needs google.protobuf (env-blocked)",
+)
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """T-10 successor API: the transformWithStateInPandas running totals
+    must equal the hash-checked batch twin once the stream drains — the
+    same stream≡batch contract as test_running_totals_stateful, on the
+    Spark 4 StatefulProcessor/ValueState API (which needs protobuf for its
+    state protocol and RocksDB for its store)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bigdata_streaming_absa_vehicle_spark.streaming.event_time import (
+        running_totals_tws,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pd.DataFrame({"user_id": [1, 1, 2], "value": [1.25, 2.0, 3.5]}).to_parquet(
+        src / "a.parquet"
+    )
+    pd.DataFrame({"user_id": [1, 2, 2], "value": [0.75, 1.0, 0.125]}).to_parquet(
+        src / "b.parquet"
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            running_totals_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_totals")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        # update mode: take each user's LAST emitted row = final totals
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.sql(
+                "select * from tws_totals order by n_events"
+            ).collect()
+        }
+        batch = running_totals_tws(spark.read.parquet(str(src)))
+        exp = {
+            r["user_id"]: (r["n_events"], r["total_value"]) for r in batch.collect()
+        }
+        assert got == exp
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
