@@ -428,9 +428,9 @@ def _bf_oracle() -> str:
                AS n_true,
            COUNT(CASE WHEN l_suppkey IN (SELECT s_suppkey FROM dim) THEN NULL ELSE 1 END)
                AS n_false_positive,
-           CAST(SUM(CAST(CASE WHEN l_suppkey IN (SELECT s_suppkey FROM dim)
+           COALESCE(CAST(SUM(CAST(CASE WHEN l_suppkey IN (SELECT s_suppkey FROM dim)
                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END
-                    AS DECIMAL(28,6))) AS DOUBLE) AS revenue_true
+                    AS DECIMAL(28,6))) AS DOUBLE), 0.0) AS revenue_true
     FROM cand
     """
 
@@ -522,11 +522,13 @@ def q138_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    # COUNT forms (never NULL) + coalesced revenue: at tiny SFs the dim can
+    # be empty, and a SUM over zero candidate rows must still report 0s
     return marked.agg(
         F.count(F.lit(1)).alias("n_candidates"),
-        F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).alias("n_true"),
-        F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias("n_false_positive"),
-        F.sum(F.when(F.col("hit").isNotNull(), rev).otherwise(F.lit(0).cast("decimal(28,6)")))
-        .cast("double")
-        .alias("revenue_true"),
+        F.count(F.when(F.col("hit").isNotNull(), 1)).alias("n_true"),
+        F.count(F.when(F.col("hit").isNull(), 1)).alias("n_false_positive"),
+        F.coalesce(
+            F.sum(F.when(F.col("hit").isNotNull(), rev)).cast("double"), F.lit(0.0)
+        ).alias("revenue_true"),
     )

@@ -1,0 +1,103 @@
+"""Structural invariants of the round-5 operators (X-18/X-19/X-20/A-16,
+corpus diagnostics, mixing plan) — properties the oracle hash can't state
+directly, asserted on sf0.001 outputs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_streaming_absa_vehicle_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    def run(name):
+        return all_queries()[name].fn(spark, SF_DIR).toPandas()
+
+    return run
+
+
+def test_triangle_corner_sum_divisible_by_three(q):
+    """Each triangle contributes exactly one count to each of its three
+    corners, so the corner total is 3x the number of distinct triangles."""
+    df = q("q136_triangle_count")
+    assert (df.n_triangles >= 1).all()
+    assert int(df.n_triangles.sum()) % 3 == 0
+
+
+def test_fuzzy_pairs_are_canonical_and_banded(q):
+    """Pairs come out canonicalized (w1 < w2), within the distance
+    threshold, and respect the length-band necessary condition the
+    candidate join relies on."""
+    df = q("q137_fuzzy_word_pairs")
+    assert (df.w1 < df.w2).all()
+    assert df.dist.between(1, 2).all()
+    assert (abs(df.w1.str.len() - df.w2.str.len()) <= 2).all()
+    assert not df.duplicated(["w1", "w2"]).any()
+
+
+def test_bloom_counts_reconcile(q, spark):
+    """candidates = true + false-positive, and the bloom NEVER misses: the
+    true-match count equals the exact semi-join count computed without any
+    filter (zero false negatives is the Bloom guarantee)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_streaming_absa_vehicle_spark.tables import load
+
+    row = q("q138_bloom_prefilter").iloc[0]
+    assert row.n_candidates == row.n_true + row.n_false_positive
+    dim = (
+        load(spark, SF_DIR, "supplier")
+        .filter(F.col("s_nationkey") == 7)
+        .select("s_suppkey")
+    )
+    exact = (
+        load(spark, SF_DIR, "lineitem")
+        .join(dim, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .count()
+    )
+    assert row.n_true == exact
+
+
+def test_containment_bounds_and_probe_subset(q):
+    df = q("q146_containment_pairs")
+    if len(df):
+        assert (df.doc_sub % 10 == 0).all()
+        assert df.containment.between(0.6, 1.0).all()
+        assert (df.n_common <= df.n_sub).all()
+
+
+def test_mixing_plan_shares_normalize(q):
+    df = q("q147_mixing_plan")
+    assert abs(df.token_share.sum() - 1.0) < 1e-4
+    assert abs(df.target_share.sum() - 1.0) < 1e-4
+    assert (df.epochs > 0).all()
+    # sqrt smoothing compresses: small sources gain share, large ones lose
+    small, big = df.nsmallest(3, "n_tokens"), df.nlargest(3, "n_tokens")
+    assert (small.target_share >= small.token_share).all()
+    assert (big.target_share <= big.token_share).all()
+
+
+def test_ewma_first_observation_equals_value(q):
+    """At each user's first day there are no lags, so the renormalized
+    EWMA must equal the value itself."""
+    df = q("q141_ewma_smoothing").sort_values(["user_id", "day"])
+    first = df.groupby("user_id").first()
+    assert (abs(first.ewma - first.x) < 1e-6).all()
+
+
+def test_mad_outliers_bounded(q):
+    df = q("q142_mad_outliers")
+    assert (df.n_outliers <= df.n_rows).all()
+    assert (df["mad"] >= 0).all()
+
+
+def test_centroid_cosine_full_matrix(q):
+    """One row per unordered label pair, cosines in [-1, 1]."""
+    df = q("q145_centroid_cosine_matrix")
+    labels = set(df.label_a) | set(df.label_b)
+    assert len(df) == len(labels) * (len(labels) - 1) // 2
+    assert df.cosine.between(-1.0, 1.0).all()
