@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.ordering import pin
 from ..tables import load
@@ -229,4 +230,130 @@ def q121_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-14: exact two-sample Kolmogorov-Smirnov drift statistic
+# ---------------------------------------------------------------------------
+
+_KS_SPLIT = "2024-01-15"  #: period A = before, period B = from this ts on
+_KS_BUCKET = 50.0  #: prefix-sum bucket width over the value domain
+
+
+@query(
+    "q148_ks_drift",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT value,
+               CASE WHEN ts < TIMESTAMP '{_KS_SPLIT}' THEN 1 ELSE 0 END AS a
+        FROM events
+    ),
+    rel AS (
+        SELECT value, CAST(SUM(a) AS BIGINT) AS cnt_a,
+               CAST(SUM(1 - a) AS BIGINT) AS cnt_b
+        FROM labeled GROUP BY value
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt_a) AS BIGINT) AS ta, CAST(SUM(cnt_b) AS BIGINT) AS tb
+        FROM rel
+    ),
+    cum AS (
+        SELECT value,
+               CAST(SUM(cnt_a) OVER w AS BIGINT) AS ca,
+               CAST(SUM(cnt_b) OVER w AS BIGINT) AS cb
+        FROM rel
+        WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    d AS (
+        SELECT value,
+               ABS(CAST(ca AS DOUBLE) / tot.ta - CAST(cb AS DOUBLE) / tot.tb) AS d
+        FROM cum, tot
+    ),
+    mx AS (SELECT MAX(d) AS mx FROM d)
+    SELECT (SELECT ta FROM tot) AS n_a,
+           (SELECT tb FROM tot) AS n_b,
+           ROUND(mx.mx, 6) AS ks_stat,
+           (SELECT MIN(value) FROM d WHERE d.d = mx.mx) AS at_value
+    FROM mx
+    """,
+    tags=("X-14", "W-03"),
+)
+def q148_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between two time
+    periods of the value distribution: max over the value domain of
+    |CDF_A(v) - CDF_B(v)|, plus the value where the gap peaks — the
+    non-parametric companion to q120's binned PSI (KS needs no bin
+    choice and catches shape changes PSI's 10 bins smooth away).
+
+    Scale shape: the cumulative counts use the same TWO-LEVEL prefix sum
+    as q84's sequence packing — a within-bucket running sum partitioned
+    by floor(value/50) plus a bucket-offset pass over the BOUNDED bucket
+    relation — so no single-partition window ever sees the full distinct
+    value set. All CDF operands are exact integers; the division and max
+    are IEEE-identical in both engines, so even the argmax value is
+    hash-stable."""
+    ev = load(spark, sf_dir, "events").select(
+        "value", (F.col("ts") < _KS_SPLIT).cast("int").alias("a")
+    )
+    rel = ev.groupBy("value").agg(
+        F.sum("a").alias("cnt_a"), F.sum(1 - F.col("a")).alias("cnt_b")
+    )
+    rel = rel.withColumn("bucket", F.floor(F.col("value") / _KS_BUCKET))
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = rel.select(
+        "bucket",
+        "value",
+        F.sum("cnt_a").over(wb).alias("wa"),
+        F.sum("cnt_b").over(wb).alias("wb_"),
+    ).localCheckpoint(eager=False)  # feeds bucket totals AND the cum join
+    btot = rel.groupBy("bucket").agg(
+        F.sum("cnt_a").alias("ba"), F.sum("cnt_b").alias("bb")
+    )
+    # offset = totals of all PRECEDING buckets (bounded relation: one row
+    # per bucket, so the ungrouped window is safe — same as q84/q120)
+    offs = btot.select(
+        "bucket",
+        (F.sum("ba").over(Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, -1)) ).alias("oa"),
+        (F.sum("bb").over(Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, -1)) ).alias("ob"),
+    )
+    tot = rel.agg(
+        F.sum("cnt_a").alias("ta"), F.sum("cnt_b").alias("tb")
+    )
+    cum = (
+        within.join(F.broadcast(offs), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "value",
+            "ta",
+            "tb",
+            (F.coalesce("oa", F.lit(0)) + F.col("wa")).alias("ca"),
+            (F.coalesce("ob", F.lit(0)) + F.col("wb_")).alias("cb"),
+        )
+    )
+    d = cum.select(
+        "value",
+        "ta",
+        "tb",
+        F.abs(
+            F.col("ca").cast("double") / F.col("ta")
+            - F.col("cb").cast("double") / F.col("tb")
+        ).alias("d"),
+    ).localCheckpoint(eager=False)  # feeds the max AND the argmax filter
+    mx = d.agg(F.max("d").alias("mx"))
+    return (
+        d.crossJoin(F.broadcast(mx))
+        .filter(F.col("d") == F.col("mx"))
+        .agg(
+            F.min("ta").alias("n_a"),
+            F.min("tb").alias("n_b"),
+            F.round(F.min("mx"), 6).alias("ks_stat"),
+            F.min("value").alias("at_value"),
+        )
     )

@@ -364,3 +364,79 @@ def q135_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-16 / J-11: leakage-safe point-in-time feature join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q149_point_in_time_join",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id,
+               date_trunc('day', ts) + INTERVAL 1 DAY AS eff_ts,
+               CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS feat_value,
+               COUNT(*) AS feat_n
+        FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    labels AS (
+        SELECT event_id, user_id, ts, value AS label_value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT l.event_id, l.user_id, l.ts, l.label_value,
+               d.feat_value, d.feat_n,
+               ROW_NUMBER() OVER (PARTITION BY l.event_id
+                                  ORDER BY d.eff_ts DESC) AS rn
+        FROM labels l
+        LEFT JOIN daily d ON l.user_id = d.user_id AND d.eff_ts <= l.ts
+    )
+    SELECT event_id, user_id, ts, label_value, feat_value, feat_n
+    FROM j WHERE rn = 1 ORDER BY event_id
+    """,
+    tags=("X-16", "J-11"),
+)
+def q149_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe point-in-time feature join — the training-set assembly
+    step that attaches to every label event the FEATURE SNAPSHOT that was
+    actually available when the label happened: per-user daily activity
+    features become effective at the NEXT day's midnight (a feature
+    computed over day D cannot be known during day D — joining on the same
+    day is the classic label-leakage bug), and each purchase label takes
+    the latest effective snapshot at or before its timestamp; early labels
+    keep NULL features rather than peeking forward.
+
+    Scale shape: executed with the J-11 as-of machinery
+    (operators/asof.py) — tagged union of snapshots and labels, ONE
+    shuffle on user_id, one in-partition sort, running last(ignorenulls)
+    — no per-label range probe and no (label x versions) candidate
+    fan-out; the oracle spells the naive interval join + row_number the
+    operator replaces."""
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("feat_value"),
+        F.count(F.lit(1)).alias("feat_n"),
+    ).select(
+        "user_id",
+        (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("eff_ts"),
+        "feat_value",
+        "feat_n",
+    )
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("label_value")
+    )
+    joined = asof_join(
+        labels, daily, key="user_id", left_time="ts", right_time="eff_ts",
+        value_cols=["feat_value", "feat_n"],
+    )
+    return (
+        joined.select("event_id", "user_id", "ts", "label_value", "feat_value", "feat_n")
+        .transform(pin)
+        .orderBy("event_id")
+    )
