@@ -430,3 +430,94 @@ def q94_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-08: last-touch attribution
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 3 * 86_400 * 1_000_000  #: 3-day lookback, exact microseconds
+
+
+@query(
+    "q152_last_touch_attribution",
+    oracle=f"""
+    WITH src AS (
+        SELECT user_id, ts, MAX(event_type) AS src_type
+        FROM events WHERE event_type <> 'purchase'
+        GROUP BY user_id, ts
+    ),
+    lab AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT l.event_id, l.ts, l.value, s.src_type, s.ts AS src_ts,
+               ROW_NUMBER() OVER (PARTITION BY l.event_id ORDER BY s.ts DESC) AS rn
+        FROM lab l
+        LEFT JOIN src s ON l.user_id = s.user_id AND s.ts <= l.ts
+    ),
+    attributed AS (
+        SELECT CASE WHEN src_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(src_ts) <= {_ATTR_WINDOW_US}
+                    THEN src_type ELSE 'unattributed' END AS channel,
+               value
+        FROM j WHERE rn = 1
+    )
+    SELECT channel, COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+    FROM attributed GROUP BY channel ORDER BY channel
+    """,
+    tags=("X-08", "J-11"),
+)
+def q152_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent non-purchase event within a 3-day lookback (else
+    'unattributed'), reporting purchases and decimal-exact revenue per
+    channel — the marketing-analytics read of the funnel data (q86 tells
+    you users convert; this tells you which touchpoint gets the credit).
+
+    Scale shape: the most-recent-touch lookup is the J-11 as-of machinery
+    (one shuffle on user_id + in-partition sort + running
+    last(ignorenulls)) — never a per-purchase range probe; the 3-day
+    bound is an exact integer microsecond comparison applied AFTER the
+    as-of, and the final rollup groups on the tiny channel key. The
+    oracle spells the naive interval join + row_number this replaces."""
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    src = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("src_type"))
+        .select("user_id", F.col("ts").alias("src_ts"), "src_type")
+    )
+    lab = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # the matched touch TIME rides along as a second value column so the
+    # lookback bound can be applied after the as-of
+    j2 = asof_join(
+        lab, src.withColumn("src_ts_v", F.col("src_ts")),
+        key="user_id", left_time="ts", right_time="src_ts",
+        value_cols=["src_type", "src_ts_v"],
+    )
+    in_window = (
+        F.col("src_ts_v").isNotNull()
+        & (F.unix_micros("ts") - F.unix_micros("src_ts_v") <= _ATTR_WINDOW_US)
+    )
+    return (
+        j2.select(
+            F.when(in_window, F.col("src_type")).otherwise("unattributed").alias(
+                "channel"
+            ),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("revenue"),
+        )
+        .transform(pin)
+        .orderBy("channel")
+    )

@@ -233,3 +233,65 @@ def q118_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("prev_type", "next_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-13: changelog compaction (apply CDC stream -> current snapshot)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q150_changelog_compaction",
+    oracle="""
+    WITH log AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        FROM events
+    )
+    SELECT user_id, ts AS last_ts, value AS current_value, n_changes
+    FROM log WHERE rn = 1 AND op <> 'D'
+    ORDER BY user_id
+    """,
+    tags=("X-13", "W-01"),
+)
+def q150_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction — the READ side of CDC merge (q117 is the
+    write/diff side): collapse an upsert/delete stream to the current
+    snapshot by keeping each key's LAST operation under the total order
+    (ts, event_id) and dropping keys whose final operation is a delete
+    (here: 'error' events play the tombstone). This is what a lakehouse
+    table format does on every MERGE-on-read query and what OPTIMIZE
+    materializes.
+
+    Scale shape: one shuffle on the key, one in-partition sort for the
+    row_number — the same plan as grouped top-k (O-05); no self-join, no
+    global sort. At scale the same code compacts per partition-file in
+    the background exactly like Delta/Iceberg compaction jobs."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    log = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "ts",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_changes"),
+    )
+    return (
+        log.filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("current_value"),
+            "n_changes",
+        )
+        .transform(pin)
+        .orderBy("user_id")
+    )

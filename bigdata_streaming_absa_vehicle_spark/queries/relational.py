@@ -500,3 +500,69 @@ def q75_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(pin).orderBy("event_type")
     )
+
+
+@query(
+    "q151_weighted_median",
+    oracle="""
+    WITH rel AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY l_returnflag, l_extendedprice
+    ),
+    cum AS (
+        SELECT l_returnflag, price, w,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cw
+        FROM rel
+    ),
+    tot AS (
+        SELECT l_returnflag, CAST(SUM(w) AS BIGINT) AS total_weight
+        FROM rel GROUP BY l_returnflag
+    )
+    SELECT c.l_returnflag,
+           MIN(c.price) AS weighted_median,
+           MIN(t.total_weight) AS total_weight
+    FROM cum c JOIN tot t USING (l_returnflag)
+    WHERE 2 * c.cw >= t.total_weight
+    GROUP BY c.l_returnflag
+    ORDER BY c.l_returnflag
+    """,
+    tags=("A-12", "W-03"),
+)
+def q151_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (A-12 extension): per return flag, the smallest
+    price whose cumulative QUANTITY weight reaches half the group's total
+    weight — the 'median unit price per unit sold', which plain
+    percentile over rows cannot express (a 50-unit line must count 50x a
+    1-unit line). The lower weighted median under integer arithmetic:
+    the 2*cum >= total comparison is exact, so no interpolation and no
+    float anywhere.
+
+    Scale shape: per-(group, price) weight rollup first (shrinks the
+    window input to distinct prices), then a PER-GROUP window — partition
+    key is the group, never a global sort — and the group totals
+    broadcast back. Same plan family as grouped top-k."""
+    li = load(spark, sf_dir, "lineitem")
+    rel = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("price")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("w")
+    )
+    wc = (
+        W.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = rel.withColumn("cw", F.sum("w").over(wc))
+    tot = rel.groupBy("l_returnflag").agg(F.sum("w").alias("total_weight"))
+    return (
+        cum.join(F.broadcast(tot), "l_returnflag")
+        .filter(2 * F.col("cw") >= F.col("total_weight"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("weighted_median"),
+            F.min("total_weight").alias("total_weight"),
+        )
+        .transform(pin)
+        .orderBy("l_returnflag")
+    )
