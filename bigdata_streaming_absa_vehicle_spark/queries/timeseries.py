@@ -174,3 +174,79 @@ def q142_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("event_type")
     )
+
+
+@query(
+    "q153_winsorized_mean",
+    oracle=f"""
+    WITH cuts AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    ),
+    clipped AS (
+        SELECT e.event_type,
+               CASE WHEN e.value < c.lo THEN c.lo
+                    WHEN e.value > c.hi THEN c.hi
+                    ELSE e.value END AS v
+        FROM events e JOIN cuts c USING (event_type)
+    )
+    SELECT cl.event_type,
+           COUNT(*) AS n_rows,
+           ROUND(MIN(c.lo), 6) AS lo,
+           ROUND(MIN(c.hi), 6) AS hi,
+           ROUND(CAST(SUM(CAST(ROUND(cl.v * 100) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 100, 6) AS winsorized_mean
+    FROM clipped cl JOIN cuts c USING (event_type)
+    GROUP BY cl.event_type
+    ORDER BY cl.event_type
+    """,
+    tags=("X-20", "A-12"),
+)
+def q153_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group: values clipped to the exact [p05, p95]
+    percentile band before averaging — the robust location estimate that,
+    unlike trimming, keeps the sample size (clipped rows pull to the
+    fence instead of vanishing). The metric to report when q142's MAD
+    pass shows the plain mean is outlier-dragged.
+
+    Determinism: the fences come from the A-12 exact-percentile path
+    (bit-equal interpolation in both engines, q75); clipped values are
+    quantized to cents (exact 2-dp inputs, and the fences' sub-cent
+    interpolation rounds identically under HALF-AWAY in both engines)
+    and accumulate as exact int64, with one final double division.
+
+    Scale shape: one grouped percentile agg (small group key), fences
+    BROADCAST back onto the fact scan, clip + quantize map-only in
+    codegen, final rollup map-side combined — the fact never reshuffles."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    cuts = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("lo"), 6).alias("lo"),
+            F.round(F.min("hi"), 6).alias("hi"),
+            F.round(
+                F.sum(F.round(F.col("v") * 100).cast("long")).cast("double")
+                / F.count(F.lit(1))
+                / 100,
+                6,
+            ).alias("winsorized_mean"),
+        )
+        .transform(pin)
+        .orderBy("event_type")
+    )

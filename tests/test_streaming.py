@@ -457,3 +457,48 @@ def test_cms_cells_merge_across_microbatches(spark, tmpdir):
         ).collect()
     }
     assert dict(merged) == whole
+
+
+def test_changelog_compaction_stream_equals_batch(spark, tmpdir):
+    """X-13 (q150) streaming twin: keep-latest-per-key is expressible as a
+    built-in streaming max(struct(ts, event_id, ...)) aggregate in update
+    mode — no custom state code — and the drained stream's final state
+    must equal the q150 batch compaction (same (ts, event_id) total
+    order, same delete-tombstone semantics)."""
+    from bigdata_streaming_absa_vehicle_spark.queries import all_queries
+
+    stream = events_stream(spark, SF_DIR, f"{tmpdir}/stage", n_files=5)
+    latest = stream.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                "ts",
+                "event_id",
+                F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+                "value",
+            )
+        ).alias("last"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    q = (
+        latest.writeStream.format("memory")
+        .queryName("compact_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = (
+        spark.table("compact_t")
+        .groupBy("user_id")
+        .agg(F.max("last").alias("last"), F.max("n_changes").alias("n_changes"))
+        .filter(F.col("last.op") != "D")
+        .select(
+            "user_id",
+            F.col("last.ts").alias("last_ts"),
+            F.col("last.value").alias("current_value"),
+            "n_changes",
+        )
+    )
+    batch = all_queries()["q150_changelog_compaction"].fn(spark, SF_DIR)
+    cols = ["user_id", "last_ts", "current_value", "n_changes"]
+    assert as_sorted_rows(final, cols) == as_sorted_rows(batch, cols)
