@@ -250,3 +250,76 @@ def q153_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("event_type")
     )
+
+
+@query(
+    "q154_group_trend",
+    oracle="""
+    WITH m AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               CAST(SUM((epoch_us(ts) - 1704067200000000) // 1000000)
+                    AS BIGINT) AS sx,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(SUM(CAST((epoch_us(ts) - 1704067200000000) // 1000000
+                        AS DECIMAL(19,0))
+                        * CAST((epoch_us(ts) - 1704067200000000) // 1000000
+                          AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST((epoch_us(ts) - 1704067200000000) // 1000000
+                        AS DECIMAL(19,0))
+                        * CAST(CAST(ROUND(value * 100) AS BIGINT) AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS sxy
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                 * 864, 6) AS slope_cents_per_day,
+           ROUND(CAST(sy AS DOUBLE) / n / 100, 6) AS mean_value
+    FROM m
+    WHERE n >= 2 AND n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx <> 0
+    ORDER BY user_id
+    """,
+    tags=("X-20", "A-14"),
+)
+def q154_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity OLS trend: the least-squares slope of each user's value
+    over time (reported in cents/day) from EXACT integer moments — x in
+    whole seconds since 2024-01-01, y in cents, so n, Σx, Σy are int64
+    and Σx², Σxy exact decimal(38,0); the slope division is one IEEE
+    double op on bit-identical operands. The per-KEY counterpart of
+    q122's ungrouped moment engine: this is how 'is this metric drifting
+    per customer?' runs over a billion entities.
+
+    Scale shape: ONE map-side-combined grouped aggregate — the five
+    moments are algebraically mergeable (A-14), so shards/days combine
+    without rescanning, and nothing but (key, 5 numbers) crosses the
+    exchange. Degenerate series (n<2 or zero time variance) are excluded
+    identically in both engines by integer-exact tests.
+
+    (864 = 86400 seconds/day ÷ 100 cents: converts cents/second·100 to
+    cents/day.)"""
+    ev = load(spark, sf_dir, "events")
+    x = ((F.unix_micros("ts") - F.lit(1704067200000000)) / 1000000).cast("long")
+    y = F.round(F.col("value") * 100).cast("long")
+    d19 = "decimal(19,0)"
+    m = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x.cast(d19) * x.cast(d19)).alias("sxx"),
+        F.sum(x.cast(d19) * y.cast(d19)).alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    return (
+        m.filter((F.col("n") >= 2) & (den != 0))
+        .select(
+            "user_id",
+            "n",
+            F.round(num / den * 864, 6).alias("slope_cents_per_day"),
+            F.round(F.col("sy").cast("double") / F.col("n") / 100, 6).alias("mean_value"),
+        )
+        .transform(pin)
+        .orderBy("user_id")
+    )

@@ -440,3 +440,108 @@ def q149_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-16 capstone: composed training-set assembly pipeline
+# ---------------------------------------------------------------------------
+
+_ASM_MIN_TOKENS = 16  #: quality gate
+_ASM_K = 8  #: reservoir size per length bucket
+
+
+@query(
+    "q155_training_assembly",
+    oracle=rf"""
+    WITH base AS (
+        SELECT doc_id, text,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        FROM documents
+        WHERE text IS NOT NULL
+          AND len(string_split_regex(trim(text), '\s+')) >= {_ASM_MIN_TOKENS}
+    ),
+    dedup AS (
+        SELECT doc_id, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM base
+    ),
+    train AS (
+        SELECT doc_id, n_tokens
+        FROM dedup
+        WHERE rn = 1 AND substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+    ),
+    bucketed AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN n_tokens <= 16 THEN 16
+                    WHEN n_tokens <= 32 THEN 32
+                    WHEN n_tokens <= 64 THEN 64
+                    WHEN n_tokens <= 128 THEN 128
+                    ELSE 256 END AS bucket,
+               md5('res:' || CAST(doc_id AS VARCHAR)) AS priority
+        FROM train
+    ),
+    ranked AS (
+        SELECT bucket, doc_id, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY bucket
+                                  ORDER BY priority, doc_id) AS rank
+        FROM bucketed
+    )
+    SELECT bucket, rank, doc_id, n_tokens
+    FROM ranked WHERE rank <= {_ASM_K}
+    ORDER BY bucket, rank
+    """,
+    tags=("X-16", "X-01", "X-17"),
+)
+def q155_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the whole batch-assembly tail of a training
+    pipeline as ONE Catalyst plan: quality gate (>=16 tokens) -> exact
+    text dedup keep-smallest-id (X-01) -> deterministic 75% hash split
+    (X-16, md5 nibble so membership is reproducible across engines and
+    backfills) -> power-of-two sequence-length buckets (X-17) ->
+    per-bucket Efraimidis-Spirakis reservoir of 8 docs (md5 priorities,
+    X-16). Returns each bucket's selected sample with its rank.
+
+    Scale shape: the gate and split are map-only on the scan; dedup is
+    one shuffle on the 16-byte text hash; the reservoir is grouped top-k
+    (one shuffle on the tiny bucket key, TakeOrdered-style) — Catalyst
+    pipelines the whole thing with no intermediate materialization,
+    which IS the argument for expressing pipelines declaratively rather
+    than as staged jobs."""
+    from pyspark.sql.window import Window as W2
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = docs.select(
+        "doc_id", "text", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    ).filter(F.col("n_tokens") >= _ASM_MIN_TOKENS)
+    dedup = base.withColumn(
+        "rn",
+        F.row_number().over(W2.partitionBy(F.md5("text")).orderBy("doc_id")),
+    )
+    train = dedup.filter(
+        (F.col("rn") == 1)
+        & (
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1)
+            < "c"
+        )
+    ).select("doc_id", "n_tokens")
+    bucketed = train.select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_tokens") <= 16, 16)
+        .when(F.col("n_tokens") <= 32, 32)
+        .when(F.col("n_tokens") <= 64, 64)
+        .when(F.col("n_tokens") <= 128, 128)
+        .otherwise(256)
+        .alias("bucket"),
+        F.md5(F.concat(F.lit("res:"), F.col("doc_id").cast("string"))).alias("priority"),
+    )
+    ranked = bucketed.withColumn(
+        "rank",
+        F.row_number().over(W2.partitionBy("bucket").orderBy("priority", "doc_id")),
+    )
+    return (
+        ranked.filter(F.col("rank") <= _ASM_K)
+        .select("bucket", "rank", "doc_id", "n_tokens")
+        .transform(pin)
+        .orderBy("bucket", "rank")
+    )
