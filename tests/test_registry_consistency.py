@@ -107,3 +107,23 @@ def test_survey_cited_queries_carry_the_rows_tag():
                 drift.append(f"SURVEY {op_id} cites {qname} but its tags are {specs[qname].tags}")
     assert rows > 100, f"SURVEY §2 citation parse found only {rows} citations"
     assert not drift, "\n".join(sorted(drift))
+
+
+def test_every_registry_query_is_cited_in_survey():
+    """Reverse parity: every registry query's Q-number must appear in a
+    SURVEY §2 row (directly or inside a Qa-Qb range) — so the judge's
+    query->operator map is total in BOTH directions and a new operator
+    cannot land without a SURVEY row citing it."""
+    text = "".join(t for _, t in _survey_rows())
+    ranged = set()
+    for a, b in re.findall(r"Q(\d+)-Q(\d+)[a-z]?\b", text):
+        for n in range(int(a), int(b) + 1):
+            ranged.add(n)
+    missing = []
+    for name in all_queries():
+        m = re.match(r"q(\d+)([a-z]?)_", name)
+        num, suf = int(m.group(1)), m.group(2)
+        if re.search(rf"\bQ0?{num}{suf}\b", text) or num in ranged:
+            continue
+        missing.append(name)
+    assert not missing, f"registry queries with no SURVEY §2 citation: {missing}"
