@@ -27,3 +27,7 @@ from . import training  # noqa: E402,F401
 from . import matching  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
+from . import intervals  # noqa: E402,F401
+from . import cooccurrence  # noqa: E402,F401
+from . import evaluation  # noqa: E402,F401
+from . import audit  # noqa: E402,F401

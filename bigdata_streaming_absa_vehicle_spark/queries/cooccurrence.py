@@ -1,0 +1,197 @@
+"""Co-occurrence mining & dependence metrics (SURVEY.md §2K extension
+X-22): market-basket pair counting with support/lift, and exact mutual
+information between two categorical columns — the "what moves together /
+which feature is informative" primitives a recommender or
+feature-selection pipeline runs before any model training (the
+reference's analytics stop at per-class counts, absa streamlit_app.py;
+pairwise structure is the declared next derivative here).
+
+Determinism: counts are exact integers end-to-end; support/lift are one
+IEEE division each on bit-identical operands; MI follows the q120
+precedent — each ln() term is rounded at 6 dp (1-ulp libm differences
+cannot move a 6-dp round) and the total accumulates as exact decimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load
+from .registry import query
+
+_TOP_PAIRS = 20
+
+
+@query(
+    "q168_basket_pairs",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM li),
+    ic AS (SELECT p, COUNT(*) AS cnt FROM li GROUP BY p),
+    pairs AS (
+        SELECT a.p AS p1, b.p AS p2, COUNT(*) AS pair_count
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    )
+    SELECT pr.p1, pr.p2, pr.pair_count,
+           c1.cnt AS cnt1, c2.cnt AS cnt2,
+           ROUND(CAST(pr.pair_count AS DOUBLE) / n.n_orders, 6) AS support,
+           ROUND(CAST(pr.pair_count AS DOUBLE) * n.n_orders
+                 / (c1.cnt * c2.cnt), 6) AS lift
+    FROM pairs pr
+    JOIN ic c1 ON pr.p1 = c1.p
+    JOIN ic c2 ON pr.p2 = c2.p
+    CROSS JOIN n
+    ORDER BY pr.pair_count DESC, pr.p1, pr.p2
+    LIMIT {_TOP_PAIRS}
+    """,
+    tags=("X-22", "J-01", "O-05"),
+)
+def q168_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part PAIRS ordered together,
+    with per-pair support (share of orders containing both) and lift
+    (observed co-rate over the independence expectation) — the a-priori
+    first pass of any "frequently bought together" recommender.
+
+    Scale shape: baskets are set-reduced first (DISTINCT on the 16-byte
+    (order, part) key), then pairs come from a SELF-JOIN CO-PARTITIONED
+    on the order key — per-order fan-out is bounded by basket size
+    (B*(B-1)/2 for a B-line order, B<=13 here), never corpus-quadratic.
+    Item counts and the order total are computed once on the reduced
+    relation and BROADCAST back onto the bounded pair relation; the
+    final top-k is a TakeOrdered under a (count, p1, p2) total order,
+    so no global sort of the pair space ever runs."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused by pairs, item counts, total
+    )
+    n = li.agg(F.countDistinct("o").alias("n_orders"))
+    ic = li.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    enriched = (
+        pairs.join(F.broadcast(ic.withColumnRenamed("cnt", "cnt1")), F.col("p1") == F.col("p"))
+        .drop("p")
+        .join(F.broadcast(ic.withColumnRenamed("cnt", "cnt2")), F.col("p2") == F.col("p"))
+        .drop("p")
+        .crossJoin(F.broadcast(n))
+    )
+    return (
+        enriched.select(
+            "p1",
+            "p2",
+            "pair_count",
+            "cnt1",
+            "cnt2",
+            F.round(F.col("pair_count").cast("double") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("pair_count").cast("double")
+                * F.col("n_orders")
+                / (F.col("cnt1") * F.col("cnt2")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("pair_count").desc(), "p1", "p2")
+        .limit(_TOP_PAIRS)
+    )
+
+
+@query(
+    "q165_mutual_information",
+    oracle="""
+    WITH j AS (
+        SELECT event_type AS x, CAST(dayofweek(ts) AS INT) AS y,
+               COUNT(*) AS n_xy
+        FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, SUM(n_xy) AS n_x FROM j GROUP BY x),
+    my AS (SELECT y, SUM(n_xy) AS n_y FROM j GROUP BY y),
+    t AS (SELECT SUM(n_xy) AS n FROM j),
+    terms AS (
+        SELECT j.x, j.y, j.n_xy,
+               CAST(mx.n_x AS BIGINT) AS n_x, CAST(my.n_y AS BIGINT) AS n_y,
+               ROUND((CAST(j.n_xy AS DOUBLE) / t.n)
+                     * ln(CAST(j.n_xy AS DOUBLE) * t.n
+                          / (CAST(mx.n_x AS DOUBLE) * my.n_y)), 6) AS mi_term
+        FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t
+    )
+    SELECT x AS event_type, y AS dow, n_xy, n_x, n_y, mi_term,
+           CAST(SUM(CAST(mi_term AS DECIMAL(28,6))) OVER () AS DOUBLE) AS mi_total
+    FROM terms
+    ORDER BY x, y
+    """,
+    tags=("X-22", "A-01"),
+)
+def q165_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mutual information between event_type and day-of-week:
+    I(X;Y) = sum p(x,y) * ln(p(x,y) / (p(x)p(y))) over the joint
+    contingency table — the model-free dependence measure feature
+    selection ranks candidate columns by (MI ~ 0 means the feature
+    carries nothing about the target). Emits the full contingency table
+    with per-cell MI terms and the total replicated on every row.
+
+    Scale shape: ONE map-side-combined groupBy over the fact produces
+    the joint table; marginals and the grand total derive from that
+    BOUNDED |X|x|Y| relation (35 cells here), never from a second fact
+    scan, and join back via broadcast. Per-cell ln terms round at 6 dp
+    (the q120 precedent for cross-libm determinism); the total sums as
+    exact decimal over the bounded cell relation."""
+    ev = load(spark, sf_dir, "events")
+    j = (
+        ev.select(
+            F.col("event_type").alias("x"),
+            (F.dayofweek("ts") - 1).cast("int").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .localCheckpoint(eager=False)  # bounded cell relation, reused 3x
+    )
+    mx = j.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    my = j.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    t = j.agg(F.sum("n_xy").alias("n"))
+    terms = (
+        j.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "x",
+            "y",
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.round(
+                (F.col("n_xy").cast("double") / F.col("n"))
+                * F.log(
+                    F.col("n_xy").cast("double")
+                    * F.col("n")
+                    / (F.col("n_x").cast("double") * F.col("n_y"))
+                ),
+                6,
+            ).alias("mi_term"),
+        )
+    )
+    return (
+        terms.select(
+            F.col("x").alias("event_type"),
+            F.col("y").alias("dow"),
+            "n_xy",
+            "n_x",
+            "n_y",
+            "mi_term",
+            F.sum(F.col("mi_term").cast("decimal(28,6)"))
+            .over(Window.partitionBy())  # bounded cell relation only
+            .cast("double")
+            .alias("mi_total"),
+        )
+        .orderBy("event_type", "dow")
+    )

@@ -1,0 +1,319 @@
+"""Experiment & model-evaluation analytics (SURVEY.md §2K extension
+X-23): A/B two-proportion z-test, decile gains/calibration table, and
+EXACT AUC via the Mann-Whitney rank-sum — the measurement layer that
+turns the engine's event streams into ship/no-ship decisions (the
+reference's dashboards stop at raw counts; every experimentation stack
+runs exactly these three on the same data).
+
+Determinism: assignment is a pure function of md5(user_id) (the X-16
+group-hash-split machinery, RNG-free); all counts and the AUC rank sums
+are exact integers/decimals with ONE final IEEE division; z-score uses
+sqrt (IEEE-754 correctly rounded, hence engine-identical on identical
+operands) and rounds at 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load
+from .registry import query
+
+#: first md5 hex nibble of the unit id: 0..7 -> arm 'a', 8..f -> arm 'b'
+_ARM_EXPR = (
+    "CASE WHEN instr('0123456789abcdef', "
+    "substr(md5(CAST(user_id AS {t})), 1, 1)) - 1 < 8 "
+    "THEN 'a' ELSE 'b' END"
+)
+
+_AUC_BUCKET = 5000  #: prefix-sum bucket width over the cents score domain
+_CONV_MIN = 150  #: conversion = any purchase over this value (~45% of users)
+
+
+@query(
+    "q169_ab_test_z",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id, {_ARM_EXPR.format(t="VARCHAR")} AS arm,
+               MAX(CASE WHEN event_type = 'purchase' AND value > {_CONV_MIN}
+                   THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    agg AS (
+        SELECT COUNT(CASE WHEN arm = 'a' THEN 1 END) AS users_a,
+               CAST(SUM(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+               COUNT(CASE WHEN arm = 'b' THEN 1 END) AS users_b,
+               CAST(SUM(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        FROM u
+    )
+    SELECT users_a, conv_a, users_b, conv_b,
+           ROUND(CAST(conv_a AS DOUBLE) / users_a, 6) AS rate_a,
+           ROUND(CAST(conv_b AS DOUBLE) / users_b, 6) AS rate_b,
+           ROUND(CAST(conv_a AS DOUBLE) / users_a
+                 - CAST(conv_b AS DOUBLE) / users_b, 6) AS abs_lift,
+           CASE WHEN conv_a + conv_b = 0
+                     OR conv_a + conv_b = users_a + users_b THEN NULL
+                ELSE ROUND((CAST(conv_a AS DOUBLE) / users_a
+                            - CAST(conv_b AS DOUBLE) / users_b)
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (users_a + users_b))
+                        * (1 - CAST(conv_a + conv_b AS DOUBLE) / (users_a + users_b))
+                        * (1.0 / users_a + 1.0 / users_b)), 6) END AS z_score
+    FROM agg
+    """,
+    tags=("X-23", "X-16", "A-03"),
+)
+def q169_ab_test_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test: users deterministically hash-split into
+    arms (md5 first nibble, the X-16 group-hash assignment — RNG-free,
+    backfill-reproducible, every user wholly in one arm), conversion =
+    "any purchase over 150" (non-degenerate ~45% base rate on this
+    data), and the pooled two-proportion z-score decides significance
+    (|z| > 1.96 ~ p < .05). The single-row readout an experimentation
+    platform computes per metric per experiment; a saturated metric
+    (0% or 100% pooled) yields NULL z identically in both engines.
+
+    Scale shape: one shuffle keyed by user for the per-unit conversion
+    rollup (map-side combined MAX), then ONE ungrouped conditional agg
+    — four integers cross the final exchange; arm assignment is map-only
+    codegen. sqrt is IEEE-correctly-rounded, so both engines divide and
+    root bit-identical operands."""
+    ev = load(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > _CONV_MIN),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+        .select(F.expr(_ARM_EXPR.format(t="string")).alias("arm"), "conv")
+    )
+    agg = u.agg(
+        F.count(F.when(F.col("arm") == "a", 1)).alias("users_a"),
+        F.sum(F.when(F.col("arm") == "a", F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.count(F.when(F.col("arm") == "b", 1)).alias("users_b"),
+        F.sum(F.when(F.col("arm") == "b", F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("users_a")
+    pb = F.col("conv_b").cast("double") / F.col("users_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("users_a") + F.col("users_b")
+    )
+    se = F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("users_a") + 1.0 / F.col("users_b"))
+    )
+    return agg.select(
+        "users_a",
+        "conv_a",
+        "users_b",
+        "conv_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(pa - pb, 6).alias("abs_lift"),
+        F.when(
+            (F.col("conv_a") + F.col("conv_b") == 0)
+            | (F.col("conv_a") + F.col("conv_b") == F.col("users_a") + F.col("users_b")),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round((pa - pb) / se, 6))
+        .alias("z_score"),
+    )
+
+
+@query(
+    "q162_gains_table",
+    oracle="""
+    WITH e AS (
+        SELECT quantile_cont(value, 0.1) AS e1, quantile_cont(value, 0.2) AS e2,
+               quantile_cont(value, 0.3) AS e3, quantile_cont(value, 0.4) AS e4,
+               quantile_cont(value, 0.5) AS e5, quantile_cont(value, 0.6) AS e6,
+               quantile_cont(value, 0.7) AS e7, quantile_cont(value, 0.8) AS e8,
+               quantile_cont(value, 0.9) AS e9
+        FROM events
+    ),
+    binned AS (
+        SELECT CAST((value > e1) AS INT) + CAST((value > e2) AS INT)
+             + CAST((value > e3) AS INT) + CAST((value > e4) AS INT)
+             + CAST((value > e5) AS INT) + CAST((value > e6) AS INT)
+             + CAST((value > e7) AS INT) + CAST((value > e8) AS INT)
+             + CAST((value > e9) AS INT) AS decile,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events CROSS JOIN e
+    ),
+    b AS (
+        SELECT decile, COUNT(*) AS n,
+               CAST(SUM(pos) AS BIGINT) AS n_pos
+        FROM binned GROUP BY decile
+    ),
+    t AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS total_pos FROM b)
+    SELECT decile, n, n_pos,
+           ROUND(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
+           ROUND(CAST(CAST(SUM(n_pos) OVER (
+                     ORDER BY decile DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS DOUBLE) / t.total_pos, 6) AS cum_capture
+    FROM b CROSS JOIN t
+    ORDER BY decile DESC
+    """,
+    tags=("X-23", "A-12", "W-03"),
+)
+def q162_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/calibration table: events ranked by score (= value)
+    into equi-depth deciles, per-decile positive rate (calibration) and
+    top-down cumulative capture of all positives (the gains curve — "the
+    top 2 deciles capture X% of conversions"). The tabular form of
+    ROC/lift that model-eval dashboards render.
+
+    Scale shape: decile EDGES come from one exact-percentile agg (A-12)
+    and BROADCAST back; bin assignment is a map-only chain of nine
+    comparisons — never a global ntile sort of the fact. The per-decile
+    rollup is map-side combined, and the cumulative window runs over the
+    BOUNDED 10-row decile relation only."""
+    ev = load(spark, sf_dir, "events").select("value", "event_type")
+    e = ev.agg(
+        *[
+            F.expr(f"percentile(value, {q / 10})").alias(f"e{q}")
+            for q in range(1, 10)
+        ]
+    )
+    decile = sum(
+        (F.col("value") > F.col(f"e{q}")).cast("int") for q in range(1, 10)
+    )
+    binned = ev.crossJoin(F.broadcast(e)).select(
+        decile.alias("decile"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    b = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").cast("long").alias("n_pos")
+    )
+    t = b.agg(F.sum("n_pos").cast("long").alias("total_pos"))
+    cum = (
+        F.sum("n_pos")
+        .over(
+            Window.orderBy(F.col("decile").desc()).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("long")
+    )
+    return (
+        b.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.round(F.col("n_pos").cast("double") / F.col("n"), 6).alias("pos_rate"),
+            F.round(cum.cast("double") / F.col("total_pos"), 6).alias("cum_capture"),
+        )
+        .orderBy(F.col("decile").desc())
+    )
+
+
+@query(
+    "q166_exact_auc",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events
+    ),
+    v AS (
+        SELECT c, CAST(SUM(pos) AS BIGINT) AS pos_v,
+               CAST(SUM(1 - pos) AS BIGINT) AS neg_v
+        FROM s GROUP BY c
+    ),
+    cumn AS (
+        SELECT c, pos_v, neg_v,
+               CAST(COALESCE(SUM(neg_v) OVER (
+                   ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS neg_below
+        FROM v
+    )
+    SELECT CAST(SUM(pos_v) AS BIGINT) AS n_pos,
+           CAST(SUM(neg_v) AS BIGINT) AS n_neg,
+           ROUND(CAST(SUM(CAST(pos_v AS DECIMAL(19,0))
+                           * CAST(2 * neg_below + neg_v AS DECIMAL(19,0)))
+                      AS DOUBLE)
+                 / (2 * CAST(SUM(pos_v) AS DOUBLE) * SUM(neg_v)), 6) AS auc
+    FROM cumn
+    """,
+    tags=("X-23", "A-12", "W-03"),
+)
+def q166_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC by Mann-Whitney rank-sum, tie-corrected: group rows
+    by distinct score (cents), accumulate negatives strictly below each
+    score, and U2 = sum pos_v * (2*neg_below + neg_v) counts each
+    (pos, neg) pair twice for a win and once for a tie — AUC = U2 /
+    (2 * n_pos * n_neg). Every operand is an exact integer/decimal until
+    the single final division, so no sampling, no libm, no threshold
+    sweep approximation.
+
+    Scale shape: the fact reduces to ONE map-side-combined groupBy on
+    the score value — the working relation is bounded by the score
+    DOMAIN (distinct cents), not the corpus. The cumulative
+    negatives-below uses the q84/q148 TWO-LEVEL bucketed prefix sum
+    (within-bucket window + bounded bucket-offset pass), never a
+    single-partition window; pair products accumulate as decimal(38,0)
+    so 1e10-per-cell counts cannot overflow."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    v = (
+        s.groupBy("c")
+        .agg(
+            F.sum("pos").cast("long").alias("pos_v"),
+            F.sum(1 - F.col("pos")).cast("long").alias("neg_v"),
+        )
+        .withColumn("bucket", F.expr(f"c DIV {_AUC_BUCKET}"))
+    )
+    within = v.withColumn(
+        "w",
+        F.coalesce(
+            F.sum("neg_v").over(
+                Window.partitionBy("bucket")
+                .orderBy("c")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).localCheckpoint(eager=False)  # feeds bucket totals AND the final agg
+    btot = within.groupBy("bucket").agg(F.sum("neg_v").alias("bneg"))
+    offs = btot.select(
+        "bucket",
+        F.coalesce(
+            F.sum("bneg").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    d19 = "decimal(19,0)"
+    cumn = within.join(F.broadcast(offs), "bucket").select(
+        "pos_v", "neg_v", (F.col("w") + F.col("off")).alias("neg_below")
+    )
+    return cumn.agg(
+        F.sum("pos_v").cast("long").alias("n_pos"),
+        F.sum("neg_v").cast("long").alias("n_neg"),
+        F.round(
+            F.sum(
+                F.col("pos_v").cast(d19)
+                * (2 * F.col("neg_below") + F.col("neg_v")).cast(d19)
+            ).cast("double")
+            / (
+                2
+                * F.sum("pos_v").cast("long").cast("double")
+                * F.sum("neg_v").cast("long")
+            ),
+            6,
+        ).alias("auc"),
+    )

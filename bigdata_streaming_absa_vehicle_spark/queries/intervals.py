@@ -1,0 +1,226 @@
+"""Interval & time-weighted analytics (SURVEY.md §2K extension X-21):
+peak-concurrency sweep over session intervals and per-entity
+time-weighted averages — the occupancy/load questions a fleet or
+traffic operator asks of the reference's event streams (the reference
+dashboards plot per-minute vehicle counts, vehicle streamlit_app.py;
+"how many sessions were open AT ONCE, and when?" is the occupancy
+derivative of exactly that data).
+
+Determinism: both operators run on integer microseconds and integer
+cents end-to-end; the only double math is a final division on
+bit-identical exact operands. The sweep's running sum is ordered by a
+(t, delta, user, session) TOTAL order so every engine scans the same
+event permutation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.ordering import pin
+from ..tables import load
+from .analytics import _SESSION_GAP_MIN, sessionize_events
+from .registry import query
+
+_DAY_US = 86_400_000_000  #: sweep prefix-sum bucket width (1 day in µs)
+
+_SESSIONS_CTE = f"""
+    g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) <= INTERVAL {_SESSION_GAP_MIN} MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_idx
+        FROM g
+    ),
+    sess AS (
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               epoch_us(MIN(ts)) AS a_us, epoch_us(MAX(ts)) AS b_us
+        FROM s GROUP BY user_id, session_idx
+    )
+"""
+
+
+@query(
+    "q167_peak_concurrency",
+    oracle=f"""
+    WITH {_SESSIONS_CTE},
+    pts AS (
+        SELECT user_id, session_idx, a_us AS t_us, 1 AS delta FROM sess
+        UNION ALL
+        SELECT user_id, session_idx, b_us AS t_us, -1 AS delta FROM sess
+    ),
+    c AS (
+        SELECT t_us,
+               CAST(SUM(delta) OVER (
+                   ORDER BY t_us, delta DESC, user_id, session_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS conc
+        FROM pts
+    ),
+    mx AS (SELECT MAX(conc) AS peak FROM c)
+    SELECT (SELECT COUNT(*) FROM sess) AS n_sessions,
+           mx.peak AS peak_concurrency,
+           (SELECT MIN(t_us) FROM c WHERE c.conc = mx.peak) AS peak_at_us
+    FROM mx
+    """,
+    tags=("X-21", "X-08", "W-03"),
+)
+def q167_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency over session intervals — the classic sweep-line:
+    each session [start, end] (30-min-gap sessions, the q91 machinery)
+    emits +1 at its start and -1 at its end, the running sum of deltas
+    over the global (t, delta DESC, user, session) total order is the
+    number of simultaneously-open sessions after each endpoint, and the
+    answer is its max plus the earliest instant achieving it. Arrivals
+    sort before departures at equal timestamps, so touching intervals
+    count as concurrent in both engines.
+
+    Scale shape: the global running sum is the q84/q148 TWO-LEVEL
+    bucketed prefix sum — a within-bucket window partitioned by
+    floor(t/day) plus a bucket-offset pass over the BOUNDED per-day
+    relation — never a single-partition window over all endpoints. The
+    endpoint relation is 2 rows per session (not per event), the final
+    max/argmax is an ungrouped map-side-combined agg, and one scalar
+    crosses to the driver."""
+    sess = sessionize_events(load(spark, sf_dir, "events")).select(
+        "user_id",
+        "session_idx",
+        F.unix_micros("session_start").alias("a_us"),
+        (F.unix_micros("session_start") + F.col("duration_us")).alias("b_us"),
+    )
+    arrive = sess.select(
+        "user_id", "session_idx", F.col("a_us").alias("t_us"), F.lit(1).alias("delta")
+    )
+    depart = sess.select(
+        "user_id", "session_idx", F.col("b_us").alias("t_us"), F.lit(-1).alias("delta")
+    )
+    pts = arrive.unionAll(depart).withColumn(
+        "bucket", F.expr(f"t_us DIV {_DAY_US}")  # exact integer division
+    )
+    order = [F.col("t_us"), F.col("delta").desc(), F.col("user_id"), F.col("session_idx")]
+    within = pts.withColumn(
+        "w",
+        F.sum("delta").over(
+            Window.partitionBy("bucket")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).localCheckpoint(eager=False)  # feeds bucket totals AND the cum join
+    btot = within.groupBy("bucket").agg(F.sum("delta").alias("bsum"))
+    # offset = totals of all PRECEDING buckets (one row per day: the
+    # ungrouped window runs over the bounded bucket relation only)
+    offs = btot.select(
+        "bucket",
+        F.coalesce(
+            F.sum("bsum").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    c = within.join(F.broadcast(offs), "bucket").select(
+        "t_us", (F.col("w") + F.col("off")).alias("conc")
+    ).localCheckpoint(eager=False)  # scanned twice: max then argmax
+    mx = c.agg(F.max("conc").alias("peak"))
+    at = (
+        c.join(F.broadcast(mx), F.col("conc") == F.col("peak"))
+        .agg(F.min("t_us").alias("peak_at_us"))
+    )
+    n = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return n.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(at)).select(
+        "n_sessions", F.col("peak").alias("peak_concurrency"), "peak_at_us"
+    )
+
+
+@query(
+    "q160_time_weighted_avg",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, epoch_us(ts) AS t_us,
+               CAST(ROUND(value * 100) AS BIGINT) AS c,
+               LEAD(epoch_us(ts)) OVER w AS t2,
+               LEAD(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS c2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    a AS (
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               MAX(t_us) - MIN(t_us) AS span_us,
+               CAST(SUM(CASE WHEN t2 IS NOT NULL THEN
+                        CAST(c + c2 AS DECIMAL(19,0)) *
+                        CAST(t2 - t_us AS DECIMAL(19,0))
+                    ELSE 0 END) AS DECIMAL(38,0)) AS area2
+        FROM o GROUP BY user_id
+    )
+    SELECT user_id, n_events, span_us,
+           ROUND(CAST(area2 AS DOUBLE) / 2 / span_us / 100, 6) AS twap
+    FROM a WHERE span_us > 0
+    ORDER BY user_id
+    """,
+    tags=("X-21", "W-02", "A-14"),
+)
+def q160_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity time-weighted average (TWAP): trapezoidal integration
+    of each user's value series over its observed span — the estimate a
+    metering/billing pipeline needs when samples are irregular and the
+    plain mean over-weights bursty periods. Area accumulates as EXACT
+    decimal(38,0) in (cents x microseconds); the final divide is one
+    IEEE double op on bit-identical operands in both engines.
+
+    Scale shape: one shuffle on user_id, one lead() window pass per
+    user's ordered series, then a map-side-combined grouped agg —
+    millions of independent small series, no self-join, and only
+    (key, 4 numbers) crosses the final exchange. Single-point series
+    (zero span) are excluded by an integer-exact test."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d19 = "decimal(19,0)"
+    o = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        "ts",
+        "event_id",
+    ).select(
+        "user_id",
+        "t_us",
+        "c",
+        F.lead("t_us").over(w).alias("t2"),
+        F.lead("c").over(w).alias("c2"),
+    )
+    a = o.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("t_us") - F.min("t_us")).alias("span_us"),
+        F.sum(
+            F.when(
+                F.col("t2").isNotNull(),
+                (F.col("c") + F.col("c2")).cast(d19)
+                * (F.col("t2") - F.col("t_us")).cast(d19),
+            ).otherwise(F.lit(0).cast(d19) * F.lit(0).cast(d19))
+        ).alias("area2"),
+    )
+    return (
+        a.filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            "span_us",
+            F.round(
+                F.col("area2").cast("double") / 2 / F.col("span_us") / 100, 6
+            ).alias("twap"),
+        )
+        .transform(pin)
+        .orderBy("user_id")
+    )

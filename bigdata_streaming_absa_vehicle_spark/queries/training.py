@@ -545,3 +545,98 @@ def q155_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("bucket", "rank")
     )
+
+
+_NEG_BUCKETS = 16  #: hash-bucket count for candidate generation
+_NEG_K = 3  #: negatives drawn per anchor
+
+
+@query(
+    "q163_negative_sampling",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               instr('0123456789abcdef',
+                     substr(md5('ns:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                   AS bucket
+        FROM documents
+    ),
+    cand AS (
+        SELECT a.doc_id AS anchor_id, b.doc_id AS neg_id,
+               md5('neg:' || CAST(a.doc_id AS VARCHAR) || ':'
+                   || CAST(b.doc_id AS VARCHAR)) AS priority
+        FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id <> b.doc_id
+    ),
+    ranked AS (
+        SELECT anchor_id, neg_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY anchor_id ORDER BY priority, neg_id
+               ) AS rank
+        FROM cand
+    )
+    SELECT anchor_id, neg_id, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_NEG_K}
+    ORDER BY anchor_id, rank
+    """,
+    tags=("X-16", "O-05", "J-01"),
+)
+def q163_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic in-batch negative sampling for contrastive training:
+    every document draws K pseudo-random negatives from its md5-derived
+    hash bucket, ranked by a per-pair md5 priority — RNG-free, so the
+    same corpus always yields the same (anchor, negative) pairs and a
+    resumed/backfilled run reproduces its batches exactly. The X-16
+    sampling family's PAIR-generating member (q133 samples rows; this
+    samples partners).
+
+    Scale shape: candidates come from a self-join CO-PARTITIONED on the
+    hash bucket — per-anchor fan-out is the bucket occupancy (~N/B, with
+    B scaled so buckets stay batch-sized), never the corpus; selection
+    is the O-05 grouped-top-k under a (priority, id) total order, no
+    global sort. Only (doc_id, bucket) enters the join — document
+    payloads never move."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            (
+                F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substring(
+                        F.md5(F.concat(F.lit("ns:"), F.col("doc_id").cast("string"))),
+                        1,
+                        1,
+                    ),
+                )
+                - 1
+            ).alias("bucket"),
+        )
+        .localCheckpoint(eager=False)  # both sides of the bucket self-join
+    )
+    a, b = d.alias("a"), d.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("anchor_id"),
+        F.col("b.doc_id").alias("neg_id"),
+        F.md5(
+            F.concat(
+                F.lit("neg:"),
+                F.col("a.doc_id").cast("string"),
+                F.lit(":"),
+                F.col("b.doc_id").cast("string"),
+            )
+        ).alias("priority"),
+    )
+    ranked = cand.withColumn(
+        "rank",
+        F.row_number().over(Window.partitionBy("anchor_id").orderBy("priority", "neg_id")),
+    )
+    return (
+        ranked.filter(F.col("rank") <= _NEG_K)
+        .select("anchor_id", "neg_id", F.col("rank").cast("long").alias("rank"))
+        .transform(pin)
+        .orderBy("anchor_id", "rank")
+    )
