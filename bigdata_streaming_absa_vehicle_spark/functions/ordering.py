@@ -46,3 +46,15 @@ def ordered(df: DataFrame, *cols) -> DataFrame:
     """Total-order df by cols without re-computing its pipeline for the
     range-partitioner's sample pass."""
     return pin(df).orderBy(*cols)
+
+
+def stage(df: DataFrame) -> DataFrame:
+    """Pin a MID-pipeline relation that multiple downstream branches reuse
+    (bucket totals + cum join, max + argmax, both sides of a self-join):
+    a lazy localCheckpoint materializes it once instead of once per branch.
+    Honors the same `spark.graft.pin_sorts=false` escape hatch as :func:`pin`
+    so plan tests (and manual .explain audits) can see through the boundary —
+    the physical plan beneath is identical either way."""
+    if df.sparkSession.conf.get("spark.graft.pin_sorts", "true") == "false":
+        return df
+    return df.localCheckpoint(eager=False)

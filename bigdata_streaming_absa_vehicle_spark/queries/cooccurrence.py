@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.ordering import stage
 from ..tables import load
 from .registry import query
 
@@ -55,26 +56,35 @@ def q168_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (observed co-rate over the independence expectation) — the a-priori
     first pass of any "frequently bought together" recommender.
 
-    Scale shape: baskets are set-reduced first (DISTINCT on the 16-byte
-    (order, part) key), then pairs come from a SELF-JOIN CO-PARTITIONED
-    on the order key — per-order fan-out is bounded by basket size
-    (B*(B-1)/2 for a B-line order, B<=13 here), never corpus-quadratic.
-    Item counts and the order total are computed once on the reduced
-    relation and BROADCAST back onto the bounded pair relation; the
-    final top-k is a TakeOrdered under a (count, p1, p2) total order,
-    so no global sort of the pair space ever runs."""
-    li = (
+    Scale shape: ONE shuffle of the fact — groupBy(order) collects each
+    basket as a SET, and the B*(B-1)/2 within-basket pairs (B<=13 here)
+    generate MAP-ONLY from the sorted part array via JVM higher-order
+    transforms, never a fact self-join (the self-join formulation pays
+    two extra shuffles and is kept as the oracle). Item counts and the
+    order total derive from the basket relation and BROADCAST back onto
+    the bounded pair relation; the final top-k is a TakeOrdered under a
+    (count, p1, p2) total order, so no global sort of the pair space
+    ever runs."""
+    baskets = (
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .localCheckpoint(eager=False)  # reused by pairs, item counts, total
+        .groupBy("o")
+        .agg(F.array_sort(F.collect_set("p")).alias("ps"))
+        .transform(stage)  # reused by pairs, item counts, total
     )
-    n = li.agg(F.countDistinct("o").alias("n_orders"))
-    ic = li.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
-    a, b = li.alias("a"), li.alias("b")
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    ic = (
+        baskets.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pair_structs = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"
+    )
     pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .agg(F.count(F.lit(1)).alias("pair_count"))
     )
     enriched = (
@@ -154,7 +164,7 @@ def q165_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("n_xy"))
-        .localCheckpoint(eager=False)  # bounded cell relation, reused 3x
+        .transform(stage)  # bounded cell relation, reused 3x
     )
     mx = j.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
     my = j.groupBy("y").agg(F.sum("n_xy").alias("n_y"))

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.ordering import stage
 from ..tables import load
 from .registry import query
 
@@ -286,7 +287,7 @@ def q166_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit(0),
         ),
-    ).localCheckpoint(eager=False)  # feeds bucket totals AND the final agg
+    ).transform(stage)  # feeds bucket totals AND the final agg
     btot = within.groupBy("bucket").agg(F.sum("neg_v").alias("bneg"))
     offs = btot.select(
         "bucket",

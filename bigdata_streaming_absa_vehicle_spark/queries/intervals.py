@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.ordering import pin
+from ..functions.ordering import pin, stage
 from ..tables import load
 from .analytics import _SESSION_GAP_MIN, sessionize_events
 from .registry import query
@@ -116,7 +116,7 @@ def q167_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
-    ).localCheckpoint(eager=False)  # feeds bucket totals AND the cum join
+    ).transform(stage)  # feeds bucket totals AND the cum join
     btot = within.groupBy("bucket").agg(F.sum("delta").alias("bsum"))
     # offset = totals of all PRECEDING buckets (one row per day: the
     # ungrouped window runs over the bounded bucket relation only)
@@ -131,7 +131,7 @@ def q167_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = within.join(F.broadcast(offs), "bucket").select(
         "t_us", (F.col("w") + F.col("off")).alias("conc")
-    ).localCheckpoint(eager=False)  # scanned twice: max then argmax
+    ).transform(stage)  # scanned twice: max then argmax
     mx = c.agg(F.max("conc").alias("peak"))
     at = (
         c.join(F.broadcast(mx), F.col("conc") == F.col("peak"))

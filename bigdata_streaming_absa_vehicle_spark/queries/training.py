@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.ordering import pin
+from ..functions.ordering import pin, stage
 from ..tables import load
 from .registry import query
 
@@ -611,7 +611,7 @@ def q163_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - 1
             ).alias("bucket"),
         )
-        .localCheckpoint(eager=False)  # both sides of the bucket self-join
+        .transform(stage)  # both sides of the bucket self-join
     )
     a, b = d.alias("a"), d.alias("b")
     cand = a.join(

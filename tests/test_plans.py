@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -542,3 +543,114 @@ def test_native_runtime_bloom_filter_injects(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_peak_concurrency_windows_are_bucketed_or_per_user(spark):
+    """q167: every window in the sweep is partitioned — the sessionize
+    windows by user_id, the corpus-level running sum by the day bucket;
+    the only unpartitioned window (bucket offsets) orders the BOUNDED
+    per-day relation. No window line may lack both keys."""
+    q = all_queries()["q167_peak_concurrency"]
+    plan = plan_of(q.fn(spark, SF_DIR), "extended")
+    phys = plan.split("== Physical Plan ==")[1]
+    for line in phys.splitlines():
+        if "windowspecdefinition" in line:
+            assert "bucket" in line or "user_id" in line, line
+
+
+def test_twap_is_one_user_shuffle_no_join(spark):
+    """q160: one hashpartitioning(user_id) exchange feeds both the lead()
+    window and the grouped agg — no join, no second fact shuffle."""
+    q = all_queries()["q160_time_weighted_avg"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "user_id" in plan.split("Exchange hashpartitioning")[1].split("\n")[0], plan
+
+
+def test_basket_pairs_topk_broadcast_counts_equi_selfjoin(spark):
+    """q168: the final top-20 is TakeOrderedAndProject (the pair space is
+    never globally sorted), item counts come back via broadcast, and the
+    candidate generator is a MAP-ONLY higher-order array transform over
+    collected baskets — no fact self-join (SortMergeJoin) and no
+    cartesian pair explosion exists in the plan."""
+    q = all_queries()["q168_basket_pairs"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mutual_information_marginals_broadcast(spark):
+    """q165: marginals/total join back onto the bounded cell relation via
+    broadcast — no shuffle join anywhere past the single fact rollup."""
+    q = all_queries()["q165_mutual_information"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_referential_integrity_is_seven_anti_joins(spark):
+    """q159: one LeftAnti existence probe per FK edge, operating on
+    key-count relations (the aggregates sit BELOW the anti joins)."""
+    q = all_queries()["q159_referential_integrity"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert plan.count("LeftAnti") == 7, plan
+
+
+def test_table_checksum_no_keyed_shuffle_no_join(spark):
+    """q164: each table's checksum is a pure map + ungrouped partial/final
+    agg — no join and no hashpartitioning exchange anywhere; the only
+    exchanges are the 1-row-per-table SinglePartition finals and the
+    4-row presentation sort."""
+    q = all_queries()["q164_table_checksum"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_exact_auc_prefix_sum_is_bucket_partitioned(spark):
+    """q166: the negatives-below running sum is partitioned by the score
+    bucket; the only unpartitioned window (bucket offsets) runs over the
+    bounded bucket relation."""
+    q = all_queries()["q166_exact_auc"]
+    plan = plan_of(q.fn(spark, SF_DIR), "extended")
+    phys = plan.split("== Physical Plan ==")[1]
+    for line in phys.splitlines():
+        if "windowspecdefinition" in line:
+            assert "bucket" in line, line
+
+
+def test_gains_table_bins_map_only_cum_over_deciles(spark):
+    """q162: decile edges broadcast back via a 1-row nested-loop join, bin
+    assignment never sorts the fact (no ntile / no rangepartitioning before
+    the agg), and the cumulative window runs over the bounded decile
+    relation."""
+    q = all_queries()["q162_gains_table"]
+    plan = plan_of(q.fn(spark, SF_DIR), "extended")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "BroadcastNestedLoopJoin" in phys, phys
+    assert not re.search(r"\bntile\(", phys), phys
+    for line in phys.splitlines():
+        if "windowspecdefinition" in line:
+            assert "decile" in line, line
+
+
+def test_negative_sampling_equi_bucket_join_grouped_topk(spark):
+    """q163: candidates come from an EQUI join on the hash bucket (never a
+    cartesian corpus product) and selection is a per-anchor row_number
+    window — the O-05 grouped-top-k shape."""
+    q = all_queries()["q163_negative_sampling"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_ab_test_is_user_rollup_then_scalar_agg(spark):
+    """q169: one hashpartitioning(user_id) exchange for the per-unit
+    conversion rollup, then a single-partition final — no join."""
+    q = all_queries()["q169_ab_test_z"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
