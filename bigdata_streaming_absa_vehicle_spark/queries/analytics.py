@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.ordering import pin
+from ..functions.ordering import pin, stage
 from ..tables import load
 from .registry import query
 
@@ -517,6 +517,195 @@ def q152_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
             F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("revenue"),
+        )
+        .transform(pin)
+        .orderBy("channel")
+    )
+
+
+@query(
+    "q170_funnel_latency",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS rm_view
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+               MIN(CASE WHEN event_type = 'purchase' AND rm_view IS NOT NULL
+                   THEN ts END) AS fp
+        FROM o GROUP BY user_id
+    ),
+    lat AS (
+        SELECT user_id, epoch_us(fp) - epoch_us(fv) AS latency_us
+        FROM u WHERE fp IS NOT NULL
+    )
+    SELECT (SELECT COUNT(*) FROM u) AS n_users,
+           (SELECT COUNT(fv) FROM u) AS n_viewers,
+           COUNT(*) AS n_converted,
+           CAST(quantile_disc(latency_us, 0.5) AS BIGINT) AS p50_us,
+           CAST(quantile_disc(latency_us, 0.9) AS BIGINT) AS p90_us,
+           CAST(quantile_disc(latency_us, 0.99) AS BIGINT) AS p99_us
+    FROM lat
+    """,
+    tags=("X-08", "A-12", "W-03"),
+)
+def q170_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel time-to-convert: for each user, the latency from their FIRST
+    view to their first purchase that FOLLOWS a view, summarized as exact
+    p50/p90/p99 across converted users — q86 reports THAT users convert,
+    this reports HOW LONG conversion takes, the number an on-call growth
+    team actually watches.
+
+    Scale shape: one shuffle on user_id feeds a single ordered window
+    pass (running min of view-time, so "purchase after a view" is a
+    per-row test — no self-join of the funnel steps) and the per-user
+    rollup; the percentile aggregation runs over one latency row per
+    CONVERTED user (A-12 family; at extreme user counts swap
+    approx_percentile on the identical dataflow). Latencies are exact
+    integer microseconds and the percentiles are DISCRETE (an actual
+    observed element, SQL-standard percentile_disc in both engines) —
+    interpolating between ~1e12-µs int64s costs a last-ulp double
+    hazard that the discrete form removes entirely."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w).alias(
+            "rm_view"
+        ),
+    )
+    u = o.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & F.col("rm_view").isNotNull(),
+                F.col("ts"),
+            )
+        ).alias("fp"),
+    ).transform(stage)  # feeds totals AND the converted-latency percentiles
+    lat = u.filter(F.col("fp").isNotNull()).select(
+        (F.unix_micros("fp") - F.unix_micros("fv")).alias("latency_us")
+    )
+    totals = u.agg(
+        F.count(F.lit(1)).alias("n_users"), F.count("fv").alias("n_viewers")
+    )
+    pct = lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_us)")
+        .cast("long")
+        .alias("p50_us"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_us)")
+        .cast("long")
+        .alias("p90_us"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY latency_us)")
+        .cast("long")
+        .alias("p99_us"),
+    )
+    return totals.crossJoin(F.broadcast(pct)).select(
+        "n_users", "n_viewers", "n_converted", "p50_us", "p90_us", "p99_us"
+    )
+
+
+@query(
+    "q171_linear_attribution",
+    oracle=f"""
+    WITH touch AS (
+        SELECT user_id, ts AS tts, event_type AS channel
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    pur AS (
+        SELECT event_id, user_id, ts AS pts, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+        SELECT p.event_id, p.cents, t.channel
+        FROM pur p JOIN touch t
+          ON p.user_id = t.user_id
+         AND t.tts <= p.pts
+         AND epoch_us(p.pts) - epoch_us(t.tts) <= {_ATTR_WINDOW_US}
+    ),
+    per_p AS (
+        SELECT event_id, cents, channel, COUNT(*) AS cnt,
+               CAST(SUM(COUNT(*)) OVER (PARTITION BY event_id) AS BIGINT) AS n_touch
+        FROM pairs GROUP BY event_id, cents, channel
+    )
+    SELECT channel,
+           CAST(SUM(CAST(ROUND(CAST(cnt AS DOUBLE) / n_touch, 9)
+                         AS DECIMAL(28,9))) AS DOUBLE) AS credited_purchases,
+           CAST(SUM(CAST(ROUND(cents * CAST(cnt AS DOUBLE) / n_touch / 100, 6)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS credited_revenue
+    FROM per_p
+    GROUP BY channel
+    ORDER BY channel
+    """,
+    tags=("X-08", "J-10", "W-03"),
+)
+def q171_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits its credit
+    (1 unit + its revenue) EQUALLY across all view/click touchpoints in
+    the 3-day lookback — the even-handed counterpart of q152's
+    winner-takes-all last-touch, and the first model a marketing team
+    compares it against. Reports fractional purchases and revenue per
+    channel.
+
+    Determinism: per-(purchase, channel) credit terms are one IEEE
+    division of exact integers rounded at 9/6 dp (the q120 precedent),
+    then summed as exact decimal — order-independent despite the
+    fractional weights.
+
+    Scale shape: the purchase×touch pairing is an equi-join
+    CO-PARTITIONED on user_id with the time bound as a join-level range
+    predicate — fan-out is each user's own touches-within-3-days, never
+    cross-user; the per-purchase touch total comes from a window over
+    the per-purchase channel counts (a bounded <=2-channel relation per
+    purchase), and the final rollup groups on the tiny channel key."""
+    ev = load(spark, sf_dir, "events")
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    pairs = pur.join(
+        touch,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("tts") <= F.col("pts"))
+        & (F.unix_micros("pts") - F.unix_micros("tts") <= _ATTR_WINDOW_US),
+    )
+    per_p = pairs.groupBy("event_id", "cents", "channel").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_p = per_p.withColumn(
+        "n_touch",
+        F.sum("cnt").over(W.partitionBy("event_id")).cast("long"),
+    )
+    frac = F.col("cnt").cast("double") / F.col("n_touch")
+    return (
+        per_p.groupBy("channel")
+        .agg(
+            F.sum(F.round(frac, 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("credited_purchases"),
+            F.sum(
+                F.round(F.col("cents") * frac / 100, 6).cast("decimal(28,6)")
+            )
+            .cast("double")
+            .alias("credited_revenue"),
         )
         .transform(pin)
         .orderBy("channel")

@@ -1,4 +1,4 @@
-"""Data-integrity auditing (SURVEY.md §2K extension X-24): a
+"""Data-integrity auditing (SURVEY.md §2K extensions X-24, X-25): a
 referential-integrity sweep over every foreign-key edge of the star
 schema, and an ORDER-INDEPENDENT mergeable table checksum — the "is the
 warehouse internally consistent, and did two pipelines produce the same
@@ -17,7 +17,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from ..functions.ordering import stage
 from ..tables import load
 from .registry import query
 
@@ -170,3 +172,200 @@ def q164_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in parts[1:]:
         out = out.unionAll(q)
     return out.orderBy("table_name")
+
+
+_GINI_BUCKET = 10_000_000  #: prefix-sum bucket width over per-customer cents
+
+
+@query(
+    "q173_benford_audit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR),
+                    1, 1) AS INT) AS digit
+        FROM events WHERE value >= 0.01
+    ),
+    c AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit),
+    spine AS (SELECT CAST(range AS INT) AS digit FROM range(1, 10)),
+    filled AS (
+        SELECT s.digit, CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs
+        FROM spine s LEFT JOIN c ON s.digit = c.digit
+    ),
+    t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM filled),
+    terms AS (
+        SELECT f.digit, f.n_obs, t.n,
+               ROUND(log10(1 + 1.0 / f.digit), 6) AS expected_share,
+               ROUND(CAST(f.n_obs AS DOUBLE) / t.n, 6) AS obs_share,
+               ROUND((f.n_obs - ROUND(log10(1 + 1.0 / f.digit), 6) * t.n)
+                     * (f.n_obs - ROUND(log10(1 + 1.0 / f.digit), 6) * t.n)
+                     / (ROUND(log10(1 + 1.0 / f.digit), 6) * t.n), 6) AS chi2_term
+        FROM filled f CROSS JOIN t
+    )
+    SELECT digit, n_obs, expected_share, obs_share, chi2_term,
+           CAST(SUM(CAST(chi2_term AS DECIMAL(28,6))) OVER () AS DOUBLE)
+               AS chi2_total
+    FROM terms
+    ORDER BY digit
+    """,
+    tags=("X-25", "A-02"),
+)
+def q173_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of the value column: the distribution of first
+    significant digits against the log10(1+1/d) expectation, with
+    per-digit chi-square terms and the total — the classic
+    fabricated-data / instrumentation-bug detector for financial and
+    metering feeds (organic multiplicative data follows Benford;
+    truncated, capped, or synthesized data does not — as here, where a
+    bounded-uniform generator fails loudly).
+
+    Scale shape: digit extraction is map-only codegen on the cents
+    integer (leading digit is scale-invariant under the x100), ONE
+    map-side-combined groupBy reduces the fact to <=9 rows, and the
+    digit spine + chi-square run on that bounded relation. Expected
+    shares round at 6 dp (the q120 libm precedent) so both engines
+    compare identical doubles."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value") >= 0.01)
+    d = ev.select(
+        F.substring(F.round(F.col("value") * 100).cast("long").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    filled = (
+        spine.join(F.broadcast(c), "digit", "left")
+        .select("digit", F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"))
+        .transform(stage)  # bounded 9-row relation, reused by total + terms
+    )
+    t = filled.agg(F.sum("n_obs").cast("long").alias("n"))
+    exp_share = F.round(F.log10(1 + 1.0 / F.col("digit")), 6)
+    dev = F.col("n_obs") - exp_share * F.col("n")
+    terms = filled.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n_obs",
+        exp_share.alias("expected_share"),
+        F.round(F.col("n_obs").cast("double") / F.col("n"), 6).alias("obs_share"),
+        F.round(dev * dev / (exp_share * F.col("n")), 6).alias("chi2_term"),
+    )
+    return terms.select(
+        "digit",
+        "n_obs",
+        "expected_share",
+        "obs_share",
+        "chi2_term",
+        F.sum(F.col("chi2_term").cast("decimal(28,6)"))
+        .over(Window.partitionBy())  # bounded 9-row relation only
+        .cast("double")
+        .alias("chi2_total"),
+    ).orderBy("digit")
+
+
+@query(
+    "q174_revenue_gini",
+    oracle=f"""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+        FROM orders GROUP BY o_custkey
+    ),
+    v AS (SELECT r, COUNT(*) AS c_r FROM rev GROUP BY r),
+    cum AS (
+        SELECT r, c_r,
+               CAST(COALESCE(SUM(c_r) OVER (
+                   ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS below
+        FROM v
+    ),
+    m AS (
+        SELECT CAST(SUM(c_r) AS BIGINT) AS n,
+               CAST(SUM(CAST(r AS DECIMAL(19,0)) * c_r) AS DECIMAL(38,0)) AS s,
+               CAST(SUM(CAST(r AS DECIMAL(19,0))
+                        * (CAST(c_r AS DECIMAL(19,0)) * below
+                           + CAST(c_r AS DECIMAL(19,0)) * (c_r + 1) / 2))
+                    AS DECIMAL(38,0)) AS w
+        FROM cum
+    )
+    SELECT n AS n_customers,
+           ROUND(CAST(s AS DOUBLE) / 100, 2) AS total_revenue,
+           ROUND(2 * CAST(w AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                 - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+    FROM m
+    """,
+    tags=("X-25", "A-14", "W-03"),
+)
+def q174_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers — the
+    inequality/concentration read ("do 20% of customers carry 80% of
+    revenue?") that pricing and risk teams track, computed EXACTLY from
+    the rank-weighted sum G = 2*sum(rank_i * x_i)/(n*sum x) - (n+1)/n
+    with ties collapsed at the value level: a value v with count c and
+    `below` predecessors contributes v*(c*below + c(c+1)/2) — every
+    operand an exact integer/decimal (cents), one final division.
+
+    Scale shape: the fact reduces to one per-customer rollup (keyed
+    shuffle, map-side combined), then to the DISTINCT-value relation
+    bounded by the cents domain; ranks come from the q84/q148 two-level
+    bucketed prefix sum over that relation (never a global sort of
+    customers), and the moments are A-14-mergeable decimals — three
+    numbers cross the final exchange."""
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("r")
+        )
+    )
+    v = (
+        rev.groupBy("r")
+        .agg(F.count(F.lit(1)).alias("c_r"))
+        .withColumn("bucket", F.expr(f"r DIV {_GINI_BUCKET}"))
+    )
+    within = v.withColumn(
+        "wb",
+        F.coalesce(
+            F.sum("c_r").over(
+                Window.partitionBy("bucket")
+                .orderBy("r")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).transform(stage)  # feeds bucket totals AND the moment agg
+    btot = within.groupBy("bucket").agg(F.sum("c_r").alias("bc"))
+    offs = btot.select(
+        "bucket",
+        F.coalesce(
+            F.sum("bc").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    d19 = "decimal(19,0)"
+    cum = within.join(F.broadcast(offs), "bucket").select(
+        "r", "c_r", (F.col("wb") + F.col("off")).cast("long").alias("below")
+    )
+    m = cum.agg(
+        F.sum("c_r").cast("long").alias("n"),
+        F.sum(F.col("r").cast(d19) * F.col("c_r")).cast("decimal(38,0)").alias("s"),
+        F.sum(
+            F.col("r").cast(d19)
+            * (
+                F.col("c_r").cast(d19) * F.col("below")
+                + F.col("c_r").cast(d19) * (F.col("c_r") + 1) / 2
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("w"),
+    )
+    return m.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.col("s").cast("double") / 100, 2).alias("total_revenue"),
+        F.round(
+            2 * F.col("w").cast("double") / (F.col("n").cast("double") * F.col("s").cast("double"))
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.ordering import stage
+from ..functions.ordering import pin, stage
 from ..tables import load
 from .registry import query
 
@@ -204,4 +204,67 @@ def q165_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mi_total"),
         )
         .orderBy("event_type", "dow")
+    )
+
+
+@query(
+    "q172_user_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    u AS (
+        SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_u, COUNT(*) AS n_types
+        FROM c GROUP BY 1
+    ),
+    terms AS (
+        SELECT c.user_id, u.n_u, u.n_types,
+               ROUND((CAST(c.n AS DOUBLE) / u.n_u)
+                     * ln(CAST(c.n AS DOUBLE) / u.n_u), 9) AS t
+        FROM c JOIN u ON c.user_id = u.user_id
+    )
+    SELECT user_id, n_u AS n_events, n_types,
+           ROUND(-CAST(SUM(CAST(t AS DECIMAL(28,9))) AS DOUBLE), 6) AS entropy
+    FROM terms
+    GROUP BY user_id, n_u, n_types
+    ORDER BY user_id
+    """,
+    tags=("X-22", "A-01"),
+)
+def q172_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity Shannon entropy of the event-type distribution:
+    H(user) = -sum p*ln(p) over that user's event mix — the behavioral
+    diversity score (0 = single-minded, ln(5) = uniform over all five
+    types) that segmentation and bot-detection pipelines compute per
+    account; the per-KEY counterpart of q165's global dependence read.
+
+    Scale shape: ONE map-side-combined groupBy reduces the fact to the
+    bounded (user x |types|<=5) relation; per-user totals and the
+    entropy terms derive from that relation co-partitioned on user_id —
+    the fact is scanned once and never rejoined. Per-term ln rounds at
+    9 dp (the q120 cross-libm precedent), the per-user sum accumulates
+    as exact decimal, and the final negate/round is IEEE-identical."""
+    ev = load(spark, sf_dir, "events")
+    c = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .transform(stage)  # bounded rollup, reused by totals AND terms
+    )
+    u = c.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("n_u"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("n").cast("double") / F.col("n_u")
+    terms = c.join(u, "user_id").select(
+        "user_id", "n_u", "n_types", F.round(p * F.log(p), 9).alias("t")
+    )
+    return (
+        terms.groupBy("user_id", F.col("n_u").alias("n_events"), "n_types")
+        .agg(
+            F.round(-F.sum(F.col("t").cast("decimal(28,9)")).cast("double"), 6).alias(
+                "entropy"
+            )
+        )
+        .transform(pin)
+        .orderBy("user_id")
     )

@@ -654,3 +654,73 @@ def test_ab_test_is_user_rollup_then_scalar_agg(spark):
     plan = plan_of(q.fn(spark, SF_DIR), "simple")
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_funnel_latency_single_window_no_step_join(spark):
+    """q170: "purchase after a view" is a per-row running-min test inside
+    one user-partitioned window — no join between funnel steps exists."""
+    q = all_queries()["q170_funnel_latency"]
+    plan = plan_of(q.fn(spark, SF_DIR), "extended")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "SortMergeJoin" not in phys and "ShuffledHashJoin" not in phys, phys
+    for line in phys.splitlines():
+        if "windowspecdefinition" in line:
+            assert "user_id" in line, line
+
+
+def test_linear_attribution_pairing_is_user_equi_join(spark):
+    """q171: the purchase x touch pairing is an equi join on user_id with
+    the time bound as a range predicate — never a cartesian pairing; the
+    touch-total window is keyed by the purchase id."""
+    q = all_queries()["q171_linear_attribution"]
+    plan = plan_of(q.fn(spark, SF_DIR), "extended")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "CartesianProduct" not in phys and "BroadcastNestedLoopJoin" not in phys, phys
+    for line in phys.splitlines():
+        if "windowspecdefinition" in line:
+            assert "event_id" in line, line
+
+
+def test_user_entropy_joins_bounded_relations_only(spark):
+    """q172: the (user, type) rollup is STAGED (lazy localCheckpoint), so
+    the totals branch and the terms branch both read the materialized
+    bounded relation instead of re-scanning the fact — with staging on,
+    the final plan reads ExistingRDD and touches parquet zero times; and
+    no cartesian exists anywhere."""
+    q = all_queries()["q172_user_entropy"]
+    spark.conf.set("spark.graft.pin_sorts", "true")
+    try:
+        plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    finally:
+        spark.conf.set("spark.graft.pin_sorts", "false")
+    assert "ExistingRDD" in plan, plan
+    assert plan.count("Scan parquet") == 0, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_benford_reduces_fact_before_spine_join(spark):
+    """q173: the digit spine joins the ALREADY-AGGREGATED <=9-row digit
+    counts via broadcast — the aggregate sits below the join."""
+    q = all_queries()["q173_benford_audit"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    join_seen = False
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line:
+            join_seen = True
+        if join_seen and "HashAggregate" in line and "count" in line:
+            break
+    else:
+        assert join_seen, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_gini_prefix_sum_is_bucket_partitioned(spark):
+    """q174: the rank prefix sum over the distinct-cents relation is
+    partitioned by the value bucket; the only unpartitioned window
+    (bucket offsets) runs over the bounded bucket relation."""
+    q = all_queries()["q174_revenue_gini"]
+    plan = plan_of(q.fn(spark, SF_DIR), "extended")
+    phys = plan.split("== Physical Plan ==")[1]
+    for line in phys.splitlines():
+        if "windowspecdefinition" in line:
+            assert "bucket" in line, line
