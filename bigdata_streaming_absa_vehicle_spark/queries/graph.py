@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.ordering import pin
+from ..functions.ordering import pin, stage
 from ..operators.dedup import hash64, oracle_hash64
 from ..tables import load
 from .registry import query
@@ -280,3 +280,95 @@ def pagerank_converge(
         if delta < tol:
             break
     return p, iters, delta
+
+
+def _edges_cte() -> str:
+    """DuckDB CTE text (nn, raw_edges, dedup_edges) generating exactly
+    raw_edges() over `documents` — shared by the q124 and q176 oracles."""
+    edge_sel = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {oracle_hash64(f'pr{j}', 'CAST(doc_id AS VARCHAR)')} % n AS dst"
+        f" FROM documents, nn"
+        for j in range(_PR_FANOUT)
+    )
+    return f"""
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    raw_edges AS ({edge_sel}),
+    dedup_edges AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst)
+    """
+
+
+@query(
+    "q176_degree_assortativity",
+    oracle=f"""
+    WITH {_edges_cte()},
+    od AS (SELECT src, COUNT(*) AS outdeg FROM dedup_edges GROUP BY src),
+    idg AS (SELECT dst, COUNT(*) AS indeg FROM dedup_edges GROUP BY dst),
+    xy AS (
+        SELECT CAST(od.outdeg AS BIGINT) AS x, CAST(idg.indeg AS BIGINT) AS y
+        FROM dedup_edges e
+        JOIN od ON e.src = od.src
+        JOIN idg ON e.dst = idg.dst
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS syy,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS sxy
+        FROM xy
+    )
+    SELECT n AS n_edges,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+                 6) AS assortativity
+    FROM m
+    """,
+    tags=("X-18", "A-14"),
+)
+def q176_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the benchmark graph: the Pearson
+    correlation between source out-degree and destination in-degree
+    across directed edges — the one-number summary of whether hubs link
+    to hubs (assortative, >0) or to leaves (disassortative, <0) that
+    decides if degree-based partitioning (q136's orientation trick) will
+    pay off. Computed from EXACT integer moments (degrees are counts;
+    sums decimal(38,0)); the final Pearson is IEEE double + sqrt on
+    bit-identical operands, rounded at 6 dp.
+
+    Scale shape: degrees are two map-side-combined groupBys on the edge
+    list; the (x, y) per-edge relation comes from two equi-joins keyed
+    src/dst (co-partitioned with the degree rollups, payload = two
+    ints); ONE mergeable moments agg (A-14) follows — six numbers cross
+    the final exchange. No windows, no sorts, no quadratic anything."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.count()
+    edges = raw_edges(docs, n_docs).transform(stage)  # reused by degrees + join
+    od = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    idg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
+    xy = (
+        edges.join(od, "src")
+        .join(idg, "dst")
+        .select(
+            F.col("outdeg").cast("long").alias("x"),
+            F.col("indeg").cast("long").alias("y"),
+        )
+    )
+    d19 = "decimal(19,0)"
+    m = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(d19) * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y").cast(d19) * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("x").cast(d19) * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(
+        F.col("n") * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy")
+    )
+    return m.select(
+        F.col("n").alias("n_edges"), F.round(num / den, 6).alias("assortativity")
+    )

@@ -224,3 +224,63 @@ def q160_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("user_id")
     )
+
+
+_ROLL_DAYS = 7  #: trailing window width for rolling active users
+
+
+@query(
+    "q175_rolling_active_users",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, user_id
+        FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM du),
+    expanded AS (
+        SELECT DISTINCT du.day + o.o * INTERVAL 1 DAY AS tday, du.user_id
+        FROM du CROSS JOIN (SELECT range AS o FROM range({_ROLL_DAYS})) o
+    )
+    SELECT s.day,
+           COUNT(*) AS active_{_ROLL_DAYS}d
+    FROM spine s JOIN expanded e ON s.day = e.tday
+    GROUP BY s.day
+    ORDER BY s.day
+    """,
+    tags=("X-21", "A-04", "A-06"),
+)
+def q175_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (the WAU curve): for each
+    calendar day with data, the count of distinct users seen in the
+    trailing 7-day window — the growth metric every product dashboard
+    leads with, and the canonical "sliding distinct" that naive SQL
+    writes as a per-day range self-join.
+
+    Scale shape: the fact reduces to DISTINCT (day, user) once (one
+    shuffle, map-side combined); each activity row then fans out
+    MAP-ONLY to the <=7 future days it keeps the user active for (the
+    bounded-explode reduction of the range join — fan-out is the window
+    width, never the day count); a second distinct collapses multi-day
+    users per window and the final count groups per day. The day spine
+    join is broadcast. Works identically as an HLL-sketch merge (A-13)
+    when exact distincts get too wide — same dataflow, swap the agg."""
+    ev = load(spark, sf_dir, "events")
+    du = (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+        .distinct()
+        .transform(stage)  # reused by the spine AND the fan-out
+    )
+    spine = du.select("day").distinct()
+    offsets = spark.range(_ROLL_DAYS).select(F.col("id").cast("int").alias("o"))
+    expanded = (
+        du.crossJoin(F.broadcast(offsets))
+        .select(F.expr("timestampadd(DAY, o, day)").alias("tday"), "user_id")
+        .distinct()
+    )
+    return (
+        expanded.join(F.broadcast(spine), F.col("tday") == F.col("day"), "left_semi")
+        .groupBy(F.col("tday").alias("day"))
+        .agg(F.count(F.lit(1)).alias(f"active_{_ROLL_DAYS}d"))
+        .transform(pin)
+        .orderBy("day")
+    )

@@ -724,3 +724,27 @@ def test_gini_prefix_sum_is_bucket_partitioned(spark):
     for line in phys.splitlines():
         if "windowspecdefinition" in line:
             assert "bucket" in line, line
+
+
+def test_rolling_active_users_fanout_is_broadcast_explode(spark):
+    """q175: the sliding-distinct never plans a range self-join — the
+    7-day fan-out is a broadcast nested-loop against the 7-row offset
+    relation, and both distincts are keyed hash exchanges."""
+    q = all_queries()["q175_rolling_active_users"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_assortativity_is_degree_joins_plus_one_moments_agg(spark):
+    """q176: no window, no cartesian — degrees join back by src/dst keys
+    and a single partial+final agg carries six numbers."""
+    q = all_queries()["q176_degree_assortativity"]
+    spark.conf.set("spark.graft.pin_sorts", "true")
+    try:
+        plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    finally:
+        spark.conf.set("spark.graft.pin_sorts", "false")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
