@@ -369,3 +369,27 @@ def q174_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+#: canonical serialization of an events row (Spark-side only — the
+#: stream/batch twin compares Spark to Spark, so unix_micros is fine here).
+_EVENTS_CANON = (
+    "CAST(event_id AS string) || '|' || CAST(unix_micros(ts) AS string) || '|' "
+    "|| CAST(user_id AS string) || '|' || event_type || '|' "
+    "|| CAST(CAST(ROUND(value * 100) AS BIGINT) AS string)"
+)
+
+
+def events_checksum(df: DataFrame) -> DataFrame:
+    """(n_rows, checksum) of an events-shaped relation via the q164
+    order-independent row-hash sum — ONE ungrouped mergeable aggregate,
+    so the IDENTICAL code path runs over a batch table or a streaming
+    source (complete-mode agg): the live proof of the A-14 mergeability
+    claim (tests/test_streaming.py::test_checksum_stream_equals_batch).
+    An ingest pipeline keeps this running against its sink and compares
+    to the batch checksum of what landed — zero-sort end-to-end audit."""
+    h = F.expr(_nibble_int(f"md5({_EVENTS_CANON})"))
+    return df.select(h.cast("decimal(38,0)").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("h").cast("decimal(38,0)").cast("string").alias("checksum"),
+    )

@@ -502,3 +502,18 @@ def test_changelog_compaction_stream_equals_batch(spark, tmpdir):
     batch = all_queries()["q150_changelog_compaction"].fn(spark, SF_DIR)
     cols = ["user_id", "last_ts", "current_value", "n_changes"]
     assert as_sorted_rows(final, cols) == as_sorted_rows(batch, cols)
+
+
+def test_checksum_stream_equals_batch(spark, tmpdir):
+    """X-24 (q164) streaming twin: the order-independent checksum is ONE
+    mergeable ungrouped aggregate, so the same events_checksum() code
+    path drains a file-replayed stream (complete mode) to exactly the
+    batch table's (n_rows, checksum) — arrival order, file split, and
+    partitioning provably cannot change the fingerprint."""
+    from bigdata_streaming_absa_vehicle_spark.queries.audit import events_checksum
+
+    stream = events_stream(spark, SF_DIR, f"{tmpdir}/stage", n_files=5)
+    result = run_to_memory(spark, events_checksum(stream), "checksum_t")
+    batch = events_checksum(load(spark, SF_DIR, "events"))
+    cols = ["n_rows", "checksum"]
+    assert as_sorted_rows(result, cols) == as_sorted_rows(batch, cols)
