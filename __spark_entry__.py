@@ -123,17 +123,22 @@ _WINDOW_PRIORITY = (
 # driver's own scale — in its default configuration.  If this window comes
 # back green, all 140 pre-existing registry queries have driver evidence
 # valid for the current environment and no pre-round-5 query's newest
-# driver row is older than round 3.  The 33 operators written mid-round-5
+# driver row is older than round 3.  The 40 operators written mid-round-5
 # (q136-q158: triangles, fuzzy join, bloom pre-filter, TPC-H Q11/Q20/Q4/
 # Q6/Q18, EWMA, MAD outliers, shingle novelty, source overlap, centroid
 # cosines, containment, mixing plan, KS drift, point-in-time join,
 # changelog compaction, weighted median, last-touch attribution,
-# winsorized mean, per-entity OLS trend, training-assembly capstone; and
-# q159-q169: referential-integrity sweep, order-independent table
-# checksum, peak-concurrency sweep, TWAP, basket pairs, mutual
-# information, A/B z-test, gains table, exact AUC, negative sampling)
-# hold pytest-oracle evidence at sf0.01 and sit past the window — they
-# are ROUND 6's tier-1 rotation priority, exactly as q100-q124 were this
+# winsorized mean, per-entity OLS trend, training-assembly capstone;
+# q159-q169 (no q161): referential-integrity sweep, order-independent
+# table checksum, peak-concurrency sweep, TWAP, basket pairs, mutual
+# information, A/B z-test, gains table, exact AUC, negative sampling;
+# and q170-q183 (no q161): funnel latency, linear attribution, user
+# entropy, Benford audit, revenue Gini, rolling 7-day active users,
+# degree assortativity, model-version churn/kappa + class shift,
+# Kaplan-Meier survival, seasonal load profile, golden-record
+# survivorship, point-in-time state reconstruction, bigram PMI) hold
+# pytest-oracle evidence at sf0.01 and sit past the window — they are
+# ROUND 6's tier-1 rotation priority, exactly as q100-q124 were this
 # round's.
 
 

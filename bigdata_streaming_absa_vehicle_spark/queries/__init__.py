@@ -31,3 +31,6 @@ from . import intervals  # noqa: E402,F401
 from . import cooccurrence  # noqa: E402,F401
 from . import evaluation  # noqa: E402,F401
 from . import audit  # noqa: E402,F401
+from . import modelops  # noqa: E402,F401
+from . import survival  # noqa: E402,F401
+from . import mdm  # noqa: E402,F401

@@ -268,3 +268,105 @@ def q172_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("user_id")
     )
+
+
+@query(
+    "q183_bigram_pmi",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    pairs AS (
+        SELECT w[i] AS w1, w[i + 1] AS w2
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(w) - 1)) AS i
+        )
+    ),
+    bg AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+        FROM pairs WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2
+    ),
+    uni AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(w) AS token FROM toks)
+        WHERE token <> '' GROUP BY token
+    ),
+    tot AS (
+        SELECT CAST((SELECT SUM(c) FROM uni) AS BIGINT) AS n_tok,
+               CAST((SELECT SUM(c_xy) FROM bg) AS BIGINT) AS n_bg
+    )
+    SELECT w1, w2, c_xy,
+           ROUND(ln((CAST(c_xy AS DOUBLE) * n_tok * n_tok)
+                    / (CAST(n_bg AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+    FROM bg
+    JOIN uni u1 ON bg.w1 = u1.token
+    JOIN uni u2 ON bg.w2 = u2.token
+    CROSS JOIN tot
+    ORDER BY c_xy DESC, w1, w2 LIMIT 50
+    """,
+    tags=("X-22", "F-09", "O-05"),
+)
+def q183_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram collocations ranked by frequency with pointwise
+    mutual information: PMI = ln(p(xy) / (p(x)p(y))) tells a tokenizer
+    or phrase-mining pass which word pairs stick together beyond chance
+    ("new york" high PMI, "of the" high count but low PMI) — the
+    corpus-statistics complement to q121's BPE pair counting (BPE ranks
+    by raw count; PMI normalizes away unigram frequency).
+
+    Scale shape: bigram construction is a MAP-ONLY JVM higher-order zip
+    of each token array with its own tail (fan-out = tokens per doc, no
+    self-join); both count rollups are map-side combined onto
+    vocabulary-bounded relations; the unigram side BROADCASTS into the
+    bigram relation twice; corpus totals broadcast from one bounded agg;
+    the final ranking is TakeOrdered top-k, never a global sort.  PMI's
+    single ln() runs on identically-parenthesized IEEE operands and is
+    rounded at 6 dp (the q120 cross-libm precedent)."""
+    toks = load(spark, sf_dir, "documents").select(
+        F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))),
+            )
+        ).alias("p")
+    ).select(F.col("p.`0`").alias("w1"), F.col("p.`1`").alias("w2"))
+    bg = (
+        pairs.where((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .transform(stage)  # vocab^2-bounded; feeds the total and the report
+    )
+    uni = (
+        toks.select(F.explode("w").alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .transform(stage)  # vocab-bounded; feeds the total and both join legs
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("n_tok")).crossJoin(
+        bg.agg(F.sum("c_xy").cast("long").alias("n_bg"))
+    )
+    u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bg.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") * F.col("n_tok") * F.col("n_tok"))
+                    / (F.col("n_bg").cast("double") * F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("c_xy").desc(), "w1", "w2")
+        .limit(50)
+    )

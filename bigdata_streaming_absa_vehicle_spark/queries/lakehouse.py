@@ -295,3 +295,64 @@ def q150_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("user_id")
     )
+
+
+@query(
+    "q182_state_as_of",
+    oracle="""
+    WITH log AS (
+        SELECT user_id, event_type, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    )
+    SELECT user_id, ts AS state_ts, event_type AS state_type,
+           ROUND(value, 2) AS state_value, n_changes
+    FROM log WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+    tags=("X-13", "W-01", "P-04"),
+)
+def q182_state_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time state reconstruction (the time-travel READ): replay
+    the changelog only up to T = 2024-01-15 and keep each key's last
+    non-tombstone operation under the (ts, event_id) total order — "what
+    did this table look like at T", the AS OF query a lakehouse answers
+    from old snapshots and this engine answers from the raw log.  The
+    q150 compaction is the T = now special case; q149's point-in-time
+    JOIN consumes exactly these states, one per label timestamp.
+
+    Scale shape: the ts < T predicate PUSHES TO THE SCAN (parquet
+    min/max zone maps skip every file newer than T — the same pruning a
+    snapshot read gets from its manifest), then one keyed shuffle + the
+    grouped-top-k in-partition sort, identical to q150.  n_changes rides
+    the same window partition, so no second scan."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    log = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).cast("long").alias("n_changes"),
+    )
+    return (
+        log.filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("ts").alias("state_ts"),
+            F.col("event_type").alias("state_type"),
+            F.round("value", 2).alias("state_value"),
+            "n_changes",
+        )
+        .transform(pin)
+        .orderBy("user_id")
+    )

@@ -1,0 +1,159 @@
+"""Survival analysis (SURVEY.md §2K extension X-27): the Kaplan-Meier
+estimator over customer order-activity lifetimes — the churn-analytics
+primitive behind every retention dashboard.  Tenure = days between a
+customer's first and last order; customers still ordering in the final
+180 days of the observation window are RIGHT-CENSORED (they haven't
+churned, we just stopped watching), everyone else's tenure ends in an
+observed churn event.  KM is the standard estimator that uses the
+censored subjects correctly (they leave the at-risk set without counting
+as churn) instead of dropping them — the naive "average lifetime of
+churned users" is biased short.
+
+Determinism: all counts (deaths d_t, censors c_t, at-risk n_t) are exact
+integers via exclusive cumulative sums; per-death-time hazard factors
+enter as ln(1 - d/n) ROUNDED AT 6 DP then summed in exact DECIMAL(20,6)
+(the q120/q165 cross-libm precedent — order-independent by exactness),
+and survival = round(exp(sum), 6) with the d == n full-extinction row
+pinned to exactly 0.0 in both engines (Spark's ln(0) is NULL, DuckDB's is
+-inf; neither is allowed to reach the output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.ordering import stage
+from ..tables import load
+from .registry import query
+
+_CENSOR_DAYS = 180  #: still ordering this close to the end => right-censored
+
+
+@query(
+    "q179_survival_curve",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(MAX(o_orderdate) AS DATE) AS end_d FROM orders
+    ),
+    u AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(MIN(o_orderdate) AS DATE),
+                         CAST(MAX(o_orderdate) AS DATE)) AS lt,
+               CAST(MAX(o_orderdate) AS DATE) AS last_d
+        FROM orders GROUP BY o_custkey
+    ),
+    ev AS (
+        SELECT lt,
+               CAST(SUM(CASE WHEN last_d >= end_d - {_CENSOR_DAYS}
+                        THEN 0 ELSE 1 END) AS BIGINT) AS n_death,
+               CAST(SUM(CASE WHEN last_d >= end_d - {_CENSOR_DAYS}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_censor
+        FROM u CROSS JOIN b GROUP BY lt
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+    risk AS (
+        SELECT lt, n_death, n_censor,
+               n - CAST(COALESCE(SUM(n_death + n_censor) OVER (
+                   ORDER BY lt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS n_risk
+        FROM ev CROSS JOIN tot
+    ),
+    terms AS (
+        SELECT lt, n_death, n_censor, n_risk,
+               CASE WHEN n_death = 0 OR n_death >= n_risk
+                    THEN CAST(0 AS DECIMAL(20,6))
+                    ELSE CAST(ROUND(ln(1 - CAST(n_death AS DOUBLE) / n_risk), 6)
+                              AS DECIMAL(20,6)) END AS term,
+               (n_death >= n_risk) AS extinct
+        FROM risk
+    ),
+    km AS (
+        SELECT lt, n_death, n_censor, n_risk,
+               SUM(term) OVER (
+                   ORDER BY lt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               MAX(CASE WHEN extinct THEN 1 ELSE 0 END) OVER (
+                   ORDER BY lt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS dead
+        FROM terms
+    )
+    SELECT lt AS lt_days, n_risk, n_death, n_censor,
+           CASE WHEN dead = 1 THEN 0.0
+                ELSE ROUND(exp(CAST(cum AS DOUBLE)), 6) END AS survival
+    FROM km WHERE n_death > 0
+    ORDER BY lt_days
+    """,
+    tags=("X-27", "A-06", "W-03"),
+)
+def q179_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer order-activity tenure with
+    right-censoring: one row per churn time t — at-risk count n_t, churn
+    events d_t, censored-at-t c_t, and S(t) = prod_{t_i<=t}(1 - d_i/n_i).
+
+    Scale shape: the fact reduces in ONE map-side-combined groupBy per
+    customer, then again onto the (distinct tenure-day) relation — which
+    is CALENDAR-bounded (<= days of history; 100 TB of orders adds rows,
+    not days), so the two cumulative windows run over a few-thousand-row
+    bounded relation, never anything corpus-sized (the q162 bounded-
+    window precedent).  Totals and the observation end broadcast; hazard
+    terms are 6-dp-rounded ln values summed in exact decimal, ONE exp +
+    round at the end."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    b = o.agg(F.max("d").alias("end_d"))
+    u = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("d"), F.min("d")).alias("lt"),
+        F.max("d").alias("last_d"),
+    ).transform(stage)  # per-customer relation; feeds both ev and tot
+    censored = F.col("last_d") >= F.date_sub(F.col("end_d"), _CENSOR_DAYS)
+    ev = (
+        u.crossJoin(F.broadcast(b))
+        .groupBy("lt")
+        .agg(
+            F.sum(F.when(censored, 0).otherwise(1)).cast("long").alias("n_death"),
+            F.sum(F.when(censored, 1).otherwise(0)).cast("long").alias("n_censor"),
+        )
+    )
+    tot = u.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_excl = Window.orderBy("lt").rowsBetween(Window.unboundedPreceding, -1)
+    w_incl = Window.orderBy("lt").rowsBetween(Window.unboundedPreceding, 0)
+    risk = ev.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        (
+            F.col("n")
+            - F.coalesce(
+                F.sum(F.col("n_death") + F.col("n_censor")).over(w_excl), F.lit(0)
+            )
+        ).cast("long"),
+    )
+    dec = "decimal(20,6)"
+    terms = risk.withColumn(
+        "term",
+        F.when(
+            (F.col("n_death") == 0) | (F.col("n_death") >= F.col("n_risk")),
+            F.lit(0).cast(dec),
+        ).otherwise(
+            F.round(
+                F.log(1 - F.col("n_death").cast("double") / F.col("n_risk")), 6
+            ).cast(dec)
+        ),
+    ).withColumn("extinct", (F.col("n_death") >= F.col("n_risk")).cast("int"))
+    km = terms.withColumn("cum", F.sum("term").over(w_incl)).withColumn(
+        "dead", F.max("extinct").over(w_incl)
+    )
+    return (
+        km.where(F.col("n_death") > 0)
+        .select(
+            F.col("lt").alias("lt_days"),
+            "n_risk",
+            "n_death",
+            "n_censor",
+            F.when(F.col("dead") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("cum").cast("double")), 6))
+            .alias("survival"),
+        )
+        .orderBy("lt_days")
+    )

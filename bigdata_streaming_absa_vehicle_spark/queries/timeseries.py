@@ -323,3 +323,62 @@ def q154_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("user_id")
     )
+
+
+@query(
+    "q180_seasonal_profile",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+               CAST(hour(ts) AS INT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cells)
+    SELECT dow, hr, n,
+           ROUND(CAST(cents AS DOUBLE) / (100.0 * n), 6) AS avg_value,
+           ROUND(CAST(n * 168 AS DOUBLE) / total, 6) AS load_index
+    FROM cells CROSS JOIN tot
+    ORDER BY dow, hr
+    """,
+    tags=("X-20", "A-06", "A-08"),
+)
+def q180_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day seasonal load profile: event count, mean
+    value, and load index (cell traffic vs the uniform-168-cell
+    expectation; 1.0 = average hour, 2.0 = double load) — the seasonality
+    baseline a capacity planner or anomaly detector normalizes against
+    before flagging deviations (the X-20 EWMA/MAD ops flag points; this
+    is the calendar structure they should first be de-trended by).
+
+    Scale shape: dow/hour extraction is map-only codegen; the rollup is
+    map-side combined onto the BOUNDED 7x24 = 168-cell relation; the
+    grand total derives from those 168 rows and broadcasts back.  Mean
+    value accumulates exact integer cents with ONE final division; the
+    load index is exact-integer n*168 over the total, one division."""
+    ev = load(spark, sf_dir, "events").select(
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hr"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cells = ev.groupBy("dow", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hr",
+            "n",
+            F.round(F.col("cents").cast("double") / (100.0 * F.col("n")), 6).alias(
+                "avg_value"
+            ),
+            F.round((F.col("n") * 168).cast("double") / F.col("total"), 6).alias(
+                "load_index"
+            ),
+        )
+        .orderBy("dow", "hr")
+    )

@@ -748,3 +748,75 @@ def test_assortativity_is_degree_joins_plus_one_moments_agg(spark):
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_model_churn_single_scan_bounded_tail(spark):
+    """q177: the (aspect, la, lb) cell rollup is STAGED, so the marginal/
+    total branches read the materialized bounded relation — with staging
+    on, the final plan reads ExistingRDD and touches parquet zero times
+    (one corpus scan total, despite four downstream consumers)."""
+    q = all_queries()["q177_model_churn"]
+    spark.conf.set("spark.graft.pin_sorts", "true")
+    try:
+        plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    finally:
+        spark.conf.set("spark.graft.pin_sorts", "false")
+    assert "ExistingRDD" in plan, plan
+    assert plan.count("Scan parquet") == 0, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_survival_windows_run_after_aggregation(spark):
+    """q179: both cumulative windows run over the post-aggregate bounded
+    tenure-day relation, never the orders fact — every windowspecdefinition
+    sits above the staged per-customer rollup (zero parquet scans reach a
+    Window when staging is on), and the scan that does run is pruned to
+    the two needed columns."""
+    q = all_queries()["q179_survival_curve"]
+    df = q.fn(spark, SF_DIR)
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "o_custkey" in read_schema and "o_orderdate" in read_schema
+    assert "o_totalprice" not in read_schema, plan
+    spark.conf.set("spark.graft.pin_sorts", "true")
+    try:
+        staged = plan_of(q.fn(spark, SF_DIR), "simple")
+    finally:
+        spark.conf.set("spark.graft.pin_sorts", "false")
+    window_tail = staged.split("Window")[-1] if "Window" in staged else ""
+    assert "Scan parquet" not in window_tail.split("ExistingRDD")[0], staged
+
+
+def test_golden_record_every_exchange_keys_entity_id(spark):
+    """q181: all three survivorship legs shuffle on user_id and ONLY on
+    user_id — no Exchange in the plan hashes any other key, and no
+    cartesian/broadcast-nested-loop exists."""
+    q = all_queries()["q181_user_golden_record"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "user_id" in line, line
+        if "Exchange rangepartitioning" in line:
+            assert "user_id" in line, line
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_state_as_of_pushes_time_travel_predicate(spark):
+    """q182: the ts < T time-travel predicate reaches the parquet scan as
+    a pushed filter, so zone maps can skip files newer than T."""
+    q = all_queries()["q182_state_as_of"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "ts" in pushed and ("LessThan" in pushed or "IsNotNull" in pushed), plan
+
+
+def test_bigram_pmi_unigrams_broadcast_topk_not_global_sort(spark):
+    """q183: both unigram join legs are broadcast (the bigram relation
+    never sort-merge-joins), and the top-50 is TakeOrdered, not a global
+    sort."""
+    q = all_queries()["q183_bigram_pmi"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
