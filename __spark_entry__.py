@@ -132,14 +132,16 @@ _WINDOW_PRIORITY = (
 # q159-q169 (no q161): referential-integrity sweep, order-independent
 # table checksum, peak-concurrency sweep, TWAP, basket pairs, mutual
 # information, A/B z-test, gains table, exact AUC, negative sampling;
-# and q170-q183 (no q161): funnel latency, linear attribution, user
+# and q170-q186 (no q161): funnel latency, linear attribution, user
 # entropy, Benford audit, revenue Gini, rolling 7-day active users,
 # degree assortativity, model-version churn/kappa + class shift,
-# Kaplan-Meier survival, seasonal load profile, golden-record
-# survivorship, point-in-time state reconstruction, bigram PMI) hold
-# pytest-oracle evidence at sf0.01 and sit past the window — they are
-# ROUND 6's tier-1 rotation priority, exactly as q100-q124 were this
-# round's.
+# Kaplan-Meier survival, seasonal load profile + anomaly flags,
+# golden-record survivorship, point-in-time state reconstruction,
+# bigram PMI, out-of-order watermark-sizing profile, session paths,
+# k-anonymity/l-diversity audit, HLL sketch-overlap, A/B minimum
+# detectable effect — through q189) hold pytest-oracle evidence at
+# sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
+# priority, exactly as q100-q124 were this round's.
 
 
 def _ordered_specs():

@@ -176,7 +176,14 @@ def main() -> None:
     # possible round-over-round (r4 verdict item 6: r4's rolling file
     # clobbered r3's and BENCH_r0N.json keeps only the top-3)
     round_tag = os.environ.get("SPARK_GRAFT_ROUND", "r05")
-    for path in ("BENCH_DETAIL.json", f"BENCH_DETAIL_{round_tag}.json"):
+    # smoke runs at other scale factors must not clobber the sf0.1 record
+    # the round-over-round regression diffs read
+    detail_paths = (
+        ("BENCH_DETAIL.json", f"BENCH_DETAIL_{round_tag}.json")
+        if sf == 0.1
+        else (f"BENCH_DETAIL_sf{sf}.json",)
+    )
+    for path in detail_paths:
         with open(os.path.join(repo, path), "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
 

@@ -710,3 +710,171 @@ def q171_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("channel")
     )
+
+
+@query(
+    "q186_session_paths",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) <= INTERVAL {_SESSION_GAP_MIN} MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_idx
+        FROM g
+    ),
+    paths AS (
+        SELECT array_to_string(
+                   (list(event_type ORDER BY ts, event_id))[1:3], '>'
+               ) AS path
+        FROM s GROUP BY user_id, session_idx
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+    tags=("X-08", "W-02", "A-11", "O-05"),
+)
+def q186_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top navigation paths: the first three event types of every
+    30-minute-gap session (the q91 gaps-and-islands assignment), ranked
+    by how many sessions follow each path — the "how do users actually
+    move" product-analytics readout that the first-order q118 transition
+    matrix cannot answer (it forgets everything before the previous
+    step; a path keeps the ordered prefix).
+
+    Scale shape: ONE shuffle on user_id drives the lag flag, the running
+    session sum, and the per-session ordered collect (the per-session
+    array is bounded by session length, and only its first 3 elements
+    survive the slice); the path rollup is map-side combined on the
+    bounded distinct-path relation and the final ranking is TakeOrdered
+    top-20, never a global sort."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(f"INTERVAL {_SESSION_GAP_MIN} MINUTES")
+    g = ev.withColumn(
+        "new_session",
+        F.when(F.col("ts") - F.lag("ts").over(w) <= gap, 0).otherwise(1),
+    )
+    s = g.withColumn(
+        "session_idx",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    paths = (
+        s.groupBy("user_id", "session_idx")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.collect_list(F.struct("ts", "event_id", "event_type"))
+                        ),
+                        1,
+                        3,
+                    ),
+                    lambda x: x["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+@query(
+    "q188_sketch_overlap",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+    b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    x AS (
+        SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+               CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+               CAST((SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS BIGINT)
+                   AS overlap_exact,
+               CAST((SELECT COUNT(DISTINCT user_id) FROM events
+                     WHERE event_type IN ('view', 'purchase')) AS BIGINT)
+                   AS union_exact
+    )
+    SELECT n_a, n_b, overlap_exact, union_exact,
+           ROUND(CAST(overlap_exact AS DOUBLE) / union_exact, 6) AS jaccard,
+           TRUE AS within_tol
+    FROM x
+    """,
+    tags=("A-13", "A-04", "U-02"),
+)
+def q188_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap via SKETCH ALGEBRA: how many users are in both
+    the 'view' and the 'purchase' segment, estimated by
+    inclusion-exclusion over mergeable HLL sketches
+    (|A∩B| ~ |A| + |B| − |A∪B|, where |A∪B| is one register-max merge)
+    — the cross-segment question ad/audience platforms answer from
+    stored per-segment sketches WITHOUT rescanning raw events.  The
+    hash-checked contract is the q90 pattern: exact sizes, exact
+    overlap, exact Jaccard, plus an in-engine tolerance assertion that
+    the sketch-estimated overlap lands within 5% of the exact union
+    (inclusion-exclusion compounds ~1% per-sketch error; the tolerance
+    is stated against the union, the estimator's natural scale).
+
+    Scale shape: segment sketches build in ONE map-side-combined pass
+    each (a few KB crosses the exchange); the union is a sketch merge,
+    never a data union; the exact twins ride the same scans so the
+    whole readout is one bounded single-row join."""
+    ev = load(spark, sf_dir, "events")
+    ska = ev.where(F.col("event_type") == "view").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk_a"),
+        F.count_distinct("user_id").cast("long").alias("n_a"),
+    )
+    skb = ev.where(F.col("event_type") == "purchase").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk_b"),
+        F.count_distinct("user_id").cast("long").alias("n_b"),
+    )
+    exact = (
+        ev.where(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "in_b"
+            ),
+        )
+        .agg(
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("overlap_exact"),
+            F.count(F.lit(1)).cast("long").alias("union_exact"),
+        )
+    )
+    est_union = F.hll_sketch_estimate(
+        F.hll_union("sk_a", "sk_b", allowDifferentLgConfigK=False)
+    )
+    return (
+        ska.crossJoin(F.broadcast(skb))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_a",
+            "n_b",
+            "overlap_exact",
+            "union_exact",
+            F.round(
+                F.col("overlap_exact").cast("double") / F.col("union_exact"), 6
+            ).alias("jaccard"),
+            (
+                F.abs(
+                    (F.col("n_a") + F.col("n_b") - est_union)
+                    - F.col("overlap_exact")
+                )
+                <= 0.05 * F.col("union_exact")
+            ).alias("within_tol"),
+        )
+    )

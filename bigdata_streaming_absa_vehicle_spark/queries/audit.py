@@ -393,3 +393,72 @@ def events_checksum(df: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("h").cast("decimal(38,0)").cast("string").alias("checksum"),
     )
+
+
+_K_ANON = 10  #: groups smaller than this violate the release policy
+
+
+@query(
+    "q187_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+        SELECT event_type,
+               CAST(dayofweek(ts) + 1 AS INT) AS dow,
+               CAST(hour(ts) AS INT) AS hr,
+               user_id
+        FROM events
+    ),
+    grp AS (
+        SELECT event_type, dow, hr,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l_div
+        FROM qi GROUP BY event_type, dow, hr
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(n) AS BIGINT) AS k_anonymity,
+           CAST(MIN(l_div) AS BIGINT) AS l_diversity,
+           CAST(SUM(CASE WHEN n < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_groups,
+           CAST(SUM(CASE WHEN n < {_K_ANON} THEN n ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk,
+           ROUND(CAST(SUM(CASE WHEN n < {_K_ANON} THEN n ELSE 0 END) AS DOUBLE)
+                 / SUM(n), 6) AS at_risk_frac
+    FROM grp
+    """,
+    tags=("X-29", "A-04", "A-01"),
+)
+def q187_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit before a data release: group the
+    table by its quasi-identifier tuple (event_type, day-of-week, hour —
+    the attributes an attacker could link externally), then report the
+    dataset's k (smallest group size: any record in a group of k is
+    hidden among k candidates), its l (fewest distinct sensitive values
+    — user_id — in any group), and how many groups/rows fall below the
+    k=10 release policy.  The go/no-go readout an anonymization
+    pipeline checks after generalizing columns and before export.
+
+    Scale shape: ONE map-side-combined rollup onto the bounded
+    QI-domain relation (|types| x 7 x 24; the count-distinct rides the
+    same shuffle keyed by the QI), then a single ungrouped agg over that
+    bounded relation — one scalar row to the driver."""
+    qi = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hr"),
+        "user_id",
+    )
+    grp = qi.groupBy("event_type", "dow", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("user_id").cast("long").alias("l_div"),
+    )
+    viol = F.when(F.col("n") < _K_ANON, F.col("n")).otherwise(0)
+    return grp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("n").cast("long").alias("k_anonymity"),
+        F.min("l_div").cast("long").alias("l_diversity"),
+        F.sum(F.when(F.col("n") < _K_ANON, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_groups"),
+        F.sum(viol).cast("long").alias("n_rows_at_risk"),
+        F.round(F.sum(viol).cast("double") / F.sum("n"), 6).alias("at_risk_frac"),
+    )

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.ordering import pin
+from ..functions.ordering import pin, stage
 from ..tables import load
 from .registry import query
 
@@ -356,4 +356,92 @@ def q148_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("mx"), 6).alias("ks_stat"),
             F.min("value").alias("at_value"),
         )
+    )
+
+
+_LATE_BUCKET = 5000  #: arrival-sequence bucket width for the prefix-max
+
+
+@query(
+    "q185_out_of_order_profile",
+    oracle="""
+    WITH a AS (
+        SELECT event_id, epoch_us(ts) AS ts_us FROM events
+    ),
+    r AS (
+        SELECT ts_us,
+               MAX(ts_us) OVER (
+                   ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS run_max
+        FROM a
+    ),
+    lat AS (
+        SELECT CASE WHEN run_max IS NULL OR run_max <= ts_us THEN 0
+                    ELSE run_max - ts_us END AS late_us
+        FROM r
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           ROUND(CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS late_frac,
+           ROUND(quantile_cont(late_us, 0.5) / 1000000.0, 6) AS p50_late_s,
+           ROUND(quantile_cont(late_us, 0.95) / 1000000.0, 6) AS p95_late_s,
+           ROUND(CAST(MAX(late_us) AS DOUBLE) / 1000000.0, 6) AS max_late_s
+    FROM lat
+    """,
+    tags=("X-14", "T-09", "A-12"),
+)
+def q185_out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile of the event stream: treating event_id as
+    the ARRIVAL sequence, an event's lateness is how far behind the
+    running event-time high-water mark it arrived — exactly the quantity
+    a streaming watermark (T-09) must exceed to avoid dropping data.
+    One row out: event count, late count/fraction, and p50/p95/max
+    lateness in seconds — read p95 off this profile to SIZE
+    withWatermark() instead of guessing.
+
+    Scale shape: the global running max never runs as one partition —
+    it is the q84/q148/q167 TWO-LEVEL bucketed prefix pattern with MAX
+    instead of SUM: within-bucket exclusive running max, bounded
+    per-bucket maxima staged, exclusive bucket-offset max over that
+    bounded relation, then greatest() of the two legs map-only.
+    Lateness values are exact integer microseconds; the final readout is
+    one ungrouped agg (A-12 exact percentiles, proven bit-equal to
+    DuckDB quantile_cont by q75)."""
+    a = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.expr(f"event_id DIV {_LATE_BUCKET}").alias("bucket"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = a.withColumn("w_max", F.max("ts_us").over(w_in)).transform(stage)
+    btot = within.groupBy("bucket").agg(F.max("ts_us").alias("b_max"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select(
+        "bucket", F.max("b_max").over(w_off).alias("off_max")
+    )
+    run_max = F.greatest(
+        F.coalesce(F.col("w_max"), F.lit(-1).cast("long")),
+        F.coalesce(F.col("off_max"), F.lit(-1).cast("long")),
+    )
+    lat = within.join(F.broadcast(offs), "bucket").select(
+        F.when(run_max <= F.col("ts_us"), F.lit(0).cast("long"))
+        .otherwise(run_max - F.col("ts_us"))
+        .alias("late_us")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0)).cast("long").alias("n_late"),
+        F.round(
+            F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("late_frac"),
+        F.round(F.expr("percentile(late_us, 0.5)") / 1000000.0, 6).alias("p50_late_s"),
+        F.round(F.expr("percentile(late_us, 0.95)") / 1000000.0, 6).alias("p95_late_s"),
+        F.round(F.max("late_us").cast("double") / 1000000.0, 6).alias("max_late_s"),
     )

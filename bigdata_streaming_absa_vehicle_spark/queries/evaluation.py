@@ -318,3 +318,85 @@ def q166_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+#: two-sided alpha=.05 and 80%-power normal quantiles, 6 dp (fixed
+#: constants, not libm calls, so both engines consume identical literals)
+_Z_ALPHA = 1.959964
+_Z_POWER = 0.841621
+
+
+@query(
+    "q189_mde_power",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id, {_ARM_EXPR.format(t="VARCHAR")} AS arm,
+               MAX(CASE WHEN event_type = 'purchase' AND value > {_CONV_MIN}
+                   THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    agg AS (
+        SELECT COUNT(CASE WHEN arm = 'a' THEN 1 END) AS users_a,
+               COUNT(CASE WHEN arm = 'b' THEN 1 END) AS users_b,
+               CAST(SUM(conv) AS BIGINT) AS conv_all,
+               COUNT(*) AS users_all
+        FROM u
+    )
+    SELECT users_a, users_b,
+           ROUND(CAST(conv_all AS DOUBLE) / users_all, 6) AS base_rate,
+           ROUND(({_Z_ALPHA} + {_Z_POWER})
+                 * sqrt((CAST(conv_all AS DOUBLE) / users_all)
+                        * (1 - CAST(conv_all AS DOUBLE) / users_all)
+                        * (1.0 / users_a + 1.0 / users_b)), 6) AS mde_abs,
+           ROUND((({_Z_ALPHA} + {_Z_POWER})
+                 * sqrt((CAST(conv_all AS DOUBLE) / users_all)
+                        * (1 - CAST(conv_all AS DOUBLE) / users_all)
+                        * (1.0 / users_a + 1.0 / users_b)))
+                 / (CAST(conv_all AS DOUBLE) / users_all), 6) AS mde_rel
+    FROM agg
+    """,
+    tags=("X-23", "A-03"),
+)
+def q189_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect for the q169 experiment design: given
+    the arm sizes the hash split actually produces and the pooled base
+    conversion rate, the smallest absolute (and relative) lift a
+    two-sided alpha=.05 test detects with 80% power — the pre-launch
+    readout that tells an experimenter whether the test is even worth
+    running at this traffic level (run q189 BEFORE q169 reads the
+    result).  z-quantiles enter as fixed 6-dp literals, not libm calls.
+
+    Scale shape: identical to q169 — one user-keyed rollup
+    (map-side-combined MAX), one ungrouped conditional agg, four
+    integers cross the final exchange; sqrt is IEEE-correctly-rounded
+    on bit-identical operands."""
+    ev = load(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > _CONV_MIN),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+        .select(F.expr(_ARM_EXPR.format(t="string")).alias("arm"), "conv")
+    )
+    agg = u.agg(
+        F.count(F.when(F.col("arm") == "a", 1)).alias("users_a"),
+        F.count(F.when(F.col("arm") == "b", 1)).alias("users_b"),
+        F.sum("conv").cast("long").alias("conv_all"),
+        F.count(F.lit(1)).alias("users_all"),
+    )
+    p = F.col("conv_all").cast("double") / F.col("users_all")
+    mde = (_Z_ALPHA + _Z_POWER) * F.sqrt(
+        p * (1 - p) * (1.0 / F.col("users_a") + 1.0 / F.col("users_b"))
+    )
+    return agg.select(
+        "users_a",
+        "users_b",
+        F.round(p, 6).alias("base_rate"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / p, 6).alias("mde_rel"),
+    )

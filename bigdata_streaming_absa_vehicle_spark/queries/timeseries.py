@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.deterministic import oracle_dsum
-from ..functions.ordering import pin
+from ..functions.ordering import pin, stage
 from ..tables import load
 from .registry import query
 
@@ -379,6 +379,90 @@ def q180_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("n") * 168).cast("double") / F.col("total"), 6).alias(
                 "load_index"
             ),
+        )
+        .orderBy("dow", "hr")
+    )
+
+
+@query(
+    "q184_seasonal_anomaly",
+    oracle="""
+    WITH f AS (
+        SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+               CAST(hour(ts) AS INT) AS hr,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    cells AS (
+        SELECT dow, hr,
+               CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(cents) AS DECIMAL(38,0)) AS s,
+               CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0)) AS s2
+        FROM f GROUP BY dow, hr
+    ),
+    flagged AS (
+        SELECT f.dow, f.hr,
+               CASE WHEN (n * cents - s) * (n * cents - s)
+                         > 9 * (n * s2 - s * s)
+                    THEN 1 ELSE 0 END AS anom
+        FROM f JOIN cells ON f.dow = cells.dow AND f.hr = cells.hr
+    )
+    SELECT dow, hr, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(anom) AS BIGINT) AS n_anom,
+           ROUND(CAST(SUM(anom) AS DOUBLE) / COUNT(*), 6) AS anom_rate
+    FROM flagged GROUP BY dow, hr
+    ORDER BY dow, hr
+    """,
+    tags=("X-20", "A-08", "J-02"),
+)
+def q184_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly counts: each event is tested against ITS
+    OWN calendar cell's mean/std (q180's dow x hour baseline) instead of
+    a global threshold — |v - mean| > 3 sigma rewritten into the EXACT
+    integer inequality (n*cents - s)^2 > 9*(n*s2 - s^2), so the flag
+    needs no division, no sqrt, and no float anywhere (the q142 MAD
+    op flags against a global robust center; this one de-trends by
+    calendar cell first).
+
+    Scale shape: the classic two-pass — one map-side-combined moments
+    rollup onto the BOUNDED 168-cell relation (staged), then the fact
+    re-scans once and joins those stats by BROADCAST, flag map-only, and
+    the final rollup is again map-side combined onto 168 cells.  The
+    fact never shuffles."""
+    f = load(spark, sf_dir, "events").select(
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hr"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    d38 = "decimal(38,0)"
+    cells = (
+        f.groupBy("dow", "hr")
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("n"),
+            F.sum("cents").cast(d38).alias("s"),
+            F.sum(F.col("cents").cast(d38) * F.col("cents")).cast(d38).alias("s2"),
+        )
+        .transform(stage)
+    )
+    dev = F.col("n") * F.col("cents") - F.col("s")
+    anom = F.when(
+        dev * dev > 9 * (F.col("n") * F.col("s2") - F.col("s") * F.col("s")), 1
+    ).otherwise(0)
+    flagged = f.join(F.broadcast(cells), ["dow", "hr"]).select(
+        "dow", "hr", anom.alias("anom")
+    )
+    return (
+        flagged.groupBy("dow", "hr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("anom").cast("long").alias("n_anom"),
+        )
+        .select(
+            "dow",
+            "hr",
+            "n",
+            "n_anom",
+            F.round(F.col("n_anom").cast("double") / F.col("n"), 6).alias("anom_rate"),
         )
         .orderBy("dow", "hr")
     )

@@ -820,3 +820,73 @@ def test_bigram_pmi_unigrams_broadcast_topk_not_global_sort(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_seasonal_anomaly_fact_never_shuffles(spark):
+    """q184: the cell stats join back into the fact by BROADCAST and both
+    rollups are map-side combined — no Exchange in the plan hashes the
+    fact (the only hash exchanges carry the bounded 168-cell relation),
+    and no sort-merge join exists."""
+    q = all_queries()["q184_seasonal_anomaly"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "dow" in line and "hr" in line, line
+
+
+def test_out_of_order_prefix_max_is_bucket_partitioned(spark):
+    """q185: the running event-time high-water mark is the two-level
+    bucketed prefix MAX — every fact-sized windowspecdefinition is
+    partitioned by the arrival bucket; only the bounded bucket-offset
+    window is unpartitioned."""
+    q = all_queries()["q185_out_of_order_profile"]
+    plan = plan_of(q.fn(spark, SF_DIR), "extended")
+    phys = plan.split("== Physical Plan ==")[1]
+    unpartitioned = [
+        line
+        for line in phys.splitlines()
+        if "windowspecdefinition" in line and "bucket#" not in line
+    ]
+    # the only unpartitioned window is the bucket-offset pass (reads b_max)
+    for line in unpartitioned:
+        assert "b_max" in line, line
+
+
+def test_session_paths_one_user_shuffle_topk(spark):
+    """q186: the lag flag, session sum, and per-session collect all ride
+    ONE user_id exchange; the final ranking is TakeOrdered, not a global
+    sort."""
+    q = all_queries()["q186_session_paths"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    user_exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "user_id" in line
+    ]
+    assert len(user_exchanges) == 1, plan
+
+
+def test_k_anonymity_single_rollup_one_scalar_row(spark):
+    """q187: one QI-keyed rollup (the count-distinct Expand stays in
+    HashAggregate, never SortAggregate — the q113 regression class) then
+    one single-partition exchange for the scalar readout."""
+    q = all_queries()["q187_k_anonymity"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "SortAggregate" not in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_sketch_overlap_sketches_not_data_cross_exchanges(spark):
+    """q188: the segment legs reduce to single-row sketch aggregates
+    before any join — every join in the plan is a broadcast of a
+    single-row relation, and no sort-merge join or cartesian of fact
+    data exists."""
+    q = all_queries()["q188_sketch_overlap"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # single-row cross joins
