@@ -139,7 +139,9 @@ _WINDOW_PRIORITY = (
 # golden-record survivorship, point-in-time state reconstruction,
 # bigram PMI, out-of-order watermark-sizing profile, session paths,
 # k-anonymity/l-diversity audit, HLL sketch-overlap, A/B minimum
-# detectable effect — through q189) hold pytest-oracle evidence at
+# detectable effect; and q190-q194: compaction planner, incremental
+# aggregate maintenance, entity-resolution blocking, half-sample CI,
+# Brier calibration decomposition) hold pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.
 

@@ -34,3 +34,5 @@ from . import audit  # noqa: E402,F401
 from . import modelops  # noqa: E402,F401
 from . import survival  # noqa: E402,F401
 from . import mdm  # noqa: E402,F401
+from . import maintenance  # noqa: E402,F401
+from . import clustering  # noqa: E402,F401

@@ -400,3 +400,253 @@ def q189_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde, 6).alias("mde_abs"),
         F.round(mde / p, 6).alias("mde_rel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-33: resampling-based uncertainty — deterministic half-sample CI
+# ---------------------------------------------------------------------------
+
+from .audit import _nibble_int  # noqa: E402  (48-bit md5 int, shared idiom)
+
+#: exact integer floor-div valid in BOTH engines (q190 idiom): the
+#: numerator is made divisible by d first, so the IEEE division is exact.
+_FLOORDIV_EVAL = "CAST((({x}) - ({x}) % {d}) / {d} AS BIGINT)"
+
+_B = 16  #: number of half-sample replicates = usable independent md5 bits
+
+#: 48-bit integer from md5(order key) — one hash per row, bits reused as
+#: the {b}-th replicate's membership coin.
+_H48 = _nibble_int("md5(CAST(o_orderkey AS {t}))")
+
+
+@query(
+    "q193_half_sample_ci",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               {_H48.format(t="VARCHAR")} AS h
+        FROM orders
+    ),
+    full_stats AS (
+        SELECT COUNT(*) AS n_all, CAST(SUM(cents) AS BIGINT) AS s_all
+        FROM keyed
+    ),
+    rep AS (
+        SELECT r.rep, COUNT(*) AS n_b, CAST(SUM(k.cents) AS BIGINT) AS s_b
+        FROM keyed k
+        CROSS JOIN (SELECT unnest(range({_B})) AS rep) r
+        WHERE ((k.h >> r.rep) & 1) = 1
+        GROUP BY r.rep
+    ),
+    terms AS (
+        SELECT CAST(ROUND(
+                 (CAST(s_b AS DOUBLE) / (100.0 * n_b) - CAST(s_all AS DOUBLE) / (100.0 * n_all))
+               * (CAST(s_b AS DOUBLE) / (100.0 * n_b) - CAST(s_all AS DOUBLE) / (100.0 * n_all)), 6)
+               AS DECIMAL(38,6)) AS term
+        FROM rep CROSS JOIN full_stats
+    ),
+    var_est AS (SELECT SUM(term) AS ss FROM terms)
+    SELECT n_all AS n_orders,
+           {_B} AS n_replicates,
+           ROUND(CAST(s_all AS DOUBLE) / (100.0 * n_all), 6) AS mean_total,
+           ROUND(sqrt(CAST(ss AS DOUBLE) / {_B}), 6) AS se,
+           ROUND(ROUND(CAST(s_all AS DOUBLE) / (100.0 * n_all), 6)
+                 - 1.959964 * ROUND(sqrt(CAST(ss AS DOUBLE) / {_B}), 6), 6)
+               AS ci_lo,
+           ROUND(ROUND(CAST(s_all AS DOUBLE) / (100.0 * n_all), 6)
+                 + 1.959964 * ROUND(sqrt(CAST(ss AS DOUBLE) / {_B}), 6), 6)
+               AS ci_hi
+    FROM full_stats CROSS JOIN var_est
+    """,
+    tags=("X-33", "A-08"),
+)
+def q193_half_sample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic half-sample replication CI for a pipeline metric
+    (mean order total): each of 16 replicates keeps the rows whose b-th
+    md5 bit is set (an RNG-free ~half-sample, the X-16 hash-assignment
+    idiom), the spread of replicate means estimates the sampling
+    variance (SE = sqrt(mean squared deviation from the full-sample
+    mean)), and a 95% normal CI brackets the point estimate — the
+    "error bars on any dashboard number" primitive that bootstrap
+    resampling provides, made backfill-reproducible because membership
+    is a pure function of the row key.
+
+    Determinism: replicate membership and counts/sums are exact; the
+    per-replicate squared deviations are rounded at 6 dp and summed as
+    DECIMAL (order-independent); sqrt is IEEE-correctly-rounded; the z
+    quantile is a fixed 6 dp literal (q189 precedent, never libm).
+
+    Scale shape: one md5 per row, map-only; the 16-way fan-out
+    (explode) is reduced by map-side combine to 16 (replicate, sum,
+    count) partials before the exchange — data movement is 16 rows per
+    partition, not 16x the table; everything after runs on a 16-row
+    relation. Replicates merge across shards (A-14) for free."""
+    keyed = load(spark, sf_dir, "orders").select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.expr(_H48.format(t="STRING")).alias("h"),
+    )
+    full_stats = stage(
+        keyed.agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.sum("cents").cast("long").alias("s_all"),
+        )
+    )
+    rep = (
+        keyed.select(
+            F.explode(F.expr(f"sequence(0, {_B - 1})")).alias("rep"), "cents", "h"
+        )
+        .filter(F.expr("(shiftright(h, rep) & 1) = 1"))
+        .groupBy("rep")
+        .agg(F.count(F.lit(1)).alias("n_b"), F.sum("cents").cast("long").alias("s_b"))
+    )
+    dev = "(CAST(s_b AS DOUBLE) / (100.0 * n_b) - CAST(s_all AS DOUBLE) / (100.0 * n_all))"
+    terms = rep.crossJoin(F.broadcast(full_stats)).select(
+        F.expr(f"CAST(ROUND({dev} * {dev}, 6) AS DECIMAL(38,6))").alias("term")
+    )
+    var_est = terms.agg(F.sum("term").alias("ss"))
+    mean_sql = "ROUND(CAST(s_all AS DOUBLE) / (100.0 * n_all), 6)"
+    se_sql = f"ROUND(sqrt(CAST(ss AS DOUBLE) / {_B}), 6)"
+    return (
+        full_stats.crossJoin(F.broadcast(var_est))
+        .select(
+            F.col("n_all").alias("n_orders"),
+            F.lit(_B).alias("n_replicates"),
+            F.expr(mean_sql).alias("mean_total"),
+            F.expr(se_sql).alias("se"),
+            F.expr(f"ROUND({mean_sql} - 1.959964 * {se_sql}, 6)").alias("ci_lo"),
+            F.expr(f"ROUND({mean_sql} + 1.959964 * {se_sql}, 6)").alias("ci_hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-34: probabilistic-score calibration — Brier decomposition
+# ---------------------------------------------------------------------------
+
+_S_MAX = 1023  #: integer score domain 0..1023 -> p = s / 1023
+_N_BINS = 10
+
+#: integer score of a deterministic "model": 512 points if the order
+#: predates 1995 (old orders are mostly status F, so the score has real
+#: resolution), plus 9 md5 noise bits — a pure function of the row.
+_SCORE = (
+    "(({h} % 512) + CASE WHEN o_orderdate < DATE '1995-01-01' "
+    "THEN 512 ELSE 0 END)"
+)
+
+
+@query(
+    "q194_brier_calibration",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+               {_SCORE.format(h=_H48.format(t="VARCHAR"))} AS s
+        FROM orders
+    ),
+    binned AS (
+        SELECT {_FLOORDIV_EVAL.format(x=f"s * {_N_BINS}", d=_S_MAX + 1)} AS bin,
+               COUNT(*) AS n_k,
+               CAST(SUM(y) AS BIGINT) AS sy_k,
+               CAST(SUM(s) AS BIGINT) AS ss_k,
+               CAST(SUM((s - {_S_MAX} * y) * (s - {_S_MAX} * y)) AS BIGINT) AS sq_k
+        FROM scored GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+               CAST(SUM(sy_k) AS BIGINT) AS y_tot,
+               CAST(SUM(sq_k) AS BIGINT) AS sq
+        FROM binned
+    ),
+    terms AS (
+        SELECT
+          CAST(ROUND(CAST(ss_k - {_S_MAX} * sy_k AS DOUBLE) * CAST(ss_k - {_S_MAX} * sy_k AS DOUBLE)
+               / ({_S_MAX}.0 * {_S_MAX}.0 * CAST(n_k AS DOUBLE)), 9) AS DECIMAL(38,9)) AS rel_t,
+          CAST(ROUND(n_k * (CAST(sy_k AS DOUBLE) / n_k - CAST(y_tot AS DOUBLE) / n)
+               * (CAST(sy_k AS DOUBLE) / n_k - CAST(y_tot AS DOUBLE) / n), 9)
+               AS DECIMAL(38,9)) AS res_t
+        FROM binned CROSS JOIN tot
+    ),
+    parts AS (
+        SELECT SUM(rel_t) AS rel_s, SUM(res_t) AS res_s FROM terms
+    )
+    SELECT n AS n_orders,
+           y_tot AS n_positive,
+           ROUND(CAST(sq AS DOUBLE) / ({_S_MAX}.0 * {_S_MAX}.0 * CAST(n AS DOUBLE)), 6) AS brier,
+           ROUND(CAST(rel_s AS DOUBLE) / n, 6) AS reliability,
+           ROUND(CAST(res_s AS DOUBLE) / n, 6) AS resolution,
+           ROUND(CAST(y_tot * (n - y_tot) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * n), 6) AS uncertainty
+    FROM tot CROSS JOIN parts
+    """,
+    tags=("X-34", "X-23"),
+)
+def q194_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier-score calibration decomposition (Murphy 1973): a
+    deterministic integer-scored "model" (s/1023, 512 points for
+    pre-1995 orders + 9 md5 noise bits) predicts order status F; the
+    mean squared error decomposes over 10 probability bins into
+    RELIABILITY (calibration gap: predicted vs observed rate per bin),
+    RESOLUTION (how far bin outcome rates spread from the base rate),
+    and UNCERTAINTY (base-rate variance), with Brier = REL − RES + UNC
+    up to rounding — the model-quality audit that separates "scores are
+    miscalibrated" from "scores carry no signal", which a single
+    accuracy number (the reference's promotion gate,
+    train_retrain.py:38-63) cannot.
+
+    Determinism: scores, labels, bins, the Brier numerator Σ(s−1023y)²
+    and the reliability numerators are exact integers; per-bin terms
+    round at 9 dp and sum as DECIMAL (order-independent); each output is
+    ONE division rounded at 6 dp on identically-parenthesized operands.
+
+    Scale shape: ONE fact scan, map-side combined onto the bounded
+    10-bin relation (four integer partials per bin); totals derive from
+    those 10 rows and broadcast back; everything after the first
+    exchange is bounded arithmetic."""
+    h = _H48.format(t="STRING")
+    scored = load(spark, sf_dir, "orders").select(
+        F.expr("CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END").alias("y"),
+        F.expr(_SCORE.format(h=h)).alias("s"),
+    )
+    binned = stage(
+        scored.groupBy(
+            F.expr(
+                _FLOORDIV_EVAL.format(x=f"s * {_N_BINS}", d=_S_MAX + 1)
+            ).alias("bin")
+        ).agg(
+            F.count(F.lit(1)).alias("n_k"),
+            F.sum("y").cast("long").alias("sy_k"),
+            F.sum("s").cast("long").alias("ss_k"),
+            F.expr(
+                f"CAST(SUM((s - {_S_MAX} * y) * (s - {_S_MAX} * y)) AS BIGINT)"
+            ).alias("sq_k"),
+        )
+    )
+    tot = binned.agg(
+        F.sum("n_k").cast("long").alias("n"),
+        F.sum("sy_k").cast("long").alias("y_tot"),
+        F.sum("sq_k").cast("long").alias("sq"),
+    )
+    terms = binned.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            f"CAST(ROUND(CAST(ss_k - {_S_MAX} * sy_k AS DOUBLE) * CAST(ss_k - {_S_MAX} * sy_k AS DOUBLE)"
+            f" / ({_S_MAX}.0 * {_S_MAX}.0 * CAST(n_k AS DOUBLE)), 9) AS DECIMAL(38,9))"
+        ).alias("rel_t"),
+        F.expr(
+            f"CAST(ROUND(n_k * (CAST(sy_k AS DOUBLE) / n_k - CAST(y_tot AS DOUBLE) / n)"
+            f" * (CAST(sy_k AS DOUBLE) / n_k - CAST(y_tot AS DOUBLE) / n), 9)"
+            f" AS DECIMAL(38,9))"
+        ).alias("res_t"),
+    )
+    parts = terms.agg(F.sum("rel_t").alias("rel_s"), F.sum("res_t").alias("res_s"))
+    return tot.crossJoin(F.broadcast(parts)).select(
+        F.col("n").alias("n_orders"),
+        F.col("y_tot").alias("n_positive"),
+        F.expr(
+            f"ROUND(CAST(sq AS DOUBLE) / ({_S_MAX}.0 * {_S_MAX}.0 * CAST(n AS DOUBLE)), 6)"
+        ).alias("brier"),
+        F.expr("ROUND(CAST(rel_s AS DOUBLE) / n, 6)").alias("reliability"),
+        F.expr("ROUND(CAST(res_s AS DOUBLE) / n, 6)").alias("resolution"),
+        F.expr(
+            "ROUND(CAST(y_tot * (n - y_tot) AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6)"
+        ).alias("uncertainty"),
+    )

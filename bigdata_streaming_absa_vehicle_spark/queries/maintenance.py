@@ -1,0 +1,190 @@
+"""Table-maintenance planning (SURVEY.md §2K extensions X-30, X-31):
+the small-file compaction planner (the OPTIMIZE bin-packing step a
+lakehouse runs nightly to keep scan-side file counts sane) and
+incremental aggregate maintenance (materialized-view delta merge — the
+reason a 100 TB warehouse can keep a dashboard rollup fresh without
+rescanning the fact table).
+
+The reference app has neither: it appends Postgres rows per micro-batch
+(consumer_postgres_streaming.py:143-156) and re-aggregates in the
+dashboard on every read (projects/absa_streaming/streamlit/
+streamlit_app.py:42) — both of these operators exist precisely to
+replace that rescan-the-world pattern at scale.
+
+Determinism: the compaction plan is pure integer arithmetic over a file
+manifest; the delta merge is exact integer cents end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load
+from .registry import query
+
+_TARGET = 16_000  #: compaction target output size (chars stand in for bytes)
+
+# Exact integer floor-div shared by both engines (DuckDB `/` is float,
+# Spark lacks `//`): (x - x % d) / d on a d-divisible numerator is an
+# exact IEEE division for x < 2^52, hence engine-identical.
+_FLOORDIV = "CAST(({x} - ({x}) % {d}) / {d} AS BIGINT)"
+
+
+@query(
+    "q190_compaction_plan",
+    oracle=f"""
+    WITH manifest AS (
+        SELECT source, doc_id AS file_id, CAST(n_chars AS BIGINT) AS bytes
+        FROM documents
+    ),
+    placed AS (
+        SELECT source, file_id, bytes,
+               COALESCE(SUM(bytes) OVER (
+                   PARTITION BY source ORDER BY file_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM manifest
+    )
+    SELECT source,
+           {_FLOORDIV.format(x="cum_before", d=_TARGET)} AS bin,
+           COUNT(*) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           MIN(file_id) AS first_file,
+           MAX(file_id) AS last_file
+    FROM placed
+    GROUP BY 1, 2
+    ORDER BY source, bin
+    """,
+    tags=("X-30", "W-03"),
+)
+def q190_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (OPTIMIZE bin-packing): given a file
+    manifest (one row per file: partition key, file id, size — here
+    documents stand in, source=partition, n_chars=bytes), assign
+    consecutive files within each partition to target-size output bins
+    by cumulative offset — bin = floor(bytes_before / target) — and
+    report each planned output file's input count, total size, and file
+    range. A bin overflows its target by at most one input file, which
+    is exactly the greedy packing Delta/Iceberg OPTIMIZE performs.
+
+    Scale shape: this plans over the MANIFEST, never the data — at
+    100 TB with 128 MB files that is ~800k rows, thousands of times
+    smaller than the table. The one window runs partitioned by the
+    table-partition key (compaction never crosses partitions), so no
+    single-partition global sort exists; the rewrite itself would then
+    stream each bin's files independently."""
+    manifest = load(spark, sf_dir, "documents").select(
+        "source",
+        F.col("doc_id").alias("file_id"),
+        F.col("n_chars").cast("long").alias("bytes"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = manifest.withColumn(
+        "cum_before", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    )
+    return (
+        placed.groupBy(
+            "source",
+            F.expr(_FLOORDIV.format(x="cum_before", d=_TARGET)).alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+            F.min("file_id").alias("first_file"),
+            F.max("file_id").alias("last_file"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+@query(
+    "q191_incremental_agg_merge",
+    oracle="""
+    WITH v1 AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    ),
+    v2 AS (
+        SELECT c_custkey, c_nationkey,
+               CASE WHEN c_custkey % 10 = 0 THEN cents + 10000
+                    ELSE cents END AS cents
+        FROM v1 WHERE c_custkey % 17 <> 3
+        UNION ALL
+        SELECT c_custkey + 1000000, c_nationkey, CAST(0 AS BIGINT)
+        FROM v1 WHERE c_custkey % 23 = 5
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM v2
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    tags=("X-31", "A-14", "A-01"),
+)
+def q191_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: keep a per-nation
+    (count, total-cents) rollup of the customer dimension fresh across a
+    table version change WITHOUT re-aggregating the new version. The
+    Spark side computes base = agg(v1), folds the q117-style changelog
+    (every 17th key deleted, every 10th survivor +100.00, every 23rd
+    spawning a zero-balance insert) into per-nation deltas
+    (D: -1/-cents, U: 0/+10000, I: +1/0), and emits base ⊕ delta; the
+    ORACLE aggregates v2 directly — a hash match IS the proof that the
+    incremental path equals the full recompute, the A-14 mergeability
+    contract applied to view maintenance.
+
+    Scale shape: the base rollup is one map-side-combined groupBy; the
+    delta here derives from one column-pruned scan of the changed rows
+    (in production it reads the q117/q150 changelog, sized by the CHANGE
+    RATE, not the table), reduces to per-nation deltas before any join,
+    and the merge joins two nation-keyed bounded relations. A
+    fully-deleted group drops out (n=0 filter), matching view semantics."""
+    v1 = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").alias("cents"),
+    )
+    base = v1.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n1"), F.sum("cents").alias("s1")
+    )
+    k = F.col("c_custkey")
+    deleted = (k % 17) == 3
+    updated = ((k % 10) == 0) & ~deleted
+    inserted = (k % 23) == 5
+    delta = (
+        v1.filter(deleted | updated | inserted)
+        .select(
+            "c_nationkey",
+            (
+                F.when(deleted, -1).otherwise(0)
+                + F.when(inserted, 1).otherwise(0)
+            ).alias("dn"),
+            (
+                F.when(deleted, -F.col("cents"))
+                .when(updated, F.lit(10000))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("ds"),
+        )
+        .groupBy("c_nationkey")
+        .agg(F.sum("dn").alias("dn"), F.sum("ds").alias("ds"))
+    )
+    return (
+        base.join(delta, "c_nationkey", "left_outer")
+        .select(
+            "c_nationkey",
+            (F.col("n1") + F.coalesce(F.col("dn"), F.lit(0))).alias("n_customers"),
+            (F.col("s1") + F.coalesce(F.col("ds"), F.lit(0)))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .filter(F.col("n_customers") > 0)
+        .orderBy("c_nationkey")
+    )

@@ -88,3 +88,86 @@ def q137_fuzzy_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()  # equal-length pairs are generated from both sides
     )
     return pairs.transform(pin).orderBy("w1", "w2")
+
+
+# ---------------------------------------------------------------------------
+# X-32: entity-resolution blocking — candidate-pair budget before matching
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q192_blocking_keys",
+    oracle="""
+    WITH keys AS (
+        SELECT p_partkey,
+               regexp_replace(lower(split_part(p_name, ' ', 1)),
+                              '[aeiou]', '', 'g') AS block_key
+        FROM part
+    ),
+    blocks AS (
+        SELECT block_key, COUNT(*) AS n_records FROM keys GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_records * (n_records - 1)) AS BIGINT) AS pairs2_all
+        FROM blocks
+    )
+    SELECT b.block_key,
+           b.n_records,
+           CAST((b.n_records * (b.n_records - 1)
+                 - (b.n_records * (b.n_records - 1)) % 2) / 2 AS BIGINT)
+               AS cand_pairs,
+           ROUND(CAST(b.n_records * (b.n_records - 1) AS DOUBLE)
+                 / t.pairs2_all, 6) AS pair_share
+    FROM blocks b CROSS JOIN tot t
+    WHERE b.n_records >= 2
+    ORDER BY b.n_records DESC, b.block_key
+    LIMIT 40
+    """,
+    tags=("X-32", "X-28", "A-02"),
+)
+def q192_blocking_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution BLOCKING: derive a cheap deterministic blocking
+    key (consonant skeleton of the first name token — 'goldenrod' and
+    'goldnrod' collide, typo-robust where exact grouping is not) and
+    report each block's record count, within-block candidate-pair count
+    n(n-1)/2, and its share of the total candidate budget. This is the
+    pre-flight for X-19's Levenshtein verify and X-28's survivorship: a
+    matcher only ever compares WITHIN blocks, so this table — not the
+    corpus size — is the quadratic-work budget, and a hot block at the
+    top is the salting signal before any pairs are generated.
+
+    Scale shape: key derivation is map-only codegen (lower/split/
+    regexp); one map-side-combined groupBy yields the block histogram;
+    pair counts are ARITHMETIC on that bounded relation — no pair is
+    ever materialized here. The total broadcasts back from the block
+    relation; TakeOrdered keeps the top 40.
+
+    Determinism: counts exact integers; n(n-1) is even so the /2 is an
+    exact IEEE division (q190 idiom); one share division rounded 6 dp."""
+    keys = load(spark, sf_dir, "part").select(
+        F.expr(
+            "regexp_replace(lower(split_part(p_name, ' ', 1)), '[aeiou]', '')"
+        ).alias("block_key")
+    )
+    blocks = keys.groupBy("block_key").agg(F.count(F.lit(1)).alias("n_records"))
+    tot = blocks.agg(
+        F.expr("CAST(SUM(n_records * (n_records - 1)) AS BIGINT)").alias("pairs2_all")
+    )
+    return (
+        blocks.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_records") >= 2)
+        .select(
+            "block_key",
+            "n_records",
+            F.expr(
+                "CAST((n_records * (n_records - 1)"
+                " - (n_records * (n_records - 1)) % 2) / 2 AS BIGINT)"
+            ).alias("cand_pairs"),
+            F.expr(
+                "ROUND(CAST(n_records * (n_records - 1) AS DOUBLE)"
+                " / pairs2_all, 6)"
+            ).alias("pair_share"),
+        )
+        .orderBy(F.col("n_records").desc(), "block_key")
+        .limit(40)
+    )

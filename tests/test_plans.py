@@ -890,3 +890,101 @@ def test_sketch_overlap_sketches_not_data_cross_exchanges(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan  # single-row cross joins
+
+
+def test_compaction_plan_window_is_partitioned_by_source(spark):
+    """q190 (X-30): the manifest window must run partitioned by the
+    table-partition key — a single-partition global window over the
+    manifest would serialize the planner at 100 TB file counts."""
+    q = all_queries()["q190_compaction_plan"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "Window" in plan, plan
+    assert re.search(r"Exchange hashpartitioning\(source", plan), (
+        "manifest window is not partitioned by source:\n" + plan
+    )
+    assert "Join" not in plan, plan
+
+
+def test_incremental_merge_joins_aggregated_relations_only(spark):
+    """q191 (X-31): both sides of the base-plus-delta merge must be
+    per-nation AGGREGATES — the join never sees customer rows, so four
+    HashAggregates (partial+final per leg) precede it and the fact
+    never re-shuffles after its rollup."""
+    q = all_queries()["q191_incremental_agg_merge"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+    # the only sort allowed is the final presentation orderBy plus any
+    # SMJ keyed on the bounded nation relation — no fact-sized exchange
+    assert re.search(r"Exchange hashpartitioning\(c_custkey", plan) is None, plan
+
+
+def test_blocking_keys_never_materializes_pairs(spark):
+    """q192 (X-32): candidate pairs are arithmetic on the block
+    histogram — no self-join of the keyed relation exists; the only
+    join is the broadcast of the single-row total."""
+    q = all_queries()["q192_blocking_keys"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # single-row total
+    assert "TakeOrderedAndProject" in plan, "top-40 fell back to global sort:\n" + plan
+
+
+def test_half_sample_fanout_reduced_before_exchange(spark):
+    """q193 (X-33): the 16-way replicate explode must be reduced by a
+    partial HashAggregate BEFORE the rep-keyed exchange — the exchange
+    moves 16 partials per partition, never 8x the fact rows."""
+    q = all_queries()["q193_half_sample_ci"]
+    plan = plan_of(q.fn(spark, SF_DIR), "formatted")
+    assert "Generate" in plan, plan  # the explode
+    # a partial aggregate appears downstream of the explode, upstream of
+    # the rep-keyed exchange (formatted mode puts Exchange args on their
+    # own Arguments: line, so match the partitioning alone)
+    assert "HashAggregate" in plan, plan
+    assert re.search(r"hashpartitioning\(rep", plan), plan
+    assert "SortMergeJoin" not in plan, plan
+    # with staging on, the single-row full-sample stats materialize once:
+    # only the replicate leg still reads parquet
+    spark.conf.set("spark.graft.pin_sorts", "true")
+    try:
+        staged = plan_of(q.fn(spark, SF_DIR), "simple")
+    finally:
+        spark.conf.set("spark.graft.pin_sorts", "false")
+    assert staged.count("Scan parquet") <= 1, staged
+
+
+def test_brier_single_fact_scan_bounded_tail(spark):
+    """q194 (X-34): ONE scan of orders feeds the 10-bin rollup; totals
+    and decomposition terms run on the bounded bin relation (broadcast
+    joins only)."""
+    q = all_queries()["q194_brier_calibration"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "SortAggregate" not in plan, plan
+    # the 10-bin rollup is STAGED: its one fact scan materializes once and
+    # the totals/terms branches read ExistingRDD — zero parquet scans in
+    # the final plan (q177 precedent)
+    spark.conf.set("spark.graft.pin_sorts", "true")
+    try:
+        staged = plan_of(q.fn(spark, SF_DIR), "simple")
+    finally:
+        spark.conf.set("spark.graft.pin_sorts", "false")
+    assert "ExistingRDD" in staged, staged
+    assert staged.count("Scan parquet") == 0, (
+        "brier decomposition re-scanned the fact:\n" + staged
+    )
+
+
+def test_kmeans_assignment_is_map_only_vectors_never_shuffle(spark):
+    """q195 (X-35): centroid assignment must be a broadcast + map-only
+    array fold — no Window over vectors, no SortMergeJoin anywhere, and
+    every Exchange keys on the bounded (cid[, pos]) domain, never on
+    vec_id (the vectors themselves must not shuffle)."""
+    q = all_queries()["q195_kmeans_iterations"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, "assignment fell back to a per-vector window:\n" + plan
+    assert re.search(r"Exchange hashpartitioning\(vec_id", plan) is None, (
+        "vectors shuffled by vec_id:\n" + plan
+    )
