@@ -139,9 +139,11 @@ _WINDOW_PRIORITY = (
 # golden-record survivorship, point-in-time state reconstruction,
 # bigram PMI, out-of-order watermark-sizing profile, session paths,
 # k-anonymity/l-diversity audit, HLL sketch-overlap, A/B minimum
-# detectable effect; and q190-q194: compaction planner, incremental
+# detectable effect; and q190-q199: compaction planner, incremental
 # aggregate maintenance, entity-resolution blocking, half-sample CI,
-# Brier calibration decomposition) hold pytest-oracle evidence at
+# Brier calibration decomposition, exact-int64 k-means iterations,
+# profile drift, next-event backtest, future-window labels,
+# deletion-propagation audit) hold pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.
 

@@ -462,3 +462,84 @@ def q187_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(viol).cast("long").alias("n_rows_at_risk"),
         F.round(F.sum(viol).cast("double") / F.sum("n"), 6).alias("at_risk_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-39: deletion-propagation audit (right-to-be-forgotten pre-flight)
+# ---------------------------------------------------------------------------
+
+_ERASE_PRED = "c_custkey % 37 = 0"  #: the simulated erasure request set
+
+
+@query(
+    "q199_deletion_audit",
+    oracle=f"""
+    WITH erase AS (
+        SELECT c_custkey FROM customer WHERE {_ERASE_PRED}
+    ),
+    o AS (
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM erase)
+    )
+    SELECT 'customer' AS tbl,
+           (SELECT COUNT(*) FROM erase) AS affected_rows,
+           (SELECT COUNT(*) FROM erase) AS distinct_keys
+    UNION ALL
+    SELECT 'orders',
+           (SELECT COUNT(*) FROM o),
+           (SELECT COUNT(DISTINCT o_custkey) FROM o)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM o)),
+           (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM o))
+    ORDER BY tbl
+    """,
+    tags=("X-39", "X-29", "J-05"),
+)
+def q199_deletion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-propagation audit (the right-to-be-forgotten pre-flight
+    X-29's k-anonymity gate pairs with): given an erasure request set
+    (every 37th customer), report how far the cascade reaches — direct
+    customer rows, their orders, and the lineitems of those orders —
+    as per-table affected-row and distinct-key counts, BEFORE any
+    destructive delete runs. A compliance pipeline diffs this against
+    the post-delete q159 referential sweep (orphans must be 0).
+
+    Scale shape: the erasure key set is request-sized — it BROADCASTS
+    into a semi-join on orders (no fact shuffle); the one genuinely
+    large hop, lineitem<-affected orders, is keyed on l_orderkey with
+    the order keys reduced to a distinct key relation first, so on
+    bucketed tables (S-10) it plans exchange-free; every leg's readout
+    is a single row and the union is 3 rows."""
+    cust = load(spark, sf_dir, "customer")
+    erase = cust.filter(F.expr(_ERASE_PRED)).select("c_custkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(erase),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    o = stage(o)
+    li = load(spark, sf_dir, "lineitem").join(
+        o.select("o_orderkey").distinct(),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+    c_leg = erase.agg(
+        F.count(F.lit(1)).alias("affected_rows"),
+        F.count(F.lit(1)).alias("distinct_keys"),
+    ).select(F.lit("customer").alias("tbl"), "affected_rows", "distinct_keys")
+    o_leg = o.agg(
+        F.count(F.lit(1)).alias("affected_rows"),
+        F.countDistinct("o_custkey").alias("distinct_keys"),
+    ).select(F.lit("orders").alias("tbl"), "affected_rows", "distinct_keys")
+    l_leg = li.agg(
+        F.count(F.lit(1)).alias("affected_rows"),
+        F.countDistinct("l_orderkey").alias("distinct_keys"),
+    ).select(F.lit("lineitem").alias("tbl"), "affected_rows", "distinct_keys")
+    return c_leg.unionByName(o_leg).unionByName(l_leg).orderBy("tbl")

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window as W
+
 from ..functions.ordering import stage
 from ..operators.inference import absa_predictions, oracle_absa_pred
 from ..schemas import ABSA_ASPECTS
@@ -261,3 +263,103 @@ def q178_version_class_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(F.col("n_stable"), F.col("new_n")).alias("precision"),
         ratio(2 * F.col("n_stable"), F.col("base_n") + F.col("new_n")).alias("f1"),
     ).orderBy("cls")
+
+
+# ---------------------------------------------------------------------------
+# X-37: sequence-model backtest — next-event prediction accuracy
+# ---------------------------------------------------------------------------
+
+_BT_SPLIT = "2024-01-16"  #: pairs before -> train matrix; on/after -> eval
+
+
+@query(
+    "q197_next_event_accuracy",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type, ts
+        FROM seq WHERE prev_type IS NOT NULL
+    ),
+    matrix AS (
+        SELECT prev_type, next_type, COUNT(*) AS n
+        FROM pairs WHERE ts < TIMESTAMP '{_BT_SPLIT}'
+        GROUP BY prev_type, next_type
+    ),
+    pred AS (
+        SELECT prev_type, next_type AS predicted
+        FROM (SELECT prev_type, next_type,
+                     ROW_NUMBER() OVER (PARTITION BY prev_type
+                                        ORDER BY n DESC, next_type ASC) AS rn
+              FROM matrix) r
+        WHERE rn = 1
+    )
+    SELECT p.prev_type,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN p.next_type = d.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits,
+           ROUND(CAST(SUM(CASE WHEN p.next_type = d.predicted THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS accuracy
+    FROM pairs p JOIN pred d USING (prev_type)
+    WHERE p.ts >= TIMESTAMP '{_BT_SPLIT}'
+    GROUP BY p.prev_type
+    ORDER BY p.prev_type
+    """,
+    tags=("X-37", "X-13", "W-02"),
+)
+def q197_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-model BACKTEST: train the q118 first-order transition
+    matrix on pairs before the split date, predict each post-split
+    event as the argmax next-type of its predecessor (count desc,
+    lexicographic tie-break), and report per-prev-type pair counts,
+    hits, and accuracy — the temporal-holdout evaluation that turns the
+    descriptive Markov matrix into a measured model, with the same
+    leakage discipline as X-16's temporal split (the matrix never sees
+    eval-period pairs).
+
+    Scale shape: ONE user-keyed window pass builds all pairs (shared by
+    train and eval sides via stage); the matrix and the argmax run on
+    the bounded type-pair relation; predictions BROADCAST back onto the
+    eval pairs (map-only flag), and the readout rolls up onto <=5 rows."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = stage(
+        ev.select(
+            "user_id",
+            "ts",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .select("prev_type", F.col("event_type").alias("next_type"), "ts")
+    )
+    split = F.lit(_BT_SPLIT).cast("timestamp")
+    matrix = (
+        pairs.filter(F.col("ts") < split)
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rank_w = W.partitionBy("prev_type").orderBy(F.desc("n"), F.asc("next_type"))
+    pred = (
+        matrix.withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted"))
+    )
+    hit = F.when(F.col("next_type") == F.col("predicted"), 1).otherwise(0)
+    return (
+        pairs.filter(F.col("ts") >= split)
+        .join(F.broadcast(pred), "prev_type")
+        .groupBy("prev_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(hit).cast("long").alias("hits"),
+            F.round(F.sum(hit).cast("double") / F.count(F.lit(1)), 6).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("prev_type")
+    )

@@ -556,3 +556,120 @@ def q138_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("hit").isNotNull(), rev)).cast("double"), F.lit(0.0)
         ).alias("revenue_true"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-36: snapshot profile drift (schema-health diff between two periods)
+# ---------------------------------------------------------------------------
+
+_DRIFT_SPLIT = "2024-01-16"  #: v1 = events before, v2 = events on/after
+
+
+@query(
+    "q196_profile_drift",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 'v1' ELSE 'v2' END AS side,
+               user_id, event_type, value
+        FROM events
+    ),
+    s AS (
+        SELECT side, COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS ndv_user,
+               CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_user,
+               COUNT(DISTINCT event_type) AS ndv_type,
+               CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_type,
+               COUNT(DISTINCT value) AS ndv_value,
+               CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_value
+        FROM tagged GROUP BY side
+    ),
+    long AS (
+        SELECT side, n, 'user_id' AS col, ndv_user AS ndv, nulls_user AS nulls FROM s
+        UNION ALL
+        SELECT side, n, 'event_type', ndv_type, nulls_type FROM s
+        UNION ALL
+        SELECT side, n, 'value', ndv_value, nulls_value FROM s
+    )
+    SELECT col,
+           MAX(CASE WHEN side = 'v1' THEN n END) AS n_v1,
+           MAX(CASE WHEN side = 'v1' THEN ndv END) AS ndv_v1,
+           MAX(CASE WHEN side = 'v1' THEN nulls END) AS nulls_v1,
+           MAX(CASE WHEN side = 'v2' THEN n END) AS n_v2,
+           MAX(CASE WHEN side = 'v2' THEN ndv END) AS ndv_v2,
+           MAX(CASE WHEN side = 'v2' THEN nulls END) AS nulls_v2,
+           ROUND(CAST(MAX(CASE WHEN side = 'v2' THEN ndv END) AS DOUBLE)
+                 / MAX(CASE WHEN side = 'v1' THEN ndv END), 6) AS ndv_ratio
+    FROM long
+    GROUP BY col
+    ORDER BY col
+    """,
+    tags=("X-36", "X-11", "A-04"),
+)
+def q196_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile drift between two table versions/periods (the q113 column
+    profiler applied as a DIFF): one side-tagged scan computes per-period
+    row counts, per-column distinct counts and null counts, and the
+    reshape emits one row per column with both periods side by side plus
+    the NDV ratio — the schema-health gate ("did a column collapse to one
+    value? did null rates jump?") a pipeline runs before promoting a new
+    snapshot, catching upstream breakage that row counts alone miss.
+
+    Scale shape: ONE fact scan; the three count-distincts ride a single
+    side-keyed HashAggregate (the q113 Expand discipline — never one scan
+    per column); the reshape (stack + pivot) and the ratio run on the
+    bounded 2x3 relation. At 100 TB the only cost is the one Expand'd
+    rollup; sides could also merge A-14-style from per-day profiles."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.select(
+            F.when(F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"), "v1")
+            .otherwise("v2")
+            .alias("side"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .groupBy("side")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("ndv_user"),
+            F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("nulls_user"),
+            F.countDistinct("event_type").alias("ndv_type"),
+            F.sum(F.when(F.col("event_type").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("nulls_type"),
+            F.countDistinct("value").alias("ndv_value"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("nulls_value"),
+        )
+    )
+    long = s.selectExpr(
+        "side",
+        "n",
+        "stack(3, 'user_id', ndv_user, nulls_user,"
+        " 'event_type', ndv_type, nulls_type,"
+        " 'value', ndv_value, nulls_value) AS (col, ndv, nulls)",
+    )
+    agg = [
+        F.max(F.when(F.col("side") == side, F.col(c))).alias(f"{c}_{side}")
+        for side in ("v1", "v2")
+        for c in ("n", "ndv", "nulls")
+    ]
+    return (
+        long.groupBy("col")
+        .agg(*agg)
+        .select(
+            "col",
+            F.col("n_v1"),
+            F.col("ndv_v1"),
+            F.col("nulls_v1"),
+            F.col("n_v2"),
+            F.col("ndv_v2"),
+            F.col("nulls_v2"),
+            F.expr("ROUND(CAST(ndv_v2 AS DOUBLE) / ndv_v1, 6)").alias("ndv_ratio"),
+        )
+        .orderBy("col")
+    )

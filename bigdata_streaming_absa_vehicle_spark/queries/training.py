@@ -640,3 +640,88 @@ def q163_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("anchor_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-38: leakage-safe future-window label generation
+# ---------------------------------------------------------------------------
+
+_LABEL_WEEKS = 2  #: label = any purchase within 2 weeks after the obs week
+
+
+@query(
+    "q198_label_windows",
+    oracle=f"""
+    WITH obs AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    labeled AS (
+        SELECT DISTINCT user_id,
+               date_trunc('week', ts) - INTERVAL (7 * k.k) DAY AS wk
+        FROM events
+        CROSS JOIN (SELECT unnest(range(1, {_LABEL_WEEKS} + 1)) AS k) k
+        WHERE event_type = 'purchase'
+    )
+    SELECT o.wk AS week_start,
+           COUNT(*) AS n_obs,
+           CAST(SUM(CASE WHEN l.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(CASE WHEN l.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS pos_rate
+    FROM obs o
+    LEFT JOIN labeled l ON l.user_id = o.user_id AND l.wk = o.wk
+    GROUP BY o.wk
+    ORDER BY o.wk
+    """,
+    tags=("X-38", "X-16", "J-04"),
+)
+def q198_label_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe FUTURE-WINDOW label generation: every (user, week)
+    with any activity is an observation point; its label is 1 iff the
+    user makes a purchase inside the label window [week_end,
+    week_end + 14d) — strictly AFTER the observation week closes, so a
+    model trained on q149-style point-in-time features with these labels
+    cannot peek forward. Reported as the per-week observation count,
+    positive count and positive rate (the label-prevalence curve whose
+    trailing right-censored weeks a q131 temporal split must drop).
+
+    Scale shape: the interval condition "purchase within 14d after week
+    w" is rewritten by the BOUNDED EXPLODE reduction (q175 pattern):
+    each purchase fans out map-only to EXACTLY the 2 week-points it
+    labels (week(t)-7d, week(t)-14d) — fan-out = window width in weeks,
+    never a time-range join; both sides reduce by DISTINCT on the same
+    (user, wk) key, the label join is co-partitioned on that key, and
+    the readout rolls up onto the bounded week spine."""
+    ev = load(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    obs = ev.select("user_id", wk.alias("wk")).distinct()
+    labeled = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.explode(
+                F.array(
+                    *[
+                        wk - F.expr(f"INTERVAL {7 * k} DAYS")
+                        for k in range(1, _LABEL_WEEKS + 1)
+                    ]
+                )
+            ).alias("wk"),
+        )
+        .distinct()
+        .withColumn("lab", F.lit(1))
+    )
+    return (
+        obs.join(labeled, ["user_id", "wk"], "left_outer")
+        .groupBy(F.col("wk").alias("week_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.coalesce(F.col("lab"), F.lit(0))).cast("long").alias("n_pos"),
+            F.round(
+                F.sum(F.coalesce(F.col("lab"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pos_rate"),
+        )
+        .orderBy("week_start")
+    )

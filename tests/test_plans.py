@@ -988,3 +988,48 @@ def test_kmeans_assignment_is_map_only_vectors_never_shuffle(spark):
     assert re.search(r"Exchange hashpartitioning\(vec_id", plan) is None, (
         "vectors shuffled by vec_id:\n" + plan
     )
+
+
+def test_profile_drift_single_scan_single_expand_rollup(spark):
+    """q196 (X-36): one fact scan; the three count-distincts ride ONE
+    side-keyed HashAggregate chain (Expand, never SortAggregate, never
+    a scan per column); reshape runs on the bounded relation."""
+    q = all_queries()["q196_profile_drift"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "SortAggregate" not in plan, plan
+    assert plan.count("Expand") == 1, plan
+
+
+def test_next_event_accuracy_predictions_broadcast(spark):
+    """q197 (X-37): the trained argmax predictions join the eval pairs
+    by BROADCAST (the matrix is type-domain bounded); the only
+    fact-sized shuffle is the one user-keyed window pass."""
+    q = all_queries()["q197_next_event_accuracy"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2, plan
+
+
+def test_label_windows_fanout_is_bounded_explode_cokeyed_join(spark):
+    """q198 (X-38): the future-window label condition must plan as the
+    bounded explode (Generate) + a (user, wk)-keyed join — never a
+    time-range BroadcastNestedLoop/cartesian over events."""
+    q = all_queries()["q198_label_windows"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "Generate" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_deletion_audit_erasure_set_broadcasts(spark):
+    """q199 (X-39): the erasure key set broadcasts into the orders
+    semi-join — the orders fact never shuffles for it; no cartesian
+    anywhere."""
+    q = all_queries()["q199_deletion_audit"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin LeftSemi" in plan or re.search(
+        r"BroadcastHashJoin.*LeftSemi", plan
+    ), plan
+    assert "CartesianProduct" not in plan, plan
