@@ -878,3 +878,94 @@ def q188_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_tol"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-44: skyline / Pareto-frontier query
+# ---------------------------------------------------------------------------
+
+_SKY_BUCKET = 100  #: prefix-max bucket width over price cents ($1 bands)
+
+
+@query(
+    "q205_pareto_frontier",
+    oracle="""
+    WITH a AS (
+        SELECT p_partkey, CAST(ROUND(p_retailprice * 100) AS BIGINT) AS pc, p_size
+        FROM part
+    )
+    SELECT p_partkey, ROUND(CAST(pc AS DOUBLE) / 100, 2) AS price, p_size
+    FROM a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM a b
+        WHERE b.pc <= a.pc AND b.p_size >= a.p_size
+          AND (b.pc < a.pc OR b.p_size > a.p_size)
+    )
+    ORDER BY p_partkey
+    """,
+    tags=("X-44", "SQ-01"),
+)
+def q205_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: the parts for which no other part
+    is both cheaper-or-equal AND larger-or-equal with at least one
+    strict — the classic multi-criteria shortlist ('show me every offer
+    not strictly beaten on BOTH price and capacity') that no single
+    ORDER BY can express. Ties on both axes survive together; the oracle
+    states the textbook NOT EXISTS dominance directly, proving the
+    rewrite below loses nothing.
+
+    Scale shape: the quadratic dominance test REWRITES into a prefix
+    max — a part survives iff its size equals the max at its exact
+    price (same-price dominance) AND strictly exceeds the max size over
+    all strictly-cheaper prices (cheaper dominance). The relation first
+    collapses to DISTINCT price cents with per-price max size (bounded
+    by the cents domain, not the table), the strictly-cheaper running
+    max is the q84/q148/q174 two-level bucketed prefix scan over that
+    bounded relation, and the bounded (price -> threshold) table
+    BROADCASTS back onto the part scan for a map-only keep decision —
+    the fact never self-joins and never reshuffles. All integers; no
+    ties to adjudicate beyond the exact compares."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("pc"),
+        "p_size",
+    )
+    v = (
+        p.groupBy("pc")
+        .agg(F.max("p_size").alias("smax"))
+        .withColumn("bucket", F.expr(f"pc DIV {_SKY_BUCKET}"))
+        .transform(stage)  # bounded distinct-price relation, reused 3x
+    )
+    within = v.withColumn(
+        "wmax",
+        F.max("smax").over(
+            W.partitionBy("bucket")
+            .orderBy("pc")
+            .rowsBetween(W.unboundedPreceding, -1)
+        ),
+    )
+    bmax = v.groupBy("bucket").agg(F.max("smax").alias("bm"))
+    offs = bmax.select(
+        "bucket",
+        F.max("bm")
+        .over(W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1))
+        .alias("om"),
+    )
+    thresh = within.join(F.broadcast(offs), "bucket").select(
+        "pc",
+        "smax",
+        F.greatest(
+            F.coalesce(F.col("wmax"), F.lit(-1)), F.coalesce(F.col("om"), F.lit(-1))
+        ).alias("best_below"),
+    )
+    return (
+        p.join(F.broadcast(thresh), "pc")
+        .where((F.col("p_size") == F.col("smax")) & (F.col("p_size") > F.col("best_below")))
+        .select(
+            "p_partkey",
+            F.round(F.col("pc").cast("double") / 100, 2).alias("price"),
+            "p_size",
+        )
+        .transform(pin)
+        .orderBy("p_partkey")
+    )

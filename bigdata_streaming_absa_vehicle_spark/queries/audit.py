@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.ordering import stage
+from ..functions.ordering import pin, stage
 from ..tables import load
 from .registry import query
 
@@ -543,3 +543,111 @@ def q199_deletion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("distinct_keys"),
     ).select(F.lit("lineitem").alias("tbl"), "affected_rows", "distinct_keys")
     return c_leg.unionByName(o_leg).unionByName(l_leg).orderBy("tbl")
+
+
+# ---------------------------------------------------------------------------
+# X-25 (cont.): ABC contribution classification (the 80/20 readout)
+# ---------------------------------------------------------------------------
+
+_ABC_BUCKET = 100_000  #: prefix-sum bucket width over per-part revenue cents
+_ABC_BOUNDS = (70, 90)  #: class A: first 70% of revenue; B: to 90%; C: rest
+
+
+@query(
+    "q206_abc_classification",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem GROUP BY l_partkey
+    ),
+    v AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS c_r FROM rev GROUP BY r),
+    tot AS (SELECT CAST(SUM(r * c_r) AS HUGEINT) AS t FROM v),
+    cum AS (
+        SELECT r, c_r,
+               CAST(COALESCE(SUM(r * c_r) OVER (
+                   ORDER BY r DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS HUGEINT) AS rev_before
+        FROM v
+    ),
+    cls AS (
+        SELECT CASE WHEN 100 * rev_before < {_ABC_BOUNDS[0]} * t THEN 'A'
+                    WHEN 100 * rev_before < {_ABC_BOUNDS[1]} * t THEN 'B'
+                    ELSE 'C' END AS cls,
+               c_r, r * c_r AS rc, t
+        FROM cum CROSS JOIN tot
+    )
+    SELECT cls,
+           CAST(SUM(c_r) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(rc) AS DOUBLE) / 100, 2) AS revenue,
+           ROUND(CAST(SUM(rc) AS DOUBLE) / CAST(MAX(t) AS DOUBLE), 6) AS revenue_share
+    FROM cls GROUP BY cls ORDER BY cls
+    """,
+    tags=("X-25", "A-14", "W-03"),
+)
+def q206_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC contribution classification — the operational form of the 80/20
+    question q174's Gini summarizes: rank parts by revenue and split them
+    into class A (parts carrying the first 70% of revenue), B (to 90%)
+    and C (the tail), reporting each class's part count and revenue
+    share. Inventory, procurement, and cache-tiering policies all key off
+    exactly this readout. Class boundaries are decided on the revenue
+    accumulated STRICTLY ABOVE each distinct value (exact integer compare
+    100*rev_before < bound*total), so equal-revenue parts always land in
+    the same class and no float boundary exists.
+
+    Scale shape: the fact reduces to one per-part rollup (exact cents),
+    then to the DISTINCT-revenue-value relation; the descending prefix
+    sum is the q174 value-collapsed form running on that bounded
+    relation (never a global part sort at 100 TB — swap in the q84
+    two-level bucketed form if the distinct-value relation ever stops
+    fitting a partition); moments are A-14-mergeable HUGEINT/decimal."""
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("r")
+        )
+    )
+    v = rev.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("c_r"))
+    d0 = "decimal(38,0)"
+    v = v.withColumn("rc", (F.col("r").cast(d0) * F.col("c_r")).cast(d0)).transform(
+        stage
+    )  # feeds the total, the prefix sum, and the class rollup
+    tot = v.agg(F.sum("rc").cast(d0).alias("t"))
+    cum = v.withColumn(
+        "rev_before",
+        F.coalesce(
+            F.sum("rc").over(
+                Window.orderBy(F.desc("r")).rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast(d0),
+    )
+    cls = cum.crossJoin(F.broadcast(tot)).select(
+        F.when(100 * F.col("rev_before") < _ABC_BOUNDS[0] * F.col("t"), "A")
+        .when(100 * F.col("rev_before") < _ABC_BOUNDS[1] * F.col("t"), "B")
+        .otherwise("C")
+        .alias("cls"),
+        "c_r",
+        "rc",
+        "t",
+    )
+    return (
+        cls.groupBy("cls")
+        .agg(
+            F.sum("c_r").cast("long").alias("n_parts"),
+            F.round(F.sum("rc").cast("double") / 100, 2).alias("revenue"),
+            F.round(
+                F.sum("rc").cast("double") / F.max("t").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .transform(pin)
+        .orderBy("cls")
+    )

@@ -370,3 +370,108 @@ def q183_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c_xy").desc(), "w1", "w2")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# X-42: corpus-LM document scoring (bigram surprisal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q203_bigram_surprisal",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(w) - 1)) AS i
+        )
+        WHERE w[i] <> '' AND w[i + 1] <> ''
+    ),
+    bg AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM pairs GROUP BY w1, w2
+    ),
+    uni AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(w) AS token FROM toks)
+        WHERE token <> '' GROUP BY token
+    ),
+    s AS (
+        SELECT w1, w2,
+               ROUND(ln(CAST(c AS DOUBLE) / c12), 6) AS s
+        FROM bg JOIN uni ON bg.w1 = uni.token
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_surprisal
+    FROM pairs JOIN s USING (w1, w2)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("X-42", "X-22", "F-09"),
+)
+def q203_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram surprisal under the corpus's own language
+    model: every adjacent pair costs -ln p(w2|w1) with p = c(w1 w2) /
+    c(w1) estimated from the whole corpus, and a document's score is the
+    mean cost over its bigrams — the cheap statistical stand-in for
+    model-perplexity quality filtering (gibberish and boilerplate-free
+    text scores HIGH-surprisal, templated/repeated text scores low; used
+    with q143's shingle novelty it separates 'novel' from 'noise').
+    Scoring the training corpus with itself means every bigram has
+    count >= 1, so no smoothing constant muddies determinism; docs with
+    fewer than two non-empty tokens have no bigrams and drop out.
+
+    Scale shape: bigram construction is q183's MAP-ONLY zip-with-tail
+    (fan-out = tokens/doc); both count rollups are map-side combined
+    onto vocabulary-bounded relations; the per-bigram cost table joins
+    uni->bg vocabulary-side and then BROADCASTS into the doc-pairs
+    relation keyed by (w1, w2) — at extreme vocabulary the same join
+    co-partitions on the pair key instead, the dataflow is unchanged.
+    ln at 6 dp (the q120 cross-libm precedent), per-doc sums in exact
+    decimal, one final division on bit-identical operands."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    )
+    pairs = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                    F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.`0`").alias("w1"), F.col("p.`1`").alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+        .transform(stage)  # feeds the LM counts AND the per-doc scoring leg
+    )
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    uni = (
+        toks.select(F.explode("w").alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    s = bg.join(uni.withColumnRenamed("token", "w1"), "w1").select(
+        "w1",
+        "w2",
+        F.round(F.log(F.col("c").cast("double") / F.col("c12")), 6).alias("s"),
+    )
+    return (
+        pairs.join(F.broadcast(s), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_surprisal"),
+        )
+        .transform(pin)
+        .orderBy("doc_id")
+    )

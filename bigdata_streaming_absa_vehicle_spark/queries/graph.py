@@ -372,3 +372,92 @@ def q176_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("n").alias("n_edges"), F.round(num / den, 6).alias("assortativity")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-18 (cont.): common-neighbor link prediction (Adamic-Adar)
+# ---------------------------------------------------------------------------
+
+_AA_TOPK = 40
+
+_AA_ORACLE = f"""
+    WITH {_oracle_edges_cte()},
+    und AS (
+        SELECT src AS a, dst AS b FROM dedup_edges
+        UNION
+        SELECT dst, src FROM dedup_edges
+    ),
+    deg AS (SELECT a, COUNT(*) AS d FROM und GROUP BY a),
+    w AS (SELECT a, d, ROUND(1 / ln(CAST(d AS DOUBLE)), 6) AS w
+          FROM deg WHERE d >= 2),
+    wedges AS (
+        SELECT e1.b AS x, e2.b AS y, w.w AS w
+        FROM und e1
+        JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN w ON w.a = e1.a
+    ),
+    scored AS (
+        SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_common,
+               ROUND(CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE), 6) AS aa_score
+        FROM wedges GROUP BY x, y
+    )
+    SELECT x, y, n_common, aa_score
+    FROM scored s
+    WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = s.x AND und.b = s.y)
+    ORDER BY aa_score DESC, x, y LIMIT {_AA_TOPK}
+    """
+
+
+@query("q202_adamic_adar", oracle=_AA_ORACLE, tags=("X-18", "J-05"))
+def q202_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the benchmark graph: for every
+    non-adjacent node pair, score = sum over common neighbors c of
+    1/ln(deg(c)) — rare shared neighbors count more — and report the
+    top-40 predicted links. The 'which edge forms next' read
+    recommenders and entity-resolution candidate rankers run on a
+    co-occurrence graph; the prediction complement of q136's triangle
+    census (triangles COUNT closed wedges; this RANKS the open ones).
+
+    Scale shape: wedge enumeration joins the undirected edge list with
+    itself on the CENTER node — the relation carries ids only (8-byte
+    pairs, never payloads); per-center fan-out is deg(c)^2/2, bounded on
+    this graph by the fixed fanout, and at 100 TB the standard cap-hubs
+    refinement (drop centers above a degree ceiling — they contribute
+    ~0 weight anyway, 1/ln(d) -> 0) bounds it without changing the top
+    ranks materially (exact here; the cap is a documented knob, not a
+    silent default). Degree weights broadcast (one row per node with
+    deg >= 2), already-connected pairs leave via a left-anti join on the
+    same pair key, final ranking is TakeOrdered top-k. ln at 6 dp (the
+    q120 cross-libm precedent), scores summed in exact decimal."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = raw_edges(docs, n)
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .transform(stage)  # feeds both wedge legs AND the anti-join
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    w = deg.where(F.col("d") >= 2).select(
+        "a", F.round(1 / F.log(F.col("d").cast("double")), 6).alias("w")
+    )
+    e1 = und.select(F.col("a"), F.col("b").alias("x"))
+    e2 = und.select(F.col("a"), F.col("b").alias("y"))
+    wedges = (
+        e1.join(e2, "a")
+        .where(F.col("x") < F.col("y"))
+        .join(F.broadcast(w), "a")
+    )
+    scored = wedges.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.round(F.sum(F.col("w").cast("decimal(28,6)")).cast("double"), 6).alias(
+            "aa_score"
+        ),
+    )
+    open_pairs = scored.join(
+        und,
+        (scored["x"] == und["a"]) & (scored["y"] == und["b"]),
+        "left_anti",
+    )
+    return open_pairs.orderBy(F.desc("aa_score"), "x", "y").limit(_AA_TOPK)

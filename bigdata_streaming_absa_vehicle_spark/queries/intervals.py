@@ -284,3 +284,61 @@ def q175_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-21 (cont.): cumulative-distinct growth curve (new users by first activity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q209_new_user_growth",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id, MIN(date_trunc('day', ts)) AS day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM first_day GROUP BY day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM daily ORDER BY day
+    """,
+    tags=("X-21", "W-03"),
+)
+def q209_new_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-distinct growth curve: per day, how many users were seen
+    for the FIRST time, and the running total — i.e. count(distinct user)
+    over an ever-growing prefix, rewritten so no day re-scans history:
+    distinct-over-growing-window collapses to min(day) per user + a
+    cumulative sum (each user contributes exactly once, on their first
+    day). The acquisition complement of q175's rolling active-users curve
+    (q175: how many are CURRENTLY active; this: how many have EVER been).
+
+    Scale shape: ONE user-keyed rollup (map-side combined) reduces the
+    fact to one row per user; the per-day counts and the running sum then
+    live on the CALENDAR-bounded day relation — more data adds rows to
+    the rollup, not days to the curve, so the single cumulative window
+    scans a few-hundred-row relation (the q179 bounded-relation window
+    precedent). All integers; no ties to break (day is the sort key)."""
+    ev = load(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("day")
+    )
+    daily = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.select(
+            "day",
+            "new_users",
+            F.sum("new_users").over(wcum).cast("long").alias("cum_users"),
+        )
+        .transform(pin)
+        .orderBy("day")
+    )

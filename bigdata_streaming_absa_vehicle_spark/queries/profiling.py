@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.ordering import pin
 from ..functions.partitioning import fan_out
@@ -672,4 +673,224 @@ def q196_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("ROUND(CAST(ndv_v2 AS DOUBLE) / ndv_v1, 6)").alias("ndv_ratio"),
         )
         .orderBy("col")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-40: mergeable quantile sketch (HDR / DDSketch-family log-bucket histogram)
+# ---------------------------------------------------------------------------
+
+#: quantile sketch resolution: buckets keep this many leading decimal digits,
+#: so the relative bucket width — and the worst-case quantile estimation
+#: error — is 10^(1-_HDR_DIGITS) = 1%.
+_HDR_DIGITS = 3
+_HDR_PS = (50, 90, 99)
+
+
+def _hdr_oracle() -> str:
+    est_cols = ",\n           ".join(
+        f"ROUND(CAST(MAX(CASE WHEN p = {p} THEN est_lb END) AS DOUBLE) / 100, 2)"
+        f" AS p{p}_est"
+        for p in _HDR_PS
+    )
+    spine = ", ".join(str(p) for p in _HDR_PS)
+    return f"""
+    WITH c AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM events
+    ),
+    u AS (
+        SELECT event_type, c,
+               CAST(power(10, greatest(length(CAST(c AS VARCHAR)) - {_HDR_DIGITS}, 0))
+                    AS BIGINT) AS unit
+        FROM c
+    ),
+    b AS (
+        SELECT event_type, (c // unit) * unit AS lb, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM u GROUP BY event_type, (c // unit) * unit
+    ),
+    cum AS (
+        SELECT event_type, lb, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY lb) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM b
+    ),
+    est AS (
+        SELECT event_type, p, MIN(lb) AS est_lb, MAX(n) AS n
+        FROM cum CROSS JOIN (SELECT unnest([{spine}]) AS p) ps
+        WHERE cum >= (n * p + 99) // 100
+        GROUP BY event_type, p
+    )
+    SELECT event_type, MAX(n) AS n_events,
+           {est_cols}
+    FROM est GROUP BY event_type ORDER BY event_type
+    """
+
+
+@query("q200_hdr_quantiles", oracle=_hdr_oracle(), tags=("X-40", "A-14"))
+def q200_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (the HDR-histogram / DDSketch family):
+    per-event-type p50/p90/p99 of the value column estimated from a
+    log-scale bucket histogram that keeps 3 leading decimal digits of the
+    cents value — worst-case relative error 1% (bucket width / bucket
+    lower bound <= 10^(1-3)), the estimate reported as the bucket lower
+    bound so the bias direction is known. Unlike A-12's exact percentiles
+    the bucket counts are A-14-MERGEABLE: per-shard histograms sum with
+    no rescan, so a 1000-executor fleet (or a streaming update-mode agg)
+    maintains global quantiles by adding integer vectors — the reason
+    DDSketch/HDR is what metrics backends actually ship.
+
+    Scale shape: one map-side-combined groupBy reduces the fact to the
+    bounded (type x <=900-buckets-per-decade) histogram relation; the
+    cumulative scan, rank targets ceil(n*p/100) (exact integer DIV), and
+    the per-p min-bucket search all run on that bounded relation. Every
+    operand is an exact integer — no libm, no float ordering anywhere.
+    Accuracy vs the A-12 exact path is pinned by
+    tests/test_round5_properties.py::test_hdr_sketch_error_bound."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+    )
+    u = c.withColumn(
+        "unit",
+        F.pow(
+            F.lit(10.0),
+            F.greatest(
+                F.length(F.col("c").cast("string")) - _HDR_DIGITS, F.lit(0)
+            ).cast("double"),
+        ).cast("long"),
+    )
+    b = (
+        u.select("event_type", F.expr("(c DIV unit) * unit").alias("lb"))
+        .groupBy("event_type", "lb")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("lb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = b.select(
+        "event_type",
+        "lb",
+        F.sum("cnt").over(wcum).cast("long").alias("cum"),
+        F.sum("cnt").over(wall).cast("long").alias("n"),
+    )
+    spine = F.explode(F.array(*[F.lit(p) for p in _HDR_PS])).alias("p")
+    est = (
+        cum.select("event_type", "lb", "cum", "n", spine)
+        .where(F.expr("cum >= (n * p + 99) DIV 100"))
+        .groupBy("event_type", "p")
+        .agg(F.min("lb").alias("est_lb"), F.max("n").alias("n"))
+    )
+    est_cols = [
+        F.round(
+            F.max(F.when(F.col("p") == p, F.col("est_lb"))).cast("double") / 100, 2
+        ).alias(f"p{p}_est")
+        for p in _HDR_PS
+    ]
+    return (
+        est.groupBy("event_type")
+        .agg(F.max("n").alias("n_events"), *est_cols)
+        .transform(pin)
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-43: embedding-corpus dimension profile (whitening / normalization stats)
+# ---------------------------------------------------------------------------
+
+_EQ_SCALE = 1 << 20  #: fixed-point scale for exact per-dimension moments
+
+
+@query(
+    "q204_embedding_dim_profile",
+    oracle=f"""
+    WITH q AS (
+        SELECT pos - 1 AS dim,
+               CAST(floor(CAST(embedding[pos] AS DOUBLE) * {_EQ_SCALE} + 0.5)
+                    AS BIGINT) AS qv
+        FROM embeddings, LATERAL (
+            SELECT unnest(generate_series(1, len(embedding))) AS pos
+        )
+    ),
+    m AS (
+        SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(qv AS HUGEINT)) AS HUGEINT) AS s,
+               CAST(SUM(CAST(qv AS HUGEINT) * qv) AS HUGEINT) AS s2,
+               MIN(qv) AS mn, MAX(qv) AS mx
+        FROM q GROUP BY dim
+    )
+    SELECT dim, n,
+           ROUND(CAST(s AS DOUBLE) / n / {_EQ_SCALE}, 6) AS mean,
+           ROUND(sqrt(CAST(n * s2 - s * s AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * (n - 1))) / {_EQ_SCALE}, 6) AS std,
+           ROUND(CAST(mn AS DOUBLE) / {_EQ_SCALE}, 6) AS vmin,
+           ROUND(CAST(mx AS DOUBLE) / {_EQ_SCALE}, 6) AS vmax
+    FROM m ORDER BY dim
+    """,
+    tags=("X-43", "A-14"),
+)
+def q204_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding corpus — mean, std, min,
+    max for each of the 64 dimensions: the whitening/normalization
+    statistics an ANN index build (X-03's IVF) or a drift monitor reads
+    first, and the X-11 column profiler generalized to vector columns
+    (a dimension whose std collapses toward 0 is dead weight in every
+    distance computation and a quantization-range bug waiting).
+
+    Determinism: floats quantize to 2^20 fixed point (exact in double:
+    a 24-bit float mantissa times 2^20 is exactly representable), all
+    moments accumulate as EXACT integers (decimal(38,0) / HUGEINT), and
+    the mean/std divisions + sqrt run on bit-identical operands in both
+    engines — rounded 6 dp.
+
+    Scale shape: posexplode fans each vector to 64 (dim, value) rows
+    map-only; ONE map-side-combined groupBy on the 64-key dim relation
+    (partials are A-14-mergeable 5-number tuples, so 64 keys never
+    bottleneck — each partition pre-reduces to <=64 rows before the
+    exchange); everything after runs on 64 rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * _EQ_SCALE + 0.5).cast("long"),
+            )
+        ).alias("dim", "qv")
+    )
+    d0 = "decimal(38,0)"
+    m = q.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("qv").cast(d0)).cast(d0).alias("s"),
+        F.sum(F.col("qv").cast(d0) * F.col("qv")).cast(d0).alias("s2"),
+        F.min("qv").alias("mn"),
+        F.max("qv").alias("mx"),
+    )
+    n = F.col("n").cast(d0)
+    var_num = n * F.col("s2") - F.col("s") * F.col("s")
+    return (
+        m.select(
+            "dim",
+            "n",
+            F.round(F.col("s").cast("double") / F.col("n") / _EQ_SCALE, 6).alias(
+                "mean"
+            ),
+            F.round(
+                F.sqrt(
+                    var_num.cast("double")
+                    / (F.col("n").cast("double") * (F.col("n") - 1))
+                )
+                / _EQ_SCALE,
+                6,
+            ).alias("std"),
+            F.round(F.col("mn").cast("double") / _EQ_SCALE, 6).alias("vmin"),
+            F.round(F.col("mx").cast("double") / _EQ_SCALE, 6).alias("vmax"),
+        )
+        .transform(pin)
+        .orderBy("dim")
     )

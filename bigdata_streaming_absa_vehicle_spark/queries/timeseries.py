@@ -466,3 +466,129 @@ def q184_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hr")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-20 (cont.): autocorrelation function of the daily series
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 2, 3)
+
+
+def _acf_oracle() -> str:
+    lag_structs = ", ".join(
+        f"{{'lag': {k}, 'x': xc, 'y': lag(xc, {k}) OVER w}}" for k in _ACF_LAGS
+    )
+    return f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS xc
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    pairs AS (
+        SELECT event_type, p.lag AS lag, p.x AS x, p.y AS y
+        FROM (
+            SELECT event_type, unnest([{lag_structs}]) AS p
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        )
+        WHERE p.y IS NOT NULL
+    ),
+    m AS (
+        SELECT event_type, lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sx2,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS sy2
+        FROM pairs GROUP BY event_type, lag
+    )
+    SELECT event_type, lag, n AS n_pairs,
+           CASE WHEN n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0 THEN
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))), 6)
+           END AS acf
+    FROM m ORDER BY event_type, lag
+    """
+
+
+@query("q207_autocorrelation", oracle=_acf_oracle(), tags=("X-20", "W-02", "A-14"))
+def q207_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1-3) of each event type's daily
+    value series — THE seasonality/persistence read a forecasting
+    pipeline runs before picking model order (high ACF(1): momentum;
+    ACF(7) spikes: weekly cycle), and the statistic that tells q141's
+    EWMA whether smoothing is even warranted. Lag-k pairs follow q141's
+    'previous OBSERVED day' semantics (calendar regularization is q123's
+    resample, composable upstream); Pearson r computes from EXACT integer
+    moments (cents; sums as decimal(38,0) / HUGEINT in the oracle), so
+    both engines divide and sqrt bit-identical operands — round 6 dp.
+
+    Scale shape: the fact reduces map-side to the bounded (type x day)
+    daily relation; ONE window pass per type builds all three lag pairs
+    (the lag structs explode map-only, fan-out = |lags|); the moment agg
+    is A-14-mergeable (6 numbers per (type, lag) cross the exchange).
+    Zero-variance series yield NULL identically in both engines."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias("xc")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "xc",
+        *[F.lag("xc", k).over(w).alias(f"l{k}") for k in _ACF_LAGS],
+    )
+    pairs = (
+        lagged.select(
+            "event_type",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("lag"),
+                            F.col("xc").alias("x"),
+                            F.col(f"l{k}").alias("y"),
+                        )
+                        for k in _ACF_LAGS
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("event_type", "p.lag", "p.x", "p.y")
+        .where(F.col("y").isNotNull())
+    )
+    d0 = "decimal(38,0)"
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(d0)).cast(d0).alias("sx"),
+        F.sum(F.col("y").cast(d0)).cast(d0).alias("sy"),
+        F.sum((F.col("x").cast(d0) * F.col("y"))).cast(d0).alias("sxy"),
+        F.sum((F.col("x").cast(d0) * F.col("x"))).cast(d0).alias("sx2"),
+        F.sum((F.col("y").cast(d0) * F.col("y"))).cast(d0).alias("sy2"),
+    )
+    n = F.col("n").cast(d0)
+    vx = n * F.col("sx2") - F.col("sx") * F.col("sx")
+    vy = n * F.col("sy2") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        m.select(
+            "event_type",
+            "lag",
+            F.col("n").alias("n_pairs"),
+            F.when(
+                (vx > 0) & (vy > 0),
+                F.round(
+                    cov.cast("double")
+                    / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+                    6,
+                ),
+            ).alias("acf"),
+        )
+        .transform(pin)
+        .orderBy("event_type", "lag")
+    )

@@ -725,3 +725,128 @@ def q198_label_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-41: token-budget corpus selection (quality-ranked greedy prefix)
+# ---------------------------------------------------------------------------
+
+_BUDGET_PCT = 50  #: select the best docs until 50% of corpus tokens are spent
+_QM_BUCKET = 10_000  #: prefix-sum bucket = 0.01 of quality (quality in 1e-6 units)
+
+
+def _budget_oracle() -> str:
+    from ..operators import text_analysis as ta
+
+    return f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok,
+               CAST(ROUND({ta.oracle_quality_score("text")} * 1000000) AS BIGINT) AS qm
+        FROM documents
+    ),
+    tot AS (SELECT CAST(SUM(tok) AS BIGINT) AS t FROM d),
+    cum AS (
+        SELECT doc_id, source, tok, qm,
+               CAST(COALESCE(SUM(tok) OVER (
+                   ORDER BY qm DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS tok_before
+        FROM d
+    ),
+    sel AS (
+        SELECT cum.*,
+               CASE WHEN tok_before < (t * {_BUDGET_PCT}) // 100 THEN 1 ELSE 0 END AS s
+        FROM cum CROSS JOIN tot
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s) AS BIGINT) AS n_selected,
+           CAST(SUM(tok) AS BIGINT) AS tokens,
+           CAST(SUM(tok * s) AS BIGINT) AS tokens_selected,
+           ROUND(CAST(SUM(tok * s) AS DOUBLE) / SUM(tok), 6) AS selected_share
+    FROM sel GROUP BY source ORDER BY source
+    """
+
+
+@query("q201_token_budget_selection", oracle=_budget_oracle(), tags=("X-41", "X-04"))
+def q201_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked token-budget selection: sort the corpus by the X-04
+    quality score (ties by doc_id) and keep the greedy prefix whose
+    cumulative token count stays under a budget (50% of corpus tokens) —
+    the data-selection step between scoring and training when compute,
+    not data, is the binding constraint ("train on the best half").
+    Reports the per-source keep rate, which is how selection bias across
+    sources is audited before the X-16 mixing plan rebalances them.
+
+    Scale shape: scoring and tokenizing are map-only codegen; the
+    corpus-order prefix sum NEVER global-sorts the documents — quality
+    quantizes to 1e-6 integers and buckets at 0.01 width, within-bucket
+    windows run per bucket and the <=101-row bucket-total relation
+    broadcasts its running offsets back (the q84/q148/q174 two-level
+    prefix sum, descending); the budget is one broadcast scalar and the
+    keep decision is an exact integer compare. The final rollup is
+    map-side combined onto the bounded source relation."""
+    from ..operators import text_analysis as ta
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        ta.whitespace_token_count(F.col("text")).cast("long").alias("tok"),
+        (ta.quality_score(F.col("text")) * 1_000_000)
+        .cast("decimal(18,0)")
+        .cast("long")
+        .alias("qm"),
+    )
+    d = d.withColumn("qb", F.expr(f"qm DIV {_QM_BUCKET}")).transform(stage)
+    within = d.withColumn(
+        "wb",
+        F.coalesce(
+            F.sum("tok").over(
+                Window.partitionBy("qb")
+                .orderBy(F.desc("qm"), F.asc("doc_id"))
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    btot = d.groupBy("qb").agg(F.sum("tok").cast("long").alias("bt"))
+    offs = btot.select(
+        "qb",
+        F.coalesce(
+            F.sum("bt").over(
+                Window.orderBy(F.desc("qb")).rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long").alias("off"),
+    )
+    tot = d.agg(F.sum("tok").cast("long").alias("t"))
+    sel = (
+        within.join(F.broadcast(offs), "qb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tok",
+            F.when(
+                F.col("wb") + F.col("off") < F.expr(f"(t * {_BUDGET_PCT}) DIV 100"),
+                F.lit(1),
+            )
+            .otherwise(0)
+            .alias("s"),
+        )
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("s").cast("long").alias("n_selected"),
+            F.sum("tok").cast("long").alias("tokens"),
+            F.sum(F.col("tok") * F.col("s")).cast("long").alias("tokens_selected"),
+            F.round(
+                F.sum(F.col("tok") * F.col("s")).cast("double") / F.sum("tok"),
+                6,
+            ).alias("selected_share"),
+        )
+        .transform(pin)
+        .orderBy("source")
+    )

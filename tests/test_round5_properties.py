@@ -101,3 +101,85 @@ def test_centroid_cosine_full_matrix(q):
     labels = set(df.label_a) | set(df.label_b)
     assert len(df) == len(labels) * (len(labels) - 1) // 2
     assert df.cosine.between(-1.0, 1.0).all()
+
+
+def test_hdr_sketch_error_bound(q, spark, duck):
+    """The q200 HDR sketch's quantile estimates must sit within the
+    declared 1% relative error below the exact quantile: the reported
+    bucket lower bound lb satisfies lb <= exact_q and the true value of
+    every sample in the bucket is < lb * (1 + 10^(1-digits)) ... i.e.
+    exact_q < lb + bucket width.  Checked against DuckDB's discrete
+    quantile (the rank-based definition the sketch targets)."""
+    from conftest import duck_sql
+
+    df = q("q200_hdr_quantiles").set_index("event_type")
+    exact = duck_sql(
+        duck,
+        """
+        SELECT event_type,
+               quantile_disc(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0.50) AS p50,
+               quantile_disc(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0.90) AS p90,
+               quantile_disc(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0.99) AS p99
+        FROM events GROUP BY event_type
+        """,
+        SF_DIR,
+    ).set_index("event_type")
+    for et in df.index:
+        for p in (50, 90, 99):
+            est_cents = round(df.loc[et, f"p{p}_est"] * 100)
+            true_cents = exact.loc[et, f"p{p}"]
+            assert est_cents <= true_cents, (et, p, est_cents, true_cents)
+            assert true_cents < est_cents * 1.01 + 1, (et, p, est_cents, true_cents)
+
+
+def test_hdr_sketch_is_mergeable(q, spark):
+    """Half-corpus sketches must merge to the whole-corpus sketch: the
+    histogram is a pure integer-vector sum, so quantiles extracted from
+    summed shard histograms equal the single-pass result (A-14 applied
+    to quantiles — the property exact percentiles lack)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bigdata_streaming_absa_vehicle_spark.queries.profiling import (
+        _HDR_DIGITS,
+        _HDR_PS,
+    )
+    from bigdata_streaming_absa_vehicle_spark.tables import load as load_t
+
+    # re-derive the bucket histogram per half, sum the halves, extract
+    # quantiles in pandas, and compare with the registered single-pass query
+    ev = load_t(spark, SF_DIR, "events").select(
+        "event_type",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+    )
+    u = ev.withColumn(
+        "unit",
+        F.pow(
+            F.lit(10.0),
+            F.greatest(F.length(F.col("c").cast("string")) - _HDR_DIGITS, F.lit(0)).cast(
+                "double"
+            ),
+        ).cast("long"),
+    ).select("event_type", "event_id", F.expr("(c DIV unit) * unit").alias("lb"))
+    halves = []
+    for parity in (0, 1):
+        h = (
+            u.where(F.col("event_id") % 2 == parity)
+            .groupBy("event_type", "lb")
+            .count()
+            .toPandas()
+        )
+        halves.append(h)
+    merged = (
+        pd.concat(halves).groupby(["event_type", "lb"], as_index=False)["count"].sum()
+    )
+    got = q("q200_hdr_quantiles").set_index("event_type")
+    for et, grp in merged.groupby("event_type"):
+        grp = grp.sort_values("lb")
+        n = grp["count"].sum()
+        cum = grp["count"].cumsum()
+        for p in _HDR_PS:
+            target = (n * p + 99) // 100
+            est_lb = int(grp.loc[cum >= target, "lb"].iloc[0])
+            assert round(got.loc[et, f"p{p}_est"] * 100) == est_lb, (et, p)
