@@ -1033,3 +1033,132 @@ def test_deletion_audit_erasure_set_broadcasts(spark):
         r"BroadcastHashJoin.*LeftSemi", plan
     ), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_hdr_quantiles_windows_run_per_type_no_join_of_fact(spark):
+    """q200 (X-40): the fact reduces to the bounded histogram in one
+    map-side-combined rollup; both cumulative windows are partitioned by
+    event_type (never single-partition over the fact), and no join
+    touches fact-sized data."""
+    q = all_queries()["q200_hdr_quantiles"]
+    plan = plan_of(q.fn(spark, SF_DIR), "extended")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "SortMergeJoin" not in phys, phys
+    assert "CartesianProduct" not in phys, phys
+    for line in phys.splitlines():
+        if "windowspecdefinition" in line:
+            assert "event_type#" in line, line
+
+
+def test_token_budget_prefix_sum_is_bucketed(spark):
+    """q201 (X-41): the corpus-order prefix sum is two-level — every
+    doc-sized windowspecdefinition is partitioned by the quality bucket
+    qb; only the bounded bucket-offset window is unpartitioned; the
+    offsets and the budget scalar come back by broadcast."""
+    q = all_queries()["q201_token_budget_selection"]
+    plan = plan_of(q.fn(spark, SF_DIR), "extended")
+    phys = plan.split("== Physical Plan ==")[1]
+    unpartitioned = [
+        line
+        for line in phys.splitlines()
+        if "windowspecdefinition" in line and "qb#" not in line
+    ]
+    for line in unpartitioned:
+        assert "bt#" in line, line
+    assert "BroadcastHashJoin" in phys, phys  # bucket offsets
+    assert "BroadcastNestedLoopJoin" in phys, phys  # single-row budget
+
+
+def test_adamic_adar_wedges_carry_ids_only(spark):
+    """q202 (X-18): the wedge self-join carries ids only — every parquet
+    scan reads just doc_id — the degree weights broadcast, and the final
+    ranking is TakeOrdered, never a global sort."""
+    q = all_queries()["q202_adamic_adar"]
+    plan = plan_of(q.fn(spark, SF_DIR), "formatted")
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for seg in plan.split("ReadSchema:")[1:]:
+        schema = seg.split("\n")[0]
+        assert "text" not in schema, "wedge pipeline reads doc payloads:\n" + schema
+
+
+def test_bigram_surprisal_cost_table_broadcasts_into_doc_pairs(spark):
+    """q203 (X-42): the (w1, w2) -> cost table joins into the doc-pairs
+    relation by BROADCAST (the fact-sized leg never sort-merge-joins),
+    and no cartesian exists."""
+    q = all_queries()["q203_bigram_surprisal"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_embedding_profile_is_one_rollup_no_join(spark):
+    """q204 (X-43): posexplode is map-only and the ONLY exchange in the
+    plan (besides the presentation sort) carries the 64-key dim
+    relation; no join anywhere."""
+    q = all_queries()["q204_embedding_dim_profile"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "Join" not in plan, plan
+    hash_ex = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert len(hash_ex) == 1 and "dim#" in hash_ex[0], plan
+
+
+def test_pareto_frontier_fact_broadcast_join_map_only_keep(spark):
+    """q205 (X-44): the part scan joins the bounded price-threshold
+    relation by BROADCAST (the fact never self-joins, never
+    re-shuffles); the prefix max is two-level — price-sized windows are
+    partitioned by the price bucket, only the bounded bucket-offset
+    window is unpartitioned."""
+    q = all_queries()["q205_pareto_frontier"]
+    plan = plan_of(q.fn(spark, SF_DIR), "extended")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "BroadcastHashJoin" in phys, phys
+    assert "SortMergeJoin" not in phys, phys
+    unpartitioned = [
+        line
+        for line in phys.splitlines()
+        if "windowspecdefinition" in line and "bucket#" not in line
+    ]
+    for line in unpartitioned:
+        assert "bm#" in line, line
+
+
+def test_abc_prefix_runs_on_value_collapsed_relation(spark):
+    """q206 (X-25): the descending prefix sum runs AFTER two rollups
+    (per-part revenue, then distinct-value collapse) — at least four
+    HashAggregates (partial+final each) precede it — and the grand
+    total joins back as a single-row broadcast."""
+    q = all_queries()["q206_abc_classification"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # single-row total
+
+
+def test_acf_one_window_pass_partitioned_by_type(spark):
+    """q207 (X-20): all lag pairs come from ONE window pass partitioned
+    by event_type (no unpartitioned window, no join), and the moments
+    rollup is hash-aggregated."""
+    q = all_queries()["q207_autocorrelation"]
+    plan = plan_of(q.fn(spark, SF_DIR), "extended")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "Join" not in phys, phys
+    for line in phys.splitlines():
+        if "windowspecdefinition" in line:
+            assert "event_type#" in line, line
+    assert phys.count("Window") <= 2, phys
+
+
+def test_new_user_growth_reduces_before_bounded_window(spark):
+    """q209 (X-21): the fact reduces through the user rollup and the
+    day rollup BEFORE the single bounded-relation cumulative window —
+    exactly one single-partition exchange (the window over the
+    calendar-bounded day relation), and no join."""
+    q = all_queries()["q209_new_user_growth"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
