@@ -969,3 +969,129 @@ def q205_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-45: RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_PS = (0.2, 0.4, 0.6, 0.8)
+
+
+def _rfm_oracle() -> str:
+    def edges(metric: str) -> str:
+        return ", ".join(
+            f"quantile_cont({metric}, {p}) AS {metric[0]}e{int(p * 100)}"
+            for p in _RFM_PS
+        )
+
+    def bucket(metric: str) -> str:
+        return " + ".join(
+            [f"1"]
+            + [
+                f"CASE WHEN {metric} > {metric[0]}e{int(p * 100)} THEN 1 ELSE 0 END"
+                for p in _RFM_PS
+            ]
+        )
+
+    return f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon,
+               MAX(CAST(o_orderdate AS DATE)) AS last_day
+        FROM orders GROUP BY o_custkey
+    ),
+    ref AS (SELECT MAX(last_day) AS ref_day FROM cust),
+    rfm AS (
+        SELECT o_custkey, freq, mon,
+               CAST(date_diff('day', last_day, ref_day) AS BIGINT) AS rec
+        FROM cust CROSS JOIN ref
+    ),
+    e AS (
+        SELECT {edges("rec")}, {edges("freq")}, {edges("mon")} FROM rfm
+    ),
+    scored AS (
+        SELECT CAST(6 - ({bucket("rec")}) AS INT) AS r_score,
+               CAST({bucket("freq")} AS INT) AS f_score,
+               CAST({bucket("mon")} AS INT) AS m_score,
+               mon
+        FROM rfm CROSS JOIN e
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(mon) AS DOUBLE) / 100, 2) AS monetary_total
+    FROM scored GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """
+
+
+@query("q211_rfm_segmentation", oracle=_rfm_oracle(), tags=("X-45", "A-12"))
+def q211_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM grid: per customer, Recency
+    (days since last order, scored 5 = most recent), Frequency (order
+    count) and Monetary (exact-cents lifetime revenue) each bucketed
+    into corpus quintiles, customers rolled up by (R, F, M) cell. The
+    '555 champions / 111 lost' readout every lifecycle-marketing and
+    churn playbook keys off; the quintile edges reuse the A-12 exact
+    percentile path proven bit-equal to DuckDB's quantile_cont (q75).
+
+    Determinism: recency/frequency/monetary are exact integers; the
+    interpolated quintile edges are IEEE-identical in both engines
+    (q75); each score is 1 + a count of exact 'value > edge' compares
+    (integers vs bit-identical doubles), so no boundary can flake.
+
+    Scale shape: ONE customer-keyed rollup reduces the fact; the
+    reference day and the 12 quintile edges are single-row aggregates
+    over that relation CROSS-broadcast back; scoring is map-only; the
+    final rollup is map-side combined onto the <=125-cell grid."""
+    cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("mon"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+        )
+    )
+    ref = cust.agg(F.max("last_day").alias("ref_day"))
+    rfm = (
+        cust.crossJoin(F.broadcast(ref))
+        .select(
+            "freq",
+            "mon",
+            F.datediff(F.col("ref_day"), F.col("last_day")).cast("long").alias("rec"),
+        )
+        .transform(stage)  # feeds the edge agg AND the scoring pass
+    )
+    e = rfm.agg(
+        *[
+            F.expr(f"percentile({m}, {p})").alias(f"{m[0]}e{int(p * 100)}")
+            for m in ("rec", "freq", "mon")
+            for p in _RFM_PS
+        ]
+    )
+
+    def bucket(metric: str):
+        s = F.lit(1)
+        for p in _RFM_PS:
+            s = s + (F.col(metric) > F.col(f"{metric[0]}e{int(p * 100)}")).cast("int")
+        return s
+
+    scored = rfm.crossJoin(F.broadcast(e)).select(
+        (6 - bucket("rec")).cast("int").alias("r_score"),
+        bucket("freq").cast("int").alias("f_score"),
+        bucket("mon").cast("int").alias("m_score"),
+        "mon",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum("mon").cast("double") / 100, 2).alias("monetary_total"),
+        )
+        .transform(pin)
+        .orderBy("r_score", "f_score", "m_score")
+    )

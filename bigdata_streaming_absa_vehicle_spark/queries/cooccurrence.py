@@ -475,3 +475,93 @@ def q203_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-22 (cont.): chi-square test of independence (the hypothesis-test
+# companion of q165's mutual information)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q210_chi_square",
+    oracle="""
+    WITH joint AS (
+        SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY event_type, dayofweek(ts) + 1
+    ),
+    r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM joint GROUP BY event_type),
+    c AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM joint GROUP BY dow),
+    t AS (SELECT CAST(SUM(o) AS BIGINT) AS t,
+                 COUNT(DISTINCT event_type) AS nr, COUNT(DISTINCT dow) AS nc
+          FROM joint),
+    terms AS (
+        SELECT ROUND(CAST((CAST(o AS HUGEINT) * t - CAST(r.r AS HUGEINT) * c.c)
+                          * (CAST(o AS HUGEINT) * t - CAST(r.r AS HUGEINT) * c.c)
+                          AS DOUBLE)
+                     / CAST(CAST(r.r AS HUGEINT) * c.c * t AS DOUBLE), 9) AS term
+        FROM joint
+        JOIN r USING (event_type)
+        JOIN c USING (dow)
+        CROSS JOIN t
+    )
+    SELECT (SELECT CAST((nr - 1) * (nc - 1) AS BIGINT) FROM t) AS dof,
+           (SELECT t FROM t) AS n,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6) AS chi2
+    FROM terms
+    """,
+    tags=("X-22", "A-01"),
+)
+def q210_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    day-of-week — the hypothesis-test companion of q165's mutual
+    information (MI measures HOW dependent; chi-square against its dof
+    says whether the dependence beats sampling noise). Reported as the
+    test statistic plus degrees of freedom (the p-value lookup is a
+    client-side table; shipping a libm-heavy igamma would break the
+    engine's cross-libm discipline for zero analytic gain).
+
+    Determinism: each cell's term (o*T - r*c)^2 / (r*c*T) is a ratio of
+    EXACT integers (decimal(38,0) / HUGEINT products), divided once in
+    double and rounded 9 dp, then decimal-summed — the q120 precedent.
+
+    Scale shape: ONE map-side-combined rollup reduces the fact to the
+    bounded |types| x 7 joint table; marginals and the total derive from
+    that relation (never a second fact scan) and join back on the
+    bounded keys; one scalar row reaches the driver."""
+    ev = load(spark, sf_dir, "events")
+    joint = (
+        ev.groupBy("event_type", F.dayofweek("ts").alias("dow"))
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .transform(stage)  # bounded 5x7 relation, feeds marginals + terms
+    )
+    r = joint.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    c = joint.groupBy("dow").agg(F.sum("o").cast("long").alias("c"))
+    t = joint.agg(
+        F.sum("o").cast("long").alias("t"),
+        F.count_distinct("event_type").alias("nr"),
+        F.count_distinct("dow").alias("nc"),
+    )
+    d0 = "decimal(38,0)"
+    num = F.col("o").cast(d0) * F.col("t") - F.col("r").cast(d0) * F.col("c")
+    den = (F.col("r").cast(d0) * F.col("c") * F.col("t")).cast(d0)
+    terms = (
+        joint.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "nr",
+            "nc",
+            "t",
+            F.round((num * num).cast("double") / den.cast("double"), 9).alias("term"),
+        )
+    )
+    return terms.groupBy(
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        F.col("t").alias("n"),
+    ).agg(
+        F.round(F.sum(F.col("term").cast("decimal(28,9)")).cast("double"), 6).alias(
+            "chi2"
+        )
+    )

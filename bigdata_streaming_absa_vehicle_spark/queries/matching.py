@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.ordering import pin
+from ..functions.ordering import pin, stage
 from ..tables import load
 from .registry import query
 
@@ -170,4 +170,150 @@ def q192_blocking_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_records").desc(), "block_key")
         .limit(40)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-32 (cont.): Fellegi-Sunter match scoring over blocked candidate pairs
+# ---------------------------------------------------------------------------
+
+#: prior agreement probabilities among TRUE matches (m-probabilities) —
+#: fixed documented priors; the u-probabilities (chance agreement among
+#: NON-matches) are estimated from the data itself as sum(share^2).
+_FS_M = {"brand": 0.9, "type": 0.8, "price": 0.7}
+_FS_TOPK = 30
+_PRICE_BAND = 1000  #: cents — $10 price-agreement bands
+
+
+def _fs_oracle() -> str:
+    return f"""
+    WITH base AS (
+        SELECT p_partkey AS k,
+               regexp_replace(lower(split_part(p_name, ' ', 1)),
+                              '[aeiou]', '', 'g') AS blk,
+               p_size AS sz, p_brand AS brand, p_type AS typ,
+               CAST(ROUND(p_retailprice * 100) AS BIGINT) // {_PRICE_BAND} AS band
+        FROM part
+    ),
+    ub AS (SELECT CAST(SUM(c * c) AS BIGINT) AS s2, CAST(SUM(c) AS BIGINT) AS n
+           FROM (SELECT COUNT(*) AS c FROM base GROUP BY brand)),
+    ut AS (SELECT CAST(SUM(c * c) AS BIGINT) AS s2, CAST(SUM(c) AS BIGINT) AS n
+           FROM (SELECT COUNT(*) AS c FROM base GROUP BY typ)),
+    up AS (SELECT CAST(SUM(c * c) AS BIGINT) AS s2, CAST(SUM(c) AS BIGINT) AS n
+           FROM (SELECT COUNT(*) AS c FROM base GROUP BY band)),
+    w AS (
+        SELECT ROUND(ln({_FS_M['brand']} / (CAST(ub.s2 AS DOUBLE) / ub.n / ub.n)), 6) AS wb_a,
+               ROUND(ln((1 - {_FS_M['brand']}) / (1 - CAST(ub.s2 AS DOUBLE) / ub.n / ub.n)), 6) AS wb_d,
+               ROUND(ln({_FS_M['type']} / (CAST(ut.s2 AS DOUBLE) / ut.n / ut.n)), 6) AS wt_a,
+               ROUND(ln((1 - {_FS_M['type']}) / (1 - CAST(ut.s2 AS DOUBLE) / ut.n / ut.n)), 6) AS wt_d,
+               ROUND(ln({_FS_M['price']} / (CAST(up.s2 AS DOUBLE) / up.n / up.n)), 6) AS wp_a,
+               ROUND(ln((1 - {_FS_M['price']}) / (1 - CAST(up.s2 AS DOUBLE) / up.n / up.n)), 6) AS wp_d
+        FROM ub, ut, up
+    ),
+    pairs AS (
+        SELECT a.k AS x, b.k AS y,
+               CASE WHEN a.brand = b.brand THEN 1 ELSE 0 END AS ab,
+               CASE WHEN a.typ = b.typ THEN 1 ELSE 0 END AS at,
+               CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS ap
+        FROM base a JOIN base b ON a.blk = b.blk AND a.sz = b.sz AND a.k < b.k
+    )
+    SELECT x, y,
+           CONCAT(CASE WHEN ab = 1 THEN 'B+' ELSE 'B-' END,
+                  CASE WHEN at = 1 THEN 'T+' ELSE 'T-' END,
+                  CASE WHEN ap = 1 THEN 'P+' ELSE 'P-' END) AS pattern,
+           ROUND((CASE WHEN ab = 1 THEN wb_a ELSE wb_d END
+                  + CASE WHEN at = 1 THEN wt_a ELSE wt_d END)
+                 + CASE WHEN ap = 1 THEN wp_a ELSE wp_d END, 6) AS fs_score
+    FROM pairs CROSS JOIN w
+    ORDER BY fs_score DESC, x, y LIMIT {_FS_TOPK}
+    """
+
+
+@query("q208_fellegi_sunter", oracle=_fs_oracle(), tags=("X-32", "J-01"))
+def q208_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic match scoring over the q192 blocks:
+    each within-block candidate pair gets a log-likelihood-ratio weight
+    per field — agree: ln(m/u), disagree: ln((1-m)/(1-u)) — summed into
+    the match score that record-linkage thresholds into match / review /
+    non-match. m-probabilities are documented priors; u-probabilities
+    (chance agreement among non-matches) are estimated FROM THE DATA as
+    sum(share^2) per field, which is exactly the probability two random
+    records agree. Top-30 pairs by score. The scoring step between
+    X-32's blocking and X-28's survivorship merge.
+
+    Scale shape: the candidate join is equi on the (block, size)
+    compound key — quadratic work is confined inside blocks, the budget
+    q192 prices; the relation carries ids + the three compared fields
+    only. The three u-statistics each reduce to a single row on a
+    value-bounded rollup and CROSS-broadcast into the pair relation; the
+    six weights are computed ONCE there, not per pair. ln at 6 dp (the
+    q120 cross-libm precedent); u = s2/n/n divides exact integers in a
+    fixed order; ranking is TakeOrdered."""
+    base = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.expr(
+            "regexp_replace(lower(split_part(p_name, ' ', 1)), '[aeiou]', '')"
+        ).alias("blk"),
+        F.col("p_size").alias("sz"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("typ"),
+        F.expr(f"CAST(ROUND(p_retailprice * 100) AS BIGINT) DIV {_PRICE_BAND}").alias(
+            "band"
+        ),
+    ).transform(stage)  # feeds the 3 u-rollups AND both pair legs
+
+    def u_stats(col: str):
+        c = base.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        return c.agg(
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+            F.sum("c").cast("long").alias("n"),
+        )
+
+    def w_pair(u, m: float, tag: str):
+        share = u["s2"].cast("double") / u["n"] / u["n"]
+        return u.select(
+            F.round(F.log(F.lit(m) / share), 6).alias(f"w{tag}_a"),
+            F.round(F.log((1 - F.lit(m)) / (1 - share)), 6).alias(f"w{tag}_d"),
+        )
+
+    w = (
+        w_pair(u_stats("brand"), _FS_M["brand"], "b")
+        .crossJoin(w_pair(u_stats("typ"), _FS_M["type"], "t"))
+        .crossJoin(w_pair(u_stats("band"), _FS_M["price"], "p"))
+    )
+    a = base.select(*[F.col(c).alias(f"a_{c}") for c in base.columns])
+    b = base.select(*[F.col(c).alias(f"b_{c}") for c in base.columns])
+    pairs = a.join(
+        b,
+        (F.col("a_blk") == F.col("b_blk"))
+        & (F.col("a_sz") == F.col("b_sz"))
+        & (F.col("a_k") < F.col("b_k")),
+    ).select(
+        F.col("a_k").alias("x"),
+        F.col("b_k").alias("y"),
+        (F.col("a_brand") == F.col("b_brand")).cast("int").alias("ab"),
+        (F.col("a_typ") == F.col("b_typ")).cast("int").alias("at"),
+        (F.col("a_band") == F.col("b_band")).cast("int").alias("ap"),
+    )
+    agree = lambda flag, wa, wd: F.when(F.col(flag) == 1, F.col(wa)).otherwise(  # noqa: E731
+        F.col(wd)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(w))
+        .select(
+            "x",
+            "y",
+            F.concat(
+                F.when(F.col("ab") == 1, "B+").otherwise("B-"),
+                F.when(F.col("at") == 1, "T+").otherwise("T-"),
+                F.when(F.col("ap") == 1, "P+").otherwise("P-"),
+            ).alias("pattern"),
+            F.round(
+                (agree("ab", "wb_a", "wb_d") + agree("at", "wt_a", "wt_d"))
+                + agree("ap", "wp_a", "wp_d"),
+                6,
+            ).alias("fs_score"),
+        )
+        .orderBy(F.desc("fs_score"), "x", "y")
+        .limit(_FS_TOPK)
     )

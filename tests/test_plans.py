@@ -1162,3 +1162,43 @@ def test_new_user_growth_reduces_before_bounded_window(spark):
     assert "Join" not in plan, plan
     assert plan.count("HashAggregate") >= 4, plan
     assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_fellegi_sunter_weights_computed_once_and_broadcast(spark):
+    """q208 (X-32): the u-statistics reduce to single-row aggregates and
+    cross-broadcast into the pair relation (BroadcastNestedLoopJoin of
+    1-row relations), the candidate join is equi on the compound block
+    key, and the ranking is TakeOrdered."""
+    q = all_queries()["q208_fellegi_sunter"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_chi_square_marginals_derive_from_joint_rollup(spark):
+    """q210 (X-22): ONE fact scan feeds the joint rollup; marginals and
+    the total join back on the bounded relation by broadcast — no
+    sort-merge join, no second fact-sized exchange."""
+    q = all_queries()["q210_chi_square"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # with staging on (production default), the joint rollup materializes
+    # once and the marginal/total legs read the checkpoint, not the fact
+    spark.conf.set("spark.graft.pin_sorts", "true")
+    pinned = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "ExistingRDD" in pinned, pinned
+    assert pinned.count("Scan parquet") <= 1, pinned
+
+
+def test_rfm_edges_broadcast_scoring_map_only(spark):
+    """q211 (X-45): the quintile edges and the reference day come back
+    as single-row broadcasts; the customer relation is never
+    re-shuffled after its rollup (the only hashpartitioning exchange
+    carries o_custkey or the tiny score grid), and no window exists."""
+    q = all_queries()["q211_rfm_segmentation"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
