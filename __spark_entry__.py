@@ -143,12 +143,13 @@ _WINDOW_PRIORITY = (
 # aggregate maintenance, entity-resolution blocking, half-sample CI,
 # Brier calibration decomposition, exact-int64 k-means iterations,
 # profile drift, next-event backtest, future-window labels,
-# deletion-propagation audit; and q200-q211: HDR mergeable
+# deletion-propagation audit; and q200-q214: HDR mergeable
 # quantile sketch, token-budget corpus selection, Adamic-Adar link
 # prediction, bigram surprisal, embedding dimension profile, Pareto
 # frontier, ABC classification, autocorrelation, Fellegi-Sunter
 # match scoring, new-user growth curve, chi-square independence,
-# RFM segmentation) hold pytest-oracle evidence at
+# RFM segmentation, time-decay attribution, weighted reservoir,
+# cohort LTV curve) hold pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.
 

@@ -1095,3 +1095,218 @@ def q211_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-08 (cont.): time-decay attribution (completes the last-touch / linear /
+# time-decay model trio)
+# ---------------------------------------------------------------------------
+
+#: integer decay weights by touch age in days (0.5 half-life per day,
+#: scaled 2^(window_days-1) so every weight is an exact integer)
+_DECAY_W = {0: 4, 1: 2, 2: 1}
+
+
+@query(
+    "q212_time_decay_attribution",
+    oracle=f"""
+    WITH touch AS (
+        SELECT user_id, ts AS tts, event_type AS channel
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    pur AS (
+        SELECT event_id, user_id, ts AS pts, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+        SELECT p.event_id, p.cents, t.channel,
+               CASE (epoch_us(p.pts) - epoch_us(t.tts)) // {86_400 * 1_000_000}
+                    WHEN 0 THEN {_DECAY_W[0]} WHEN 1 THEN {_DECAY_W[1]}
+                    ELSE {_DECAY_W[2]} END AS iw
+        FROM pur p JOIN touch t
+          ON p.user_id = t.user_id
+         AND t.tts <= p.pts
+         AND epoch_us(p.pts) - epoch_us(t.tts) <= {3 * 86_400 * 1_000_000}
+    ),
+    per_p AS (
+        SELECT event_id, cents, channel, CAST(SUM(iw) AS BIGINT) AS cw,
+               CAST(SUM(SUM(iw)) OVER (PARTITION BY event_id) AS BIGINT) AS tw
+        FROM pairs GROUP BY event_id, cents, channel
+    )
+    SELECT channel,
+           CAST(SUM(CAST(ROUND(CAST(cw AS DOUBLE) / tw, 9)
+                         AS DECIMAL(28,9))) AS DOUBLE) AS credited_purchases,
+           CAST(SUM(CAST(ROUND(cents * CAST(cw AS DOUBLE) / tw / 100, 6)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS credited_revenue
+    FROM per_p
+    GROUP BY channel
+    ORDER BY channel
+    """,
+    tags=("X-08", "W-03"),
+)
+def q212_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: purchases split credit across
+    their 3-day view/click touchpoints with a one-day half-life — a
+    touch from today counts 4, yesterday 2, two days ago 1 — completing
+    the attribution trio with q152 (last-touch, winner-takes-all) and
+    q171 (linear, even split). The decay weights are exact INTEGERS
+    (0.5^age scaled by 2^(window-1)), so per-purchase shares are ratios
+    of exact integers divided once and rounded 9/6 dp (the q171
+    discipline), then decimal-summed order-independently.
+
+    Scale shape: identical to q171 — the purchase×touch pairing is an
+    equi-join CO-PARTITIONED on user_id with the time bound as a range
+    predicate (fan-out bounded by each user's own 3-day touches), the
+    per-purchase weight total is a window over the bounded per-purchase
+    channel relation, and the final rollup groups on the channel key."""
+    ev = load(spark, sf_dir, "events")
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    age_days = F.expr(
+        f"(unix_micros(pts) - unix_micros(tts)) DIV {86_400 * 1_000_000}"
+    )
+    iw = (
+        F.when(age_days == 0, _DECAY_W[0])
+        .when(age_days == 1, _DECAY_W[1])
+        .otherwise(_DECAY_W[2])
+    )
+    pairs = pur.join(
+        touch,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("tts") <= F.col("pts"))
+        & (F.unix_micros("pts") - F.unix_micros("tts") <= 3 * 86_400 * 1_000_000),
+    ).select("event_id", "cents", "channel", iw.alias("iw"))
+    per_p = pairs.groupBy("event_id", "cents", "channel").agg(
+        F.sum("iw").cast("long").alias("cw")
+    )
+    per_p = per_p.withColumn(
+        "tw", F.sum("cw").over(W.partitionBy("event_id")).cast("long")
+    )
+    frac = F.col("cw").cast("double") / F.col("tw")
+    return (
+        per_p.groupBy("channel")
+        .agg(
+            F.sum(F.round(frac, 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("credited_purchases"),
+            F.sum(F.round(F.col("cents") * frac / 100, 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("credited_revenue"),
+        )
+        .transform(pin)
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-08 (cont.): cohort lifetime-value (LTV) curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q214_cohort_ltv",
+    oracle="""
+    WITH first_wk AS (
+        SELECT o_custkey, date_trunc('week', MIN(CAST(o_orderdate AS DATE))) AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    sizes AS (
+        SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM first_wk GROUP BY cohort
+    ),
+    rev AS (
+        SELECT f.cohort,
+               CAST(date_diff('day', f.cohort, date_trunc('week', CAST(o.o_orderdate AS DATE)))
+                    AS BIGINT) // 7 AS offset_w,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o JOIN first_wk f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT CAST(r.cohort AS DATE) AS cohort_week, r.offset_w, s.cohort_size,
+           ROUND(CAST(CAST(SUM(r.cents) OVER (
+                     PARTITION BY r.cohort ORDER BY r.offset_w
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS DOUBLE) / 100, 2) AS cum_revenue,
+           CAST((CAST(SUM(r.cents) OVER (
+                     PARTITION BY r.cohort ORDER BY r.offset_w
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) * 1000000) // s.cohort_size AS DOUBLE) / 100000000
+               AS ltv
+    FROM rev r JOIN sizes s ON r.cohort = s.cohort
+    ORDER BY cohort_week, offset_w
+    """,
+    tags=("X-08", "W-03", "A-06"),
+)
+def q214_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order week,
+    and each cohort's CUMULATIVE revenue per week-offset divided by
+    cohort size — the money counterpart of q87's presence-only retention
+    matrix, and the curve payback-period / CAC decisions actually read
+    ('week-0 cohorts reach $X per customer by week N'). Revenue is exact
+    cents end-to-end; the two divisions happen once, on bit-identical
+    operands.
+
+    Scale shape: ONE customer rollup finds cohorts; the fact joins its
+    own per-customer cohort co-partitioned on the customer key and
+    reduces map-side onto the CALENDAR-bounded (cohort x offset)
+    relation — the cumulative window and the size join run there, not
+    on orders (the q179/q209 bounded-relation window precedent)."""
+    orders = load(spark, sf_dir, "orders")
+    first_wk = orders.groupBy("o_custkey").agg(
+        F.date_trunc("week", F.min(F.col("o_orderdate").cast("date"))).alias("cohort")
+    )
+    sizes = first_wk.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    rev = (
+        orders.join(first_wk, "o_custkey")
+        .groupBy(
+            "cohort",
+            F.expr(
+                "CAST(datediff(date_trunc('week', CAST(o_orderdate AS DATE)), cohort)"
+                " AS BIGINT) DIV 7"
+            ).alias("offset_w"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wc = (
+        W.partitionBy("cohort")
+        .orderBy("offset_w")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = rev.withColumn("cum_cents", F.sum("cents").over(wc).cast("long"))
+    return (
+        cum.join(F.broadcast(sizes), "cohort")
+        .select(
+            # date->timestamp for the comparison harness (the q87 precedent:
+            # DuckDB DATE lands in pandas as datetime64)
+            F.col("cohort").cast("timestamp").alias("cohort_week"),
+            "offset_w",
+            "cohort_size",
+            F.round(F.col("cum_cents").cast("double") / 100, 2).alias("cum_revenue"),
+            # micro-cents-per-customer as an exact integer floor-div, then one
+            # exact-operand double division — ROUND here would flake on the
+            # representable .5 ties that /cohort_size (often a power of two)
+            # creates at the 6th decimal (Spark rounds the shortest repr,
+            # DuckDB the true binary value)
+            (
+                F.expr("(cum_cents * 1000000) DIV cohort_size").cast("double")
+                / 100_000_000
+            ).alias("ltv"),
+        )
+        .transform(pin)
+        .orderBy("cohort_week", "offset_w")
+    )

@@ -850,3 +850,88 @@ def q201_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-16 (cont.): WEIGHTED deterministic reservoir (A-ExpJ with hash RNG)
+# ---------------------------------------------------------------------------
+
+_WRES_K = 5
+_H48 = 1 << 48  #: 48-bit hash domain — (h+1)/2^48 is exact in a double
+
+
+@query(
+    "q213_weighted_reservoir",
+    oracle=f"""
+    WITH d AS (
+        SELECT source, doc_id,
+               GREATEST(CAST(len(string_split_regex(trim(text), '\\s+'))
+                             AS BIGINT), 1) AS w,
+               CAST(('0x' || substr(md5('wres:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % {_H48} AS h48
+        FROM documents
+    ),
+    keyed AS (
+        SELECT source, doc_id, w,
+               ROUND(ln((CAST(h48 AS DOUBLE) + 1) / {_H48}), 9) / w AS wkey
+        FROM d
+    )
+    SELECT source, CAST(rk AS INT) AS rk, doc_id, w AS tokens
+    FROM (
+        SELECT source, doc_id, w, wkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY wkey DESC, doc_id
+               ) AS rk
+        FROM keyed
+    )
+    WHERE rk <= {_WRES_K}
+    ORDER BY source, rk
+    """,
+    tags=("X-16", "O-05"),
+)
+def q213_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED deterministic reservoir sample: k=5 docs per source drawn
+    with probability proportional to token count — Efraimidis-Spirakis
+    A-ExpJ (key = u^(1/w), compared as ln(u)/w) with the RNG replaced by
+    a 48-bit content hash, so heavy documents are favored exactly as the
+    algorithm prescribes yet every run, engine, and incremental backfill
+    picks the same sample. The weighted complement of q133's uniform
+    reservoir — the sampler a token-budgeted eval-set draw actually
+    wants (sampling documents uniformly UNDER-represents long ones in
+    token space).
+
+    Determinism: u = (h48+1)/2^48 is a ratio of exact integers (both
+    representable in a double), ln rounds at 9 dp (the q120 cross-libm
+    precedent), the /w divides that bit-identical operand by an exact
+    integer, and doc_id breaks any residual tie.
+
+    Scale shape: hashing/keying is map-only; selection is grouped top-k
+    on the source key (one shuffle); because max-k-by-key is a mergeable
+    aggregate, at 100 TB the same query runs as per-partition partial
+    reservoirs merged at the final agg — only k rows per key cross."""
+    from ..operators.dedup import hash64
+
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.greatest(
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long"), F.lit(1)
+        ).alias("w"),
+        (hash64("wres", F.col("doc_id").cast("string")) % _H48).alias("h48"),
+    )
+    keyed = d.select(
+        "source",
+        "doc_id",
+        "w",
+        (
+            F.round(F.log((F.col("h48").cast("double") + 1) / _H48), 9) / F.col("w")
+        ).alias("wkey"),
+    )
+    wnd = Window.partitionBy("source").orderBy(F.desc("wkey"), "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") <= _WRES_K)
+        .select("source", F.col("rk").cast("int").alias("rk"), "doc_id", F.col("w").alias("tokens"))
+        .transform(pin)
+        .orderBy("source", "rk")
+    )
