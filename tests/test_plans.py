@@ -931,27 +931,31 @@ def test_blocking_keys_never_materializes_pairs(spark):
     assert "TakeOrderedAndProject" in plan, "top-40 fell back to global sort:\n" + plan
 
 
-def test_half_sample_fanout_reduced_before_exchange(spark):
-    """q193 (X-33): the 16-way replicate explode must be reduced by a
-    partial HashAggregate BEFORE the rep-keyed exchange — the exchange
-    moves 16 partials per partition, never 8x the fact rows."""
+def test_half_sample_replicates_ride_one_ungrouped_agg(spark):
+    """q193 (X-33): all 16 replicates (plus the full-sample stats) come
+    from ONE map-side-combined ungrouped aggregate over ONE fact scan —
+    no 16x row fan-out exists before the exchange (the Generate explodes
+    the single RESULT row into the replicate table), no join, and the
+    only exchange is the SinglePartition merge of the 34 partials."""
     q = all_queries()["q193_half_sample_ci"]
-    plan = plan_of(q.fn(spark, SF_DIR), "formatted")
-    assert "Generate" in plan, plan  # the explode
-    # a partial aggregate appears downstream of the explode, upstream of
-    # the rep-keyed exchange (formatted mode puts Exchange args on their
-    # own Arguments: line, so match the partitioning alone)
-    assert "HashAggregate" in plan, plan
-    assert re.search(r"hashpartitioning\(rep", plan), plan
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
     assert "SortMergeJoin" not in plan, plan
-    # with staging on, the single-row full-sample stats materialize once:
-    # only the replicate leg still reads parquet
+    # with staging on (production default), the one wide aggregate row
+    # materializes once and both consumers read it: ONE fact scan total
     spark.conf.set("spark.graft.pin_sorts", "true")
     try:
         staged = plan_of(q.fn(spark, SF_DIR), "simple")
     finally:
         spark.conf.set("spark.graft.pin_sorts", "false")
     assert staged.count("Scan parquet") <= 1, staged
+    assert re.search(r"hashpartitioning\(rep", plan) is None, plan
+    # the explode (Generate) consumes the aggregated wide row — its input
+    # columns are the n_b/s_b aggregate slots, never the fact's cents/h
+    gen_line = next(l for l in plan.splitlines() if "Generate" in l)
+    assert "n_0#" in gen_line and "cents#" not in gen_line, gen_line
+    # and no keyed exchange exists anywhere — only the SinglePartition
+    # merges of ungrouped partials (plus the fan_out round-robin)
+    assert "Exchange hashpartitioning" not in plan, plan
 
 
 def test_brier_single_fact_scan_bounded_tail(spark):
