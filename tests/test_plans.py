@@ -1206,3 +1206,16 @@ def test_rfm_edges_broadcast_scoring_map_only(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "Window" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_radius_join_candidates_from_cell_equi_join(spark):
+    """q216 (X-46): candidates come from an EQUI-join on the cell key —
+    no CartesianProduct and no theta-only join of the point relations
+    exists (the only nested-loop is the single-row count broadcast);
+    ranking is TakeOrdered."""
+    q = all_queries()["q216_radius_join"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    joins = [l for l in plan.splitlines() if "Join" in l and "BroadcastNestedLoop" not in l]
+    assert any("cx" in l and "cy" in l for l in joins), plan
