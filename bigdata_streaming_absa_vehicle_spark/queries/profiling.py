@@ -728,6 +728,36 @@ def _hdr_oracle() -> str:
     """
 
 
+def hdr_histogram(df: DataFrame) -> DataFrame:
+    """(event_type, lb, cnt) log-bucket histogram of an events-shaped
+    relation — the MERGEABLE state of the X-40 quantile sketch. One
+    map-side-combined groupBy whose integer counts sum across shards,
+    days, or micro-batches, so the IDENTICAL code path runs over a batch
+    table or a streaming source (complete-mode agg): the live proof of
+    the sketch's A-14 claim
+    (tests/test_streaming.py::test_hdr_histogram_stream_equals_batch).
+    A metrics pipeline keeps this agg running and extracts quantiles
+    from the current histogram whenever asked."""
+    c = df.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+    )
+    u = c.withColumn(
+        "unit",
+        F.pow(
+            F.lit(10.0),
+            F.greatest(
+                F.length(F.col("c").cast("string")) - _HDR_DIGITS, F.lit(0)
+            ).cast("double"),
+        ).cast("long"),
+    )
+    return (
+        u.select("event_type", F.expr("(c DIV unit) * unit").alias("lb"))
+        .groupBy("event_type", "lb")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
 @query("q200_hdr_quantiles", oracle=_hdr_oracle(), tags=("X-40", "A-14"))
 def q200_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (the HDR-histogram / DDSketch family):
@@ -748,25 +778,7 @@ def q200_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     operand is an exact integer — no libm, no float ordering anywhere.
     Accuracy vs the A-12 exact path is pinned by
     tests/test_round5_properties.py::test_hdr_sketch_error_bound."""
-    ev = load(spark, sf_dir, "events")
-    c = ev.select(
-        "event_type",
-        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
-    )
-    u = c.withColumn(
-        "unit",
-        F.pow(
-            F.lit(10.0),
-            F.greatest(
-                F.length(F.col("c").cast("string")) - _HDR_DIGITS, F.lit(0)
-            ).cast("double"),
-        ).cast("long"),
-    )
-    b = (
-        u.select("event_type", F.expr("(c DIV unit) * unit").alias("lb"))
-        .groupBy("event_type", "lb")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
+    b = hdr_histogram(load(spark, sf_dir, "events"))
     wcum = (
         Window.partitionBy("event_type")
         .orderBy("lb")

@@ -517,3 +517,19 @@ def test_checksum_stream_equals_batch(spark, tmpdir):
     batch = events_checksum(load(spark, SF_DIR, "events"))
     cols = ["n_rows", "checksum"]
     assert as_sorted_rows(result, cols) == as_sorted_rows(batch, cols)
+
+
+def test_hdr_histogram_stream_equals_batch(spark, tmpdir):
+    """X-40 (q200) streaming twin: the quantile sketch's state is ONE
+    mergeable groupBy of integer bucket counts, so the same
+    hdr_histogram() code path drains a file-replayed stream (complete
+    mode) to exactly the batch table's histogram — arrival order, file
+    split, and partitioning provably cannot change the sketch, which is
+    what makes its quantiles maintainable by a streaming agg."""
+    from bigdata_streaming_absa_vehicle_spark.queries.profiling import hdr_histogram
+
+    stream = events_stream(spark, SF_DIR, f"{tmpdir}/stage", n_files=5)
+    result = run_to_memory(spark, hdr_histogram(stream), "hdr_t")
+    batch = hdr_histogram(load(spark, SF_DIR, "events"))
+    cols = ["event_type", "lb", "cnt"]
+    assert as_sorted_rows(result, cols) == as_sorted_rows(batch, cols)
