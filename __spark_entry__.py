@@ -149,8 +149,10 @@ _WINDOW_PRIORITY = (
 # frontier, ABC classification, autocorrelation, Fellegi-Sunter
 # match scoring, new-user growth curve, chi-square independence,
 # RFM segmentation, time-decay attribution, weighted reservoir,
-# cohort LTV curve; and q215/q216: spatial cell density + lossless
-# cell-bucketed radius join) hold pytest-oracle evidence at
+# cohort LTV curve; q215/q216: spatial cell density + lossless
+# cell-bucketed radius join; q217: quality-based cluster
+# canonicalization; and q218: CMS join-size estimation) hold
+# pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.
 

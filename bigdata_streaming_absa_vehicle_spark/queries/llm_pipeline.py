@@ -1204,3 +1204,90 @@ def q85_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-02 (cont.): quality-based cluster canonicalization (keep-best dedup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q217_cluster_canonical",
+    oracle="""
+    WITH comp AS ({components}),
+    membered AS (
+        SELECT d.doc_id,
+               COALESCE(comp.component, d.doc_id) AS cluster_id,
+               {quality} AS quality
+        FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+    ),
+    ranked AS (
+        SELECT cluster_id, doc_id, quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id ORDER BY quality DESC, doc_id
+               ) AS rk
+        FROM membered
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc,
+           MAX(CASE WHEN rk = 1 THEN quality END) AS kept_quality,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM ranked
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """.format(
+        components=cc.oracle_components_sql(dd.oracle_minhash_lsh_pairs(threshold=0.5)),
+        quality=ta.oracle_quality_score("d.text"),
+    ),
+    tags=("X-02", "X-28", "O-05"),
+)
+def q217_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based cluster canonicalization: q78's near-duplicate
+    clusters with the SURVIVOR chosen by the X-04 quality score instead
+    of min-id — per cluster, the highest-quality member is kept (ties by
+    doc_id) and the rest are counted as dropped. This is the step that
+    turns near-dup DETECTION into corpus dedup POLICY ('keep the best
+    copy, not the first'), the X-28 survivorship rule applied to X-02's
+    co-reference decision.
+
+    Scale shape: clusters come from the banded-LSH pair relation +
+    distributed min-label components (ids only); quality scoring is
+    map-only on the document scan; the survivor election is the q13
+    grouped-top-k plan on the cluster key (one shuffle, k=1 rows per
+    cluster cross after partial selection); the rollup is map-side
+    combined on the same key."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    nodes = (
+        pairs.select(F.col("doc_a").alias("n"))
+        .union(pairs.select(F.col("doc_b").alias("n")))
+        .distinct()
+    )
+    comp = cc.connected_components(nodes, pairs, "n", "doc_a", "doc_b")
+    membered = (
+        docs.select("doc_id", ta.quality_score(F.col("text")).alias("quality"))
+        .join(comp, F.col("doc_id") == comp["id"], "left")
+        .select(
+            "doc_id",
+            "quality",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(F.desc("quality"), "doc_id")
+    )
+    ranked = membered.withColumn("rk", rk)
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("kept_doc"),
+            F.max(F.when(F.col("rk") == 1, F.col("quality"))).alias("kept_quality"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+        )
+        .transform(pin)
+        .orderBy("cluster_id")
+    )

@@ -906,3 +906,91 @@ def q204_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# A-15 (cont.): CMS join-size estimation (sketch inner product)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q218_join_size_estimate",
+    oracle=f"""
+    WITH ce AS (
+        SELECT i.i, {_cms_hash_sql('i.i', 'CAST(user_id AS VARCHAR)')} AS cell,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events, (SELECT unnest([0,1,2,3]) AS i) i
+        GROUP BY i.i, cell
+    ),
+    co AS (
+        SELECT i.i, {_cms_hash_sql('i.i', 'CAST(o_custkey AS VARCHAR)')} AS cell,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders, (SELECT unnest([0,1,2,3]) AS i) i
+        GROUP BY i.i, cell
+    ),
+    est AS (
+        SELECT ce.i, CAST(SUM(ce.c * co.c) AS HUGEINT) AS dot
+        FROM ce JOIN co ON ce.i = co.i AND ce.cell = co.cell
+        GROUP BY ce.i
+    ),
+    exact AS (
+        SELECT CAST(SUM(e.c * o.c) AS HUGEINT) AS j
+        FROM (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY user_id) e
+        JOIN (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY o_custkey) o
+          ON e.k = o.k
+    )
+    SELECT CAST(exact.j AS BIGINT) AS exact_join_size,
+           CAST((SELECT MIN(dot) FROM est) AS BIGINT) AS cms_estimate,
+           ROUND(CAST((SELECT MIN(dot) FROM est) AS DOUBLE) / exact.j, 6)
+               AS overestimate_factor
+    FROM exact
+    """,
+    tags=("A-15", "A-14"),
+)
+def q218_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation by Count-Min sketch inner product:
+    |A ⋈ B| on a key equals sum over keys of cA(k)*cB(k), and the CMS
+    inner product min_i sum_cell cmsA[i][cell]*cmsB[i][cell] upper-bounds
+    it using only the two 256-cell sketches — the estimator a query
+    planner (or a pre-join sanity check: "would this fan out 1000x?")
+    evaluates WITHOUT touching either fact table, and the classic
+    AMS/CMS result that frequency sketches compose beyond point lookups.
+    The exact join size rides along so the result certifies sketch build,
+    inner product, and the overestimate factor (deterministic because
+    the hash family is — collisions are engine-stable).
+
+    Scale shape: each sketch is q115's map-side-combined 256-cell
+    aggregate (shuffle volume O(256), independent of row count) and the
+    estimate joins two 256-row relations; ONLY the exact-side
+    certification pays the real key-keyed join — at 100 TB you run the
+    estimator precisely to avoid that join, and the exact leg drops.
+    Sketches ADD across shards (A-14), so per-day sketches estimate any
+    day-range join size with no rescan."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("k")
+    )
+    ce = cms_cells(ev, "k")
+    co = cms_cells(orders, "k")
+    d0 = "decimal(38,0)"
+    est = (
+        ce.join(co.withColumnRenamed("c", "c2"), ["i", "cell"])
+        .groupBy("i")
+        .agg(F.sum(F.col("c").cast(d0) * F.col("c2")).cast(d0).alias("dot"))
+        .agg(F.min("dot").cast("long").alias("cms_estimate"))
+    )
+    exact = (
+        ev.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(orders.groupBy("k").agg(F.count(F.lit(1)).alias("c2")), "k")
+        .agg(F.sum(F.col("c").cast(d0) * F.col("c2")).cast("long").alias("exact_join_size"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_join_size",
+        "cms_estimate",
+        F.round(
+            F.col("cms_estimate").cast("double") / F.col("exact_join_size"), 6
+        ).alias("overestimate_factor"),
+    )

@@ -358,3 +358,32 @@ def test_partitioned_dynamic_partition_pruning(spark, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.useStats", prev
         )
+
+
+def test_merge_schema_evolution_read(spark, tmp_path):
+    """S-03 evolution path: two parquet snapshots of the same table with
+    DIFFERENT schemas (a column added between writes) read back as one
+    relation under mergeSchema — the late column is NULL for old files,
+    populated for new ones, and both generations keep their rows. This
+    is the schema-evolution read a lakehouse relies on instead of a
+    blocking table rewrite."""
+    from pyspark.sql import functions as F
+
+    from bigdata_streaming_absa_vehicle_spark.tables import load
+
+    p = load(spark, "/root/testdata/sf0.001", "part")
+    v1 = p.select("p_partkey", "p_name", "p_retailprice").filter(
+        F.col("p_partkey") % 2 == 0
+    )
+    v2 = p.select("p_partkey", "p_name", "p_retailprice", "p_size").filter(
+        F.col("p_partkey") % 2 == 1
+    )
+    out = str(tmp_path / "evolved")
+    v1.write.parquet(f"{out}/gen=1")
+    v2.write.parquet(f"{out}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert "p_size" in merged.columns
+    n1, n2 = v1.count(), v2.count()
+    assert merged.count() == n1 + n2
+    assert merged.filter(F.col("p_size").isNull()).count() == n1
+    assert merged.filter(F.col("p_size").isNotNull()).count() == n2
