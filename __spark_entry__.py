@@ -151,7 +151,9 @@ _WINDOW_PRIORITY = (
 # RFM segmentation, time-decay attribution, weighted reservoir,
 # cohort LTV curve; q215/q216: spatial cell density + lossless
 # cell-bucketed radius join; q217: quality-based cluster
-# canonicalization; and q218: CMS join-size estimation) hold
+# canonicalization; q218: CMS join-size estimation; q219:
+# seasonal-naive forecast backtest; and q220: declarative
+# expectation-suite audit) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

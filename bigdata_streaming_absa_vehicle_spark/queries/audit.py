@@ -651,3 +651,96 @@ def q206_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("cls")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-24 (cont.): declarative expectation/constraint suite
+# ---------------------------------------------------------------------------
+
+#: (rule_id, SQL predicate that a VIOLATING lineitem row satisfies,
+#: human-readable rule text) — the declarative contract a producer
+#: publishes with the table; evaluated in ONE scan.
+_CONSTRAINTS = (
+    ("r01_qty_min", "l_quantity < 1", "l_quantity >= 1"),
+    ("r02_qty_max", "l_quantity > 50", "l_quantity <= 50"),
+    ("r03_price_pos", "l_extendedprice <= 0", "l_extendedprice > 0"),
+    ("r04_disc_range", "l_discount < 0 OR l_discount > 0.1", "l_discount in [0, 0.1]"),
+    ("r05_tax_range", "l_tax < 0 OR l_tax > 0.08", "l_tax in [0, 0.08]"),
+    (
+        "r06_flag_enum",
+        "l_returnflag NOT IN ('A', 'N', 'R')",
+        "l_returnflag in {A, N, R}",
+    ),
+    ("r07_key_notnull", "l_orderkey IS NULL", "l_orderkey not null"),
+    (
+        "r08_date_order",
+        "l_shipdate IS NULL",
+        "l_shipdate not null",
+    ),
+)
+
+
+@query(
+    "q220_constraint_suite",
+    oracle="""
+    WITH agg AS (
+        SELECT COUNT(*) AS n,
+    """
+    + ",\n".join(
+        f"           CAST(COUNT(*) FILTER (WHERE {pred}) AS BIGINT) AS v{i}"
+        for i, (_, pred, _r) in enumerate(_CONSTRAINTS)
+    )
+    + """
+        FROM lineitem
+    )
+    SELECT rule_id, rule, n_rows, n_violations, n_violations = 0 AS passed
+    FROM (
+    """
+    + "\n        UNION ALL\n".join(
+        f"        SELECT '{rid}' AS rule_id, '{rule}' AS rule, n AS n_rows,"
+        f" v{i} AS n_violations FROM agg"
+        for i, (rid, _p, rule) in enumerate(_CONSTRAINTS)
+    )
+    + """
+    ) ORDER BY rule_id
+    """,
+    tags=("X-24", "A-03"),
+)
+def q220_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation-suite audit (the Great-Expectations /
+    dbt-test shape as an engine operator): a published rule set —
+    range bounds, enum membership, not-null — evaluated over the fact
+    table in ONE pass, reporting per rule the violation count and a
+    pass flag. The contract gate a producer runs before publishing a
+    table version and a consumer runs before trusting one; the
+    row-level complement of q159's referential sweep (q159: keys line
+    up across tables; this: values obey the column contracts).
+
+    Scale shape: all 8 rules ride ONE map-side-combined ungrouped
+    aggregate (8 conditional counts + the row count — the q193 wide-agg
+    discipline), so the audit costs one scan regardless of rule count;
+    the per-rule report explodes from the single result row. Partials
+    are A-14-mergeable: per-shard violation counts add, so a fleet
+    audits shards independently and sums."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, (_rid, pred, _rule) in enumerate(_CONSTRAINTS):
+        aggs.append(
+            F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("long").alias(f"v{i}")
+        )
+    wide = li.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(rid).alias("rule_id"),
+            F.lit(rule).alias("rule"),
+            F.col("n").alias("n_rows"),
+            F.col(f"v{i}").alias("n_violations"),
+            (F.col(f"v{i}") == 0).alias("passed"),
+        )
+        for i, (rid, _p, rule) in enumerate(_CONSTRAINTS)
+    ]
+    return (
+        wide.select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.*")
+        .orderBy("rule_id")
+    )

@@ -592,3 +592,98 @@ def q207_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("event_type", "lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-20 (cont.): seasonal-naive forecast backtest (MAE / sMAPE skill read)
+# ---------------------------------------------------------------------------
+
+_SN_LAG_DAYS = 7
+
+
+@query(
+    "q219_seasonal_naive_backtest",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS xc
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    paired AS (
+        SELECT a.event_type, a.day, a.xc, f.xc AS fc
+        FROM daily a
+        JOIN daily f ON f.event_type = a.event_type
+                    AND f.day = a.day - INTERVAL {_SN_LAG_DAYS} DAY
+    ),
+    terms AS (
+        SELECT event_type,
+               abs(xc - fc) AS ae,
+               ROUND(2.0 * abs(xc - fc) / (abs(xc) + abs(fc)), 9) AS smape_t
+        FROM paired
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(CAST(ae AS HUGEINT)) AS DOUBLE) / COUNT(*) / 100, 6)
+               AS mae,
+           ROUND(CAST(SUM(CAST(smape_t AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6)
+               AS smape
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("X-20", "J-01"),
+)
+def q219_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's per-type total
+    with the value from 7 CALENDAR days earlier and score the prediction
+    with MAE and sMAPE — the baseline skill number every real forecast
+    model must beat (q154's OLS trend and q141's EWMA are candidate
+    models; this is the yardstick; q207's ACF says whether a weekly
+    seasonal naive is even the right baseline). Days whose day-7
+    predecessor has no data drop out (no forecast exists), which is the
+    honest backtest convention.
+
+    Determinism: absolute errors are exact integer cents; each sMAPE
+    term is one division of exact integers rounded 9 dp then
+    decimal-summed (the q120 discipline); the two final divisions run
+    on bit-identical operands.
+
+    Scale shape: ONE map-side-combined rollup reduces the fact to the
+    calendar-bounded daily relation; the forecast pairing is a self-join
+    of that bounded relation CO-KEYED on event_type (never a fact
+    self-join); the skill rollup is map-side combined onto |types|
+    rows."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias("xc")
+    ).transform(stage)  # bounded daily relation, feeds both join legs
+    f = daily.select(
+        "event_type",
+        (F.col("day") + F.expr(f"INTERVAL {_SN_LAG_DAYS} DAYS")).alias("day"),
+        F.col("xc").alias("fc"),
+    )
+    paired = daily.join(f, ["event_type", "day"])
+    ae = F.abs(F.col("xc") - F.col("fc"))
+    smape_t = F.round(
+        2.0 * ae / (F.abs(F.col("xc")) + F.abs(F.col("fc"))), 9
+    )
+    terms = paired.select("event_type", ae.alias("ae"), smape_t.alias("smape_t"))
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(
+                F.sum(F.col("ae").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1))
+                / 100,
+                6,
+            ).alias("mae"),
+            F.round(
+                F.sum(F.col("smape_t").cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("smape"),
+        )
+        .transform(pin)
+        .orderBy("event_type")
+    )
