@@ -183,3 +183,69 @@ def test_hdr_sketch_is_mergeable(q, spark):
             target = (n * p + 99) // 100
             est_lb = int(grp.loc[cum >= target, "lb"].iloc[0])
             assert round(got.loc[et, f"p{p}_est"] * 100) == est_lb, (et, p)
+
+
+def test_pareto_frontier_is_an_antichain(q):
+    """q205: along the frontier, strictly increasing price must buy
+    strictly increasing size (otherwise the cheaper point would dominate)
+    — and no two frontier rows dominate each other."""
+    df = q("q205_pareto_frontier").sort_values(["price", "p_partkey"])
+    dedup = df.groupby("price")["p_size"].max().reset_index()
+    sizes = dedup.sort_values("price")["p_size"].tolist()
+    assert sizes == sorted(sizes), sizes
+    assert len(set(sizes)) == len(sizes), sizes
+    # equal-price frontier rows all carry the same (max) size
+    assert (df.groupby("price")["p_size"].nunique() == 1).all()
+
+
+def test_rfm_scores_partition_all_customers(q, duck):
+    """q211: every score is in 1..5 and the grid's customer counts sum to
+    the full customer base (each customer lands in exactly one cell)."""
+    from conftest import duck_sql
+
+    df = q("q211_rfm_segmentation")
+    for c in ("r_score", "f_score", "m_score"):
+        assert df[c].between(1, 5).all(), c
+    total = duck_sql(
+        duck, "SELECT COUNT(DISTINCT o_custkey) AS n FROM orders", SF_DIR
+    ).n[0]
+    assert df.n_customers.sum() == total
+
+
+def test_weighted_reservoir_is_k_per_source(q):
+    """q213: at most k=5 rows per source, ranks are 1..k contiguous, and
+    every sampled doc carries a positive weight."""
+    df = q("q213_weighted_reservoir")
+    for src, grp in df.groupby("source"):
+        assert list(grp.sort_values("rk").rk) == list(range(1, len(grp) + 1)), src
+        assert len(grp) <= 5
+    assert (df.tokens >= 1).all()
+
+
+def test_radius_join_pairs_canonical_within_radius(q):
+    """q216: reported pairs are canonical (ka < kb) and within R."""
+    df = q("q216_radius_join")
+    assert (df.ka < df.kb).all()
+    assert (df.d2 <= 50_000 * 50_000).all()
+    assert df.d2.is_monotonic_increasing
+
+
+def test_constraint_suite_reports_every_rule(q):
+    """q220: one row per declared rule, all scanning the same row count,
+    and passed <=> zero violations."""
+    from bigdata_streaming_absa_vehicle_spark.queries.audit import _CONSTRAINTS
+
+    df = q("q220_constraint_suite")
+    assert len(df) == len(_CONSTRAINTS)
+    assert df.n_rows.nunique() == 1
+    assert ((df.n_violations == 0) == df.passed).all()
+
+
+def test_attribution_models_conserve_credit(q):
+    """q171 (linear) and q212 (time-decay) split each purchase's one unit
+    of credit across the same touchpoint pairing, so their per-channel
+    credited_purchases must sum to the same total (the number of
+    attributed purchases), up to the 9-dp per-term rounding."""
+    lin = q("q171_linear_attribution").credited_purchases.sum()
+    dec = q("q212_time_decay_attribution").credited_purchases.sum()
+    assert abs(lin - dec) < 1e-3, (lin, dec)
