@@ -152,8 +152,9 @@ _WINDOW_PRIORITY = (
 # cohort LTV curve; q215/q216: spatial cell density + lossless
 # cell-bucketed radius join; q217: quality-based cluster
 # canonicalization; q218: CMS join-size estimation; q219:
-# seasonal-naive forecast backtest; and q220: declarative
-# expectation-suite audit) hold
+# seasonal-naive forecast backtest; q220: declarative
+# expectation-suite audit; q221: Markov stationary distribution;
+# q222: diversified top-k; and q223: freshness audit) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

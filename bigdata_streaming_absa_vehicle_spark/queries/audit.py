@@ -744,3 +744,76 @@ def q220_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .orderBy("rule_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-24 (cont.): data-freshness / staleness audit
+# ---------------------------------------------------------------------------
+
+#: (table, time column) — every time-bearing fact the warehouse lands
+_FRESHNESS = (
+    ("events", "ts"),
+    ("orders", "o_orderdate"),
+    ("lineitem", "l_shipdate"),
+)
+
+
+@query(
+    "q223_freshness_audit",
+    oracle="""
+    WITH per_t AS (
+    """
+    + "\n        UNION ALL\n".join(
+        f"        SELECT '{t}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        f" MAX(CAST({c} AS DATE)) AS max_day FROM {t}"
+        for t, c in _FRESHNESS
+    )
+    + """
+    ),
+    ref AS (SELECT MAX(max_day) AS ref_day FROM per_t)
+    SELECT table_name, n_rows, CAST(max_day AS TIMESTAMP) AS max_day,
+           CAST(date_diff('day', max_day, ref_day) AS BIGINT) AS days_behind
+    FROM per_t CROSS JOIN ref
+    ORDER BY table_name
+    """,
+    tags=("X-24", "A-08"),
+)
+def q223_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness audit: per time-bearing table, the row count, the
+    newest event day, and how many days it trails the freshest table in
+    the warehouse — the staleness readout an orchestrator alerts on
+    before dashboards quietly serve old data. The reference point is the
+    warehouse's own max day (never wall-clock NOW(), which would make
+    the result nondeterministic and untestable).
+
+    Scale shape: each table contributes ONE ungrouped map-side-combined
+    min/max/count aggregate (parquet footer statistics make these scans
+    near-free at 100 TB); the three single-row summaries union into a
+    bounded relation and the reference day broadcasts from it."""
+    parts = []
+    for t, c in _FRESHNESS:
+        df = load(spark, sf_dir, t)
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.max(F.col(c).cast("date")).alias("max_day"),
+            ).select(F.lit(t).alias("table_name"), "n_rows", "max_day")
+        )
+    per_t = parts[0]
+    for p in parts[1:]:
+        per_t = per_t.unionAll(p)
+    per_t = stage(per_t)  # bounded 3-row relation, feeds ref AND the report
+    ref = per_t.agg(F.max("max_day").alias("ref_day"))
+    return (
+        per_t.crossJoin(F.broadcast(ref))
+        .select(
+            "table_name",
+            "n_rows",
+            F.col("max_day").cast("timestamp").alias("max_day"),
+            F.datediff(F.col("ref_day"), F.col("max_day")).cast("long").alias(
+                "days_behind"
+            ),
+        )
+        .transform(pin)
+        .orderBy("table_name")
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.ordering import pin
+from ..functions.ordering import pin, stage
 from ..tables import load
 from .registry import query
 
@@ -355,4 +355,109 @@ def q182_state_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(pin)
         .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-13 companion: stationary distribution of the transition matrix
+# ---------------------------------------------------------------------------
+
+_MK_ITERS = 3
+
+
+def _stationary_oracle() -> str:
+    it_cte = ""
+    prev = "x0"
+    for it in range(1, _MK_ITERS + 1):
+        it_cte += f""",
+    x{it} AS (
+        SELECT p.next_type AS event_type,
+               ROUND(CAST(SUM(CAST({prev}.x / t.row_total AS DECIMAL(28,18)) * p.n)
+                          AS DOUBLE), 12) AS x
+        FROM pairs p
+        JOIN totals t USING (prev_type)
+        JOIN {prev} ON {prev}.event_type = p.prev_type
+        GROUP BY p.next_type
+    )"""
+        prev = f"x{it}"
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    ),
+    totals AS (
+        SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total
+        FROM pairs GROUP BY prev_type
+    ),
+    types AS (SELECT DISTINCT prev_type AS event_type FROM pairs),
+    nt AS (SELECT COUNT(*) AS k FROM types),
+    x0 AS (
+        SELECT event_type, ROUND(CAST(1.0 AS DOUBLE) / nt.k, 12) AS x
+        FROM types, nt
+    ){it_cte}
+    SELECT event_type, x AS stationary_p FROM {prev} ORDER BY event_type
+    """
+
+
+@query("q221_markov_stationary", oracle=_stationary_oracle(), tags=("X-13", "X-15"))
+def q221_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of q118's event-type transition matrix via
+    3 unrolled power iterations from a uniform start — where the user
+    population settles if behavior follows the fitted chain, the
+    long-run complement of q118's one-step probabilities and the base
+    rate q197's next-event backtest should be judged against. The X-15
+    iterative-numeric discipline on a BOUNDED state space: per-step
+    terms go through exact decimal (x/row_total at decimal(28,18),
+    times the integer count), per-type sums round at 12 dp so every
+    iteration's operands are engine-identical.
+
+    Scale shape: the chain fits with ONE user-keyed window pass + a
+    map-side-combined rollup onto the |types|^2 relation; each power
+    iteration is a join of two BOUNDED relations (<=25 cells x 5
+    states) — at any fact scale the iteration cost is constant, which
+    is exactly why the rollup-then-iterate order matters."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .transform(stage)  # bounded |types|^2 relation drives every iteration
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").cast("long").alias("row_total"))
+    types = pairs.select(F.col("prev_type").alias("event_type")).distinct()
+    k = types.count()  # bounded metadata (state count), not a data collect
+    x = types.select("event_type", F.round(F.lit(1.0) / k, 12).alias("x"))
+    for _ in range(_MK_ITERS):
+        contrib = (
+            pairs.join(F.broadcast(totals), "prev_type")
+            .join(x, x["event_type"] == F.col("prev_type"))
+            .select(
+                F.col("next_type"),
+                (
+                    (F.col("x") / F.col("row_total")).cast("decimal(28,18)")
+                    * F.col("n")
+                ).alias("c"),
+            )
+        )
+        x = contrib.groupBy(F.col("next_type").alias("event_type")).agg(
+            F.round(F.sum("c").cast("double"), 12).alias("x")
+        )
+    return (
+        x.select("event_type", F.col("x").alias("stationary_p"))
+        .transform(pin)
+        .orderBy("event_type")
     )

@@ -1291,3 +1291,57 @@ def q217_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# O-05 companion: diversified top-k (per-group result cap)
+# ---------------------------------------------------------------------------
+
+_DIV_K = 20
+_DIV_PER_SOURCE = 3
+
+
+@query(
+    "q222_diversified_topk",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source, {{quality}} AS quality FROM documents d
+    ),
+    capped AS (
+        SELECT doc_id, source, quality,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY quality DESC, doc_id
+               ) AS INT) AS src_rank
+        FROM scored
+    )
+    SELECT doc_id, source, quality, src_rank
+    FROM capped
+    WHERE src_rank <= {_DIV_PER_SOURCE}
+    ORDER BY quality DESC, doc_id LIMIT {_DIV_K}
+    """.format(quality=ta.oracle_quality_score("d.text")),
+    tags=("O-05", "X-04"),
+)
+def q222_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k: the 20 best documents by quality with AT MOST 3
+    per source — the result-diversity constraint every search/
+    recommendation surface applies so one prolific source can't flood
+    the page, and plain ORDER BY LIMIT cannot express. Also the
+    fair-representation variant of the X-41 budget selection (cap the
+    dominant source instead of reweighting it).
+
+    Scale shape: the per-source cap is the q13 grouped-top-k plan (one
+    shuffle on source, only <=cap rows per source survive the window),
+    and the global cut is TakeOrdered over that capped relation —
+    k x |sources| rows, never the corpus."""
+    from pyspark.sql import Window as W
+
+    scored = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", ta.quality_score(F.col("text")).alias("quality")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("quality"), "doc_id")
+    )
+    capped = scored.withColumn("src_rank", rk.cast("int")).filter(
+        F.col("src_rank") <= _DIV_PER_SOURCE
+    )
+    return capped.orderBy(F.desc("quality"), "doc_id").limit(_DIV_K)
