@@ -154,8 +154,9 @@ _WINDOW_PRIORITY = (
 # canonicalization; q218: CMS join-size estimation; q219:
 # seasonal-naive forecast backtest; q220: declarative
 # expectation-suite audit; q221: Markov stationary distribution;
-# q222: diversified top-k; q223: freshness audit; and q224:
-# column-entropy encoding advisor) hold
+# q222: diversified top-k; q223: freshness audit; q224:
+# column-entropy encoding advisor; and q225: pointer-doubling
+# forest roots) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

@@ -461,3 +461,93 @@ def q202_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return open_pairs.orderBy(F.desc("aa_score"), "x", "y").limit(_AA_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# X-15 (cont.): pointer-doubling forest roots (log-depth closure)
+# ---------------------------------------------------------------------------
+
+_PD_ROOTS = 10  #: node ids below this are forest roots
+_PD_ROUNDS = 4  #: doubling rounds; covers depth 2^4 (construction bounds 13)
+
+
+def _pd_oracle() -> str:
+    # parent(i) = h(i) % (i//2 + 1) for i >= _PD_ROOTS: parent sits in
+    # [0, i/2], so every hop at least halves the index — depth <= log2(n).
+    return f"""
+    WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+    nodes AS (SELECT doc_id AS id FROM documents),
+    par AS (
+        SELECT id,
+               CASE WHEN id < {_PD_ROOTS} THEN id
+                    ELSE {oracle_hash64("tree", "CAST(id AS VARCHAR)")}
+                         % (id // 2 + 1)
+               END AS p
+        FROM nodes
+    ),
+    reach(id, r) AS (
+        SELECT id, p FROM par
+        UNION
+        SELECT reach.id, par.p
+        FROM reach JOIN par ON par.id = reach.r
+        WHERE reach.r >= {_PD_ROOTS}
+    ),
+    roots AS (
+        SELECT id, MIN(r) AS root FROM reach WHERE r < {_PD_ROOTS} GROUP BY id
+    )
+    SELECT root, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(id) AS min_node, MAX(id) AS max_node
+    FROM roots GROUP BY root ORDER BY root
+    """
+
+
+@query("q225_pointer_doubling_roots", oracle=_pd_oracle(), tags=("X-15", "X-02"))
+def q225_pointer_doubling_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forest root-finding by POINTER DOUBLING: after k rounds of
+    p := p(p(.)) every node points 2^k hops up, so a depth-d hierarchy
+    resolves in ceil(log2 d) self-joins — the log-depth alternative to
+    X-02's label propagation (which needs d rounds) and the reason
+    hierarchy flattening (org charts, BOMs, category trees) stays
+    feasible when chains are long. The benchmark forest is md5-derived
+    with parent(i) in [0, i/2] (every hop at least halves the index),
+    bounding depth at log2(n), so the 4
+    unrolled rounds provably suffice — and the ORACLE resolves true
+    roots by recursive CTE, so the hash match certifies both the
+    doubling algebra and the sufficiency of the round count.
+
+    Scale shape: each round is ONE equi self-join of the (node, parent)
+    relation (ids only, O(n) rows) — 4 joins total versus depth-many
+    for propagation; roots self-loop so converged pointers are stable.
+    At 100 TB both legs bucket by node id (S-10) and rounds are
+    shuffle-free; lineage stays shallow because rounds are O(log d)."""
+    docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    par = docs.select(
+        "id",
+        F.when(F.col("id") < _PD_ROOTS, F.col("id"))
+        .otherwise(
+            hash64("tree", F.col("id").cast("string"))
+            % (F.expr("id DIV 2") + 1)
+        )
+        .alias("p"),
+    ).transform(stage)  # both legs of every doubling round read this
+    cur = par
+    for _ in range(_PD_ROUNDS):
+        # one self-composition per round: pointers reach 2^round hops up.
+        # broadcast is a test-scale convenience (the relation is document-
+        # count-sized); at scale this is the bucketed co-partitioned join
+        # described above.
+        nxt = cur.select(F.col("id").alias("pid"), F.col("p").alias("pp"))
+        cur = (
+            cur.join(F.broadcast(nxt), cur["p"] == F.col("pid"))
+            .select("id", F.col("pp").alias("p"))
+        )
+    return (
+        cur.groupBy(F.col("p").alias("root"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("id").alias("min_node"),
+            F.max("id").alias("max_node"),
+        )
+        .transform(pin)
+        .orderBy("root")
+    )
