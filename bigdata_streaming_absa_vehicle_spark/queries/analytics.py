@@ -695,15 +695,16 @@ def q171_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(W.partitionBy("event_id")).cast("long"),
     )
     frac = F.col("cnt").cast("double") / F.col("n_touch")
+    # parenthesized exactly as the oracle parses it — ((cents*cnt)/n)/100,
+    # not cents*(cnt/n)/100; the associations differ in the last IEEE bits
+    rev_term = F.col("cents") * F.col("cnt").cast("double") / F.col("n_touch") / 100
     return (
         per_p.groupBy("channel")
         .agg(
             F.sum(F.round(frac, 9).cast("decimal(28,9)"))
             .cast("double")
             .alias("credited_purchases"),
-            F.sum(
-                F.round(F.col("cents") * frac / 100, 6).cast("decimal(28,6)")
-            )
+            F.sum(F.round(rev_term, 6).cast("decimal(28,6)"))
             .cast("double")
             .alias("credited_revenue"),
         )
@@ -1192,13 +1193,17 @@ def q212_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tw", F.sum("cw").over(W.partitionBy("event_id")).cast("long")
     )
     frac = F.col("cw").cast("double") / F.col("tw")
+    # revenue term parenthesized exactly as the oracle parses it —
+    # ((cents * cw) / tw) / 100, not cents * (cw / tw) / 100; the two
+    # associations differ in the last IEEE bits and can flip a 6-dp round
+    rev_term = F.col("cents") * F.col("cw").cast("double") / F.col("tw") / 100
     return (
         per_p.groupBy("channel")
         .agg(
             F.sum(F.round(frac, 9).cast("decimal(28,9)"))
             .cast("double")
             .alias("credited_purchases"),
-            F.sum(F.round(F.col("cents") * frac / 100, 6).cast("decimal(28,6)"))
+            F.sum(F.round(rev_term, 6).cast("decimal(28,6)"))
             .cast("double")
             .alias("credited_revenue"),
         )
