@@ -533,3 +533,75 @@ def test_hdr_histogram_stream_equals_batch(spark, tmpdir):
     batch = hdr_histogram(load(spark, SF_DIR, "events"))
     cols = ["event_type", "lb", "cnt"]
     assert as_sorted_rows(result, cols) == as_sorted_rows(batch, cols)
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmpdir):
+    """J-10 (extension): the LEFT OUTER watermarked stream-stream join —
+    purchases with no click in the preceding 120 minutes must still emit,
+    with NULL click columns, once the watermark closes their interval
+    (the semantics an enrichment pipeline needs so unmatched facts are
+    never silently dropped). Matched pairs anchor to the HASH-verified
+    q77 batch twin; null rows must be exactly the batch anti-join side
+    for every watermark-closed purchase."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from bigdata_streaming_absa_vehicle_spark.queries import all_queries
+    from bigdata_streaming_absa_vehicle_spark.sources.files import replay_as_stream
+
+    ev = load(spark, SF_DIR, "events")
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    buys_b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("bu"),
+        F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    clicks = replay_as_stream(
+        spark, clicks_b, f"{tmpdir}/loclicks", n_files=4, order_col="click_ts"
+    ).withWatermark("click_ts", "30 minutes")
+    buys = replay_as_stream(
+        spark, buys_b, f"{tmpdir}/lobuys", n_files=4, order_col="buy_ts"
+    ).withWatermark("buy_ts", "30 minutes")
+    cond = (
+        (F.col("cu") == F.col("bu"))
+        & (F.col("click_ts") <= F.col("buy_ts"))
+        & (F.col("click_ts") >= F.col("buy_ts") - F.expr("INTERVAL 120 MINUTES"))
+    )
+    joined = buys.join(clicks, cond, "leftOuter").select(
+        "buy_id", "click_id", "buy_ts"
+    )
+    result = run_to_memory(spark, joined, "ssloj_t", mode="append")
+
+    batch = all_queries()["q77_interval_join_batch"].fn(spark, SF_DIR)
+    want_rows = batch.collect()
+    want_pairs = {(r.buy_id, r.click_id) for r in want_rows}
+    matched_buys = {r.buy_id for r in want_rows}
+    all_buys = {r.buy_id for r in buys_b.select("buy_id").collect()}
+
+    out = result.collect()
+    got_pairs = {(r.buy_id, r.click_id) for r in out if r.click_id is not None}
+    got_nulls = {r.buy_id for r in out if r.click_id is None}
+    assert got_pairs <= want_pairs, "left-outer emitted a pair the batch join lacks"
+    # a NULL row may only appear for a purchase the batch join cannot match
+    assert got_nulls <= (all_buys - matched_buys), (
+        "left-outer emitted NULL for a purchase that HAS a click match"
+    )
+    # completeness: every purchase closed well before end-of-input emitted
+    # exactly once — matched with its pairs, or as one NULL row
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    closed_before = max_ts - datetime.timedelta(minutes=30 + 120 + 30)
+    closed = {
+        r.buy_id
+        for r in buys_b.select("buy_id", "buy_ts").collect()
+        if r.buy_ts < closed_before
+    }
+    emitted = got_nulls | {b for b, _ in got_pairs}
+    missing = closed - emitted
+    assert not missing, f"closed purchases never emitted: {sorted(missing)[:10]}"
+    # and no purchase emits BOTH a match and a NULL row
+    assert not (got_nulls & {b for b, _ in got_pairs})
