@@ -387,3 +387,59 @@ def test_merge_schema_evolution_read(spark, tmp_path):
     assert merged.count() == n1 + n2
     assert merged.filter(F.col("p_size").isNull()).count() == n1
     assert merged.filter(F.col("p_size").isNotNull()).count() == n2
+
+
+def test_orc_write_read_roundtrip(spark, tmp_path):
+    """S-03 sibling: the engine's tables round-trip through ORC (the other
+    columnar format Spark ships natively) with schema and values intact —
+    an exit ramp for stacks standardized on ORC instead of parquet."""
+    from pyspark.sql import functions as F
+
+    from bigdata_streaming_absa_vehicle_spark.tables import load
+
+    src = load(spark, "/root/testdata/sf0.001", "nation")
+    out = str(tmp_path / "nation_orc")
+    src.write.orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == src.schema
+    key = [f.name for f in src.schema.fields][0]
+    assert sorted(back.collect(), key=lambda r: r[key]) == sorted(
+        src.collect(), key=lambda r: r[key]
+    )
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_partitions(spark, tmp_path):
+    """S-03/lakehouse write semantics: with partitionOverwriteMode=dynamic,
+    an overwrite write REPLACES only the partitions present in the incoming
+    batch and leaves every other partition's files untouched — the
+    idempotent daily-backfill contract (static mode would truncate the
+    whole table)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_streaming_absa_vehicle_spark.tables import load
+
+    ev = (
+        load(spark, "/root/testdata/sf0.001", "events")
+        .withColumn("event_date", F.to_date("ts"))
+    )
+    out = str(tmp_path / "ev_by_date")
+    ev.write.partitionBy("event_date").parquet(out)
+    days = [r.event_date for r in ev.select("event_date").distinct().limit(2).collect()]
+    target, other = sorted(days)[0], sorted(days)[1]
+    before_other = (
+        spark.read.parquet(out).filter(F.col("event_date") == other).count()
+    )
+    # rewrite ONE day with doubled rows under dynamic overwrite
+    patch = ev.filter(F.col("event_date") == target)
+    patch = patch.unionAll(patch)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    after = spark.read.parquet(out)
+    assert after.filter(F.col("event_date") == target).count() == patch.count() // 2 * 2
+    assert after.filter(F.col("event_date") == other).count() == before_other, (
+        "dynamic overwrite clobbered an untouched partition"
+    )
