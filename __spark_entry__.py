@@ -155,8 +155,9 @@ _WINDOW_PRIORITY = (
 # seasonal-naive forecast backtest; q220: declarative
 # expectation-suite audit; q221: Markov stationary distribution;
 # q222: diversified top-k; q223: freshness audit; q224:
-# column-entropy encoding advisor; and q225: pointer-doubling
-# forest roots) hold
+# column-entropy encoding advisor; q225: pointer-doubling
+# forest roots; q226: gaps-and-islands activity streaks; and
+# q227: bitmap-algebra day-over-day retention) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

@@ -1315,3 +1315,154 @@ def q214_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("cohort_week", "offset_w")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-08 (cont.): consecutive-day activity streaks (gaps-and-islands on days)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q226_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    isl AS (
+        SELECT user_id, day,
+               day - INTERVAL 1 DAY * ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day
+               ) AS island
+        FROM days
+    ),
+    runs AS (
+        SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+           CAST(SUM(run_len) AS BIGINT) AS active_days
+    FROM runs GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("X-08", "W-01"),
+)
+def q226_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user — longest run, streak
+    count, total active days — via the classic gaps-and-islands
+    rank-difference trick: within a user, day minus row_number-days is
+    CONSTANT exactly along a consecutive run, so one subtraction turns
+    streaks into group keys and no self-join or iterative chaining ever
+    happens. The day-granular engagement metric (Duolingo-style streaks,
+    SLA uptime runs) that q91's timestamp-gap sessionization doesn't
+    give.
+
+    Scale shape: the fact reduces to DISTINCT (user, day) in one
+    map-side-combined rollup; ONE user-keyed window pass assigns island
+    keys; both the run rollup and the per-user summary ride the same
+    user-keyed shuffle (co-partitioned). All integers and dates — no
+    tie-break subtleties (day is unique per user after the distinct)."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    isl = days.select(
+        "user_id",
+        "day",
+        (F.col("day") - F.expr("INTERVAL 1 DAY") * rn).alias("island"),
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.max("run_len").cast("long").alias("longest_streak"),
+            F.sum("run_len").cast("long").alias("active_days"),
+        )
+        .transform(pin)
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-08 (cont.): bitmap-index day-over-day retention (bitset AND + popcount)
+# ---------------------------------------------------------------------------
+
+_BM_BITS = 63  #: user bits per bucket word (staying under the int64 sign bit)
+
+
+@query(
+    "q227_bitmap_retention",
+    oracle=f"""
+    WITH bm AS (
+        SELECT date_trunc('day', ts) AS day,
+               user_id // {_BM_BITS} AS bucket,
+               CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % {_BM_BITS} AS INT))
+                    AS BIGINT) AS w
+        FROM events
+        GROUP BY date_trunc('day', ts), user_id // {_BM_BITS}
+    ),
+    days AS (SELECT DISTINCT day FROM bm),
+    pairs AS (
+        SELECT a.day AS day, b.day AS next_day, a.bucket,
+               a.w AS wa, b.w AS wb
+        FROM bm a
+        JOIN bm b ON b.bucket = a.bucket AND b.day = a.day + INTERVAL 1 DAY
+    )
+    SELECT day, next_day,
+           CAST(SUM(bit_count(wa & wb)) AS BIGINT) AS retained
+    FROM pairs
+    GROUP BY day, next_day ORDER BY day
+    """,
+    tags=("X-08", "A-14", "A-13"),
+)
+def q227_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retained-user counts by BITMAP algebra: each day's
+    active-user set compresses into int64 words (user bit = id mod 63,
+    word = id div 63), and 'retained tomorrow' is popcount(today AND
+    tomorrow) summed over words — the roaring-bitmap/bitset technique
+    engagement warehouses use so set intersections cost bitwise ops on
+    |users|/63 words instead of a distinct self-join of the fact. The
+    bitmap equals the user set exactly (no sketch error), words OR
+    together across shards/days (A-14 mergeability for free), and any
+    boolean set combination (AND/OR/ANDNOT for churned/new/resurrected)
+    reuses the same words without touching events again.
+    tests/test_round5_properties.py::test_bitmap_retention_equals_set_intersection
+    pins the semantics to the naive distinct-join.
+
+    Scale shape: ONE map-side-combined rollup builds the (day, word)
+    bitmap relation — bounded by days x users/63, thousands of times
+    smaller than the fact; the day-pair join is co-keyed on the word
+    bucket; everything downstream is bitwise integer ops. No sign-bit
+    hazard: bits stay in [0, 62]."""
+    ev = load(spark, sf_dir, "events")
+    bm = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.expr(f"user_id DIV {_BM_BITS}").alias("bucket"),
+    ).agg(
+        F.expr(
+            f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % {_BM_BITS} AS INT)))"
+        )
+        .cast("long")
+        .alias("w")
+    )
+    a = bm.select("day", "bucket", F.col("w").alias("wa"))
+    b = bm.select(
+        (F.col("day") - F.expr("INTERVAL 1 DAY")).alias("day"),
+        "bucket",
+        F.col("w").alias("wb"),
+    )
+    pairs = a.join(b, ["day", "bucket"]).select(
+        "day",
+        (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("next_day"),
+        F.bit_count(F.expr("wa & wb")).alias("pc"),
+    )
+    return (
+        pairs.groupBy("day", "next_day")
+        .agg(F.sum("pc").cast("long").alias("retained"))
+        .transform(pin)
+        .orderBy("day")
+    )

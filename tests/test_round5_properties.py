@@ -249,3 +249,26 @@ def test_attribution_models_conserve_credit(q):
     lin = q("q171_linear_attribution").credited_purchases.sum()
     dec = q("q212_time_decay_attribution").credited_purchases.sum()
     assert abs(lin - dec) < 1e-3, (lin, dec)
+
+
+def test_bitmap_retention_equals_set_intersection(q, duck):
+    """q227: the bitmap AND+popcount must equal the naive distinct-set
+    intersection for every consecutive day pair — the bitmap is exact,
+    not a sketch."""
+    from conftest import duck_sql
+
+    df = q("q227_bitmap_retention").set_index("day")
+    naive = duck_sql(
+        duck,
+        """
+        WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+        SELECT a.day AS day, CAST(COUNT(*) AS BIGINT) AS retained
+        FROM d a JOIN d b
+          ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+        GROUP BY a.day ORDER BY a.day
+        """,
+        SF_DIR,
+    ).set_index("day")
+    assert len(df) == len(naive)
+    for day in df.index:
+        assert df.loc[day, "retained"] == naive.loc[day, "retained"], day
