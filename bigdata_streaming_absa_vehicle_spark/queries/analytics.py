@@ -1405,7 +1405,6 @@ _BM_BITS = 63  #: user bits per bucket word (staying under the int64 sign bit)
         FROM events
         GROUP BY date_trunc('day', ts), user_id // {_BM_BITS}
     ),
-    days AS (SELECT DISTINCT day FROM bm),
     pairs AS (
         SELECT a.day AS day, b.day AS next_day, a.bucket,
                a.w AS wa, b.w AS wb
