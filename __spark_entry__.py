@@ -156,8 +156,9 @@ _WINDOW_PRIORITY = (
 # expectation-suite audit; q221: Markov stationary distribution;
 # q222: diversified top-k; q223: freshness audit; q224:
 # column-entropy encoding advisor; q225: pointer-doubling
-# forest roots; q226: gaps-and-islands activity streaks; and
-# q227: bitmap-algebra day-over-day retention) hold
+# forest roots; q226: gaps-and-islands activity streaks; q227:
+# bitmap-algebra day-over-day retention; q228: DAU/WAU
+# stickiness; and q229: funnel-by-experiment-arm) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

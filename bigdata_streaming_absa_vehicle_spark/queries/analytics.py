@@ -1465,3 +1465,128 @@ def q227_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-08 (cont.): funnel conversion by experiment arm
+# ---------------------------------------------------------------------------
+
+#: md5-nibble arm assignment (the X-16 hash-split idiom): nibble < 8 -> 'A'
+_ARM_NIBBLE = "instr('0123456789abcdef', substr(md5(cast(user_id as {t})), 1, 1)) - 1"
+
+
+@query(
+    "q229_funnel_by_arm",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, ts,
+               MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_view
+        FROM events
+    ),
+    c AS (
+        SELECT user_id, event_type, ts, last_view,
+               MAX(CASE WHEN event_type = 'click'
+                         AND last_view IS NOT NULL
+                         AND ts - last_view <= INTERVAL {_FUNNEL_GAP_MIN} MINUTE
+                        THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_qclick
+        FROM e
+    ),
+    per_user AS (
+        SELECT user_id,
+               CASE WHEN {_ARM_NIBBLE.format(t="VARCHAR")} < 8
+                    THEN 'A' ELSE 'B' END AS arm,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+               MAX(CASE WHEN event_type = 'click' AND last_view IS NOT NULL
+                         AND ts - last_view <= INTERVAL {_FUNNEL_GAP_MIN} MINUTE
+                        THEN 1 ELSE 0 END) AS s2,
+               MAX(CASE WHEN event_type = 'purchase' AND last_qclick IS NOT NULL
+                         AND ts - last_qclick <= INTERVAL {_FUNNEL_GAP_MIN} MINUTE
+                        THEN 1 ELSE 0 END) AS s3
+        FROM c GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(s1) AS BIGINT) AS n1,
+               CAST(SUM(s2) AS BIGINT) AS n2,
+               CAST(SUM(s3) AS BIGINT) AS n3
+        FROM per_user GROUP BY arm
+    )
+    SELECT arm, step, step_name, n_users, n_step,
+           ROUND(CAST(n_step AS DOUBLE) / n_users, 6) AS rate
+    FROM (
+        SELECT arm, 1 AS step, 'view' AS step_name, n_users, n1 AS n_step FROM arms
+        UNION ALL
+        SELECT arm, 2, 'click_after_view', n_users, n2 FROM arms
+        UNION ALL
+        SELECT arm, 3, 'purchase_after_click', n_users, n3 FROM arms
+    )
+    ORDER BY arm, step
+    """,
+    tags=("X-08", "X-23"),
+)
+def q229_funnel_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion SPLIT BY EXPERIMENT ARM: q86's windowed
+    view->click->purchase funnel computed per deterministic hash-split
+    arm (the X-16 md5-nibble assignment, A/B at 8/8 nibbles) — the
+    experiment readout that says WHERE in the funnel a treatment moved
+    users, which q169's single conversion flag cannot localize. Rates
+    divide exact integers once, round 6.
+
+    Scale shape: the q86 single-window-scan funnel core is unchanged
+    (one user-keyed shuffle, running-MAX state); arm assignment is
+    map-only hash; the arm rollup is map-side combined onto 2 rows and
+    the per-step report explodes from them."""
+    ev = load(spark, sf_dir, "events")
+    per_user = funnel_per_user(ev)
+    arm = F.when(
+        F.expr(_ARM_NIBBLE.format(t="string")) < 8, F.lit("A")
+    ).otherwise("B")
+    arms = (
+        per_user.withColumn("arm", arm)
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("s1").cast("long").alias("n1"),
+            F.sum("s2").cast("long").alias("n2"),
+            F.sum("s3").cast("long").alias("n3"),
+        )
+    )
+    steps = [
+        (1, "view", "n1"),
+        (2, "click_after_view", "n2"),
+        (3, "purchase_after_click", "n3"),
+    ]
+    rows = arms.select(
+        "arm",
+        "n_users",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("step"),
+                        F.lit(name).alias("step_name"),
+                        F.col(c).alias("n_step"),
+                    )
+                    for s, name, c in steps
+                ]
+            )
+        ).alias("r"),
+    ).select("arm", "r.step", "r.step_name", "n_users", "r.n_step")
+    return (
+        rows.select(
+            "arm",
+            "step",
+            "step_name",
+            "n_users",
+            "n_step",
+            F.round(F.col("n_step").cast("double") / F.col("n_users"), 6).alias("rate"),
+        )
+        .transform(pin)
+        .orderBy("arm", "step")
+    )

@@ -342,3 +342,80 @@ def q209_new_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-21 (cont.): DAU/WAU stickiness ratio
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q228_stickiness",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, user_id
+        FROM events
+    ),
+    dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+    ),
+    spine AS (SELECT DISTINCT day FROM du),
+    expanded AS (
+        SELECT DISTINCT du.day + o.o * INTERVAL 1 DAY AS tday, du.user_id
+        FROM du CROSS JOIN (SELECT range AS o FROM range({_ROLL_DAYS})) o
+    ),
+    wau AS (
+        SELECT s.day, CAST(COUNT(*) AS BIGINT) AS wau
+        FROM spine s JOIN expanded e ON s.day = e.tday
+        GROUP BY s.day
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    ORDER BY dau.day
+    """,
+    tags=("X-21", "A-04"),
+)
+def q228_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness: per day, daily actives over trailing-7-day
+    actives — the engagement-frequency ratio ("what share of this week's
+    users showed up today") product teams track beside the raw q175
+    curve; near 1/7 means once-a-week usage, near 1 means daily habits.
+
+    Scale shape: both counts derive from the SAME distinct (day, user)
+    relation — DAU as its per-day rollup, WAU via q175's bounded-explode
+    reduction of the trailing window (fan-out = window width, never day
+    count); the final join is on the calendar-bounded day spine. One
+    exact division, round 6."""
+    ev = load(spark, sf_dir, "events")
+    du = (
+        ev.select(
+            F.col("ts").cast("date").cast("timestamp").alias("day"), "user_id"
+        )
+        .distinct()
+        .transform(stage)  # feeds DAU, the spine, and the WAU expansion
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    spine = du.select("day").distinct()
+    offsets = spark.range(_ROLL_DAYS).select(F.col("id").cast("int").alias("o"))
+    expanded = (
+        du.crossJoin(F.broadcast(offsets))
+        .select(F.expr("timestampadd(DAY, o, day)").alias("tday"), "user_id")
+        .distinct()
+    )
+    wau = (
+        expanded.join(F.broadcast(spine), F.col("tday") == F.col("day"), "left_semi")
+        .groupBy(F.col("tday").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .transform(pin)
+        .orderBy("day")
+    )
