@@ -1345,3 +1345,127 @@ def q222_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src_rank") <= _DIV_PER_SOURCE
     )
     return capped.orderBy(F.desc("quality"), "doc_id").limit(_DIV_K)
+
+
+# ---------------------------------------------------------------------------
+# X-03 / X-23 bridge: retrieval-quality evaluation (NDCG@k)
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+_NDCG_PROBES = 20
+
+#: 1/log2(rank+1) discount weights and their running sums as FIXED 9-dp
+#: literals (the q189 z-quantile discipline — never libm at query time), so
+#: both engines aggregate bit-identical operands.
+_DCG_W = [
+    1.0, 0.630929754, 0.5, 0.430676558, 0.386852807,
+    0.356207187, 0.333333333, 0.315464877, 0.301029996, 0.289064826,
+]
+_DCG_CUM = [
+    1.0, 1.630929754, 2.130929754, 2.561606312, 2.948459119,
+    3.304666306, 3.637999639, 3.953464516, 4.254494512, 4.543559338,
+]
+
+
+def _ndcg_oracle() -> str:
+    w_list = ", ".join(repr(w) for w in _DCG_W)
+    cum_list = ", ".join(repr(c) for c in _DCG_CUM)
+    return f"""
+    WITH topk AS ({sim.oracle_cosine_topk(f"vec_id < {_NDCG_PROBES}", k=_NDCG_K)}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    lc AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS c FROM lab GROUP BY label),
+    terms AS (
+        SELECT t.probe_id, pl.label,
+               CASE WHEN rl.label = pl.label THEN 1 ELSE 0 END AS rel,
+               CAST(CASE WHEN rl.label = pl.label
+                    THEN list_extract([{w_list}], t.rank) ELSE 0.0 END
+                    AS DECIMAL(28,9)) AS term
+        FROM topk t
+        JOIN lab rl ON rl.vec_id = t.vec_id
+        JOIN lab pl ON pl.vec_id = t.probe_id
+    ),
+    per_probe AS (
+        SELECT probe_id, label,
+               CAST(SUM(rel) AS BIGINT) AS n_relevant_retrieved,
+               CAST(SUM(term) AS DECIMAL(28,9)) AS dcg
+        FROM terms GROUP BY probe_id, label
+    )
+    SELECT p.probe_id, p.label, p.n_relevant_retrieved,
+           CAST(LEAST(lc.c - 1, {_NDCG_K}) AS BIGINT) AS ideal_n,
+           ROUND(CAST(p.dcg AS DOUBLE)
+                 / list_extract([{cum_list}],
+                                CAST(LEAST(lc.c - 1, {_NDCG_K}) AS INT)), 6) AS ndcg
+    FROM per_probe p JOIN lc ON lc.label = p.label
+    ORDER BY probe_id
+    """
+
+
+@query("q230_retrieval_ndcg", oracle=_ndcg_oracle(), tags=("X-03", "X-23"))
+def q230_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the exact cosine retriever with label-match relevance:
+    each probe's top-10 neighbors score 1/log2(rank+1) when they share
+    the probe's label, normalized by the ideal DCG over the label's
+    actual relevant count — THE ranking-quality metric an embedding
+    pipeline tracks per model version (X-03 says what was retrieved;
+    this says how well it was ORDERED; q46's recall property only says
+    how much). Discount weights and their running sums are fixed 9-dp
+    literals (the q189 no-runtime-libm discipline), so DCG sums exact
+    decimals and the one final division runs on bit-identical operands.
+
+    Scale shape: rides the q45 exact top-k (probes broadcast, grouped
+    top-k rank); label lookups broadcast twice (corpus-bounded dim);
+    per-probe DCG is a map-side-combined rollup onto |probes| rows;
+    ideal DCG is an array-literal lookup on the label's relevant count —
+    no sort, no extra pass. At scale the retriever swaps to q46/q46b's
+    ANN path, the metric dataflow unchanged."""
+    emb = load(spark, sf_dir, "embeddings")
+    topk = sim.cosine_topk(emb, emb.filter(F.col("vec_id") < _NDCG_PROBES), k=_NDCG_K)
+    lab = emb.select("vec_id", "label")
+    lc = lab.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_arr = F.array(*[F.lit(w) for w in _DCG_W])
+    cum_arr = F.array(*[F.lit(c) for c in _DCG_CUM])
+    t = (
+        topk.join(
+            F.broadcast(lab.select(F.col("vec_id"), F.col("label").alias("rlabel"))),
+            "vec_id",
+        )
+        .join(
+            F.broadcast(
+                lab.select(
+                    F.col("vec_id").alias("probe_id"), F.col("label").alias("plabel")
+                )
+            ),
+            "probe_id",
+        )
+        .select(
+            "probe_id",
+            F.col("plabel").alias("label"),
+            (F.col("rlabel") == F.col("plabel")).cast("int").alias("rel"),
+            F.when(
+                F.col("rlabel") == F.col("plabel"),
+                F.element_at(w_arr, F.col("rank")),
+            )
+            .otherwise(0.0)
+            .cast("decimal(28,9)")
+            .alias("term"),
+        )
+    )
+    per_probe = t.groupBy("probe_id", "label").agg(
+        F.sum("rel").cast("long").alias("n_relevant_retrieved"),
+        F.sum("term").cast("decimal(28,9)").alias("dcg"),
+    )
+    ideal_n = F.least(F.col("c") - 1, F.lit(_NDCG_K)).cast("int")
+    return (
+        per_probe.join(F.broadcast(lc), "label")
+        .select(
+            "probe_id",
+            "label",
+            "n_relevant_retrieved",
+            ideal_n.cast("long").alias("ideal_n"),
+            F.round(
+                F.col("dcg").cast("double") / F.element_at(cum_arr, ideal_n), 6
+            ).alias("ndcg"),
+        )
+        .transform(pin)
+        .orderBy("probe_id")
+    )
