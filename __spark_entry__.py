@@ -158,8 +158,9 @@ _WINDOW_PRIORITY = (
 # column-entropy encoding advisor; q225: pointer-doubling
 # forest roots; q226: gaps-and-islands activity streaks; q227:
 # bitmap-algebra day-over-day retention; q228: DAU/WAU
-# stickiness; q229: funnel-by-experiment-arm; and q230:
-# retrieval NDCG@10) hold
+# stickiness; q229: funnel-by-experiment-arm; and q230-q232:
+# retrieval NDCG@10, per-probe ANN recall@5, k-NN vote accuracy)
+# hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

@@ -1469,3 +1469,147 @@ def q230_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("probe_id")
     )
+
+
+@query(
+    "q231_ann_recall_at_k",
+    oracle=f"""
+    WITH exact AS ({sim.oracle_cosine_topk(f"vec_id < {_NDCG_PROBES}", k=5)}),
+    ann AS ({sim.oracle_lsh_topk(f"vec_id < {_NDCG_PROBES}", k=5)})
+    SELECT e.probe_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM exact e
+    LEFT JOIN ann a ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+    GROUP BY e.probe_id
+    ORDER BY e.probe_id
+    """,
+    tags=("X-03", "X-23"),
+)
+def q231_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH ANN retriever against exact ground truth, as a
+    HASH-certified per-probe metric (the existing property test only
+    bounds average recall; this pins every probe's exact hit set in both
+    engines) — the index-quality number an ANN deployment tracks when
+    tuning tables/bits, completing the retrieval scorecard next to
+    q230's ordering-quality NDCG.
+
+    Scale shape: both retrievals are the certified X-03 paths (probes
+    broadcast, grouped top-k); the overlap is a left join on the
+    (probe, neighbor) pair key of two k x |probes| relations; the rollup
+    is map-side combined onto |probes| rows. At corpus scale ground
+    truth comes from a sampled probe set — exactly this dataflow."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _NDCG_PROBES)
+    exact = sim.cosine_topk(emb, probes, k=5).select(
+        "probe_id", F.col("vec_id").alias("nb")
+    )
+    ann = (
+        sim.lsh_topk(emb, probes, k=5)
+        .select("probe_id", F.col("vec_id").alias("nb"))
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(ann, ["probe_id", "nb"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+        .transform(pin)
+        .orderBy("probe_id")
+    )
+
+
+@query(
+    "q232_knn_vote_accuracy",
+    oracle=f"""
+    WITH topk AS ({sim.oracle_cosine_topk(f"vec_id < {_NDCG_PROBES}", k=5)}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    votes AS (
+        SELECT t.probe_id, rl.label, CAST(COUNT(*) AS BIGINT) AS v
+        FROM topk t JOIN lab rl ON rl.vec_id = t.vec_id
+        GROUP BY t.probe_id, rl.label
+    ),
+    pred AS (
+        SELECT probe_id, label AS predicted
+        FROM (
+            SELECT probe_id, label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY probe_id ORDER BY v DESC, label
+                   ) AS rk
+            FROM votes
+        ) WHERE rk = 1
+    )
+    SELECT pl.label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN p.predicted = pl.label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           ROUND(CAST(SUM(CASE WHEN p.predicted = pl.label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS accuracy
+    FROM pred p JOIN lab pl ON pl.vec_id = p.probe_id
+    GROUP BY pl.label
+    ORDER BY pl.label
+    """,
+    tags=("X-03", "X-23"),
+)
+def q232_knn_vote_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out k-NN classification accuracy (k=5, majority vote with
+    a deterministic count-desc/lexicographic tie-break) per label over
+    the probe set — the quickest label-quality read an embedding space
+    gets ('do neighbors share labels?'), the classification complement
+    of q230's ranking metric, and an end-to-end certification that the
+    X-03 retriever composes into model-eval dataflows.
+
+    Scale shape: votes are a rollup of the k x |probes| top-k relation
+    on (probe, label); prediction is the q13 grouped-top-1; the accuracy
+    rollup is map-side combined onto the bounded label relation."""
+    emb = load(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window as W
+
+    probes = emb.filter(F.col("vec_id") < _NDCG_PROBES)
+    topk = sim.cosine_topk(emb, probes, k=5)
+    lab = emb.select("vec_id", "label")
+    votes = (
+        topk.join(F.broadcast(lab), "vec_id")
+        .groupBy("probe_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("probe_id").orderBy(F.desc("v"), F.asc("label"))
+    )
+    pred = (
+        votes.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("probe_id", F.col("label").alias("predicted"))
+    )
+    truth = lab.select(
+        F.col("vec_id").alias("probe_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(F.broadcast(truth), "probe_id")
+        .groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum((F.col("predicted") == F.col("true_label")).cast("int"))
+            .cast("long")
+            .alias("n_correct"),
+            F.round(
+                F.sum((F.col("predicted") == F.col("true_label")).cast("int")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("accuracy"),
+        )
+        .transform(pin)
+        .orderBy("label")
+    )
