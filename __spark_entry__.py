@@ -159,8 +159,8 @@ _WINDOW_PRIORITY = (
 # forest roots; q226: gaps-and-islands activity streaks; q227:
 # bitmap-algebra day-over-day retention; q228: DAU/WAU
 # stickiness; q229: funnel-by-experiment-arm; and q230-q232:
-# retrieval NDCG@10, per-probe ANN recall@5, k-NN vote accuracy)
-# hold
+# retrieval NDCG@10, per-probe ANN recall@5, k-NN vote accuracy;
+# and q233: one-way ANOVA seasonality strength) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

@@ -687,3 +687,109 @@ def q219_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-20 (cont.): one-way ANOVA seasonality strength
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q233_anova_seasonality",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+               CAST(date_part('hour', ts) AS INT) AS hr,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        FROM events
+    ),
+    cell AS (
+        SELECT dow, hr,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(vc AS HUGEINT)) AS HUGEINT) AS s,
+               CAST(SUM(CAST(vc AS HUGEINT) * vc) AS HUGEINT) AS s2
+        FROM c GROUP BY dow, hr
+    ),
+    terms AS (
+        SELECT n, s, s2,
+               ROUND(CAST(s * s AS DOUBLE) / n, 6) AS sq_over_n
+        FROM cell
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(s) AS HUGEINT) AS ss,
+               CAST(SUM(s2) AS HUGEINT) AS ss2,
+               CAST(SUM(CAST(sq_over_n AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS sqn
+        FROM terms
+    )
+    SELECT nn AS n_events, k AS n_cells,
+           ROUND(CAST(sqn AS DOUBLE) - CAST(ss * ss AS DOUBLE) / nn, 2) AS ssb,
+           ROUND(CAST(ss2 AS DOUBLE) - CAST(sqn AS DOUBLE), 2) AS ssw,
+           ROUND(((CAST(sqn AS DOUBLE) - CAST(ss * ss AS DOUBLE) / nn) / (k - 1))
+                 / ((CAST(ss2 AS DOUBLE) - CAST(sqn AS DOUBLE)) / (nn - k)), 6)
+               AS f_stat
+    FROM tot
+    """,
+    tags=("X-20", "X-22", "A-14"),
+)
+def q233_anova_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic for calendar seasonality strength: the
+    event values grouped by their 168 (day-of-week x hour) cells,
+    F = between-cell variance over within-cell variance — the single
+    number that says whether q180's seasonal profile carries real signal
+    or noise (large F: the calendar explains the variance; F near 1:
+    flat), and the variance-decomposition companion to q210's count-based
+    chi-square. Sums of squares use the computational identities
+    SSB = sum(s_c^2/n_c) - S^2/N and SSW = sum(s2_c) - sum(s_c^2/n_c),
+    so everything derives from per-cell (n, sum, sum-of-squares).
+
+    Determinism: per-cell moments are EXACT integers (cents; HUGEINT /
+    decimal(38,0) squares); each s_c^2/n_c divides exact operands once
+    and rounds at 6 dp before the decimal sum (the q120 discipline); the
+    final F assembles from bit-identical doubles.
+
+    Scale shape: ONE map-side-combined rollup onto the BOUNDED 168-cell
+    relation; the 5-number cell moments are A-14-mergeable, so per-shard
+    seasonality tests combine with no rescan; one scalar row out."""
+    ev = load(spark, sf_dir, "events")
+    d0 = "decimal(38,0)"
+    cell = ev.select(
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hr"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("vc"),
+    ).groupBy("dow", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("vc").cast(d0)).cast(d0).alias("s"),
+        F.sum(F.col("vc").cast(d0) * F.col("vc")).cast(d0).alias("s2"),
+    )
+    terms = cell.select(
+        "n",
+        "s",
+        "s2",
+        F.round((F.col("s") * F.col("s")).cast("double") / F.col("n"), 6).alias(
+            "sq_over_n"
+        ),
+    )
+    tot = terms.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("s").cast(d0).alias("ss"),
+        F.sum("s2").cast(d0).alias("ss2"),
+        F.sum(F.col("sq_over_n").cast("decimal(28,6)"))
+        .cast("decimal(28,6)")
+        .alias("sqn"),
+    )
+    ssb = F.col("sqn").cast("double") - (F.col("ss") * F.col("ss")).cast(
+        "double"
+    ) / F.col("nn")
+    ssw = F.col("ss2").cast("double") - F.col("sqn").cast("double")
+    return tot.select(
+        F.col("nn").alias("n_events"),
+        F.col("k").alias("n_cells"),
+        F.round(ssb, 2).alias("ssb"),
+        F.round(ssw, 2).alias("ssw"),
+        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))), 6).alias(
+            "f_stat"
+        ),
+    )
