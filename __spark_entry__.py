@@ -160,7 +160,8 @@ _WINDOW_PRIORITY = (
 # bitmap-algebra day-over-day retention; q228: DAU/WAU
 # stickiness; q229: funnel-by-experiment-arm; and q230-q232:
 # retrieval NDCG@10, per-probe ANN recall@5, k-NN vote accuracy;
-# and q233: one-way ANOVA seasonality strength) hold
+# q233: one-way ANOVA seasonality strength; q234: user
+# concentration curve; and q235: graph degree distribution) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

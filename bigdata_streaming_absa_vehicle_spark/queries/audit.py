@@ -817,3 +817,121 @@ def q223_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("table_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-25 (cont.): concentration curve ("top p% of users carry what share?")
+# ---------------------------------------------------------------------------
+
+_CONC_PCTS = (1, 5, 10, 20)
+
+
+@query(
+    "q234_concentration_curve",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id
+    ),
+    v AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS c_n FROM c GROUP BY n),
+    tot AS (
+        SELECT CAST(SUM(c_n) AS BIGINT) AS users, CAST(SUM(n * c_n) AS BIGINT) AS events
+        FROM v
+    ),
+    cum AS (
+        SELECT n, c_n,
+               CAST(COALESCE(SUM(c_n) OVER (
+                   ORDER BY n DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS users_above,
+               CAST(COALESCE(SUM(n * c_n) OVER (
+                   ORDER BY n DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS events_above
+        FROM v
+    ),
+    spine AS (SELECT unnest([{", ".join(str(p) for p in _CONC_PCTS)}]) AS pct),
+    pick AS (
+        SELECT s.pct,
+               (tot.users * s.pct + 99) // 100 AS k,
+               MIN(cum.n) AS cut_n
+        FROM spine s
+        CROSS JOIN tot
+        JOIN cum ON cum.users_above + cum.c_n >= (tot.users * s.pct + 99) // 100
+        GROUP BY s.pct, (tot.users * s.pct + 99) // 100
+    )
+    SELECT p.pct, CAST(p.k AS BIGINT) AS top_users,
+           CAST(cum.events_above
+                + (p.k - cum.users_above) * cum.n AS BIGINT) AS events_covered,
+           ROUND(CAST(cum.events_above + (p.k - cum.users_above) * cum.n AS DOUBLE)
+                 / tot.events, 6) AS event_share
+    FROM pick p
+    JOIN cum ON cum.n = p.cut_n
+    CROSS JOIN tot
+    ORDER BY p.pct
+    """,
+    tags=("X-25", "W-03", "A-14"),
+)
+def q234_concentration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration curve points: the share of all events generated by
+    the top 1/5/10/20% most-active users — the '80/20' readout stated
+    the way capacity and abuse teams ask it (q174's Gini compresses the
+    whole curve to one number; this reports the curve at the operating
+    points people quote). Within the cut value the tie resolves
+    FRACTIONALLY (the top-k includes k - users_above users at the cut
+    activity level, each contributing exactly cut_n events), so the
+    answer is exact for every k with no arbitrary user ordering.
+
+    Scale shape: the fact reduces to per-user counts, then to the
+    DISTINCT-activity-value relation (bounded by the count domain);
+    descending prefix sums and the per-percentile search run on that
+    bounded relation (the q174/q206 value-collapse discipline — swap in
+    the two-level bucketed form if the value domain ever outgrows a
+    partition); rank targets are exact integer DIV; 4 rows out."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    v = c.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("c_n")).transform(
+        stage
+    )  # bounded distinct-activity relation, feeds totals + prefix + search
+    tot = v.agg(
+        F.sum("c_n").cast("long").alias("users"),
+        F.sum(F.col("n") * F.col("c_n")).cast("long").alias("events"),
+    )
+    wdesc = Window.orderBy(F.desc("n")).rowsBetween(Window.unboundedPreceding, -1)
+    cum = v.select(
+        "n",
+        "c_n",
+        F.coalesce(F.sum("c_n").over(wdesc), F.lit(0)).cast("long").alias("users_above"),
+        F.coalesce(F.sum(F.col("n") * F.col("c_n")).over(wdesc), F.lit(0))
+        .cast("long")
+        .alias("events_above"),
+    )
+    spine = F.explode(F.array(*[F.lit(p) for p in _CONC_PCTS])).alias("pct")
+    picked = (
+        cum.crossJoin(F.broadcast(tot))
+        .select("n", "c_n", "users_above", "events_above", "users", "events", spine)
+        .withColumn("k", F.expr("(users * pct + 99) DIV 100"))
+        .where(F.col("users_above") + F.col("c_n") >= F.col("k"))
+        .groupBy("pct", "k", "users", "events")
+        .agg(F.min("n").alias("cut_n"))
+    )
+    return (
+        picked.join(F.broadcast(cum), picked["cut_n"] == cum["n"])
+        .select(
+            "pct",
+            F.col("k").cast("long").alias("top_users"),
+            (
+                F.col("events_above")
+                + (F.col("k") - F.col("users_above")) * F.col("cut_n")
+            )
+            .cast("long")
+            .alias("events_covered"),
+            F.round(
+                (
+                    F.col("events_above")
+                    + (F.col("k") - F.col("users_above")) * F.col("cut_n")
+                ).cast("double")
+                / F.col("events"),
+                6,
+            ).alias("event_share"),
+        )
+        .transform(pin)
+        .orderBy("pct")
+    )

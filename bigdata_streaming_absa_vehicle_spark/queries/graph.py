@@ -551,3 +551,74 @@ def q225_pointer_doubling_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("root")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-18 (cont.): degree distribution of the benchmark graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q235_degree_distribution",
+    oracle=f"""
+    WITH {_oracle_edges_cte()},
+    und AS (
+        SELECT src AS a, dst AS b FROM dedup_edges
+        UNION
+        SELECT dst, src FROM dedup_edges
+    ),
+    deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY a),
+    hist AS (
+        SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY d
+    ),
+    tot AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS n FROM hist)
+    SELECT degree, n_nodes,
+           ROUND(CAST(n_nodes AS DOUBLE) / tot.n, 6) AS node_share,
+           CAST(SUM(n_nodes) OVER (
+               ORDER BY degree DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS nodes_at_least
+    FROM hist CROSS JOIN tot
+    ORDER BY degree
+    """,
+    tags=("X-18", "A-02"),
+)
+def q235_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the undirected benchmark graph: per degree,
+    node count, share, and the complementary cumulative count (nodes
+    with degree >= d) — the first plot ANY graph analysis draws, and
+    the input that tells q136's orientation strategy and q202's hub cap
+    whether a heavy tail exists at all.
+
+    Scale shape: two rollups (per-node degree, then the degree
+    histogram — bounded by the max degree, not the node count); the
+    ccdf window runs over the bounded histogram; total broadcast. All
+    integers plus one share division."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # bounded metadata (node count), not a data collect
+    edges = raw_edges(docs, n)
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    hist = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    ).transform(stage)  # bounded histogram, feeds total + ccdf
+    tot = hist.agg(F.sum("n_nodes").cast("long").alias("n"))
+    from pyspark.sql.window import Window as Wd
+
+    ccdf = Wd.orderBy(F.desc("degree")).rowsBetween(Wd.unboundedPreceding, 0)
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "degree",
+            "n_nodes",
+            F.round(F.col("n_nodes").cast("double") / F.col("n"), 6).alias(
+                "node_share"
+            ),
+            F.sum("n_nodes").over(ccdf).cast("long").alias("nodes_at_least"),
+        )
+        .transform(pin)
+        .orderBy("degree")
+    )
