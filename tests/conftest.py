@@ -29,7 +29,8 @@ def spark():
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
-    for sf_dir in {ORACLE_SF_DIR, SMOKE_SF_DIR}:
+    extra = os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+    for sf_dir in {ORACLE_SF_DIR, SMOKE_SF_DIR} | ({extra} if extra else set()):
         schema = "sf" + sf_dir.rstrip("/").split("sf")[-1].replace(".", "_")
         con.execute(f"CREATE SCHEMA IF NOT EXISTS {schema}")
         for t in TABLE_NAMES:
