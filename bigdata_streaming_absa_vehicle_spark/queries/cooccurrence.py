@@ -405,8 +405,8 @@ def q183_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bg JOIN uni ON bg.w1 = uni.token
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
-               AS avg_surprisal
+           CAST(CAST(SUM(CAST(s AS DECIMAL(28,6))) * 1000000000 AS BIGINT)
+                // COUNT(*) AS DOUBLE) / 1000000000 AS avg_surprisal
     FROM pairs JOIN s USING (w1, w2)
     GROUP BY doc_id ORDER BY doc_id
     """,
@@ -466,10 +466,16 @@ def q203_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.round(
-                F.sum(F.col("s").cast("decimal(28,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
+            # nano-unit integer floor-div, then one exact-operand double
+            # division — ROUND(sum/n, 6) flakes between engines when the
+            # mean lands on a representable 6-dp tie (found at sf0.1:
+            # 253.802869/74 is exactly 3.4297685), the q214 hazard
+            (
+                F.expr(
+                    "CAST(sum(CAST(s AS DECIMAL(28,6))) * 1000000000 AS BIGINT)"
+                    " DIV count(1)"
+                ).cast("double")
+                / 1_000_000_000
             ).alias("avg_surprisal"),
         )
         .transform(pin)
