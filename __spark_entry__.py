@@ -161,7 +161,9 @@ _WINDOW_PRIORITY = (
 # stickiness; q229: funnel-by-experiment-arm; and q230-q232:
 # retrieval NDCG@10, per-probe ANN recall@5, k-NN vote accuracy;
 # q233: one-way ANOVA seasonality strength; q234: user
-# concentration curve; and q235: graph degree distribution) hold
+# concentration curve; q235: graph degree distribution; q236:
+# trigram-prefilter substring search; and q237: CUSUM changepoint
+# locator) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.ordering import pin
+from ..functions.ordering import pin, stage
 from ..operators import dedup as dd
 from ..tables import load
 from .registry import query
@@ -436,4 +436,86 @@ def q147_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(pin)
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-04 (cont.): trigram-index substring search (the pg_trgm pattern)
+# ---------------------------------------------------------------------------
+
+_TRGM_NEEDLE = "the data"  #: benchmark literal needle (spans a token boundary)
+
+
+def _trgm_oracle() -> str:
+    needle = _TRGM_NEEDLE
+    grams = sorted({needle[i : i + 3] for i in range(len(needle) - 2)})
+    gram_list = ", ".join("'" + g.replace("'", "''") + "'" for g in grams)
+    return f"""
+    WITH grams AS (
+        SELECT d.doc_id, g.g
+        FROM documents d
+        CROSS JOIN (SELECT unnest([{gram_list}]) AS g) g
+        WHERE instr(lower(d.text), g.g) > 0
+    ),
+    cand AS (
+        SELECT doc_id FROM grams GROUP BY doc_id HAVING COUNT(*) = {len(grams)}
+    ),
+    verified AS (
+        SELECT c.doc_id,
+               CASE WHEN instr(lower(d.text), '{needle}') > 0 THEN 1 ELSE 0 END AS hit
+        FROM cand c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(SUM(hit) AS BIGINT) AS n_matches
+        FROM verified
+    )
+    SELECT v.doc_id, t.n_candidates, t.n_matches
+    FROM verified v CROSS JOIN tot t
+    WHERE v.hit = 1
+    ORDER BY v.doc_id
+    """
+
+
+@query("q236_trigram_search", oracle=_trgm_oracle(), tags=("X-04", "J-05"))
+def q236_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search through a TRIGRAM pre-filter (the pg_trgm /
+    search-index pattern): a doc can contain the needle only if it
+    contains every trigram of the needle, so candidates come from cheap
+    trigram membership and the exact (expensive at scale) substring
+    verify runs on candidates only. Reports the matched docs plus the
+    candidate/match counts — the selectivity readout that says what the
+    index bought. The necessary-condition containment makes the filter
+    LOSSLESS (zero false negatives by construction; the oracle verifies
+    candidates exactly).
+
+    Scale shape: at 100 TB the per-(doc, gram) relation is the posting
+    LIST (built once, reused per query) and candidates come from a
+    postings intersection keyed by gram; here the bounded needle-gram
+    set (6 literals) turns membership into map-only instr tests — no
+    join, no explode of the corpus, one rollup per doc over <=6 rows,
+    the exact verify map-only on survivors, counts broadcast back."""
+    needle = _TRGM_NEEDLE
+    grams = sorted({needle[i : i + 3] for i in range(len(needle) - 2)})
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("t")
+    )
+    n_present = None
+    for g in grams:
+        hit = (F.instr(F.col("t"), g) > 0).cast("int")
+        n_present = hit if n_present is None else n_present + hit
+    cand = docs.withColumn("ng", n_present).filter(F.col("ng") == len(grams))
+    verified = cand.select(
+        "doc_id", (F.instr(F.col("t"), needle) > 0).cast("int").alias("hit")
+    ).transform(stage)  # feeds the counts AND the match list
+    tot = verified.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum("hit").cast("long").alias("n_matches"),
+    )
+    return (
+        verified.filter(F.col("hit") == 1)
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "n_candidates", "n_matches")
+        .transform(pin)
+        .orderBy("doc_id")
     )

@@ -793,3 +793,110 @@ def q233_anova_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f_stat"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-20 (cont.): CUSUM changepoint detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q237_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS xc
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    m AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(xc) AS BIGINT) AS s
+        FROM daily GROUP BY event_type
+    ),
+    dev AS (
+        SELECT d.event_type, d.day,
+               CAST(d.xc AS HUGEINT) * m.nd - m.s AS dev_scaled
+        FROM daily d JOIN m ON d.event_type = m.event_type
+    ),
+    cusum AS (
+        SELECT event_type, day,
+               CAST(SUM(dev_scaled) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS HUGEINT) AS c
+        FROM dev
+    ),
+    peak AS (
+        SELECT event_type, day, c,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY abs(c) DESC, day
+               ) AS rk
+        FROM cusum
+    )
+    SELECT p.event_type, p.day AS change_day,
+           ROUND(CAST(p.c AS DOUBLE) / m.nd / 100, 2) AS peak_cusum,
+           m.nd AS n_days
+    FROM peak p JOIN m ON m.event_type = p.event_type
+    WHERE p.rk = 1
+    ORDER BY p.event_type
+    """,
+    tags=("X-20", "W-03"),
+)
+def q237_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection: per series, the running sum of
+    deviations from the series mean peaks (in absolute value) exactly
+    where the level shifts — the classic offline changepoint locator a
+    monitoring pipeline runs before alerting on 'the metric moved'
+    (q184 flags pointwise anomalies; this finds the STRUCTURAL break).
+    Deviations are scaled by n (dev = x*n - S) so every operand stays an
+    exact integer — no mean division enters the cumulative sum at all —
+    and the one division happens at readout.
+
+    Scale shape: the fact reduces map-side to the calendar-bounded daily
+    relation; the cumulative window and the argmax rank run per series
+    on that bounded relation (the q179/q209 precedent); series stats
+    join back on the tiny type key. Ties on |peak| break by earliest
+    day, deterministically."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("xc")
+    ).transform(stage)  # bounded daily relation feeds stats AND the scan
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("xc").cast("long").alias("s"),
+    )
+    d0 = "decimal(38,0)"
+    dev = daily.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "day",
+        "nd",
+        (F.col("xc").cast(d0) * F.col("nd") - F.col("s")).cast(d0).alias("dev_scaled"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = dev.withColumn("c", F.sum("dev_scaled").over(wc).cast(d0))
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.abs(F.col("c")).desc(), "day")
+    )
+    return (
+        cusum.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.round(F.col("c").cast("double") / F.col("nd") / 100, 2).alias(
+                "peak_cusum"
+            ),
+            F.col("nd").alias("n_days"),
+        )
+        .transform(pin)
+        .orderBy("event_type")
+    )
