@@ -162,8 +162,8 @@ _WINDOW_PRIORITY = (
 # retrieval NDCG@10, per-probe ANN recall@5, k-NN vote accuracy;
 # q233: one-way ANOVA seasonality strength; q234: user
 # concentration curve; q235: graph degree distribution; q236:
-# trigram-prefilter substring search; and q237: CUSUM changepoint
-# locator) hold
+# trigram-prefilter substring search; q237: CUSUM changepoint
+# locator; and q238: per-pair MinHash estimator accuracy) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

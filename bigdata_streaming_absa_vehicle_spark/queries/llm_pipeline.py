@@ -1613,3 +1613,123 @@ def q232_knn_vote_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("label")
     )
+
+
+def _mh_acc_oracle() -> str:
+    """q238 oracle: the q41 pair pipeline, with the per-pair MinHash
+    signature-agreement estimate reported beside the exact Jaccard."""
+    coeffs = dd._mh_coeffs(dd.N_HASHES)
+    sig_cols = ",\n           ".join(
+        f"list_aggregate(list_transform(bases, h -> ({a} * h + {b}) % {dd.MH_PRIME}), 'min')"
+        f" AS sig_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    n_bands = dd.N_HASHES // dd.BAND_ROWS
+    band_cols = ",\n           ".join(
+        "md5("
+        + " || '_' || ".join(
+            f"CAST(sig_{b * dd.BAND_ROWS + r} AS VARCHAR)" for r in range(dd.BAND_ROWS)
+        )
+        + f") AS band_{b}"
+        for b in range(n_bands)
+    )
+    band_union = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id_, band_{b} AS band_key, {b} AS band_idx FROM banded"
+        for b in range(n_bands)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END"
+        for i in range(dd.N_HASHES)
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id AS doc_id_,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in range(1, len(toks) - 1)]) AS sh_set
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+        WHERE len(toks) >= 3
+    ), sigs AS (
+        SELECT doc_id_, sh_set,
+           {sig_cols}
+        FROM (
+            SELECT doc_id_, sh_set,
+                   list_transform(sh_set, s -> {dd.oracle_hash64("mh", "s")} % {dd.MH_PRIME}) AS bases
+            FROM base
+        )
+    ), banded AS (
+        SELECT doc_id_, {band_cols} FROM sigs
+    ), long_form AS (
+        {band_union}
+    ), candidates AS (
+        SELECT DISTINCT a.doc_id_ AS doc_a, b.doc_id_ AS doc_b
+        FROM long_form a JOIN long_form b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        WHERE a.doc_id_ < b.doc_id_
+    ), verified AS (
+        SELECT doc_a, doc_b,
+               ROUND(len(list_intersect(x.sh_set, y.sh_set))::DOUBLE
+                     / len(list_distinct(list_concat(x.sh_set, y.sh_set))), 6) AS jaccard
+        FROM candidates
+        JOIN base x ON x.doc_id_ = doc_a
+        JOIN base y ON y.doc_id_ = doc_b
+        WHERE len(list_intersect(x.sh_set, y.sh_set))::DOUBLE
+              / len(list_distinct(list_concat(x.sh_set, y.sh_set))) >= 0.5
+    )
+    SELECT v.doc_a, v.doc_b, v.jaccard,
+           ROUND(CAST(({match_sum}) AS DOUBLE) / {dd.N_HASHES}, 6) AS minhash_est,
+           ROUND(abs(v.jaccard - ROUND(CAST(({match_sum}) AS DOUBLE) / {dd.N_HASHES}, 6)), 6)
+               AS abs_err
+    FROM verified v
+    JOIN sigs sa ON sa.doc_id_ = v.doc_a
+    JOIN sigs sb ON sb.doc_id_ = v.doc_b
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("q238_minhash_estimator_accuracy", oracle=_mh_acc_oracle(), tags=("X-02", "A-15"))
+def q238_minhash_estimator_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator accuracy, certified per pair: for every verified
+    near-duplicate pair, the signature-agreement estimate (matching
+    components / 64 — what the sketch alone would report) next to the
+    exact Jaccard and the absolute error. Completes the
+    sketch-accuracy scorecard — q200 bounds the HDR quantile error, q218
+    certifies the CMS inner product, q231 pins ANN recall; this pins the
+    estimator the whole X-02 banding stack is built on (band collision
+    probabilities derive from exactly this agreement fraction).
+
+    Scale shape: rides the q41 pipeline unchanged (fused Arrow
+    shingle+signature pass, banded candidates carrying ids only, exact
+    verify on survivors); the estimate joins the verified pairs back to
+    the signature relation keyed by doc id — integer equality tests on
+    64 components, one exact division, round 6."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    sigs = dd.shingle_sigs_batched(docs, "doc_id", "text", 3, dd.N_HASHES).select(
+        F.col("doc_id_"), F.col("sig_arr")
+    )
+    sa = sigs.select(F.col("doc_id_").alias("doc_a"), F.col("sig_arr").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id_").alias("doc_b"), F.col("sig_arr").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / dd.N_HASHES
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.round(est, 6).alias("minhash_est"),
+            F.round(F.abs(F.col("jaccard") - F.round(est, 6)), 6).alias("abs_err"),
+        )
+        .transform(pin)
+        .orderBy("doc_a", "doc_b")
+    )
