@@ -1219,3 +1219,72 @@ def test_radius_join_candidates_from_cell_equi_join(spark):
     assert "TakeOrderedAndProject" in plan, plan
     joins = [l for l in plan.splitlines() if "Join" in l and "BroadcastNestedLoop" not in l]
     assert any("cx" in l and "cy" in l for l in joins), plan
+
+
+def test_bitmap_retention_joins_words_not_fact(spark):
+    """q227 (X-08): the day-pair join runs over the (day, bucket) bitmap
+    relation — every hash exchange carries day/bucket keys (never
+    user_id after the one bitmap rollup), and no cartesian exists."""
+    q = all_queries()["q227_bitmap_retention"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "user_id" not in line, line
+
+
+def test_concentration_curve_value_collapses_before_prefix(spark):
+    """q234 (X-25): the descending prefix sums run on the distinct-
+    activity-value relation — at least four HashAggregates (per-user
+    rollup + value collapse, partial+final each) precede the window, and
+    the totals come back as a single-row broadcast."""
+    q = all_queries()["q234_concentration_curve"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_trigram_search_is_join_free_map_only(spark):
+    """q236 (X-04): with the bounded literal needle, membership tests and
+    the exact verify are map-only — the only join in the plan is the
+    single-row counts broadcast, and the doc scan reads only
+    (doc_id, text)."""
+    q = all_queries()["q236_trigram_search"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # single-row counts
+    assert "Generate" not in plan, "corpus exploded despite literal needle:\n" + plan
+
+
+def test_cusum_windows_run_per_series(spark):
+    """q237 (X-20): both the cumulative scan and the argmax rank are
+    partitioned by event_type — no unpartitioned window touches the
+    daily relation — and the series stats join back by broadcast."""
+    q = all_queries()["q237_cusum_changepoint"]
+    plan = plan_of(q.fn(spark, SF_DIR), "extended")
+    phys = plan.split("== Physical Plan ==")[1]
+    for line in phys.splitlines():
+        if "windowspecdefinition" in line:
+            assert "event_type#" in line, line
+    assert "BroadcastHashJoin" in phys, phys
+
+
+def test_minhash_accuracy_rides_banded_pipeline(spark):
+    """q238 (X-02): the estimator joins the verified pairs back to the
+    signature relation keyed by doc id — no cartesian, and the banded
+    candidate exchanges still carry no shingle payloads (the q41
+    invariant holds through the composition)."""
+    q = all_queries()["q238_minhash_estimator_accuracy"]
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(q.fn(spark, SF_DIR), "extended")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in physical, physical
+    for line in physical.splitlines():
+        if "hashpartitioning(band_idx" in line:
+            assert "sh_set" not in line, line
