@@ -622,3 +622,83 @@ def q235_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-18 (cont.): k-core peeling (k=2, fixed unrolled rounds)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    ctes = ""
+    prev_e = "e0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        ctes += f""",
+    n{r} AS (
+        SELECT a FROM (SELECT a, COUNT(*) AS d FROM {prev_e} GROUP BY a)
+        WHERE d >= {_KCORE_K}
+    ),
+    e{r} AS (
+        SELECT e.a, e.b FROM {prev_e} e
+        WHERE e.a IN (SELECT a FROM n{r}) AND e.b IN (SELECT a FROM n{r})
+    )"""
+        prev_e = f"e{r}"
+    return f"""
+    WITH {_oracle_edges_cte()},
+    e0 AS (
+        SELECT src AS a, dst AS b FROM dedup_edges
+        UNION
+        SELECT dst, src FROM dedup_edges
+    ){ctes}
+    SELECT a AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM {prev_e} GROUP BY a ORDER BY doc_id
+    """
+
+
+@query("q239_kcore_peeling", oracle=_kcore_oracle(), tags=("X-18", "J-05"))
+def q239_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core peeling, 3 unrolled rounds: repeatedly drop nodes of degree
+    < 2 (and their edges) — the degeneracy-ordering primitive that
+    strips trees and pendant chains off a graph, leaving the cyclic core
+    where community structure and q136's triangles actually live (every
+    triangle survives the 2-core by definition, so peeling first SHRINKS
+    the triangle join's input for free). Reports each surviving node
+    with its within-core degree after exactly 3 peels — deterministic
+    whether or not the peel has converged, and the oracle unrolls the
+    identical rounds.
+
+    Scale shape: each round is one map-side-combined degree rollup plus
+    two SEMI-joins restricting the edge list to surviving endpoints —
+    all keyed on node ids (ids only, never payloads, the same
+    co-partitionable keys as X-15's iterations); the edge relation only
+    ever shrinks, and a production loop would localCheckpoint between
+    peels exactly like operators/components.py."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # bounded metadata (node count), not a data collect
+    edges = raw_edges(docs, n)
+    e = stage(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
+            edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        ).distinct()
+    )
+    for _ in range(_KCORE_ROUNDS):
+        core = (
+            e.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("a")
+        )
+        e = stage(
+            e.join(core, "a", "left_semi").join(
+                core.withColumnRenamed("a", "b"), "b", "left_semi"
+            )
+        )
+    return (
+        e.groupBy(F.col("a").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+        .transform(pin)
+        .orderBy("doc_id")
+    )
