@@ -163,8 +163,9 @@ _WINDOW_PRIORITY = (
 # q233: one-way ANOVA seasonality strength; q234: user
 # concentration curve; q235: graph degree distribution; q236:
 # trigram-prefilter substring search; q237: CUSUM changepoint
-# locator; q238: per-pair MinHash estimator accuracy; and q239:
-# 2-core peeling) hold
+# locator; q238: per-pair MinHash estimator accuracy; q239:
+# 2-core peeling; and q240: sketch-based distribution overlap)
+# hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

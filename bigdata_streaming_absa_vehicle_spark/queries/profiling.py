@@ -1113,3 +1113,116 @@ def q224_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("col_name")
     )
+
+
+@query(
+    "q240_histogram_overlap",
+    oracle=f"""
+    WITH c AS (
+        SELECT CASE WHEN event_id % 2 = 0 THEN 'A' ELSE 'B' END AS half,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM events
+    ),
+    u AS (
+        SELECT half, c,
+               CAST(power(10, greatest(length(CAST(c AS VARCHAR)) - {_HDR_DIGITS}, 0))
+                    AS BIGINT) AS unit
+        FROM c
+    ),
+    b AS (
+        SELECT half, (c // unit) * unit AS lb, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM u GROUP BY half, (c // unit) * unit
+    ),
+    tot AS (SELECT half, CAST(SUM(cnt) AS BIGINT) AS n FROM b GROUP BY half),
+    wide AS (
+        SELECT lb,
+               MAX(CASE WHEN b.half = 'A' THEN cnt ELSE 0 END) AS ca,
+               MAX(CASE WHEN b.half = 'B' THEN cnt ELSE 0 END) AS cb
+        FROM b GROUP BY lb
+    ),
+    terms AS (
+        SELECT ROUND(LEAST(
+                   CAST(ca AS DOUBLE) / (SELECT n FROM tot WHERE half = 'A'),
+                   CAST(cb AS DOUBLE) / (SELECT n FROM tot WHERE half = 'B')
+               ), 9) AS t
+        FROM wide
+    )
+    SELECT (SELECT n FROM tot WHERE half = 'A') AS n_a,
+           (SELECT n FROM tot WHERE half = 'B') AS n_b,
+           CAST((SELECT COUNT(*) FROM wide) AS BIGINT) AS n_buckets,
+           ROUND(CAST(SUM(CAST(t AS DECIMAL(28,9))) AS DOUBLE), 6) AS overlap
+    FROM terms
+    """,
+    tags=("X-40", "A-14"),
+)
+def q240_histogram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-overlap coefficient between two event-stream halves,
+    computed ON THE X-40 SKETCH: overlap = sum over buckets of
+    min(p_A, p_B) in [0, 1] (1 = identical distributions) — the
+    distribution-similarity read that q120's PSI and q148's KS answer
+    with test statistics, here as the intuitive shared-mass number, and
+    the payoff of sketch mergeability: two pipelines exchange 10^2-row
+    histograms, never samples, to compare distributions. Halves are
+    hash-assigned (event parity), so the expected overlap is ~1 and the
+    deviation measures sketch-resolution granularity.
+
+    Determinism: bucket counts exact integers; each min() compares two
+    exact-operand double divisions; terms round 9 dp then decimal-sum
+    (the q120 discipline), final round 6.
+
+    Scale shape: ONE map-side-combined rollup onto the bounded
+    (half x buckets) histogram; the pivot, totals, and overlap all run
+    on that bounded relation — one scalar row out."""
+    ev = load(spark, sf_dir, "events")
+    half = F.when(F.col("event_id") % 2 == 0, "A").otherwise("B")
+    c = ev.select(
+        half.alias("half"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+    )
+    u = c.withColumn(
+        "unit",
+        F.pow(
+            F.lit(10.0),
+            F.greatest(
+                F.length(F.col("c").cast("string")) - _HDR_DIGITS, F.lit(0)
+            ).cast("double"),
+        ).cast("long"),
+    )
+    b = (
+        u.select("half", F.expr("(c DIV unit) * unit").alias("lb"))
+        .groupBy("half", "lb")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .transform(stage)  # bounded histogram feeds totals AND the pivot
+    )
+    tot = b.groupBy("half").agg(F.sum("cnt").cast("long").alias("n"))
+    na = tot.filter(F.col("half") == "A").select(F.col("n").alias("n_a"))
+    nb = tot.filter(F.col("half") == "B").select(F.col("n").alias("n_b"))
+    wide = b.groupBy("lb").agg(
+        F.max(F.when(F.col("half") == "A", F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.max(F.when(F.col("half") == "B", F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    terms = (
+        wide.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_a",
+            "n_b",
+            F.round(
+                F.least(
+                    F.col("ca").cast("double") / F.col("n_a"),
+                    F.col("cb").cast("double") / F.col("n_b"),
+                ),
+                9,
+            ).alias("t"),
+        )
+    )
+    return terms.groupBy("n_a", "n_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.round(F.sum(F.col("t").cast("decimal(28,9)")).cast("double"), 6).alias(
+            "overlap"
+        ),
+    ).select("n_a", "n_b", "n_buckets", "overlap")
