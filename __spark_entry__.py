@@ -164,8 +164,9 @@ _WINDOW_PRIORITY = (
 # concentration curve; q235: graph degree distribution; q236:
 # trigram-prefilter substring search; q237: CUSUM changepoint
 # locator; q238: per-pair MinHash estimator accuracy; q239:
-# 2-core peeling; and q240: sketch-based distribution overlap)
-# hold
+# 2-core peeling; q240: sketch-based distribution overlap; q241:
+# fulfillment-lag percentiles; and q242: inter-purchase interval
+# distribution) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

@@ -1590,3 +1590,69 @@ def q229_funnel_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("arm", "step")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-08 (cont.): inter-purchase interval distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q242_purchase_intervals",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts, event_id,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us
+        FROM p WHERE prev_ts IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_repeat_buyers,
+           ROUND(quantile_cont(gap_us, 0.5) / 3600000000.0, 6) AS p50_hours,
+           ROUND(quantile_cont(gap_us, 0.9) / 3600000000.0, 6) AS p90_hours,
+           ROUND(CAST(MIN(gap_us) AS DOUBLE) / 3600000000.0, 6) AS min_hours,
+           ROUND(CAST(MAX(gap_us) AS DOUBLE) / 3600000000.0, 6) AS max_hours
+    FROM gaps
+    """,
+    tags=("X-08", "W-02", "A-12"),
+)
+def q242_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval distribution: per repeat buyer, the gaps
+    between consecutive purchases (exact integer microseconds from ONE
+    user-keyed lag pass), summarized with exact percentiles in hours —
+    the repurchase-cadence number that calibrates churn definitions
+    ('inactive' should mean several p50s, not a guess) and the offset
+    the q198 label windows should match. The purchase-only complement
+    of q91's all-event sessionization gaps.
+
+    Determinism: gaps are exact integers; percentiles ride the proven
+    A-12 interpolation; the /3.6e9 hour conversions divide exact
+    operands identically in both engines, round 6.
+
+    Scale shape: the fact prunes to purchases at the scan (predicate
+    pushdown), ONE window pass per user ordered by the tie-broken total
+    order, then a single ungrouped percentile agg — one row out."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            (F.unix_micros("ts") - F.unix_micros("prev_ts")).alias("gap_us"),
+        )
+    )
+    hours = 3_600_000_000.0
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.count_distinct("user_id").cast("long").alias("n_repeat_buyers"),
+        F.round(F.expr("percentile(gap_us, 0.5)") / hours, 6).alias("p50_hours"),
+        F.round(F.expr("percentile(gap_us, 0.9)") / hours, 6).alias("p90_hours"),
+        F.round(F.min("gap_us").cast("double") / hours, 6).alias("min_hours"),
+        F.round(F.max("gap_us").cast("double") / hours, 6).alias("max_hours"),
+    )

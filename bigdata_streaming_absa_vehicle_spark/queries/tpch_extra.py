@@ -805,3 +805,67 @@ def q158_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# A-12 composition: order-fulfillment lag percentiles by priority
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q241_fulfillment_lag",
+    oracle="""
+    WITH lag AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              MAX(CAST(l.l_shipdate AS DATE))) AS BIGINT) AS lag_days
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           quantile_cont(lag_days, 0.5) AS p50_days,
+           quantile_cont(lag_days, 0.9) AS p90_days,
+           CAST(MAX(lag_days) AS BIGINT) AS max_days
+    FROM lag GROUP BY priority ORDER BY priority
+    """,
+    tags=("A-12", "J-01", "A-06"),
+)
+def q241_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment lag: days from order date to the LAST line
+    shipment, summarized per order priority with exact p50/p90/max —
+    the operational SLA readout ('do URGENT orders actually ship
+    faster?') that composes the star join with A-12's exact percentile
+    path (q75's quantile_cont bit-equality).
+
+    Scale shape: ONE order-keyed join+rollup collapses lineitem to a
+    per-order lag (co-partitioned on the join key, map-side combined
+    max); percentiles aggregate the per-order relation grouped on the
+    5-value priority key. Integer day lags — only the interpolated
+    percentile is double, and that path is proven engine-identical."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    lag = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "od")
+        .agg(F.max("sd").alias("last_ship"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.col("last_ship"), F.col("od")).cast("long").alias("lag_days"),
+        )
+    )
+    return (
+        lag.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.expr("percentile(lag_days, 0.5)").alias("p50_days"),
+            F.expr("percentile(lag_days, 0.9)").alias("p90_days"),
+            F.max("lag_days").cast("long").alias("max_days"),
+        )
+        .transform(pin)
+        .orderBy("priority")
+    )
