@@ -165,8 +165,10 @@ _WINDOW_PRIORITY = (
 # trigram-prefilter substring search; q237: CUSUM changepoint
 # locator; q238: per-pair MinHash estimator accuracy; q239:
 # 2-core peeling; q240: sketch-based distribution overlap; q241:
-# fulfillment-lag percentiles; and q242: inter-purchase interval
-# distribution) hold
+# fulfillment-lag percentiles; q242: inter-purchase interval
+# distribution; q243: functional-dependency discovery; q244:
+# power-law tail fit; q245: brand-momentum spike detection; and
+# q246: Lindley capped running balance) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

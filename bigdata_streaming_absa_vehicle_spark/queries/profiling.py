@@ -1226,3 +1226,181 @@ def q240_histogram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overlap"
         ),
     ).select("n_a", "n_b", "n_buckets", "overlap")
+
+
+# ---------------------------------------------------------------------------
+# X-47: functional-dependency & candidate-key discovery
+# ---------------------------------------------------------------------------
+
+#: (table, determinant columns, dependent column) — the audit suite mixes
+#: true keys (o_orderkey), composite keys (orderkey+linenumber), and
+#: deliberately false dependencies so both verdicts are exercised.
+_FD_SUITE = (
+    ("customer", ("c_mktsegment",), "c_nationkey"),
+    ("lineitem", ("l_orderkey", "l_linenumber"), "l_partkey"),
+    ("lineitem", ("l_partkey",), "l_extendedprice"),
+    ("orders", ("o_custkey",), "o_orderpriority"),
+    ("orders", ("o_orderkey",), "o_custkey"),
+)
+
+
+def _fd_label(tbl: str, det: tuple[str, ...], dep: str) -> str:
+    return f"{tbl}: {' + '.join(det)} -> {dep}"
+
+
+def _fd_oracle() -> str:
+    branches = []
+    for tbl, det, dep in _FD_SUITE:
+        det_cols = ", ".join(det)
+        branches.append(
+            f"""
+        SELECT '{_fd_label(tbl, det, dep)}' AS fd,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) AS BIGINT)
+                   AS violating_groups
+        FROM (SELECT {det_cols}, COUNT(DISTINCT {dep}) AS nd
+              FROM {tbl} GROUP BY {det_cols})"""
+        )
+    union = " UNION ALL ".join(branches)
+    return f"""
+    SELECT fd, n_groups, violating_groups,
+           violating_groups = 0 AS holds
+    FROM ({union})
+    ORDER BY fd
+    """
+
+
+@query("q243_fd_discovery", oracle=_fd_oracle(), tags=("X-47", "A-04"))
+def q243_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency / candidate-key audit (Metanome-style FD
+    validation, scoped to a declared candidate suite): for each tested
+    `determinant -> dependent` pair, the number of determinant groups, the
+    groups holding more than one distinct dependent value (violations),
+    and the verdict — how a schema-inference or data-contract layer decides
+    which "keys" the data actually honors.  The suite mixes a true key
+    (o_orderkey), a composite key (l_orderkey+l_linenumber), and
+    dependencies expected to FAIL, so both verdicts are exercised and a
+    regression in either direction flips a row.
+
+    Scale shape: each FD is ONE two-phase aggregate over a 2-3 column
+    pruned projection (partial count-distinct map-side, one shuffle on the
+    determinant), reduced to a SINGLE summary row before the 5-row union —
+    no full-table data ever crosses more than one exchange, and the
+    branches are independent scans that a scheduler runs concurrently.
+    Exhaustive lattice search (all column pairs) would be Expand-based;
+    the declared-suite form is what a 100 TB contract check actually runs."""
+    branches = []
+    for tbl, det, dep in _FD_SUITE:
+        grouped = (
+            load(spark, sf_dir, tbl)
+            .select(*det, dep)
+            .groupBy(*det)
+            .agg(F.countDistinct(dep).alias("nd"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.count(F.when(F.col("nd") > 1, 1)).cast("long").alias("violating_groups"),
+            )
+            .select(F.lit(_fd_label(tbl, det, dep)).alias("fd"), "n_groups", "violating_groups")
+        )
+        branches.append(grouped)
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return (
+        out.withColumn("holds", F.col("violating_groups") == F.lit(0))
+        .transform(pin)
+        .orderBy("fd")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-48: heavy-tail (power-law) fit of the per-user activity distribution
+# ---------------------------------------------------------------------------
+
+_PL_ORACLE = """
+    WITH c AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+    ),
+    m AS (SELECT CAST(2 * quantile_cont(c, 0.5) AS BIGINT) AS m2 FROM c),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users, MAX(c) AS max_count FROM c),
+    t AS (
+        SELECT m2, ROUND(ln(CAST(c AS DOUBLE) / ((m2 - 1) / 2.0)), 6) AS t
+        FROM c, m WHERE 2 * c >= m2
+    ),
+    ta AS (
+        SELECT m2, CAST(COUNT(*) AS BIGINT) AS n_tail,
+               CAST(SUM(CAST(t AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS s6
+        FROM t GROUP BY m2
+    )
+    SELECT n_users, max_count, CAST(m2 AS DOUBLE) / 2 AS xmin, n_tail,
+           CASE WHEN s6 > 0 THEN
+               1.0 + CAST(n_tail * 1000000000000000 // s6 AS DOUBLE) / 1000000000
+           END AS alpha,
+           n_tail * 1000000000 // n_users AS tail_share_ppb
+    FROM ta, s
+"""
+
+
+@query("q244_powerlaw_tail", oracle=_PL_ORACLE, tags=("X-48", "A-12"))
+def q244_powerlaw_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete power-law tail fit of the per-user event-count distribution:
+    the Clauset-Shalizi-Newman continuous-MLE estimator
+    alpha = 1 + n / sum(ln(x / (xmin - 1/2))) over the tail x >= xmin, with
+    xmin pinned to the corpus median so the statistic is scale-factor-free.
+    One row: population size, max activity, xmin, tail size/share, alpha —
+    the heavy-tail health check behind sampling budgets, skew-join
+    salting decisions, and per-user rate limits (alpha near 2 = extreme
+    concentration; large alpha = near-uniform load).
+
+    Determinism: the median rides the A-12 exact-percentile path (bit-equal
+    to quantile_cont, q75) and is carried as the INTEGER 2*median; each ln
+    term runs on identical IEEE operands and is rounded at 6 dp (the
+    q183/q203 idiom), summed as exact decimal; the final 1 + n/S division
+    is the nano-unit integer floor-div, so no float accumulation anywhere.
+    BIGINT headroom: n_tail * 10^15 overflows past ~9e3 users-in-tail —
+    at production population sizes widen to DECIMAL(38,0), same idiom.
+
+    Scale shape: one shuffle keyed by user (map-side combined count), then
+    the bounded count relation is staged once and reused by three
+    single-row aggregates (median, stats, tail sum) that cross-broadcast
+    into the final row. Nothing wider than (user_id, count) ever moves."""
+    counts = (
+        load(spark, sf_dir, "events")
+        .select("user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .transform(stage)  # reused by median + stats + tail
+    )
+    med = counts.agg(F.expr("CAST(2 * percentile(c, 0.5) AS BIGINT)").alias("m2"))
+    stats = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.max("c").alias("max_count"),
+    )
+    tail = (
+        counts.crossJoin(F.broadcast(med))
+        .filter(2 * F.col("c") >= F.col("m2"))
+        .select(
+            "m2",
+            F.round(F.log(F.col("c").cast("double") / F.expr("(m2 - 1) / 2.0")), 6).alias("t"),
+        )
+        .groupBy("m2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tail"),
+            F.expr("CAST(sum(CAST(t AS DECIMAL(28,6))) * 1000000 AS BIGINT)").alias("s6"),
+        )
+    )
+    return (
+        tail.crossJoin(F.broadcast(stats))
+        .select(
+            "n_users",
+            "max_count",
+            (F.col("m2").cast("double") / 2).alias("xmin"),
+            "n_tail",
+            F.when(
+                F.col("s6") > 0,
+                F.lit(1.0)
+                + F.expr("CAST(n_tail * 1000000000000000 DIV s6 AS DOUBLE)") / 1e9,
+            ).alias("alpha"),
+            F.expr("n_tail * 1000000000 DIV n_users").alias("tail_share_ppb"),
+        )
+    )

@@ -900,3 +900,196 @@ def q237_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-49: composition-spike trend detection (brand momentum)
+# ---------------------------------------------------------------------------
+
+_MOMENTUM_ORACLE = """
+    WITH mb AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month, p_brand AS brand,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part   ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    ),
+    sh AS (
+        SELECT month, brand, n_items,
+               n_items * 1000000000
+                   // CAST(SUM(n_items) OVER (PARTITION BY month) AS BIGINT)
+                   AS share_ppb
+        FROM mb
+    ),
+    tr AS (
+        SELECT month, brand, n_items, share_ppb,
+               CAST(COALESCE(SUM(share_ppb) OVER w3, 0) AS BIGINT) AS trail3_ppb,
+               CAST(COUNT(*) OVER w3 AS BIGINT) AS n_trail
+        FROM sh
+        WINDOW w3 AS (PARTITION BY brand ORDER BY month
+                      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT month, brand, n_items, share_ppb, trail3_ppb, n_trail,
+           n_trail = 3 AND 2 * 3 * share_ppb > 2 * trail3_ppb + trail3_ppb
+               AS spike
+    FROM tr
+    ORDER BY month, brand
+"""
+
+
+@query("q245_brand_momentum", oracle=_MOMENTUM_ORACLE, tags=("X-49", "W-03", "J-02"))
+def q245_brand_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition-spike detection: each brand's share of the month's line
+    items, compared against its own trailing-3-month average share — a
+    brand is flagged when its current share exceeds 1.5x that baseline
+    (3*share > 1.5*sum3  <=>  6*share > 3*trail3, kept in integer ppb so
+    the threshold never touches a float).  The merchandising/trend-alert
+    readout ("what is suddenly selling"), and the categorical twin of the
+    q184 numeric seasonal-anomaly flag: q184 scores a metric against the
+    calendar, this scores a SHARE against the entity's own history, which
+    is what catches mix shifts that total-volume monitors miss.
+
+    Scale shape: one fact shuffle onto (month, brand) with map-side
+    partial counts — the orders join carries only (orderkey -> month) and
+    the part join BROADCASTS (brand dimension).  Every window below runs
+    on the bounded month x brand relation (< |brands| * |months| rows
+    regardless of fact size), so the month-total and trailing windows are
+    post-reduction and free at any scale.  Integer ppb shares make every
+    comparison exact in both engines."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", F.col("p_brand").alias("brand"))
+    mb = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("month", "brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    )
+    wm = Window.partitionBy("month")
+    w3 = Window.partitionBy("brand").orderBy("month").rowsBetween(-3, -1)
+    sh = mb.withColumn(
+        "mt", F.sum("n_items").over(wm)
+    ).withColumn("share_ppb", F.expr("n_items * 1000000000 DIV mt"))
+    tr = (
+        sh.withColumn("trail3_ppb", F.coalesce(F.sum("share_ppb").over(w3), F.lit(0)))
+        .withColumn("n_trail", F.count(F.lit(1)).over(w3).cast("long"))
+    )
+    return (
+        tr.select(
+            "month",
+            "brand",
+            "n_items",
+            "share_ppb",
+            "trail3_ppb",
+            "n_trail",
+            (
+                (F.col("n_trail") == 3)
+                & (6 * F.col("share_ppb") > 3 * F.col("trail3_ppb"))
+            ).alias("spike"),
+        )
+        .transform(pin)
+        .orderBy("month", "brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-50: floor-clamped running balance via the Lindley reflection identity
+# ---------------------------------------------------------------------------
+
+#: drain divisor: 1 cent of backlog drains per 8 elapsed seconds, chosen so
+#: mean drain (~4.8k cents at the generator's ~38ks mean gap) sits at the
+#: mean event size (~5k cents) and both regimes — resets to zero AND
+#: sustained backlog growth — actually occur in the data.
+_DRAIN_DIV = 8
+
+_BACKLOG_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+        FROM events
+    ),
+    d AS (
+        SELECT user_id, ts, event_id,
+               cents - COALESCE(es - LAG(es) OVER w, 0) // {_DRAIN_DIV} AS delta
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ROW_NUMBER() OVER w AS rn,
+               CAST(SUM(delta)
+                    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS s
+        FROM d
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    b AS (
+        SELECT user_id, rn,
+               s - LEAST(0, MIN(s) OVER (PARTITION BY user_id ORDER BY rn
+                                         ROWS UNBOUNDED PRECEDING)) AS b
+        FROM s
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           arg_max(b, rn) AS final_backlog,
+           MAX(b) AS peak_backlog,
+           CAST(COUNT(CASE WHEN b = 0 THEN 1 END) AS BIGINT) AS zero_resets
+    FROM b GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("q246_capped_backlog", oracle=_BACKLOG_ORACLE, tags=("X-50", "W-03", "T-10"))
+def q246_capped_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-clamped running balance (Lindley recurrence) per user: each
+    event adds its value (cents) to a backlog that drains at 1 cent per
+    {_DRAIN_DIV} elapsed seconds and can never go below zero —
+    B_i = max(B_(i-1) + delta_i, 0).  The waiting-time/inventory/credit
+    recurrence that naive window SUMs get WRONG (the clamp is non-linear),
+    usually "fixed" with a per-key sequential loop.  Here it stays fully
+    declarative via the reflection identity
+    B_i = S_i - min(0, min_(j<=i) S_j):
+    a running sum, a running min of that sum, one subtraction — proven
+    per-user by construction and pinned against DuckDB computing the same
+    identity.  Per user: final backlog, peak backlog, and how often the
+    clamp actually bound (zero_resets).
+
+    Scale shape: ONE shuffle keyed by user; all three windows share the
+    same (user, ts, event_id) sort order so they evaluate in a single
+    window stage over each partition, then one grouped rollup on the key
+    already co-located — no second exchange.  Pure int64 arithmetic end to
+    end (cents via FLOOR(x*100+.5), epoch-second gaps, integer floor-div
+    drain), so the recurrence is bit-exact in any engine at any scale."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        F.unix_timestamp("ts").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    d = ev.withColumn(
+        "delta",
+        F.col("cents")
+        - F.expr(f"COALESCE(es - lag(es) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) DIV {_DRAIN_DIV}"),
+    )
+    s = d.withColumn("s", F.sum("delta").over(wrun)).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    wrn = Window.partitionBy("user_id").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    b = s.withColumn("b", F.col("s") - F.least(F.lit(0), F.min("s").over(wrn)))
+    return (
+        b.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.expr("max_by(b, rn)").alias("final_backlog"),
+            F.max("b").alias("peak_backlog"),
+            F.count(F.when(F.col("b") == 0, 1)).cast("long").alias("zero_resets"),
+        )
+        .transform(pin)
+        .orderBy("user_id")
+    )

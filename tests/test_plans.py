@@ -1288,3 +1288,59 @@ def test_minhash_accuracy_rides_banded_pipeline(spark):
     for line in physical.splitlines():
         if "hashpartitioning(band_idx" in line:
             assert "sh_set" not in line, line
+
+
+def test_fd_discovery_unions_single_row_branches(spark):
+    """q243 (X-47): each FD branch reduces to ONE summary row before the
+    union — no joins of any kind exist, and every scan is pruned to the
+    determinant+dependent columns (no payload column ever loads)."""
+    q = all_queries()["q243_fd_discovery"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "Union" in plan, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    for payload in ("o_totalprice", "l_quantity", "c_acctbal", "c_name"):
+        assert payload not in plan, f"unpruned payload column {payload}:\n" + plan
+
+
+def test_powerlaw_exchanges_carry_only_user_counts(spark):
+    """q244 (X-48): the only hash exchange is the per-user count rollup —
+    every later stage (median, stats, tail sum) is a single-row
+    cross-broadcast over the bounded count relation, so no exchange ever
+    carries event payloads (value/event_type/props)."""
+    q = all_queries()["q244_powerlaw_tail"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # single-row stat broadcasts
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            for payload in ("value", "event_type", "props", "ts#"):
+                assert payload not in line, line
+
+
+def test_brand_momentum_broadcasts_part_and_windows_post_reduction(spark):
+    """q245 (X-49): the part dimension joins by BROADCAST, and both
+    windows (month total, trailing-3) are partitioned — no unpartitioned
+    window, no cartesian; windows run after the (month, brand) rollup."""
+    q = all_queries()["q245_brand_momentum"]
+    plan = plan_of(q.fn(spark, SF_DIR), "extended")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "BroadcastHashJoin" in phys, phys
+    assert "CartesianProduct" not in phys, phys
+    for line in phys.splitlines():
+        if "windowspecdefinition" in line:
+            assert "month#" in line or "brand#" in line, line
+
+
+def test_capped_backlog_is_single_exchange(spark):
+    """q246 (X-50): the Lindley recurrence costs ONE hash exchange — the
+    user_id shuffle — because all three windows share the (user, ts,
+    event_id) sort and the final rollup groups on the already-co-located
+    key. A second hashpartitioning exchange means the window/groupBy
+    co-location broke."""
+    q = all_queries()["q246_capped_backlog"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    hash_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(hash_exchanges) == 1, plan
+    assert "user_id" in hash_exchanges[0], hash_exchanges[0]
