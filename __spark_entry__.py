@@ -167,8 +167,10 @@ _WINDOW_PRIORITY = (
 # 2-core peeling; q240: sketch-based distribution overlap; q241:
 # fulfillment-lag percentiles; q242: inter-purchase interval
 # distribution; q243: functional-dependency discovery; q244:
-# power-law tail fit; q245: brand-momentum spike detection; and
-# q246: Lindley capped running balance) hold
+# power-law tail fit; q245: brand-momentum spike detection; q246:
+# Lindley capped running balance; q247: interval-union coverage;
+# q248: top-k leaderboard rank churn; q249: Theil-Sen robust trend;
+# and q250: nearest-centroid classifier eval) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

@@ -662,3 +662,165 @@ def q194_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ROUND(CAST(y_tot * (n - y_tot) AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6)"
         ).alias("uncertainty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-54: nearest-centroid classifier evaluation (confusion matrix + F1)
+# ---------------------------------------------------------------------------
+
+from ..functions.ordering import pin  # noqa: E402  (late import, module tail)
+
+_NCQ = 10**6  #: component quantization: 1e-6 integers on the scan (q145 idiom)
+
+_NC_ORACLE = f"""
+    WITH flat AS (
+        SELECT vec_id, label,
+               CAST(u.i AS INTEGER) AS pos,
+               CAST(ROUND(CAST(embedding[u.i + 1] AS DOUBLE) * {_NCQ}) AS BIGINT) AS qv
+        FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
+    ),
+    cent AS (
+        SELECT label AS cl, pos, CAST(SUM(qv) AS BIGINT) AS s
+        FROM flat GROUP BY label, pos
+    ),
+    cn AS (
+        SELECT cl, SUM(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) AS nc2
+        FROM cent GROUP BY cl
+    ),
+    scores AS (
+        SELECT f.vec_id, f.label, c.cl,
+               SUM(CAST(f.qv AS DECIMAL(19,0)) * CAST(c.s AS DECIMAL(19,0))) AS dot
+        FROM flat f JOIN cent c ON f.pos = c.pos
+        GROUP BY f.vec_id, f.label, c.cl
+    ),
+    pred AS (
+        SELECT vec_id, label, cl AS predicted FROM (
+            SELECT s.vec_id, s.label, s.cl,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY CAST(s.dot AS DOUBLE) / sqrt(CAST(n.nc2 AS DOUBLE))
+                                    DESC,
+                                s.cl) AS rk
+            FROM scores s JOIN cn n ON s.cl = n.cl
+        ) WHERE rk = 1
+    ),
+    conf AS (
+        SELECT label, predicted, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY label, predicted
+    ),
+    per_true AS (
+        SELECT label, CAST(SUM(n) AS BIGINT) AS support,
+               CAST(SUM(CASE WHEN label = predicted THEN n ELSE 0 END) AS BIGINT)
+                   AS tp
+        FROM conf GROUP BY label
+    ),
+    per_pred AS (
+        SELECT predicted, CAST(SUM(n) AS BIGINT) AS n_pred
+        FROM conf GROUP BY predicted
+    )
+    SELECT t.label, support, tp,
+           COALESCE(n_pred, 0) - tp AS fp,
+           support - tp AS fn,
+           CASE WHEN COALESCE(n_pred, 0) > 0
+                THEN tp * 1000000000 // n_pred END AS precision_ppb,
+           tp * 1000000000 // support AS recall_ppb,
+           2 * tp * 1000000000 // (2 * tp + COALESCE(n_pred, 0) - tp + support - tp)
+               AS f1_ppb
+    FROM per_true t LEFT JOIN per_pred p ON t.label = p.predicted
+    ORDER BY t.label
+"""
+
+
+@query("q250_nearest_centroid_eval", oracle=_NC_ORACLE, tags=("X-54", "X-03"))
+def q250_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier evaluation: every embedding is scored
+    against each label's centroid by cosine, assigned to the best, and the
+    resulting confusion rolls up to per-class support / tp / fp / fn with
+    precision, recall, and F1 as exact integer-ppb ratios — the standard
+    separability scorecard for an embedding space (Rocchio
+    resubstitution), and the per-class refinement of q232's scalar k-NN
+    accuracy: it names WHICH classes bleed into which.
+
+    Determinism: components quantize to 1e-6 integers on the scan (q145
+    idiom) so centroid sums are exact int64 and dot/norm accumulations
+    exact decimal(38,0); each candidate score dot/sqrt(nc2) is one IEEE
+    division of bit-identical operands (the probe's own norm cancels
+    across candidates and is never computed), and the argmax breaks exact
+    ties by label.  F1 = 2tp/(2tp+fp+fn) needs only ONE integer
+    floor-division.
+
+    Scale shape: the centroid relation is bounded (labels x dims) and
+    BROADCASTS to the component join; partial aggregation collapses each
+    vector's 64 component-products per candidate before the exchange, so
+    the only fact-sized shuffle carries N x L compact (vec, label, dot)
+    rows; the argmax window spans L rows per vector; the confusion matrix
+    and both rollups are bounded by L². IVF assignment (q46b) runs this
+    exact dataflow — this query doubles as its accuracy audit."""
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.round(F.col("v").cast("double") * _NCQ).cast("long").alias("qv"),
+    )
+    cent = (
+        flat.groupBy(F.col("label").alias("cl"), "pos")
+        .agg(F.sum("qv").alias("s"))
+        .transform(stage)  # bounded labels x dims; read by scores + norms
+    )
+    d19 = "decimal(19,0)"
+    cn = cent.groupBy("cl").agg(
+        F.sum(F.col("s").cast(d19) * F.col("s").cast(d19)).alias("nc2")
+    )
+    scores = (
+        flat.join(F.broadcast(cent.select("cl", "pos", "s")), "pos")
+        .groupBy("vec_id", "label", "cl")
+        .agg(F.sum(F.col("qv").cast(d19) * F.col("s").cast(d19)).alias("dot"))
+    )
+    sc = F.col("dot").cast("double") / F.sqrt(F.col("nc2").cast("double"))
+    rk = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(sc.desc(), "cl")
+    )
+    pred = (
+        scores.join(F.broadcast(cn), "cl")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "label", F.col("cl").alias("predicted"))
+    )
+    conf = pred.groupBy("label", "predicted").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).transform(stage)  # bounded L x L; read by both rollups
+    per_true = conf.groupBy("label").agg(
+        F.sum("n").cast("long").alias("support"),
+        F.sum(F.when(F.col("label") == F.col("predicted"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+    )
+    per_pred = conf.groupBy(F.col("predicted")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    out = (
+        per_true.join(
+            F.broadcast(per_pred), per_true.label == per_pred.predicted, "left"
+        )
+        .withColumn("n_pred", F.coalesce(F.col("n_pred"), F.lit(0)))
+        .select(
+            "label",
+            "support",
+            "tp",
+            (F.col("n_pred") - F.col("tp")).alias("fp"),
+            (F.col("support") - F.col("tp")).alias("fn"),
+            F.when(
+                F.col("n_pred") > 0, F.expr("tp * 1000000000 DIV n_pred")
+            ).alias("precision_ppb"),
+            F.expr("tp * 1000000000 DIV support").alias("recall_ppb"),
+            F.expr(
+                "2 * tp * 1000000000 DIV (2 * tp + (n_pred - tp) + (support - tp))"
+            ).alias("f1_ppb"),
+        )
+    )
+    return out.transform(pin).orderBy("label")

@@ -419,3 +419,103 @@ def q228_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-51: interval union / coverage (merge overlapping activity windows)
+# ---------------------------------------------------------------------------
+
+_ACT_WIN_S = 1800  #: each event opens a 30-minute activity interval
+
+
+_COVERAGE_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id, event_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+        FROM events
+    ),
+    flags AS (
+        SELECT user_id, es,
+               CASE WHEN MAX(es + {_ACT_WIN_S}) OVER
+                        (PARTITION BY user_id ORDER BY es, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                      OR es > MAX(es + {_ACT_WIN_S}) OVER
+                        (PARTITION BY user_id ORDER BY es, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island,
+               event_id
+        FROM e
+    ),
+    isl AS (
+        SELECT user_id, es,
+               CAST(SUM(new_island) OVER
+                    (PARTITION BY user_id ORDER BY es, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        FROM flags
+    ),
+    merged AS (
+        SELECT user_id, island,
+               CAST(COUNT(*) AS BIGINT) AS n_ev,
+               MAX(es) + {_ACT_WIN_S} - MIN(es) AS len_s
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(len_s) AS BIGINT) AS covered_s,
+           MAX(len_s) AS max_island_s
+    FROM merged GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("q247_interval_coverage", oracle=_COVERAGE_ORACLE, tags=("X-51", "W-03"))
+def q247_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (overlapping-interval merge): every event opens a
+    30-minute activity window; overlapping/touching windows coalesce, and
+    each user reports merged-interval count, total covered seconds, and
+    the longest contiguous stretch.  The continuous-time generalization
+    of q226's day-granularity streaks — billing engines (covered minutes),
+    SLA monitors (outage union), and ad-exposure models all need the UNION
+    of intervals, which a naive sum of window lengths double-counts.
+
+    Declarative merge, no per-key loop: an interval starts a new island
+    exactly when its start exceeds the running MAX of all previous ends
+    (classic gaps-and-islands over a running max), the island id is the
+    running sum of those flags, and a grouped rollup per island yields the
+    merged extents.
+
+    Scale shape: ONE hash exchange (user_id) — both windows share the
+    (user, es, event_id) sort and both rollups group the already
+    co-located key, the q246 single-exchange discipline.  Pure int64
+    epoch-second arithmetic end to end, so engine-exact at any scale."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    prev_end = F.max(F.col("es") + _ACT_WIN_S).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = e.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("es") > prev_end), 1).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+        (F.max("es") + _ACT_WIN_S - F.min("es")).alias("len_s"),
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.sum("n_ev").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.sum("len_s").cast("long").alias("covered_s"),
+            F.max("len_s").alias("max_island_s"),
+        )
+        .transform(pin)
+        .orderBy("user_id")
+    )

@@ -1093,3 +1093,217 @@ def q246_capped_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-53: leaderboard stability (month-over-month top-k rank churn)
+# ---------------------------------------------------------------------------
+
+_TOPK = 10  #: leaderboard size
+
+_CHURN_ORACLE = f"""
+    WITH mb AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month, p_brand AS brand,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part   ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT month, brand FROM (
+            SELECT month, brand,
+                   ROW_NUMBER() OVER (PARTITION BY month
+                                      ORDER BY n_items DESC, brand) AS rk
+            FROM mb
+        ) WHERE rk <= {_TOPK}
+    ),
+    mi AS (
+        SELECT month, CAST(ROW_NUMBER() OVER (ORDER BY month) AS BIGINT) AS idx
+        FROM (SELECT DISTINCT month FROM mb)
+    ),
+    tt AS (SELECT t.month, idx, brand FROM t JOIN mi ON t.month = mi.month),
+    sz AS (
+        SELECT idx, month, CAST(COUNT(*) AS BIGINT) AS n FROM tt GROUP BY idx, month
+    ),
+    com AS (
+        SELECT c.idx, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM tt c JOIN tt p ON c.idx = p.idx + 1 AND c.brand = p.brand
+        GROUP BY c.idx
+    )
+    SELECT c.month, p.month AS prev_month, c.n AS n_cur, p.n AS n_prev,
+           COALESCE(n_common, 0) AS n_common,
+           c.n - COALESCE(n_common, 0) AS n_entered,
+           p.n - COALESCE(n_common, 0) AS n_exited,
+           COALESCE(n_common, 0) * 1000000000
+               // (c.n + p.n - COALESCE(n_common, 0)) AS jaccard_ppb
+    FROM sz c
+    JOIN sz p ON c.idx = p.idx + 1
+    LEFT JOIN com ON com.idx = c.idx
+    ORDER BY c.month
+"""
+
+
+@query("q248_rank_churn", oracle=_CHURN_ORACLE, tags=("X-53", "O-05"))
+def q248_rank_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard stability: the month-over-month churn of the top-10
+    brand leaderboard — per consecutive month pair, how many leaders are
+    shared, entered, exited, and the set Jaccard (integer ppb) — the
+    readout that distinguishes a stable franchise ranking from a volatile
+    one and alerts when a data bug (or a real shock) replaces the board
+    overnight.  Ranking ties break (count DESC, brand ASC) so the
+    leaderboard itself is total-ordered and engine-identical.
+
+    Scale shape: one fact shuffle onto (month, brand) with the part
+    dimension BROADCAST — everything after runs on the bounded
+    month x brand relation: the per-month top-k is the q13 grouped-top-k
+    window, month indexing and the consecutive-pair joins touch only the
+    (months x k)-row leaderboard. Set overlap is computed by EQUI-join
+    on (idx, brand) — never array materialization — so the same plan
+    holds for a top-10000 leaderboard."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", F.col("p_brand").alias("brand"))
+    mb = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("month", "brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+        .transform(stage)  # reused by the top-k and the month index
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("month").orderBy(F.col("n_items").desc(), "brand")
+    )
+    top = mb.withColumn("rk", rk).filter(F.col("rk") <= _TOPK).select("month", "brand")
+    mi = (
+        mb.select("month")
+        .distinct()
+        .withColumn(
+            "idx", F.row_number().over(Window.orderBy("month")).cast("long")
+        )  # bounded: one row per month
+    )
+    tt = top.join(F.broadcast(mi), "month").transform(stage)  # reused 4x below
+    sz = tt.groupBy("idx", "month").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    c_t = tt.select(F.col("idx").alias("ci"), "brand")
+    p_t = tt.select((F.col("idx") + 1).alias("ci"), F.col("brand").alias("pb"))
+    com = (
+        c_t.join(p_t, (c_t.ci == p_t.ci) & (c_t.brand == p_t.pb))
+        .groupBy(c_t.ci)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    cur = sz.select(F.col("idx").alias("ci"), F.col("month"), F.col("n").alias("n_cur"))
+    prev = sz.select(
+        (F.col("idx") + 1).alias("ci"),
+        F.col("month").alias("prev_month"),
+        F.col("n").alias("n_prev"),
+    )
+    out = (
+        cur.join(prev, "ci")
+        .join(com, "ci", "left")
+        .withColumn("n_common", F.coalesce(F.col("n_common"), F.lit(0)))
+    )
+    return (
+        out.select(
+            "month",
+            "prev_month",
+            "n_cur",
+            "n_prev",
+            "n_common",
+            (F.col("n_cur") - F.col("n_common")).alias("n_entered"),
+            (F.col("n_prev") - F.col("n_common")).alias("n_exited"),
+            F.expr(
+                "n_common * 1000000000 DIV (n_cur + n_prev - n_common)"
+            ).alias("jaccard_ppb"),
+        )
+        .transform(pin)
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-52: Theil-Sen robust trend (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+_TS_ORACLE = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               CAST(b.y - a.y AS DOUBLE) / (b.d - a.d) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND b.d > a.d
+    ),
+    nd AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY event_type
+    )
+    SELECT s.event_type, n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
+    FROM slopes s JOIN nd ON s.event_type = nd.event_type
+    GROUP BY s.event_type, n_days
+    ORDER BY s.event_type
+"""
+
+
+@query("q249_theil_sen_trend", oracle=_TS_ORACLE, tags=("X-52", "A-12"))
+def q249_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the MEDIAN of all pairwise
+    slopes (y_j - y_i)/(d_j - d_i) over the daily value series — the
+    outlier-immune complement to q154's least-squares trend (one corrupted
+    day moves OLS arbitrarily but shifts the slope median not at all;
+    Theil-Sen tolerates ~29% contamination).  The estimator monitoring
+    pipelines use when spikes are expected in the data itself.
+
+    Scale shape: the fact reduces FIRST to the bounded (type, day) daily
+    relation (one map-side-combined shuffle); the pairwise self-join runs
+    only on that bounded relation — O(T * D^2) pairs where D = days in
+    window, independent of fact row count (a monitoring window is
+    30-90 days, so ~4k pairs per series; for multi-year series switch the
+    pair generator to the repartition-range variant).  The median rides
+    the A-12 exact-percentile path.  Slopes are exact-integer-operand IEEE
+    divisions; pair slopes reduced over day-deltas <= 2^5 have <= 5
+    significant fractional decimal digits when binary-terminating, so the
+    6-dp rounding of the median can never land on a representational tie."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+        .cast("long")
+        .alias("d"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    daily = (
+        ev.groupBy("event_type", "d")
+        .agg(F.sum("cents").alias("y"))
+        .transform(stage)  # both self-join legs + the day count read it
+    )
+    a = daily.select("event_type", F.col("d").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select(
+        F.col("event_type").alias("et2"), F.col("d").alias("d2"), F.col("y").alias("y2")
+    )
+    slopes = (
+        a.join(b, (a.event_type == b.et2) & (b.d2 > a.d1))
+        .select(
+            "event_type",
+            ((F.col("y2") - F.col("y1")).cast("double") / (F.col("d2") - F.col("d1"))).alias(
+                "slope"
+            ),
+        )
+    )
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    agg = slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("theil_sen_slope"),
+    )
+    return (
+        agg.join(F.broadcast(nd), "event_type")
+        .select("event_type", "n_days", "n_pairs", "theil_sen_slope")
+        .transform(pin)
+        .orderBy("event_type")
+    )

@@ -1344,3 +1344,57 @@ def test_capped_backlog_is_single_exchange(spark):
     ]
     assert len(hash_exchanges) == 1, plan
     assert "user_id" in hash_exchanges[0], hash_exchanges[0]
+
+
+def test_interval_coverage_is_single_exchange(spark):
+    """q247 (X-51): the interval union costs ONE hash exchange — both
+    windows share the (user, es, event_id) sort and both rollups group
+    the co-located user key (the q246 discipline)."""
+    q = all_queries()["q247_interval_coverage"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    hash_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(hash_exchanges) == 1, plan
+    assert "user_id" in hash_exchanges[0], hash_exchanges[0]
+
+
+def test_rank_churn_runs_on_bounded_leaderboard(spark):
+    """q248 (X-53): after the one (month, brand) fact rollup, every join
+    touches only the bounded leaderboard — the part dim and month index
+    are broadcast, no cartesian, and no exchange after the rollup carries
+    l_-prefixed fact columns."""
+    q = all_queries()["q248_rank_churn"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "l_orderkey" in line:
+            raise AssertionError("fact keys leaked past the rollup:\n" + line)
+
+
+def test_theil_sen_pairs_from_bounded_daily_relation(spark):
+    """q249 (X-52): the pairwise slope join's both legs are the bounded
+    (type, day) relation — the join keys are event_type (never user/event
+    ids), and the fact's only exchange is the daily rollup."""
+    q = all_queries()["q249_theil_sen_trend"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "user_id" not in line and "event_id" not in line, line
+
+
+def test_nearest_centroid_broadcasts_centroids(spark):
+    """q250 (X-54): the centroid relation (labels x dims) reaches the
+    component join as a BROADCAST — the embedding table itself is never
+    the build side of a shuffle join — and the argmax window partitions
+    by vec_id."""
+    q = all_queries()["q250_nearest_centroid_eval"]
+    plan = plan_of(q.fn(spark, SF_DIR), "extended")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "BroadcastHashJoin" in phys, phys
+    assert "CartesianProduct" not in phys, phys
+    for line in phys.splitlines():
+        if "windowspecdefinition" in line:
+            assert "vec_id#" in line, line
