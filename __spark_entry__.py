@@ -170,7 +170,9 @@ _WINDOW_PRIORITY = (
 # power-law tail fit; q245: brand-momentum spike detection; q246:
 # Lindley capped running balance; q247: interval-union coverage;
 # q248: top-k leaderboard rank churn; q249: Theil-Sen robust trend;
-# and q250: nearest-centroid classifier eval) hold
+# q250: nearest-centroid classifier eval; q251: exact 1-D Wasserstein
+# matrix; q252: local clustering coefficient; q253: sorted-neighborhood
+# ER candidates; and q254: item-item CF neighbors) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

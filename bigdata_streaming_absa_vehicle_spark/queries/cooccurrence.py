@@ -571,3 +571,113 @@ def q210_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-58: item-item collaborative-filtering neighbors (top-k by cosine)
+# ---------------------------------------------------------------------------
+
+_CF_TOPK = 3  #: neighbors kept per item
+
+_CF_ORACLE = f"""
+    WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    pc AS (
+        SELECT a.p AS p1, b2.p AS p2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+        GROUP BY 1, 2
+    ),
+    ic AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS ci FROM b GROUP BY p),
+    sym AS (
+        SELECT p1 AS i, p2 AS j, c FROM pc
+        UNION ALL
+        SELECT p2, p1, c FROM pc
+    ),
+    sc AS (
+        SELECT i, j, c, ia.ci AS c_item, ja.ci AS c_neighbor,
+               CAST(c AS DOUBLE)
+                   / sqrt(CAST(ia.ci AS DOUBLE) * CAST(ja.ci AS DOUBLE)) AS cosine
+        FROM sym JOIN ic ia ON sym.i = ia.p JOIN ic ja ON sym.j = ja.p
+    )
+    SELECT i AS item, rnk, j AS neighbor, c AS c_pair, c_item, c_neighbor, cosine
+    FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY i
+                         ORDER BY cosine DESC, j) AS INTEGER) AS rnk
+          FROM sc)
+    WHERE rnk <= {_CF_TOPK}
+    ORDER BY item, rnk
+"""
+
+
+@query("q254_item_neighbors", oracle=_CF_ORACLE, tags=("X-58", "O-05"))
+def q254_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering neighbor lists: per part, the
+    top-{_CF_TOPK} co-purchased parts by cosine similarity
+    c_ij / sqrt(c_i * c_j) over order baskets — the precomputed artifact
+    a "customers also bought" recommender serves, and the normalized
+    refinement of q168's raw pair support/lift (cosine discounts the
+    popularity bias that makes bestsellers everyone's neighbor).
+
+    Determinism: all counts are exact integers; each cosine is one IEEE
+    sqrt+divide on bit-identical operands, so the scores — and the
+    (cosine DESC, neighbor) ranking with its exact-tie fallback — are
+    engine-identical without any rounding.
+
+    Scale shape: one shuffle builds the distinct (order, part) basket
+    relation; the within-basket pair generator is the q168 map-only
+    array transform (never a fact self-join — that formulation is the
+    oracle); the symmetric flip is map-only, item counts broadcast onto
+    the bounded pair relation twice, and the per-item top-k is the q13
+    grouped-top-k window over each item's neighbor candidates."""
+    baskets = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .groupBy("o")
+        .agg(F.array_sort(F.collect_set("p")).alias("ps"))
+        .transform(stage)  # reused by pairs + item counts
+    )
+    pair_structs = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"
+    )
+    pc = (
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ic = (
+        baskets.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("ci"))
+    )
+    sym = pc.select(F.col("p1").alias("i"), F.col("p2").alias("j"), "c").unionByName(
+        pc.select(F.col("p2").alias("i"), F.col("p1").alias("j"), "c")
+    )
+    ia = ic.select(F.col("p").alias("i"), F.col("ci").alias("c_item"))
+    ja = ic.select(F.col("p").alias("j"), F.col("ci").alias("c_neighbor"))
+    sc = (
+        sym.join(F.broadcast(ia), "i")
+        .join(F.broadcast(ja), "j")
+        .withColumn(
+            "cosine",
+            F.col("c").cast("double")
+            / F.sqrt(F.col("c_item").cast("double") * F.col("c_neighbor").cast("double")),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("i").orderBy(F.col("cosine").desc(), "j")
+    )
+    return (
+        sc.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= _CF_TOPK)
+        .select(
+            F.col("i").alias("item"),
+            "rnk",
+            F.col("j").alias("neighbor"),
+            F.col("c").alias("c_pair"),
+            "c_item",
+            "c_neighbor",
+            "cosine",
+        )
+        .transform(pin)
+        .orderBy("item", "rnk")
+    )

@@ -445,3 +445,136 @@ def q185_out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(late_us, 0.95)") / 1000000.0, 6).alias("p95_late_s"),
         F.round(F.max("late_us").cast("double") / 1000000.0, 6).alias("max_late_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-55: exact 1-D Wasserstein (earth-mover) distance between distributions
+# ---------------------------------------------------------------------------
+
+_W1_ORACLE = """
+    WITH vals AS (
+        SELECT event_type AS et, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT et, CAST(SUM(c) AS BIGINT) AS n FROM vals GROUP BY et),
+    grid AS (
+        SELECT v, LEAD(v) OVER (ORDER BY v) - v AS gap
+        FROM (SELECT DISTINCT v FROM vals)
+    ),
+    cum AS (
+        SELECT t.et, g.v, g.gap,
+               CAST(SUM(COALESCE(c, 0)) OVER (PARTITION BY t.et ORDER BY g.v
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM grid g
+        CROSS JOIN (SELECT DISTINCT et FROM vals) t
+        LEFT JOIN vals ON vals.et = t.et AND vals.v = g.v
+    ),
+    pairs AS (
+        SELECT a.et AS type_a, b.et AS type_b, ta.n AS n_a, tb.n AS n_b,
+               CAST(SUM(ABS(a.cum * tb.n - b.cum * ta.n) * a.gap) AS BIGINT)
+                   AS num
+        FROM cum a
+        JOIN cum b ON a.v = b.v AND a.et < b.et
+        JOIN tot ta ON ta.et = a.et
+        JOIN tot tb ON tb.et = b.et
+        WHERE a.gap IS NOT NULL
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT type_a, type_b, n_a, n_b,
+           CAST(num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * 100.0)
+               AS w1_dollars
+    FROM pairs ORDER BY type_a, type_b
+"""
+
+
+@query("q251_wasserstein_matrix", oracle=_W1_ORACLE, tags=("X-55", "W-03"))
+def q251_wasserstein_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein (earth-mover) distance between every pair of
+    event types' value distributions: W1 = integral |CDF_a - CDF_b| dv,
+    computed on the merged support grid in cents.  The INTEGRAL drift
+    metric completing the divergence toolbox — PSI (q120) needs bins and
+    explodes on empty cells, KS (q148) sees only the worst point;
+    W1 is bin-free, in the metric's own units (dollars moved per unit
+    mass), and is the quantity distribution-shift monitors threshold on.
+
+    Exactness: CDFs stay as integer counts; each grid term
+    |cumA*NB - cumB*NA| * gap is exact int64 (common-denominator trick —
+    no per-point division), so the pair sums are exact integers and the
+    single final division runs on bit-identical operands in both engines
+    (int64 headroom: NA*NB*range < 9e18 holds through ~1e6 rows/type at
+    this value domain; the 100 TB deployment widens the sum to
+    decimal(38,0), same dataflow).
+
+    Scale shape: ONE fact shuffle — the (type, cents) frequency rollup,
+    map-side combined, bounded by the value DOMAIN not the row count.
+    The support grid (distinct cents), its gap window, the per-type CDF
+    windows, and the T² pair join all run post-reduction on that bounded
+    relation; type totals broadcast.  The gap window is unpartitioned by
+    construction but spans only the bounded grid."""
+    vals = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("et"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+        )
+        .groupBy("et", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .transform(stage)  # grid, types, totals, and the fill join read it
+    )
+    tot = vals.groupBy("et").agg(F.sum("c").cast("long").alias("n"))
+    grid = (
+        vals.select("v")
+        .distinct()
+        .withColumn("gap", F.lead("v").over(Window.orderBy("v")) - F.col("v"))
+    )
+    types = vals.select("et").distinct()
+    filled = (
+        grid.crossJoin(F.broadcast(types))
+        .join(vals, ["et", "v"], "left")
+        .withColumn("c0", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    cum = filled.withColumn(
+        "cum",
+        F.sum("c0")
+        .over(
+            Window.partitionBy("et").orderBy("v").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("long"),
+    ).select("et", "v", "gap", "cum")
+    a = cum.select(
+        F.col("et").alias("type_a"), "v", "gap", F.col("cum").alias("cum_a")
+    ).filter(F.col("gap").isNotNull())
+    b = cum.select(F.col("et").alias("type_b"), F.col("v").alias("vb"), F.col("cum").alias("cum_b"))
+    ta = tot.select(F.col("et").alias("type_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("et").alias("type_b"), F.col("n").alias("n_b"))
+    pairs = (
+        a.join(b, (a.v == b.vb) & (a.type_a < b.type_b))
+        .join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .groupBy("type_a", "type_b", "n_a", "n_b")
+        .agg(
+            F.sum(
+                F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+                * F.col("gap")
+            )
+            .cast("long")
+            .alias("num")
+        )
+    )
+    return (
+        pairs.select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            (
+                F.col("num").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double") * 100.0)
+            ).alias("w1_dollars"),
+        )
+        .transform(pin)
+        .orderBy("type_a", "type_b")
+    )

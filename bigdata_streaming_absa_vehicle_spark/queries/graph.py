@@ -178,6 +178,15 @@ def q136_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()  # bounded metadata (node count), not a data collect
+    _, tric = degree_and_triangles(docs, n)
+    return tric.transform(pin).orderBy("doc_id")
+
+
+def degree_and_triangles(docs: DataFrame, n: int) -> tuple[DataFrame, DataFrame]:
+    """Shared degree-oriented wedge-enumeration pipeline over the benchmark
+    graph: returns (deg, tric) — per-node degree `(a, d)` and per-node
+    triangle participation counts `(doc_id, n_triangles)`. q136 ships tric
+    as-is; q252 composes both into the clustering coefficient."""
     edges = raw_edges(docs, n)
     # und feeds both the degree agg and the orientation join; oriented
     # feeds all three legs of the wedge join — pin each once so the edge
@@ -208,12 +217,8 @@ def q136_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tri.select(F.col("y").alias("doc_id")))
         .unionByName(tri.select(F.col("z").alias("doc_id")))
     )
-    return (
-        corners.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-        .transform(pin)
-        .orderBy("doc_id")
-    )
+    tric = corners.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return deg, tric
 
 
 def pr_step(edges: DataFrame, docs: DataFrame, p: DataFrame, n: int) -> DataFrame:
@@ -702,3 +707,86 @@ def q239_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-56: local clustering coefficient (triangle closure per node)
+# ---------------------------------------------------------------------------
+
+_CC_ORACLE = f"""
+    WITH {_oracle_edges_cte()},
+    und AS (
+        SELECT src AS a, dst AS b FROM dedup_edges
+        UNION
+        SELECT dst, src FROM dedup_edges
+    ),
+    deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY a),
+    oriented AS (
+        SELECT u.a AS u, u.b AS v, da.d AS du, db.d AS dv
+        FROM und u
+        JOIN deg da ON u.a = da.a
+        JOIN deg db ON u.b = db.a
+        WHERE (da.d, u.a) < (db.d, u.b)
+    ),
+    tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM oriented e1
+        JOIN oriented e2 ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+        JOIN oriented e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    corners AS (
+        SELECT x AS doc_id FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ),
+    tric AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY doc_id
+    )
+    SELECT d.a AS doc_id, d.d AS degree,
+           COALESCE(n_triangles, 0) AS n_triangles,
+           CASE WHEN d.d >= 2
+                THEN 2 * COALESCE(n_triangles, 0) * 1000000000
+                     // (d.d * (d.d - 1)) END AS cc_ppb
+    FROM deg d LEFT JOIN tric ON d.a = tric.doc_id
+    ORDER BY doc_id
+"""
+
+
+@query("q252_clustering_coefficient", oracle=_CC_ORACLE, tags=("X-56", "X-18"))
+def q252_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node: cc(v) = 2*tri(v) /
+    (deg(v)*(deg(v)-1)) — the fraction of a node's neighbor pairs that
+    are themselves connected, reported as an exact integer-ppb ratio
+    beside the degree and triangle count.  The node-level closure
+    statistic that separates hub-and-spoke topologies (cc ~ 0) from
+    community structure (high cc at moderate degree); q136 counts the
+    triangles, q235 profiles the degrees — this joins the two into the
+    per-node statistic both summarize, on the same benchmark graph.
+    Degree-1 nodes have no neighbor pair: cc is NULL there, identically
+    in both engines; isolated nodes never enter the edge list.
+
+    Scale shape: identical to q136's degree-oriented wedge enumeration
+    (per-node fan-out bounded O(sqrt(m)) by orientation, three shuffles
+    on node/pair keys, no payloads) plus ONE more join of two
+    node-keyed bounded relations (degrees x triangle counts) — the
+    coefficient itself is one integer floor-division, no new exchange
+    beyond the join."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # bounded metadata (node count), not a data collect
+    deg, tric = degree_and_triangles(docs, n)
+    out = (
+        deg.withColumnRenamed("a", "doc_id")
+        .join(tric, "doc_id", "left")
+        .withColumn("n_triangles", F.coalesce(F.col("n_triangles"), F.lit(0)))
+        .select(
+            "doc_id",
+            F.col("d").alias("degree"),
+            "n_triangles",
+            F.when(
+                F.col("d") >= 2,
+                F.expr("2 * n_triangles * 1000000000 DIV (d * (d - 1))"),
+            ).alias("cc_ppb"),
+        )
+    )
+    return out.transform(pin).orderBy("doc_id")

@@ -317,3 +317,88 @@ def q208_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("fs_score"), "x", "y")
         .limit(_FS_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# X-57: sorted-neighborhood entity-resolution candidates
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.window import Window  # noqa: E402  (late import, module tail)
+
+_SN_WINDOW = 3  #: each record pairs with its next w records in sort order
+
+_SN_ORACLE = f"""
+    WITH p AS (
+        SELECT p_partkey AS k, p_name AS nm,
+               string_split(p_name, ' ')[1] AS blk
+        FROM part
+    ),
+    r AS (
+        SELECT k, nm, blk,
+               ROW_NUMBER() OVER (PARTITION BY blk ORDER BY nm, k) AS rn
+        FROM p
+    ),
+    pairs AS (
+        SELECT a.k AS part_a, b.k AS part_b, a.nm AS name_a, b.nm AS name_b,
+               CAST(len(list_intersect(string_split(a.nm, ' '),
+                                       string_split(b.nm, ' '))) AS BIGINT)
+                   AS overlap
+        FROM r a JOIN r b
+          ON a.blk = b.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + {_SN_WINDOW}
+    )
+    SELECT part_a, part_b, name_a, name_b, overlap
+    FROM pairs WHERE overlap >= 2
+    ORDER BY part_a, part_b
+"""
+
+
+@query("q253_sorted_neighborhood", oracle=_SN_ORACLE, tags=("X-57", "X-26", "W-02"))
+def q253_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity-resolution candidates: records sort by
+    name inside first-token blocks, each record pairs with its next
+    {_SN_WINDOW} neighbors in sort order, and pairs sharing >= 2 name
+    tokens survive as match candidates — the classic SNM complement to
+    q192's equality blocking (blocking misses near-keys that sort
+    adjacently but hash apart; SNM catches them with a fixed O(w·n) pair
+    budget instead of quadratic block interiors).  The (name, key) sort
+    is a TOTAL order so the neighborhood — and hence the candidate set —
+    is engine-identical.
+
+    Scale shape: blocked-SNM, the distributed form of the method — the
+    sort and sliding window run INSIDE first-token blocks, so the window
+    is partitioned (no global single-partition sort) and pair generation
+    is pure map-side lead(): zero joins, one exchange on the block key.
+    Cross-block boundary pairs are forfeited by design (the standard
+    trade; multi-pass SNM with a second sort key restores them).
+    Token-overlap scoring is exact integer set intersection."""
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_name").alias("nm"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+    )
+    w = Window.partitionBy("blk").orderBy("nm", "k")
+    cols = [p["k"].alias("part_a"), p["nm"].alias("name_a")]
+    legs = []
+    for j in range(1, _SN_WINDOW + 1):
+        legs.append(
+            p.select(
+                *cols,
+                F.lead("k", j).over(w).alias("part_b"),
+                F.lead("nm", j).over(w).alias("name_b"),
+            ).filter(F.col("part_b").isNotNull())
+        )
+    pairs = legs[0]
+    for leg in legs[1:]:
+        pairs = pairs.unionByName(leg)
+    scored = pairs.withColumn(
+        "overlap",
+        F.size(
+            F.array_intersect(F.split("name_a", " "), F.split("name_b", " "))
+        ).cast("long"),
+    )
+    return (
+        scored.filter(F.col("overlap") >= 2)
+        .select("part_a", "part_b", "name_a", "name_b", "overlap")
+        .transform(pin)
+        .orderBy("part_a", "part_b")
+    )

@@ -1398,3 +1398,54 @@ def test_nearest_centroid_broadcasts_centroids(spark):
     for line in phys.splitlines():
         if "windowspecdefinition" in line:
             assert "vec_id#" in line, line
+
+
+def test_wasserstein_runs_on_bounded_value_grid(spark):
+    """q251 (X-55): after the one (type, cents) frequency rollup, the CDF
+    windows partition by type and the pair join keys on grid values — no
+    exchange after the rollup carries event ids or users, and the type
+    totals broadcast."""
+    q = all_queries()["q251_wasserstein_matrix"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "user_id" not in line and "event_id" not in line, line
+
+
+def test_clustering_coefficient_carries_no_payloads(spark):
+    """q252 (X-56): the shared wedge pipeline's exchanges carry only node
+    ids and degrees — never document text — and the final coefficient join
+    adds no cartesian."""
+    q = all_queries()["q252_clustering_coefficient"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "text" not in plan, "document payload leaked into the graph plan"
+
+
+def test_sorted_neighborhood_is_join_free_blocked_window(spark):
+    """q253 (X-57): blocked SNM is pure map-side lead() — no join of any
+    kind exists in the plan, and the sliding window partitions by the
+    block key (no global single-partition sort)."""
+    q = all_queries()["q253_sorted_neighborhood"]
+    plan = plan_of(q.fn(spark, SF_DIR), "extended")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "Join" not in phys, phys
+    for line in phys.splitlines():
+        if "windowspecdefinition" in line:
+            assert "blk#" in line, line
+
+
+def test_item_neighbors_pairs_generate_map_only(spark):
+    """q254 (X-58): within-basket pairs come from the array transform —
+    no fact self-join (no SortMergeJoin at all; item counts broadcast) —
+    and the top-k window partitions by item."""
+    q = all_queries()["q254_item_neighbors"]
+    plan = plan_of(q.fn(spark, SF_DIR), "extended")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "SortMergeJoin" not in phys, phys
+    assert "BroadcastHashJoin" in phys, phys
+    for line in phys.splitlines():
+        if "windowspecdefinition" in line:
+            assert "i#" in line.split("windowspecdefinition")[1][:40], line
