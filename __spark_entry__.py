@@ -172,7 +172,9 @@ _WINDOW_PRIORITY = (
 # q248: top-k leaderboard rank churn; q249: Theil-Sen robust trend;
 # q250: nearest-centroid classifier eval; q251: exact 1-D Wasserstein
 # matrix; q252: local clustering coefficient; q253: sorted-neighborhood
-# ER candidates; and q254: item-item CF neighbors) hold
+# ER candidates; q254: item-item CF neighbors; q255: jackknife
+# cluster-robust ratio SE; q256: log-log price elasticity; q257:
+# two-sample log-rank test; and q258: Simpson's-paradox audit) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

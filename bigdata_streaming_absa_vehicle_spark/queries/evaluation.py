@@ -824,3 +824,262 @@ def q250_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.transform(pin).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# X-59: cluster-robust (delete-one-group jackknife) SE of a ratio metric
+# ---------------------------------------------------------------------------
+
+_JK_ORACLE = """
+    WITH u AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS tx,
+               CAST(SUM(y) AS BIGINT) AS ty
+        FROM u
+    ),
+    r AS (
+        SELECT n, tx, ty, (ty - y) * 1000000 // (tx - x) AS r
+        FROM u CROSS JOIN tot
+    ),
+    s AS (
+        SELECT n, tx, ty,
+               CAST(SUM(r) AS BIGINT) AS sr,
+               CAST(SUM(CAST(r AS HUGEINT) * r) AS HUGEINT) AS sr2
+        FROM r GROUP BY n, tx, ty
+    )
+    SELECT n AS n_clusters, ty AS total_cents, tx AS total_events,
+           CAST(ty AS DOUBLE) / tx AS ratio_cents_per_event,
+           sqrt(CAST((n - 1) * (n * sr2 - CAST(sr AS HUGEINT) * sr) AS DOUBLE))
+               / n / n / 1000000 AS jackknife_se_cents
+    FROM s
+"""
+
+
+@query("q255_jackknife_ratio_se", oracle=_JK_ORACLE, tags=("X-59", "X-23"))
+def q255_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-robust standard error of a ratio metric via the delete-one-
+    group jackknife: the metric is revenue-per-event R = sum(y)/sum(x)
+    clustered by USER, each leave-one-user-out replicate
+    R_(i) = (Y-y_i)/(X-x_i) enters as an exact integer micro-ratio
+    (floor-div — no float ever accumulates), and
+    SE = sqrt((n-1)/n * sum (R_(i) - mean)^2) collapses to the exact
+    integer form sqrt((n-1)(n*Sr2 - Sr^2))/n^2.  THE standard error every
+    experimentation platform must use for per-event metrics — the naive
+    iid SE is wrong because events cluster within users; q169/q189 handle
+    per-USER binary metrics, this handles ratio-of-sums metrics.
+
+    Scale shape: one user-keyed rollup (map-side combined), a single-row
+    totals cross-broadcast back onto the bounded per-user relation, and
+    ONE final single-row aggregate — the replicate loop that a naive
+    implementation runs n times is algebraically collapsed into two
+    integer moments.  Headroom: micro-ratio squares stay inside
+    decimal(38,0)/HUGEINT up to ~1e9 clusters; Spark-side products ride
+    the decimal(19,0) idiom.
+
+    Determinism: every accumulated quantity is an exact integer; the two
+    final operations (one sqrt, one division) run on bit-identical
+    operands in both engines."""
+    u = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            )
+            .otherwise(0)
+            .alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum("cents").cast("long").alias("y"),
+        )
+        .transform(stage)  # totals + replicate scan both read it
+    )
+    tot = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("tx"),
+        F.sum("y").cast("long").alias("ty"),
+    )
+    r = u.crossJoin(F.broadcast(tot)).select(
+        "n", "tx", "ty", F.expr("(ty - y) * 1000000 DIV (tx - x)").alias("r")
+    )
+    s = r.groupBy("n", "tx", "ty").agg(
+        F.sum("r").cast("long").alias("sr"),
+        F.sum(F.col("r").cast("decimal(19,0)") * F.col("r").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sr2"),
+    )
+    return s.select(
+        F.col("n").alias("n_clusters"),
+        F.col("ty").alias("total_cents"),
+        F.col("tx").alias("total_events"),
+        (F.col("ty").cast("double") / F.col("tx")).alias("ratio_cents_per_event"),
+        (
+            F.sqrt(
+                F.expr(
+                    "CAST((n - 1) * (n * sr2 - CAST(sr AS DECIMAL(19,0))"
+                    " * CAST(sr AS DECIMAL(19,0))) AS DOUBLE)"
+                )
+            )
+            / F.col("n")
+            / F.col("n")
+            / F.lit(1000000)
+        ).alias("jackknife_se_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-60: Simpson's-paradox audit (segmented vs pooled lift sign)
+# ---------------------------------------------------------------------------
+
+_SIMPSON_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id, {_ARM_EXPR.format(t="VARCHAR")} AS arm,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               MAX(CASE WHEN event_type = 'purchase' AND value > {_CONV_MIN}
+                   THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    edges AS (
+        SELECT quantile_cont(c, CAST(1 AS DOUBLE) / 3) AS t1,
+               quantile_cont(c, CAST(2 AS DOUBLE) / 3) AS t2
+        FROM u
+    ),
+    seg AS (
+        SELECT CASE WHEN c <= t1 THEN 'low'
+                    WHEN c <= t2 THEN 'mid' ELSE 'high' END AS segment,
+               arm, conv
+        FROM u CROSS JOIN edges
+    ),
+    rows_all AS (
+        SELECT segment,
+               CAST(COUNT(CASE WHEN arm = 'a' THEN 1 END) AS BIGINT) AS users_a,
+               CAST(SUM(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+               CAST(COUNT(CASE WHEN arm = 'b' THEN 1 END) AS BIGINT) AS users_b,
+               CAST(SUM(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        FROM seg GROUP BY segment
+        UNION ALL
+        SELECT 'overall',
+               CAST(COUNT(CASE WHEN arm = 'a' THEN 1 END) AS BIGINT),
+               CAST(SUM(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS BIGINT),
+               CAST(COUNT(CASE WHEN arm = 'b' THEN 1 END) AS BIGINT),
+               CAST(SUM(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS BIGINT)
+        FROM seg
+    ),
+    signed AS (
+        SELECT *, CAST(sign(conv_a * users_b - conv_b * users_a) AS BIGINT)
+                      AS lift_sign
+        FROM rows_all
+    ),
+    flag AS (
+        SELECT (o.lift_sign > 0 AND s.mx <= 0) OR (o.lift_sign < 0 AND s.mn >= 0)
+                   AS paradox
+        FROM (SELECT lift_sign FROM signed WHERE segment = 'overall') o,
+             (SELECT MAX(lift_sign) AS mx, MIN(lift_sign) AS mn
+              FROM signed WHERE segment <> 'overall') s
+    )
+    SELECT segment, users_a, conv_a, users_b, conv_b, lift_sign, paradox
+    FROM signed CROSS JOIN flag
+    ORDER BY segment
+"""
+
+
+@query("q258_simpsons_audit", oracle=_SIMPSON_ORACLE, tags=("X-60", "X-23", "A-12"))
+def q258_simpsons_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit of an A/B conversion comparison: the pooled
+    arm-lift sign beside the per-segment signs (segments = activity
+    terciles of the users themselves), with a paradox flag when the
+    pooled conclusion's sign is contradicted by EVERY segment — the
+    classic aggregation trap (pooled 'B wins' while B loses in each
+    stratum because arms are unevenly exposed across strata).  The audit
+    every experiment readout should ship next to q169's z-score.
+
+    Determinism: lift comparisons never divide — sign(conv_a*users_b -
+    conv_b*users_a) is exact integer cross-multiplication, degenerate
+    empty-arm segments yield sign 0 gracefully, and the tercile edges
+    ride the A-12 exact-percentile path.
+
+    Scale shape: one user-keyed rollup; the tercile edges are a
+    single-row broadcast; segment/overall aggregates are 4 rows from one
+    map-side-combined pass each, and the paradox flag is a cross-join of
+    two single-row relations."""
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr(_ARM_EXPR.format(t="STRING")).alias("arm"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > _CONV_MIN),
+                    1,
+                ).otherwise(0)
+            ).alias("conv"),
+        )
+        .transform(stage)  # edges + both rollups read it
+    )
+    edges = u.agg(
+        F.expr("percentile(c, CAST(1 AS DOUBLE) / 3)").alias("t1"),
+        F.expr("percentile(c, CAST(2 AS DOUBLE) / 3)").alias("t2"),
+    )
+    seg = u.crossJoin(F.broadcast(edges)).select(
+        F.when(F.col("c") <= F.col("t1"), "low")
+        .when(F.col("c") <= F.col("t2"), "mid")
+        .otherwise("high")
+        .alias("segment"),
+        "arm",
+        "conv",
+    )
+
+    def _arm_rollup(df, label_col):
+        return df.groupBy(label_col).agg(
+            F.count(F.when(F.col("arm") == "a", 1)).cast("long").alias("users_a"),
+            F.sum(F.when(F.col("arm") == "a", F.col("conv")).otherwise(0))
+            .cast("long")
+            .alias("conv_a"),
+            F.count(F.when(F.col("arm") == "b", 1)).cast("long").alias("users_b"),
+            F.sum(F.when(F.col("arm") == "b", F.col("conv")).otherwise(0))
+            .cast("long")
+            .alias("conv_b"),
+        )
+
+    seg = seg.transform(stage)  # segment + overall rollups share it
+    per_seg = _arm_rollup(seg, "segment")
+    overall = _arm_rollup(seg.withColumn("segment", F.lit("overall")), "segment")
+    signed = per_seg.unionByName(overall).withColumn(
+        "lift_sign",
+        F.signum(
+            (F.col("conv_a") * F.col("users_b") - F.col("conv_b") * F.col("users_a"))
+            .cast("double")
+        ).cast("long"),
+    ).transform(stage)  # read by the flag relation and the output
+    o = signed.filter(F.col("segment") == "overall").select(
+        F.col("lift_sign").alias("so")
+    )
+    mm = signed.filter(F.col("segment") != "overall").agg(
+        F.max("lift_sign").alias("mx"), F.min("lift_sign").alias("mn")
+    )
+    flag = o.crossJoin(mm).select(
+        (
+            ((F.col("so") > 0) & (F.col("mx") <= 0))
+            | ((F.col("so") < 0) & (F.col("mn") >= 0))
+        ).alias("paradox")
+    )
+    return (
+        signed.crossJoin(F.broadcast(flag))
+        .select(
+            "segment", "users_a", "conv_a", "users_b", "conv_b", "lift_sign", "paradox"
+        )
+        .transform(pin)
+        .orderBy("segment")
+    )

@@ -551,3 +551,103 @@ def q123_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("user_id", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-61: log-log demand elasticity (grouped OLS on ln-transformed pairs)
+# ---------------------------------------------------------------------------
+
+_ELASTICITY_ORACLE = """
+    WITH pq AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY l_partkey
+    ),
+    obs AS (
+        SELECT p_brand AS brand,
+               CAST(ROUND(ln(p_retailprice), 6) AS DECIMAL(16,6)) AS x,
+               CAST(ROUND(ln(qty), 6) AS DECIMAL(16,6)) AS y
+        FROM pq JOIN part ON l_partkey = p_partkey
+    ),
+    m AS (
+        SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DECIMAL(28,6)) AS sx,
+               CAST(SUM(y) AS DECIMAL(28,6)) AS sy,
+               CAST(SUM(x * y) AS DECIMAL(38,12)) AS sxy,
+               CAST(SUM(x * x) AS DECIMAL(38,12)) AS sxx,
+               CAST(SUM(y * y) AS DECIMAL(38,12)) AS syy
+        FROM obs GROUP BY brand
+    )
+    SELECT brand, n AS n_parts,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+               AS elasticity,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6)
+               AS r_squared
+    FROM m
+    WHERE n >= 3
+      AND n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx <> 0
+      AND n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy <> 0
+    ORDER BY brand
+"""
+
+
+@query("q256_price_elasticity", oracle=_ELASTICITY_ORACLE, tags=("X-61", "X-31"))
+def q256_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log demand elasticity per brand: OLS slope of ln(quantity sold)
+    on ln(retail price) across the brand's parts — the constant-elasticity
+    demand model (slope = % quantity change per % price change) that
+    pricing teams fit before any price move, with r² as fit quality.
+    The ln-transformed twin of q154's linear trend: q154 certifies OLS on
+    raw integer moments; this certifies it on TRANSFORMED features where
+    float determinism must be manufactured — each ln enters rounded at
+    6 dp (the q179/q183 cross-libm idiom), so all five moments are exact
+    decimals and the closed-form slope divides bit-identical operands.
+
+    Scale shape: one shuffle rolls lineitem up to per-part quantities
+    (map-side combined); the part dimension joins BROADCAST; moments are
+    one grouped pass over the bounded per-part relation, 5 decimal
+    accumulators per brand — the A-14 mergeable-partial shape, so the
+    same plan fits 100 TB of lineitem unchanged."""
+    pq = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("qty")
+        )
+    )
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand"), "p_retailprice"
+    )
+    obs = pq.join(F.broadcast(p), pq.l_partkey == p.p_partkey).select(
+        "brand",
+        F.round(F.log("p_retailprice"), 6).cast("decimal(16,6)").alias("x"),
+        F.round(F.log("qty"), 6).cast("decimal(16,6)").alias("y"),
+    )
+    m = obs.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(28,6)").alias("sx"),
+        F.sum("y").cast("decimal(28,6)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,12)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,12)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,12)").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    den_y = F.col("n") * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy")
+    return (
+        m.filter((F.col("n") >= 3) & (den_x != 0) & (den_y != 0))
+        .select(
+            "brand",
+            F.col("n").alias("n_parts"),
+            F.round(num / den_x, 6).alias("elasticity"),
+            F.round(num * num / (den_x * den_y), 6).alias("r_squared"),
+        )
+        .transform(pin)
+        .orderBy("brand")
+    )

@@ -157,3 +157,206 @@ def q179_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lt_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-62: two-sample log-rank test (survival-curve difference significance)
+# ---------------------------------------------------------------------------
+
+from ..functions.ordering import pin  # noqa: E402  (late import, module tail)
+
+#: first md5 hex nibble of the customer key: 0..7 -> cohort 'a', else 'b'
+#: ({t} = STRING on Spark, VARCHAR on DuckDB)
+_LR_ARM = (
+    "CASE WHEN instr('0123456789abcdef', "
+    "substr(md5(CAST(o_custkey AS {t})), 1, 1)) - 1 < 8 "
+    "THEN 'a' ELSE 'b' END"
+)
+
+_LOGRANK_ORACLE = f"""
+    WITH b AS (
+        SELECT CAST(MAX(o_orderdate) AS DATE) AS end_d FROM orders
+    ),
+    u AS (
+        SELECT o_custkey, {_LR_ARM.format(t="VARCHAR")} AS arm,
+               date_diff('day', CAST(MIN(o_orderdate) AS DATE),
+                         CAST(MAX(o_orderdate) AS DATE)) AS lt,
+               CAST(MAX(o_orderdate) AS DATE) AS last_d
+        FROM orders GROUP BY o_custkey
+    ),
+    ev AS (
+        SELECT lt,
+               CAST(SUM(CASE WHEN arm = 'a' AND last_d < end_d - {_CENSOR_DAYS}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS d_a,
+               CAST(SUM(CASE WHEN arm = 'b' AND last_d < end_d - {_CENSOR_DAYS}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS d_b,
+               CAST(SUM(CASE WHEN arm = 'a' AND last_d >= end_d - {_CENSOR_DAYS}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+               CAST(SUM(CASE WHEN arm = 'b' AND last_d >= end_d - {_CENSOR_DAYS}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+        FROM u CROSS JOIN b GROUP BY lt
+    ),
+    tot AS (
+        SELECT CAST(COUNT(CASE WHEN arm = 'a' THEN 1 END) AS BIGINT) AS na,
+               CAST(COUNT(CASE WHEN arm = 'b' THEN 1 END) AS BIGINT) AS nb
+        FROM u
+    ),
+    risk AS (
+        SELECT lt, d_a, d_b,
+               na - CAST(COALESCE(SUM(d_a + c_a) OVER (ORDER BY lt
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS nra,
+               nb - CAST(COALESCE(SUM(d_b + c_b) OVER (ORDER BY lt
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS nrb
+        FROM ev CROSS JOIN tot
+    ),
+    terms AS (
+        SELECT d_a,
+               CAST(ROUND(CAST(d_a + d_b AS DOUBLE) * nra / (nra + nrb), 6)
+                    AS DECIMAL(20,6)) AS ea,
+               CAST(ROUND(CAST(d_a + d_b AS DOUBLE) * nra * nrb
+                          * (nra + nrb - d_a - d_b)
+                          / (CAST(nra + nrb AS DOUBLE) * (nra + nrb)
+                             * (nra + nrb - 1)), 9)
+                    AS DECIMAL(28,9)) AS vt
+        FROM risk
+        WHERE d_a + d_b > 0 AND nra + nrb > 1
+    ),
+    s AS (
+        SELECT CAST(SUM(d_a) AS BIGINT) AS observed_a,
+               CAST(SUM(ea) AS DECIMAL(28,6)) AS expected_a,
+               CAST(SUM(vt) AS DECIMAL(38,9)) AS variance
+        FROM terms
+    )
+    SELECT na AS n_a, nb AS n_b, observed_a,
+           CAST(expected_a AS DOUBLE) AS expected_a,
+           CAST(variance AS DOUBLE) AS variance,
+           CASE WHEN variance > 0 THEN
+               (observed_a - CAST(expected_a AS DOUBLE))
+                   / sqrt(CAST(variance AS DOUBLE)) END AS z
+    FROM s CROSS JOIN tot
+"""
+
+
+@query("q257_logrank_test", oracle=_LOGRANK_ORACLE, tags=("X-62", "X-27"))
+def q257_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test: do the two (hash-split) customer cohorts
+    share a survival curve?  At each churn time the test compares cohort
+    A's observed churn events against the expectation under the pooled
+    hazard (e = d * nA/n) and accumulates the hypergeometric variance;
+    z = (O - E)/sqrt(V) is the standard significance readout a retention
+    experiment reports NEXT TO q179's curves — KM shows the curves,
+    log-rank says whether they differ.  Censoring follows q179's rule
+    (active in the final {_CENSOR_DAYS} days = censored: leaves the
+    at-risk set, never counts as churn).
+
+    Determinism: at-risk counts come from exact exclusive cumulative
+    sums; each per-time expectation/variance term is one IEEE expression
+    on integer operands, rounded at 6/9 dp (the q179 term idiom) and
+    summed in exact decimal; the final z is one subtract/sqrt/divide on
+    bit-identical operands.
+
+    Scale shape: the fact reduces in ONE customer-keyed rollup; the
+    per-lifetime event relation is bounded by the tenure domain (days),
+    every window and aggregate after runs on that bounded grid, and the
+    cohort totals are a single-row cross-broadcast."""
+    o = load(spark, sf_dir, "orders")
+    end_d = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("end_d"))
+    u = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.expr(_LR_ARM.format(t="STRING")).alias("arm"),
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            ).alias("lt"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        )
+        .crossJoin(F.broadcast(end_d))
+        .withColumn(
+            "censored",
+            F.col("last_d") >= F.date_sub(F.col("end_d"), _CENSOR_DAYS),
+        )
+        .transform(stage)  # event grid + cohort totals read it
+    )
+    ev = u.groupBy("lt").agg(
+        F.sum(F.when((F.col("arm") == "a") & ~F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("d_a"),
+        F.sum(F.when((F.col("arm") == "b") & ~F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("d_b"),
+        F.sum(F.when((F.col("arm") == "a") & F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when((F.col("arm") == "b") & F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    tot = u.agg(
+        F.count(F.when(F.col("arm") == "a", 1)).cast("long").alias("na"),
+        F.count(F.when(F.col("arm") == "b", 1)).cast("long").alias("nb"),
+    )
+    wx = Window.orderBy("lt").rowsBetween(Window.unboundedPreceding, -1)
+    risk = ev.crossJoin(F.broadcast(tot)).select(
+        "lt",
+        "d_a",
+        "d_b",
+        (
+            F.col("na")
+            - F.coalesce(F.sum(F.col("d_a") + F.col("c_a")).over(wx), F.lit(0))
+        )
+        .cast("long")
+        .alias("nra"),
+        (
+            F.col("nb")
+            - F.coalesce(F.sum(F.col("d_b") + F.col("c_b")).over(wx), F.lit(0))
+        )
+        .cast("long")
+        .alias("nrb"),
+    )
+    terms = risk.filter(
+        (F.col("d_a") + F.col("d_b") > 0) & (F.col("nra") + F.col("nrb") > 1)
+    ).select(
+        "d_a",
+        F.round(
+            (F.col("d_a") + F.col("d_b")).cast("double")
+            * F.col("nra")
+            / (F.col("nra") + F.col("nrb")),
+            6,
+        )
+        .cast("decimal(20,6)")
+        .alias("ea"),
+        F.round(
+            (F.col("d_a") + F.col("d_b")).cast("double")
+            * F.col("nra")
+            * F.col("nrb")
+            * (F.col("nra") + F.col("nrb") - F.col("d_a") - F.col("d_b"))
+            / (
+                (F.col("nra") + F.col("nrb")).cast("double")
+                * (F.col("nra") + F.col("nrb"))
+                * (F.col("nra") + F.col("nrb") - 1)
+            ),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("vt"),
+    )
+    s = terms.agg(
+        F.sum("d_a").cast("long").alias("observed_a"),
+        F.sum("ea").cast("decimal(28,6)").alias("expected_a"),
+        F.sum("vt").cast("decimal(38,9)").alias("variance"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "observed_a",
+        F.col("expected_a").cast("double").alias("expected_a"),
+        F.col("variance").cast("double").alias("variance"),
+        F.when(
+            F.col("variance") > 0,
+            (F.col("observed_a") - F.col("expected_a").cast("double"))
+            / F.sqrt(F.col("variance").cast("double")),
+        ).alias("z"),
+    )

@@ -1449,3 +1449,47 @@ def test_item_neighbors_pairs_generate_map_only(spark):
     for line in phys.splitlines():
         if "windowspecdefinition" in line:
             assert "i#" in line.split("windowspecdefinition")[1][:40], line
+
+
+def test_jackknife_collapses_to_two_moment_aggregate(spark):
+    """q255 (X-59): no per-replicate loop exists — one user rollup, a
+    single-row totals broadcast (BroadcastNestedLoopJoin), and every hash
+    exchange carries user-level keys, never raw event payloads."""
+    q = all_queries()["q255_jackknife_ratio_se"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "event_type" not in line and "ts#" not in line, line
+
+
+def test_elasticity_moments_after_broadcast_part_join(spark):
+    """q256 (X-61): the part dimension joins BROADCAST onto the bounded
+    per-part quantity relation; the only fact exchange is the l_partkey
+    rollup."""
+    q = all_queries()["q256_price_elasticity"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_logrank_windows_run_on_bounded_lifetime_grid(spark):
+    """q257 (X-62): the at-risk cumulative window runs on the per-lifetime
+    event grid (bounded by the tenure domain) — no window input carries
+    o_orderkey, and cohort totals arrive by broadcast."""
+    q = all_queries()["q257_logrank_test"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "o_orderkey" not in line, line
+
+
+def test_simpsons_audit_is_integer_rollups_and_broadcasts(spark):
+    """q258 (X-60): one user rollup, tercile edges and the paradox flag as
+    single-row broadcasts — no sort-merge join anywhere."""
+    q = all_queries()["q258_simpsons_audit"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
