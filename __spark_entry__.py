@@ -174,7 +174,9 @@ _WINDOW_PRIORITY = (
 # matrix; q252: local clustering coefficient; q253: sorted-neighborhood
 # ER candidates; q254: item-item CF neighbors; q255: jackknife
 # cluster-robust ratio SE; q256: log-log price elasticity; q257:
-# two-sample log-rank test; and q258: Simpson's-paradox audit) hold
+# two-sample log-rank test; q258: Simpson's-paradox audit; q259:
+# lead-lag cross-correlation; q260: Chapman capture-recapture; q261:
+# Goh-Barabasi burstiness; and q262: ABC-XYZ inventory matrix) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

@@ -935,3 +935,167 @@ def q234_concentration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-66: ABC-XYZ inventory matrix (contribution x demand-variability)
+# ---------------------------------------------------------------------------
+
+_XYZ_CV = (1, 2)  #: X: CV <= 0.5 (as 2*CV <= 1); Y: CV <= 1.0; Z: rest
+
+
+_ABCXYZ_ORACLE = f"""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem GROUP BY l_partkey
+    ),
+    v AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS c_r FROM rev GROUP BY r),
+    tot AS (SELECT CAST(SUM(r * c_r) AS HUGEINT) AS t FROM v),
+    cum AS (
+        SELECT r,
+               CAST(COALESCE(SUM(r * c_r) OVER (
+                   ORDER BY r DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS HUGEINT) AS rev_before
+        FROM v
+    ),
+    abc AS (
+        SELECT r, CASE WHEN 100 * rev_before < {_ABC_BOUNDS[0]} * t THEN 'A'
+                       WHEN 100 * rev_before < {_ABC_BOUNDS[1]} * t THEN 'B'
+                       ELSE 'C' END AS abc_cls
+        FROM cum CROSS JOIN tot
+    ),
+    wk AS (SELECT CAST(COUNT(DISTINCT date_trunc('week', o_orderdate)) AS BIGINT)
+               AS w FROM orders),
+    wdem AS (
+        SELECT l_partkey, date_trunc('week', o_orderdate) AS wk,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS wq
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    mom AS (
+        SELECT l_partkey,
+               CAST(SUM(wq) AS BIGINT) AS s,
+               CAST(SUM(CAST(wq AS DECIMAL(19,0)) * CAST(wq AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS s2
+        FROM wdem GROUP BY l_partkey
+    ),
+    xyz AS (
+        SELECT l_partkey,
+               CASE WHEN 4 * (w * s2 - CAST(s AS DECIMAL(19,0)) * s)
+                         <= CAST(s AS DECIMAL(19,0)) * s THEN 'X'
+                    WHEN (w * s2 - CAST(s AS DECIMAL(19,0)) * s)
+                         <= CAST(s AS DECIMAL(19,0)) * s THEN 'Y'
+                    ELSE 'Z' END AS xyz_cls
+        FROM mom CROSS JOIN wk
+    )
+    SELECT abc_cls, xyz_cls,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(CAST(rev.r AS HUGEINT)) AS DOUBLE) / 100, 2) AS revenue
+    FROM rev
+    JOIN abc USING (r)
+    JOIN xyz USING (l_partkey)
+    GROUP BY abc_cls, xyz_cls
+    ORDER BY abc_cls, xyz_cls
+"""
+
+
+@query("q262_abc_xyz_matrix", oracle=_ABCXYZ_ORACLE, tags=("X-66", "X-25"))
+def q262_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory matrix: q206's revenue-contribution classes
+    crossed with demand-VARIABILITY classes — X: weekly-demand
+    coefficient of variation <= 0.5 (steady, forecastable), Y: <= 1.0,
+    Z: erratic — the 9-cell grid that drives safety-stock and
+    replenishment policy (AX: automate tightly; CZ: make-to-order).
+    Variability runs over the FULL week horizon with zero-demand weeks
+    counted (sparse weeks are what MAKES demand erratic), via the
+    closed-form n*S2 - S^2 with n = total weeks broadcast.
+
+    Determinism: CV thresholds never compute a CV — CV <= 1/2 is the
+    exact integer/decimal comparison 4(W*S2 - S^2) <= S^2 (the divisor W
+    cancels), so classification has no float boundary; ABC reuses q206's
+    strictly-above prefix discipline on distinct revenue values.
+
+    Scale shape: two fact rollups (per-part revenue; per-(part, week)
+    demand then per-part moments — all map-side combined), the ABC class
+    relation is bounded by DISTINCT revenue values and joins back by
+    value, the week count is a single-row broadcast, and the final 9-row
+    cross-tab is one grouped pass over the per-part relation."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("r")
+        )
+        .transform(stage)  # ABC-by-value join + the final cross-tab read it
+    )
+    v = rev.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("c_r"))
+    d0 = "decimal(38,0)"
+    v = v.withColumn("rc", (F.col("r").cast(d0) * F.col("c_r")).cast(d0)).transform(stage)
+    tot = v.agg(F.sum("rc").cast(d0).alias("t"))
+    cum = v.withColumn(
+        "rev_before",
+        F.coalesce(
+            F.sum("rc").over(
+                Window.orderBy(F.desc("r")).rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast(d0),
+    )
+    abc = cum.crossJoin(F.broadcast(tot)).select(
+        "r",
+        F.when(100 * F.col("rev_before") < _ABC_BOUNDS[0] * F.col("t"), "A")
+        .when(100 * F.col("rev_before") < _ABC_BOUNDS[1] * F.col("t"), "B")
+        .otherwise("C")
+        .alias("abc_cls"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_trunc("week", F.col("o_orderdate")).alias("wk")
+    )
+    wk = o.agg(F.countDistinct("wk").cast("long").alias("w"))
+    wdem = (
+        li.select("l_orderkey", "l_partkey", "l_quantity")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_partkey", "wk")
+        .agg(
+            F.sum((F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("wq")
+        )
+    )
+    d19 = "decimal(19,0)"
+    mom = wdem.groupBy("l_partkey").agg(
+        F.sum("wq").cast("long").alias("s"),
+        F.sum(F.col("wq").cast(d19) * F.col("wq").cast(d19))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    a_var = F.expr(f"w * s2 - CAST(s AS {d19}) * s")
+    s_sq = F.expr(f"CAST(s AS {d19}) * s")
+    xyz = mom.crossJoin(F.broadcast(wk)).select(
+        "l_partkey",
+        F.when(4 * a_var <= s_sq, "X")
+        .when(a_var <= s_sq, "Y")
+        .otherwise("Z")
+        .alias("xyz_cls"),
+    )
+    return (
+        rev.join(abc, "r")
+        .join(xyz, "l_partkey")
+        .groupBy("abc_cls", "xyz_cls")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(F.sum(F.col("r").cast(d0)).cast("double") / 100, 2).alias(
+                "revenue"
+            ),
+        )
+        .transform(pin)
+        .orderBy("abc_cls", "xyz_cls")
+    )

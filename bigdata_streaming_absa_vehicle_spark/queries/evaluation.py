@@ -1083,3 +1083,84 @@ def q258_simpsons_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-65: capture-recapture (Chapman) population estimate
+# ---------------------------------------------------------------------------
+
+_CR_THR = 100  #: a "capture" is a purchase over this value
+_CR_SPLIT1 = "2024-01-06"  #: window A: before this day
+_CR_SPLIT2 = "2024-01-11"  #: window B: [split1, split2)
+
+_CHAPMAN_ORACLE = f"""
+    WITH cap AS (
+        SELECT user_id,
+               MAX(CASE WHEN ts < TIMESTAMP '{_CR_SPLIT1}' THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN ts >= TIMESTAMP '{_CR_SPLIT1}'
+                         AND ts < TIMESTAMP '{_CR_SPLIT2}' THEN 1 ELSE 0 END) AS in_b
+        FROM events
+        WHERE event_type = 'purchase' AND value > {_CR_THR}
+        GROUP BY user_id
+    ),
+    tru AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_true FROM events),
+    s AS (
+        SELECT CAST(SUM(in_a) AS BIGINT) AS n_a,
+               CAST(SUM(in_b) AS BIGINT) AS n_b,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS m
+        FROM cap
+    )
+    SELECT n_a, n_b, m,
+           (n_a + 1) * (n_b + 1) * 1000 // (m + 1) - 1000 AS chapman_milli,
+           n_true
+    FROM s CROSS JOIN tru
+"""
+
+
+@query("q260_capture_recapture", oracle=_CHAPMAN_ORACLE, tags=("X-65", "A-04"))
+def q260_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimate (Chapman's bias-corrected
+    Lincoln-Petersen): two disjoint observation windows each "capture"
+    the users making a qualifying purchase; the overlap m between the two
+    capture sets yields N-hat = (nA+1)(nB+1)/(m+1) - 1, the mark-recapture
+    estimator — the standard tool for "how many entities exist that BOTH
+    our partial observations missed" (total-population sizing from
+    incomplete logs, dark-traffic estimation, dedup-completeness audits).
+    Reported beside the true distinct-user count so the estimator's bias
+    under capture-dependence is visible in the same row (independence is
+    the method's known assumption; repeat purchasers violate it here
+    exactly as repeat-visible entities do in production).
+
+    Determinism & scale shape: one filtered user rollup (predicate pushed
+    to the scan), one 3-integer aggregate, the estimate as an exact
+    integer milli-count floor-div, and the ground-truth distinct count as
+    a second single-row leg cross-joined in — nothing but single-row
+    relations after the first exchange."""
+    ev = load(spark, sf_dir, "events")
+    cap = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > _CR_THR))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("ts") < _CR_SPLIT1, 1).otherwise(0)).alias("in_a"),
+            F.max(
+                F.when(
+                    (F.col("ts") >= _CR_SPLIT1) & (F.col("ts") < _CR_SPLIT2), 1
+                ).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    s = cap.agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum("in_b").cast("long").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("m"),
+    )
+    tru = ev.agg(F.countDistinct("user_id").cast("long").alias("n_true"))
+    return s.crossJoin(F.broadcast(tru)).select(
+        "n_a",
+        "n_b",
+        "m",
+        F.expr("(n_a + 1) * (n_b + 1) * 1000 DIV (m + 1) - 1000").alias(
+            "chapman_milli"
+        ),
+        "n_true",
+    )

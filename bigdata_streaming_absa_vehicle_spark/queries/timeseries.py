@@ -1307,3 +1307,228 @@ def q249_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-63: lead-lag cross-correlation between daily metric series
+# ---------------------------------------------------------------------------
+
+_XC_MAX_LAG = 3  #: lags scanned: -3..+3 days
+
+_XCORR_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    lags AS (SELECT CAST(u.k AS BIGINT) AS k
+             FROM UNNEST(range(-{_XC_MAX_LAG}, {_XC_MAX_LAG} + 1)) AS u(k)),
+    m AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b, k,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a.y) AS BIGINT) AS sx,
+               CAST(SUM(b.y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(a.y AS DECIMAL(19,0)) * CAST(b.y AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(a.y AS DECIMAL(19,0)) * CAST(a.y AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(b.y AS DECIMAL(19,0)) * CAST(b.y AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS syy
+        FROM daily a
+        CROSS JOIN lags
+        JOIN daily b ON b.event_type > a.event_type AND b.d = a.d + k
+        GROUP BY 1, 2, 3
+    ),
+    c AS (
+        SELECT type_a, type_b, k AS lag_days, n,
+               ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                     / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                            * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+                     6) AS xcorr
+        FROM m
+        WHERE n >= 5
+          AND n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx > 0
+          AND n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy > 0
+    )
+    SELECT type_a, type_b, lag_days, n, xcorr,
+           ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+                              ORDER BY xcorr DESC, lag_days) = 1 AS best
+    FROM c
+    ORDER BY type_a, type_b, lag_days
+"""
+
+
+@query("q259_leadlag_xcorr", oracle=_XCORR_ORACLE, tags=("X-63", "X-31"))
+def q259_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation: Pearson correlation of every event-type
+    pair's daily value series at lags -{_XC_MAX_LAG}..+{_XC_MAX_LAG} days,
+    with the best-aligned lag flagged per pair — the metric-causality scan
+    ("errors today predict refunds in two days") that tells an alerting
+    system WHICH series is the leading indicator; q207's autocorrelation
+    is the self-pair special case of exactly this.
+
+    Determinism: daily totals are exact cents; the five co-moments per
+    (pair, lag) accumulate through exact decimal products (the q154/q256
+    moment idiom), the closed-form correlation divides bit-identical
+    operands and rounds at 6 dp, and the best-lag argmax orders by the
+    ROUNDED value with the lag as total-order tie-break.
+
+    Scale shape: ONE fact shuffle (the (type, day) rollup, map-side
+    combined, bounded by types x days); the lag expansion is a 7-row
+    broadcast cross join, the shifted self-join runs on the bounded daily
+    relation keyed by day, and the argmax window spans 7 rows per pair."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+            .cast("long")
+            .alias("d"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").alias("y"))
+        .transform(stage)  # both legs of the lag join read it
+    )
+    lags = spark.range(-_XC_MAX_LAG, _XC_MAX_LAG + 1).select(F.col("id").alias("k"))
+    a = daily.select(F.col("event_type").alias("type_a"), "d", F.col("y").alias("ya"))
+    b = daily.select(
+        F.col("event_type").alias("type_b"), F.col("d").alias("db"), F.col("y").alias("yb")
+    )
+    d19 = "decimal(19,0)"
+    m = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, (F.col("type_b") > F.col("type_a")) & (F.col("db") == F.col("d") + F.col("k")))
+        .groupBy("type_a", "type_b", "k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("ya").cast("long").alias("sx"),
+            F.sum("yb").cast("long").alias("sy"),
+            F.sum(F.col("ya").cast(d19) * F.col("yb").cast(d19))
+            .cast("decimal(38,0)")
+            .alias("sxy"),
+            F.sum(F.col("ya").cast(d19) * F.col("ya").cast(d19))
+            .cast("decimal(38,0)")
+            .alias("sxx"),
+            F.sum(F.col("yb").cast(d19) * F.col("yb").cast(d19))
+            .cast("decimal(38,0)")
+            .alias("syy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    den_y = F.col("n") * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy")
+    c = (
+        m.filter((F.col("n") >= 5) & (den_x > 0) & (den_y > 0))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("k").alias("lag_days"),
+            "n",
+            F.round(num / F.sqrt(den_x * den_y), 6).alias("xcorr"),
+        )
+        .transform(stage)  # the argmax window and the output read it
+    )
+    best = F.row_number().over(
+        Window.partitionBy("type_a", "type_b").orderBy(F.col("xcorr").desc(), "lag_days")
+    )
+    return (
+        c.withColumn("best", best == 1)
+        .transform(pin)
+        .orderBy("type_a", "type_b", "lag_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-64: burstiness (Goh-Barabasi) of per-user inter-event gaps
+# ---------------------------------------------------------------------------
+
+_BURSTY_ORACLE = """
+    WITH e AS (
+        SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, event_id
+        FROM events
+    ),
+    g AS (
+        SELECT user_id,
+               es - LAG(es) OVER (PARTITION BY user_id
+                                  ORDER BY es, event_id) AS gap
+        FROM e
+    ),
+    m AS (
+        SELECT user_id, CAST(COUNT(gap) AS BIGINT) AS n,
+               CAST(SUM(gap) AS BIGINT) AS s,
+               CAST(SUM(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS s2
+        FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n AS n_gaps,
+           s * 1000 // n AS mean_gap_ms,
+           ROUND((sqrt(CAST(n * s2 - CAST(s AS DECIMAL(19,0)) * s AS DOUBLE)) - s)
+                 / (sqrt(CAST(n * s2 - CAST(s AS DECIMAL(19,0)) * s AS DOUBLE)) + s),
+                 6) AS burstiness,
+           CASE WHEN (sqrt(CAST(n * s2 - CAST(s AS DECIMAL(19,0)) * s AS DOUBLE)) - s)
+                     / (sqrt(CAST(n * s2 - CAST(s AS DECIMAL(19,0)) * s AS DOUBLE)) + s)
+                     > 0.1 THEN 'bursty'
+                WHEN (sqrt(CAST(n * s2 - CAST(s AS DECIMAL(19,0)) * s AS DOUBLE)) - s)
+                     / (sqrt(CAST(n * s2 - CAST(s AS DECIMAL(19,0)) * s AS DOUBLE)) + s)
+                     < -0.1 THEN 'regular'
+                ELSE 'poissonian' END AS bclass
+    FROM m WHERE n >= 2 AND s > 0
+    ORDER BY user_id
+"""
+
+
+@query("q261_burstiness", oracle=_BURSTY_ORACLE, tags=("X-64", "W-02"))
+def q261_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness of each user's inter-event gaps:
+    B = (sigma - mu)/(sigma + mu) in [-1, 1] — B near +1 = heavy bursts
+    with long silences (human-like), near 0 = Poisson, negative =
+    pacemaker-regular (bot-like).  The temporal-signature feature that
+    session statistics miss: two users with identical event counts and
+    session lengths can sit at opposite burstiness poles, and bot
+    detection keys off exactly that.
+
+    Determinism: gaps are integer epoch seconds; mu and sigma share the
+    divisor n, so B reduces to (sqrt(A) - S)/(sqrt(A) + S) with
+    A = n*S2 - S^2 exact integers — one sqrt on a bit-identical operand,
+    one division, classification thresholds compared on the RAW double
+    (identical in both engines), 6-dp rounding for display only.
+
+    Scale shape: one user-keyed exchange shared by the lag window and the
+    moment rollup (the q246 single-shuffle discipline); three integer
+    accumulators per user, decimal-exact squares."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("es"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    g = e.withColumn("gap", F.col("es") - F.lag("es").over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    d19 = "decimal(19,0)"
+    m = g.groupBy("user_id").agg(
+        F.count("gap").cast("long").alias("n"),
+        F.sum("gap").cast("long").alias("s"),
+        F.sum(F.col("gap").cast(d19) * F.col("gap").cast(d19))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    root = F.sqrt(
+        F.expr(f"CAST(n * s2 - CAST(s AS {d19}) * s AS DOUBLE)")
+    )
+    burst = (root - F.col("s")) / (root + F.col("s"))
+    return (
+        m.filter((F.col("n") >= 2) & (F.col("s") > 0))
+        .select(
+            "user_id",
+            F.col("n").alias("n_gaps"),
+            F.expr("s * 1000 DIV n").alias("mean_gap_ms"),
+            F.round(burst, 6).alias("burstiness"),
+            F.when(burst > 0.1, "bursty")
+            .when(burst < -0.1, "regular")
+            .otherwise("poissonian")
+            .alias("bclass"),
+        )
+        .transform(pin)
+        .orderBy("user_id")
+    )

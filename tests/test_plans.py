@@ -1493,3 +1493,50 @@ def test_simpsons_audit_is_integer_rollups_and_broadcasts(spark):
     plan = plan_of(q.fn(spark, SF_DIR), "simple")
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_leadlag_xcorr_lag_join_on_bounded_daily(spark):
+    """q259 (X-63): the lag expansion is a broadcast over the bounded
+    daily relation; no exchange after the (type, day) rollup carries
+    event ids, and the best-lag window partitions by the pair."""
+    q = all_queries()["q259_leadlag_xcorr"]
+    plan = plan_of(q.fn(spark, SF_DIR), "extended")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "CartesianProduct" not in phys, phys
+    for line in phys.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "event_id" not in line and "user_id" not in line, line
+        if "windowspecdefinition" in line:
+            assert "type_a#" in line, line
+
+
+def test_capture_recapture_pushes_capture_predicate(spark):
+    """q260 (X-65): the purchase/value capture predicate reaches the
+    parquet scan, and everything after the user rollup is single-row."""
+    q = all_queries()["q260_capture_recapture"]
+    plan = plan_of(q.fn(spark, SF_DIR), "formatted")
+    assert "PushedFilters" in plan and "event_type" in plan.split("PushedFilters")[1].split("\n")[0], plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_burstiness_is_single_exchange(spark):
+    """q261 (X-64): the lag window and the moment rollup share ONE
+    user-keyed exchange (the q246 discipline)."""
+    q = all_queries()["q261_burstiness"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    hash_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(hash_exchanges) == 1, plan
+    assert "user_id" in hash_exchanges[0], hash_exchanges[0]
+
+
+def test_abc_xyz_classifies_without_global_part_sort(spark):
+    """q262 (X-66): no global sort of the part relation exists before the
+    final presentation sort — the ABC prefix runs on the bounded
+    distinct-revenue relation and XYZ is a map-only integer comparison
+    after a broadcast of the week count."""
+    q = all_queries()["q262_abc_xyz_matrix"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # single-row week/total
