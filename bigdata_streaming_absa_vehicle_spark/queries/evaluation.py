@@ -1164,3 +1164,135 @@ def q260_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_true",
     )
+
+
+# ---------------------------------------------------------------------------
+# X-67: empirical-Bayes shrinkage of per-entity rates
+# ---------------------------------------------------------------------------
+
+_EB_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase' AND value > {_CONV_MIN}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS s
+        FROM events GROUP BY user_id
+    ),
+    r AS (SELECT user_id, n, s, s * 1000000 // n AS rm FROM u),
+    pool AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS tn,
+               CAST(SUM(s) AS BIGINT) AS ts,
+               CAST(SUM(rm) AS BIGINT) AS sr,
+               CAST(SUM(CAST(rm AS DECIMAL(19,0)) * CAST(rm AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS sr2
+        FROM r
+    ),
+    prior AS (
+        SELECT k, tn, ts, sr, sr2,
+               CAST(ts AS DOUBLE) / tn AS pbar,
+               CAST(k * sr2 - CAST(sr AS DECIMAL(19,0)) * sr AS DOUBLE)
+                   / k / k / 1e12 AS var_rates
+        FROM pool
+    ),
+    m AS (
+        SELECT *, CASE WHEN var_rates > 0
+                       THEN greatest(pbar * (1 - pbar) / var_rates - 1, 1.0)
+                       END AS strength
+        FROM prior
+    )
+    SELECT user_id, n AS n_trials, s AS successes, rm AS raw_ppm,
+           ROUND(CAST(k * sr2 - CAST(sr AS DECIMAL(19,0)) * sr AS DOUBLE)
+                 / k / k / 1e12, 9) AS var_rates,
+           CASE WHEN strength IS NOT NULL
+                THEN ROUND((s + strength * pbar) / (n + strength), 6) END
+               AS shrunk_rate
+    FROM r CROSS JOIN m
+    ORDER BY user_id
+"""
+
+
+@query("q263_eb_shrinkage", oracle=_EB_ORACLE, tags=("X-67", "A-14"))
+def q263_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-user conversion rates: every
+    user's raw rate pulls toward the pooled mean with a data-estimated
+    prior strength M = pbar(1-pbar)/var_between - 1 (beta-binomial method
+    of moments, floored at 1), shrunk = (s + M*pbar)/(n + M).  THE fix
+    for small-sample leaderboards — a 1/1 user no longer outranks a
+    40/50 user — and the estimator behind every "adjusted rating".
+
+    Determinism: per-user rates enter the between-variance as exact
+    integer micro-rates (floor-div), the variance numerator is the exact
+    integer k*Sr2 - Sr^2 (q255's two-moment collapse), and the pooled
+    mean is a ratio of exact integers — so M and every shrunk rate are
+    IEEE expressions on bit-identical operands, rounded for display
+    only.
+
+    Scale shape: one user-keyed rollup; prior estimation is ONE
+    single-row aggregate over the bounded per-user relation,
+    cross-broadcast back — two passes total, no window, no join wider
+    than a single-row broadcast."""
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > _CONV_MIN),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("s"),
+        )
+        .withColumn("rm", F.expr("s * 1000000 DIV n"))
+        .transform(stage)  # prior + per-user output read it
+    )
+    d19 = "decimal(19,0)"
+    pool = u.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("s").cast("long").alias("ts"),
+        F.sum("rm").cast("long").alias("sr"),
+        F.sum(F.col("rm").cast(d19) * F.col("rm").cast(d19))
+        .cast("decimal(38,0)")
+        .alias("sr2"),
+    )
+    var_rates = (
+        F.expr(f"CAST(k * sr2 - CAST(sr AS {d19}) * sr AS DOUBLE)")
+        / F.col("k")
+        / F.col("k")
+        / F.lit(1e12)
+    )
+    pbar = F.col("ts").cast("double") / F.col("tn")
+    m = pool.select(
+        "k",
+        "sr",
+        "sr2",
+        pbar.alias("pbar"),
+        var_rates.alias("var_rates"),
+        F.when(
+            var_rates > 0, F.greatest(pbar * (1 - pbar) / var_rates - 1, F.lit(1.0))
+        ).alias("strength"),
+    )
+    return (
+        u.crossJoin(F.broadcast(m))
+        .select(
+            "user_id",
+            F.col("n").alias("n_trials"),
+            F.col("s").alias("successes"),
+            F.col("rm").alias("raw_ppm"),
+            F.round(F.col("var_rates"), 9).alias("var_rates"),
+            F.when(
+                F.col("strength").isNotNull(),
+                F.round(
+                    (F.col("s") + F.col("strength") * F.col("pbar"))
+                    / (F.col("n") + F.col("strength")),
+                    6,
+                ),
+            ).alias("shrunk_rate"),
+        )
+        .transform(pin)
+        .orderBy("user_id")
+    )

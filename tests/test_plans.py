@@ -1540,3 +1540,19 @@ def test_abc_xyz_classifies_without_global_part_sort(spark):
     plan = plan_of(q.fn(spark, SF_DIR), "simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan  # single-row week/total
+
+
+def test_eb_shrinkage_is_one_rollup_plus_single_row_broadcast(spark):
+    """q263 (X-67): every hash exchange is the user-keyed rollup (it
+    renders once per staged branch with pinning off; the run materializes
+    it once via stage()); the prior re-enters as a single-row broadcast
+    nested-loop cross join — never a second distinct shuffle key."""
+    q = all_queries()["q263_eb_shrinkage"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    hash_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert hash_exchanges, plan
+    assert all("user_id" in l for l in hash_exchanges), plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
