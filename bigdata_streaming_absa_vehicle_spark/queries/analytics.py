@@ -1656,3 +1656,138 @@ def q242_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("gap_us").cast("double") / hours, 6).alias("min_hours"),
         F.round(F.max("gap_us").cast("double") / hours, 6).alias("max_hours"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-70: monthly price index (Laspeyres / Paasche / Fisher)
+# ---------------------------------------------------------------------------
+
+_PIDX_ORACLE = """
+    WITH pm AS (
+        SELECT CAST(date_part('year', l_shipdate) * 100
+                    + date_part('month', l_shipdate) AS BIGINT) AS ym,
+               l_partkey,
+               CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    up AS (SELECT ym, l_partkey, qty,
+                  rev_cents * 1000000 // qty AS up_micro
+           FROM pm),
+    base AS (SELECT l_partkey, qty AS q0, up_micro AS up0
+             FROM up WHERE ym = (SELECT MIN(ym) FROM up)),
+    terms AS (
+        SELECT up.ym,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(up.up_micro AS DECIMAL(19,0)) * base.q0)
+                    AS DECIMAL(38,0)) AS l_num,
+               CAST(SUM(CAST(base.up0 AS DECIMAL(19,0)) * base.q0)
+                    AS DECIMAL(38,0)) AS l_den,
+               CAST(SUM(CAST(up.up_micro AS DECIMAL(19,0)) * up.qty)
+                    AS DECIMAL(38,0)) AS p_num,
+               CAST(SUM(CAST(base.up0 AS DECIMAL(19,0)) * up.qty)
+                    AS DECIMAL(38,0)) AS p_den
+        FROM up JOIN base USING (l_partkey)
+        GROUP BY 1
+    ),
+    idx AS (
+        SELECT ym, n_items,
+               ROUND(CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE), 6) AS laspeyres,
+               ROUND(CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE), 6) AS paasche
+        FROM terms
+    )
+    SELECT ym, n_items, laspeyres, paasche,
+           ROUND(sqrt(laspeyres * paasche), 6) AS fisher
+    FROM idx
+    ORDER BY ym
+"""
+
+
+@query("q266_price_index", oracle=_PIDX_ORACLE, tags=("X-70", "A-01", "J-02"))
+def q266_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly price-index series vs the first shipping month:
+    Laspeyres (base-quantity weights, sum p_t*q_0 / sum p_0*q_0),
+    Paasche (current-quantity weights), and Fisher (their geometric
+    mean — the superlative index statistical agencies publish) over the
+    common basket of parts shipped in both months — the inflation /
+    price-drift readout a pricing team runs on transaction data, and a
+    weighted-ratio shape (two paired weighted sums per group) no earlier
+    query exercises.
+
+    Determinism: per-(month, part) unit prices are exact integer
+    micro-cents (floor-div of exact cents by exact integer quantity, the
+    q263 micro-rate idiom); all four index terms accumulate as exact
+    decimal integer products; Laspeyres/Paasche divide bit-identical
+    operands once and round 6 dp; Fisher is one IEEE sqrt on the product
+    of the ROUNDED pair.
+
+    Scale shape: ONE map-side-combined fact rollup reduces lineitem to
+    the dimension-scale (month, part) relation; the base-month slice
+    broadcasts into the basket join keyed by part; the per-month term
+    aggregate is map-side combined onto the bounded month grid."""
+    pm = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+            .cast("long")
+            .alias("ym"),
+            "l_partkey",
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long"))
+            .cast("long")
+            .alias("qty"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("rev_cents"),
+        )
+        .withColumn("up_micro", F.expr("rev_cents * 1000000 DIV qty"))
+        .transform(stage)  # base slice + the basket join both read it
+    )
+    base_ym = pm.agg(F.min("ym").alias("b"))
+    base = (
+        pm.join(F.broadcast(base_ym), pm.ym == F.col("b"))
+        .select("l_partkey", F.col("qty").alias("q0"), F.col("up_micro").alias("up0"))
+    )
+    d19 = "decimal(19,0)"
+    terms = (
+        pm.join(F.broadcast(base), "l_partkey")
+        .groupBy("ym")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("up_micro").cast(d19) * F.col("q0"))
+            .cast("decimal(38,0)")
+            .alias("l_num"),
+            F.sum(F.col("up0").cast(d19) * F.col("q0"))
+            .cast("decimal(38,0)")
+            .alias("l_den"),
+            F.sum(F.col("up_micro").cast(d19) * F.col("qty"))
+            .cast("decimal(38,0)")
+            .alias("p_num"),
+            F.sum(F.col("up0").cast(d19) * F.col("qty"))
+            .cast("decimal(38,0)")
+            .alias("p_den"),
+        )
+    )
+    idx = terms.select(
+        "ym",
+        "n_items",
+        F.round(F.col("l_num").cast("double") / F.col("l_den").cast("double"), 6).alias(
+            "laspeyres"
+        ),
+        F.round(F.col("p_num").cast("double") / F.col("p_den").cast("double"), 6).alias(
+            "paasche"
+        ),
+    )
+    return (
+        idx.select(
+            "ym",
+            "n_items",
+            "laspeyres",
+            "paasche",
+            F.round(F.sqrt(F.col("laspeyres") * F.col("paasche")), 6).alias("fisher"),
+        )
+        .transform(pin)
+        .orderBy("ym")
+    )

@@ -1296,3 +1296,192 @@ def q263_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-71: difference-in-differences estimator on the hash-split panel
+# ---------------------------------------------------------------------------
+
+_DID_ORACLE = f"""
+    WITH bounds AS (
+        SELECT MIN(CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400)
+                   AS dmin,
+               MAX(CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400)
+                   AS dmax
+        FROM events
+    ),
+    cut AS (SELECT dmin + (dmax - dmin + 1) // 2 AS c FROM bounds),
+    u AS (
+        SELECT user_id, {_ARM_EXPR.format(t="VARCHAR")} AS arm,
+               CAST(SUM(CASE WHEN CAST(FLOOR(epoch(date_trunc('day', ts)))
+                                       AS BIGINT) // 86400 < c
+                             AND event_type = 'purchase'
+                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS pre_cents,
+               CAST(SUM(CASE WHEN CAST(FLOOR(epoch(date_trunc('day', ts)))
+                                       AS BIGINT) // 86400 >= c
+                             AND event_type = 'purchase'
+                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS post_cents,
+               MAX(CASE WHEN CAST(FLOOR(epoch(date_trunc('day', ts)))
+                                  AS BIGINT) // 86400 < c
+                        THEN 1 ELSE 0 END) AS act_pre,
+               MAX(CASE WHEN CAST(FLOOR(epoch(date_trunc('day', ts)))
+                                  AS BIGINT) // 86400 >= c
+                        THEN 1 ELSE 0 END) AS act_post
+        FROM events CROSS JOIN cut
+        GROUP BY 1, 2
+    ),
+    panel AS (
+        SELECT arm, post_cents - pre_cents AS diff, pre_cents, post_cents
+        FROM u WHERE act_pre = 1 AND act_post = 1
+    ),
+    cell AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(pre_cents) AS BIGINT) AS s_pre,
+               CAST(SUM(post_cents) AS BIGINT) AS s_post,
+               CAST(SUM(diff) AS BIGINT) AS s,
+               CAST(SUM(CAST(diff AS DECIMAL(19,0)) * CAST(diff AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS s2
+        FROM panel GROUP BY 1
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN arm = 'a' THEN k END) AS n_a,
+               MAX(CASE WHEN arm = 'b' THEN k END) AS n_b,
+               MAX(CASE WHEN arm = 'a' THEN s_pre END) AS spre_a,
+               MAX(CASE WHEN arm = 'a' THEN s_post END) AS spost_a,
+               MAX(CASE WHEN arm = 'b' THEN s_pre END) AS spre_b,
+               MAX(CASE WHEN arm = 'b' THEN s_post END) AS spost_b,
+               MAX(CASE WHEN arm = 'a' THEN s END) AS s_a,
+               MAX(CASE WHEN arm = 'b' THEN s END) AS s_b,
+               MAX(CASE WHEN arm = 'a' THEN s2 END) AS s2_a,
+               MAX(CASE WHEN arm = 'b' THEN s2 END) AS s2_b
+        FROM cell
+    ),
+    est AS (
+        SELECT n_a, n_b,
+               ROUND(CAST(spre_a AS DOUBLE) / n_a, 6) AS pre_mean_a,
+               ROUND(CAST(spost_a AS DOUBLE) / n_a, 6) AS post_mean_a,
+               ROUND(CAST(spre_b AS DOUBLE) / n_b, 6) AS pre_mean_b,
+               ROUND(CAST(spost_b AS DOUBLE) / n_b, 6) AS post_mean_b,
+               CAST(s_b AS DOUBLE) / n_b - CAST(s_a AS DOUBLE) / n_a AS did,
+               CAST(n_a * s2_a - CAST(s_a AS DECIMAL(19,0)) * s_a AS DOUBLE)
+                   / n_a / n_a / (n_a - 1) AS var_a,
+               CAST(n_b * s2_b - CAST(s_b AS DECIMAL(19,0)) * s_b AS DOUBLE)
+                   / n_b / n_b / (n_b - 1) AS var_b
+        FROM wide
+    )
+    SELECT n_a, n_b, pre_mean_a, post_mean_a, pre_mean_b, post_mean_b,
+           ROUND(did, 6) AS did_cents,
+           ROUND(sqrt(var_a + var_b), 6) AS se_cents,
+           ROUND(did / sqrt(var_a + var_b), 6) AS t_stat
+    FROM est
+"""
+
+
+@query("q267_did_estimator", oracle=_DID_ORACLE, tags=("X-71", "X-23", "X-16"))
+def q267_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on the hash-split user panel: users
+    active in BOTH halves of the event horizon (cut = midpoint day,
+    derived from the data bounds) form a balanced panel; the estimate is
+    the arm-B-minus-arm-A difference of mean per-user spend CHANGE
+    (post minus pre purchase cents), with its two-sample standard error
+    and t statistic — the parallel-trends causal readout that separates
+    a treatment effect from a level difference, computed the paired way
+    (per-user deltas, so within-user correlation nets out; q169's z-test
+    is the cross-sectional special case).
+
+    Determinism: per-user pre/post cents are exact integers, so each
+    delta is an exact integer; per-arm variances collapse to the exact
+    integer k*S2 - S^2 (the q255 idiom) with IEEE division; DiD, SE and
+    t divide/root bit-identical operands and round at 6 dp.
+
+    Scale shape: one single-row bounds aggregate cross-broadcast into
+    the fact scan, ONE user-keyed rollup (map-side combined conditional
+    sums), then ONE ungrouped conditional aggregate — ten integers cross
+    the final exchange; arm assignment is map-only codegen."""
+    ev = load(spark, sf_dir, "events")
+    day = (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400)).cast(
+        "long"
+    )
+    bounds = ev.select(day.alias("d")).agg(
+        (F.min("d") + ((F.max("d") - F.min("d") + 1) / 2).cast("long")).alias("c")
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    is_pre = day < F.col("c")
+    is_purch = F.col("event_type") == "purchase"
+    u = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(is_pre & is_purch, cents).otherwise(0))
+            .cast("long")
+            .alias("pre_cents"),
+            F.sum(F.when((~is_pre) & is_purch, cents).otherwise(0))
+            .cast("long")
+            .alias("post_cents"),
+            F.max(F.when(is_pre, 1).otherwise(0)).alias("act_pre"),
+            F.max(F.when(~is_pre, 1).otherwise(0)).alias("act_post"),
+        )
+    )
+    panel = (
+        u.filter((F.col("act_pre") == 1) & (F.col("act_post") == 1))
+        .select(
+            F.expr(_ARM_EXPR.format(t="string")).alias("arm"),
+            "pre_cents",
+            "post_cents",
+            (F.col("post_cents") - F.col("pre_cents")).alias("diff"),
+        )
+    )
+    d19 = "decimal(19,0)"
+
+    def _arm(col, a):
+        return F.max(F.when(F.col("arm") == a, F.col(col)))
+
+    cell = panel.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("pre_cents").cast("long").alias("s_pre"),
+        F.sum("post_cents").cast("long").alias("s_post"),
+        F.sum("diff").cast("long").alias("s"),
+        F.sum(F.col("diff").cast(d19) * F.col("diff").cast(d19))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    wide = cell.agg(
+        _arm("k", "a").alias("n_a"),
+        _arm("k", "b").alias("n_b"),
+        _arm("s_pre", "a").alias("spre_a"),
+        _arm("s_post", "a").alias("spost_a"),
+        _arm("s_pre", "b").alias("spre_b"),
+        _arm("s_post", "b").alias("spost_b"),
+        _arm("s", "a").alias("s_a"),
+        _arm("s", "b").alias("s_b"),
+        _arm("s2", "a").alias("s2_a"),
+        _arm("s2", "b").alias("s2_b"),
+    )
+    did = F.col("s_b").cast("double") / F.col("n_b") - F.col("s_a").cast(
+        "double"
+    ) / F.col("n_a")
+    var_a = (
+        F.expr(f"CAST(n_a * s2_a - CAST(s_a AS {d19}) * s_a AS DOUBLE)")
+        / F.col("n_a")
+        / F.col("n_a")
+        / (F.col("n_a") - 1)
+    )
+    var_b = (
+        F.expr(f"CAST(n_b * s2_b - CAST(s_b AS {d19}) * s_b AS DOUBLE)")
+        / F.col("n_b")
+        / F.col("n_b")
+        / (F.col("n_b") - 1)
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("spre_a").cast("double") / F.col("n_a"), 6).alias("pre_mean_a"),
+        F.round(F.col("spost_a").cast("double") / F.col("n_a"), 6).alias("post_mean_a"),
+        F.round(F.col("spre_b").cast("double") / F.col("n_b"), 6).alias("pre_mean_b"),
+        F.round(F.col("spost_b").cast("double") / F.col("n_b"), 6).alias("post_mean_b"),
+        F.round(did, 6).alias("did_cents"),
+        F.round(F.sqrt(var_a + var_b), 6).alias("se_cents"),
+        F.round(did / F.sqrt(var_a + var_b), 6).alias("t_stat"),
+    )

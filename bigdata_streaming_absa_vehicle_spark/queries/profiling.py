@@ -1404,3 +1404,159 @@ def q244_powerlaw_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_tail * 1000000000 DIV n_users").alias("tail_share_ppb"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-69: Cramér's V categorical-association matrix
+# ---------------------------------------------------------------------------
+
+#: fixed value bands making `value` a third categorical: <50, [50,200), >=200
+_V_BAND = "CASE WHEN value < 50 THEN 'low' WHEN value < 200 THEN 'mid' ELSE 'high' END"
+
+_CRAMER_PAIR = """
+        SELECT '{a}' AS col_x, '{b}' AS col_y, {a} AS vx, {b} AS vy,
+               CAST(SUM(o) AS BIGINT) AS o
+        FROM joint GROUP BY 3, 4
+"""
+
+_CRAMER_ORACLE = f"""
+    WITH joint AS (
+        SELECT event_type,
+               CAST(dayofweek(ts) + 1 AS INT) AS dow,
+               {_V_BAND} AS band,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2, 3
+    ),
+    cells AS (
+        SELECT col_x, col_y, CAST(vx AS VARCHAR) AS vx, CAST(vy AS VARCHAR) AS vy, o
+        FROM ({_CRAMER_PAIR.format(a="event_type", b="dow")}) p1
+        UNION ALL
+        SELECT col_x, col_y, CAST(vx AS VARCHAR), CAST(vy AS VARCHAR), o
+        FROM ({_CRAMER_PAIR.format(a="event_type", b="band")}) p2
+        UNION ALL
+        SELECT col_x, col_y, CAST(vx AS VARCHAR), CAST(vy AS VARCHAR), o
+        FROM ({_CRAMER_PAIR.format(a="dow", b="band")}) p3
+    ),
+    r AS (SELECT col_x, col_y, vx, CAST(SUM(o) AS BIGINT) AS r
+          FROM cells GROUP BY 1, 2, 3),
+    c AS (SELECT col_x, col_y, vy, CAST(SUM(o) AS BIGINT) AS c
+          FROM cells GROUP BY 1, 2, 3),
+    t AS (SELECT col_x, col_y, CAST(SUM(o) AS BIGINT) AS t,
+                 COUNT(DISTINCT vx) AS nr, COUNT(DISTINCT vy) AS nc
+          FROM cells GROUP BY 1, 2),
+    terms AS (
+        SELECT cells.col_x, cells.col_y, nr, nc, t,
+               ROUND(CAST((CAST(o AS HUGEINT) * t - CAST(r.r AS HUGEINT) * c.c)
+                          * (CAST(o AS HUGEINT) * t - CAST(r.r AS HUGEINT) * c.c)
+                          AS DOUBLE)
+                     / CAST(CAST(r.r AS HUGEINT) * c.c * t AS DOUBLE), 9) AS term
+        FROM cells
+        JOIN r USING (col_x, col_y, vx)
+        JOIN c USING (col_x, col_y, vy)
+        JOIN t USING (col_x, col_y)
+    ),
+    chi AS (
+        SELECT col_x, col_y, t AS n,
+               CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+               ROUND(CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6) AS chi2,
+               CAST(t * least(nr - 1, nc - 1) AS BIGINT) AS vden
+        FROM terms GROUP BY 1, 2, 3, 4, 6
+    )
+    SELECT col_x, col_y, n, dof, chi2,
+           ROUND(sqrt(chi2 / vden), 6) AS cramers_v
+    FROM chi
+    ORDER BY col_x, col_y
+"""
+
+
+@query("q265_cramers_v", oracle=_CRAMER_ORACLE, tags=("X-69", "X-22", "A-01"))
+def q265_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association matrix over the categorical columns of the
+    event stream (event_type x day-of-week x a fixed value band): every
+    pair's chi-square normalized to V = sqrt(chi2 / (n * min(r-1, c-1)))
+    in [0, 1] — the categorical twin of q122's Pearson matrix and the
+    profiler readout that ranks WHICH column pairs are dependent
+    (q210 tests one pair; V makes pairs comparable across cardinalities).
+
+    Determinism: every chi-square term is a ratio of exact integer
+    products rounded at 9 dp into a decimal sum (the q210 idiom); V is
+    one IEEE sqrt+divide on the ROUNDED chi2 and an exact integer
+    denominator, rounded at 6 dp.
+
+    Scale shape: ONE map-side-combined fact rollup reduces events to the
+    bounded |types| x 7 x 3 joint table; all three pairwise
+    marginalizations, their marginals, and the term joins run on that
+    staged bounded relation (never a second fact scan); 3 rows out."""
+    band = (
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 200, "mid")
+        .otherwise("high")
+    )
+    joint = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"),
+            F.dayofweek("ts").alias("dow"),
+            band.alias("band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .transform(stage)  # all three pair marginalizations read it
+    )
+    cells = None
+    for ca, cb in (("event_type", "dow"), ("event_type", "band"), ("dow", "band")):
+        part = joint.groupBy(
+            F.lit(ca).alias("col_x"),
+            F.lit(cb).alias("col_y"),
+            F.col(ca).cast("string").alias("vx"),
+            F.col(cb).cast("string").alias("vy"),
+        ).agg(F.sum("o").cast("long").alias("o"))
+        cells = part if cells is None else cells.unionAll(part)
+    cells = cells.transform(stage)  # marginals + terms read the bounded cells
+    r = cells.groupBy("col_x", "col_y", "vx").agg(F.sum("o").cast("long").alias("r"))
+    c = cells.groupBy("col_x", "col_y", "vy").agg(F.sum("o").cast("long").alias("c"))
+    t = cells.groupBy("col_x", "col_y").agg(
+        F.sum("o").cast("long").alias("t"),
+        F.count_distinct("vx").alias("nr"),
+        F.count_distinct("vy").alias("nc"),
+    )
+    d0 = "decimal(38,0)"
+    num = F.col("o").cast(d0) * F.col("t") - F.col("r").cast(d0) * F.col("c")
+    den = (F.col("r").cast(d0) * F.col("c") * F.col("t")).cast(d0)
+    terms = (
+        cells.join(F.broadcast(r), ["col_x", "col_y", "vx"])
+        .join(F.broadcast(c), ["col_x", "col_y", "vy"])
+        .join(F.broadcast(t), ["col_x", "col_y"])
+        .select(
+            "col_x",
+            "col_y",
+            "nr",
+            "nc",
+            "t",
+            F.round((num * num).cast("double") / den.cast("double"), 9).alias("term"),
+        )
+    )
+    chi = terms.groupBy(
+        "col_x",
+        "col_y",
+        F.col("t").alias("n"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        (F.col("t") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+        .cast("long")
+        .alias("vden"),
+    ).agg(
+        F.round(F.sum(F.col("term").cast("decimal(28,9)")).cast("double"), 6).alias(
+            "chi2"
+        )
+    )
+    return (
+        chi.select(
+            "col_x",
+            "col_y",
+            "n",
+            "dof",
+            "chi2",
+            F.round(F.sqrt(F.col("chi2") / F.col("vden")), 6).alias("cramers_v"),
+        )
+        .transform(pin)
+        .orderBy("col_x", "col_y")
+    )

@@ -1532,3 +1532,187 @@ def q261_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-68: rank correlation (Spearman rho + Kendall tau-b) of two daily series
+# ---------------------------------------------------------------------------
+
+_RANKCORR_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    ranked AS (
+        SELECT d, x, y,
+               CAST(2 * RANK() OVER (ORDER BY x)
+                    + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx2,
+               CAST(2 * RANK() OVER (ORDER BY y)
+                    + COUNT(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry2
+        FROM daily
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rx2) AS BIGINT) AS sx, CAST(SUM(ry2) AS BIGINT) AS sy,
+               CAST(SUM(CAST(rx2 AS DECIMAL(19,0)) * CAST(ry2 AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(rx2 AS DECIMAL(19,0)) * CAST(rx2 AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(ry2 AS DECIMAL(19,0)) * CAST(ry2 AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS syy
+        FROM ranked
+    ),
+    pairs AS (
+        SELECT CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                               OR (a.x > b.x AND a.y > b.y)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+               CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                               OR (a.x > b.x AND a.y < b.y)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS disc
+        FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    ties AS (
+        SELECT CAST(COALESCE((SELECT SUM(c * (c - 1) / 2) FROM (
+                   SELECT COUNT(*) AS c FROM daily GROUP BY x) tx), 0) AS BIGINT) AS n1,
+               CAST(COALESCE((SELECT SUM(c * (c - 1) / 2) FROM (
+                   SELECT COUNT(*) AS c FROM daily GROUP BY y) ty), 0) AS BIGINT) AS n2
+    )
+    SELECT n AS n_days,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+                 6) AS spearman_rho,
+           conc AS concordant, disc AS discordant,
+           ROUND(CAST(conc - disc AS DOUBLE)
+                 / sqrt(CAST(n * (n - 1) / 2 - n1 AS DOUBLE)
+                        * CAST(n * (n - 1) / 2 - n2 AS DOUBLE)), 6) AS kendall_tau_b
+    FROM mom CROSS JOIN pairs CROSS JOIN ties
+"""
+
+
+@query("q264_rank_correlation", oracle=_RANKCORR_ORACLE, tags=("X-68", "X-31"))
+def q264_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank correlation between the daily event-count series and the
+    daily total-value series: Spearman's rho (Pearson on tie-averaged
+    ranks) and Kendall's tau-b (concordant-minus-discordant pairs with
+    the tie correction) — the monotone-association measures that q122's
+    Pearson matrix misses when the relationship is nonlinear or the
+    series are heavy-tailed, and the standard robustness companion any
+    metrics-correlation readout ships.
+
+    Determinism: tie-averaged ranks carry denominator <= 2, so
+    double-ranks 2*min_rank + ties - 1 are EXACT integers; Spearman's
+    five moments accumulate as exact decimal products (the q259 idiom)
+    and divide once in IEEE; Kendall's concordant/discordant/tie counts
+    are exact integers with one IEEE sqrt+divide; both round at 6 dp.
+
+    Scale shape: ONE map-side-combined fact rollup reduces events to the
+    bounded daily relation; the rank windows, the O(days^2) concordance
+    self-join, and the tie rollups all run on that bounded relation
+    (days, not events, squared — the q249 Theil-Sen precedent); a single
+    row reaches the driver."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+            .cast("long")
+            .alias("d"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum("cents").cast("long").alias("y"),
+        )
+        .transform(stage)  # ranks, concordance join, and tie rollups read it
+    )
+    rx2 = (
+        2 * F.rank().over(Window.orderBy("x"))
+        + F.count(F.lit(1)).over(Window.partitionBy("x"))
+        - 1
+    ).cast("long")
+    ry2 = (
+        2 * F.rank().over(Window.orderBy("y"))
+        + F.count(F.lit(1)).over(Window.partitionBy("y"))
+        - 1
+    ).cast("long")
+    d19 = "decimal(19,0)"
+    mom = (
+        daily.select(rx2.alias("rx2"), ry2.alias("ry2"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("rx2").cast("long").alias("sx"),
+            F.sum("ry2").cast("long").alias("sy"),
+            F.sum(F.col("rx2").cast(d19) * F.col("ry2").cast(d19))
+            .cast("decimal(38,0)")
+            .alias("sxy"),
+            F.sum(F.col("rx2").cast(d19) * F.col("rx2").cast(d19))
+            .cast("decimal(38,0)")
+            .alias("sxx"),
+            F.sum(F.col("ry2").cast(d19) * F.col("ry2").cast(d19))
+            .cast("decimal(38,0)")
+            .alias("syy"),
+        )
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(b, F.col("da") < F.col("db")).agg(
+        F.sum(
+            F.when(
+                ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+                | ((F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("conc"),
+        F.sum(
+            F.when(
+                ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+                | ((F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("disc"),
+    )
+    tie = lambda c: (  # noqa: E731 — sum over groups of c(c-1)/2
+        F.coalesce(
+            F.sum((F.col("c") * (F.col("c") - 1) / 2).cast("long")), F.lit(0)
+        ).cast("long")
+    )
+    n1 = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(tie("c").alias("n1"))
+    )
+    n2 = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(tie("c").alias("n2"))
+    )
+    num_s = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    den_sx = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    den_sy = F.col("n") * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy")
+    n0 = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    return (
+        mom.crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            F.col("n").alias("n_days"),
+            F.round(num_s / F.sqrt(den_sx * den_sy), 6).alias("spearman_rho"),
+            F.col("conc").alias("concordant"),
+            F.col("disc").alias("discordant"),
+            F.round(
+                (F.col("conc") - F.col("disc")).cast("double")
+                / F.sqrt(
+                    (n0 - F.col("n1")).cast("double")
+                    * (n0 - F.col("n2")).cast("double")
+                ),
+                6,
+            ).alias("kendall_tau_b"),
+        )
+    )

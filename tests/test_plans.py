@@ -1556,3 +1556,57 @@ def test_eb_shrinkage_is_one_rollup_plus_single_row_broadcast(spark):
     assert all("user_id" in l for l in hash_exchanges), plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_rank_correlation_runs_on_bounded_daily(spark):
+    """q264 (X-68): every hash exchange carries only daily-rollup keys
+    (d / tie-group x / y) — the rank windows and the O(days^2)
+    concordance join never shuffle event-level rows."""
+    q = all_queries()["q264_rank_correlation"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert any(f"({k}#" in l or f"{k}#" in l for k in ("d", "x", "y")), l
+    assert "BroadcastNestedLoopJoin" in plan, plan  # bounded concordance join
+
+
+def test_cramers_v_single_fact_rollup(spark):
+    """q265 (X-69): the fact reduces once to the bounded joint table;
+    marginals re-enter via broadcast hash joins, never a second
+    event-level shuffle."""
+    q = all_queries()["q265_cramers_v"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert all("events.parquet" in l for l in scans), plan
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "user_id" not in l and "event_id" not in l, l
+
+
+def test_price_index_broadcasts_base_month(spark):
+    """q266 (X-70): the basket join keys the dimension-scale (month,
+    part) relation against a BROADCAST base-month slice — no
+    lineitem-level join exists."""
+    q = all_queries()["q266_price_index"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "ym" in l or "l_partkey" in l, l
+
+
+def test_did_is_one_user_rollup_plus_bounds_broadcast(spark):
+    """q267 (X-71): the horizon-midpoint bounds enter as a single-row
+    broadcast nested-loop cross join; the only hash exchanges are the
+    user-keyed panel rollup."""
+    q = all_queries()["q267_did_estimator"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    hash_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert hash_exchanges, plan
+    # user-keyed panel rollup + the 2-row per-arm cell rollup only
+    assert all("user_id" in l or "arm" in l for l in hash_exchanges), plan
