@@ -176,8 +176,16 @@ _WINDOW_PRIORITY = (
 # cluster-robust ratio SE; q256: log-log price elasticity; q257:
 # two-sample log-rank test; q258: Simpson's-paradox audit; q259:
 # lead-lag cross-correlation; q260: Chapman capture-recapture; q261:
-# Goh-Barabasi burstiness; and q262: ABC-XYZ inventory matrix) hold
-# pytest-oracle evidence at
+# Goh-Barabasi burstiness; q262: ABC-XYZ inventory matrix; q263:
+# empirical-Bayes rate shrinkage; q264: Spearman/Kendall rank
+# correlation; q265: Cramér's V association matrix; q266:
+# Laspeyres/Paasche/Fisher price index; q267:
+# difference-in-differences estimator; q268: label-propagation
+# communities; q269: pinball quantile-forecast backtest; q270: Heaps'-law
+# vocabulary growth; q271: Apriori frequent triples + rules; q272:
+# Gumbel extreme-value return levels; q273: Markov removal-effect
+# attribution; q274: Zipf's-law frequency-rank fit; and q275: Newman
+# modularity of the LPA partition) hold pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.
 

@@ -1791,3 +1791,235 @@ def q266_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("ym")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-77: Markov removal-effect attribution (absorbing-chain, unrolled)
+# ---------------------------------------------------------------------------
+
+_MKA_ITERS = 8  #: absorption-probability iterations (geometric convergence)
+_MKA_CHANNELS = ("click", "error", "signup", "view")  #: non-conversion types
+
+
+def _mka_oracle() -> str:
+    scen_sel = " UNION ALL ".join(
+        ["SELECT 'FULL' AS scenario"]
+        + [f"SELECT '{c}'" for c in _MKA_CHANNELS]
+    )
+    prev = "p0"
+    iters = ""
+    for i in range(1, _MKA_ITERS + 1):
+        iters += f""",
+    p{i} AS (
+        SELECT e.scenario, e.src AS state,
+               CAST(SUM(CAST(ROUND(e.n * (CASE WHEN e.dst = 'CONV' THEN 1.0
+                                               WHEN e.dst = 'NULLSTATE' THEN 0.0
+                                               ELSE COALESCE(pp.p, 0.0) END)
+                                   / e.rt, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS p
+        FROM sedges e
+        LEFT JOIN {prev} pp ON pp.scenario = e.scenario AND pp.state = e.dst
+        GROUP BY 1, 2
+    )"""
+        prev = f"p{i}"
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prior_p
+        FROM events
+    ),
+    kept AS (SELECT user_id, event_type, ts, event_id
+             FROM seq WHERE prior_p = 0),
+    trans0 AS (
+        SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id),
+                        'START') AS src,
+               CASE WHEN event_type = 'purchase' THEN 'CONV'
+                    ELSE event_type END AS dst,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn_last,
+               event_type
+        FROM kept
+    ),
+    edges AS (
+        SELECT src, dst FROM trans0
+        UNION ALL
+        SELECT event_type, 'NULLSTATE' FROM trans0
+        WHERE rn_last = 1 AND event_type <> 'purchase'
+    ),
+    counts AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+               FROM edges GROUP BY 1, 2),
+    tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS rt FROM counts GROUP BY 1),
+    scen AS ({scen_sel}),
+    sedges AS (
+        SELECT s.scenario, c.src, c.dst, c.n, t.rt
+        FROM counts c JOIN tot t USING (src) CROSS JOIN scen s
+        WHERE s.scenario = 'FULL'
+           OR (c.src <> s.scenario AND c.dst <> s.scenario)
+    ),
+    p0 AS (SELECT DISTINCT scenario, src AS state, 0.0 AS p FROM sedges){iters},
+    readout AS (
+        SELECT (SELECT p FROM {prev}
+                WHERE scenario = 'FULL' AND state = 'START') AS p_full
+    ),
+    re AS (
+        SELECT ch.c AS channel, p_full,
+               COALESCE((SELECT p FROM {prev}
+                         WHERE scenario = ch.c AND state = 'START'), 0.0)
+                   AS p_removed
+        FROM (SELECT UNNEST(['{"','".join(_MKA_CHANNELS)}']) AS c) ch
+        CROSS JOIN readout
+    ),
+    eff AS (
+        SELECT channel, p_full, p_removed,
+               ROUND(1.0 - p_removed / p_full, 6) AS removal_effect
+        FROM re
+    )
+    SELECT channel,
+           ROUND(p_full, 6) AS p_conversion,
+           ROUND(p_removed, 6) AS p_without_channel,
+           removal_effect,
+           ROUND(removal_effect
+                 / SUM(removal_effect) OVER (), 6) AS attribution_share
+    FROM eff
+    ORDER BY channel
+    """
+
+
+@query("q273_markov_attribution", oracle=_mka_oracle(), tags=("X-77", "X-13", "W-02"))
+def q273_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution: model each user's journey to
+    first purchase as an absorbing Markov chain (START -> channel
+    states -> CONV / NULL), compute the chain's conversion probability
+    by {_MKA_ITERS} unrolled absorption iterations, then re-run it with
+    each channel REMOVED (its mass redirected to NULL) — a channel's
+    attribution share is its normalized removal effect
+    1 - p_removed/p_full.  The data-driven multi-touch model that
+    last-touch (q152), linear (q171) and time-decay (q212) heuristics
+    approximate: removal effect credits a channel by what conversions
+    would be LOST without it, which none of the positional rules can see.
+
+    Determinism: transition counts and row totals are exact integers;
+    each iteration's per-edge term n*v/rt is IEEE on bit-identical
+    operands ROUNDED at 12 dp into an exact decimal sum (the q221
+    per-iteration re-rounding idiom), so every p is engine-identical;
+    the readout rounds at 6 dp and shares normalize over ROUNDED
+    effects.
+
+    Scale shape: ONE fact shuffle (the per-user journey window + pair
+    rollup, map-side combined) reduces events to the bounded
+    |states|^2 transition matrix; the scenario expansion (1 + removal
+    per channel), all {_MKA_ITERS} iterations, and the readout run on
+    that bounded relation — iteration joins touch <= |scenarios| x
+    |states|^2 rows regardless of fact size."""
+    from pyspark.sql.window import Window as Wd
+
+    ev = load(spark, sf_dir, "events")
+    w_ord = Wd.partitionBy("user_id").orderBy("ts", "event_id")
+    w_prior = w_ord.rowsBetween(Wd.unboundedPreceding, -1)
+    w_last = Wd.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    kept = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(
+                w_prior
+            ),
+            F.lit(0),
+        ).alias("prior_p"),
+    ).filter(F.col("prior_p") == 0)
+    trans0 = kept.select(
+        F.coalesce(F.lag("event_type").over(w_ord), F.lit("START")).alias("src"),
+        F.when(F.col("event_type") == "purchase", "CONV")
+        .otherwise(F.col("event_type"))
+        .alias("dst"),
+        F.row_number().over(w_last).alias("rn_last"),
+        "event_type",
+    )
+    edges = trans0.select("src", "dst").unionByName(
+        trans0.filter(
+            (F.col("rn_last") == 1) & (F.col("event_type") != "purchase")
+        ).select(F.col("event_type").alias("src"), F.lit("NULLSTATE").alias("dst"))
+    )
+    counts = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.groupBy("src").agg(F.sum("n").cast("long").alias("rt"))
+    scen = spark.createDataFrame(
+        [("FULL",)] + [(c,) for c in _MKA_CHANNELS], "scenario string"
+    )
+    sedges = (
+        counts.join(F.broadcast(tot), "src")
+        .crossJoin(F.broadcast(scen))
+        .filter(
+            (F.col("scenario") == "FULL")
+            | ((F.col("src") != F.col("scenario")) & (F.col("dst") != F.col("scenario")))
+        )
+        .transform(stage)  # every iteration re-reads the bounded matrix
+    )
+    p = sedges.select("scenario", F.col("src").alias("state")).distinct().withColumn(
+        "p", F.lit(0.0)
+    )
+    for _ in range(_MKA_ITERS):
+        pe = sedges.join(
+            p.select(
+                F.col("scenario").alias("psc"),
+                F.col("state").alias("pst"),
+                F.col("p").alias("pp"),
+            ),
+            (F.col("scenario") == F.col("psc")) & (F.col("dst") == F.col("pst")),
+            "left",
+        )
+        v = (
+            F.when(F.col("dst") == "CONV", F.lit(1.0))
+            .when(F.col("dst") == "NULLSTATE", F.lit(0.0))
+            .otherwise(F.coalesce(F.col("pp"), F.lit(0.0)))
+        )
+        p = (
+            pe.groupBy("scenario", F.col("src").alias("state"))
+            .agg(
+                F.sum(
+                    F.round(F.col("n") * v / F.col("rt"), 12).cast("decimal(28,12)")
+                )
+                .cast("double")
+                .alias("p")
+            )
+        )
+    p = p.transform(stage)  # full + removal readouts both scan it
+    p_full = p.filter(
+        (F.col("scenario") == "FULL") & (F.col("state") == "START")
+    ).select(F.col("p").alias("p_full"))
+    chans = spark.createDataFrame([(c,) for c in _MKA_CHANNELS], "channel string")
+    removed = p.filter(F.col("state") == "START").select(
+        F.col("scenario").alias("channel"), F.col("p").alias("p_removed")
+    )
+    eff = (
+        chans.join(F.broadcast(removed), "channel", "left")
+        .crossJoin(F.broadcast(p_full))
+        .select(
+            "channel",
+            "p_full",
+            F.coalesce(F.col("p_removed"), F.lit(0.0)).alias("p_removed"),
+        )
+        .withColumn(
+            "removal_effect", F.round(1.0 - F.col("p_removed") / F.col("p_full"), 6)
+        )
+    )
+    return (
+        eff.select(
+            "channel",
+            F.round("p_full", 6).alias("p_conversion"),
+            F.round("p_removed", 6).alias("p_without_channel"),
+            "removal_effect",
+            F.round(
+                F.col("removal_effect")
+                / F.sum("removal_effect").over(Wd.partitionBy()),
+                6,
+            ).alias("attribution_share"),
+        )
+        .transform(pin)
+        .orderBy("channel")
+    )

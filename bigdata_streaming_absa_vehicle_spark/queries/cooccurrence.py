@@ -681,3 +681,160 @@ def q254_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("item", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-75: frequent triples + association rules (Apriori level 3)
+# ---------------------------------------------------------------------------
+
+_TOP_TRIPLES = 20
+
+_TRIPLES_ORACLE = f"""
+    WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+                FROM lineitem JOIN part ON l_partkey = p_partkey),
+    n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM li),
+    ic AS MATERIALIZED (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM li GROUP BY b),
+    pc AS MATERIALIZED (
+        SELECT x.b AS b1, y.b AS b2, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM li x JOIN li y ON x.o = y.o AND x.b < y.b
+        GROUP BY 1, 2
+    ),
+    tc AS MATERIALIZED (
+        SELECT x.b AS b1, y.b AS b2, z.b AS b3, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM li x JOIN li y ON x.o = y.o AND x.b < y.b
+                  JOIN li z ON x.o = z.o AND y.b < z.b
+        GROUP BY 1, 2, 3
+    )
+    SELECT tc.b1, tc.b2, tc.b3, tc.cnt AS triple_count,
+           ROUND(CAST(tc.cnt AS DOUBLE) / n_orders, 6) AS support,
+           ROUND(CAST(tc.cnt AS DOUBLE) * n_orders * n_orders
+                 / (CAST(c1.cnt AS DOUBLE) * c2.cnt * c3.cnt), 6) AS lift3,
+           ROUND(CAST(tc.cnt AS DOUBLE) / p12.cnt, 6) AS conf_12_3,
+           ROUND(CAST(tc.cnt AS DOUBLE) / p13.cnt, 6) AS conf_13_2,
+           ROUND(CAST(tc.cnt AS DOUBLE) / p23.cnt, 6) AS conf_23_1
+    FROM tc
+    JOIN ic c1 ON tc.b1 = c1.b
+    JOIN ic c2 ON tc.b2 = c2.b
+    JOIN ic c3 ON tc.b3 = c3.b
+    JOIN pc p12 ON tc.b1 = p12.b1 AND tc.b2 = p12.b2
+    JOIN pc p13 ON tc.b1 = p13.b1 AND tc.b3 = p13.b2
+    JOIN pc p23 ON tc.b2 = p23.b1 AND tc.b3 = p23.b2
+    CROSS JOIN n
+    ORDER BY triple_count DESC, tc.b1, tc.b2, tc.b3
+    LIMIT {_TOP_TRIPLES}
+"""
+
+
+@query("q271_apriori_triples", oracle=_TRIPLES_ORACLE, tags=("X-75", "X-22", "O-05"))
+def q271_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent brand TRIPLES with 3-way lift and directional rule
+    confidences — Apriori level 3 on order baskets: for each top triple
+    {{b1,b2,b3}}, support, lift vs 3-way independence, and the
+    confidence of each 2-antecedent rule ({{b1,b2}}->b3 etc., triple
+    count over pair count) — the next lattice level above q168's pairs
+    and the rule mining any "frequently bought together" bundle engine
+    runs before ranking bundles.
+
+    Determinism: all counts are exact integers; support/lift/confidence
+    are single IEEE divisions on bit-identical operands rounded 6 dp;
+    the top-k is a TakeOrdered under the (count, b1, b2, b3) total order.
+
+    Scale shape: ONE fact shuffle collects each order's distinct-brand
+    SET (bounded by the 25-brand domain); the <= C(B,3) within-basket
+    triples and C(B,2) pairs generate MAP-ONLY from the sorted array via
+    JVM higher-order transforms (never a fact self-join — the 3-way
+    self-join is kept as the oracle); item and pair counts re-enter
+    BROADCAST onto the bounded triple relation."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), "l_partkey"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", F.col("p_brand").alias("b"))
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("o")
+        .agg(F.array_sort(F.collect_set("b")).alias("bs"))
+        .transform(stage)  # triples, pairs, item counts, total all read it
+    )
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    ic = (
+        baskets.select(F.explode("bs").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    pair_structs = F.expr(
+        "flatten(transform(bs, (x, i) -> "
+        "transform(slice(bs, i + 2, size(bs)), y -> struct(x AS b1, y AS b2))))"
+    )
+    pc = (
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(F.col("pr.b1").alias("b1"), F.col("pr.b2").alias("b2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    triple_structs = F.expr(
+        "flatten(flatten(transform(bs, (x, i) -> "
+        "transform(slice(bs, i + 2, size(bs)), (y, j) -> "
+        "transform(slice(bs, i + j + 3, size(bs)), z -> "
+        "struct(x AS b1, y AS b2, z AS b3))))))"
+    )
+    tc = (
+        baskets.select(F.explode(triple_structs).alias("tr"))
+        .groupBy(
+            F.col("tr.b1").alias("b1"),
+            F.col("tr.b2").alias("b2"),
+            F.col("tr.b3").alias("b3"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("triple_count"))
+    )
+
+    def _ic(alias):
+        return F.broadcast(
+            ic.select(F.col("b").alias(f"_{alias}"), F.col("cnt").alias(f"c{alias}"))
+        )
+
+    def _pc(alias):
+        return F.broadcast(
+            pc.select(
+                F.col("b1").alias(f"_{alias}x"),
+                F.col("b2").alias(f"_{alias}y"),
+                F.col("cnt").alias(f"p{alias}"),
+            )
+        )
+
+    e = (
+        tc.join(_ic("1"), F.col("b1") == F.col("_1"))
+        .join(_ic("2"), F.col("b2") == F.col("_2"))
+        .join(_ic("3"), F.col("b3") == F.col("_3"))
+        .join(_pc("12"), (F.col("b1") == F.col("_12x")) & (F.col("b2") == F.col("_12y")))
+        .join(_pc("13"), (F.col("b1") == F.col("_13x")) & (F.col("b3") == F.col("_13y")))
+        .join(_pc("23"), (F.col("b2") == F.col("_23x")) & (F.col("b3") == F.col("_23y")))
+        .crossJoin(F.broadcast(n))
+    )
+    return (
+        e.select(
+            "b1",
+            "b2",
+            "b3",
+            "triple_count",
+            F.round(F.col("triple_count").cast("double") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("triple_count").cast("double")
+                * F.col("n_orders")
+                * F.col("n_orders")
+                / (F.col("c1").cast("double") * F.col("c2") * F.col("c3")),
+                6,
+            ).alias("lift3"),
+            F.round(F.col("triple_count").cast("double") / F.col("p12"), 6).alias(
+                "conf_12_3"
+            ),
+            F.round(F.col("triple_count").cast("double") / F.col("p13"), 6).alias(
+                "conf_13_2"
+            ),
+            F.round(F.col("triple_count").cast("double") / F.col("p23"), 6).alias(
+                "conf_23_1"
+            ),
+        )
+        .orderBy(F.col("triple_count").desc(), "b1", "b2", "b3")
+        .limit(_TOP_TRIPLES)
+    )

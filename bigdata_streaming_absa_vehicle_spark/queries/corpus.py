@@ -519,3 +519,267 @@ def q236_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-74: Heaps'-law vocabulary growth curve (+ fitted exponent)
+# ---------------------------------------------------------------------------
+
+_HEAPS_POINTS = 10  #: decile checkpoints over the corpus prefix
+
+
+def _heaps_oracle() -> str:
+    return f"""
+    WITH ranked AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY doc_id) AS rk,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tok
+        FROM documents
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked),
+    cps AS (
+        SELECT CAST(u.i AS BIGINT) AS cp,
+               CAST(CEIL(n * u.i / {_HEAPS_POINTS}.0) AS BIGINT) AS rk_c
+        FROM nn, UNNEST(range(1, {_HEAPS_POINTS} + 1)) AS u(i)
+    ),
+    flat AS (
+        SELECT r.rk, t.token
+        FROM (SELECT rk, UNNEST(string_split_regex(trim(text), '\\s+')) AS token
+              FROM ranked r2 JOIN documents USING (doc_id)
+              ) AS t(rk, token)
+        JOIN ranked r ON r.rk = t.rk
+    ),
+    firsts AS (SELECT token, MIN(rk) AS first_rk FROM flat GROUP BY token),
+    pts AS (
+        SELECT cp, rk_c,
+               (SELECT CAST(SUM(n_tok) AS BIGINT) FROM ranked
+                WHERE rk <= rk_c) AS n_tokens,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts
+                WHERE first_rk <= rk_c) AS vocab
+        FROM cps
+    ),
+    obs AS (
+        SELECT cp, rk_c AS n_docs, n_tokens, vocab,
+               CAST(ROUND(ln(n_tokens), 6) AS DECIMAL(16,6)) AS x,
+               CAST(ROUND(ln(vocab), 6) AS DECIMAL(16,6)) AS y
+        FROM pts
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(x) AS DECIMAL(28,6)) AS sx,
+               CAST(SUM(y) AS DECIMAL(28,6)) AS sy,
+               CAST(SUM(x * y) AS DECIMAL(38,12)) AS sxy,
+               CAST(SUM(x * x) AS DECIMAL(38,12)) AS sxx
+        FROM obs
+    )
+    SELECT cp, n_docs, n_tokens, vocab,
+           ROUND((k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+               AS heaps_beta
+    FROM obs CROSS JOIN m
+    ORDER BY cp
+    """
+
+
+@query("q270_heaps_law", oracle=_heaps_oracle(), tags=("X-74", "X-04", "X-31"))
+def q270_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative token count and distinct
+    vocabulary size at {_HEAPS_POINTS} corpus-prefix checkpoints (docs in
+    doc_id order), plus the fitted Heaps exponent beta from log-log OLS
+    over the checkpoints (V = K * N^beta, typically 0.4-0.6 for natural
+    text) — the corpus-health curve that tells a tokenizer-training run
+    how fast new types keep appearing (dedup failures and synthetic text
+    bend beta away from the natural band; q81's vocabulary is the
+    endpoint of exactly this curve).
+
+    Determinism: vocabulary-at-checkpoint counts tokens by their integer
+    first-occurrence rank (MIN over exact ranks), token totals are exact
+    integers, and the OLS moments use the 6-dp-rounded-ln decimal idiom
+    (q256), so the slope divides bit-identical operands.
+
+    Scale shape: one corpus scan explodes tokens into a (token, rank)
+    relation reduced map-side to per-token first ranks (ONE token-keyed
+    shuffle — the q81 vocabulary shape); per-doc token counts reduce to
+    the bounded checkpoint grid via a {_HEAPS_POINTS}-row broadcast
+    threshold join; the OLS runs on {_HEAPS_POINTS} rows."""
+    from pyspark.sql.window import Window as Wd
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.row_number().over(Wd.orderBy("doc_id")).alias("rk"),
+        F.size(dd.tokens("text")).cast("long").alias("n_tok"),
+        dd.tokens("text").alias("toks"),
+    ).transform(stage)  # checkpoint grid, firsts, and totals read it
+    nn = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cps = (
+        spark.range(1, _HEAPS_POINTS + 1)
+        .select(F.col("id").cast("long").alias("cp"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "cp",
+            F.ceil(F.col("n") * F.col("cp") / F.lit(float(_HEAPS_POINTS)))
+            .cast("long")
+            .alias("rk_c"),
+        )
+    )
+    firsts = (
+        docs.select("rk", F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.min("rk").alias("first_rk"))
+    )
+    vocab_at = (
+        firsts.crossJoin(F.broadcast(cps))
+        .filter(F.col("first_rk") <= F.col("rk_c"))
+        .groupBy("cp", "rk_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    )
+    tokens_at = (
+        docs.select("rk", "n_tok")
+        .crossJoin(F.broadcast(cps))
+        .filter(F.col("rk") <= F.col("rk_c"))
+        .groupBy("cp")
+        .agg(F.sum("n_tok").cast("long").alias("n_tokens"))
+    )
+    obs = (
+        vocab_at.join(tokens_at, "cp")
+        .select(
+            "cp",
+            F.col("rk_c").alias("n_docs"),
+            "n_tokens",
+            "vocab",
+            F.round(F.log("n_tokens"), 6).cast("decimal(16,6)").alias("x"),
+            F.round(F.log("vocab"), 6).cast("decimal(16,6)").alias("y"),
+        )
+        .transform(stage)  # the OLS aggregate and the readout both scan it
+    )
+    m = obs.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").cast("decimal(28,6)").alias("sx"),
+        F.sum("y").cast("decimal(28,6)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,12)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,12)").alias("sxx"),
+    )
+    beta = F.round(
+        (
+            F.col("k") * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy")
+        )
+        / (
+            F.col("k") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        ),
+        6,
+    )
+    return (
+        obs.crossJoin(F.broadcast(m))
+        .select("cp", "n_docs", "n_tokens", "vocab", beta.alias("heaps_beta"))
+        .transform(pin)
+        .orderBy("cp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-74 (cont.): Zipf's-law frequency-rank fit over the vocabulary
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 1000  #: fit over the top-N vocabulary (the q81 vocab bound)
+
+
+def _zipf_oracle() -> str:
+    return f"""
+    WITH flat AS (
+        SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    freq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM flat GROUP BY token),
+    ranked AS (
+        SELECT token, tf,
+               CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rnk
+        FROM freq
+    ),
+    obs AS (
+        SELECT rnk, tf,
+               CAST(ROUND(ln(rnk), 6) AS DECIMAL(16,6)) AS x,
+               CAST(ROUND(ln(tf), 6) AS DECIMAL(16,6)) AS y
+        FROM ranked WHERE rnk <= {_ZIPF_TOP}
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(x) AS DECIMAL(28,6)) AS sx,
+               CAST(SUM(y) AS DECIMAL(28,6)) AS sy,
+               CAST(SUM(x * y) AS DECIMAL(38,12)) AS sxy,
+               CAST(SUM(x * x) AS DECIMAL(38,12)) AS sxx,
+               CAST(SUM(y * y) AS DECIMAL(38,12)) AS syy
+        FROM obs
+    )
+    SELECT k AS n_types,
+           (SELECT MAX(tf) FROM obs) AS top_tf,
+           ROUND((k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+               AS zipf_slope,
+           ROUND((k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 * (k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / ((k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * (k * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6)
+               AS r_squared
+    FROM m
+    """
+
+
+@query("q274_zipf_law", oracle=_zipf_oracle(), tags=("X-74", "X-04", "X-31"))
+def q274_zipf_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of ln(term
+    frequency) on ln(frequency rank) across the top {_ZIPF_TOP} types
+    (natural text sits near -1; r² says how power-law-like the corpus
+    is) — the frequency-decay companion of q270's Heaps growth curve,
+    and the second corpus-law gauge that flags templated/synthetic text
+    (which flattens the slope) before it poisons tokenizer training.
+
+    Determinism: term frequencies and ranks are exact integers under the
+    (tf DESC, token) total order; both lns enter the moments rounded at
+    6 dp as decimals (the q256 idiom), so slope and r² divide
+    bit-identical operands, rounded 6 dp.
+
+    Scale shape: one corpus explode + ONE token-keyed rollup (the q81
+    vocabulary shape); the rank window is a single sort of the BOUNDED
+    top of the vocabulary (TakeOrdered-sized, never the corpus), and the
+    OLS is one aggregate over {_ZIPF_TOP} rows; single row out."""
+    from pyspark.sql.window import Window as Wd
+
+    flat = load(spark, sf_dir, "documents").select(
+        F.explode(dd.tokens("text")).alias("token")
+    )
+    freq = flat.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    ranked = freq.withColumn(
+        "rnk", F.row_number().over(Wd.orderBy(F.desc("tf"), F.asc("token"))).cast("long")
+    ).filter(F.col("rnk") <= _ZIPF_TOP)
+    obs = ranked.select(
+        "rnk",
+        "tf",
+        F.round(F.log("rnk"), 6).cast("decimal(16,6)").alias("x"),
+        F.round(F.log("tf"), 6).cast("decimal(16,6)").alias("y"),
+    ).transform(stage)  # the moment aggregate and top_tf both read it
+    m = obs.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("tf").alias("top_tf"),
+        F.sum("x").cast("decimal(28,6)").alias("sx"),
+        F.sum("y").cast("decimal(28,6)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,12)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,12)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,12)").alias("syy"),
+    )
+    num = F.col("k") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    )
+    den_x = F.col("k") * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    den_y = F.col("k") * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy")
+    return m.select(
+        F.col("k").alias("n_types"),
+        "top_tf",
+        F.round(num / den_x, 6).alias("zipf_slope"),
+        F.round(num * num / (den_x * den_y), 6).alias("r_squared"),
+    )

@@ -790,3 +790,262 @@ def q252_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.transform(pin).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# X-72: synchronous label propagation (community detection, 3 unrolled rounds)
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The symmetrized (a, b) benchmark edge list, staged because every
+    LPA round (and the modularity readout) re-reads it."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    e = raw_edges(docs, n)
+    return (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(e.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .transform(stage)
+    )
+
+
+def _lpa_labels(und: DataFrame) -> DataFrame:
+    """(node, lbl) after _LPA_ROUNDS synchronous rounds: each node adopts
+    its neighbors' most frequent label, ties to the smallest label."""
+    from pyspark.sql.window import Window as Wd
+
+    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    top1 = Wd.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            und.join(labels, und.b == labels.node)
+            .groupBy(und.a.alias("n2"), "lbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        labels = (
+            votes.withColumnRenamed("n2", "node")
+            .withColumn("rn", F.row_number().over(top1))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return labels
+
+
+def _lpa_rounds_cte() -> str:
+    """The l0..l{_LPA_ROUNDS} oracle CTE chain (same text q268 inlines)."""
+    rounds = []
+    prev = "l0"
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+    v{i} AS (
+        SELECT u.a AS node, {prev}.lbl, CAST(COUNT(*) AS BIGINT) AS c
+        FROM und u JOIN {prev} ON u.b = {prev}.node
+        GROUP BY 1, 2
+    ),
+    l{i} AS (
+        SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lbl) AS rn
+            FROM v{i}
+        ) WHERE rn = 1
+    )""")
+        prev = f"l{i}"
+    return ",".join(rounds)
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+    v{i} AS (
+        SELECT u.a AS node, {prev}.lbl, CAST(COUNT(*) AS BIGINT) AS c
+        FROM und u JOIN {prev} ON u.b = {prev}.node
+        GROUP BY 1, 2
+    ),
+    l{i} AS (
+        SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lbl) AS rn
+            FROM v{i}
+        ) WHERE rn = 1
+    )""")
+        prev = f"l{i}"
+    return f"""
+    WITH {_oracle_edges_cte()},
+    und AS (
+        SELECT src AS a, dst AS b FROM dedup_edges
+        UNION
+        SELECT dst, src FROM dedup_edges
+    ),
+    l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM und),{",".join(rounds)}
+    SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM {prev} GROUP BY lbl ORDER BY community
+    """
+
+
+@query("q268_label_propagation", oracle=_lpa_oracle(), tags=("X-72", "X-15"))
+def q268_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community detection on the undirected
+    benchmark graph: every node starts as its own label; each round it
+    adopts the most frequent label among its neighbors with ties broken
+    by the SMALLEST label (the deterministic sync variant of classic
+    async LPA, whose update order is unreproducible); after
+    {_LPA_ROUNDS} rounds communities are read out as (label, size,
+    id-range) — the cheap community structure that X-02's connected
+    components can't see (components find REACHABILITY; LPA finds
+    DENSITY clusters inside one giant component).
+
+    Determinism: labels and neighbor-vote counts are exact integers; the
+    per-node argmax orders by (count DESC, label ASC) — a total order, so
+    every round is engine-exact with no float anywhere.
+
+    Scale shape: each round is ONE node-keyed join of the edge list
+    against the current label relation, a (node, label) vote rollup
+    (map-side combined), and a per-node top-1 window — the same
+    edge⋈state shape as PageRank (X-15), bucketable to shuffle-free on
+    S-10 bucketed tables; rounds are data-independent in count, so the
+    unrolled loop is a fixed-depth plan."""
+    und = _lpa_und(spark, sf_dir)
+    labels = _lpa_labels(und)
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("node").cast("long").alias("min_node"),
+            F.max("node").cast("long").alias("max_node"),
+        )
+        .transform(pin)
+        .orderBy("community")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-72 (cont.): Newman modularity of the LPA partition
+# ---------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    return f"""
+    WITH {_oracle_edges_cte()},
+    und AS (
+        SELECT src AS a, dst AS b FROM dedup_edges
+        UNION
+        SELECT dst, src FROM dedup_edges
+    ),
+    l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM und),{_lpa_rounds_cte()},
+    lab AS (SELECT node, lbl FROM l{_LPA_ROUNDS}),
+    ee AS (SELECT CAST(COUNT(*) AS BIGINT) AS e FROM und),
+    intra AS (
+        SELECT la.lbl, CAST(COUNT(*) AS BIGINT) AS i_c
+        FROM und u
+        JOIN lab la ON u.a = la.node
+        JOIN lab lb ON u.b = lb.node
+        WHERE la.lbl = lb.lbl
+        GROUP BY 1
+    ),
+    degs AS (
+        SELECT la.lbl, CAST(COUNT(*) AS BIGINT) AS d_c,
+               CAST(COUNT(DISTINCT u.a) AS BIGINT) AS n_members
+        FROM und u JOIN lab la ON u.a = la.node
+        GROUP BY 1
+    ),
+    terms AS (
+        SELECT d.lbl AS community, d.n_members,
+               COALESCE(i.i_c, 0) // 2 AS intra_edges,
+               d.d_c AS degree_sum,
+               ROUND(CAST(COALESCE(i.i_c, 0) AS DOUBLE) / e
+                     - CAST(CAST(d.d_c AS DECIMAL(19,0)) * d.d_c AS DOUBLE)
+                       / e / e, 9) AS q_term
+        FROM degs d LEFT JOIN intra i ON d.lbl = i.lbl CROSS JOIN ee
+    )
+    SELECT community, n_members, intra_edges, degree_sum, q_term,
+           ROUND(CAST(SUM(CAST(q_term AS DECIMAL(28,9))) OVER () AS DOUBLE), 6)
+               AS modularity
+    FROM terms
+    ORDER BY community
+    """
+
+
+@query("q275_modularity", oracle=_modularity_oracle(), tags=("X-72", "X-15"))
+def q275_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the q268 LPA partition: per community,
+    intra-community edges, degree mass, and the modularity term
+    I_c/E - (D_c/E)^2 (directed-double formulation, E = 2m), plus the
+    partition's total Q — the quality score that says whether the
+    communities LPA found are denser than a degree-preserving random
+    graph (Q near 0: no structure; the judge of q268's output, and the
+    objective Louvain-family algorithms greedily climb).
+
+    Determinism: intra counts, degree sums, and E are exact integers
+    (the symmetrized edge relation double-counts both, so I_c is even
+    and I_c/E == L_c/m exactly); each term is IEEE on exact-integer
+    operands rounded at 9 dp into a decimal window sum, rounded 6 dp.
+
+    Scale shape: the LPA rounds are the q268 plan; the modularity
+    readout is TWO node-keyed joins of the edge list against the final
+    label relation (a-side and b-side — co-partitionable, bucketable to
+    shuffle-free) and map-side-combined rollups onto the bounded
+    community relation; the window sum runs over communities only."""
+    und = _lpa_und(spark, sf_dir)
+    lab = _lpa_labels(und).transform(stage)  # a-side and b-side joins read it
+    ee = und.agg(F.count(F.lit(1)).cast("long").alias("e"))
+    la = lab.select(F.col("node").alias("na"), F.col("lbl").alias("la"))
+    lb = lab.select(F.col("node").alias("nb"), F.col("lbl").alias("lb"))
+    intra = (
+        und.join(la, und.a == F.col("na"))
+        .join(lb, und.b == F.col("nb"))
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(F.count(F.lit(1)).cast("long").alias("i_c"))
+    )
+    degs = (
+        und.join(la, und.a == F.col("na"))
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("d_c"),
+            F.count_distinct("a").cast("long").alias("n_members"),
+        )
+    )
+    terms = (
+        degs.join(intra, "lbl", "left")
+        .crossJoin(F.broadcast(ee))
+        .select(
+            F.col("lbl").alias("community"),
+            "n_members",
+            F.expr("COALESCE(i_c, 0) DIV 2").alias("intra_edges"),
+            F.col("d_c").alias("degree_sum"),
+            F.round(
+                F.coalesce(F.col("i_c"), F.lit(0)).cast("double") / F.col("e")
+                - F.expr("CAST(CAST(d_c AS DECIMAL(19,0)) * d_c AS DOUBLE)")
+                / F.col("e")
+                / F.col("e"),
+                9,
+            ).alias("q_term"),
+        )
+    )
+    from pyspark.sql.window import Window as Wd
+
+    return (
+        terms.withColumn(
+            "modularity",
+            F.round(
+                F.sum(F.col("q_term").cast("decimal(28,9)"))
+                .over(Wd.partitionBy())
+                .cast("double"),
+                6,
+            ),
+        )
+        .transform(pin)
+        .orderBy("community")
+    )

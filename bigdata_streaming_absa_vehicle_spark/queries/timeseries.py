@@ -1716,3 +1716,264 @@ def q264_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kendall_tau_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-73: quantile-forecast backtest (pinball loss + coverage)
+# ---------------------------------------------------------------------------
+
+_PB_TRAIN_DAYS = 21  #: train on the first 21 days of the horizon, test the rest
+
+_PINBALL_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    cut AS (SELECT MIN(d) + {_PB_TRAIN_DAYS} AS c FROM daily),
+    train AS (
+        SELECT event_type, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY y, d) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_train
+        FROM daily CROSS JOIN cut WHERE d < c
+    ),
+    fc AS (
+        SELECT event_type, q, n_train, y AS f
+        FROM train CROSS JOIN (SELECT UNNEST([50, 90]) AS q)
+        WHERE rk = CAST(CEIL(n_train * q / 100.0) AS BIGINT)
+    ),
+    test AS (SELECT event_type, d, y FROM daily CROSS JOIN cut WHERE d >= c),
+    scored AS (
+        SELECT t.event_type, q, n_train, f,
+               CAST(CASE WHEN t.y >= f THEN q * (t.y - f)
+                         ELSE (100 - q) * (f - t.y) END AS BIGINT) AS l100,
+               CASE WHEN t.y <= f THEN 1 ELSE 0 END AS covered
+        FROM test t JOIN fc USING (event_type)
+    )
+    SELECT event_type, CAST(q AS BIGINT) AS quantile,
+           CAST(MAX(n_train) AS BIGINT) AS n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(MAX(f) AS BIGINT) AS forecast_cents,
+           ROUND(CAST(SUM(l100) AS DOUBLE) / 100 / COUNT(*), 6)
+               AS avg_pinball_cents,
+           ROUND(CAST(SUM(covered) AS DOUBLE) / COUNT(*), 6) AS coverage
+    FROM scored GROUP BY 1, 2 ORDER BY event_type, quantile
+"""
+
+
+@query("q269_pinball_backtest", oracle=_PINBALL_ORACLE, tags=("X-73", "X-20", "A-12"))
+def q269_pinball_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-forecast backtest: per event type, forecast the daily
+    total's P50 and P90 from the first {_PB_TRAIN_DAYS} days (discrete
+    quantile — the value at rank ceil(n*q/100), so the forecast IS a
+    training observation, no interpolation), then score the remaining
+    days with the pinball (quantile) loss and empirical coverage — the
+    proper scoring rule for quantile forecasts that q219's MAE/sMAPE
+    can't judge (MAE rewards the median only; pinball at q=0.9 is what a
+    P90 capacity forecast must minimize, and coverage says whether 90%
+    really lands under it).
+
+    Determinism: daily totals are exact cents; the discrete-quantile
+    rank is an exact integer; each pinball term q*(y-f) or
+    (100-q)*(f-y) is an exact integer in centi-cents summed as integers
+    with ONE IEEE division per readout row, rounded 6 dp.
+
+    Scale shape: ONE map-side-combined fact rollup to the bounded
+    (type, day) relation; the train-window quantile ranks, the 2-level
+    forecast relation, and the test-day scoring join all run on that
+    bounded relation (forecasts re-enter broadcast); 2 rows per type out."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+            .cast("long")
+            .alias("d"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").cast("long").alias("y"))
+        .transform(stage)  # cut, train ranks, and test scoring read it
+    )
+    cut = daily.agg((F.min("d") + _PB_TRAIN_DAYS).alias("c"))
+    w_rk = Window.partitionBy("event_type").orderBy("y", "d")
+    w_n = Window.partitionBy("event_type")
+    train = (
+        daily.crossJoin(F.broadcast(cut))
+        .filter(F.col("d") < F.col("c"))
+        .select(
+            "event_type",
+            "y",
+            F.row_number().over(w_rk).alias("rk"),
+            F.count(F.lit(1)).over(w_n).alias("n_train"),
+        )
+    )
+    qlevels = spark.range(0).sparkSession.createDataFrame(
+        [(50,), (90,)], "q int"
+    )
+    fc = (
+        train.crossJoin(F.broadcast(qlevels))
+        .filter(
+            F.col("rk")
+            == F.ceil(F.col("n_train") * F.col("q") / F.lit(100.0)).cast("long")
+        )
+        .select("event_type", "q", "n_train", F.col("y").alias("f"))
+    )
+    test = daily.crossJoin(F.broadcast(cut)).filter(F.col("d") >= F.col("c"))
+    scored = test.join(F.broadcast(fc), "event_type").select(
+        "event_type",
+        "q",
+        "n_train",
+        "f",
+        F.when(
+            F.col("y") >= F.col("f"), F.col("q") * (F.col("y") - F.col("f"))
+        )
+        .otherwise((100 - F.col("q")) * (F.col("f") - F.col("y")))
+        .cast("long")
+        .alias("l100"),
+        F.when(F.col("y") <= F.col("f"), 1).otherwise(0).alias("covered"),
+    )
+    return (
+        scored.groupBy("event_type", F.col("q").cast("long").alias("quantile"))
+        .agg(
+            F.max("n_train").cast("long").alias("n_train"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.max("f").cast("long").alias("forecast_cents"),
+            F.round(
+                F.sum("l100").cast("double") / 100 / F.count(F.lit(1)), 6
+            ).alias("avg_pinball_cents"),
+            F.round(F.sum("covered").cast("double") / F.count(F.lit(1)), 6).alias(
+                "coverage"
+            ),
+        )
+        .transform(pin)
+        .orderBy("event_type", "quantile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-76: Gumbel extreme-value fit + return levels (capacity planning)
+# ---------------------------------------------------------------------------
+
+#: data-independent Gumbel constants, precomputed in Python and injected as
+#: identical literals into BOTH engines so no libm ln/pi runs anywhere:
+#: z_N = -ln(-ln(1 - 1/N)); SQRT6_PI = sqrt(6)/pi; EULER = Euler-Mascheroni
+_GUM_Z = {30: 3.3842944934992527, 90: 4.494228221802722, 365: 5.8985259242227315}
+_GUM_SQRT6_PI = 0.779696801233676
+_GUM_EULER = 0.5772156649015329
+
+_GUMBEL_ORACLE = f"""
+    WITH dmax AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+               MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS m
+        FROM events GROUP BY 1, 2
+    ),
+    mom AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(m) AS BIGINT) AS s,
+               CAST(SUM(CAST(m AS DECIMAL(19,0)) * CAST(m AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS s2
+        FROM dmax GROUP BY 1
+    ),
+    fit AS (
+        SELECT event_type, n,
+               CAST(s AS DOUBLE) / n AS mean_c,
+               sqrt(CAST(n * s2 - CAST(s AS DECIMAL(19,0)) * s AS DOUBLE)
+                    / n / (n - 1)) AS sd_c
+        FROM mom WHERE n >= 3
+    ),
+    gum AS (
+        SELECT event_type, n, mean_c, sd_c,
+               sd_c * {_GUM_SQRT6_PI} AS beta,
+               mean_c - sd_c * {_GUM_SQRT6_PI} * {_GUM_EULER} AS mu
+        FROM fit
+    )
+    SELECT event_type, CAST(h.n_days AS BIGINT) AS horizon_days,
+           n AS n_obs,
+           ROUND(mean_c, 6) AS mean_cents,
+           ROUND(sd_c, 6) AS sd_cents,
+           ROUND(mu, 6) AS gumbel_mu,
+           ROUND(beta, 6) AS gumbel_beta,
+           ROUND(mu + beta * h.z, 6) AS return_level_cents
+    FROM gum CROSS JOIN (SELECT UNNEST([30, 90, 365]) AS n_days,
+                                UNNEST([{_GUM_Z[30]}, {_GUM_Z[90]},
+                                        {_GUM_Z[365]}]) AS z) h
+    ORDER BY event_type, horizon_days
+"""
+
+
+@query("q272_gumbel_return_levels", oracle=_GUMBEL_ORACLE, tags=("X-76", "X-20"))
+def q272_gumbel_return_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value capacity planning: fit a Gumbel distribution to each
+    event type's DAILY MAXIMUM value by method of moments
+    (beta = sd*sqrt(6)/pi, mu = mean - Euler*beta) and read off the
+    30/90/365-day return levels mu + beta*z_N — "the largest daily spike
+    you should expect once per quarter/year", the tail question P99s
+    can't answer because return periods extrapolate BEYOND the observed
+    range (block-maxima EVT, the same math behind flood design levels).
+
+    Determinism: daily maxima are exact cents; mean and sd come from the
+    exact integer k*S2-S^2 collapse with IEEE division/sqrt; sqrt(6)/pi,
+    Euler's gamma, and every z_N = -ln(-ln(1-1/N)) are DATA-INDEPENDENT
+    literals precomputed in Python and injected identically into both
+    engines — no libm ln or pi evaluation ever runs; rounds at 6 dp.
+
+    Scale shape: ONE map-side-combined fact rollup to the bounded
+    (type, day) maxima, a per-type two-moment aggregate on it, and a
+    3-row broadcast horizon grid — the A-14 mergeable shape."""
+    dmax = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+            .cast("long")
+            .alias("d"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.max("cents").alias("m"))
+    )
+    d19 = "decimal(19,0)"
+    mom = dmax.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("m").cast("long").alias("s"),
+        F.sum(F.col("m").cast(d19) * F.col("m").cast(d19))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    mean_c = F.col("s").cast("double") / F.col("n")
+    sd_c = F.sqrt(
+        F.expr(f"CAST(n * s2 - CAST(s AS {d19}) * s AS DOUBLE)")
+        / F.col("n")
+        / (F.col("n") - 1)
+    )
+    gum = mom.filter(F.col("n") >= 3).select(
+        "event_type",
+        "n",
+        mean_c.alias("mean_c"),
+        sd_c.alias("sd_c"),
+        (sd_c * F.lit(_GUM_SQRT6_PI)).alias("beta"),
+        (mean_c - sd_c * F.lit(_GUM_SQRT6_PI) * F.lit(_GUM_EULER)).alias("mu"),
+    )
+    horizons = spark.createDataFrame(
+        [(n, z) for n, z in _GUM_Z.items()], "n_days long, z double"
+    )
+    return (
+        gum.crossJoin(F.broadcast(horizons))
+        .select(
+            "event_type",
+            F.col("n_days").alias("horizon_days"),
+            F.col("n").alias("n_obs"),
+            F.round("mean_c", 6).alias("mean_cents"),
+            F.round("sd_c", 6).alias("sd_cents"),
+            F.round("mu", 6).alias("gumbel_mu"),
+            F.round("beta", 6).alias("gumbel_beta"),
+            F.round(F.col("mu") + F.col("beta") * F.col("z"), 6).alias(
+                "return_level_cents"
+            ),
+        )
+        .transform(pin)
+        .orderBy("event_type", "horizon_days")
+    )

@@ -1610,3 +1610,97 @@ def test_did_is_one_user_rollup_plus_bounds_broadcast(spark):
     assert hash_exchanges, plan
     # user-keyed panel rollup + the 2-row per-arm cell rollup only
     assert all("user_id" in l or "arm" in l for l in hash_exchanges), plan
+
+
+def test_label_propagation_rounds_are_keyed_joins(spark):
+    """q268 (X-72): every round is a node-keyed edge⋈label join + vote
+    rollup — no cartesian/BNL product anywhere in the unrolled plan."""
+    q = all_queries()["q268_label_propagation"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert all("documents.parquet" in l for l in scans), plan
+
+
+def test_pinball_backtest_runs_on_bounded_daily(spark):
+    """q269 (X-73): one fact rollup to (type, day); the cut and the
+    forecast relation re-enter broadcast — no event-level join."""
+    q = all_queries()["q269_pinball_backtest"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan  # single-row cut
+    assert "BroadcastHashJoin" in plan, plan  # forecasts -> test days
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "event_type" in l or "quantile" in l, l
+
+
+def test_heaps_law_single_token_shuffle(spark):
+    """q270 (X-74): the only corpus-scale shuffle is the per-token
+    first-rank rollup; checkpoint thresholds enter as a 10-row
+    broadcast."""
+    q = all_queries()["q270_heaps_law"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 10-row checkpoint grid
+    assert "CartesianProduct" not in plan, plan
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert any(k in l for k in ("token", "cp", "rk_c")), l
+
+
+def test_apriori_triples_generate_map_only(spark):
+    """q271 (X-75): triples and pairs explode from the per-order sorted
+    brand array (JVM higher-order transforms) — the only fact shuffle is
+    the basket collect; the part dim joins broadcast; the top-k is a
+    TakeOrdered, never a global sort."""
+    q = all_queries()["q271_apriori_triples"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("SortMergeJoin") == 0, plan
+
+
+def test_gumbel_is_bounded_rollup_plus_horizon_broadcast(spark):
+    """q272 (X-76): one fact rollup to (type, day) maxima, a per-type
+    moment aggregate, and a 3-row broadcast horizon grid."""
+    q = all_queries()["q272_gumbel_return_levels"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 3-row horizon grid
+    assert "CartesianProduct" not in plan, plan
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "event_type" in l, l
+
+
+def test_markov_attribution_iterates_on_bounded_matrix(spark):
+    """q273 (X-77): after the user-journey rollup, every iteration joins
+    the bounded scenario x transition matrix — no event-level join and
+    exactly one user-keyed window exchange family."""
+    q = all_queries()["q273_markov_attribution"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert all("events.parquet" in l for l in scans), plan
+
+
+def test_zipf_ranks_only_vocabulary(spark):
+    """q274 (X-74): the only corpus-scale shuffle is the token rollup;
+    the rank window sorts the vocabulary, never the corpus."""
+    q = all_queries()["q274_zipf_law"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "token" in l, l
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert all("documents.parquet" in l for l in scans), plan
+
+
+def test_modularity_readout_joins_on_node_keys(spark):
+    """q275 (X-72): the modularity readout joins edges to labels on node
+    ids and rolls up to communities — no cartesian product; the E total
+    enters as a single-row broadcast."""
+    q = all_queries()["q275_modularity"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # single-row E
