@@ -184,8 +184,10 @@ _WINDOW_PRIORITY = (
 # communities; q269: pinball quantile-forecast backtest; q270: Heaps'-law
 # vocabulary growth; q271: Apriori frequent triples + rules; q272:
 # Gumbel extreme-value return levels; q273: Markov removal-effect
-# attribution; q274: Zipf's-law frequency-rank fit; and q275: Newman
-# modularity of the LPA partition) hold pytest-oracle evidence at
+# attribution; q274: Zipf's-law frequency-rank fit; q275: Newman
+# modularity of the LPA partition; q276: position-based (U-shaped)
+# attribution; q277: lexical-complexity profile; and q278: multi-source
+# BFS reach histogram) hold pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.
 

@@ -2023,3 +2023,115 @@ def q273_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-21 (cont.): position-based (U-shaped) attribution
+# ---------------------------------------------------------------------------
+
+_POS_ORACLE = f"""
+    WITH touch AS (
+        SELECT user_id AS t_user, ts AS tts, event_id AS t_eid,
+               event_type AS channel
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    pur AS (
+        SELECT event_id, user_id, ts AS pts,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+        SELECT p.event_id, p.cents, t.channel,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                  ORDER BY t.tts, t.t_eid) AS rk,
+               COUNT(*) OVER (PARTITION BY p.event_id) AS n_touch
+        FROM pur p JOIN touch t
+          ON p.user_id = t.t_user AND t.tts <= p.pts
+         AND epoch_us(p.pts) - epoch_us(t.tts) <= {_ATTR_WINDOW_US}
+    ),
+    wt AS (
+        SELECT event_id, cents, channel,
+               CASE WHEN n_touch = 1 THEN 1.0
+                    WHEN n_touch = 2 THEN 0.5
+                    WHEN rk = 1 OR rk = n_touch THEN 0.4
+                    ELSE 0.2 / (n_touch - 2) END AS w
+        FROM pairs
+    )
+    SELECT channel,
+           CAST(SUM(CAST(ROUND(w, 9) AS DECIMAL(28,9))) AS DOUBLE)
+               AS credited_purchases,
+           CAST(SUM(CAST(ROUND(cents * w / 100, 6) AS DECIMAL(28,6))) AS DOUBLE)
+               AS credited_revenue
+    FROM wt GROUP BY channel ORDER BY channel
+"""
+
+
+@query("q276_position_attribution", oracle=_POS_ORACLE, tags=("X-21", "W-01"))
+def q276_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) multi-touch attribution: each
+    purchase credits 40% to the FIRST touch in its 3-day lookback, 40%
+    to the LAST, and splits 20% evenly across the middle (1 touch keeps
+    100%, 2 touches split 50/50) — the introducer-and-closer compromise
+    completing the attribution family: last-touch (q152), linear
+    (q171), time-decay (q212), and the data-driven Markov removal
+    effect (q273) that these heuristics approximate.
+
+    Determinism: touch positions rank under the (ts, event_id) total
+    order; weights are exact literals except the middle split's ONE IEEE
+    division, each credit term rounds at 9/6 dp into exact decimal sums
+    (the q171 idiom).
+
+    Scale shape: identical join geometry to q171 — the purchase×touch
+    pairing is CO-PARTITIONED on user_id with the lookback as a
+    join-level range predicate (fan-out bounded per user), the position
+    window partitions by purchase id, and the final rollup groups on the
+    2-value channel key."""
+    ev = load(spark, sf_dir, "events")
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("t_eid"),
+        F.col("event_type").alias("channel"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    pairs = pur.join(
+        touch,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("tts") <= F.col("pts"))
+        & (F.unix_micros("pts") - F.unix_micros("tts") <= _ATTR_WINDOW_US),
+    ).select(
+        "event_id",
+        "cents",
+        "channel",
+        F.row_number()
+        .over(W.partitionBy("event_id").orderBy("tts", "t_eid"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("event_id")).alias("n_touch"),
+    )
+    w = (
+        F.when(F.col("n_touch") == 1, F.lit(1.0))
+        .when(F.col("n_touch") == 2, F.lit(0.5))
+        .when((F.col("rk") == 1) | (F.col("rk") == F.col("n_touch")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n_touch") - 2))
+    )
+    return (
+        pairs.select("channel", "cents", w.alias("w"))
+        .groupBy("channel")
+        .agg(
+            F.sum(F.round(F.col("w"), 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("credited_purchases"),
+            F.sum(
+                F.round(F.col("cents") * F.col("w") / 100, 6).cast("decimal(28,6)")
+            )
+            .cast("double")
+            .alias("credited_revenue"),
+        )
+        .transform(pin)
+        .orderBy("channel")
+    )

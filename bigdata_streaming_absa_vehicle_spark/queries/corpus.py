@@ -783,3 +783,78 @@ def q274_zipf_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / den_x, 6).alias("zipf_slope"),
         F.round(num * num / (den_x * den_y), 6).alias("r_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-04 (cont.): lexical-complexity profile per source
+# ---------------------------------------------------------------------------
+
+_LEX_ORACLE = """
+    WITH toks AS (
+        SELECT source,
+               UNNEST(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    feat AS (
+        SELECT source, token,
+               CAST(len(regexp_extract_all(token, '[aeiouy]+')) AS BIGINT) AS syl,
+               CAST(length(token) AS BIGINT) AS chars
+        FROM toks
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types,
+           ROUND(CAST(SUM(syl) AS DOUBLE) / COUNT(*), 6) AS syllables_per_word,
+           ROUND(CAST(SUM(CASE WHEN syl >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS complex_word_ratio,
+           ROUND(CAST(SUM(chars) AS DOUBLE) / COUNT(*), 6) AS chars_per_word,
+           ROUND(CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*), 6)
+               AS type_token_ratio
+    FROM feat GROUP BY source ORDER BY source
+"""
+
+
+@query("q277_lexical_complexity", oracle=_LEX_ORACLE, tags=("X-04", "A-04"))
+def q277_lexical_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-complexity profile per source: syllables per word (vowel-
+    group runs — the Flesch syllable heuristic), complex-word ratio
+    (3+ syllable groups), mean word length, and type-token ratio — the
+    readability-adjacent quality features that q48's length/stopword
+    stats miss, and the per-source report that flags a source whose text
+    is template-simple (low TTR) or jargon-heavy (high complex ratio)
+    before it skews a training mix.
+
+    Determinism: syllable, char, and type counts are exact integers from
+    identical regexes in both engines; every ratio is one IEEE division
+    rounded 6 dp.
+
+    Scale shape: one corpus explode feeding a source-keyed rollup
+    (map-side combined; the distinct-token count is the A-04 expand on
+    the same key) — bounded |sources| rows out."""
+    feat = load(spark, sf_dir, "documents").select(
+        "source", F.explode(dd.tokens("text")).alias("token")
+    ).select(
+        "source",
+        "token",
+        F.regexp_count(F.col("token"), F.lit("[aeiouy]+")).cast("long").alias("syl"),
+        F.length("token").cast("long").alias("chars"),
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        feat.groupBy("source")
+        .agg(
+            cnt.cast("long").alias("n_tokens"),
+            F.count_distinct("token").cast("long").alias("n_types"),
+            F.round(F.sum("syl").cast("double") / cnt, 6).alias("syllables_per_word"),
+            F.round(
+                F.sum(F.when(F.col("syl") >= 3, 1).otherwise(0)).cast("double") / cnt,
+                6,
+            ).alias("complex_word_ratio"),
+            F.round(F.sum("chars").cast("double") / cnt, 6).alias("chars_per_word"),
+            F.round(F.count_distinct("token").cast("double") / cnt, 6).alias(
+                "type_token_ratio"
+            ),
+        )
+        .transform(pin)
+        .orderBy("source")
+    )

@@ -1049,3 +1049,95 @@ def q275_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("community")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-78: multi-source BFS frontier (seed-reach histogram)
+# ---------------------------------------------------------------------------
+
+_BFS_ROUNDS = 3
+_BFS_SEED_MOD = 100  #: seeds = nodes with doc_id % _BFS_SEED_MOD == 0
+
+
+def _bfs_oracle() -> str:
+    prev = "d0"
+    iters = ""
+    for i in range(1, _BFS_ROUNDS + 1):
+        iters += f""",
+    d{i} AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT u.b AS node, p.dist + 1 AS dist
+            FROM und u JOIN {prev} p ON u.a = p.node
+        ) GROUP BY node
+    )"""
+        prev = f"d{i}"
+    return f"""
+    WITH {_oracle_edges_cte()},
+    und AS (
+        SELECT src AS a, dst AS b FROM dedup_edges
+        UNION
+        SELECT dst, src FROM dedup_edges
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM und),
+    d0 AS (SELECT node, 0 AS dist FROM nodes
+           WHERE node % {_BFS_SEED_MOD} = 0){iters},
+    final AS (
+        SELECT n.node, d.dist
+        FROM nodes n LEFT JOIN {prev} d USING (node)
+    )
+    SELECT COALESCE(CAST(dist AS BIGINT), -1) AS distance,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM final GROUP BY 1 ORDER BY distance
+    """
+
+
+@query("q278_bfs_distance", oracle=_bfs_oracle(), tags=("X-78", "X-15"))
+def q278_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the undirected benchmark graph: from the
+    deterministic seed set (node id divisible by {_BFS_SEED_MOD}),
+    propagate minimum hop distance for {_BFS_ROUNDS} rounds and report
+    the reach histogram (nodes at distance 0..{_BFS_ROUNDS}, -1 =
+    unreached) — the influence-radius / contamination-reach readout
+    (how much of the graph is within k hops of the flagged set) that
+    complements X-02's full components and q275's communities.
+
+    Determinism: distances are exact integers minimized under MIN — no
+    tie-break needed, no float anywhere.
+
+    Scale shape: each round is ONE node-keyed join of the edge list
+    against the current frontier relation plus a map-side-combined MIN
+    rollup — the X-15 edge⋈state shape, bucketable to shuffle-free;
+    the histogram rollup groups on the {_BFS_ROUNDS}+2-value distance
+    key."""
+    und = _lpa_und(spark, sf_dir)
+    nodes = und.select(F.col("a").alias("node")).distinct().transform(stage)
+    dist = nodes.filter(F.col("node") % _BFS_SEED_MOD == 0).withColumn(
+        "dist", F.lit(0)
+    )
+    for _ in range(_BFS_ROUNDS):
+        hop = (
+            und.join(dist.withColumnRenamed("node", "pn"), und.a == F.col("pn"))
+            .select(F.col("b").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(hop)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    final = nodes.join(dist, "node", "left")
+    return (
+        final.groupBy(
+            F.coalesce(F.col("dist").cast("long"), F.lit(-1)).alias("distance")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").cast("long").alias("min_node"),
+            F.max("node").cast("long").alias("max_node"),
+        )
+        .transform(pin)
+        .orderBy("distance")
+    )

@@ -1704,3 +1704,36 @@ def test_modularity_readout_joins_on_node_keys(spark):
     plan = plan_of(q.fn(spark, SF_DIR), "simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan  # single-row E
+
+
+def test_position_attribution_copartitions_on_user(spark):
+    """q276 (X-21): the purchase×touch pairing joins on user_id with the
+    lookback as a join predicate — the q171 geometry; final rollup on
+    the channel key only."""
+    q = all_queries()["q276_position_attribution"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "user_id" in plan and "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_lexical_complexity_single_source_rollup(spark):
+    """q277 (X-04): one corpus explode feeding a source-keyed rollup —
+    every hash exchange carries the source key (the distinct expand
+    rides the same key set)."""
+    q = all_queries()["q277_lexical_complexity"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "source" in l, l
+    assert "Generate explode" in plan, plan
+
+
+def test_bfs_rounds_are_keyed_joins(spark):
+    """q278 (X-78): every BFS round is a node-keyed edge⋈frontier join +
+    MIN rollup — no cartesian/BNL product in the unrolled plan."""
+    q = all_queries()["q278_bfs_distance"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert all("documents.parquet" in l for l in scans), plan
