@@ -2026,7 +2026,7 @@ def q273_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X-21 (cont.): position-based (U-shaped) attribution
+# X-08 (cont.): position-based (U-shaped) attribution
 # ---------------------------------------------------------------------------
 
 _POS_ORACLE = f"""
@@ -2066,7 +2066,7 @@ _POS_ORACLE = f"""
 """
 
 
-@query("q276_position_attribution", oracle=_POS_ORACLE, tags=("X-21", "W-01"))
+@query("q276_position_attribution", oracle=_POS_ORACLE, tags=("X-08", "W-01"))
 def q276_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Position-based (U-shaped, 40/20/40) multi-touch attribution: each
     purchase credits 40% to the FIRST touch in its 3-day lookback, 40%

@@ -1485,3 +1485,168 @@ def q267_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(var_a + var_b), 6).alias("se_cents"),
         F.round(did / F.sqrt(var_a + var_b), 6).alias("t_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-79: Mantel-Haenszel stratified odds ratio
+# ---------------------------------------------------------------------------
+
+_MH_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id, {_ARM_EXPR.format(t="VARCHAR")} AS arm,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               MAX(CASE WHEN event_type = 'purchase' AND value > {_CONV_MIN}
+                   THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    edges AS (
+        SELECT quantile_cont(c, CAST(1 AS DOUBLE) / 3) AS t1,
+               quantile_cont(c, CAST(2 AS DOUBLE) / 3) AS t2
+        FROM u
+    ),
+    seg AS (
+        SELECT CASE WHEN c <= t1 THEN 'low'
+                    WHEN c <= t2 THEN 'mid' ELSE 'high' END AS stratum,
+               arm, conv
+        FROM u CROSS JOIN edges
+    ),
+    tab AS (
+        SELECT stratum,
+               CAST(SUM(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN arm = 'a' THEN 1 - conv ELSE 0 END) AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN arm = 'b' THEN 1 - conv ELSE 0 END) AS BIGINT) AS d
+        FROM seg GROUP BY stratum
+    ),
+    strat AS (
+        SELECT stratum, a, b, c, d,
+               CASE WHEN b * c > 0
+                    THEN ROUND(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6)
+                    END AS odds_ratio
+        FROM tab
+    ),
+    mh AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS a, CAST(SUM(b) AS BIGINT) AS b,
+               CAST(SUM(c) AS BIGINT) AS c, CAST(SUM(d) AS BIGINT) AS d,
+               CAST(SUM(CAST(ROUND(CAST(a AS DOUBLE) * d / (a + b + c + d), 9)
+                             AS DECIMAL(28,9))) AS DOUBLE) AS r,
+               CAST(SUM(CAST(ROUND(CAST(b AS DOUBLE) * c / (a + b + c + d), 9)
+                             AS DECIMAL(28,9))) AS DOUBLE) AS s
+        FROM tab
+    )
+    SELECT stratum, a AS conv_a, b AS noconv_a, c AS conv_b, d AS noconv_b,
+           odds_ratio
+    FROM strat
+    UNION ALL
+    SELECT 'pooled_mh', a, b, c, d, ROUND(r / s, 6) FROM mh
+    ORDER BY stratum
+"""
+
+
+@query("q279_mantel_haenszel", oracle=_MH_ORACLE, tags=("X-79", "X-23", "A-12"))
+def q279_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel stratified odds ratio: the A/B conversion 2x2
+    table per activity tercile (the q258 strata), each stratum's odds
+    ratio, and the MH pooled estimate sum(a_i*d_i/n_i)/sum(b_i*c_i/n_i)
+    — the confounder-adjusted effect size that q258's sign-based
+    Simpson audit flags but cannot QUANTIFY (MH weights strata by
+    information instead of letting exposure imbalance distort the crude
+    ratio; the epidemiology-standard companion to q169's z-test).
+
+    Determinism: all eight cell counts are exact integers; stratum odds
+    ratios divide exact-integer products once in IEEE; the MH terms
+    a*d/n and b*c/n round at 9 dp into exact decimal sums (the q120
+    idiom) with one final IEEE division, all rounded 6 dp.
+
+    Scale shape: one user-keyed rollup (the q258 plan: edges as a
+    single-row broadcast, segment rollup map-side combined onto 3
+    strata); the MH pooling is one aggregate over those 3 rows."""
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr(_ARM_EXPR.format(t="STRING")).alias("arm"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > _CONV_MIN),
+                    1,
+                ).otherwise(0)
+            ).alias("conv"),
+        )
+        .transform(stage)  # edges + the stratum rollup read it
+    )
+    edges = u.agg(
+        F.expr("percentile(c, CAST(1 AS DOUBLE) / 3)").alias("t1"),
+        F.expr("percentile(c, CAST(2 AS DOUBLE) / 3)").alias("t2"),
+    )
+    seg = u.crossJoin(F.broadcast(edges)).select(
+        F.when(F.col("c") <= F.col("t1"), "low")
+        .when(F.col("c") <= F.col("t2"), "mid")
+        .otherwise("high")
+        .alias("stratum"),
+        "arm",
+        "conv",
+    )
+    tab = (
+        seg.groupBy("stratum")
+        .agg(
+            F.sum(F.when(F.col("arm") == "a", F.col("conv")).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(F.col("arm") == "a", 1 - F.col("conv")).otherwise(0))
+            .cast("long")
+            .alias("b"),
+            F.sum(F.when(F.col("arm") == "b", F.col("conv")).otherwise(0))
+            .cast("long")
+            .alias("c"),
+            F.sum(F.when(F.col("arm") == "b", 1 - F.col("conv")).otherwise(0))
+            .cast("long")
+            .alias("d"),
+        )
+        .transform(stage)  # stratum readout + MH pooling both read it
+    )
+    strat = tab.select(
+        "stratum",
+        F.col("a").alias("conv_a"),
+        F.col("b").alias("noconv_a"),
+        F.col("c").alias("conv_b"),
+        F.col("d").alias("noconv_b"),
+        F.when(
+            F.col("b") * F.col("c") > 0,
+            F.round(
+                F.col("a").cast("double") * F.col("d")
+                / (F.col("b").cast("double") * F.col("c")),
+                6,
+            ),
+        ).alias("odds_ratio"),
+    )
+    n_i = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    mh = tab.agg(
+        F.sum("a").cast("long").alias("a"),
+        F.sum("b").cast("long").alias("b"),
+        F.sum("c").cast("long").alias("c"),
+        F.sum("d").cast("long").alias("d"),
+        F.sum(
+            F.round(F.col("a").cast("double") * F.col("d") / n_i, 9).cast(
+                "decimal(28,9)"
+            )
+        )
+        .cast("double")
+        .alias("r"),
+        F.sum(
+            F.round(F.col("b").cast("double") * F.col("c") / n_i, 9).cast(
+                "decimal(28,9)"
+            )
+        )
+        .cast("double")
+        .alias("s"),
+    ).select(
+        F.lit("pooled_mh").alias("stratum"),
+        F.col("a").alias("conv_a"),
+        F.col("b").alias("noconv_a"),
+        F.col("c").alias("conv_b"),
+        F.col("d").alias("noconv_b"),
+        F.round(F.col("r") / F.col("s"), 6).alias("odds_ratio"),
+    )
+    return strat.unionByName(mh).transform(pin).orderBy("stratum")

@@ -935,3 +935,147 @@ def q213_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("source", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-80: cold-start coverage audit (unseen-entity exposure across a split)
+# ---------------------------------------------------------------------------
+
+_CS_CUT = "2000-01-01"  #: train < cut <= test on the shipping/order calendar
+
+
+def _cs_leg(entity: str, key_sql: str, rel_sql: str, rev_sql: str) -> str:
+    return f"""
+        SELECT '{entity}' AS entity,
+               CAST(COUNT(DISTINCT CASE WHEN NOT seen THEN k END) AS BIGINT)
+                   AS n_unseen,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN NOT seen THEN cents ELSE 0 END) AS BIGINT)
+                   AS unseen_cents,
+               CAST(SUM(cents) AS BIGINT) AS test_cents
+        FROM (
+            SELECT t.k, t.cents,
+                   t.k IN (SELECT {key_sql} FROM {rel_sql}
+                           WHERE dt < TIMESTAMP '{_CS_CUT}') AS seen
+            FROM (SELECT {key_sql} AS k, {rev_sql} AS cents, dt
+                  FROM {rel_sql}) t
+            WHERE t.dt >= TIMESTAMP '{_CS_CUT}'
+        )
+    """
+
+
+_CS_ORACLE = f"""
+    WITH li AS (
+        SELECT l_partkey, l_suppkey, p_brand, l_shipdate AS dt,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    ord AS (
+        SELECT o_custkey, o_orderdate AS dt,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    legs AS (
+        {_cs_leg("brand", "p_brand", "li", "cents")}
+        UNION ALL
+        {_cs_leg("customer", "o_custkey", "ord", "cents")}
+        UNION ALL
+        {_cs_leg("part", "l_partkey", "li", "cents")}
+        UNION ALL
+        {_cs_leg("supplier", "l_suppkey", "li", "cents")}
+    )
+    SELECT entity, n_test, n_unseen,
+           ROUND(CAST(n_unseen AS DOUBLE) / n_test, 6) AS unseen_entity_share,
+           ROUND(CAST(unseen_cents AS DOUBLE) / test_cents, 6)
+               AS unseen_revenue_share
+    FROM legs ORDER BY entity
+"""
+
+
+@query("q280_cold_start_coverage", oracle=_CS_ORACLE, tags=("X-80", "X-16", "J-06"))
+def q280_cold_start_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-start coverage audit across the temporal split: for each
+    entity class (part, supplier, brand, customer), how many TEST-period
+    entities never appear in train, and what share of test revenue they
+    carry — the recommender/forecaster pre-flight that says how much of
+    the evaluation a model with no history for an entity cannot
+    personalize (q131 audits user leakage INTO test; this audits the
+    opposite gap, entities missing FROM train).
+
+    Determinism: all counts and cents are exact integers; the two shares
+    are single IEEE divisions rounded 6 dp.
+
+    Scale shape: per entity class, the fact reduces to (key, cents,
+    side) and the seen-set semi-join keys on the entity id — train keys
+    distinct-reduce BEFORE the join (dimension-scale build side), the
+    anti/semi distinction rides one boolean, and each class emits one
+    row from a map-side-combined aggregate; the part dim joins
+    broadcast."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            "p_brand",
+            F.col("l_shipdate").alias("dt"),
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .transform(stage)  # three entity legs read it
+    )
+    ord_ = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").alias("dt"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    cut = F.lit(_CS_CUT).cast("timestamp")
+
+    def leg(entity: str, rel: DataFrame, key: str) -> DataFrame:
+        train_keys = (
+            rel.filter(F.col("dt") < cut).select(F.col(key).alias("tk")).distinct()
+        )
+        test = rel.filter(F.col("dt") >= cut).select(
+            F.col(key).alias("k"), "cents"
+        )
+        flagged = test.join(
+            train_keys.withColumn("seen", F.lit(True)),
+            test.k == F.col("tk"),
+            "left",
+        ).select("k", "cents", F.coalesce(F.col("seen"), F.lit(False)).alias("seen"))
+        return flagged.agg(
+            F.lit(entity).alias("entity"),
+            F.count_distinct("k").cast("long").alias("n_test"),
+            F.count_distinct(F.when(~F.col("seen"), F.col("k")))
+            .cast("long")
+            .alias("n_unseen"),
+            F.sum(F.when(~F.col("seen"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("unseen_cents"),
+            F.sum("cents").cast("long").alias("test_cents"),
+        )
+    legs = (
+        leg("brand", li, "p_brand")
+        .unionByName(leg("customer", ord_, "o_custkey"))
+        .unionByName(leg("part", li, "l_partkey"))
+        .unionByName(leg("supplier", li, "l_suppkey"))
+    )
+    return (
+        legs.select(
+            "entity",
+            "n_test",
+            "n_unseen",
+            F.round(F.col("n_unseen").cast("double") / F.col("n_test"), 6).alias(
+                "unseen_entity_share"
+            ),
+            F.round(
+                F.col("unseen_cents").cast("double") / F.col("test_cents"), 6
+            ).alias("unseen_revenue_share"),
+        )
+        .transform(pin)
+        .orderBy("entity")
+    )

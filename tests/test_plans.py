@@ -1707,7 +1707,7 @@ def test_modularity_readout_joins_on_node_keys(spark):
 
 
 def test_position_attribution_copartitions_on_user(spark):
-    """q276 (X-21): the purchase×touch pairing joins on user_id with the
+    """q276 (X-08): the purchase×touch pairing joins on user_id with the
     lookback as a join predicate — the q171 geometry; final rollup on
     the channel key only."""
     q = all_queries()["q276_position_attribution"]
@@ -1737,3 +1737,28 @@ def test_bfs_rounds_are_keyed_joins(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
     assert all("documents.parquet" in l for l in scans), plan
+
+
+def test_mantel_haenszel_is_q258_plan_plus_bounded_pool(spark):
+    """q279 (X-79): one user-keyed rollup, tercile edges as a single-row
+    broadcast, MH pooling over 3 stratum rows — no event-level join."""
+    q = all_queries()["q279_mantel_haenszel"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan  # single-row edges
+    assert "CartesianProduct" not in plan, plan
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "user_id" in l or "stratum" in l, l
+
+
+def test_cold_start_distinct_reduces_before_join(spark):
+    """q280 (X-80): every seen-set join keys on an entity id against a
+    DISTINCT-reduced train-key relation; the part dim joins broadcast."""
+    q = all_queries()["q280_cold_start_coverage"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    keys = ("p_brand", "o_custkey", "l_partkey", "l_suppkey", "tk", "k#")
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert any(k in l for k in keys), l
