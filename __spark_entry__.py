@@ -187,8 +187,10 @@ _WINDOW_PRIORITY = (
 # attribution; q274: Zipf's-law frequency-rank fit; q275: Newman
 # modularity of the LPA partition; q276: position-based (U-shaped)
 # attribution; q277: lexical-complexity profile; q278: multi-source
-# BFS reach histogram; q279: Mantel-Haenszel stratified odds ratio; and
-# q280: cold-start coverage audit) hold pytest-oracle evidence at
+# BFS reach histogram; q279: Mantel-Haenszel stratified odds ratio;
+# q280: cold-start coverage audit; q281: VaR/CVaR of revenue changes;
+# q282: HITS hubs & authorities; and q283: split-conformal forecast
+# intervals) hold pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.
 

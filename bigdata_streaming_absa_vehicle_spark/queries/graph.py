@@ -1141,3 +1141,108 @@ def q278_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("distance")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-15 (cont.): HITS hubs & authorities (unrolled, L1-normalized)
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    prev_h = "h0"
+    iters = ""
+    for i in range(1, _HITS_ITERS + 1):
+        iters += f""",
+    ar{i} AS (
+        SELECT e.dst AS doc_id,
+               CAST(SUM(CAST({prev_h}.s AS DECIMAL(28,12))) AS DOUBLE) AS raw
+        FROM dedup_edges e JOIN {prev_h} ON e.src = {prev_h}.doc_id
+        GROUP BY 1
+    ),
+    at{i} AS (SELECT CAST(SUM(CAST(raw AS DECIMAL(28,12))) AS DOUBLE) AS t
+              FROM ar{i}),
+    a{i} AS (
+        SELECT doc_id, ROUND(raw / t, 12) AS s FROM ar{i} CROSS JOIN at{i}
+    ),
+    hr{i} AS (
+        SELECT e.src AS doc_id,
+               CAST(SUM(CAST(a{i}.s AS DECIMAL(28,12))) AS DOUBLE) AS raw
+        FROM dedup_edges e JOIN a{i} ON e.dst = a{i}.doc_id
+        GROUP BY 1
+    ),
+    ht{i} AS (SELECT CAST(SUM(CAST(raw AS DECIMAL(28,12))) AS DOUBLE) AS t
+              FROM hr{i}),
+    h{i} AS (
+        SELECT doc_id, ROUND(raw / t, 12) AS s FROM hr{i} CROSS JOIN ht{i}
+    )"""
+        prev_h = f"h{i}"
+    return f"""
+    WITH {_oracle_edges_cte()},
+    h0 AS (
+        SELECT doc_id, ROUND(CAST(1.0 AS DOUBLE) / nn.n, 12) AS s
+        FROM documents, nn
+    ){iters}
+    SELECT d.doc_id,
+           ROUND(COALESCE(h{_HITS_ITERS}.s, 0.0), 6) AS hub,
+           ROUND(COALESCE(a{_HITS_ITERS}.s, 0.0), 6) AS authority
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN h{_HITS_ITERS} USING (doc_id)
+    LEFT JOIN a{_HITS_ITERS} USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@query("q282_hits_scores", oracle=_hits_oracle(), tags=("X-15", "X-72"))
+def q282_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities over the DIRECTED benchmark graph:
+    {_HITS_ITERS} unrolled rounds of the mutually recursive update
+    (authority = sum of pointing hubs, hub = sum of pointed authorities)
+    with L1 normalization each half-step — the link-analysis twin of
+    q124's PageRank that separates "points at good pages" from "is a
+    good page", the distinction one eigenvector cannot make.
+
+    Determinism: every score is a 12-dp-rounded double; all sums (per
+    node AND the normalization totals) accumulate as exact
+    decimal(28,12) so summation order cannot flake, and each division
+    runs on bit-identical operands (the q124 per-iteration re-rounding
+    idiom); readout rounds at 6 dp.
+
+    Scale shape: each half-step is ONE node-keyed join of the edge list
+    against the current score vector plus a map-side-combined rollup
+    (the X-15 edge⋈state shape, bucketable to shuffle-free); the
+    normalization total is a single-row broadcast; score vectors stay
+    O(nodes)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = raw_edges(docs, n).transform(stage)  # every half-step reads it
+    d28 = "decimal(28,12)"
+    h = docs.select("doc_id", F.round(F.lit(1.0) / n, 12).alias("s"))
+
+    def _half(score: DataFrame, key_in: str, key_out: str) -> DataFrame:
+        raw = (
+            edges.join(
+                score.withColumnRenamed("doc_id", "sn"), F.col(key_in) == F.col("sn")
+            )
+            .groupBy(F.col(key_out).alias("doc_id"))
+            .agg(F.sum(F.col("s").cast(d28)).cast("double").alias("raw"))
+        )
+        t = raw.agg(F.sum(F.col("raw").cast(d28)).cast("double").alias("t"))
+        return raw.crossJoin(F.broadcast(t)).select(
+            "doc_id", F.round(F.col("raw") / F.col("t"), 12).alias("s")
+        )
+
+    for _ in range(_HITS_ITERS):
+        a = _half(h, "src", "dst")
+        h = _half(a, "dst", "src")
+    out = (
+        docs.join(h.withColumnRenamed("s", "hub"), "doc_id", "left")
+        .join(a.withColumnRenamed("s", "authority"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce(F.col("hub"), F.lit(0.0)), 6).alias("hub"),
+            F.round(F.coalesce(F.col("authority"), F.lit(0.0)), 6).alias("authority"),
+        )
+    )
+    return out.transform(pin).orderBy("doc_id")

@@ -1977,3 +1977,267 @@ def q272_gumbel_return_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("event_type", "horizon_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-81: Value-at-Risk / CVaR of daily revenue changes
+# ---------------------------------------------------------------------------
+
+_VAR_LEVELS = (90, 95)  #: loss quantile levels (per cent)
+
+_VAR_ORACLE = f"""
+    WITH daily AS (
+        SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS rev
+        FROM events GROUP BY 1
+    ),
+    chg AS (
+        SELECT d, rev - LAG(rev) OVER (ORDER BY d) AS delta
+        FROM daily
+    ),
+    loss AS (SELECT d, -delta AS loss FROM chg WHERE delta IS NOT NULL),
+    ranked AS (
+        SELECT loss,
+               ROW_NUMBER() OVER (ORDER BY loss, d) AS rk,
+               COUNT(*) OVER () AS n
+        FROM loss
+    ),
+    lv AS (SELECT UNNEST([{", ".join(str(x) for x in _VAR_LEVELS)}]) AS level),
+    var_q AS (
+        SELECT level, n, loss AS var_cents,
+               CAST(CEIL(n * level / 100.0) AS BIGINT) AS var_rank
+        FROM ranked CROSS JOIN lv
+        WHERE rk = CAST(CEIL(n * level / 100.0) AS BIGINT)
+    ),
+    es AS (
+        SELECT v.level, v.n, v.var_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_tail,
+               CAST(SUM(r.loss) AS BIGINT) AS tail_sum
+        FROM var_q v JOIN ranked r ON r.rk >= v.var_rank
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(level AS BIGINT) AS level, n AS n_days, var_cents, n_tail,
+           ROUND(CAST(tail_sum AS DOUBLE) / n_tail, 6) AS cvar_cents
+    FROM es ORDER BY level
+"""
+
+
+@query("q281_var_cvar", oracle=_VAR_ORACLE, tags=("X-81", "X-20", "A-12"))
+def q281_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and CVaR (expected shortfall) of day-over-day
+    revenue CHANGES: the loss distribution is the negated daily revenue
+    delta; VaR_q is its discrete quantile (value at rank ceil(n*q/100),
+    rank-ordered with the day as tie-break) and CVaR_q the mean loss at
+    or beyond that rank — the finance-standard tail pair ("how bad is a
+    bad day, and how bad is the average bad day beyond it") that a
+    percentile readout of LEVELS (q75/q94) doesn't give, because risk
+    lives in the CHANGES.
+
+    Determinism: daily revenues, deltas, and losses are exact cents; the
+    VaR rank is an exact integer under the (loss, day) total order; CVaR
+    is one IEEE division of an exact integer tail sum, rounded 6 dp.
+
+    Scale shape: ONE map-side-combined fact rollup to the bounded daily
+    relation; the delta lag, rank window, and the tail join (rank range
+    against the 2-row broadcast VaR relation) all run on that bounded
+    relation; 2 rows out."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+            .cast("long")
+            .alias("d"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            )
+            .otherwise(0)
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    w = Window.orderBy("d")
+    loss = (
+        daily.select("d", (F.col("rev") - F.lag("rev").over(w)).alias("delta"))
+        .filter(F.col("delta").isNotNull())
+        .select("d", (-F.col("delta")).alias("loss"))
+    )
+    ranked = loss.select(
+        "loss",
+        F.row_number().over(Window.orderBy("loss", "d")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    ).transform(stage)  # the VaR pick and the tail join both read it
+    lv = spark.createDataFrame([(x,) for x in _VAR_LEVELS], "level int")
+    var_q = (
+        ranked.crossJoin(F.broadcast(lv))
+        .withColumn(
+            "var_rank", F.ceil(F.col("n") * F.col("level") / F.lit(100.0)).cast("long")
+        )
+        .filter(F.col("rk") == F.col("var_rank"))
+        .select("level", "n", F.col("loss").alias("var_cents"), "var_rank")
+    )
+    es = (
+        ranked.select(F.col("rk").alias("rrk"), F.col("loss").alias("rloss"))
+        .join(F.broadcast(var_q), F.col("rrk") >= F.col("var_rank"))
+        .groupBy("level", "n", "var_cents")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tail"),
+            F.sum("rloss").cast("long").alias("tail_sum"),
+        )
+    )
+    return (
+        es.select(
+            F.col("level").cast("long").alias("level"),
+            F.col("n").alias("n_days"),
+            "var_cents",
+            "n_tail",
+            F.round(F.col("tail_sum").cast("double") / F.col("n_tail"), 6).alias(
+                "cvar_cents"
+            ),
+        )
+        .transform(pin)
+        .orderBy("level")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-73 (cont.): split-conformal prediction intervals for the naive forecast
+# ---------------------------------------------------------------------------
+
+_CF_ALPHA_PCT = 90  #: nominal coverage level
+
+_CONFORMAL_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    cut AS (SELECT MIN(d) + {_PB_TRAIN_DAYS} AS c FROM daily),
+    paired AS (
+        SELECT a.event_type, a.d, a.y, f.y AS fc, c
+        FROM daily a
+        JOIN daily f ON f.event_type = a.event_type AND f.d = a.d - {_SN_LAG_DAYS}
+        CROSS JOIN cut
+    ),
+    cal AS (
+        SELECT event_type, abs(y - fc) AS r,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY abs(y - fc), d) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_cal
+        FROM paired WHERE d < c
+    ),
+    qhat AS (
+        SELECT event_type, n_cal, r AS q_cents
+        FROM cal
+        WHERE rk = LEAST(CAST(CEIL((n_cal + 1) * {_CF_ALPHA_PCT} / 100.0)
+                              AS BIGINT), n_cal)
+    ),
+    test AS (
+        SELECT p.event_type, q.n_cal, q.q_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN abs(p.y - p.fc) <= q.q_cents
+                        THEN 1 ELSE 0 END) AS BIGINT) AS covered
+        FROM paired p JOIN qhat q USING (event_type)
+        WHERE p.d >= p.c
+        GROUP BY 1, 2, 3
+    )
+    SELECT event_type, n_cal, q_cents, n_test,
+           ROUND(CAST(covered AS DOUBLE) / n_test, 6) AS empirical_coverage
+    FROM test ORDER BY event_type
+"""
+
+
+@query("q283_conformal_intervals", oracle=_CONFORMAL_ORACLE, tags=("X-73", "X-20"))
+def q283_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals around the seasonal-naive
+    forecast: calibration days (before the q269 cut) yield the
+    finite-sample-corrected residual quantile q_hat = the
+    ceil((n+1)*{_CF_ALPHA_PCT}/100)-th smallest |y - f|, the interval is
+    f ± q_hat, and the held-out days report empirical coverage — the
+    distribution-free guarantee ("≥{_CF_ALPHA_PCT}% coverage for ANY
+    data") that q269's pinball quantiles don't carry, and the standard
+    way to put honest error bars on a point forecaster.
+
+    Determinism: residuals are exact cents ranked under the (|r|, day)
+    total order; the conformal rank applies the exact integer
+    finite-sample correction (clamped to n_cal); coverage is one IEEE
+    division rounded 6 dp.
+
+    Scale shape: the q269 geometry — ONE fact rollup to the bounded
+    daily relation, the forecast pairing a 7-day-shifted self-join on
+    it, calibration ranks per type, q_hat re-entering broadcast; one row
+    per type."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+            .cast("long")
+            .alias("d"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").cast("long").alias("y"))
+        .transform(stage)  # both legs of the pairing join read it
+    )
+    cut = daily.agg((F.min("d") + _PB_TRAIN_DAYS).alias("c"))
+    f_leg = daily.select(
+        F.col("event_type").alias("f_type"), F.col("d").alias("fd"), F.col("y").alias("fc")
+    )
+    paired = (
+        daily.join(
+            f_leg,
+            (F.col("f_type") == F.col("event_type"))
+            & (F.col("fd") == F.col("d") - _SN_LAG_DAYS),
+        )
+        .crossJoin(F.broadcast(cut))
+        .select("event_type", "d", "y", "fc", "c")
+        .transform(stage)  # calibration and test both read it
+    )
+    w_rk = Window.partitionBy("event_type").orderBy(F.abs(F.col("y") - F.col("fc")), "d")
+    w_n = Window.partitionBy("event_type")
+    cal = paired.filter(F.col("d") < F.col("c")).select(
+        "event_type",
+        F.abs(F.col("y") - F.col("fc")).alias("r"),
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_n).alias("n_cal"),
+    )
+    qhat = cal.filter(
+        F.col("rk")
+        == F.least(
+            F.ceil((F.col("n_cal") + 1) * _CF_ALPHA_PCT / F.lit(100.0)).cast("long"),
+            F.col("n_cal").cast("long"),
+        )
+    ).select("event_type", "n_cal", F.col("r").alias("q_cents"))
+    test = (
+        paired.filter(F.col("d") >= F.col("c"))
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type", "n_cal", "q_cents")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.abs(F.col("y") - F.col("fc")) <= F.col("q_cents"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("covered"),
+        )
+    )
+    return (
+        test.select(
+            "event_type",
+            "n_cal",
+            "q_cents",
+            "n_test",
+            F.round(F.col("covered").cast("double") / F.col("n_test"), 6).alias(
+                "empirical_coverage"
+            ),
+        )
+        .transform(pin)
+        .orderBy("event_type")
+    )

@@ -1762,3 +1762,40 @@ def test_cold_start_distinct_reduces_before_join(spark):
     for l in plan.splitlines():
         if "Exchange hashpartitioning" in l:
             assert any(k in l for k in keys), l
+
+
+def test_var_cvar_runs_on_bounded_daily(spark):
+    """q281 (X-81): one fact rollup to daily revenue; lag, ranks, and the
+    tail join (against the 2-row broadcast VaR relation) all run on the
+    bounded loss relation."""
+    q = all_queries()["q281_var_cvar"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # rank-range tail join
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "level" in l or "(d#" in l or "d#" in l, l
+
+
+def test_hits_half_steps_are_keyed_joins(spark):
+    """q282 (X-15): every half-step joins the edge list against the score
+    vector on a node key; normalization totals enter as single-row
+    broadcasts — no cartesian product."""
+    q = all_queries()["q282_hits_scores"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # single-row totals
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert all("documents.parquet" in l for l in scans), plan
+
+
+def test_conformal_reuses_pinball_geometry(spark):
+    """q283 (X-73): the pairing is a 7-day-shifted self-join on the
+    bounded daily relation; q_hat re-enters broadcast."""
+    q = all_queries()["q283_conformal_intervals"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # q_hat -> test days
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "event_type" in l, l
