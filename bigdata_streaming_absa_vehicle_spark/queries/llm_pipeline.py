@@ -22,7 +22,7 @@ from ..functions.deterministic import davg
 from ..functions.deterministic import oracle_davg as odavg
 from ..tables import load
 from .registry import query
-from ..functions.ordering import pin
+from ..functions.ordering import pin, stage
 
 # ---------------------------------------------------------------------------
 # X-01 exact dedup
@@ -1732,4 +1732,129 @@ def q238_minhash_estimator_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .transform(pin)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-04 (cont.): held-out unigram cross-entropy (perplexity filtering)
+# ---------------------------------------------------------------------------
+
+#: md5 first nibble of doc_id: 0..c (13/16) -> train, d..f -> held-out
+_PPL_SPLIT_SQL = (
+    "instr('0123456789abcdef', "
+    "substr(md5(CAST(doc_id AS {t})), 1, 1)) - 1 < 13"
+)
+
+_PPL_ORACLE = f"""
+    WITH docs_s AS (
+        SELECT doc_id, text, {_PPL_SPLIT_SQL.format(t="VARCHAR")} AS is_train
+        FROM documents
+    ),
+    flat AS (
+        SELECT doc_id, is_train,
+               UNNEST(string_split_regex(trim(text), '\\s+')) AS token
+        FROM docs_s
+    ),
+    tc AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM flat WHERE is_train GROUP BY token
+    ),
+    consts AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_train,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM tc
+    ),
+    test_t AS (
+        SELECT f.doc_id, f.token, tc.c
+        FROM flat f LEFT JOIN tc USING (token)
+        WHERE NOT f.is_train
+    ),
+    costs AS (
+        SELECT doc_id,
+               CASE WHEN c IS NULL THEN 1 ELSE 0 END AS oov,
+               CAST(ROUND(ln(CAST(n_train + v + 1 AS DOUBLE)
+                             / (COALESCE(c, 0) + 1)), 6)
+                    AS DECIMAL(16,6)) AS cost
+        FROM test_t CROSS JOIN consts
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           ROUND(CAST(SUM(CAST(cost AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+               AS cross_entropy
+    FROM costs GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("q284_unigram_crossentropy", oracle=_PPL_ORACLE, tags=("X-04", "X-16"))
+def q284_unigram_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out unigram cross-entropy — perplexity filtering done
+    properly: an add-one-smoothed unigram LM is estimated on the ~81%
+    md5-hash train split and every HELD-OUT document is scored with its
+    mean token cost -ln[(c+1)/(N+V+1)] plus its OOV count — the
+    standard corpus-quality filter (q203's bigram surprisal scores the
+    corpus with itself; this certifies the train/held-out regime where
+    smoothing and out-of-vocabulary handling are load-bearing, exactly
+    what a dedupe→filter→mix pipeline runs at scale).
+
+    Determinism: the split is a pure md5 function; counts N, V, c are
+    exact integers; each token cost is ONE ln of a ratio of exact
+    integers rounded at 6 dp into exact decimal per-doc sums (the q203
+    cross-libm idiom) with one final IEEE division rounded 6 dp.
+
+    Scale shape: one corpus explode; the train-count rollup is the q81
+    vocabulary shape (token-keyed, map-side combined); scoring joins
+    held-out tokens against the vocabulary on the token key (broadcast
+    at bounded vocab, co-partitioned otherwise) with the N/V constants
+    as a single-row broadcast; per-doc rollup keyed by doc_id."""
+    docs_s = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.expr(_PPL_SPLIT_SQL.format(t="STRING")).alias("is_train"),
+    )
+    flat = docs_s.select(
+        "doc_id", "is_train", F.explode(dd.tokens("text")).alias("token")
+    ).transform(stage)  # the train rollup and the test scoring both read it
+    tc = (
+        flat.filter(F.col("is_train"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    consts = tc.agg(
+        F.sum("c").cast("long").alias("n_train"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    test_t = (
+        flat.filter(~F.col("is_train"))
+        .join(F.broadcast(tc), "token", "left")
+        .crossJoin(F.broadcast(consts))
+    )
+    cost = (
+        F.round(
+            F.log(
+                (F.col("n_train") + F.col("v") + 1).cast("double")
+                / (F.coalesce(F.col("c"), F.lit(0)) + 1)
+            ),
+            6,
+        )
+        .cast("decimal(16,6)")
+    )
+    return (
+        test_t.select(
+            "doc_id",
+            F.when(F.col("c").isNull(), 1).otherwise(0).alias("oov"),
+            cost.alias("cost"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("oov").cast("long").alias("n_oov"),
+            F.round(
+                F.sum(F.col("cost").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("cross_entropy"),
+        )
+        .transform(pin)
+        .orderBy("doc_id")
     )

@@ -1079,3 +1079,129 @@ def q280_cold_start_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("entity")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-82: out-of-fold target encoding (leakage-free categorical features)
+# ---------------------------------------------------------------------------
+
+_TE_FOLDS = 5
+_TE_SMOOTH = 20  #: Bayesian smoothing pseudo-count toward the global prior
+
+#: fold = md5 nibble of the order key mod _TE_FOLDS — rows of one order
+#: stay in one fold (the grouped-split discipline of X-16)
+_TE_FOLD_SQL = (
+    "instr('0123456789abcdef', "
+    "substr(md5(CAST(l_orderkey AS {t})), 1, 1)) - 1"
+)
+
+_TE_ORACLE = f"""
+    WITH rows_f AS (
+        SELECT p_brand AS brand,
+               ({_TE_FOLD_SQL.format(t="VARCHAR")}) % {_TE_FOLDS} AS fold,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    bf AS (
+        SELECT brand, fold, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s
+        FROM rows_f GROUP BY 1, 2
+    ),
+    btot AS (SELECT brand, CAST(SUM(n) AS BIGINT) AS bn,
+                    CAST(SUM(s) AS BIGINT) AS bs
+             FROM bf GROUP BY 1),
+    gf AS (SELECT fold, CAST(SUM(n) AS BIGINT) AS gn,
+                  CAST(SUM(s) AS BIGINT) AS gs
+           FROM bf GROUP BY 1),
+    gtot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+                    CAST(SUM(s) AS BIGINT) AS ts
+             FROM bf)
+    SELECT bf.brand, CAST(bf.fold AS BIGINT) AS fold,
+           bf.n AS n_in_fold,
+           btot.bn - bf.n AS n_loo,
+           ROUND(CAST(gtot.ts - gf.gs AS DOUBLE) / (gtot.tn - gf.gn) / 100, 6)
+               AS prior_loo,
+           ROUND((CAST(btot.bs - bf.s AS DOUBLE)
+                  + {_TE_SMOOTH} * (CAST(gtot.ts - gf.gs AS DOUBLE)
+                                    / (gtot.tn - gf.gn)))
+                 / (btot.bn - bf.n + {_TE_SMOOTH}) / 100, 6) AS encoding
+    FROM bf
+    JOIN btot USING (brand)
+    JOIN gf USING (fold)
+    CROSS JOIN gtot
+    ORDER BY brand, fold
+"""
+
+
+@query("q285_oof_target_encoding", oracle=_TE_ORACLE, tags=("X-82", "X-16", "A-14"))
+def q285_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding of brand -> mean revenue: for each
+    (brand, fold), the encoding a row in that fold may see is the
+    smoothed mean computed from the OTHER {_TE_FOLDS - 1} folds —
+    (brand_loo_sum + m*prior_loo) / (brand_loo_n + m), prior = the
+    leave-fold-out GLOBAL mean, m = {_TE_SMOOTH} — the leakage-free
+    categorical encoder every tabular-ML pipeline ships (naive target
+    encoding leaks the row's own label; OOF is the fix), with folds
+    keyed by md5 of the ORDER so an order's lineitems never straddle
+    folds (the X-16 grouped-split discipline).
+
+    Determinism: fold assignment is a pure md5 function; all partial
+    counts/sums are exact integers, every leave-fold-out value is
+    total-minus-fold on exact integers, and each encoding is IEEE on
+    bit-identical operands rounded 6 dp.
+
+    Scale shape: the A-14 mergeable-partials payoff — ONE fact rollup
+    to the bounded (brand x fold) partial relation; brand totals, fold
+    totals, and the grand total all DERIVE from those partials (never a
+    second fact scan, never a per-fold rescan), and every join runs on
+    the bounded relation."""
+    rows_f = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            (F.expr(_TE_FOLD_SQL.format(t="STRING")) % _TE_FOLDS).alias("fold"),
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    bf = (
+        rows_f.groupBy("brand", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+        )
+        .transform(stage)  # brand/fold/grand totals all derive from it
+    )
+    btot = bf.groupBy("brand").agg(
+        F.sum("n").cast("long").alias("bn"), F.sum("s").cast("long").alias("bs")
+    )
+    gf = bf.groupBy("fold").agg(
+        F.sum("n").cast("long").alias("gn"), F.sum("s").cast("long").alias("gs")
+    )
+    gtot = bf.agg(
+        F.sum("n").cast("long").alias("tn"), F.sum("s").cast("long").alias("ts")
+    )
+    prior = (F.col("ts") - F.col("gs")).cast("double") / (F.col("tn") - F.col("gn"))
+    enc = (
+        ((F.col("bs") - F.col("s")).cast("double") + _TE_SMOOTH * prior)
+        / (F.col("bn") - F.col("n") + _TE_SMOOTH)
+        / 100
+    )
+    return (
+        bf.join(F.broadcast(btot), "brand")
+        .join(F.broadcast(gf), "fold")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "brand",
+            F.col("fold").cast("long").alias("fold"),
+            F.col("n").alias("n_in_fold"),
+            (F.col("bn") - F.col("n")).alias("n_loo"),
+            F.round(prior / 100, 6).alias("prior_loo"),
+            F.round(enc, 6).alias("encoding"),
+        )
+        .transform(pin)
+        .orderBy("brand", "fold")
+    )

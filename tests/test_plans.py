@@ -1799,3 +1799,30 @@ def test_conformal_reuses_pinball_geometry(spark):
     for l in plan.splitlines():
         if "Exchange hashpartitioning" in l:
             assert "event_type" in l, l
+
+
+def test_oof_encoding_derives_all_totals_from_partials(spark):
+    """q285 (X-82): one fact rollup to (brand, fold) partials; brand,
+    fold, and grand totals DERIVE from that bounded relation and re-enter
+    broadcast — exactly one lineitem scan per staged branch, no per-fold
+    rescan."""
+    q = all_queries()["q285_oof_target_encoding"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "brand" in l or "fold" in l, l
+
+
+def test_crossentropy_scores_via_token_keyed_join(spark):
+    """q284 (X-04): the train-count rollup and the held-out scoring join
+    both key on the token; N/V constants enter as a single-row
+    broadcast; the per-doc rollup keys on doc_id."""
+    q = all_queries()["q284_unigram_crossentropy"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # single-row consts
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "token" in l or "doc_id" in l, l
