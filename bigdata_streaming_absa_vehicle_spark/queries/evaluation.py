@@ -1650,3 +1650,133 @@ def q279_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("r") / F.col("s"), 6).alias("odds_ratio"),
     )
     return strat.unionByName(mh).transform(pin).orderBy("stratum")
+
+
+# ---------------------------------------------------------------------------
+# X-34 (cont.): isotonic calibration via the exact minimax formula
+# ---------------------------------------------------------------------------
+
+_ISO_ORACLE = f"""
+    WITH scored AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+               {_SCORE.format(h=_H48.format(t="VARCHAR"))} AS s
+        FROM orders
+    ),
+    binned AS (
+        SELECT {_FLOORDIV_EVAL.format(x=f"s * {_N_BINS}", d=_S_MAX + 1)} AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_k,
+               CAST(SUM(y) AS BIGINT) AS sy_k,
+               CAST(SUM(s) AS BIGINT) AS ss_k
+        FROM scored GROUP BY 1
+    ),
+    pre AS (
+        SELECT bin, n_k, sy_k, ss_k,
+               CAST(SUM(n_k) OVER (ORDER BY bin) AS BIGINT) AS pn,
+               CAST(SUM(sy_k) OVER (ORDER BY bin) AS BIGINT) AS py
+        FROM binned
+    ),
+    ranges AS (
+        SELECT j.bin AS j, k.bin AS k,
+               ROUND(CAST(k.py - j.py + j.sy_k AS DOUBLE)
+                     / (k.pn - j.pn + j.n_k), 9) AS avg_jk
+        FROM pre j JOIN pre k ON j.bin <= k.bin
+    ),
+    mins AS (
+        SELECT r.j, i.bin AS i, MIN(r.avg_jk) AS m
+        FROM ranges r JOIN pre i ON r.j <= i.bin AND i.bin <= r.k
+        GROUP BY 1, 2
+    ),
+    iso AS (SELECT i AS bin, MAX(m) AS iso_rate FROM mins GROUP BY 1)
+    SELECT p.bin, p.n_k AS n,
+           ROUND(CAST(p.ss_k AS DOUBLE) / p.n_k / {_S_MAX}, 6) AS mean_score,
+           ROUND(CAST(p.sy_k AS DOUBLE) / p.n_k, 6) AS raw_rate,
+           ROUND(iso.iso_rate, 6) AS isotonic_rate
+    FROM pre p JOIN iso USING (bin)
+    ORDER BY p.bin
+"""
+
+
+@query("q286_isotonic_calibration", oracle=_ISO_ORACLE, tags=("X-34", "X-23"))
+def q286_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of the q194 score via the EXACT minimax
+    identity: the pool-adjacent-violators fit at bin i equals
+    max_(j<=i) min_(k>=i) weightedAvg(bins j..k) — computed in closed
+    form over all O(B^3) range combinations of the {_N_BINS} score
+    bins, so the usual data-dependent PAV merge loop (whose iteration
+    count can't be unrolled) becomes three bounded relational steps.
+    The monotone recalibration map every score-shipping model needs
+    when q194 reports a reliability gap (raw bin rates may zig-zag;
+    isotonic_rate is the best non-decreasing fit under squared loss).
+
+    Determinism: bin counts and prefix sums are exact integers; each
+    range average is ONE IEEE division rounded at 9 dp, and MIN/MAX
+    over identical rounded doubles are engine-exact; readout rounds at
+    6 dp.
+
+    Scale shape: ONE fact scan map-side combined onto the {_N_BINS}
+    bins; prefix sums, the range grid, the min-per-(j,i) rollup, and
+    the max-per-i rollup all run on the bounded bin relation (10, 55,
+    and 1000-row intermediates) — the fact is never rescanned."""
+    h = _H48.format(t="STRING")
+    scored = load(spark, sf_dir, "orders").select(
+        F.expr("CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END").alias("y"),
+        F.expr(_SCORE.format(h=h)).alias("s"),
+    )
+    binned = scored.groupBy(
+        F.expr(_FLOORDIV_EVAL.format(x=f"s * {_N_BINS}", d=_S_MAX + 1)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_k"),
+        F.sum("y").cast("long").alias("sy_k"),
+        F.sum("s").cast("long").alias("ss_k"),
+    )
+    w = Window.orderBy("bin")
+    pre = binned.select(
+        "bin",
+        "n_k",
+        "sy_k",
+        "ss_k",
+        F.sum("n_k").over(w).cast("long").alias("pn"),
+        F.sum("sy_k").over(w).cast("long").alias("py"),
+    ).transform(stage)  # ranges, the i-grid, and the readout all read it
+    j = pre.select(
+        F.col("bin").alias("j"),
+        F.col("pn").alias("jpn"),
+        F.col("py").alias("jpy"),
+        F.col("n_k").alias("jn"),
+        F.col("sy_k").alias("jsy"),
+    )
+    k = pre.select(
+        F.col("bin").alias("k"), F.col("pn").alias("kpn"), F.col("py").alias("kpy")
+    )
+    ranges = j.join(F.broadcast(k), F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        F.round(
+            (F.col("kpy") - F.col("jpy") + F.col("jsy")).cast("double")
+            / (F.col("kpn") - F.col("jpn") + F.col("jn")),
+            9,
+        ).alias("avg_jk"),
+    )
+    i = pre.select(F.col("bin").alias("i"))
+    mins = (
+        ranges.join(
+            F.broadcast(i), (F.col("j") <= F.col("i")) & (F.col("i") <= F.col("k"))
+        )
+        .groupBy("j", "i")
+        .agg(F.min("avg_jk").alias("m"))
+    )
+    iso = mins.groupBy(F.col("i").alias("bin")).agg(F.max("m").alias("iso_rate"))
+    return (
+        pre.join(F.broadcast(iso), "bin")
+        .select(
+            "bin",
+            F.col("n_k").alias("n"),
+            F.round(F.col("ss_k").cast("double") / F.col("n_k") / _S_MAX, 6).alias(
+                "mean_score"
+            ),
+            F.round(F.col("sy_k").cast("double") / F.col("n_k"), 6).alias("raw_rate"),
+            F.round(F.col("iso_rate"), 6).alias("isotonic_rate"),
+        )
+        .transform(pin)
+        .orderBy("bin")
+    )

@@ -1826,3 +1826,18 @@ def test_crossentropy_scores_via_token_keyed_join(spark):
     for l in plan.splitlines():
         if "Exchange hashpartitioning" in l:
             assert "token" in l or "doc_id" in l, l
+
+
+def test_isotonic_runs_on_bounded_bins(spark):
+    """q286 (X-34): one fact scan onto the 10-bin relation; the O(B^3)
+    minimax grid runs entirely on broadcast-joined bounded relations."""
+    q = all_queries()["q286_isotonic_calibration"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert all("orders.parquet" in l for l in scans), plan
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert any(
+                k in l for k in ("bin", "j#", "i#", "_groupingexpression")
+            ), l

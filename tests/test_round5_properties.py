@@ -272,3 +272,17 @@ def test_bitmap_retention_equals_set_intersection(q, duck):
     assert len(df) == len(naive)
     for day in df.index:
         assert df.loc[day, "retained"] == naive.loc[day, "retained"], day
+
+
+def test_isotonic_fit_is_monotone_and_mean_preserving(spark):
+    """The q286 minimax fit must be non-decreasing in the bin index and
+    preserve the outcome total (PAV's defining invariants)."""
+    from bigdata_streaming_absa_vehicle_spark.queries import all_queries
+
+    q = all_queries()["q286_isotonic_calibration"]
+    rows = q.fn(spark, "/root/testdata/sf0.001").collect()
+    rates = [r["isotonic_rate"] for r in rows]
+    assert rates == sorted(rates), rates
+    fit_total = sum(r["isotonic_rate"] * r["n"] for r in rows)
+    raw_total = sum(r["raw_rate"] * r["n"] for r in rows)
+    assert abs(fit_total - raw_total) / raw_total < 1e-5, (fit_total, raw_total)
