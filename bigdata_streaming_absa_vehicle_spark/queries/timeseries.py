@@ -2241,3 +2241,372 @@ def q283_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-83: anomaly-consensus ensemble (MAD + seasonal z + CUSUM in one plan)
+# ---------------------------------------------------------------------------
+
+_AC_ORACLE = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+               CAST(dayofweek(date_trunc('day', ts)) + 1 AS BIGINT) AS dow,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2, 3
+    ),
+    rob AS (
+        SELECT event_type, quantile_cont(y, 0.5) AS med
+        FROM daily GROUP BY 1
+    ),
+    mad AS (
+        SELECT d.event_type, quantile_cont(abs(d.y - r.med), 0.5) AS mad
+        FROM daily d JOIN rob r USING (event_type) GROUP BY 1
+    ),
+    dowm AS (
+        SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS s2
+        FROM daily GROUP BY 1, 2
+    ),
+    cus AS (
+        SELECT event_type, d,
+               ABS(CAST(SUM(CAST(y AS DECIMAL(19,0)) * nn) OVER w
+                        - CAST(SUM(CAST(y AS DECIMAL(19,0))) OVER w
+                               AS DECIMAL(38,0)) * ss / nn AS DOUBLE)) AS adev
+        FROM (SELECT event_type, d, y,
+                     CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nn,
+                     CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS ss
+              FROM daily)
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    brk AS (
+        SELECT event_type, d FROM (
+            SELECT event_type, d,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY adev DESC, d) AS rn
+            FROM cus
+        ) WHERE rn = 1
+    ),
+    flagged AS (
+        SELECT dl.event_type, dl.d, dl.y,
+               CAST(abs(dl.y - r.med) > 3 * m.mad AS BOOLEAN) AS mad_flag,
+               CAST(CASE WHEN dm.n >= 3 THEN
+                    CAST((dm.n * dl.y - dm.s) AS DECIMAL(38,0))
+                    * (dm.n * dl.y - dm.s)
+                    > 4 * dm.n * (dm.n * dm.s2
+                                  - CAST(dm.s AS DECIMAL(19,0)) * dm.s)
+                    ELSE FALSE END AS BOOLEAN) AS seasonal_flag,
+               CAST(b.d IS NOT NULL AS BOOLEAN) AS cusum_break
+        FROM daily dl
+        JOIN rob r USING (event_type)
+        JOIN mad m USING (event_type)
+        JOIN dowm dm ON dm.event_type = dl.event_type AND dm.dow = dl.dow
+        LEFT JOIN brk b ON b.event_type = dl.event_type AND b.d = dl.d
+    )
+    SELECT event_type, d, y, mad_flag, seasonal_flag, cusum_break,
+           CAST(CAST(mad_flag AS INT) + CAST(seasonal_flag AS INT)
+                + CAST(cusum_break AS INT) AS BIGINT) AS n_flags
+    FROM flagged
+    WHERE mad_flag OR seasonal_flag OR cusum_break
+    ORDER BY event_type, d
+"""
+
+
+@query("q287_anomaly_consensus", oracle=_AC_ORACLE, tags=("X-83", "X-20"))
+def q287_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly-consensus ensemble: every (type, day) total is tested by
+    THREE detectors composed into ONE Catalyst plan — the q142 robust
+    gate (|y - median| > 3*MAD), a day-of-week z-gate in the q184 exact
+    integer form ((n*y - S)^2 > 4n(n*S2 - S^2), i.e. 2-sigma against
+    the day's own weekday baseline, skipped when the cell has <3 obs),
+    and the q237 CUSUM break day — flagged days report which detectors
+    fired and the vote count, because a day two detectors agree on is
+    an incident while a single-detector day is a review item.  The
+    composability certificate: three certified operators fuse without
+    leaving the optimizer.
+
+    Determinism: daily totals are exact cents; median/MAD ride the A-12
+    exact-percentile path (q75-proven bit-equal to quantile_cont); the
+    seasonal gate is the exact integer inequality (no division/sqrt);
+    the CUSUM deviations are n-scaled exact decimals with the argmax
+    under an (|dev| DESC, day) total order.
+
+    Scale shape: ONE map-side-combined fact rollup to the bounded
+    (type, day, dow) relation; all three detectors, their joins, and
+    the readout run on that staged bounded relation — the fact is
+    scanned once per staged branch and never joined at event grain."""
+    d19 = "decimal(19,0)"
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+            .cast("long")
+            .alias("d"),
+            F.dayofweek(F.date_trunc("day", F.col("ts"))).cast("long").alias("dow"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "d", "dow")
+        .agg(F.sum("cents").cast("long").alias("y"))
+        .transform(stage)  # all three detectors + the readout share it
+    )
+    rob = daily.groupBy("event_type").agg(
+        F.expr("percentile(y, CAST(0.5 AS DOUBLE))").alias("med")
+    )
+    mad = (
+        daily.join(F.broadcast(rob), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(y - med), CAST(0.5 AS DOUBLE))").alias("mad"))
+    )
+    dowm = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y").cast(d19) * F.col("y").cast(d19))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    w_tot = Window.partitionBy("event_type")
+    w_run = w_tot.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    base = daily.select(
+        "event_type",
+        "d",
+        "y",
+        F.count(F.lit(1)).over(w_tot).cast("long").alias("nn"),
+        F.sum("y").over(w_tot).cast("long").alias("ss"),
+    )
+    cus = base.select(
+        "event_type",
+        "d",
+        F.abs(
+            (
+                F.sum(F.col("y").cast(d19) * F.col("nn")).over(w_run)
+                - F.sum(F.col("y").cast(d19)).over(w_run).cast("decimal(38,0)")
+                * F.col("ss")
+                / F.col("nn")
+            ).cast("double")
+        ).alias("adev"),
+    )
+    brk = (
+        cus.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(F.col("adev").desc(), "d")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("d").alias("bd"))
+    )
+    dm = dowm.select(
+        F.col("event_type").alias("det"),
+        F.col("dow").alias("ddow"),
+        "n",
+        "s",
+        "s2",
+    )
+    seasonal = (
+        F.when(
+            F.col("n") >= 3,
+            (F.col("n") * F.col("y") - F.col("s")).cast("decimal(38,0)")
+            * (F.col("n") * F.col("y") - F.col("s"))
+            > 4
+            * F.col("n")
+            * (F.col("n") * F.col("s2") - F.col("s").cast(d19) * F.col("s")),
+        ).otherwise(F.lit(False))
+    )
+    flagged = (
+        daily.join(F.broadcast(rob), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .join(
+            F.broadcast(dm),
+            (F.col("det") == F.col("event_type")) & (F.col("ddow") == F.col("dow")),
+        )
+        .join(
+            F.broadcast(brk.withColumnRenamed("event_type", "bet")),
+            (F.col("bet") == F.col("event_type")) & (F.col("bd") == F.col("d")),
+            "left",
+        )
+        .select(
+            "event_type",
+            "d",
+            "y",
+            (F.abs(F.col("y") - F.col("med")) > 3 * F.col("mad")).alias("mad_flag"),
+            seasonal.alias("seasonal_flag"),
+            F.col("bd").isNotNull().alias("cusum_break"),
+        )
+    )
+    return (
+        flagged.filter(
+            F.col("mad_flag") | F.col("seasonal_flag") | F.col("cusum_break")
+        )
+        .withColumn(
+            "n_flags",
+            (
+                F.col("mad_flag").cast("int")
+                + F.col("seasonal_flag").cast("int")
+                + F.col("cusum_break").cast("int")
+            ).cast("long"),
+        )
+        .transform(pin)
+        .orderBy("event_type", "d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-83 (cont.): weekend effect via Welch's unequal-variance t-test
+# ---------------------------------------------------------------------------
+
+_WELCH_ORACLE = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+               CASE WHEN dayofweek(date_trunc('day', ts)) + 1 IN (1, 7)
+                    THEN 1 ELSE 0 END AS we,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2, 3
+    ),
+    m AS (
+        SELECT event_type, we, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS s2
+        FROM daily GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT event_type,
+               MAX(CASE WHEN we = 0 THEN n END) AS n0,
+               MAX(CASE WHEN we = 0 THEN s END) AS s0,
+               MAX(CASE WHEN we = 0 THEN s2 END) AS q0,
+               MAX(CASE WHEN we = 1 THEN n END) AS n1,
+               MAX(CASE WHEN we = 1 THEN s END) AS s1,
+               MAX(CASE WHEN we = 1 THEN s2 END) AS q1
+        FROM m GROUP BY 1
+    ),
+    est AS (
+        SELECT event_type, n0, n1,
+               CAST(s0 AS DOUBLE) / n0 AS m0,
+               CAST(s1 AS DOUBLE) / n1 AS m1,
+               CAST(n0 * q0 - CAST(s0 AS DECIMAL(19,0)) * s0 AS DOUBLE)
+                   / n0 / n0 / (n0 - 1) / n0 AS se0sq,
+               CAST(n1 * q1 - CAST(s1 AS DECIMAL(19,0)) * s1 AS DOUBLE)
+                   / n1 / n1 / (n1 - 1) / n1 AS se1sq
+        FROM wide WHERE n0 >= 2 AND n1 >= 2
+    )
+    SELECT event_type, n0 AS n_weekday, n1 AS n_weekend,
+           ROUND(m0, 6) AS mean_weekday_cents,
+           ROUND(m1, 6) AS mean_weekend_cents,
+           ROUND(m1 - m0, 6) AS effect_cents,
+           ROUND((m1 - m0) / sqrt(se0sq + se1sq), 6) AS welch_t,
+           ROUND((se0sq + se1sq) * (se0sq + se1sq)
+                 / (se0sq * se0sq / (n0 - 1) + se1sq * se1sq / (n1 - 1)), 6)
+               AS welch_df
+    FROM est ORDER BY event_type
+"""
+
+
+@query("q288_weekend_effect", oracle=_WELCH_ORACLE, tags=("X-83", "X-31"))
+def q288_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend effect via Welch's unequal-variance t-test: per event
+    type, weekend vs weekday daily totals compared with the t statistic
+    AND the Welch-Satterthwaite effective degrees of freedom — the
+    correct two-sample test when group variances differ (the pooled
+    Student t silently assumes they don't; weekend traffic variance
+    rarely matches weekday's), and the calendar-effect readout behind
+    q233's ANOVA (ANOVA says WHETHER day-of-week matters; this sizes
+    the weekend/weekday contrast with honest error bars).
+
+    Determinism: daily totals are exact cents; per-group means and
+    squared standard errors come from the exact integer k*S2-S^2
+    collapse with fixed division order; t and df are IEEE expressions
+    on bit-identical operands rounded 6 dp.
+
+    Scale shape: ONE map-side-combined fact rollup to the bounded
+    (type, day) relation, a 2-cell-per-type moment rollup, and a pivot
+    to one row per type — the A-14 mergeable shape end to end."""
+    d19 = "decimal(19,0)"
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+            .cast("long")
+            .alias("d"),
+            F.when(
+                F.dayofweek(F.date_trunc("day", F.col("ts"))).isin(1, 7), 1
+            )
+            .otherwise(0)
+            .alias("we"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "d", "we")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    m = daily.groupBy("event_type", "we").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y").cast(d19) * F.col("y").cast(d19))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+
+    def _side(col, v):
+        return F.max(F.when(F.col("we") == v, F.col(col)))
+
+    wide = m.groupBy("event_type").agg(
+        _side("n", 0).alias("n0"),
+        _side("s", 0).alias("s0"),
+        _side("s2", 0).alias("q0"),
+        _side("n", 1).alias("n1"),
+        _side("s", 1).alias("s1"),
+        _side("s2", 1).alias("q1"),
+    )
+    m0 = F.col("s0").cast("double") / F.col("n0")
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    se0sq = (
+        F.expr(f"CAST(n0 * q0 - CAST(s0 AS {d19}) * s0 AS DOUBLE)")
+        / F.col("n0")
+        / F.col("n0")
+        / (F.col("n0") - 1)
+        / F.col("n0")
+    )
+    se1sq = (
+        F.expr(f"CAST(n1 * q1 - CAST(s1 AS {d19}) * s1 AS DOUBLE)")
+        / F.col("n1")
+        / F.col("n1")
+        / (F.col("n1") - 1)
+        / F.col("n1")
+    )
+    est = wide.filter((F.col("n0") >= 2) & (F.col("n1") >= 2)).select(
+        "event_type",
+        "n0",
+        "n1",
+        m0.alias("m0"),
+        m1.alias("m1"),
+        se0sq.alias("se0sq"),
+        se1sq.alias("se1sq"),
+    )
+    sesum = F.col("se0sq") + F.col("se1sq")
+    return (
+        est.select(
+            "event_type",
+            F.col("n0").alias("n_weekday"),
+            F.col("n1").alias("n_weekend"),
+            F.round("m0", 6).alias("mean_weekday_cents"),
+            F.round("m1", 6).alias("mean_weekend_cents"),
+            F.round(F.col("m1") - F.col("m0"), 6).alias("effect_cents"),
+            F.round((F.col("m1") - F.col("m0")) / F.sqrt(sesum), 6).alias("welch_t"),
+            F.round(
+                sesum
+                * sesum
+                / (
+                    F.col("se0sq") * F.col("se0sq") / (F.col("n0") - 1)
+                    + F.col("se1sq") * F.col("se1sq") / (F.col("n1") - 1)
+                ),
+                6,
+            ).alias("welch_df"),
+        )
+        .transform(pin)
+        .orderBy("event_type")
+    )

@@ -1841,3 +1841,28 @@ def test_isotonic_runs_on_bounded_bins(spark):
             assert any(
                 k in l for k in ("bin", "j#", "i#", "_groupingexpression")
             ), l
+
+
+def test_anomaly_consensus_shares_one_daily_rollup(spark):
+    """q287 (X-83): all three detectors run on the staged bounded daily
+    relation; per-type stats re-enter broadcast — the fact never joins
+    at event grain."""
+    q = all_queries()["q287_anomaly_consensus"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "event_type" in l, l
+
+
+def test_weekend_effect_is_mergeable_moments(spark):
+    """q288 (X-83): one fact rollup to (type, day, weekend-flag), a
+    per-(type, flag) moment rollup, and a per-type pivot — exchanges
+    carry only those bounded keys."""
+    q = all_queries()["q288_weekend_effect"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "event_type" in l, l
