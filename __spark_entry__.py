@@ -192,8 +192,10 @@ _WINDOW_PRIORITY = (
 # q282: HITS hubs & authorities; q283: split-conformal forecast
 # intervals; q284: held-out unigram cross-entropy; q285: out-of-fold
 # target encoding; q286: isotonic calibration via the exact minimax
-# identity; q287: three-detector anomaly consensus; and q288: Welch
-# weekend-effect test) hold pytest-oracle evidence at
+# identity; q287: three-detector anomaly consensus; q288: Welch
+# weekend-effect test; q289: v-optimal segmentation by relational DP;
+# and q290: exactly-balanced stratified k-fold) hold pytest-oracle
+# evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.
 

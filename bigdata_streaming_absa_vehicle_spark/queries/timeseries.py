@@ -2610,3 +2610,220 @@ def q288_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-84: v-optimal segmentation via relational dynamic programming
+# ---------------------------------------------------------------------------
+
+_VO_SEGS = 4  #: number of variance-optimal segments
+
+
+def _vo_oracle() -> str:
+    # dp_b(i) = min_{j} dp_{b-1}(j) + sse(j, i), argmin tie-broken by j
+    dp_cte = ""
+    for b in range(2, _VO_SEGS + 1):
+        dp_cte += f""",
+    dp{b} AS (
+        SELECT i, dp, j FROM (
+            SELECT s.i, p.dp + s.sse AS dp, s.j,
+                   ROW_NUMBER() OVER (PARTITION BY s.i
+                                      ORDER BY p.dp + s.sse, s.j) AS rn
+            FROM sse s JOIN dp{b - 1} p ON p.i = s.j
+            WHERE s.j >= {b - 1} AND s.i >= {b}
+        ) WHERE rn = 1
+    )"""
+    # backtrack the boundary chain from the full horizon, one CTE per hop
+    chain_ctes = f",\n    chain{_VO_SEGS} AS (SELECT d AS e{_VO_SEGS} FROM horizon)"
+    carry = [f"e{_VO_SEGS}"]
+    for b in range(_VO_SEGS, 1, -1):
+        cols = ", ".join(f"c.{c}" for c in carry)
+        chain_ctes += (
+            f",\n    chain{b - 1} AS (SELECT {cols}, dp{b}.j AS e{b - 1}"
+            f" FROM chain{b} c JOIN dp{b} ON dp{b}.i = c.e{b})"
+        )
+        carry.append(f"e{b - 1}")
+    seg_sel = " UNION ALL ".join(
+        f"SELECT {k} AS seg, e{k - 1} AS s, e{k} AS e FROM chain"
+        if k > 1
+        else "SELECT 1 AS seg, 0 AS s, e1 AS e FROM chain"
+        for k in range(1, _VO_SEGS + 1)
+    )
+    return f"""
+    WITH daily AS (
+        SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400
+                   - (SELECT MIN(CAST(FLOOR(epoch(date_trunc('day', ts)))
+                                      AS BIGINT) // 86400) FROM events) + 1 AS i,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    pre AS (
+        SELECT i, y,
+               CAST(SUM(y) OVER (ORDER BY i) AS BIGINT) AS p,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                    OVER (ORDER BY i) AS DECIMAL(38,0)) AS q
+        FROM daily
+    ),
+    pre0 AS (
+        SELECT i, p, q FROM pre
+        UNION ALL SELECT 0, 0, 0
+    ),
+    sse AS (
+        SELECT a.i AS j, b.i AS i,
+               CAST(b.q - a.q AS DOUBLE)
+                   - CAST(b.p - a.p AS DOUBLE) * (b.p - a.p) / (b.i - a.i) AS sse
+        FROM pre0 a JOIN pre0 b ON a.i < b.i
+    ),
+    dp1 AS (SELECT i, sse AS dp, 0 AS j FROM sse WHERE j = 0){dp_cte},
+    horizon AS (SELECT MAX(i) AS d FROM pre){chain_ctes},
+    chain AS (SELECT * FROM chain1),
+    segs AS ({seg_sel}),
+    readout AS (
+        SELECT seg, s + 1 AS start_day, e AS end_day, e - s AS n_days,
+               (SELECT CAST(pb.p - pa.p AS BIGINT)
+                FROM pre0 pa, pre0 pb WHERE pa.i = s AND pb.i = e) AS seg_cents,
+               (SELECT sse FROM sse WHERE sse.j = s AND sse.i = e) AS seg_sse
+        FROM segs
+    )
+    SELECT CAST(seg AS BIGINT) AS seg, CAST(start_day AS BIGINT) AS start_day,
+           CAST(end_day AS BIGINT) AS end_day, CAST(n_days AS BIGINT) AS n_days,
+           seg_cents, seg_sse,
+           (SELECT dp FROM dp{_VO_SEGS}
+            JOIN horizon ON dp{_VO_SEGS}.i = horizon.d) AS total_sse
+    FROM readout ORDER BY seg
+    """
+
+
+@query("q289_voptimal_segments", oracle=_vo_oracle(), tags=("X-84", "X-20"))
+def q289_voptimal_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-optimal segmentation of the daily revenue series: the
+    {_VO_SEGS}-segment partition minimizing total within-segment squared
+    error, computed by RELATIONAL dynamic programming — dp_b(i) =
+    min_j dp_(b-1)(j) + sse(j,i) unrolls into {_VO_SEGS - 1} joins of
+    the O(D^2) sse grid against the previous dp table, and the boundary
+    chain backtracks through the stored argmins — the v-optimal
+    histogram construction (the principled sibling of q102's equi-width
+    buckets) and the multi-changepoint generalization of q237's single
+    CUSUM break.
+
+    Determinism: prefix sums are exact integers/decimals; each sse is
+    one IEEE expression on exact-integer operands and each dp value a
+    SINGLE addition of two such doubles — bit-identical in both engines
+    with NO intermediate rounding (a 9-dp ROUND here would *introduce*
+    divergence: engines implement double-rounding differently at 1e12
+    magnitudes, the sf0.1 hash sweep caught exactly that); every argmin
+    orders by (dp, j) — a total order on identical doubles.
+
+    Scale shape: ONE map-side-combined fact rollup to the bounded daily
+    relation; the sse grid, all dp levels, and the backtrack joins run
+    on O(D^2) bounded relations (D = days, never events)."""
+    d19 = "decimal(19,0)"
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+            .cast("long")
+            .alias("abs_d"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("abs_d")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    dmin = daily.agg(F.min("abs_d").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(dmin)).select(
+        (F.col("abs_d") - F.col("d0") + 1).alias("i"), "y"
+    )
+    w = Window.orderBy("i")
+    pre = idx.select(
+        "i",
+        F.sum("y").over(w).cast("long").alias("p"),
+        F.sum(F.col("y").cast(d19) * F.col("y").cast(d19))
+        .over(w)
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    pre0 = pre.unionByName(
+        pre.sparkSession.createDataFrame(
+            [(0, 0, 0)], "i long, p long, q_raw long"
+        ).select("i", "p", F.col("q_raw").cast("decimal(38,0)").alias("q"))
+    ).transform(stage)  # the sse grid reads both legs; readout re-reads it
+    a = pre0.select(
+        F.col("i").alias("j"), F.col("p").alias("pa"), F.col("q").alias("qa")
+    )
+    b = pre0.select("i", F.col("p").alias("pb"), F.col("q").alias("qb"))
+    sse = (
+        a.join(F.broadcast(b), F.col("j") < F.col("i"))
+        .select(
+            "j",
+            "i",
+            (
+                (F.col("qb") - F.col("qa")).cast("double")
+                - (F.col("pb") - F.col("pa")).cast("double")
+                * (F.col("pb") - F.col("pa"))
+                / (F.col("i") - F.col("j"))
+            ).alias("sse"),
+        )
+        .transform(stage)  # every dp level + the readout read it
+    )
+    dp = sse.filter(F.col("j") == 0).select("i", F.col("sse").alias("dp"), "j")
+    dps = {1: dp}
+    for lvl in range(2, _VO_SEGS + 1):
+        prev = dps[lvl - 1].select(F.col("i").alias("pj"), F.col("dp").alias("pdp"))
+        cand = (
+            sse.filter((F.col("j") >= lvl - 1) & (F.col("i") >= lvl))
+            .join(F.broadcast(prev), F.col("pj") == F.col("j"))
+            .select("i", "j", (F.col("pdp") + F.col("sse")).alias("dp"))
+        )
+        rn = F.row_number().over(Window.partitionBy("i").orderBy("dp", "j"))
+        dps[lvl] = (
+            cand.withColumn("rn", rn).filter(F.col("rn") == 1).select("i", "dp", "j")
+        )
+    horizon = pre.agg(F.max("i").alias("d"))
+    # backtrack: e_SEGS = D; e_{b-1} = argmin j stored at dp_b(e_b)
+    chain = horizon.select(F.col("d").alias(f"e{_VO_SEGS}"))
+    for lvl in range(_VO_SEGS, 1, -1):
+        bp = dps[lvl].select(
+            F.col("i").alias(f"bi{lvl}"), F.col("j").alias(f"e{lvl - 1}")
+        )
+        chain = chain.join(
+            F.broadcast(bp), F.col(f"e{lvl}") == F.col(f"bi{lvl}")
+        ).drop(f"bi{lvl}")
+    chain = chain.withColumn("e0", F.lit(0)).transform(stage)
+    segs = None
+    for k in range(1, _VO_SEGS + 1):
+        part = chain.select(
+            F.lit(k).alias("seg"),
+            F.col(f"e{k - 1}").alias("s"),
+            F.col(f"e{k}").alias("e"),
+        )
+        segs = part if segs is None else segs.unionByName(part)
+    pa2 = pre0.select(F.col("i").alias("sa"), F.col("p").alias("ps"))
+    pb2 = pre0.select(F.col("i").alias("sb"), F.col("p").alias("pe"))
+    sse2 = sse.select(
+        F.col("j").alias("sj"), F.col("i").alias("si"), F.col("sse").alias("seg_sse")
+    )
+    total = (
+        dps[_VO_SEGS]
+        .join(F.broadcast(horizon), F.col("i") == F.col("d"))
+        .select(F.col("dp").alias("total_sse"))
+    )
+    return (
+        segs.join(F.broadcast(pa2), F.col("s") == F.col("sa"))
+        .join(F.broadcast(pb2), F.col("e") == F.col("sb"))
+        .join(
+            F.broadcast(sse2),
+            (F.col("sj") == F.col("s")) & (F.col("si") == F.col("e")),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("seg").cast("long").alias("seg"),
+            (F.col("s") + 1).cast("long").alias("start_day"),
+            F.col("e").cast("long").alias("end_day"),
+            (F.col("e") - F.col("s")).cast("long").alias("n_days"),
+            (F.col("pe") - F.col("ps")).cast("long").alias("seg_cents"),
+            "seg_sse",
+            "total_sse",
+        )
+        .transform(pin)
+        .orderBy("seg")
+    )

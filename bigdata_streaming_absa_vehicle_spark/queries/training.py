@@ -1205,3 +1205,95 @@ def q285_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("brand", "fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-16 (cont.): stratified k-fold assignment with exact balance
+# ---------------------------------------------------------------------------
+
+_SKF_FOLDS = 5
+
+_SKF_ORACLE = f"""
+    WITH ranked AS (
+        SELECT o_orderpriority AS class,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY md5(CAST(o_orderkey AS VARCHAR)),
+                                           o_orderkey) AS rk
+        FROM orders
+    )
+    SELECT class, CAST((rk - 1) % {_SKF_FOLDS} AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM ranked GROUP BY 1, 2 ORDER BY class, fold
+"""
+
+
+@query("q290_stratified_kfold", oracle=_SKF_ORACLE, tags=("X-16", "W-01"))
+def q290_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified {_SKF_FOLDS}-fold assignment with EXACT per-class
+    balance: within each order-priority class, orders rank under the
+    (md5, key) total order and fold = (rank-1) mod {_SKF_FOLDS}, so
+    every class's fold sizes differ by at most one — the property
+    plain hash-mod folds (q132) only achieve in expectation, and the
+    assignment every stratified cross-validation needs.
+
+    Determinism: ranks are exact integers under a pure-function total
+    order; counts and cents are exact integers — no float anywhere.
+
+    Scale shape: the within-class rank NEVER runs as one window per
+    class (a single reducer per class at 100 TB): the md5-PREFIX bucket
+    (256 values) splits each class, within-(class, bucket) windows rank
+    locally, per-bucket counts roll up to a bounded (class x 256)
+    offset relation whose prefix sums BROADCAST back — the q174/q84
+    two-level prefix-rank idiom, proven rank-identical to the oracle's
+    flat window because the bucket is a prefix of the sort key."""
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    rows = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("class"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        h.alias("h"),
+        (F.substring(h, 1, 2)).alias("bucket"),
+        "o_orderkey",
+    )
+    w_in = (
+        Window.partitionBy("class", "bucket").orderBy("h", "o_orderkey")
+    )
+    within = rows.select(
+        "class",
+        "bucket",
+        "cents",
+        F.row_number().over(w_in).cast("long").alias("wrk"),
+    ).transform(stage)  # bucket totals + the fold readout both read it
+    btot = within.groupBy("class", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("bc")
+    )
+    offs = btot.select(
+        "class",
+        "bucket",
+        F.coalesce(
+            F.sum("bc").over(
+                Window.partitionBy("class")
+                .orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("off"),
+    )
+    return (
+        within.join(F.broadcast(offs), ["class", "bucket"])
+        .select(
+            "class",
+            "cents",
+            ((F.col("off") + F.col("wrk") - 1) % _SKF_FOLDS).alias("fold"),
+        )
+        .groupBy("class", F.col("fold").cast("long").alias("fold"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .transform(pin)
+        .orderBy("class", "fold")
+    )

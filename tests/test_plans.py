@@ -1866,3 +1866,29 @@ def test_weekend_effect_is_mergeable_moments(spark):
     for l in plan.splitlines():
         if "Exchange hashpartitioning" in l:
             assert "event_type" in l, l
+
+
+def test_voptimal_dp_runs_on_bounded_grids(spark):
+    """q289 (X-84): all dp levels and the backtrack run on O(days^2)
+    bounded relations — the only event-grain work is the daily rollup."""
+    q = all_queries()["q289_voptimal_segments"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert all("events.parquet" in l for l in scans), plan
+
+
+def test_stratified_kfold_never_windows_whole_class(spark):
+    """q290 (X-16): every window partitions on (class, bucket) or rides
+    the bounded (class x 256) offset relation — no single-reducer
+    per-class window exists in the plan."""
+    q = all_queries()["q290_stratified_kfold"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    hash_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert all("class" in l for l in hash_exchanges), plan
+    # the event-grain window exchange must carry the bucket alongside class
+    assert any("bucket" in l for l in hash_exchanges), plan
