@@ -194,8 +194,11 @@ _WINDOW_PRIORITY = (
 # target encoding; q286: isotonic calibration via the exact minimax
 # identity; q287: three-detector anomaly consensus; q288: Welch
 # weekend-effect test; q289: v-optimal segmentation by relational DP;
-# and q290: exactly-balanced stratified k-fold) hold pytest-oracle
-# evidence at
+# q290: exactly-balanced stratified k-fold; q291: Markov entropy rate;
+# q292: max drawdown; q293: NB overdispersion fit; q294: one-pass
+# Poisson bootstrap SE; q295: multiple OLS by exact normal equations;
+# and q296: PCA top component by integer power iteration) hold
+# pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.
 

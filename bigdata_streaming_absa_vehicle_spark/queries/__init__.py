@@ -37,3 +37,4 @@ from . import mdm  # noqa: E402,F401
 from . import maintenance  # noqa: E402,F401
 from . import clustering  # noqa: E402,F401
 from . import spatial  # noqa: E402,F401
+from . import linalg  # noqa: E402,F401

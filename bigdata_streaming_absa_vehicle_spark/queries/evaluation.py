@@ -1780,3 +1780,296 @@ def q286_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-79 (cont.): overdispersion test + negative-binomial fit
+# ---------------------------------------------------------------------------
+
+_NB_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_NB_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id,
+               {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS c_{t}" for t in _NB_TYPES)}
+        FROM events GROUP BY user_id
+    ),
+    longf AS (
+        {" UNION ALL ".join(f"SELECT '{t}' AS event_type, c_{t} AS c FROM u" for t in _NB_TYPES)}
+    ),
+    m AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS s2
+        FROM longf GROUP BY 1
+    ),
+    est AS (
+        SELECT event_type, n,
+               CAST(s AS DOUBLE) / n AS mean_c,
+               CAST(n * s2 - CAST(s AS DECIMAL(19,0)) * s AS DOUBLE)
+                   / n / (n - 1) / n AS var_c
+        FROM m WHERE n >= 2
+    )
+    SELECT event_type, n AS n_users,
+           ROUND(mean_c, 6) AS mean_events,
+           ROUND(var_c, 6) AS var_events,
+           ROUND(var_c / mean_c, 6) AS dispersion,
+           CASE WHEN var_c > mean_c
+                THEN ROUND(mean_c * mean_c / (var_c - mean_c), 6) END AS nb_r,
+           CASE WHEN var_c > mean_c
+                THEN ROUND(mean_c / var_c, 6) END AS nb_p
+    FROM est ORDER BY event_type
+"""
+
+
+@query("q293_nb_overdispersion", oracle=_NB_ORACLE, tags=("X-79", "A-14"))
+def q293_nb_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion test + negative-binomial fit of per-user event
+    counts: per type, the variance-to-mean dispersion index (Poisson
+    predicts exactly 1; user heterogeneity pushes it above) and the NB
+    method-of-moments parameters r = m^2/(v-m), p = m/v when
+    overdispersed — the count-model selection step before any rate
+    forecast or anomaly threshold (a Poisson threshold on overdispersed
+    counts fires constantly; q261's burstiness is the within-user TIME
+    version, this is the across-user COUNT version). Zero counts are
+    INCLUDED: one user rollup holds all per-type conditional counts, so
+    a user with no clicks contributes c=0 to the click moments.
+
+    Determinism: per-user counts are exact integers; variance is the
+    exact k*S2-S^2 collapse with fixed division order; every readout is
+    IEEE on bit-identical operands rounded 6 dp.
+
+    Scale shape: ONE user-keyed rollup (5 conditional counts, map-side
+    combined), a map-only unpivot, and a per-type moment rollup onto 5
+    rows — the A-14 mergeable shape; no join anywhere."""
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+                .cast("long")
+                .alias(f"c_{t}")
+                for t in _NB_TYPES
+            ]
+        )
+    )
+    stack_expr = "stack({n}, {args}) AS (event_type, c)".format(
+        n=len(_NB_TYPES),
+        args=", ".join(f"'{t}', c_{t}" for t in _NB_TYPES),
+    )
+    longf = u.select(F.expr(stack_expr))
+    d19 = "decimal(19,0)"
+    m = longf.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c").cast(d19) * F.col("c").cast(d19))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    mean_c = F.col("s").cast("double") / F.col("n")
+    var_c = (
+        F.expr(f"CAST(n * s2 - CAST(s AS {d19}) * s AS DOUBLE)")
+        / F.col("n")
+        / (F.col("n") - 1)
+        / F.col("n")
+    )
+    est = m.filter(F.col("n") >= 2).select(
+        "event_type", "n", mean_c.alias("mean_c"), var_c.alias("var_c")
+    )
+    over = F.col("var_c") > F.col("mean_c")
+    return (
+        est.select(
+            "event_type",
+            F.col("n").alias("n_users"),
+            F.round("mean_c", 6).alias("mean_events"),
+            F.round("var_c", 6).alias("var_events"),
+            F.round(F.col("var_c") / F.col("mean_c"), 6).alias("dispersion"),
+            F.when(
+                over,
+                F.round(
+                    F.col("mean_c") * F.col("mean_c")
+                    / (F.col("var_c") - F.col("mean_c")),
+                    6,
+                ),
+            ).alias("nb_r"),
+            F.when(over, F.round(F.col("mean_c") / F.col("var_c"), 6)).alias("nb_p"),
+        )
+        .transform(pin)
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-59 (cont.): one-pass Poisson bootstrap SE of total revenue
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 64  #: bootstrap replicas — fan-out factor of the ONE weighted pass
+
+#: Poisson(1) CDF breakpoints scaled to the 48-bit hash domain
+#: (floor(cdf_k * 2^48), Python-precomputed so both engines compare the
+#: SAME exact integers; P(w > 8) < 1.1e-5 truncates to w = 8 identically).
+_POIS1_T48 = (
+    103548857136060,
+    207097714272121,
+    258872142840152,
+    276130285696162,
+    280444821410164,
+    281307728552965,
+    281451546410098,
+    281472091818260,
+)
+
+
+def _pois1_case(h: str) -> str:
+    arms = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_POIS1_T48)
+    )
+    return f"CASE {arms} ELSE 8 END"
+
+
+_BOOT_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS cents
+        FROM events GROUP BY user_id
+    ),
+    rep AS (
+        SELECT u.user_id, u.cents, t.r,
+               CAST(('0x' || substr(md5('boot:' || CAST(u.user_id AS VARCHAR)
+                                        || ':' || CAST(t.r AS VARCHAR)), 1, 15))
+                    AS BIGINT) % {1 << 48} AS h48
+        FROM u CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS r) t
+    ),
+    tr AS (
+        SELECT r, SUM(CAST({_pois1_case("h48")} AS HUGEINT) * cents) AS t_total
+        FROM rep GROUP BY r
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS b,
+               SUM(t_total) AS s1,
+               SUM(t_total * t_total) AS s2
+        FROM tr
+    ),
+    act AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM u
+    )
+    SELECT a.n_users, a.total_cents,
+           CAST(m.s1 AS DOUBLE) / {_BOOT_B} AS boot_mean_cents,
+           sqrt(CAST({_BOOT_B} * m.s2 - m.s1 * m.s1 AS DOUBLE)
+                / {_BOOT_B} / {_BOOT_B - 1} / {_BOOT_B}) AS boot_se_cents,
+           sqrt(CAST({_BOOT_B} * m.s2 - m.s1 * m.s1 AS DOUBLE)
+                / {_BOOT_B} / {_BOOT_B - 1} / {_BOOT_B})
+               / (CAST(m.s1 AS DOUBLE) / {_BOOT_B}) AS rel_se
+    FROM act a, mom m
+"""
+
+
+@query("q294_poisson_bootstrap_se", oracle=_BOOT_ORACLE, tags=("X-59", "X-16"))
+def q294_poisson_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Poisson bootstrap SE of total purchase revenue with the
+    USER as the resampling unit: each of B=64 replicas reweights every
+    user's revenue by an iid Poisson(1) draw (the large-N limit of
+    multinomial resampling), and the replica spread is the bootstrap SE
+    — the third leg of the resampling triad (q255 delete-one jackknife,
+    q193 half-sample CI), and THE at-scale form: no statistic recompute
+    per replica, just one weighted pass with a B-way map-side fan-out.
+    Cluster (per-user) resampling keeps within-user correlation intact,
+    exactly like q255's cluster jackknife.
+
+    Determinism: the Poisson draw is inverse-CDF on the exact integer
+    48-bit md5 hash against Python-precomputed integer breakpoints — no
+    RNG, no float compare; replica totals and both moments are exact
+    integer sums; readouts are raw doubles from fixed-order IEEE on
+    bit-identical operands (sqrt is IEEE-correctly-rounded).
+
+    Scale shape: ONE user-keyed fact rollup, a map-only 64x fan-out of
+    the (user, cents) relation, and a 64-group map-side-combined rollup;
+    the moment collapse runs on 64 rows. At 100 TB the fan-out is the
+    only multiplier and it rides the rollup, never the fact table.
+
+    Reference parity: beyond-reference capability (the reference stack
+    has no uncertainty quantification at all)."""
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100 + 0.5).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("cents")
+        )
+        .transform(stage)  # actual total + the 64-replica fan-out share it
+    )
+    rep = u.select(
+        "user_id",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("r"),
+    ).select(
+        "cents",
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("boot:"),
+                            F.col("user_id").cast("string"),
+                            F.lit(":"),
+                            F.col("r").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % (1 << 48)
+        ).alias("h48"),
+    )
+    tr = (
+        rep.select(
+            "r",
+            (F.expr(_pois1_case("h48")).cast("decimal(20,0)") * F.col("cents"))
+            .cast("decimal(38,0)")
+            .alias("wc"),
+        )
+        .groupBy("r")
+        .agg(F.sum("wc").cast("decimal(38,0)").alias("t_total"))
+    )
+    mom = tr.agg(
+        F.sum("t_total").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("t_total") * F.col("t_total"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    act = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    b = F.lit(_BOOT_B)
+    mean = F.col("s1").cast("double") / b
+    se = F.sqrt(
+        (b.cast("decimal(20,0)") * F.col("s2") - F.col("s1") * F.col("s1"))
+        .cast("double")
+        / b
+        / F.lit(_BOOT_B - 1)
+        / b
+    )
+    return act.crossJoin(F.broadcast(mom)).select(
+        "n_users",
+        "total_cents",
+        mean.alias("boot_mean_cents"),
+        se.alias("boot_se_cents"),
+        (se / mean).alias("rel_se"),
+    )

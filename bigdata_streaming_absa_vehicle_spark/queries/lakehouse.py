@@ -364,23 +364,17 @@ def q182_state_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MK_ITERS = 3
 
-
-def _stationary_oracle() -> str:
-    it_cte = ""
-    prev = "x0"
-    for it in range(1, _MK_ITERS + 1):
-        it_cte += f""",
-    x{it} AS (
-        SELECT p.next_type AS event_type,
-               ROUND(CAST(SUM(CAST({prev}.x / t.row_total AS DECIMAL(28,18)) * p.n)
-                          AS DOUBLE), 12) AS x
-        FROM pairs p
-        JOIN totals t USING (prev_type)
-        JOIN {prev} ON {prev}.event_type = p.prev_type
-        GROUP BY p.next_type
-    )"""
-        prev = f"x{it}"
-    return f"""
+# The power iteration runs in EXACT integer pico-units (scale 1e12):
+# p12_ij = (n_ij * 1e12) div row_total_i and x'_j = (sum_i x12_i * p12_ij)
+# div 1e12, with div the floor division both engines compute exactly
+# (Spark decimal `div`, DuckDB HUGEINT `//` — verified bit-identical).
+# The previous form (x/row_total at DECIMAL(28,18) times the bigint
+# count, 12-dp double rounds) silently ran at scale SEVEN in Spark:
+# decimal(28,18) * bigint overflows precision 38 and Catalyst's
+# allowPrecisionLoss reduces the result scale to 7, while DuckDB keeps
+# 18 — a ~2e-9 cross-engine drift that q291's boundary-sitting entropy
+# readout exposed at sf0.1.
+_MK_SQL_PRELUDE = """
     WITH seq AS (
         SELECT user_id, event_type,
                LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -398,11 +392,73 @@ def _stationary_oracle() -> str:
     ),
     types AS (SELECT DISTINCT prev_type AS event_type FROM pairs),
     nt AS (SELECT COUNT(*) AS k FROM types),
+    p12 AS (
+        SELECT p.prev_type, p.next_type,
+               CAST((CAST(p.n AS HUGEINT) * 1000000000000) // t.row_total
+                    AS BIGINT) AS p12
+        FROM pairs p JOIN totals t USING (prev_type)
+    ),
     x0 AS (
-        SELECT event_type, ROUND(CAST(1.0 AS DOUBLE) / nt.k, 12) AS x
-        FROM types, nt
-    ){it_cte}
-    SELECT event_type, x AS stationary_p FROM {prev} ORDER BY event_type
+        SELECT event_type,
+               (SELECT CAST(CAST(1000000000000 AS HUGEINT) // k AS BIGINT)
+                FROM nt) AS x12
+        FROM types
+    )"""
+
+
+def _mk_iter_ctes() -> tuple[str, str]:
+    """The unrolled x1..xN CTEs; returns (cte_sql, last_cte_name)."""
+    it_cte = ""
+    prev = "x0"
+    for it in range(1, _MK_ITERS + 1):
+        it_cte += f""",
+    x{it} AS (
+        SELECT p.next_type AS event_type,
+               CAST(SUM(CAST({prev}.x12 AS HUGEINT) * p.p12) // 1000000000000
+                    AS BIGINT) AS x12
+        FROM p12 p
+        JOIN {prev} ON {prev}.event_type = p.prev_type
+        GROUP BY p.next_type
+    )"""
+        prev = f"x{it}"
+    return it_cte, prev
+
+
+def _stationary_x12(pairs: DataFrame, totals: DataFrame, k: int) -> DataFrame:
+    """Spark twin of the oracle CTEs: (event_type, x12) after _MK_ITERS
+    exact integer pico-unit power iterations from the uniform start."""
+    p12 = pairs.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(26,0)) * 1000000000000 AS DECIMAL(38,0))"
+            " div row_total"
+        ).alias("p12"),
+    )
+    types = pairs.select(F.col("prev_type").alias("event_type")).distinct()
+    x = types.select(
+        "event_type", F.lit(10**12 // k).cast("long").alias("x12")
+    )
+    for _ in range(_MK_ITERS):
+        contrib = p12.join(
+            x, x["event_type"] == F.col("prev_type")
+        ).select(
+            F.col("next_type"),
+            (F.col("x12").cast("decimal(19,0)") * F.col("p12")).alias("c"),
+        )
+        x = contrib.groupBy(F.col("next_type").alias("event_type")).agg(
+            F.expr("CAST(SUM(c) AS DECIMAL(38,0)) div 1000000000000")
+            .cast("long")
+            .alias("x12")
+        )
+    return x
+
+
+def _stationary_oracle() -> str:
+    it_cte, prev = _mk_iter_ctes()
+    return f"""{_MK_SQL_PRELUDE}{it_cte}
+    SELECT event_type, CAST(x12 AS DOUBLE) / 1e12 AS stationary_p
+    FROM {prev} ORDER BY event_type
     """
 
 
@@ -413,10 +469,12 @@ def q221_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     population settles if behavior follows the fitted chain, the
     long-run complement of q118's one-step probabilities and the base
     rate q197's next-event backtest should be judged against. The X-15
-    iterative-numeric discipline on a BOUNDED state space: per-step
-    terms go through exact decimal (x/row_total at decimal(28,18),
-    times the integer count), per-type sums round at 12 dp so every
-    iteration's operands are engine-identical.
+    iterative-numeric discipline on a BOUNDED state space, here in
+    EXACT integer pico-units: p12 = (n*1e12) div row_total, each step
+    x' = (sum x12*p12) div 1e12 — floor divisions both engines compute
+    exactly (Spark decimal div, DuckDB HUGEINT //), so NO float exists
+    anywhere in the loop and the trajectory is engine-identical by
+    construction; the single IEEE division x12/1e12 happens at readout.
 
     Scale shape: the chain fits with ONE user-keyed window pass + a
     map-side-combined rollup onto the |types|^2 relation; each power
@@ -438,26 +496,151 @@ def q221_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(stage)  # bounded |types|^2 relation drives every iteration
     )
     totals = pairs.groupBy("prev_type").agg(F.sum("n").cast("long").alias("row_total"))
-    types = pairs.select(F.col("prev_type").alias("event_type")).distinct()
-    k = types.count()  # bounded metadata (state count), not a data collect
-    x = types.select("event_type", F.round(F.lit(1.0) / k, 12).alias("x"))
-    for _ in range(_MK_ITERS):
-        contrib = (
-            pairs.join(F.broadcast(totals), "prev_type")
-            .join(x, x["event_type"] == F.col("prev_type"))
-            .select(
-                F.col("next_type"),
-                (
-                    (F.col("x") / F.col("row_total")).cast("decimal(28,18)")
-                    * F.col("n")
-                ).alias("c"),
-            )
-        )
-        x = contrib.groupBy(F.col("next_type").alias("event_type")).agg(
-            F.round(F.sum("c").cast("double"), 12).alias("x")
-        )
+    k = pairs.select("prev_type").distinct().count()  # bounded metadata
+    x = _stationary_x12(pairs, totals, k)
     return (
-        x.select("event_type", F.col("x").alias("stationary_p"))
+        x.select(
+            "event_type",
+            (F.col("x12").cast("double") / F.lit(1e12)).alias("stationary_p"),
+        )
+        .transform(pin)
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-13 (cont.): entropy rate of the behavior chain
+# ---------------------------------------------------------------------------
+
+
+def _entropy_rate_oracle() -> str:
+    it_cte, prev = _mk_iter_ctes()
+    return f"""{_MK_SQL_PRELUDE}{it_cte},
+    hrow AS (
+        SELECT p.prev_type AS event_type, t.row_total,
+               CAST(SUM(CAST(p.n * CAST(ROUND(
+                        ROUND(ln(CAST(t.row_total AS DOUBLE) / p.n), 6) * 1e6)
+                        AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s6
+        FROM pairs p JOIN totals t USING (prev_type)
+        GROUP BY 1, 2
+    ),
+    ent AS (
+        SELECT h.event_type, CAST(s.x12 AS DOUBLE) / 1e12 AS pi,
+               CAST(h.s6 AS DOUBLE) / h.row_total / 1e6 AS h_state,
+               (CAST(s.x12 AS DOUBLE) / 1e12)
+                   * (CAST(h.s6 AS DOUBLE) / h.row_total / 1e6) AS term
+        FROM hrow h JOIN {prev} s USING (event_type)
+    ),
+    tot AS (
+        SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                        list(term ORDER BY event_type)),
+                           (a, b) -> a + b) AS er
+        FROM ent
+    )
+    SELECT event_type, pi AS stationary_p,
+           h_state AS h_state_nats,
+           (SELECT er FROM tot) AS entropy_rate_nats,
+           (SELECT ROUND(ln(CAST(k AS DOUBLE)), 6) FROM nt) AS max_entropy_nats
+    FROM ent
+    ORDER BY event_type
+    """
+
+
+@query("q291_entropy_rate", oracle=_entropy_rate_oracle(), tags=("X-13", "X-22"))
+def q291_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-behavior Markov chain: per state the
+    conditional next-step entropy H_i = sum_j P_ij ln(1/P_ij), weighted
+    by q221's stationary distribution into the chain's entropy rate
+    H = sum_i pi_i H_i — the bits-per-step predictability ceiling of
+    user behavior (H near ln(K): next actions are noise, sequence
+    models can't help; H near 0: behavior is scripted), reported beside
+    ln(K) so the gap IS the signal. The information-theoretic readout
+    on top of the q118/q221 transition machinery, and the sequence
+    counterpart of q172's marginal user entropy.
+
+    Determinism: NO float-to-decimal rounding exists past the pinned
+    lns — at sf0.1 the entropy rate lands almost exactly on a 6-dp
+    half-way, so a single 1e-9 per-term rounding divergence (Spark's
+    exact BigDecimal HALF_UP vs DuckDB's multiply-based ROUND disagree
+    on half-way doubles) flipped the canonical readout. Instead each
+    6-dp ln becomes an exact integer of micro-nats (the rounded double
+    is within an ulp of the integer, so the cast cannot tie), per-state
+    sums n*lnr6 are exact decimals, h_state is two correctly-rounded
+    IEEE divisions on bit-identical operands, pi comes out of q221's
+    all-integer pico-unit iteration (one IEEE division at readout), the
+    pi-weighted terms are single IEEE products, and the 5-term total is
+    a FIXED-ORDER left
+    fold (array_sort + aggregate / list ORDER BY + list_reduce) so FP
+    non-associativity cannot reorder it. All readouts are raw doubles,
+    bit-identical by construction; the harness canonicalizes both
+    frames with the same Python 6-dp rounding.
+
+    Scale shape: ONE user-keyed window pass + map-side rollup onto the
+    bounded |types|^2 relation (the q221 plan); the stationary
+    iterations, the per-state entropies, and the weighted readout all
+    run on that bounded relation."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .transform(stage)  # iterations + the entropy rollup share it
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").cast("long").alias("row_total"))
+    k = pairs.select("prev_type").distinct().count()  # bounded metadata
+    x = _stationary_x12(pairs, totals, k).select(
+        "event_type", (F.col("x12").cast("double") / F.lit(1e12)).alias("x")
+    )
+    lnr6 = F.round(
+        F.round(F.log(F.col("row_total").cast("double") / F.col("n")), 6)
+        * F.lit(1e6)
+    ).cast("long")
+    hrow = (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            F.col("prev_type").alias("event_type"),
+            "row_total",
+            (F.col("n") * lnr6).cast("decimal(38,0)").alias("t6"),
+        )
+        .groupBy("event_type", "row_total")
+        .agg(F.sum("t6").cast("decimal(38,0)").alias("s6"))
+        .select(
+            "event_type",
+            (
+                F.col("s6").cast("double") / F.col("row_total") / F.lit(1e6)
+            ).alias("h_state"),
+        )
+    )
+    ent = hrow.join(
+        F.broadcast(x.withColumnRenamed("x", "pi")), "event_type"
+    ).select(
+        "event_type",
+        "pi",
+        "h_state",
+        (F.col("pi") * F.col("h_state")).alias("term"),
+    )
+    terms_sorted = F.array_sort(
+        F.collect_list(F.struct("event_type", "term")).over(Window.partitionBy())
+    )
+    return (
+        ent.select(
+            "event_type",
+            F.col("pi").alias("stationary_p"),
+            F.col("h_state").alias("h_state_nats"),
+            F.aggregate(
+                F.transform(terms_sorted, lambda s: s["term"]),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("entropy_rate_nats"),
+            F.round(F.log(F.lit(float(k))), 6).alias("max_entropy_nats"),
+        )
         .transform(pin)
         .orderBy("event_type")
     )

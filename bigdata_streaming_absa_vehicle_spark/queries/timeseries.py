@@ -2827,3 +2827,268 @@ def q289_voptimal_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("seg")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-81 (cont.): maximum drawdown of cumulative revenue
+# ---------------------------------------------------------------------------
+
+_DD_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ELSE -CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 10
+                        END) AS BIGINT) AS flow
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT d, flow,
+               CAST(SUM(flow) OVER (ORDER BY d) AS BIGINT) AS equity
+        FROM daily
+    ),
+    dd AS (
+        SELECT d, equity,
+               CAST(MAX(equity) OVER (ORDER BY d) AS BIGINT) AS peak,
+               CAST(MAX(equity) OVER (ORDER BY d) - equity AS BIGINT) AS drawdown
+        FROM cum
+    ),
+    worst AS (
+        SELECT d, equity, peak, drawdown,
+               ROW_NUMBER() OVER (ORDER BY drawdown DESC, d) AS rn
+        FROM dd
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(CASE WHEN rn = 1 THEN d END) AS BIGINT) AS trough_day,
+           CAST(MAX(CASE WHEN rn = 1 THEN peak END) AS BIGINT) AS peak_cents,
+           CAST(MAX(CASE WHEN rn = 1 THEN equity END) AS BIGINT) AS trough_cents,
+           CAST(MAX(drawdown) AS BIGINT) AS max_drawdown_cents,
+           ROUND(CAST(MAX(CASE WHEN rn = 1 THEN drawdown END) AS DOUBLE)
+                 / MAX(CASE WHEN rn = 1 THEN peak END), 6)
+               AS max_drawdown_frac
+    FROM worst
+"""
+
+
+@query("q292_max_drawdown", oracle=_DD_ORACLE, tags=("X-81", "W-03"))
+def q292_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative net-revenue curve (purchases
+    minus a 10% cost haircut on all other activity): the largest
+    peak-to-trough fall of the running equity, located by day — the
+    path-dependent risk number that q281's VaR cannot see (VaR scores
+    single-day changes; a drawdown is a RUN of bad days compounding),
+    and the standard worst-case readout for any cumulative KPI.
+
+    Determinism: flows and the equity curve are exact integer cents; the
+    running max and the drawdown are integer window expressions; the
+    trough picks under a (drawdown DESC, day) total order; one IEEE
+    division for the fractional readout, rounded 6 dp.
+
+    Scale shape: ONE map-side-combined fact rollup to the bounded daily
+    relation; the cumulative, running-max, and argmax windows all run on
+    that bounded relation; a single row reaches the driver."""
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+            .cast("long")
+            .alias("d"),
+            F.when(F.col("event_type") == "purchase", cents)
+            .otherwise(-F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DIV 10"))
+            .alias("flow"),
+        )
+        .groupBy("d")
+        .agg(F.sum("flow").cast("long").alias("flow"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.select(
+        "d", F.sum("flow").over(w).cast("long").alias("equity")
+    ).select(
+        "d",
+        "equity",
+        F.max("equity").over(w).cast("long").alias("peak"),
+        (F.max("equity").over(w) - F.col("equity")).cast("long").alias("drawdown"),
+    )
+    worst = dd.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("drawdown").desc(), "d"))
+    )
+    pick = lambda c: F.max(F.when(F.col("rn") == 1, F.col(c)))  # noqa: E731
+    return worst.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        pick("d").cast("long").alias("trough_day"),
+        pick("peak").cast("long").alias("peak_cents"),
+        pick("equity").cast("long").alias("trough_cents"),
+        F.max("drawdown").cast("long").alias("max_drawdown_cents"),
+        F.round(
+            pick("drawdown").cast("double") / pick("peak"), 6
+        ).alias("max_drawdown_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-85: multiple OLS (trend + weekend) by exact normal equations
+# ---------------------------------------------------------------------------
+
+_OLS_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    xt AS (
+        SELECT d - (SELECT MIN(d) FROM daily) AS t,
+               CASE WHEN (d + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END AS wk,
+               y
+        FROM daily
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(t) AS HUGEINT) AS st,
+               CAST(SUM(t * t) AS HUGEINT) AS st2,
+               CAST(SUM(wk) AS HUGEINT) AS sw,
+               CAST(SUM(t * wk) AS HUGEINT) AS stw,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(t * y) AS HUGEINT) AS sty,
+               CAST(SUM(wk * y) AS HUGEINT) AS swy,
+               CAST(SUM(y * y) AS HUGEINT) AS sy2
+        FROM xt
+    ),
+    dets AS (
+        SELECT n, sy, sty, swy, sy2,
+               n * (st2 * sw - stw * stw) - st * (st * sw - stw * sw)
+                   + sw * (st * stw - st2 * sw) AS det,
+               sy * (st2 * sw - stw * stw) - st * (sty * sw - stw * swy)
+                   + sw * (sty * stw - st2 * swy) AS det0,
+               n * (sty * sw - stw * swy) - sy * (st * sw - stw * sw)
+                   + sw * (st * swy - sty * sw) AS det1,
+               n * (st2 * swy - sty * stw) - st * (st * swy - sty * sw)
+                   + sy * (st * stw - st2 * sw) AS det2
+        FROM m
+    ),
+    beta AS (
+        SELECT n, sy, sty, swy, sy2,
+               CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS b0,
+               CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS b1,
+               CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS b2
+        FROM dets
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, b0 AS beta_intercept,
+           b1 AS beta_trend_per_day, b2 AS beta_weekend,
+           1 - (CAST(sy2 AS DOUBLE)
+                - (b0 * CAST(sy AS DOUBLE) + b1 * CAST(sty AS DOUBLE)
+                   + b2 * CAST(swy AS DOUBLE)))
+               / (CAST(sy2 AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               AS r_squared
+    FROM beta
+"""
+
+
+@query("q295_ols_trend_weekend", oracle=_OLS_ORACLE, tags=("X-85", "A-14"))
+def q295_ols_trend_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple OLS of daily purchase revenue on a linear trend AND a
+    weekend dummy, solved in closed form from the normal equations —
+    the two-covariate regression that separates growth from the weekly
+    cycle (q249's Theil-Sen fits the trend alone and is biased when
+    weekends are systematically low; q288's Welch test detects the
+    weekend gap but cannot de-trend it; this estimates both jointly),
+    plus the centered R^2. beta = (X'X)^-1 X'y by Cramer's rule on the
+    3x3 cross-moment matrix.
+
+    Determinism: the nine cross-moments are exact integers (y in cents,
+    t a day index, wk a 0/1 dummy); all four 3x3 determinants expand in
+    exact HUGEINT/decimal integer arithmetic; each beta is ONE IEEE
+    division of bit-identical exact operands, and R^2 is a fixed-shape
+    IEEE expression over the betas and moments — no float accumulates
+    across rows anywhere, so no summation-order hazard exists. Readouts
+    are raw doubles (the q291 lesson: never engine-ROUND a readout).
+
+    Scale shape: ONE map-side-combined fact rollup to the bounded daily
+    relation, one 9-moment rollup onto a single row (the A-14 mergeable
+    shape — this is the classic 'OLS as an aggregation' distributed
+    pattern: moments merge associatively, the solve is driver-trivial),
+    and scalar readout expressions. Adding covariates grows the moment
+    vector, never the pass count.
+
+    Reference parity: beyond-reference capability (the reference's
+    dashboards have no regression layer)."""
+    d = (
+        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+        .cast("long")
+        .alias("d")
+    )
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        F.floor(F.col("value") * 100 + 0.5).cast("long"),
+    ).otherwise(0)
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(d, cents.alias("c"))
+        .groupBy("d")
+        .agg(F.sum("c").cast("long").alias("y"))
+    )
+    dmin = daily.agg(F.min("d").alias("dmin"))
+    xt = daily.crossJoin(F.broadcast(dmin)).select(
+        (F.col("d") - F.col("dmin")).alias("t"),
+        F.when(F.pmod(F.col("d") + 4, F.lit(7)).isin(0, 6), 1)
+        .otherwise(0)
+        .alias("wk"),
+        "y",
+    )
+    d38 = "decimal(38,0)"
+    m = xt.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("t").cast(d38).alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast(d38).alias("st2"),
+        F.sum("wk").cast(d38).alias("sw"),
+        F.sum(F.col("t") * F.col("wk")).cast(d38).alias("stw"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast(d38).alias("sty"),
+        F.sum(F.col("wk") * F.col("y")).cast(d38).alias("swy"),
+        F.sum(F.col("y") * F.col("y")).cast(d38).alias("sy2"),
+    )
+    dets = m.select(
+        "n",
+        "sy",
+        "sty",
+        "swy",
+        "sy2",
+        F.expr(
+            "n * (st2 * sw - stw * stw) - st * (st * sw - stw * sw)"
+            " + sw * (st * stw - st2 * sw)"
+        ).alias("det"),
+        F.expr(
+            "sy * (st2 * sw - stw * stw) - st * (sty * sw - stw * swy)"
+            " + sw * (sty * stw - st2 * swy)"
+        ).alias("det0"),
+        F.expr(
+            "n * (sty * sw - stw * swy) - sy * (st * sw - stw * sw)"
+            " + sw * (st * swy - sty * sw)"
+        ).alias("det1"),
+        F.expr(
+            "n * (st2 * swy - sty * stw) - st * (st * swy - sty * sw)"
+            " + sy * (st * stw - st2 * sw)"
+        ).alias("det2"),
+    )
+    b0 = F.col("det0").cast("double") / F.col("det").cast("double")
+    b1 = F.col("det1").cast("double") / F.col("det").cast("double")
+    b2 = F.col("det2").cast("double") / F.col("det").cast("double")
+    sy_d = F.col("sy").cast("double")
+    sy2_d = F.col("sy2").cast("double")
+    bty = (
+        b0 * sy_d + b1 * F.col("sty").cast("double") + b2 * F.col("swy").cast("double")
+    )
+    return dets.select(
+        F.col("n").cast("long").alias("n_days"),
+        b0.alias("beta_intercept"),
+        b1.alias("beta_trend_per_day"),
+        b2.alias("beta_weekend"),
+        (
+            F.lit(1)
+            - (sy2_d - bty)
+            / (sy2_d - sy_d * sy_d / F.col("n").cast("double"))
+        ).alias("r_squared"),
+    )

@@ -1892,3 +1892,61 @@ def test_stratified_kfold_never_windows_whole_class(spark):
     assert all("class" in l for l in hash_exchanges), plan
     # the event-grain window exchange must carry the bucket alongside class
     assert any("bucket" in l for l in hash_exchanges), plan
+
+
+def test_entropy_rate_iterates_on_bounded_matrix(spark):
+    """q291 (X-13): the q221 plan — one user-keyed window pass to the
+    bounded transition matrix; iterations, per-state entropies, and the
+    weighted readout all on it."""
+    q = all_queries()["q291_entropy_rate"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert all("events.parquet" in l for l in scans), plan
+
+
+def test_max_drawdown_windows_on_bounded_daily(spark):
+    """q292 (X-81): one fact rollup to daily flows; every window runs on
+    the bounded daily relation."""
+    q = all_queries()["q292_max_drawdown"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "d#" in l, l
+
+
+def test_nb_overdispersion_is_rollup_unpivot_rollup(spark):
+    """q293 (X-79): one user-keyed rollup, a map-only stack unpivot, and
+    a 5-row moment rollup — no join in the plan."""
+    q = all_queries()["q293_nb_overdispersion"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "Join" not in plan, plan
+    hash_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert all("user_id" in l or "event_type" in l for l in hash_exchanges), plan
+
+
+def test_poisson_bootstrap_fans_out_rollup_not_fact(spark):
+    """q294 (X-59): the 64x replica fan-out explodes the USER rollup,
+    never the fact table — every hash exchange is keyed by user_id or
+    the replica id, and no exchange carries raw event columns."""
+    q = all_queries()["q294_poisson_bootstrap_se"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    hash_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert all("user_id" in l or "r#" in l for l in hash_exchanges), plan
+
+
+def test_ols_is_one_moment_rollup(spark):
+    """q295 (X-85): one fact rollup to daily, one 9-moment rollup to a
+    single row — the only hash exchange is the daily key."""
+    q = all_queries()["q295_ols_trend_weekend"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "d#" in l, l
