@@ -197,7 +197,9 @@ _WINDOW_PRIORITY = (
 # q290: exactly-balanced stratified k-fold; q291: Markov entropy rate;
 # q292: max drawdown; q293: NB overdispersion fit; q294: one-pass
 # Poisson bootstrap SE; q295: multiple OLS by exact normal equations;
-# and q296: PCA top component by integer power iteration) hold
+# q296: PCA top component by integer power iteration; q297: exact
+# decision-stump split search; q298: Naive Bayes train + holdout eval;
+# and q299: logistic regression by integer IRLS) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

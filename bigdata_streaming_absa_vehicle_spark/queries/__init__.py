@@ -38,3 +38,4 @@ from . import maintenance  # noqa: E402,F401
 from . import clustering  # noqa: E402,F401
 from . import spatial  # noqa: E402,F401
 from . import linalg  # noqa: E402,F401
+from . import learning  # noqa: E402,F401

@@ -1,0 +1,673 @@
+"""Model TRAINING as aggregation (SURVEY.md §2K extensions X-87/X-88/
+X-89): decision-stump split search, Naive Bayes fit + holdout eval, and
+logistic regression by IRLS — the three classic classifiers whose
+training loops collapse to exactly the mergeable-aggregate shapes this
+engine already certifies (prefix sums, count tables, moment rollups).
+The point at 100 TB: none of these needs a learning framework — the
+sufficient statistics ARE group-bys, so training rides the same
+partial-aggregation machinery as any revenue rollup.
+
+Determinism: labels and features derive from md5 hashes and exact
+integer counts (no RNG); split scores, count tables, and Newton steps
+run in exact integer/decimal arithmetic with total-order argmaxes;
+the only libm surface is the q203 idiom (ln/exp results rounded to a
+fixed decimal grid before any cross-row sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.ordering import pin, stage
+from ..tables import load
+from .registry import query
+
+#: conversion label — any purchase strictly above this value (same
+#: threshold as the X-23 A/B machinery, ~45% positive rate).
+_CONV_MIN = 150
+
+_STUMP_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+               MAX(CASE WHEN event_type = 'purchase' AND value > {_CONV_MIN}
+                   THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+    ),
+    xa AS (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM u GROUP BY x
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(pos) AS BIGINT) AS post
+        FROM xa
+    ),
+    cum AS (
+        SELECT x,
+               CAST(SUM(n) OVER (ORDER BY x) AS BIGINT) AS n_l,
+               CAST(SUM(pos) OVER (ORDER BY x) AS BIGINT) AS pos_l
+        FROM xa
+    ),
+    sc AS (
+        SELECT c.x AS threshold, c.n_l, c.pos_l,
+               t.nt - c.n_l AS n_r, t.post - c.pos_l AS pos_r,
+               CAST(((CAST(c.pos_l AS HUGEINT) * c.pos_l
+                      + CAST(c.n_l - c.pos_l AS HUGEINT) * (c.n_l - c.pos_l))
+                         * (t.nt - c.n_l)
+                     + (CAST(t.post - c.pos_l AS HUGEINT) * (t.post - c.pos_l)
+                        + CAST((t.nt - c.n_l) - (t.post - c.pos_l) AS HUGEINT)
+                              * ((t.nt - c.n_l) - (t.post - c.pos_l)))
+                         * c.n_l) * 1000000
+                    // (CAST(c.n_l AS HUGEINT) * (t.nt - c.n_l))
+                    AS BIGINT) AS s_micro
+        FROM cum c, tot t
+        WHERE c.n_l < t.nt
+    ),
+    best AS (
+        SELECT threshold, n_l, pos_l, n_r, pos_r, s_micro,
+               ROW_NUMBER() OVER (ORDER BY s_micro DESC, threshold) AS rn
+        FROM sc
+    )
+    SELECT b.threshold, b.n_l AS n_left, b.pos_l AS pos_left,
+           b.n_r AS n_right, b.pos_r AS pos_right,
+           CAST(b.pos_l AS DOUBLE) / b.n_l AS rate_left,
+           CAST(b.pos_r AS DOUBLE) / b.n_r AS rate_right,
+           CAST(b.s_micro AS DOUBLE) / 1e6 / t.nt AS purity_score,
+           t.nt AS n_users
+    FROM best b, tot t WHERE b.rn = 1
+"""
+
+
+@query("q297_decision_stump", oracle=_STUMP_ORACLE, tags=("X-88", "W-03"))
+def q297_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decision-stump training: the best 'activity <= t' split of
+    users for predicting conversion, by minimum weighted Gini impurity
+    over EVERY candidate threshold — the CART inner loop (and the weak
+    learner of every boosting stack) as a relational prefix-sum: one
+    pass builds the per-value (count, positives) table, a cumulative
+    window turns it into left/right contingency tables for all
+    thresholds at once, and the argmin is a total-order top-1. No
+    gradient, no sampling of candidate splits — at any scale the split
+    search is exact.
+
+    Minimizing weighted Gini is equivalent to maximizing
+    S = (pos_l^2 + neg_l^2)/n_l + (pos_r^2 + neg_r^2)/n_r (the
+    n*G = n - S identity), which this computes over the common
+    denominator n_l*n_r as ONE exact integer floor-division to micro
+    resolution — the argmax runs on exact integers under a
+    (s_micro DESC, threshold) total order, so no float comparison ever
+    decides the split. Readout rates/score are raw-double IEEE on exact
+    operands.
+
+    Scale shape: ONE user-keyed fact rollup, one x-keyed rollup to the
+    bounded distinct-activity relation, a cumulative window + argmax on
+    that bounded relation. The 100 TB cost is the first rollup; the
+    split search itself is O(|distinct x|).
+
+    Reference parity: beyond-reference capability (the reference has no
+    model-training surface)."""
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > _CONV_MIN),
+                    1,
+                ).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    xa = (
+        u.groupBy("x")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+        .transform(stage)  # totals + the cumulative scan share it
+    )
+    tot = xa.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("pos").cast("long").alias("post"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = xa.select(
+        "x",
+        F.sum("n").over(w).cast("long").alias("n_l"),
+        F.sum("pos").over(w).cast("long").alias("pos_l"),
+    )
+    d20 = "decimal(20,0)"
+    neg_l = F.col("n_l") - F.col("pos_l")
+    n_r = F.col("nt") - F.col("n_l")
+    pos_r = F.col("post") - F.col("pos_l")
+    neg_r = n_r - pos_r
+    s_micro = (
+        (
+            (
+                F.col("pos_l").cast(d20) * F.col("pos_l")
+                + neg_l.cast(d20) * neg_l
+            )
+            * n_r
+            + (pos_r.cast(d20) * pos_r + neg_r.cast(d20) * neg_r)
+            * F.col("n_l")
+        ).cast("decimal(38,0)")
+        * F.lit(1000000)
+    ).alias("s_num")
+    sc = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_l") < F.col("nt"))
+        .select(
+            F.col("x").alias("threshold"),
+            "n_l",
+            "pos_l",
+            n_r.alias("n_r"),
+            pos_r.alias("pos_r"),
+            "nt",
+            s_micro,
+            (F.col("n_l").cast(d20) * n_r).cast("decimal(38,0)").alias("s_den"),
+        )
+        .select(
+            "threshold",
+            "n_l",
+            "pos_l",
+            "n_r",
+            "pos_r",
+            "nt",
+            F.expr("CAST(s_num div s_den AS BIGINT)").alias("s_micro"),
+        )
+    )
+    best = sc.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.col("s_micro").desc(), "threshold")),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        "threshold",
+        F.col("n_l").alias("n_left"),
+        F.col("pos_l").alias("pos_left"),
+        F.col("n_r").alias("n_right"),
+        F.col("pos_r").alias("pos_right"),
+        (F.col("pos_l").cast("double") / F.col("n_l")).alias("rate_left"),
+        (F.col("pos_r").cast("double") / F.col("n_r")).alias("rate_right"),
+        (F.col("s_micro").cast("double") / F.lit(1e6) / F.col("nt")).alias(
+            "purity_score"
+        ),
+        F.col("nt").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-89: Naive Bayes fit + holdout evaluation
+# ---------------------------------------------------------------------------
+
+#: user features — FIXED activity buckets (x<8, x<32, else) and a
+#: majority-weekend flag; fixed boundaries keep the feature map a pure
+#: function of the user's own rows (no train-dependent quantile edges).
+_NB_FEAT = """
+    SELECT user_id,
+           CASE WHEN n_ev < 8 THEN 0 WHEN n_ev < 32 THEN 1 ELSE 2 END AS f1,
+           CASE WHEN 2 * wk_ev >= n_ev THEN 1 ELSE 0 END AS f2,
+           y,
+           CASE WHEN substr(md5('nb:' || CAST(user_id AS VARCHAR)), 1, 1) < 'c'
+                THEN 1 ELSE 0 END AS is_train
+    FROM (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+               CAST(SUM(CASE WHEN ({dow}) IN (0, 6) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS wk_ev,
+               MAX(CASE WHEN event_type = 'purchase' AND value > {conv}
+                   THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+    )
+"""
+
+_NBAYES_ORACLE = f"""
+    WITH feat AS (
+        {_NB_FEAT.format(dow="(CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 + 4) % 7", conv=_CONV_MIN)}
+    ),
+    train AS (SELECT * FROM feat WHERE is_train = 1),
+    cls AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tr,
+               CAST(SUM(y) AS BIGINT) AS n1
+        FROM train
+    ),
+    g1 AS (
+        SELECT c.c, v.v, CAST(COUNT(t.user_id) AS BIGINT) AS cnt
+        FROM (VALUES (0), (1)) c(c)
+        CROSS JOIN (VALUES (0), (1), (2)) v(v)
+        LEFT JOIN train t ON t.y = c.c AND t.f1 = v.v
+        GROUP BY c.c, v.v
+    ),
+    g2 AS (
+        SELECT c.c, v.v, CAST(COUNT(t.user_id) AS BIGINT) AS cnt
+        FROM (VALUES (0), (1)) c(c)
+        CROSS JOIN (VALUES (0), (1)) v(v)
+        LEFT JOIN train t ON t.y = c.c AND t.f2 = v.v
+        GROUP BY c.c, v.v
+    ),
+    lp1 AS (
+        SELECT g.c, g.v,
+               CAST(ROUND(ln(CAST(g.cnt + 1 AS DOUBLE)
+                             / (CASE WHEN g.c = 1 THEN s.n1
+                                     ELSE s.n_tr - s.n1 END + 3)), 6)
+                    AS DECIMAL(12,6)) AS lnp
+        FROM g1 g, cls s
+    ),
+    lp2 AS (
+        SELECT g.c, g.v,
+               CAST(ROUND(ln(CAST(g.cnt + 1 AS DOUBLE)
+                             / (CASE WHEN g.c = 1 THEN s.n1
+                                     ELSE s.n_tr - s.n1 END + 2)), 6)
+                    AS DECIMAL(12,6)) AS lnp
+        FROM g2 g, cls s
+    ),
+    pri AS (
+        SELECT CAST(ROUND(ln(CAST(s.n_tr - s.n1 + 1 AS DOUBLE) / (s.n_tr + 2)), 6)
+                    AS DECIMAL(12,6)) AS pri0,
+               CAST(ROUND(ln(CAST(s.n1 + 1 AS DOUBLE) / (s.n_tr + 2)), 6)
+                    AS DECIMAL(12,6)) AS pri1
+        FROM cls s
+    ),
+    scored AS (
+        SELECT f.y,
+               CASE WHEN (p.pri1 + a1.lnp + b1.lnp)
+                         > (p.pri0 + a0.lnp + b0.lnp)
+                    THEN 1 ELSE 0 END AS yhat
+        FROM feat f
+        CROSS JOIN pri p
+        JOIN lp1 a0 ON a0.c = 0 AND a0.v = f.f1
+        JOIN lp1 a1 ON a1.c = 1 AND a1.v = f.f1
+        JOIN lp2 b0 ON b0.c = 0 AND b0.v = f.f2
+        JOIN lp2 b1 ON b1.c = 1 AND b1.v = f.f2
+        WHERE f.is_train = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN y = 1 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN y = 0 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           CAST(SUM(CASE WHEN y = yhat THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS accuracy,
+           CASE WHEN SUM(CASE WHEN yhat = 1 THEN 1 ELSE 0 END) > 0
+                THEN CAST(SUM(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+                     / SUM(CASE WHEN yhat = 1 THEN 1 ELSE 0 END) END AS precision_,
+           CASE WHEN SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) > 0
+                THEN CAST(SUM(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+                     / SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) END AS recall_
+    FROM scored
+"""
+
+
+@query("q298_naive_bayes", oracle=_NBAYES_ORACLE, tags=("X-89", "X-16"))
+def q298_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive Bayes classifier trained on a 75% md5 holdout split and
+    evaluated on the remaining 25%: Laplace-smoothed class-conditional
+    count tables over two user features (fixed activity bucket,
+    majority-weekend flag) predicting conversion, with confusion-matrix
+    counts and accuracy/precision/recall — the complete train/score/eval
+    loop of the simplest real classifier, expressed as what it actually
+    is at scale: ONE user rollup, a handful of BOUNDED count tables, and
+    a map-only broadcast-join scorer (the 'model' is six smoothed
+    log-ratios — it broadcasts like any small dimension).
+
+    Determinism: the split is the X-16 md5-nibble hash (RNG-free); all
+    counts are exact integers; each smoothed log-likelihood is the q203
+    idiom (ln of a ratio of exact integers, rounded 6 dp into
+    decimal(12,6)); scores are 3-term exact decimal sums compared
+    exactly, with ties broken to class 0 by the strict '>' — no float
+    comparison anywhere in the decision.
+
+    Scale shape: one user-keyed fact rollup; training is two
+    grid-completed rollups onto <=6-row relations; scoring joins only
+    broadcast parameter tables (map-only); evaluation is one ungrouped
+    confusion rollup. Nothing but the first rollup touches fact scale.
+
+    Reference parity: beyond-reference (the reference consumes model
+    outputs from torch; it cannot train anything)."""
+    dow = F.pmod(
+        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+        .cast("long")
+        + 4,
+        F.lit(7),
+    )
+    feat = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ev"),
+            F.sum(F.when(dow.isin(0, 6), 1).otherwise(0))
+            .cast("long")
+            .alias("wk_ev"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > _CONV_MIN),
+                    1,
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        .select(
+            "user_id",
+            F.when(F.col("n_ev") < 8, 0)
+            .when(F.col("n_ev") < 32, 1)
+            .otherwise(2)
+            .alias("f1"),
+            F.when(2 * F.col("wk_ev") >= F.col("n_ev"), 1).otherwise(0).alias("f2"),
+            "y",
+            F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit("nb:"), F.col("user_id").cast("string"))),
+                    1,
+                    1,
+                )
+                < "c",
+                1,
+            )
+            .otherwise(0)
+            .alias("is_train"),
+        )
+        .transform(stage)  # training rollups + the scorer share it
+    )
+    train = feat.filter(F.col("is_train") == 1)
+    cls = train.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tr"),
+        F.sum("y").cast("long").alias("n1"),
+    )
+
+    def _lp(grid_vals: list[int], col: str, k: int) -> DataFrame:
+        grid = spark.createDataFrame(
+            [(c, v) for c in (0, 1) for v in grid_vals], "c int, v int"
+        )
+        cnt = (
+            grid.join(
+                train.groupBy(
+                    F.col("y").alias("c"), F.col(col).alias("v")
+                ).agg(F.count(F.lit(1)).cast("long").alias("cnt")),
+                ["c", "v"],
+                "left",
+            )
+            .na.fill({"cnt": 0})
+            .crossJoin(F.broadcast(cls))
+        )
+        nc = F.when(F.col("c") == 1, F.col("n1")).otherwise(
+            F.col("n_tr") - F.col("n1")
+        )
+        return cnt.select(
+            "c",
+            "v",
+            F.round(
+                F.log((F.col("cnt") + 1).cast("double") / (nc + k)), 6
+            )
+            .cast("decimal(12,6)")
+            .alias("lnp"),
+        )
+
+    lp1, lp2 = _lp([0, 1, 2], "f1", 3), _lp([0, 1], "f2", 2)
+    pri = cls.select(
+        F.round(
+            F.log(
+                (F.col("n_tr") - F.col("n1") + 1).cast("double")
+                / (F.col("n_tr") + 2)
+            ),
+            6,
+        )
+        .cast("decimal(12,6)")
+        .alias("pri0"),
+        F.round(
+            F.log((F.col("n1") + 1).cast("double") / (F.col("n_tr") + 2)), 6
+        )
+        .cast("decimal(12,6)")
+        .alias("pri1"),
+    )
+
+    def _side(tab: DataFrame, c: int, fcol: str, out: str) -> DataFrame:
+        return tab.filter(F.col("c") == c).select(
+            F.col("v").alias(fcol), F.col("lnp").alias(out)
+        )
+
+    scored = (
+        feat.filter(F.col("is_train") == 0)
+        .crossJoin(F.broadcast(pri))
+        .join(F.broadcast(_side(lp1, 0, "f1", "a0")), "f1")
+        .join(F.broadcast(_side(lp1, 1, "f1", "a1")), "f1")
+        .join(F.broadcast(_side(lp2, 0, "f2", "b0")), "f2")
+        .join(F.broadcast(_side(lp2, 1, "f2", "b1")), "f2")
+        .select(
+            "y",
+            F.when(
+                (F.col("pri1") + F.col("a1") + F.col("b1"))
+                > (F.col("pri0") + F.col("a0") + F.col("b0")),
+                1,
+            )
+            .otherwise(0)
+            .alias("yhat"),
+        )
+    )
+    y1h1 = F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == 1), 1).otherwise(0))
+    h1 = F.sum(F.when(F.col("yhat") == 1, 1).otherwise(0))
+    y1 = F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        y1h1.cast("long").alias("tp"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("yhat") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+        (
+            F.sum(F.when(F.col("y") == F.col("yhat"), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("accuracy"),
+        F.when(h1 > 0, y1h1.cast("double") / h1).alias("precision_"),
+        F.when(y1 > 0, y1h1.cast("double") / y1).alias("recall_"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-87: logistic regression by IRLS (Newton) in exact integer pico-units
+# ---------------------------------------------------------------------------
+
+_IRLS_ITERS = 3
+_X_CAP = 10000  #: activity feature cap — bounds every integer product below
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (DuckDB HUGEINT `//` semantics: round
+    toward zero), vs Python's flooring `//` — they differ on negative
+    numerators, and the Newton numerators can be negative."""
+    q = a // b
+    if q < 0 and q * b != a:
+        q += 1
+    return q
+
+
+def _irls_u_cte() -> str:
+    return f"""
+    u AS (
+        SELECT user_id,
+               LEAST(CAST(COUNT(*) AS BIGINT), {_X_CAP}) AS xc,
+               MAX(CASE WHEN event_type = 'purchase' AND value > {_CONV_MIN}
+                   THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+    )"""
+
+
+def _irls_iter_ctes() -> tuple[str, str]:
+    ctes = ""
+    prev = "beta0"
+    for t in range(1, _IRLS_ITERS + 1):
+        ctes += f""",
+    mom{t} AS (
+        SELECT SUM(p * (1 - p)) AS sw,
+               SUM(p * (1 - p) * CAST(xc AS DECIMAL(5,0))) AS swx,
+               SUM(p * (1 - p) * CAST(xc * xc AS DECIMAL(9,0))) AS swx2,
+               SUM(y - p) AS sr,
+               SUM((y - p) * CAST(xc AS DECIMAL(5,0))) AS srx
+        FROM (
+            SELECT u.xc, u.y,
+                   CAST(ROUND(1 / (1 + exp(-(CAST(b.b0 + b.b1 * u.xc AS DOUBLE)
+                                             / 1e12))), 9)
+                        AS DECIMAL(10,9)) AS p
+            FROM u CROSS JOIN {prev} b
+        )
+    ),
+    nm{t} AS (
+        SELECT CAST(FLOOR(sw * 1000000000) AS HUGEINT) AS nw,
+               CAST(FLOOR(swx * 1000000000) AS HUGEINT) AS nwx,
+               CAST(FLOOR(swx2 * 1000000000) AS HUGEINT) AS nwx2,
+               CAST(FLOOR(sr * 1000000000) AS HUGEINT) AS nr,
+               CAST(FLOOR(srx * 1000000000) AS HUGEINT) AS nrx
+        FROM mom{t}
+    ),
+    beta{t} AS (
+        SELECT b.b0 + CAST((((n.nwx2 * n.nr - n.nwx * n.nrx) // 1000000000000)
+                            * 1000000000000)
+                           // ((n.nw * n.nwx2 - n.nwx * n.nwx) // 1000000000000)
+                           AS BIGINT) AS b0,
+               b.b1 + CAST((((n.nw * n.nrx - n.nwx * n.nr) // 1000000000000)
+                            * 1000000000000)
+                           // ((n.nw * n.nwx2 - n.nwx * n.nwx) // 1000000000000)
+                           AS BIGINT) AS b1
+        FROM nm{t} n, {prev} b
+    )"""
+        prev = f"beta{t}"
+    return ctes, prev
+
+
+def _irls_oracle() -> str:
+    ctes, last = _irls_iter_ctes()
+    return f"""
+    WITH {_irls_u_cte()},
+    beta0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1){ctes},
+    scored AS (
+        SELECT u.y,
+               CAST(ROUND(1 / (1 + exp(-(CAST(b.b0 + b.b1 * u.xc AS DOUBLE)
+                                         / 1e12))), 9)
+                    AS DECIMAL(10,9)) AS p
+        FROM u CROSS JOIN {last} b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_users,
+           (SELECT CAST(b0 AS DOUBLE) / 1e12 FROM {last}) AS beta0,
+           (SELECT CAST(b1 AS DOUBLE) / 1e12 FROM {last}) AS beta1,
+           CAST(SUM(CASE WHEN p > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN (p > 0.5) = (y = 1) THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS accuracy,
+           CAST(SUM(p) AS DOUBLE) / COUNT(*) AS mean_p
+    FROM scored
+"""
+
+
+@query("q299_logistic_irls", oracle=_irls_oracle(), tags=("X-87", "A-14"))
+def q299_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression of conversion on (capped) user activity,
+    trained by 3 IRLS/Newton iterations — the canonical GLM fit, run
+    the way it distributes: each iteration is ONE mergeable 5-moment
+    rollup (sum of w, wx, wx^2, y-p, (y-p)x with w = p(1-p)), and the
+    2x2 Newton solve touches only those five numbers. 'Training = a
+    group-by per iteration' is the entire scale story; the same shape
+    fits billions of rows because only the moment vector crosses the
+    shuffle.
+
+    Determinism: beta lives as exact integer pico-units (the q221/q296
+    discipline). Per row, z = (b0 + b1*x)/1e12 is one IEEE division of
+    an exact int64; the sigmoid is the q203 libm idiom (result rounded
+    to 9 dp before anything sums); all five moments are exact decimal
+    sums of those rounded terms; the Newton step FLOORs the moments to
+    exact nano-integers and solves Cramer's 2x2 entirely in integer
+    arithmetic (the pre-shift by 1e12 keeps every product inside
+    HUGEINT/decimal(38)); the driver's Python mirror uses truncating
+    division (_tdiv) because DuckDB `//` truncates toward zero on
+    negative numerators while Python floors. Betas and metrics are raw
+    doubles from exact sub-2^53 integers.
+
+    Scale shape: the user rollup is staged once; each of the 3
+    iterations plus the final scoring pass is map-only over it ending
+    in an ungrouped moment rollup; only the 5-tuple reaches the driver
+    per iteration (the X-15 convergence-loop discipline).
+
+    Reference parity: beyond-reference (the reference consumes a
+    pretrained torch model; it cannot fit one)."""
+    from decimal import ROUND_FLOOR, Decimal
+
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.least(F.count(F.lit(1)).cast("long"), F.lit(_X_CAP)).alias("xc"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > _CONV_MIN),
+                    1,
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        .transform(stage)  # 3 iterations + the scoring pass share it
+    )
+
+    def p_col(b0: int, b1: int):
+        z = (F.lit(b0) + F.lit(b1) * F.col("xc")).cast("double") / F.lit(1e12)
+        return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9).cast(
+            "decimal(10,9)"
+        )
+
+    b0, b1 = 0, 0
+    for _ in range(_IRLS_ITERS):
+        p = p_col(b0, b1)
+        w = p * (1 - p)
+        mom = u.select(
+            w.alias("w"),
+            (w * F.col("xc").cast("decimal(5,0)")).alias("wx"),
+            (w * (F.col("xc") * F.col("xc")).cast("decimal(9,0)")).alias("wx2"),
+            (F.col("y") - p).alias("r"),
+            ((F.col("y") - p) * F.col("xc").cast("decimal(5,0)")).alias("rx"),
+        ).agg(
+            F.sum("w").alias("sw"),
+            F.sum("wx").alias("swx"),
+            F.sum("wx2").alias("swx2"),
+            F.sum("r").alias("sr"),
+            F.sum("rx").alias("srx"),
+        ).first()
+
+        def nano(d) -> int:
+            return int(
+                (Decimal(d) * 10**9).to_integral_value(rounding=ROUND_FLOOR)
+            )
+
+        nw, nwx, nwx2 = nano(mom["sw"]), nano(mom["swx"]), nano(mom["swx2"])
+        nr, nrx = nano(mom["sr"]), nano(mom["srx"])
+        det = nw * nwx2 - nwx * nwx
+        det_s = det // 10**12  # det > 0 for a nondegenerate design
+        b0 += _tdiv(_tdiv(nwx2 * nr - nwx * nrx, 10**12) * 10**12, det_s)
+        b1 += _tdiv(_tdiv(nw * nrx - nwx * nr, 10**12) * 10**12, det_s)
+
+    p = p_col(b0, b1)
+    pred = p > F.lit(0.5).cast("decimal(10,9)")
+    scored = u.select("y", p.alias("p"), pred.alias("pred"))
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.lit(float(b0) / 1e12).alias("beta0"),
+        F.lit(float(b1) / 1e12).alias("beta1"),
+        F.sum(F.when(F.col("pred"), 1).otherwise(0)).cast("long").alias(
+            "n_pred_pos"
+        ),
+        F.sum("y").cast("long").alias("n_pos"),
+        (
+            F.sum(
+                F.when(F.col("pred") == (F.col("y") == 1), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("accuracy"),
+        (F.sum("p").cast("double") / F.count(F.lit(1))).alias("mean_p"),
+    )

@@ -1950,3 +1950,31 @@ def test_ols_is_one_moment_rollup(spark):
     for l in plan.splitlines():
         if "Exchange hashpartitioning" in l:
             assert "d#" in l, l
+
+
+def test_stump_split_search_runs_on_bounded_relation(spark):
+    """q297 (X-88): one user rollup, one x rollup; the cumulative scan
+    and argmax never re-shuffle fact-grain data."""
+    q = all_queries()["q297_decision_stump"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    hash_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert all("user_id" in l or "x#" in l for l in hash_exchanges), plan
+
+
+def test_naive_bayes_scores_via_broadcast_params(spark):
+    """q298 (X-89): the scorer joins ONLY broadcast parameter tables —
+    no shuffle join anywhere; the sole hash exchange is the user rollup."""
+    q = all_queries()["q298_naive_bayes"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "SortMergeJoin" not in plan, plan
+    # user rollup + the bounded (class, feature-value) training rollups
+    hash_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert all(
+        "user_id" in l or "y#" in l or "c#" in l or "v#" in l
+        for l in hash_exchanges
+    ), plan
