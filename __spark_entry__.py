@@ -199,7 +199,9 @@ _WINDOW_PRIORITY = (
 # Poisson bootstrap SE; q295: multiple OLS by exact normal equations;
 # q296: PCA top component by integer power iteration; q297: exact
 # decision-stump split search; q298: Naive Bayes train + holdout eval;
-# and q299: logistic regression by integer IRLS) hold
+# q299: logistic regression by integer IRLS; q300: off-policy IPS/
+# SNIPS evaluation; q301: reciprocal-rank-fusion hybrid retrieval; and
+# q302: distribution-free median CI) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

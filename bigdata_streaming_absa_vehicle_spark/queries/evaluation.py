@@ -2073,3 +2073,246 @@ def q294_poisson_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         se.alias("boot_se_cents"),
         (se / mean).alias("rel_se"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-90: off-policy evaluation (IPS / SNIPS) of a targeting rule
+# ---------------------------------------------------------------------------
+
+_OPE_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id,
+               {_ARM_EXPR.format(t="VARCHAR")} AS logged_arm,
+               CAST(COUNT(*) AS BIGINT) AS n_ev,
+               MAX(CASE WHEN event_type = 'purchase' AND value > {_CONV_MIN}
+                   THEN 1 ELSE 0 END) AS r
+        FROM events GROUP BY user_id
+    ),
+    pol AS (
+        SELECT user_id, logged_arm, r,
+               CASE WHEN n_ev >= 16 THEN 'a' ELSE 'b' END AS target_arm
+        FROM u
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN logged_arm = target_arm THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN logged_arm = target_arm THEN r ELSE 0 END)
+                AS BIGINT) AS matched_reward,
+           CAST(SUM(r) AS DOUBLE) / COUNT(*) AS v_logged,
+           2 * CAST(SUM(CASE WHEN logged_arm = target_arm THEN r ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS v_ips,
+           CASE WHEN SUM(CASE WHEN logged_arm = target_arm THEN 1 ELSE 0 END) > 0
+                THEN CAST(SUM(CASE WHEN logged_arm = target_arm THEN r ELSE 0 END)
+                          AS DOUBLE)
+                     / SUM(CASE WHEN logged_arm = target_arm THEN 1 ELSE 0 END)
+           END AS v_snips,
+           CAST(SUM(CASE WHEN logged_arm = target_arm THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS match_rate
+    FROM pol
+"""
+
+
+@query("q300_offpolicy_ips", oracle=_OPE_ORACLE, tags=("X-90", "X-23"))
+def q300_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation of a deterministic targeting rule ('treat
+    heavy users: arm a iff activity >= 16') from logged randomized
+    exposure: the IPS estimate V(pi) = mean(1{logged=pi(u)} * r / 0.5)
+    and its self-normalized SNIPS variant, next to the logged policy's
+    value — the counterfactual 'what would this rule have earned'
+    readout every experimentation platform needs BEFORE shipping a
+    targeting change, computed from the same md5-randomized arms as
+    q169's A/B test (known propensity 0.5 per arm makes the importance
+    weight an exact constant 2).
+
+    Determinism: arms are the X-23 md5-nibble assignment (RNG-free);
+    match indicators, rewards, and all sums are exact integers; the
+    four value readouts are raw-double IEEE divisions on bit-identical
+    operands.
+
+    Scale shape: ONE user-keyed fact rollup and one ungrouped
+    5-aggregate readout — the A-14 mergeable shape; the policy rule is
+    a map-only CASE.
+
+    Reference parity: beyond-reference (the reference has no
+    counterfactual evaluation surface)."""
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ev"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > _CONV_MIN),
+                    1,
+                ).otherwise(0)
+            ).alias("r"),
+        )
+        .select(
+            F.expr(_ARM_EXPR.format(t="STRING")).alias("logged_arm"),
+            F.when(F.col("n_ev") >= 16, "a").otherwise("b").alias("target_arm"),
+            "r",
+        )
+    )
+    m = F.when(F.col("logged_arm") == F.col("target_arm"), 1).otherwise(0)
+    mr = F.when(F.col("logged_arm") == F.col("target_arm"), F.col("r")).otherwise(0)
+    n = F.count(F.lit(1))
+    return u.agg(
+        n.cast("long").alias("n_users"),
+        F.sum(m).cast("long").alias("n_matched"),
+        F.sum(mr).cast("long").alias("matched_reward"),
+        (F.sum("r").cast("double") / n).alias("v_logged"),
+        (F.lit(2) * F.sum(mr).cast("double") / n).alias("v_ips"),
+        F.when(F.sum(m) > 0, F.sum(mr).cast("double") / F.sum(m)).alias("v_snips"),
+        (F.sum(m).cast("double") / n).alias("match_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-92: distribution-free median CI by order statistics
+# ---------------------------------------------------------------------------
+
+_Z95 = 1.959964  #: pinned literal — no libm inverse-CDF in either engine
+_MCI_BUCKET = 1000  #: cents bucket width for the two-level prefix sum
+
+_MCI_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS cents
+        FROM events GROUP BY user_id
+    ),
+    va AS (
+        SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM u GROUP BY cents
+    ),
+    cum AS (
+        SELECT cents,
+               CAST(SUM(cnt) OVER (ORDER BY cents) AS BIGINT) AS c
+        FROM va
+    ),
+    nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM va),
+    rk AS (
+        SELECT n,
+               GREATEST(1, CAST(FLOOR((n - {_Z95} * sqrt(CAST(n AS DOUBLE))) / 2)
+                                AS BIGINT)) AS lo_rank,
+               LEAST(n, CAST(CEIL((n + {_Z95} * sqrt(CAST(n AS DOUBLE))) / 2) + 1
+                             AS BIGINT)) AS hi_rank,
+               (n + 1) // 2 AS m1, n // 2 + 1 AS m2
+        FROM nn
+    )
+    SELECT r.n AS n_users, r.lo_rank, r.hi_rank,
+           CAST(MIN(CASE WHEN c.c >= r.lo_rank THEN c.cents END) AS BIGINT)
+               AS ci_lo_cents,
+           CAST(MIN(CASE WHEN c.c >= r.hi_rank THEN c.cents END) AS BIGINT)
+               AS ci_hi_cents,
+           (CAST(MIN(CASE WHEN c.c >= r.m1 THEN c.cents END) AS DOUBLE)
+            + MIN(CASE WHEN c.c >= r.m2 THEN c.cents END)) / 2 AS median_cents
+    FROM cum c, rk r
+    GROUP BY r.n, r.lo_rank, r.hi_rank
+"""
+
+
+@query("q302_median_ci", oracle=_MCI_ORACLE, tags=("X-92", "A-12"))
+def q302_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the MEDIAN of
+    per-user purchase revenue, by the binomial order-statistic bound:
+    the interval [X_(l), X_(u)] with l = floor((n - z*sqrt(n))/2),
+    u = ceil((n + z*sqrt(n))/2) + 1 covers the true median with >= 95%
+    probability under NO distributional assumption — the uncertainty
+    companion A-12's point percentiles lack (a median without a CI is
+    uninterpretable across cohorts of different sizes), and the
+    rank-based sibling of q255/q294's moment-based SEs, valid where
+    means fail (heavy-tailed revenue).
+
+    Determinism: order statistics select by 'min value whose cumulative
+    count reaches rank k' on exact integers; the ranks derive from one
+    IEEE sqrt on bit-identical n with a pinned z literal, through
+    floor/ceil (exact on identical doubles). The only readout double is
+    the even-n median midpoint.
+
+    Scale shape: user rollup, value rollup, and the q84/q148 TWO-LEVEL
+    bucketed prefix sum for cumulative counts (no single-partition
+    window over the distinct-value set); rank selection is conditional
+    aggregation over that relation.
+
+    Reference parity: beyond-reference (no uncertainty quantification
+    in the reference)."""
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100 + 0.5).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    va = (
+        u.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("bucket", F.floor(F.col("cents") / _MCI_BUCKET))
+        .transform(stage)  # within-bucket scan + bucket totals share it
+    )
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = va.select(
+        "bucket", "cents", F.sum("cnt").over(wb).alias("wc")
+    )
+    btot = va.groupBy("bucket").agg(F.sum("cnt").alias("bc"))
+    offs = btot.select(
+        "bucket",
+        F.sum("bc")
+        .over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("off"),
+    )
+    nn = va.agg(F.sum("cnt").cast("long").alias("n"))
+    zr = F.lit(_Z95) * F.sqrt(F.col("n").cast("double"))
+    rk = nn.select(
+        "n",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor((F.col("n") - zr) / 2).cast("long"),
+        ).alias("lo_rank"),
+        F.least(
+            F.col("n"),
+            (F.ceil((F.col("n") + zr) / 2) + 1).cast("long"),
+        ).alias("hi_rank"),
+        F.expr("(n + 1) div 2").alias("m1"),
+        F.expr("n div 2 + 1").alias("m2"),
+    )
+    cum = (
+        within.join(F.broadcast(offs), "bucket")
+        .select(
+            "cents",
+            (F.coalesce("off", F.lit(0)) + F.col("wc")).cast("long").alias("c"),
+        )
+        .crossJoin(F.broadcast(rk))
+    )
+
+    def pick(rank_col: str):
+        return F.min(F.when(F.col("c") >= F.col(rank_col), F.col("cents")))
+
+    return cum.groupBy("n", "lo_rank", "hi_rank").agg(
+        pick("lo_rank").cast("long").alias("ci_lo_cents"),
+        pick("hi_rank").cast("long").alias("ci_hi_cents"),
+        (
+            (pick("m1").cast("double") + pick("m2")) / 2
+        ).alias("median_cents"),
+    ).select(
+        F.col("n").alias("n_users"),
+        "lo_rank",
+        "hi_rank",
+        "ci_lo_cents",
+        "ci_hi_cents",
+        "median_cents",
+    )

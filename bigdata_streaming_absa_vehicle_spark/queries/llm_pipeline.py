@@ -1858,3 +1858,144 @@ def q284_unigram_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-91: hybrid retrieval — reciprocal-rank fusion of lexical + vector legs
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  #: standard RRF dampening constant
+_RRF_TOPN = 20  #: per-leg candidate depth
+_RRF_PROBE = 0  #: probe doc/vec id (documents and embeddings ids align)
+
+_RRF_ORACLE = rf"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in range(1, len(toks) - 1)]) AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3
+    ),
+    pa AS (SELECT sh AS sha FROM t WHERE doc_id = {_RRF_PROBE}),
+    lexs AS (
+        SELECT b.doc_id AS id,
+               CAST(len(list_intersect(a.sha, b.sh)) AS BIGINT) AS isz,
+               CAST(len(a.sha) + len(b.sh)
+                    - len(list_intersect(a.sha, b.sh)) AS BIGINT) AS un
+        FROM pa a, t b WHERE b.doc_id <> {_RRF_PROBE}
+    ),
+    lexr AS (
+        SELECT id,
+               ROW_NUMBER() OVER (ORDER BY (isz * 1000000) // un DESC, id)
+                   AS lex_rank
+        FROM lexs WHERE isz > 0
+    ),
+    vecs AS (
+        SELECT e.vec_id AS id,
+               list_cosine_similarity(p.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]) AS cos
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = {_RRF_PROBE}) p
+        WHERE e.vec_id <> {_RRF_PROBE}
+    ),
+    vecr AS (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS vec_rank
+        FROM vecs
+    ),
+    fused AS (
+        SELECT COALESCE(l.id, v.id) AS id, l.lex_rank, v.vec_rank,
+               COALESCE(1000000000 // (CAST({_RRF_K} AS BIGINT) + l.lex_rank), 0)
+               + COALESCE(1000000000 // (CAST({_RRF_K} AS BIGINT) + v.vec_rank), 0)
+                   AS rrf
+        FROM (SELECT * FROM lexr WHERE lex_rank <= {_RRF_TOPN}) l
+        FULL JOIN (SELECT * FROM vecr WHERE vec_rank <= {_RRF_TOPN}) v
+            ON l.id = v.id
+    )
+    SELECT id AS doc_id, lex_rank, vec_rank, CAST(rrf AS BIGINT) AS rrf_score,
+           ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS fused_rank
+    FROM fused
+    ORDER BY fused_rank
+    LIMIT 10
+"""
+
+
+@query("q301_rrf_hybrid_retrieval", oracle=_RRF_ORACLE, tags=("X-91", "X-03", "X-02"))
+def q301_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: the probe document's
+    top-10 neighbors from fusing a LEXICAL leg (3-gram Jaccard, the q43
+    inverted-index join) with a VECTOR leg (exact cosine, the q45
+    ranker) via RRF(d) = sum_legs 1/(60 + rank_leg(d)) — the standard
+    keyword+semantic blend behind every RAG retriever, built entirely
+    from machinery this engine already certifies: the fusion is just a
+    full outer join of two rank relations.
+
+    Determinism: each leg ranks under a total order (exact integer
+    micro-Jaccard desc then id; cosine desc then id — the q45
+    discipline); the RRF score is a SUM OF EXACT INTEGER floor-divisions
+    (1e9 // (60+rank)), so fusion and the final top-10 order are pure
+    integer comparisons — no float ever decides a rank.
+
+    Scale shape: lexical candidates come from the q43 postings
+    equi-join (pairs sharing zero shingles never materialize); the
+    vector leg broadcasts the single probe; both legs end in bounded
+    top-20 rank relations, and the fusion join runs on <=40 rows.
+
+    Reference parity: beyond-reference (the reference has no retrieval
+    surface); composes X-02 (lexical similarity) with X-03 (vector
+    search)."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    base = dd.shingle_hashes_batched(docs, "doc_id", "text", 3, "jac").localCheckpoint(
+        eager=False
+    )
+    probe = base.filter(F.col("doc_id") == _RRF_PROBE).select(
+        F.col("sz").alias("sz_a"), F.explode("hs").alias("h")
+    )
+    post = base.filter(F.col("doc_id") != _RRF_PROBE).select(
+        F.col("doc_id").alias("id"), F.col("sz").alias("sz_b"), F.explode("hs").alias("h")
+    )
+    lexr = (
+        post.join(F.broadcast(probe), "h")
+        .groupBy("id", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("isz"))
+        .select(
+            "id",
+            F.expr("CAST(isz * 1000000 div (sz_a + sz_b - isz) AS BIGINT)").alias(
+                "jm"
+            ),
+        )
+        .withColumn(
+            "lex_rank", F.row_number().over(W.orderBy(F.col("jm").desc(), "id"))
+        )
+        .filter(F.col("lex_rank") <= _RRF_TOPN)
+        .select("id", "lex_rank")
+    )
+    vecr = (
+        sim.cosine_topk(
+            emb, emb.filter(F.col("vec_id") == _RRF_PROBE), k=_RRF_TOPN
+        )
+        .select(F.col("vec_id").alias("id"), F.col("rank").alias("vec_rank"))
+    )
+    rrf = F.coalesce(
+        F.expr(f"CAST(1000000000 div ({_RRF_K} + lex_rank) AS BIGINT)"), F.lit(0)
+    ) + F.coalesce(
+        F.expr(f"CAST(1000000000 div ({_RRF_K} + vec_rank) AS BIGINT)"), F.lit(0)
+    )
+    fused = (
+        lexr.join(vecr, "id", "full_outer")
+        .select(
+            F.col("id").alias("doc_id"),
+            "lex_rank",
+            "vec_rank",
+            rrf.alias("rrf_score"),
+        )
+        .withColumn(
+            "fused_rank",
+            F.row_number().over(W.orderBy(F.col("rrf_score").desc(), "doc_id")),
+        )
+        .filter(F.col("fused_rank") <= 10)
+    )
+    return fused.transform(pin).orderBy("fused_rank")

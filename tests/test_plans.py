@@ -1978,3 +1978,24 @@ def test_naive_bayes_scores_via_broadcast_params(spark):
         "user_id" in l or "y#" in l or "c#" in l or "v#" in l
         for l in hash_exchanges
     ), plan
+
+
+def test_median_ci_uses_two_level_prefix(spark):
+    """q302 (X-92): cumulative counts run bucket-partitioned — the
+    within-bucket window exchange carries the bucket key, never an
+    ungrouped full-domain sort."""
+    q = all_queries()["q302_median_ci"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    hash_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert any("bucket" in l for l in hash_exchanges), plan
+
+
+def test_rrf_legs_join_bounded_rank_relations(spark):
+    """q301 (X-91): the lexical leg joins postings on the shingle hash
+    and the probe side broadcasts; no full-corpus cartesian exists."""
+    q = all_queries()["q301_rrf_hybrid_retrieval"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
