@@ -201,7 +201,9 @@ _WINDOW_PRIORITY = (
 # decision-stump split search; q298: Naive Bayes train + holdout eval;
 # q299: logistic regression by integer IRLS; q300: off-policy IPS/
 # SNIPS evaluation; q301: reciprocal-rank-fusion hybrid retrieval; and
-# q302: distribution-free median CI) hold
+# q302: distribution-free median CI; q303: boosted regression stumps;
+# q304: additive seasonal decomposition; and q305: cross-source
+# quantile normalization) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

@@ -858,3 +858,158 @@ def q277_lexical_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-95: cross-source quantile normalization of document lengths
+# ---------------------------------------------------------------------------
+
+_QN_BUCKET = 500  #: n_chars bucket width for the pooled two-level prefix
+
+
+_QN_ORACLE = """
+    WITH srcn AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    spec AS (
+        SELECT s.source, j.j, s.n_s,
+               (j.j * s.n_s + 9) // 10 AS r,
+               ((j.j * s.n_s + 9) // 10 * nn.n + s.n_s - 1) // s.n_s AS k
+        FROM srcn s
+        CROSS JOIN (SELECT unnest(range(1, 10)) AS j) j, nn
+    ),
+    ranked AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rn
+        FROM documents
+    ),
+    va AS (
+        SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY n_chars
+    ),
+    cum AS (
+        SELECT n_chars, CAST(SUM(cnt) OVER (ORDER BY n_chars) AS BIGINT) AS c
+        FROM va
+    ),
+    mapped AS (
+        SELECT sp.source, sp.j,
+               CAST(MIN(CASE WHEN c.c >= sp.k THEN c.n_chars END) AS BIGINT)
+                   AS mapped_chars
+        FROM spec sp, cum c
+        GROUP BY sp.source, sp.j
+    )
+    SELECT sp.source, sp.j AS decile,
+           CAST(r.n_chars AS BIGINT) AS source_chars,
+           m.mapped_chars
+    FROM spec sp
+    JOIN ranked r ON r.source = sp.source AND r.rn = sp.r
+    JOIN mapped m ON m.source = sp.source AND m.j = sp.j
+    ORDER BY sp.source, sp.j
+"""
+
+
+@query("q305_quantile_normalization", oracle=_QN_ORACLE, tags=("X-95", "A-12"))
+def q305_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of document lengths: for each
+    source's deciles, the pooled-corpus length at the SAME relative rank
+    — the mapping that projects every source's length distribution onto
+    the pooled one (the batch-effect remover from genomics, applied to
+    the corpus-mixing problem: q147 balances source token BUDGETS, this
+    normalizes source SHAPES so a length-biased source stops skewing
+    curriculum or packing decisions). Reading source_chars against
+    mapped_chars per decile IS the per-source QQ-plot against the pool.
+
+    Determinism: within-source decile ranks r = ceil(j*n_s/10) and the
+    pooled target ranks k = ceil(r*N/n_s) are exact integer ceil
+    divisions; source order statistics select by (n_chars, doc_id)
+    row_number, pooled ones by 'min value whose cumulative count
+    reaches k' — every output column is an exact integer.
+
+    Scale shape: within-source ranking is a source-keyed window (never
+    ungrouped); the pooled CDF is the q302/q148 two-level bucketed
+    prefix sum; the decile spec is a bounded |sources| x 9 relation that
+    broadcasts into both lookups.
+
+    Reference parity: beyond-reference; completes the X-16/X-07 corpus-
+    assembly family with distribution alignment."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    docs = docs.transform(stage)  # ranking, counts, and the pooled CDF share it
+    from pyspark.sql.window import Window as W
+
+    srcn = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    nn = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    spec = (
+        srcn.crossJoin(F.broadcast(nn))
+        .select(
+            "source",
+            "n_s",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("j"),
+        )
+        .select(
+            "source",
+            "j",
+            F.expr("(j * n_s + 9) div 10").alias("r"),
+            F.expr("((j * n_s + 9) div 10 * n + n_s - 1) div n_s").alias("k"),
+        )
+    )
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("rn"),
+    )
+    va = (
+        docs.groupBy("n_chars")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("bucket", F.floor(F.col("n_chars") / _QN_BUCKET))
+        .transform(stage)
+    )
+    wb = (
+        W.partitionBy("bucket")
+        .orderBy("n_chars")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    within = va.select("bucket", "n_chars", F.sum("cnt").over(wb).alias("wc"))
+    offs = (
+        va.groupBy("bucket")
+        .agg(F.sum("cnt").alias("bc"))
+        .select(
+            "bucket",
+            F.sum("bc")
+            .over(W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1))
+            .alias("off"),
+        )
+    )
+    cum = within.join(F.broadcast(offs), "bucket").select(
+        "n_chars",
+        (F.coalesce("off", F.lit(0)) + F.col("wc")).cast("long").alias("c"),
+    )
+    mapped = (
+        cum.crossJoin(F.broadcast(spec))
+        .filter(F.col("c") >= F.col("k"))
+        .groupBy("source", "j")
+        .agg(F.min("n_chars").cast("long").alias("mapped_chars"))
+    )
+    out = (
+        spec.join(
+            ranked,
+            (ranked["source"] == spec["source"]) & (ranked["rn"] == spec["r"]),
+        )
+        .select(
+            spec["source"],
+            "j",
+            F.col("n_chars").cast("long").alias("source_chars"),
+        )
+        .join(mapped, ["source", "j"])
+        .select(
+            "source",
+            F.col("j").alias("decile"),
+            "source_chars",
+            "mapped_chars",
+        )
+    )
+    return out.transform(pin).orderBy("source", "decile")

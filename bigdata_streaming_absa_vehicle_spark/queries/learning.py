@@ -356,7 +356,9 @@ def q298_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("n_ev") < 32, 1)
             .otherwise(2)
             .alias("f1"),
-            F.when(2 * F.col("wk_ev") >= F.col("n_ev"), 1).otherwise(0).alias("f2"),
+            F.when(7 * F.col("wk_ev") >= 2 * F.col("n_ev"), 1)
+            .otherwise(0)
+            .alias("f2"),
             "y",
             F.when(
                 F.substring(
@@ -670,4 +672,284 @@ def q299_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("accuracy"),
         (F.sum("p").cast("double") / F.count(F.lit(1))).alias("mean_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-93: gradient boosting (two stagewise regression stumps, all-integer)
+# ---------------------------------------------------------------------------
+
+_GB_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id,
+               LEAST(CAST(COUNT(*) AS BIGINT), {_X_CAP}) AS xc,
+               CASE WHEN 7 * SUM(CASE WHEN
+                        (CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT)
+                         // 86400 + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END)
+                        >= 2 * COUNT(*) THEN 1 ELSE 0 END AS f2,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+          FROM u),
+    r0 AS (
+        SELECT u.xc, u.f2, u.y - (SELECT s // n FROM g) AS r
+        FROM u
+    ),
+    xa AS (
+        SELECT xc, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS s
+        FROM r0 GROUP BY xc
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st
+            FROM xa),
+    cum AS (
+        SELECT xc,
+               CAST(SUM(n) OVER (ORDER BY xc) AS BIGINT) AS n_l,
+               CAST(SUM(s) OVER (ORDER BY xc) AS BIGINT) AS s_l
+        FROM xa
+    ),
+    sc AS (
+        SELECT c.xc AS t1, c.n_l, c.s_l, t.nt - c.n_l AS n_r,
+               t.st - c.s_l AS s_r,
+               (CAST(c.s_l AS HUGEINT) * c.s_l * (t.nt - c.n_l)
+                + CAST(t.st - c.s_l AS HUGEINT) * (t.st - c.s_l) * c.n_l)
+                   * 1000000
+                   // (CAST(c.n_l AS HUGEINT) * (t.nt - c.n_l)) AS score
+        FROM cum c, tot t WHERE c.n_l < t.nt
+    ),
+    best AS (
+        SELECT t1, n_l, s_l, n_r, s_r,
+               s_l // n_l AS v_l, s_r // n_r AS v_r,
+               ROW_NUMBER() OVER (ORDER BY score DESC, t1) AS rn
+        FROM sc
+    ),
+    r1 AS (
+        SELECT q.f2,
+               q.r - (CASE WHEN q.xc <= b.t1 THEN b.v_l ELSE b.v_r END) AS r
+        FROM r0 q, (SELECT * FROM best WHERE rn = 1) b
+    ),
+    lv2 AS (
+        SELECT CAST(CASE WHEN SUM(CASE WHEN f2 = 0 THEN 1 ELSE 0 END) = 0 THEN 0
+                    ELSE CAST(SUM(CASE WHEN f2 = 0 THEN r ELSE 0 END) AS BIGINT)
+                         // SUM(CASE WHEN f2 = 0 THEN 1 ELSE 0 END) END AS BIGINT)
+                   AS v20,
+               CAST(CASE WHEN SUM(CASE WHEN f2 = 1 THEN 1 ELSE 0 END) = 0 THEN 0
+                    ELSE CAST(SUM(CASE WHEN f2 = 1 THEN r ELSE 0 END) AS BIGINT)
+                         // SUM(CASE WHEN f2 = 1 THEN 1 ELSE 0 END) END AS BIGINT)
+                   AS v21
+        FROM r1
+    ),
+    sse AS (
+        SELECT
+            (SELECT SUM(CAST(r AS HUGEINT) * r) FROM r0) AS e0,
+            (SELECT SUM(CAST(r AS HUGEINT) * r) FROM r1) AS e1,
+            (SELECT SUM(CAST(q.r - (CASE WHEN q.f2 = 0 THEN l.v20 ELSE l.v21 END)
+                             AS HUGEINT)
+                        * (q.r - (CASE WHEN q.f2 = 0 THEN l.v20 ELSE l.v21 END)))
+             FROM r1 q, lv2 l) AS e2
+    )
+    SELECT (SELECT s // n FROM g) AS base_cents,
+           b.t1 AS split_activity, b.v_l AS leaf_lo_cents, b.v_r AS leaf_hi_cents,
+           l.v20 AS leaf_wkday_cents, l.v21 AS leaf_wkend_cents,
+           CAST(e.e0 // 1000000 AS BIGINT) AS sse0_div1e6,
+           CAST(e.e1 // 1000000 AS BIGINT) AS sse1_div1e6,
+           CAST(e.e2 // 1000000 AS BIGINT) AS sse2_div1e6,
+           1 - CAST(e.e2 // 1000000 AS DOUBLE) / CAST(e.e0 // 1000000 AS BIGINT)
+               AS r2_model
+    FROM (SELECT * FROM best WHERE rn = 1) b, lv2 l, sse e
+"""
+
+
+@query("q303_boosted_stumps", oracle=_GB_ORACLE, tags=("X-93", "X-88"))
+def q303_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-round stagewise gradient boosting with regression stumps (L2
+    loss): stage 0 fits the global mean of per-user revenue, round 1
+    fits the best activity split to the residuals (argmax of
+    s_l^2*n_r + s_r^2*n_l over the common denominator — the variance-
+    reduction twin of q297's Gini identity), round 2 fits the
+    weekend-flag stump to the remaining residuals — the GBM training
+    loop as iterated aggregation: each round is ONE rollup + prefix
+    scan + argmax, and 'fit to residuals' is a map-only subtraction
+    with the previous round's 2-leaf model broadcast.
+
+    Determinism: predictions are truncating integer divisions (Spark
+    `div` and DuckDB `//` both round toward zero — verified identical,
+    including on the negative residual sums), so every residual is an
+    EXACT integer at every stage; split scores are exact integer
+    floor-divisions under a (score DESC, threshold) total order; SSEs
+    are exact integer sums read out in 1e6 units (< 2^53, conversion-
+    safe). The single double is the final R^2 ratio.
+
+    Scale shape: one user-keyed fact rollup; per round one bounded-
+    domain rollup (capped activity / binary flag), a window on that
+    bounded relation, and a broadcast of the 2-leaf model. Rounds
+    compose map-only — the fact table is touched once.
+
+    Reference parity: beyond-reference; extends X-88's classification
+    stump to regression + boosting."""
+    dow = F.pmod(
+        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+        .cast("long")
+        + 4,
+        F.lit(7),
+    )
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.least(F.count(F.lit(1)).cast("long"), F.lit(_X_CAP)).alias("xc"),
+            F.sum(F.when(dow.isin(0, 6), 1).otherwise(0)).alias("wk_ev"),
+            F.count(F.lit(1)).alias("n_ev"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100 + 0.5).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            "xc",
+            F.when(7 * F.col("wk_ev") >= 2 * F.col("n_ev"), 1)
+            .otherwise(0)
+            .alias("f2"),
+            "y",
+        )
+        .transform(stage)  # base fit + both boosting rounds share it
+    )
+    g = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    ).select("n", "s", F.expr("s div n").alias("base"))
+    r0 = u.crossJoin(F.broadcast(g)).select(
+        "xc", "f2", (F.col("y") - F.col("base")).alias("r"), "base"
+    ).transform(stage)  # split search + residual passes share it
+    xa = r0.groupBy("xc").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("s"),
+    )
+    tot = xa.agg(
+        F.sum("n").cast("long").alias("nt"), F.sum("s").cast("long").alias("st")
+    )
+    w = Window.orderBy("xc").rowsBetween(Window.unboundedPreceding, 0)
+    cum = xa.select(
+        "xc",
+        F.sum("n").over(w).cast("long").alias("n_l"),
+        F.sum("s").over(w).cast("long").alias("s_l"),
+    )
+    d20 = "decimal(20,0)"
+    n_r = F.col("nt") - F.col("n_l")
+    s_r = F.col("st") - F.col("s_l")
+    sc = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_l") < F.col("nt"))
+        .select(
+            F.col("xc").alias("t1"),
+            "n_l",
+            "s_l",
+            n_r.alias("n_r"),
+            s_r.alias("s_r"),
+            (
+                (
+                    F.col("s_l").cast(d20) * F.col("s_l") * n_r
+                    + s_r.cast(d20) * s_r * F.col("n_l")
+                ).cast("decimal(38,0)")
+                * F.lit(1000000)
+            ).alias("s_num"),
+            (F.col("n_l").cast(d20) * n_r).cast("decimal(38,0)").alias("s_den"),
+        )
+        .select(
+            "t1",
+            "n_l",
+            "s_l",
+            "n_r",
+            "s_r",
+            F.expr("s_num div s_den").alias("score"),
+        )
+    )
+    best = (
+        sc.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("score").desc(), "t1")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "t1",
+            F.expr("s_l div n_l").alias("v_l"),
+            F.expr("s_r div n_r").alias("v_r"),
+        )
+    )
+    r1 = r0.crossJoin(F.broadcast(best)).select(
+        "f2",
+        "base",
+        "t1",
+        "v_l",
+        "v_r",
+        (
+            F.col("r")
+            - F.when(F.col("xc") <= F.col("t1"), F.col("v_l")).otherwise(
+                F.col("v_r")
+            )
+        ).alias("r"),
+    ).transform(stage)  # leaf fit + the SSE passes share it
+    lv2 = r1.agg(
+        F.expr(
+            "CASE WHEN SUM(CASE WHEN f2 = 0 THEN 1 ELSE 0 END) = 0 THEN 0"
+            " ELSE CAST(SUM(CASE WHEN f2 = 0 THEN r ELSE 0 END) AS BIGINT)"
+            " div SUM(CASE WHEN f2 = 0 THEN 1 ELSE 0 END) END"
+        ).alias("v20"),
+        F.expr(
+            "CASE WHEN SUM(CASE WHEN f2 = 1 THEN 1 ELSE 0 END) = 0 THEN 0"
+            " ELSE CAST(SUM(CASE WHEN f2 = 1 THEN r ELSE 0 END) AS BIGINT)"
+            " div SUM(CASE WHEN f2 = 1 THEN 1 ELSE 0 END) END"
+        ).alias("v21"),
+    )
+    sse01 = r0.agg(
+        F.sum((F.col("r").cast(d20) * F.col("r")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("e0")
+    ).crossJoin(
+        r1.agg(
+            F.sum((F.col("r").cast(d20) * F.col("r")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("e1")
+        )
+    )
+    r2rel = r1.crossJoin(F.broadcast(lv2)).select(
+        (
+            F.col("r")
+            - F.when(F.col("f2") == 0, F.col("v20")).otherwise(F.col("v21"))
+        ).alias("r"),
+        "base",
+        "t1",
+        "v_l",
+        "v_r",
+        "v20",
+        "v21",
+    )
+    final = (
+        r2rel.groupBy("base", "t1", "v_l", "v_r", "v20", "v21")
+        .agg(
+            F.sum((F.col("r").cast(d20) * F.col("r")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("e2")
+        )
+        .crossJoin(F.broadcast(sse01))
+    )
+    e0d = F.expr("CAST(e0 div 1000000 AS BIGINT)")
+    e2d = F.expr("CAST(e2 div 1000000 AS BIGINT)")
+    return final.select(
+        F.col("base").alias("base_cents"),
+        F.col("t1").alias("split_activity"),
+        F.col("v_l").alias("leaf_lo_cents"),
+        F.col("v_r").alias("leaf_hi_cents"),
+        F.col("v20").alias("leaf_wkday_cents"),
+        F.col("v21").alias("leaf_wkend_cents"),
+        e0d.alias("sse0_div1e6"),
+        F.expr("CAST(e1 div 1000000 AS BIGINT)").alias("sse1_div1e6"),
+        e2d.alias("sse2_div1e6"),
+        (F.lit(1) - e2d.cast("double") / e0d).alias("r2_model"),
     )

@@ -3092,3 +3092,142 @@ def q295_ols_trend_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (sy2_d - sy_d * sy_d / F.col("n").cast("double"))
         ).alias("r_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-94: additive seasonal decomposition (trend / day-of-week / remainder)
+# ---------------------------------------------------------------------------
+
+_STL_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    ma AS (
+        SELECT d, y, (d + 4) % 7 AS dow,
+               CASE WHEN COUNT(*) OVER w = 7
+                    THEN CAST(SUM(y) OVER w AS BIGINT) // 7 END AS trend
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT dow, y - trend AS dt FROM ma WHERE trend IS NOT NULL
+    ),
+    season AS (
+        SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(dt) AS BIGINT) // COUNT(*) AS s
+        FROM det GROUP BY dow
+    ),
+    strength AS (
+        SELECT CAST(SUM(CAST(d.dt AS HUGEINT) * d.dt) AS DOUBLE) AS ssd,
+               CAST(SUM(CAST(d.dt - se.s AS HUGEINT) * (d.dt - se.s)) AS DOUBLE)
+                   AS ssr
+        FROM det d JOIN season se USING (dow)
+    )
+    SELECT se.dow, se.n_days, CAST(se.s AS BIGINT) AS seasonal_cents,
+           1 - st.ssr / st.ssd AS seasonal_strength
+    FROM season se, strength st
+    ORDER BY se.dow
+"""
+
+
+@query("q304_seasonal_decomposition", oracle=_STL_ORACLE, tags=("X-94", "W-03"))
+def q304_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily revenue (STL-lite):
+    trend = centered 7-row moving average (full windows only),
+    day-of-week seasonal = mean of the detrended series per weekday,
+    remainder = what neither explains — with the seasonal-strength
+    readout 1 - SS_remainder/SS_detrended saying how much of the
+    non-trend variation the weekly cycle owns. The decomposition
+    UNDERNEATH q180's seasonal profile and q219's seasonal-naive
+    forecast: those assume the weekly cycle matters; this measures it
+    against the trend alternative.
+
+    Determinism: daily flows exact cents; the moving-average trend and
+    per-dow seasonal means are truncating integer divisions (Spark div
+    = DuckDB // toward zero, incl. negative detrended sums), so trend,
+    detrended, seasonal, and remainder are ALL exact integers; the two
+    sums of squares stay below 2^63 (single correctly-rounded
+    conversion) and feed one fixed-shape IEEE ratio. The trend frame is
+    ROW-based over the day-ordered relation — identical semantics in
+    both engines, gaps included.
+
+    Scale shape: ONE map-side-combined fact rollup to the bounded daily
+    relation; every window and rollup after it runs on that bounded
+    relation (the q292/q295 discipline).
+
+    Reference parity: beyond-reference; completes the X-33/X-83
+    calendar family with the decomposition those tests presuppose."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+            .cast("long")
+            .alias("d"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            )
+            .otherwise(0)
+            .alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").cast("long").alias("y"))
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    ma = daily.select(
+        "d",
+        "y",
+        F.pmod(F.col("d") + 4, F.lit(7)).alias("dow"),
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.expr("CAST(sum(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING"
+                   " AND 3 FOLLOWING) AS BIGINT)"),
+        ).alias("wsum"),
+    )
+    det = (
+        ma.filter(F.col("wsum").isNotNull())
+        .select("dow", (F.col("y") - F.expr("wsum div 7")).alias("dt"))
+        .transform(stage)  # seasonal means + both SS passes share it
+    )
+    season = det.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("CAST(SUM(dt) AS BIGINT) div COUNT(*)").alias("s"),
+    )
+    d20 = "decimal(20,0)"
+    strength = (
+        det.join(F.broadcast(season.select("dow", "s")), "dow")
+        .agg(
+            F.sum((F.col("dt").cast(d20) * F.col("dt")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("ssd"),
+            F.sum(
+                (
+                    (F.col("dt") - F.col("s")).cast(d20)
+                    * (F.col("dt") - F.col("s"))
+                ).cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("ssr"),
+        )
+        .select(
+            (
+                F.lit(1)
+                - F.col("ssr").cast("double") / F.col("ssd").cast("double")
+            ).alias("seasonal_strength")
+        )
+    )
+    return (
+        season.crossJoin(F.broadcast(strength))
+        .select(
+            "dow",
+            "n_days",
+            F.col("s").cast("long").alias("seasonal_cents"),
+            "seasonal_strength",
+        )
+        .transform(pin)
+        .orderBy("dow")
+    )

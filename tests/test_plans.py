@@ -1999,3 +1999,23 @@ def test_rrf_legs_join_bounded_rank_relations(spark):
     q = all_queries()["q301_rrf_hybrid_retrieval"]
     plan = plan_of(q.fn(spark, SF_DIR), "simple")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_boosted_stumps_rounds_are_bounded_rollups(spark):
+    """q303 (X-93): both boosting rounds run on bounded-domain rollups
+    with the leaf models broadcast back — no fact-grain shuffle join."""
+    q = all_queries()["q303_boosted_stumps"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_seasonal_decomposition_windows_on_daily(spark):
+    """q304 (X-94): every window and rollup after the fact pass runs on
+    the bounded daily relation."""
+    q = all_queries()["q304_seasonal_decomposition"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "d#" in l or "dow#" in l, l
