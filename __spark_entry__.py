@@ -203,7 +203,9 @@ _WINDOW_PRIORITY = (
 # SNIPS evaluation; q301: reciprocal-rank-fusion hybrid retrieval; and
 # q302: distribution-free median CI; q303: boosted regression stumps;
 # q304: additive seasonal decomposition; and q305: cross-source
-# quantile normalization) hold
+# quantile normalization; q306: spectral token embedding from PPMI;
+# q307: t-closeness privacy audit; and q308: newsvendor critical
+# fractile) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

@@ -1099,3 +1099,136 @@ def q262_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("abc_cls", "xyz_cls")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-97: t-closeness audit (distributional privacy, beyond q187's k/l)
+# ---------------------------------------------------------------------------
+
+_TC_ORACLE = """
+    WITH base AS (
+        SELECT event_type,
+               CAST(dayofweek(ts) + 1 AS INT) AS dow,
+               CAST(LEAST(FLOOR(value / 50), 9) AS INT) AS sv
+        FROM events
+    ),
+    gv AS (
+        SELECT event_type, dow, sv, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY 1, 2, 3
+    ),
+    gt AS (
+        SELECT event_type, dow, CAST(SUM(c) AS BIGINT) AS n_g FROM gv GROUP BY 1, 2
+    ),
+    vt AS (SELECT sv, CAST(SUM(c) AS BIGINT) AS c_v FROM gv GROUP BY 1),
+    nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM gv),
+    grid AS (
+        SELECT g.event_type, g.dow, g.n_g, v.sv, v.c_v,
+               COALESCE(x.c, 0) AS c_gv
+        FROM gt g CROSS JOIN vt v
+        LEFT JOIN gv x ON x.event_type = g.event_type AND x.dow = g.dow
+                      AND x.sv = v.sv
+    ),
+    tv AS (
+        SELECT event_type, dow, n_g,
+               CAST(SUM(abs(CAST(c_gv AS HUGEINT) * nn.n
+                            - CAST(n_g AS HUGEINT) * c_v)) * 1000000
+                    // (2 * CAST(n_g AS HUGEINT) * nn.n) AS BIGINT) AS tv_micro
+        FROM grid, nn
+        GROUP BY event_type, dow, n_g, nn.n
+    ),
+    worst AS (
+        SELECT event_type, dow, tv_micro,
+               ROW_NUMBER() OVER (ORDER BY tv_micro DESC, event_type, dow) AS rn
+        FROM tv
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tv) AS n_groups,
+           CAST(tv_micro AS DOUBLE) / 1e6 AS t_closeness,
+           event_type AS worst_event_type, dow AS worst_dow,
+           (SELECT CAST(SUM(CASE WHEN tv_micro > 200000 THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM tv) AS n_groups_above_02
+    FROM worst WHERE rn = 1
+"""
+
+
+@query("q307_t_closeness", oracle=_TC_ORACLE, tags=("X-97", "X-29"))
+def q307_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit: for every quasi-identifier group (event_type,
+    day-of-week), the total-variation distance between the group's
+    sensitive-value distribution (bucketed transaction size) and the
+    global one — the privacy criterion BEYOND q187's k/l: a group can
+    be large (k-safe) and diverse (l-safe) yet still leak through a
+    skewed value distribution ('everyone in this cell buys big'). The
+    released-table go/no-go is the max distance and the count of groups
+    over the t=0.2 policy.
+
+    Determinism: TV distance per group collapses to the exact integer
+    sum |c_gv*N - n_g*c_v| over the value-bucket grid (missing buckets
+    grid-completed to 0), floor-divided once to micro resolution — the
+    argmax group is a total-order top-1 on exact integers; the single
+    double is the micro value scaled at readout.
+
+    Scale shape: ONE fact rollup onto the bounded (QI x bucket) grid;
+    group totals, global totals, and the TV sums all live on bounded
+    relations; grid completion is a cross join of two bounded sides.
+
+    Reference parity: beyond-reference; completes the X-29 privacy
+    family (k-anonymity, l-diversity, now distributional closeness)."""
+    base = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("int").alias("sv"),
+    )
+    gv = (
+        base.groupBy("event_type", "dow", "sv")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .transform(stage)  # group totals, value totals, and the grid share it
+    )
+    gt = gv.groupBy("event_type", "dow").agg(F.sum("c").cast("long").alias("n_g"))
+    vt = gv.groupBy("sv").agg(F.sum("c").cast("long").alias("c_v"))
+    nn = gv.agg(F.sum("c").cast("long").alias("n"))
+    grid = (
+        gt.crossJoin(F.broadcast(vt))
+        .join(gv, ["event_type", "dow", "sv"], "left")
+        .na.fill({"c": 0})
+        .crossJoin(F.broadcast(nn))
+    )
+    d20 = "decimal(20,0)"
+    tv = grid.groupBy("event_type", "dow", "n_g", "n").agg(
+        F.sum(
+            F.abs(
+                F.col("c").cast(d20) * F.col("n")
+                - F.col("n_g").cast(d20) * F.col("c_v")
+            ).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("ss")
+    ).select(
+        "event_type",
+        "dow",
+        F.expr(
+            "CAST(ss * 1000000 div (2 * CAST(n_g AS DECIMAL(20,0)) * n)"
+            " AS BIGINT)"
+        ).alias("tv_micro"),
+    ).transform(stage)  # worst-group argmax + both summary aggs share it
+    worst = (
+        tv.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("tv_micro").desc(), "event_type", "dow")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    summ = tv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("tv_micro") > 200000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_groups_above_02"),
+    )
+    return worst.crossJoin(F.broadcast(summ)).select(
+        "n_groups",
+        (F.col("tv_micro").cast("double") / F.lit(1e6)).alias("t_closeness"),
+        F.col("event_type").alias("worst_event_type"),
+        F.col("dow").alias("worst_dow"),
+        "n_groups_above_02",
+    )

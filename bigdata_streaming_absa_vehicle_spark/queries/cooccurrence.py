@@ -838,3 +838,169 @@ def q271_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("triple_count").desc(), "b1", "b2", "b3")
         .limit(_TOP_TRIPLES)
     )
+
+
+# ---------------------------------------------------------------------------
+# X-96: spectral token embedding from PPMI co-occurrence (1-D)
+# ---------------------------------------------------------------------------
+
+_SPE_K = 30  #: vocabulary size — the bounded PPMI matrix is K x K
+_SPE_ITERS = 3
+
+
+def _spectral_oracle() -> str:
+    ctes = ""
+    prev = "v0"
+    for it in range(1, _SPE_ITERS + 1):
+        ctes += f""",
+    g{it} AS (
+        SELECT m.j, SUM(CAST(v.v6 AS HUGEINT) * m.pmi6) AS g
+        FROM ppmi m JOIN {prev} v ON v.j = m.i
+        GROUP BY m.j
+    ),
+    v{it} AS (
+        SELECT j,
+               (CASE WHEN g < 0 THEN -1 ELSE 1 END)
+                   * CAST((abs(g) * 1000000) // (SELECT MAX(abs(g)) FROM g{it})
+                          AS BIGINT) AS v6
+        FROM g{it}
+    )"""
+        prev = f"v{it}"
+    return rf"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents)
+    ),
+    df AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM dt GROUP BY tok
+    ),
+    topk AS (
+        SELECT tok, c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS j
+        FROM df QUALIFY j <= {_SPE_K}
+    ),
+    nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM dt),
+    pairs AS (
+        SELECT a.j AS i, b.j AS j, CAST(COUNT(*) AS BIGINT) AS cij
+        FROM (SELECT d.doc_id, t.j FROM dt d JOIN topk t USING (tok)) a
+        JOIN (SELECT d.doc_id, t.j FROM dt d JOIN topk t USING (tok)) b
+            USING (doc_id)
+        GROUP BY a.j, b.j
+    ),
+    ppmi AS (
+        SELECT p.i, p.j,
+               CAST(ROUND(ROUND(ln(CAST(p.cij AS DOUBLE) * nn.n / ta.c / tb.c), 6)
+                          * 1e6) AS BIGINT) AS pmi6
+        FROM pairs p
+        JOIN topk ta ON ta.j = p.i
+        JOIN topk tb ON tb.j = p.j, nn
+        WHERE ln(CAST(p.cij AS DOUBLE) * nn.n / ta.c / tb.c) > 0
+    ),
+    v0 AS (SELECT DISTINCT j, CAST(1000000 AS BIGINT) AS v6 FROM ppmi){ctes}
+    SELECT t.tok AS token, t.c AS doc_freq, v.v6 AS loading_ppm
+    FROM v{_SPE_ITERS} v JOIN topk t USING (j)
+    ORDER BY token
+    """
+
+
+@query("q306_spectral_token_embedding", oracle=_spectral_oracle(), tags=("X-96", "X-86"))
+def q306_spectral_token_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-dimensional spectral token embedding: the top eigenvector of
+    the PPMI (positive pointwise-mutual-information) co-occurrence
+    matrix over the 30 most frequent tokens — the count-based word-
+    embedding construction (PPMI + truncated spectral factorization is
+    the classical equivalent of word2vec) run end-to-end in the engine:
+    document-level co-occurrence counts, PPMI weighting, and the q296
+    integer power iteration, composed into one certified pipeline.
+    Tokens with similar company get similar loadings — the 1-D shadow
+    of a trained embedding, and the q183 bigram-PMI machinery promoted
+    from pair scores to a factorized representation.
+
+    Determinism: co-occurrence counts are exact integers; each PPMI
+    entry is the q291 micro-nat idiom (6-dp-rounded ln scaled to an
+    exact integer — the cast cannot tie); the iteration is the X-86
+    all-integer normalize (sign * (|g|*1e6 div max|g|)); loadings are
+    EXACT ppm integers. PPMI > 0 filtering compares the same double in
+    both engines.
+
+    Scale shape: the doc-token relation distinct-reduces BEFORE the
+    pair join; pairs are bounded by K^2 per document (K=30, broadcast
+    vocabulary), and the PPMI matrix itself is a K x K bounded relation
+    — the iteration never touches fact scale (the q221/q296
+    rollup-then-iterate order).
+
+    Reference parity: beyond-reference (no representation-learning
+    surface in the reference)."""
+    dt = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .distinct()
+        .transform(stage)  # df counts + both pair legs share it
+    )
+    df = dt.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    topk = (
+        df.withColumn(
+            "j", F.row_number().over(Window.orderBy(F.col("c").desc(), "tok"))
+        )
+        .filter(F.col("j") <= _SPE_K)
+        .transform(stage)
+    )
+    nn = dt.agg(F.countDistinct("doc_id").cast("long").alias("n"))
+    leg = dt.join(F.broadcast(topk.select("tok", "j")), "tok").select("doc_id", "j")
+    pairs = (
+        leg.select("doc_id", F.col("j").alias("i"))
+        .join(leg.select("doc_id", F.col("j")), "doc_id")
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("cij"))
+    )
+    lnarg = (
+        F.col("cij").cast("double") * F.col("n") / F.col("c_i") / F.col("c_j")
+    )
+    ppmi = (
+        pairs.join(
+            F.broadcast(topk.select(F.col("j").alias("i"), F.col("c").alias("c_i"))),
+            "i",
+        )
+        .join(
+            F.broadcast(topk.select("j", F.col("c").alias("c_j"))),
+            "j",
+        )
+        .crossJoin(F.broadcast(nn))
+        .filter(F.log(lnarg) > 0)
+        .select(
+            "i",
+            "j",
+            F.round(F.round(F.log(lnarg), 6) * F.lit(1e6))
+            .cast("long")
+            .alias("pmi6"),
+        )
+        .transform(stage)  # all 3 iterations read the bounded matrix
+    )
+    v = ppmi.select("j").distinct().select("j", F.lit(10**6).cast("long").alias("v6"))
+    for _ in range(_SPE_ITERS):
+        g = (
+            ppmi.join(v.select(F.col("j").alias("i"), "v6"), "i")
+            .groupBy("j")
+            .agg(
+                F.sum(F.col("v6").cast("decimal(20,0)") * F.col("pmi6"))
+                .cast("decimal(38,0)")
+                .alias("g")
+            )
+        )
+        mx = g.agg(F.max(F.abs(F.col("g"))).alias("mx"))
+        v = g.crossJoin(F.broadcast(mx)).select(
+            "j",
+            (
+                F.when(F.col("g") < 0, -1).otherwise(1)
+                * F.expr("CAST(abs(g) * 1000000 div mx AS BIGINT)")
+            ).alias("v6"),
+        )
+    out = v.join(F.broadcast(topk), "j").select(
+        F.col("tok").alias("token"),
+        F.col("c").alias("doc_freq"),
+        F.col("v6").cast("long").alias("loading_ppm"),
+    )
+    return out.transform(pin).orderBy("token")

@@ -3231,3 +3231,125 @@ def q304_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-98: newsvendor stocking level at the critical fractile
+# ---------------------------------------------------------------------------
+
+_NV_CU = 3  #: underage cost (lost margin per unsold-out unit)
+_NV_CO = 1  #: overage cost (per unit stocked but unsold)
+
+_NV_ORACLE = f"""
+    WITH daily AS (
+        SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS dem
+        FROM events GROUP BY 1
+    ),
+    da AS (
+        SELECT dem, CAST(COUNT(*) AS BIGINT) AS cnt FROM daily GROUP BY dem
+    ),
+    cum AS (
+        SELECT dem, CAST(SUM(cnt) OVER (ORDER BY dem) AS BIGINT) AS c FROM da
+    ),
+    nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM da),
+    qs AS (
+        SELECT
+            (SELECT MIN(dem) FROM cum, nn
+             WHERE ({_NV_CU + _NV_CO}) * c >= {_NV_CU} * nn.n) AS q_star,
+            (SELECT CAST(CAST(SUM(dem * cnt) AS BIGINT) // SUM(cnt) AS BIGINT) FROM da) AS q_mean
+    ),
+    prof AS (
+        SELECT
+            CAST(SUM({_NV_CU} * LEAST(d.dem, q.q_star)
+                     - {_NV_CO} * GREATEST(q.q_star - d.dem, 0)) AS BIGINT)
+                AS profit_star,
+            CAST(SUM({_NV_CU} * LEAST(d.dem, q.q_mean)
+                     - {_NV_CO} * GREATEST(q.q_mean - d.dem, 0)) AS BIGINT)
+                AS profit_mean
+        FROM daily d, qs q
+    )
+    SELECT nn.n AS n_days, q.q_star, q.q_mean,
+           p.profit_star, p.profit_mean,
+           CAST(p.profit_star - p.profit_mean AS BIGINT) AS profit_gain
+    FROM qs q, prof p, nn
+"""
+
+
+@query("q308_newsvendor", oracle=_NV_ORACLE, tags=("X-98", "A-12"))
+def q308_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking level: the order quantity q* at the critical
+    fractile cu/(cu+co) = 3/4 of the daily-demand distribution (the
+    provably profit-optimal quantile under under/overage costs), scored
+    against the naive mean-demand stocking rule by replaying both
+    against every observed day — the inventory-optimization readout
+    that turns A-12's percentile machinery into a DECISION with a
+    money-valued gain. The mean rule understocks right-skewed demand;
+    the replay quantifies exactly what that costs.
+
+    Determinism: the fractile selection is 'min demand whose cumulative
+    day count reaches ceil(0.75 n)' in the cross-multiplied integer
+    form (cu+co)*c >= cu*n — no float fractile; q_mean is a truncating
+    integer division; both replay profits are exact integer sums. Every
+    output column is an exact integer.
+
+    Scale shape: one fact rollup to bounded daily demand, a rollup to
+    the bounded distinct-demand relation, a cumulative window on it,
+    and two single-row replay aggregates (the q292 discipline).
+
+    Reference parity: beyond-reference; the ops-facing twin of q246's
+    capped-backlog simulation."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+            .cast("long")
+            .alias("d"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("p"),
+        )
+        .groupBy("d")
+        .agg(F.sum("p").cast("long").alias("dem"))
+        .transform(stage)  # fractile selection + both replays share it
+    )
+    da = daily.groupBy("dem").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.orderBy("dem").rowsBetween(Window.unboundedPreceding, 0)
+    cum = da.select("dem", F.sum("cnt").over(w).cast("long").alias("c"))
+    nn = da.agg(F.sum("cnt").cast("long").alias("n"))
+    q_star = (
+        cum.crossJoin(F.broadcast(nn))
+        .filter(
+            F.lit(_NV_CU + _NV_CO) * F.col("c") >= F.lit(_NV_CU) * F.col("n")
+        )
+        .agg(F.min("dem").alias("q_star"))
+    )
+    q_mean = da.agg(
+        F.expr("CAST(SUM(dem * cnt) AS BIGINT) div SUM(cnt)").alias("q_mean")
+    )
+    qs = q_star.crossJoin(F.broadcast(q_mean))
+    prof = daily.crossJoin(F.broadcast(qs)).agg(
+        F.sum(
+            F.lit(_NV_CU) * F.least(F.col("dem"), F.col("q_star"))
+            - F.lit(_NV_CO) * F.greatest(F.col("q_star") - F.col("dem"), F.lit(0))
+        )
+        .cast("long")
+        .alias("profit_star"),
+        F.sum(
+            F.lit(_NV_CU) * F.least(F.col("dem"), F.col("q_mean"))
+            - F.lit(_NV_CO) * F.greatest(F.col("q_mean") - F.col("dem"), F.lit(0))
+        )
+        .cast("long")
+        .alias("profit_mean"),
+        F.min("q_star").alias("q_star"),
+        F.min("q_mean").alias("q_mean"),
+    )
+    return prof.crossJoin(F.broadcast(nn)).select(
+        F.col("n").alias("n_days"),
+        "q_star",
+        "q_mean",
+        "profit_star",
+        "profit_mean",
+        (F.col("profit_star") - F.col("profit_mean")).cast("long").alias(
+            "profit_gain"
+        ),
+    )

@@ -2019,3 +2019,22 @@ def test_seasonal_decomposition_windows_on_daily(spark):
     for l in plan.splitlines():
         if "Exchange hashpartitioning" in l:
             assert "d#" in l or "dow#" in l, l
+
+
+def test_spectral_embedding_iterates_on_bounded_matrix(spark):
+    """q306 (X-96): the PPMI matrix is a bounded K x K relation; the
+    doc-token relation distinct-reduces before the pair join and the
+    vocabulary broadcasts — no fact-grain cartesian."""
+    q = all_queries()["q306_spectral_token_embedding"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_t_closeness_grid_is_bounded(spark):
+    """q307 (X-97): one fact rollup onto the bounded QI x bucket grid;
+    every later exchange is keyed by QI columns."""
+    q = all_queries()["q307_t_closeness"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "event_type" in l or "sv#" in l or "dow#" in l, l
