@@ -205,7 +205,8 @@ _WINDOW_PRIORITY = (
 # q304: additive seasonal decomposition; and q305: cross-source
 # quantile normalization; q306: spectral token embedding from PPMI;
 # q307: t-closeness privacy audit; and q308: newsvendor critical
-# fractile) hold
+# fractile; q309: Poisson mixture EM; q310: control-series causal
+# impact; and q311: mSPRT always-valid monitor) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

@@ -2316,3 +2316,172 @@ def q302_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_hi_cents",
         "median_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# X-101: always-valid sequential A/B monitoring (mSPRT)
+# ---------------------------------------------------------------------------
+
+_MSPRT_TAU = 0.0001  #: mixture variance of the mSPRT prior, pinned literal
+
+_MSPRT_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id, {_ARM_EXPR.format(t="VARCHAR")} AS arm,
+               CAST(MIN(FLOOR(epoch(date_trunc('day', ts))) // 86400) AS BIGINT)
+                   AS d0,
+               MAX(CASE WHEN event_type = 'purchase' AND value > {_CONV_MIN}
+                   THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    byday AS (
+        SELECT d0 AS d,
+               CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ua,
+               CAST(SUM(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS ub,
+               CAST(SUM(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS BIGINT) AS cb
+        FROM u GROUP BY d0
+    ),
+    cum AS (
+        SELECT d,
+               CAST(SUM(ua) OVER w AS BIGINT) AS na,
+               CAST(SUM(ca) OVER w AS BIGINT) AS xa,
+               CAST(SUM(ub) OVER w AS BIGINT) AS nb,
+               CAST(SUM(cb) OVER w AS BIGINT) AS xb
+        FROM byday
+        WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    lam AS (
+        SELECT d, na, xa, nb, xb,
+               CASE WHEN na = 0 OR nb = 0
+                         OR xa + xb = 0 OR xa + xb = na + nb THEN 1.0
+                    ELSE sqrt(
+                        (CAST(xa + xb AS DOUBLE) / (na + nb)
+                         * (1 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                         * (1.0 / na + 1.0 / nb))
+                        / (CAST(xa + xb AS DOUBLE) / (na + nb)
+                           * (1 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                           * (1.0 / na + 1.0 / nb) + {_MSPRT_TAU}))
+                    * exp(
+                        (CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+                        * (CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+                        * {_MSPRT_TAU}
+                        / (2 * (CAST(xa + xb AS DOUBLE) / (na + nb)
+                                * (1 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                                * (1.0 / na + 1.0 / nb))
+                           * ((CAST(xa + xb AS DOUBLE) / (na + nb)
+                               * (1 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                               * (1.0 / na + 1.0 / nb)) + {_MSPRT_TAU})))
+               END AS lam
+        FROM cum
+    )
+    SELECT d AS day, na AS n_a, xa AS conv_a, nb AS n_b, xb AS conv_b,
+           1 / lam AS inv_lambda,
+           MIN(LEAST(1 / lam, 1.0)) OVER
+               (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS always_valid_p
+    FROM lam
+    ORDER BY day
+"""
+
+
+@query("q311_msprt_monitor", oracle=_MSPRT_ORACLE, tags=("X-101", "X-23"))
+def q311_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B monitoring by the mixture SPRT: for
+    every day of the experiment, the mSPRT likelihood ratio of the
+    two-proportion difference (normal approximation, mixture prior
+    tau^2) and the running always-valid p-value min(1, 1/Lambda) — the
+    peeking-safe monitor that lets an experimenter look EVERY day
+    without inflating false positives, which q169's fixed-horizon
+    z-test forbids. Users enter on their first active day; arms are the
+    same md5 assignment as q169, so this is literally q169's experiment
+    under continuous monitoring.
+
+    Determinism: cumulative counts are exact integers via a running
+    window over the bounded daily relation; each day's Lambda is one
+    fixed-shape IEEE expression (sqrt/exp on bit-identical operands;
+    degenerate days pinned to Lambda=1); the always-valid p is a
+    RUNNING MIN — min is exactly associative/commutative on doubles, so
+    unlike a float sum it has no ordering hazard.
+
+    Scale shape: one user rollup, one rollup to the bounded daily
+    relation, and windows on that bounded relation only.
+
+    Reference parity: beyond-reference; completes the X-23/X-101
+    experimentation family with sequential inference."""
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.expr("CAST(FLOOR(unix_timestamp(date_trunc('day', ts)) / 86400)"
+                       " AS BIGINT)")
+            ).alias("d0"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > _CONV_MIN),
+                    1,
+                ).otherwise(0)
+            ).alias("conv"),
+            F.first(F.expr(_ARM_EXPR.format(t="STRING"))).alias("arm"),
+        )
+    )
+    byday = u.groupBy(F.col("d0").alias("d")).agg(
+        F.sum(F.when(F.col("arm") == "a", 1).otherwise(0)).cast("long").alias("ua"),
+        F.sum(F.when(F.col("arm") == "a", F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("arm") == "b", 1).otherwise(0)).cast("long").alias("ub"),
+        F.sum(F.when(F.col("arm") == "b", F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = byday.select(
+        "d",
+        F.sum("ua").over(w).cast("long").alias("na"),
+        F.sum("ca").over(w).cast("long").alias("xa"),
+        F.sum("ub").over(w).cast("long").alias("nb"),
+        F.sum("cb").over(w).cast("long").alias("xb"),
+    )
+    pbar = F.col("xa").cast("double") + F.col("xb")
+    pbar = pbar / (F.col("na") + F.col("nb"))
+    v = pbar * (1 - pbar) * (
+        F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb")
+    )
+    delta = F.col("xa").cast("double") / F.col("na") - F.col("xb").cast(
+        "double"
+    ) / F.col("nb")
+    tau = F.lit(_MSPRT_TAU)
+    lam_expr = F.sqrt(v / (v + tau)) * F.exp(
+        delta * delta * tau / (2 * v * (v + tau))
+    )
+    degenerate = (
+        (F.col("na") == 0)
+        | (F.col("nb") == 0)
+        | (F.col("xa") + F.col("xb") == 0)
+        | (F.col("xa") + F.col("xb") == F.col("na") + F.col("nb"))
+    )
+    lam = cum.select(
+        "d",
+        "na",
+        "xa",
+        "nb",
+        "xb",
+        F.when(degenerate, F.lit(1.0)).otherwise(lam_expr).alias("lam"),
+    )
+    return (
+        lam.select(
+            F.col("d").alias("day"),
+            F.col("na").alias("n_a"),
+            F.col("xa").alias("conv_a"),
+            F.col("nb").alias("n_b"),
+            F.col("xb").alias("conv_b"),
+            (F.lit(1.0) / F.col("lam")).alias("inv_lambda"),
+            F.min(F.least(F.lit(1.0) / F.col("lam"), F.lit(1.0)))
+            .over(Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0))
+            .alias("always_valid_p"),
+        )
+        .transform(pin)
+        .orderBy("day")
+    )

@@ -953,3 +953,170 @@ def q303_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         e2d.alias("sse2_div1e6"),
         (F.lit(1) - e2d.cast("double") / e0d).alias("r2_model"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-99: two-component Poisson mixture by EM (casual vs power users)
+# ---------------------------------------------------------------------------
+
+_EM_ITERS = 3
+
+
+def _em_iter_ctes() -> tuple[str, str]:
+    ctes = ""
+    prev = "th0"
+    for t in range(1, _EM_ITERS + 1):
+        ctes += f""",
+    rr{t} AS (
+        SELECT a.x, a.n,
+               CAST(ROUND(1 / (1 + exp(
+                   ROUND(ln(CAST(1000000000000 - p.pi1 AS DOUBLE) / p.pi1), 6)
+                   + CAST(p.l1 - p.l2 AS DOUBLE) / 1e12
+                   + a.x * ROUND(ln(CAST(p.l2 AS DOUBLE) / p.l1), 6))), 9)
+                    AS DECIMAL(10,9)) AS r
+        FROM xa a CROSS JOIN {prev} p
+    ),
+    mm{t} AS (
+        SELECT CAST(FLOOR(SUM(r * CAST(n AS DECIMAL(12,0))) * 1000000000)
+                    AS HUGEINT) AS n9r,
+               CAST(FLOOR(SUM(r * CAST(n * x AS DECIMAL(14,0))) * 1000000000)
+                    AS HUGEINT) AS n9rx
+        FROM rr{t}
+    ),
+    th{t} AS (
+        SELECT CAST((m.n9rx * 1000000000000) // m.n9r AS BIGINT) AS l1,
+               CAST(((t.t9x - m.n9rx) * 1000000000000) // (t.n9 - m.n9r)
+                    AS BIGINT) AS l2,
+               CAST((m.n9r * 1000000000000) // t.n9 AS BIGINT) AS pi1
+        FROM mm{t} m, tots t
+    )"""
+        prev = f"th{t}"
+    return ctes, prev
+
+
+def _em_oracle() -> str:
+    ctes, last = _em_iter_ctes()
+    return f"""
+    WITH u AS (
+        SELECT user_id, LEAST(CAST(COUNT(*) AS BIGINT), {_X_CAP}) AS x
+        FROM events GROUP BY user_id
+    ),
+    xa AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY x),
+    tots AS (
+        SELECT CAST(SUM(CAST(n AS HUGEINT)) * 1000000000 AS HUGEINT) AS n9,
+               CAST(SUM(CAST(n AS HUGEINT) * x) * 1000000000 AS HUGEINT) AS t9x,
+               CAST(SUM(n) AS BIGINT) AS nn
+        FROM xa
+    ),
+    th0 AS (
+        SELECT CAST((t9x // n9) * 1000000000000 // 2 AS BIGINT) AS l1,
+               CAST((t9x // n9) * 1000000000000 * 2 AS BIGINT) AS l2,
+               CAST(500000000000 AS BIGINT) AS pi1
+        FROM tots
+    ){ctes},
+    fin AS (
+        SELECT a.x, a.n,
+               CAST(ROUND(1 / (1 + exp(
+                   ROUND(ln(CAST(1000000000000 - p.pi1 AS DOUBLE) / p.pi1), 6)
+                   + CAST(p.l1 - p.l2 AS DOUBLE) / 1e12
+                   + a.x * ROUND(ln(CAST(p.l2 AS DOUBLE) / p.l1), 6))), 9)
+                    AS DECIMAL(10,9)) AS r
+        FROM xa a CROSS JOIN {last} p
+    )
+    SELECT t.nn AS n_users,
+           CAST(p.l1 AS DOUBLE) / 1e12 AS lambda_lo,
+           CAST(p.l2 AS DOUBLE) / 1e12 AS lambda_hi,
+           CAST(p.pi1 AS DOUBLE) / 1e12 AS pi_lo,
+           CAST(SUM(CASE WHEN f.r > 0.5 THEN f.n ELSE 0 END) AS BIGINT)
+               AS n_class_lo
+    FROM fin f, {last} p, tots t
+    GROUP BY t.nn, p.l1, p.l2, p.pi1
+"""
+
+
+@query("q309_poisson_mixture_em", oracle=_em_oracle(), tags=("X-99", "A-14"))
+def q309_poisson_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component Poisson mixture over per-user activity, fit by 3 EM
+    iterations — the unsupervised 'casual vs power user' segmentation
+    as its own generative model (q263's empirical Bayes shrinks toward
+    ONE population; this discovers that there are TWO), and the third
+    classic iterative trainer alongside q195's k-means and q299's IRLS,
+    all in the same shape: an E-step that is one map-only expression
+    and an M-step that is one mergeable rollup.
+
+    Determinism: EM runs on the BOUNDED (activity, count) relation, so
+    the E-step evaluates ONE sigmoid per distinct activity value: the
+    log-odds d = ln(pi2/pi1) + (l1-l2)/1e12 + x*ln(l2/l1) uses the q203
+    pinned-ln idiom on parameters held as exact pico integers, and the
+    responsibility rounds to 9 dp (the q299 sigmoid discipline) before
+    the exact decimal M-step sums; new parameters are integer floor
+    divisions of FLOORed nano-moments (all positive — floor == DuckDB
+    // == Python //). The driver mirrors the oracle's integer updates
+    exactly (three scalars per iteration cross the boundary, the X-15
+    discipline).
+
+    Scale shape: ONE user-keyed fact rollup, one rollup to the bounded
+    activity domain; every EM pass runs on that bounded relation.
+
+    Reference parity: beyond-reference; extends the X-87/X-93 training
+    family to unsupervised fitting."""
+    from decimal import ROUND_FLOOR, Decimal
+
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.least(F.count(F.lit(1)).cast("long"), F.lit(_X_CAP)).alias("x"))
+    )
+    xa = (
+        u.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .transform(stage)  # every EM pass reads this bounded relation
+    )
+    tots = xa.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.col("n") * F.col("x")).cast("long").alias("sx"),
+    ).first()
+    nn, sx = int(tots["nn"]), int(tots["sx"])
+    n9, t9x = nn * 10**9, sx * 10**9
+    m = t9x // n9
+    l1, l2, pi1 = m * 10**12 // 2, m * 10**12 * 2, 500000000000
+
+    def r_col(l1: int, l2: int, pi1: int):
+        d = (
+            F.round(F.log(F.lit(float(10**12 - pi1)) / F.lit(float(pi1))), 6)
+            + F.lit(float(l1 - l2)) / F.lit(1e12)
+            + F.col("x") * F.round(F.log(F.lit(float(l2)) / F.lit(float(l1))), 6)
+        )
+        return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(d)), 9).cast(
+            "decimal(10,9)"
+        )
+
+    for _ in range(_EM_ITERS):
+        r = r_col(l1, l2, pi1)
+        mom = xa.agg(
+            F.sum(r * F.col("n").cast("decimal(12,0)")).alias("sr"),
+            F.sum(r * (F.col("n") * F.col("x")).cast("decimal(14,0)")).alias(
+                "srx"
+            ),
+        ).first()
+
+        def nano9(d) -> int:
+            return int(
+                (Decimal(d) * 10**9).to_integral_value(rounding=ROUND_FLOOR)
+            )
+
+        n9r, n9rx = nano9(mom["sr"]), nano9(mom["srx"])
+        l1 = (n9rx * 10**12) // n9r
+        l2 = ((t9x - n9rx) * 10**12) // (n9 - n9r)
+        pi1 = (n9r * 10**12) // n9
+    r = r_col(l1, l2, pi1)
+    half = F.lit(0.5).cast("decimal(10,9)")
+    return xa.agg(
+        F.lit(nn).cast("long").alias("n_users"),
+        F.lit(float(l1) / 1e12).alias("lambda_lo"),
+        F.lit(float(l2) / 1e12).alias("lambda_hi"),
+        F.lit(float(pi1) / 1e12).alias("pi_lo"),
+        F.sum(F.when(r > half, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_class_lo"),
+    )

@@ -3353,3 +3353,176 @@ def q308_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "profit_gain"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-100: causal-impact estimate from a control series
+# ---------------------------------------------------------------------------
+
+_CI_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS xv
+        FROM events GROUP BY 1
+    ),
+    cut AS (
+        SELECT MIN(d) + (MAX(d) - MIN(d)) * 7 // 10 AS t0 FROM daily
+    ),
+    pre AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(xv) AS HUGEINT) AS sx,
+               CAST(SUM(xv * xv) AS HUGEINT) AS sx2,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(xv * y) AS HUGEINT) AS sxy,
+               CAST(SUM(y * y) AS HUGEINT) AS sy2
+        FROM daily, cut WHERE d <= t0
+    ),
+    beta AS (
+        SELECT n, sy, sy2, sx, sxy,
+               CAST(sx2 * sy - sx * sxy AS DOUBLE)
+                   / CAST(n * sx2 - sx * sx AS DOUBLE) AS a,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sx2 - sx * sx AS DOUBLE) AS b
+        FROM pre
+    ),
+    post AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_post,
+               CAST(SUM(y) AS BIGINT) AS sy_post,
+               CAST(SUM(xv) AS BIGINT) AS sx_post
+        FROM daily, cut WHERE d > t0
+    )
+    SELECT CAST(b.n AS BIGINT) AS n_pre, p.n_post,
+           b.a AS alpha, b.b AS beta_control,
+           1 - (CAST(b.sy2 AS DOUBLE)
+                - (b.a * CAST(b.sy AS DOUBLE) + b.b * CAST(b.sxy AS DOUBLE)))
+               / (CAST(b.sy2 AS DOUBLE)
+                  - CAST(b.sy AS DOUBLE) * CAST(b.sy AS DOUBLE)
+                    / CAST(b.n AS DOUBLE)) AS pre_r2,
+           p.sy_post AS actual_post_cents,
+           p.n_post * b.a + b.b * CAST(p.sx_post AS DOUBLE)
+               AS predicted_post_cents,
+           CAST(p.sy_post AS DOUBLE)
+               - (p.n_post * b.a + b.b * CAST(p.sx_post AS DOUBLE))
+               AS abs_effect_cents,
+           (CAST(p.sy_post AS DOUBLE)
+            - (p.n_post * b.a + b.b * CAST(p.sx_post AS DOUBLE)))
+               / (p.n_post * b.a + b.b * CAST(p.sx_post AS DOUBLE))
+               AS rel_effect
+    FROM beta b, post p
+"""
+
+
+@query("q310_causal_impact", oracle=_CI_ORACLE, tags=("X-100", "X-85"))
+def q310_causal_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal-impact estimate of the post-period revenue lift against a
+    counterfactual built from a CONTROL series: fit revenue ~ view
+    volume on the first 70% of days (simple OLS by exact normal
+    equations), project it over the held-out tail, and read the
+    cumulative gap actual - predicted as the effect — the
+    control-series causal design q267's DiD needs two groups for, run
+    with a covariate series instead (the CausalImpact construction,
+    linear-model core). pre_r2 reports whether the counterfactual is
+    even credible.
+
+    Determinism: all six pre-period moments and the post-period totals
+    are exact integers; alpha/beta are single IEEE divisions of exact
+    cross-moment determinants; and the CUMULATIVE effect never sums
+    per-day floats — it collapses algebraically to
+    Sy_post - n_post*a - b*Sx_post, two IEEE products on exact
+    operands, so no summation-order hazard exists (the q291 lesson
+    applied by ELIMINATING the sum instead of ordering it).
+
+    Scale shape: ONE fact rollup to the bounded daily relation; the
+    fit, the projection, and the readout are single-row aggregates of
+    it (the A-14 mergeable-moment OLS shape of q295).
+
+    Reference parity: beyond-reference; completes the causal family
+    (q267 DiD, q279 MH odds ratio, q300 off-policy IPS) with the
+    time-series counterfactual design."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+            .cast("long")
+            .alias("d"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            )
+            .otherwise(0)
+            .alias("c"),
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias("v"),
+        )
+        .groupBy("d")
+        .agg(
+            F.sum("c").cast("long").alias("y"),
+            F.sum("v").cast("long").alias("xv"),
+        )
+        .transform(stage)  # the cut, the fit, and the post totals share it
+    )
+    cut = daily.agg(
+        F.expr("MIN(d) + (MAX(d) - MIN(d)) * 7 div 10").alias("t0")
+    )
+    d38 = "decimal(38,0)"
+    pre = (
+        daily.crossJoin(F.broadcast(cut))
+        .filter(F.col("d") <= F.col("t0"))
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("n"),
+            F.sum("xv").cast(d38).alias("sx"),
+            F.sum(F.col("xv") * F.col("xv")).cast(d38).alias("sx2"),
+            F.sum("y").cast(d38).alias("sy"),
+            F.sum(F.col("xv") * F.col("y")).cast(d38).alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).cast(d38).alias("sy2"),
+        )
+    )
+    a = F.expr("CAST(sx2 * sy - sx * sxy AS DOUBLE)") / F.expr(
+        "CAST(n * sx2 - sx * sx AS DOUBLE)"
+    )
+    b = F.expr("CAST(n * sxy - sx * sy AS DOUBLE)") / F.expr(
+        "CAST(n * sx2 - sx * sx AS DOUBLE)"
+    )
+    beta = pre.select(
+        "n", "sy", "sy2", "sxy", a.alias("a"), b.alias("b")
+    )
+    post = (
+        daily.crossJoin(F.broadcast(cut))
+        .filter(F.col("d") > F.col("t0"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_post"),
+            F.sum("y").cast("long").alias("sy_post"),
+            F.sum("xv").cast("long").alias("sx_post"),
+        )
+    )
+    pred = F.col("n_post") * F.col("a") + F.col("b") * F.col("sx_post").cast(
+        "double"
+    )
+    sy_d = F.col("sy").cast("double")
+    return beta.crossJoin(F.broadcast(post)).select(
+        F.col("n").cast("long").alias("n_pre"),
+        "n_post",
+        F.col("a").alias("alpha"),
+        F.col("b").alias("beta_control"),
+        (
+            F.lit(1)
+            - (
+                F.col("sy2").cast("double")
+                - (
+                    F.col("a") * sy_d
+                    + F.col("b") * F.col("sxy").cast("double")
+                )
+            )
+            / (
+                F.col("sy2").cast("double")
+                - sy_d * sy_d / F.col("n").cast("double")
+            )
+        ).alias("pre_r2"),
+        F.col("sy_post").alias("actual_post_cents"),
+        pred.alias("predicted_post_cents"),
+        (F.col("sy_post").cast("double") - pred).alias("abs_effect_cents"),
+        ((F.col("sy_post").cast("double") - pred) / pred).alias("rel_effect"),
+    )

@@ -2038,3 +2038,26 @@ def test_t_closeness_grid_is_bounded(spark):
     for l in plan.splitlines():
         if "Exchange hashpartitioning" in l:
             assert "event_type" in l or "sv#" in l or "dow#" in l, l
+
+
+def test_causal_impact_collapses_effect_algebraically(spark):
+    """q310 (X-100): one fact rollup to daily; fit/projection/readout
+    are single-row aggregates — every exchange is keyed by the day."""
+    q = all_queries()["q310_causal_impact"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "d#" in l, l
+
+
+def test_msprt_windows_on_bounded_daily(spark):
+    """q311 (X-101): cumulative counts window over the bounded
+    first-seen-day relation, keyed by user then day."""
+    q = all_queries()["q311_msprt_monitor"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    hash_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert all("user_id" in l or "d#" in l for l in hash_exchanges), plan

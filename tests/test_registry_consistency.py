@@ -16,7 +16,7 @@ SURVEY = "/root/repo/SURVEY.md"
 def survey_ids() -> set[str]:
     ids = set()
     for line in open(SURVEY, encoding="utf-8"):
-        m = re.match(r"\|\s*([A-Z]{1,2}-\d{2})\s*\|", line)
+        m = re.match(r"\|\s*([A-Z]{1,2}-\d{2,3})\s*\|", line)
         if m:
             ids.add(m.group(1))
     return ids
@@ -62,7 +62,7 @@ def _survey_rows():
             in_s2 = False
         if not in_s2:
             continue
-        m = re.match(r"\|\s*([A-Z]{1,2}-\d{2})\s*\|(.*)", line)
+        m = re.match(r"\|\s*([A-Z]{1,2}-\d{2,3})\s*\|(.*)", line)
         if m:
             yield m.group(1), m.group(2)
 
