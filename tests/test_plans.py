@@ -2060,4 +2060,6 @@ def test_msprt_windows_on_bounded_daily(spark):
     hash_exchanges = [
         l for l in plan.splitlines() if "Exchange hashpartitioning" in l
     ]
-    assert all("user_id" in l or "d#" in l for l in hash_exchanges), plan
+    assert all(
+        "user_id" in l or "d#" in l or "d0#" in l for l in hash_exchanges
+    ), plan
