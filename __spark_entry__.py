@@ -206,7 +206,9 @@ _WINDOW_PRIORITY = (
 # quantile normalization; q306: spectral token embedding from PPMI;
 # q307: t-closeness privacy audit; and q308: newsvendor critical
 # fractile; q309: Poisson mixture EM; q310: control-series causal
-# impact; and q311: mSPRT always-valid monitor) hold
+# impact; q311: mSPRT always-valid monitor; q312: exact Shapley
+# attribution; q313: integer forecast-ensemble backtest; and q314:
+# leave-one-group-out data valuation) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

@@ -2485,3 +2485,184 @@ def q311_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-102: exact Shapley-value channel attribution
+# ---------------------------------------------------------------------------
+
+#: Shapley weights k/6 for 3 players, keyed by |S| of the coalition the
+#: channel joins: |S|=0 -> 2/6, |S|=1 -> 1/6, |S|=2 -> 2/6.
+_SHAP_TERMS = {
+    "view": ((1, 0, 2), (3, 2, 1), (5, 4, 1), (7, 6, 2)),
+    "click": ((2, 0, 2), (3, 1, 1), (6, 4, 1), (7, 5, 2)),
+    "signup": ((4, 0, 2), (5, 1, 1), (6, 2, 1), (7, 3, 2)),
+}
+
+
+def _shap_phi_sql(ch: str) -> str:
+    terms = " + ".join(
+        f"{k} * (v{a} - v{b})" for a, b, k in _SHAP_TERMS[ch]
+    )
+    return f"CAST(({terms}) // 6 AS BIGINT)"
+
+
+_SHAP_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               + 2 * MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               + 4 * MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   AS mask,
+               MAX(CASE WHEN event_type = 'purchase' AND value > {_CONV_MIN}
+                   THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    mk AS (
+        SELECT mask, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(conv) AS BIGINT) AS c
+        FROM u GROUP BY mask
+    ),
+    vv AS (
+        SELECT {", ".join(
+            f"CAST(COALESCE(MAX(CASE WHEN mask = {m} THEN "
+            f"CASE WHEN n = 0 THEN 0 ELSE c * 1000000 // n END END), 0) "
+            f"AS BIGINT) AS v{m}" for m in range(8))},
+               {", ".join(
+            f"CAST(COALESCE(MAX(CASE WHEN mask = {m} THEN n END), 0) "
+            f"AS BIGINT) AS n{m}" for m in range(8))}
+        FROM mk
+    ),
+    phi AS (
+        SELECT {_shap_phi_sql("view")} AS p_view,
+               {_shap_phi_sql("click")} AS p_click,
+               {_shap_phi_sql("signup")} AS p_signup,
+               v7, v0,
+               n1 + n3 + n5 + n7 AS e_view,
+               n2 + n3 + n6 + n7 AS e_click,
+               n4 + n5 + n6 + n7 AS e_signup
+        FROM vv
+    )
+    SELECT t.channel,
+           CAST(t.phi AS DOUBLE) / 1e6 AS shapley_lift,
+           t.n_exposed,
+           CAST(p.v7 - p.v0 AS DOUBLE) / 1e6 AS full_minus_null
+    FROM phi p,
+         LATERAL (VALUES ('view', p.p_view, p.e_view),
+                         ('click', p.p_click, p.e_click),
+                         ('signup', p.p_signup, p.e_signup))
+             AS t(channel, phi, n_exposed)
+    ORDER BY t.channel
+"""
+
+
+@query("q312_shapley_attribution", oracle=_SHAP_ORACLE, tags=("X-102", "X-23"))
+def q312_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value attribution over the three pre-purchase
+    channels (view/click/signup): each user's exposure set is a 3-bit
+    mask, coalition value v(S) is the conversion rate of users with
+    exactly that set, and each channel's Shapley value is the exact
+    weighted average of its marginal contributions over the 8-subset
+    lattice — the game-theoretically fair split of conversion credit
+    that completes the attribution family (q152 last-touch, q171
+    linear, q212 time-decay, q273 Markov removal, q276 U-shaped): it
+    is the ONLY one of those satisfying efficiency + symmetry + null-
+    player, and full_minus_null is the efficiency check the three
+    values sum to.
+
+    Determinism: exposure masks, per-mask counts, and micro-rates
+    (c*1e6 floor-div n, empty masks pinned to 0) are exact integers;
+    the Shapley sums use integer weights k/6 with ONE truncating
+    division (Spark div = DuckDB // toward zero, incl. negative
+    marginals); readouts are exact micro values scaled at display.
+
+    Scale shape: ONE user-keyed fact rollup onto the 8-row mask
+    relation; the entire lattice computation is a single-row pivot of
+    those 8 rows.
+
+    Reference parity: beyond-reference."""
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+                + 2 * F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+                + 4 * F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+            ).alias("mask"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > _CONV_MIN),
+                    1,
+                ).otherwise(0)
+            ).alias("conv"),
+        )
+    )
+    mk = u.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("c"),
+    )
+    vv = mk.agg(
+        *[
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("mask") == m,
+                        F.when(F.col("n") == 0, 0).otherwise(
+                            F.expr("c * 1000000 div n")
+                        ),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"v{m}")
+            for m in range(8)
+        ],
+        *[
+            F.coalesce(F.max(F.when(F.col("mask") == m, F.col("n"))), F.lit(0))
+            .cast("long")
+            .alias(f"n{m}")
+            for m in range(8)
+        ],
+    )
+
+    def phi(ch: str):
+        terms = " + ".join(f"{k} * (v{a} - v{b})" for a, b, k in _SHAP_TERMS[ch])
+        return F.expr(f"CAST(({terms}) div 6 AS BIGINT)")
+
+    wide = vv.select(
+        phi("view").alias("p_view"),
+        phi("click").alias("p_click"),
+        phi("signup").alias("p_signup"),
+        "v7",
+        "v0",
+        (F.col("n1") + F.col("n3") + F.col("n5") + F.col("n7")).alias("e_view"),
+        (F.col("n2") + F.col("n3") + F.col("n6") + F.col("n7")).alias("e_click"),
+        (F.col("n4") + F.col("n5") + F.col("n6") + F.col("n7")).alias(
+            "e_signup"
+        ),
+    )
+    stacked = wide.select(
+        F.expr(
+            "stack(3, 'view', p_view, e_view,"
+            " 'click', p_click, e_click,"
+            " 'signup', p_signup, e_signup)"
+            " AS (channel, phi, n_exposed)"
+        ),
+        "v7",
+        "v0",
+    )
+    return (
+        stacked.select(
+            "channel",
+            (F.col("phi").cast("double") / F.lit(1e6)).alias("shapley_lift"),
+            F.col("n_exposed").cast("long").alias("n_exposed"),
+            ((F.col("v7") - F.col("v0")).cast("double") / F.lit(1e6)).alias(
+                "full_minus_null"
+            ),
+        )
+        .transform(pin)
+        .orderBy("channel")
+    )

@@ -1120,3 +1120,348 @@ def q309_poisson_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_class_lo"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-104: data valuation by leave-one-group-out ablation
+# ---------------------------------------------------------------------------
+
+_VAL_GROUPS = 8
+
+_VAL_FEAT_SQL = f"""
+        SELECT user_id,
+               CASE WHEN n_ev < 8 THEN 0 WHEN n_ev < 32 THEN 1 ELSE 2 END AS f1,
+               CASE WHEN 2 * wk_ev >= n_ev THEN 1 ELSE 0 END AS f2,
+               y,
+               CASE WHEN substr(md5('nb:' || CAST(user_id AS VARCHAR)), 1, 1) < 'c'
+                    THEN 1 ELSE 0 END AS is_train,
+               (instr('0123456789abcdef',
+                      substr(md5('val:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+                   % {_VAL_GROUPS} AS g
+        FROM (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+                   CAST(SUM(CASE WHEN
+                        (CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT)
+                         // 86400 + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END)
+                        AS BIGINT) AS wk_ev,
+                   MAX(CASE WHEN event_type = 'purchase' AND value > {_CONV_MIN}
+                       THEN 1 ELSE 0 END) AS y
+            FROM events GROUP BY user_id
+        )
+"""
+
+
+def _val_param_sql(feat: str, vals: str, k: int) -> str:
+    """Per-model Laplace-smoothed log-ratios for one feature, pivoted to
+    (m, v, lnp0, lnp1)."""
+    return f"""
+        SELECT md.m, vv.v,
+               CAST(ROUND(ln(CAST(COALESCE(f0.c, 0)
+                                  - COALESCE(gg0.c, 0) + 1 AS DOUBLE)
+                             / (cm.n0_m + {k})), 6) AS DECIMAL(12,6)) AS lnp0,
+               CAST(ROUND(ln(CAST(COALESCE(f1x.c, 0)
+                                  - COALESCE(gg1.c, 0) + 1 AS DOUBLE)
+                             / (cm.n1_m + {k})), 6) AS DECIMAL(12,6)) AS lnp1
+        FROM models md
+        CROSS JOIN (SELECT unnest([{vals}]) AS v) vv
+        JOIN clsm cm ON cm.m = md.m
+        LEFT JOIN (SELECT {feat} AS v, y, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM train GROUP BY 1, 2) f0
+            ON f0.v = vv.v AND f0.y = 0
+        LEFT JOIN (SELECT {feat} AS v, y, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM train GROUP BY 1, 2) f1x
+            ON f1x.v = vv.v AND f1x.y = 1
+        LEFT JOIN (SELECT {feat} AS v, y, g, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM train GROUP BY 1, 2, 3) gg0
+            ON gg0.v = vv.v AND gg0.y = 0 AND gg0.g = md.m
+        LEFT JOIN (SELECT {feat} AS v, y, g, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM train GROUP BY 1, 2, 3) gg1
+            ON gg1.v = vv.v AND gg1.y = 1 AND gg1.g = md.m
+"""
+
+
+_VAL_ORACLE = f"""
+    WITH feat AS ({_VAL_FEAT_SQL}),
+    train AS (SELECT * FROM feat WHERE is_train = 1),
+    models AS (SELECT unnest(range(-1, {_VAL_GROUPS})) AS m),
+    gcls AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(y) AS BIGINT) AS n1_g
+        FROM train GROUP BY g
+    ),
+    cls AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tr,
+                   CAST(SUM(y) AS BIGINT) AS n1 FROM train),
+    clsm AS (
+        SELECT md.m,
+               c.n_tr - COALESCE(gc.n_g, 0) AS n_m,
+               (c.n_tr - COALESCE(gc.n_g, 0))
+                   - (c.n1 - COALESCE(gc.n1_g, 0)) AS n0_m,
+               c.n1 - COALESCE(gc.n1_g, 0) AS n1_m
+        FROM models md
+        CROSS JOIN cls c
+        LEFT JOIN gcls gc ON gc.g = md.m
+    ),
+    p1 AS ({_val_param_sql("f1", "0, 1, 2", 3)}),
+    p2 AS ({_val_param_sql("f2", "0, 1", 2)}),
+    pri AS (
+        SELECT m,
+               CAST(ROUND(ln(CAST(n0_m + 1 AS DOUBLE) / (n_m + 2)), 6)
+                    AS DECIMAL(12,6)) AS pri0,
+               CAST(ROUND(ln(CAST(n1_m + 1 AS DOUBLE) / (n_m + 2)), 6)
+                    AS DECIMAL(12,6)) AS pri1
+        FROM clsm
+    ),
+    scored AS (
+        SELECT md.m, f.y,
+               CASE WHEN (r.pri1 + a.lnp1 + b.lnp1)
+                         > (r.pri0 + a.lnp0 + b.lnp0)
+                    THEN 1 ELSE 0 END AS yhat
+        FROM feat f
+        CROSS JOIN models md
+        JOIN pri r ON r.m = md.m
+        JOIN p1 a ON a.m = md.m AND a.v = f.f1
+        JOIN p2 b ON b.m = md.m AND b.v = f.f2
+        WHERE f.is_train = 0
+    ),
+    acc AS (
+        SELECT m, CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN y = yhat THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        FROM scored GROUP BY m
+    )
+    SELECT a.m AS left_out_group,
+           COALESCE(gc.n_g, 0) AS n_train_dropped,
+           CAST(a.hits AS DOUBLE) / a.n_test AS accuracy,
+           CAST(a.hits - af.full_hits AS DOUBLE) / a.n_test AS delta_vs_full
+    FROM acc a
+    CROSS JOIN (SELECT hits AS full_hits FROM acc WHERE m = -1) af
+    LEFT JOIN gcls gc ON gc.g = a.m
+    ORDER BY left_out_group
+"""
+
+
+@query("q314_data_valuation_loo", oracle=_VAL_ORACLE, tags=("X-104", "X-89"))
+def q314_data_valuation_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data valuation by leave-one-group-out ablation: hash the training
+    users into 8 groups, retrain q298's Naive Bayes WITHOUT each group,
+    and score every ablated model on the same fixed holdout — the
+    accuracy delta per dropped group is that slice's contribution to
+    the model (the poor-man's Data Shapley, and the group-level
+    workhorse of data-markets/curation pipelines: a group whose removal
+    RAISES accuracy is hurting you). The trick that makes it one query
+    instead of 8 training jobs: NB's sufficient statistics are counts,
+    so every ablated model derives from the full count tables by EXACT
+    SUBTRACTION of the group's counts (the q285 total-minus-fold move)
+    — no retraining pass ever runs.
+
+    Determinism: splits and groups are md5 hashes; all count tables are
+    exact integers; the 9 models' log-params use the q203 pinned-ln
+    idiom into decimal(12,6); scoring compares exact 3-term decimal
+    sums (q298 discipline); accuracies are raw-double IEEE on exact
+    counts.
+
+    Scale shape: ONE user rollup; training is bounded grid rollups;
+    the 9-model scoring is a map-only 9x fan-out of the holdout with
+    ONLY broadcast parameter joins; one (model)-keyed confusion rollup.
+
+    Reference parity: beyond-reference; the valuation layer on top of
+    X-89."""
+    dow = F.pmod(
+        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+        .cast("long")
+        + 4,
+        F.lit(7),
+    )
+    feat = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ev"),
+            F.sum(F.when(dow.isin(0, 6), 1).otherwise(0))
+            .cast("long")
+            .alias("wk_ev"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > _CONV_MIN),
+                    1,
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        .select(
+            "user_id",
+            F.when(F.col("n_ev") < 8, 0)
+            .when(F.col("n_ev") < 32, 1)
+            .otherwise(2)
+            .alias("f1"),
+            F.when(2 * F.col("wk_ev") >= F.col("n_ev"), 1).otherwise(0).alias("f2"),
+            "y",
+            F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit("nb:"), F.col("user_id").cast("string"))),
+                    1,
+                    1,
+                )
+                < "c",
+                1,
+            )
+            .otherwise(0)
+            .alias("is_train"),
+            (
+                (
+                    F.instr(
+                        F.lit("0123456789abcdef"),
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit("val:"),
+                                    F.col("user_id").cast("string"),
+                                )
+                            ),
+                            1,
+                            1,
+                        ),
+                    )
+                    - 1
+                )
+                % _VAL_GROUPS
+            ).alias("g"),
+        )
+        .transform(stage)  # count tables + the holdout scorer share it
+    )
+    train = feat.filter(F.col("is_train") == 1)
+    models = spark.createDataFrame(
+        [(m,) for m in range(-1, _VAL_GROUPS)], "m int"
+    )
+    gcls = train.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("y").cast("long").alias("n1_g"),
+    )
+    cls = train.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tr"),
+        F.sum("y").cast("long").alias("n1"),
+    )
+    clsm = (
+        models.crossJoin(F.broadcast(cls))
+        .join(F.broadcast(gcls), models["m"] == gcls["g"], "left")
+        .na.fill({"n_g": 0, "n1_g": 0})
+        .select(
+            "m",
+            (F.col("n_tr") - F.col("n_g")).alias("n_m"),
+            (
+                (F.col("n_tr") - F.col("n_g")) - (F.col("n1") - F.col("n1_g"))
+            ).alias("n0_m"),
+            (F.col("n1") - F.col("n1_g")).alias("n1_m"),
+        )
+    )
+
+    def params(col: str, vals: list[int], k: int) -> DataFrame:
+        grid = spark.createDataFrame([(v,) for v in vals], "v int")
+        fc = train.groupBy(F.col(col).alias("v"), "y").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        gc = train.groupBy(F.col(col).alias("v"), "y", "g").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+
+        def leg(y: int, out: str) -> DataFrame:
+            f = fc.filter(F.col("y") == y).select("v", F.col("c").alias("fc"))
+            gl = gc.filter(F.col("y") == y).select(
+                "v", F.col("g").alias("m"), F.col("c").alias("gc")
+            )
+            base = (
+                models.crossJoin(F.broadcast(grid))
+                .join(F.broadcast(f), "v", "left")
+                .join(F.broadcast(gl), ["m", "v"], "left")
+                .na.fill({"fc": 0, "gc": 0})
+            )
+            return base.select(
+                "m", "v", (F.col("fc") - F.col("gc")).alias(out)
+            )
+
+        cnt = leg(0, "c0").join(F.broadcast(leg(1, "c1")), ["m", "v"]).join(
+            F.broadcast(clsm), "m"
+        )
+        return cnt.select(
+            "m",
+            "v",
+            F.round(
+                F.log((F.col("c0") + 1).cast("double") / (F.col("n0_m") + k)), 6
+            )
+            .cast("decimal(12,6)")
+            .alias("lnp0"),
+            F.round(
+                F.log((F.col("c1") + 1).cast("double") / (F.col("n1_m") + k)), 6
+            )
+            .cast("decimal(12,6)")
+            .alias("lnp1"),
+        )
+
+    p1, p2 = params("f1", [0, 1, 2], 3), params("f2", [0, 1], 2)
+    pri = clsm.select(
+        "m",
+        F.round(
+            F.log((F.col("n0_m") + 1).cast("double") / (F.col("n_m") + 2)), 6
+        )
+        .cast("decimal(12,6)")
+        .alias("pri0"),
+        F.round(
+            F.log((F.col("n1_m") + 1).cast("double") / (F.col("n_m") + 2)), 6
+        )
+        .cast("decimal(12,6)")
+        .alias("pri1"),
+    )
+    scored = (
+        feat.filter(F.col("is_train") == 0)
+        .crossJoin(F.broadcast(models))
+        .join(F.broadcast(pri), "m")
+        .join(
+            F.broadcast(
+                p1.select("m", F.col("v").alias("f1"), F.col("lnp0").alias("a0"),
+                          F.col("lnp1").alias("a1"))
+            ),
+            ["m", "f1"],
+        )
+        .join(
+            F.broadcast(
+                p2.select("m", F.col("v").alias("f2"), F.col("lnp0").alias("b0"),
+                          F.col("lnp1").alias("b1"))
+            ),
+            ["m", "f2"],
+        )
+        .select(
+            "m",
+            "y",
+            F.when(
+                (F.col("pri1") + F.col("a1") + F.col("b1"))
+                > (F.col("pri0") + F.col("a0") + F.col("b0")),
+                1,
+            )
+            .otherwise(0)
+            .alias("yhat"),
+        )
+    )
+    acc = scored.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.when(F.col("y") == F.col("yhat"), 1).otherwise(0))
+        .cast("long")
+        .alias("hits"),
+    )
+    full = acc.filter(F.col("m") == -1).select(
+        F.col("hits").alias("full_hits")
+    )
+    return (
+        acc.crossJoin(F.broadcast(full))
+        .join(F.broadcast(gcls), acc["m"] == gcls["g"], "left")
+        .na.fill({"n_g": 0})
+        .select(
+            F.col("m").alias("left_out_group"),
+            F.col("n_g").cast("long").alias("n_train_dropped"),
+            (F.col("hits").cast("double") / F.col("n_test")).alias("accuracy"),
+            (
+                (F.col("hits") - F.col("full_hits")).cast("double")
+                / F.col("n_test")
+            ).alias("delta_vs_full"),
+        )
+        .transform(pin)
+        .orderBy("left_out_group")
+    )

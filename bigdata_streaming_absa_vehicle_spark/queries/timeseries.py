@@ -3526,3 +3526,187 @@ def q310_causal_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sy_post").cast("double") - pred).alias("abs_effect_cents"),
         ((F.col("sy_post").cast("double") - pred) / pred).alias("rel_effect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-103: forecast ensemble backtest (seasonal-naive / trend / dow-mean)
+# ---------------------------------------------------------------------------
+
+_FE_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT d, y, (d + 4) % 7 AS dow,
+               ROW_NUMBER() OVER (ORDER BY d) AS rn,
+               LAG(y, 7) OVER (ORDER BY d) AS m1
+        FROM daily
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(COUNT(*) AS BIGINT) * 7 // 10 AS n_train
+           FROM daily),
+    tr AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+               CAST(SUM(rn - 1) AS HUGEINT) AS st,
+               CAST(SUM(CAST(rn - 1 AS HUGEINT) * (rn - 1)) AS HUGEINT) AS st2,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(rn - 1 AS HUGEINT) * y) AS HUGEINT) AS sty
+        FROM idx, nn WHERE rn <= nn.n_train
+    ),
+    ab AS (
+        SELECT CAST((st2 * sy - st * sty) * 1000000
+                    // (k * st2 - st * st) AS HUGEINT) AS a6,
+               ((k * sty - st * sy) * 1000000) // (k * st2 - st * st) AS b6
+        FROM tr
+    ),
+    dowm AS (
+        SELECT i.dow,
+               CAST(CAST(SUM(i.y) AS HUGEINT) // COUNT(*) AS BIGINT) AS m3
+        FROM idx i, nn WHERE i.rn <= nn.n_train
+        GROUP BY i.dow
+    ),
+    test AS (
+        SELECT i.y, i.m1,
+               CAST((ab.a6 + ab.b6 * (i.rn - 1)) // 1000000 AS BIGINT) AS m2,
+               w.m3
+        FROM idx i JOIN dowm w USING (dow), nn, ab
+        WHERE i.rn > nn.n_train AND i.m1 IS NOT NULL
+    ),
+    sc AS (
+        SELECT y, m1, m2, m3,
+               GREATEST(LEAST(m1, m2), LEAST(GREATEST(m1, m2), m3)) AS ens
+        FROM test
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(abs(y - m1)) AS BIGINT) AS ae_seasonal_naive,
+           CAST(SUM(abs(y - m2)) AS BIGINT) AS ae_trend,
+           CAST(SUM(abs(y - m3)) AS BIGINT) AS ae_dow_mean,
+           CAST(SUM(abs(y - ens)) AS BIGINT) AS ae_ensemble,
+           CAST(SUM(abs(y - ens)) AS DOUBLE) / COUNT(*) AS mae_ensemble_cents
+    FROM sc
+"""
+
+
+@query("q313_forecast_ensemble", oracle=_FE_ORACLE, tags=("X-103", "X-94"))
+def q313_forecast_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-ensemble backtest on the 30% held-out tail of daily
+    revenue: three base models — seasonal naive (value 7 rows back),
+    a linear trend fit on the training window by exact normal
+    equations, and the per-day-of-week training mean — combined by the
+    per-day MEDIAN (the robust combination that wins forecast
+    competitions: the ensemble can't be dragged by whichever single
+    model breaks), all scored by absolute error on the same tail.
+    The model-selection readout q219's single-model backtest cannot
+    give: it shows whether combining beats every component.
+
+    Determinism: EVERY forecast is an exact integer — the trend model's
+    (a, b) live as micro-unit integer floor-divisions of exact
+    cross-moment determinants, the dow-mean and seasonal-naive are
+    integer division/lag, and the median-of-3 is the exact min/max
+    identity — so all error sums are exact integers and the single
+    double is the final MAE division (the q303 discipline: integer
+    models make float-free backtests).
+
+    Scale shape: one fact rollup to the bounded daily relation; the
+    fit, the per-dow means, and the scoring all run on it.
+
+    Reference parity: beyond-reference; composes X-85 (regression),
+    X-94 (seasonality), and q219's backtest protocol into a
+    model-selection harness."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+            .cast("long")
+            .alias("d"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            )
+            .otherwise(0)
+            .alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").cast("long").alias("y"))
+    )
+    w = Window.orderBy("d")
+    idx = daily.select(
+        "d",
+        "y",
+        F.pmod(F.col("d") + 4, F.lit(7)).alias("dow"),
+        F.row_number().over(w).alias("rn"),
+        F.lag("y", 7).over(w).alias("m1"),
+    ).transform(stage)  # the fit, dow means, and scoring share it
+    nn = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(COUNT(*) * 7 div 10 AS BIGINT)").alias("n_train"),
+    )
+    d38 = "decimal(38,0)"
+    tr = (
+        idx.crossJoin(F.broadcast(nn))
+        .filter(F.col("rn") <= F.col("n_train"))
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("k"),
+            F.sum(F.col("rn") - 1).cast(d38).alias("st"),
+            F.sum((F.col("rn") - 1).cast("long") * (F.col("rn") - 1))
+            .cast(d38)
+            .alias("st2"),
+            F.sum("y").cast(d38).alias("sy"),
+            F.sum((F.col("rn") - 1).cast("long") * F.col("y"))
+            .cast(d38)
+            .alias("sty"),
+        )
+    )
+    ab = tr.select(
+        F.expr(
+            "CAST((st2 * sy - st * sty) * 1000000 div (k * st2 - st * st)"
+            " AS DECIMAL(38,0))"
+        ).alias("a6"),
+        F.expr(
+            "CAST((k * sty - st * sy) * 1000000 div (k * st2 - st * st)"
+            " AS DECIMAL(38,0))"
+        ).alias("b6"),
+    )
+    dowm = (
+        idx.crossJoin(F.broadcast(nn))
+        .filter(F.col("rn") <= F.col("n_train"))
+        .groupBy("dow")
+        .agg(F.expr("CAST(CAST(SUM(y) AS DECIMAL(38,0)) div COUNT(*)"
+                    " AS BIGINT)").alias("m3"))
+    )
+    test = (
+        idx.join(F.broadcast(dowm), "dow")
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ab))
+        .filter((F.col("rn") > F.col("n_train")) & F.col("m1").isNotNull())
+        .select(
+            "y",
+            "m1",
+            F.expr("CAST((a6 + b6 * (rn - 1)) div 1000000 AS BIGINT)").alias(
+                "m2"
+            ),
+            "m3",
+        )
+    )
+    ens = F.greatest(
+        F.least(F.col("m1"), F.col("m2")),
+        F.least(F.greatest(F.col("m1"), F.col("m2")), F.col("m3")),
+    )
+    sc = test.select("y", "m1", "m2", "m3", ens.alias("ens"))
+    return sc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.abs(F.col("y") - F.col("m1"))).cast("long").alias(
+            "ae_seasonal_naive"
+        ),
+        F.sum(F.abs(F.col("y") - F.col("m2"))).cast("long").alias("ae_trend"),
+        F.sum(F.abs(F.col("y") - F.col("m3"))).cast("long").alias("ae_dow_mean"),
+        F.sum(F.abs(F.col("y") - F.col("ens"))).cast("long").alias("ae_ensemble"),
+        (
+            F.sum(F.abs(F.col("y") - F.col("ens"))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mae_ensemble_cents"),
+    )

@@ -2063,3 +2063,22 @@ def test_msprt_windows_on_bounded_daily(spark):
     assert all(
         "user_id" in l or "d#" in l or "d0#" in l for l in hash_exchanges
     ), plan
+
+
+def test_data_valuation_scores_via_broadcast_fanout(spark):
+    """q314 (X-104): the 9-model scoring fans out the holdout with only
+    broadcast parameter joins — no shuffle join reaches the scorer."""
+    q = all_queries()["q314_data_valuation_loo"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_shapley_lattice_is_single_row_pivot(spark):
+    """q312 (X-102): one user rollup onto 8 mask rows; the lattice is a
+    single-row pivot — exchanges carry user_id or mask only."""
+    q = all_queries()["q312_shapley_attribution"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    hash_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert all("user_id" in l or "mask" in l for l in hash_exchanges), plan
