@@ -208,7 +208,8 @@ _WINDOW_PRIORITY = (
 # fractile; q309: Poisson mixture EM; q310: control-series causal
 # impact; q311: mSPRT always-valid monitor; q312: exact Shapley
 # attribution; q313: integer forecast-ensemble backtest; and q314:
-# leave-one-group-out data valuation) hold
+# leave-one-group-out data valuation; q315: Bellman-Ford weighted
+# SSSP; q316: extractive summarization; and q317: grid DBSCAN) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

@@ -1013,3 +1013,163 @@ def q305_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.transform(pin).orderBy("source", "decile")
+
+
+# ---------------------------------------------------------------------------
+# X-106: extractive summarization (IDF-scored sentence top-k)
+# ---------------------------------------------------------------------------
+
+_SUM_PROBE_MOD = 25  #: probe docs: doc_id % this == 0
+_SUM_TOPK = 2
+
+_SUM_ORACLE = rf"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents)
+    ),
+    nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM dt),
+    idf AS (
+        SELECT tok,
+               CAST(ROUND(ROUND(ln(CAST(nn.n AS DOUBLE) / COUNT(*)), 6) * 1e6)
+                    AS BIGINT) AS idf6
+        FROM dt, nn GROUP BY tok, nn.n
+    ),
+    sents AS (
+        SELECT doc_id, pos, trim(sent) AS sent
+        FROM (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, '.'), 1) AS pos,
+                   unnest(string_split(text, '.')) AS sent
+            FROM documents WHERE doc_id % {_SUM_PROBE_MOD} = 0
+        )
+        WHERE length(trim(sent)) > 0
+    ),
+    sw AS (
+        SELECT DISTINCT doc_id, pos, tok
+        FROM (SELECT doc_id, pos,
+                     unnest(string_split_regex(trim(sent), '\s+')) AS tok
+              FROM sents)
+        WHERE length(tok) > 0
+    ),
+    scored AS (
+        SELECT s.doc_id, s.pos,
+               CAST(CAST(SUM(i.idf6) AS HUGEINT) // COUNT(*) AS BIGINT)
+                   AS score6
+        FROM sw s JOIN idf i USING (tok)
+        GROUP BY s.doc_id, s.pos
+    ),
+    ranked AS (
+        SELECT sc.doc_id, sc.pos, sc.score6, se.sent,
+               ROW_NUMBER() OVER (PARTITION BY sc.doc_id
+                                  ORDER BY sc.score6 DESC, sc.pos) AS rk
+        FROM scored sc JOIN sents se ON se.doc_id = sc.doc_id AND se.pos = sc.pos
+    )
+    SELECT doc_id, rk AS rank, pos AS sentence_pos, score6 AS score_micro,
+           substr(sent, 1, 60) AS sentence_head
+    FROM ranked WHERE rk <= {_SUM_TOPK}
+    ORDER BY doc_id, rank
+"""
+
+
+@query("q316_extractive_summary", oracle=_SUM_ORACLE, tags=("X-106", "X-04"))
+def q316_extractive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractive summarization: for each probe document, the top-2
+    sentences by mean corpus IDF of their distinct words — the
+    classical centroid-free summarizer (a sentence full of rare,
+    document-specific terms carries the document's information; one
+    full of stopwords does not), and the selection step of every
+    retrieve-then-summarize pipeline, built from X-04's term-weighting
+    machinery promoted from salient TERMS (q74) to salient SENTENCES.
+
+    Determinism: IDF values are q291 micro-nat integers (pinned 6-dp
+    ln scaled to exact ints); sentence scores are exact integer
+    floor-divided means; ranking is a (score DESC, position) total
+    order; sentence text enters the hash through an identical
+    substr(1, 60) in both engines.
+
+    Scale shape: the IDF table is one distinct-reduced rollup of the
+    full corpus; sentence explode/score runs only on the bounded probe
+    set; the per-doc top-2 is the O-05 grouped-top-k plan.
+
+    Reference parity: beyond-reference (the reference has no
+    summarization surface)."""
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .distinct()
+        .transform(stage)
+    )
+    nn = dt.agg(F.countDistinct("doc_id").cast("long").alias("n"))
+    idf = (
+        dt.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "tok",
+            F.round(
+                F.round(F.log(F.col("n").cast("double") / F.col("df")), 6)
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("idf6"),
+        )
+    )
+    sents = (
+        docs.filter(F.col("doc_id") % _SUM_PROBE_MOD == 0)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"\.")).alias("pos0", "sent"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.trim(F.col("sent")).alias("sent"),
+        )
+        .filter(F.length(F.col("sent")) > 0)
+        .transform(stage)  # word explode + the rank join share it
+    )
+    sw = (
+        sents.select(
+            "doc_id",
+            "pos",
+            F.explode(F.split(F.trim(F.col("sent")), r"\s+")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .distinct()
+    )
+    scored = (
+        sw.join(idf, "tok")
+        .groupBy("doc_id", "pos")
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(idf6) AS DECIMAL(38,0)) div COUNT(*) AS BIGINT)"
+            ).alias("score6")
+        )
+    )
+    ranked = (
+        scored.join(sents, ["doc_id", "pos"])
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.col("score6").desc(), "pos")
+            ),
+        )
+        .filter(F.col("rk") <= _SUM_TOPK)
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            F.col("rk").cast("long").alias("rank"),
+            F.col("pos").cast("long").alias("sentence_pos"),
+            F.col("score6").alias("score_micro"),
+            F.substring(F.col("sent"), 1, 60).alias("sentence_head"),
+        )
+        .transform(pin)
+        .orderBy("doc_id", "rank")
+    )

@@ -1246,3 +1246,112 @@ def q282_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.transform(pin).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# X-105: weighted single-source shortest paths (Bellman-Ford rounds)
+# ---------------------------------------------------------------------------
+
+_BF_ROUNDS = 3
+_BF_SEED_MOD = 40  #: seed set = node ids divisible by this
+_BF_WMOD = 9  #: edge weights 1.._BF_WMOD, md5-derived
+
+
+def _bf_oracle() -> str:
+    from ..operators.dedup import oracle_hash64
+
+    wexpr = oracle_hash64(
+        "bw", "CAST(LEAST(a, b) AS VARCHAR) || ':' || CAST(GREATEST(a, b) AS VARCHAR)"
+    )
+    prev = "d0"
+    iters = ""
+    for i in range(1, _BF_ROUNDS + 1):
+        iters += f""",
+    d{i} AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT w.b AS node, p.dist + w.w AS dist
+            FROM wund w JOIN {prev} p ON w.a = p.node
+        ) GROUP BY node
+    )"""
+        prev = f"d{i}"
+    return f"""
+    WITH {_oracle_edges_cte()},
+    und AS (
+        SELECT src AS a, dst AS b FROM dedup_edges
+        UNION
+        SELECT dst, src FROM dedup_edges
+    ),
+    wund AS (
+        SELECT a, b, CAST(1 + {wexpr} % {_BF_WMOD} AS BIGINT) AS w FROM und
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM und),
+    d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+           WHERE node % {_BF_SEED_MOD} = 0){iters},
+    final AS (
+        SELECT n.node, d.dist
+        FROM nodes n LEFT JOIN {prev} d USING (node)
+    )
+    SELECT COALESCE(CAST(dist AS BIGINT), -1) AS distance,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node
+    FROM final GROUP BY 1 ORDER BY distance
+    """
+
+
+@query("q315_bellman_ford_sssp", oracle=_bf_oracle(), tags=("X-105", "X-15"))
+def q315_bellman_ford_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source shortest paths by 3 Bellman-Ford relaxation
+    rounds over the benchmark graph with md5-derived integer edge
+    weights (1..9, symmetric by construction: the weight hashes the
+    UNORDERED pair) — the cost-aware companion of q278's hop-count BFS:
+    hops answer 'how many steps', weights answer 'how expensive', which
+    is the routing/eta/influence-cost question. Distances reached
+    within 3 relaxations are exact; the histogram reads out nodes per
+    distance with -1 = unreached (the declared k-round semantics, same
+    contract as q278).
+
+    Determinism: weights and distances are exact integers; min-plus
+    relaxation under MIN needs no tie-break; no float exists anywhere.
+
+    Scale shape: each round is ONE node-keyed join of the weighted edge
+    list against the current distance relation plus a map-side MIN
+    rollup — the X-15 edge⋈state shape, bucketable to shuffle-free
+    (the plan discipline proven for PageRank at
+    test_pagerank_bucketed_iteration_join_is_shuffle_free)."""
+    und = _lpa_und(spark, sf_dir)
+    pair = F.concat(
+        F.least(F.col("a"), F.col("b")).cast("string"),
+        F.lit(":"),
+        F.greatest(F.col("a"), F.col("b")).cast("string"),
+    )
+    wund = und.select(
+        "a", "b", (1 + hash64("bw", pair) % _BF_WMOD).cast("long").alias("w")
+    ).transform(stage)  # every relaxation round re-reads it
+    nodes = und.select(F.col("a").alias("node")).distinct().transform(stage)
+    dist = nodes.filter(F.col("node") % _BF_SEED_MOD == 0).withColumn(
+        "dist", F.lit(0).cast("long")
+    )
+    for _ in range(_BF_ROUNDS):
+        relax = (
+            wund.join(dist.withColumnRenamed("node", "pn"), wund.a == F.col("pn"))
+            .select(F.col("b").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    final = nodes.join(dist, "node", "left")
+    return (
+        final.groupBy(
+            F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("distance")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").cast("long").alias("min_node"),
+        )
+        .transform(pin)
+        .orderBy("distance")
+    )

@@ -166,3 +166,149 @@ def q216_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d2", "ka", "kb")
         .limit(_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# X-107: grid-based DBSCAN (density clusters over cells)
+# ---------------------------------------------------------------------------
+
+_DB_MINPTS = 25  #: core cell: points in its 3x3 neighborhood >= this
+_DB_ROUNDS = 4  #: min-label propagation rounds (declared semantics)
+
+
+def _dbscan_oracle() -> str:
+    prev = "l0"
+    iters = ""
+    for i in range(1, _DB_ROUNDS + 1):
+        iters += f""",
+    l{i} AS (
+        SELECT cell, MIN(lbl) AS lbl FROM (
+            SELECT cell, lbl FROM {prev}
+            UNION ALL
+            SELECT n.cell_b AS cell, p.lbl
+            FROM adj n JOIN {prev} p ON n.cell_a = p.cell
+        ) GROUP BY cell
+    )"""
+        prev = f"l{i}"
+    return f"""
+    WITH {_POINTS_CTE},
+    cells AS (
+        SELECT x // {_R} AS cx, y // {_R} AS cy, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pts GROUP BY 1, 2
+    ),
+    offs AS (SELECT a.dx, b.dy
+             FROM (SELECT unnest([-1, 0, 1]) AS dx) a,
+                  (SELECT unnest([-1, 0, 1]) AS dy) b),
+    neigh AS (
+        SELECT c.cx, c.cy, CAST(SUM(o.n) AS BIGINT) AS nn, MIN(c.n) AS n
+        FROM cells c
+        JOIN offs f ON TRUE
+        JOIN cells o ON o.cx = c.cx + f.dx AND o.cy = c.cy + f.dy
+        GROUP BY c.cx, c.cy
+    ),
+    core AS (
+        SELECT cx, cy, n, cx * {_GRID // _R} + cy AS cell
+        FROM neigh WHERE nn >= {_DB_MINPTS}
+    ),
+    adj AS (
+        SELECT a.cell AS cell_a, b.cell AS cell_b
+        FROM core a
+        JOIN offs f ON TRUE
+        JOIN core b ON b.cx = a.cx + f.dx AND b.cy = a.cy + f.dy
+    ),
+    l0 AS (SELECT cell, cell AS lbl FROM core){iters}
+    SELECT l.lbl AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(c.n) AS BIGINT) AS n_points
+    FROM {prev} l JOIN core c USING (cell)
+    GROUP BY l.lbl
+    ORDER BY n_points DESC, cluster_id
+    LIMIT 10
+    """
+
+
+@query("q317_grid_dbscan", oracle=_dbscan_oracle(), tags=("X-107", "X-46", "X-02"))
+def q317_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-based DBSCAN over the benchmark point set: a cell is CORE
+    when its 3x3 cell neighborhood holds >= minPts points (the
+    grid-quantized epsilon-neighborhood, the same approximation
+    CLIQUE/STING-family algorithms trade exact radii for), and density
+    clusters are connected components of core cells under 8-adjacency,
+    labeled by {_DB_ROUNDS} min-label propagation rounds (declared
+    k-round semantics — the q278/q268 contract). Readout: the 10
+    largest clusters by contained points — the arbitrary-shape hotspot
+    reader q215's single-cell density ranking cannot give (a ridge of
+    warm cells beats one hot cell).
+
+    Determinism: counts, core flags, cell ids, and min-labels are all
+    exact integers; MIN needs no tie-break; no float exists.
+
+    Scale shape: one map-only binning + rollup to the bounded cell
+    grid; neighborhood sums and adjacency are 9-way bounded
+    cell-relation self-joins; label propagation runs entirely on the
+    bounded core-cell relation (the X-02 components discipline on a
+    pre-reduced domain).
+
+    Reference parity: beyond-reference; completes X-46 (density,
+    radius join) with density CLUSTERING."""
+    p = points(spark, sf_dir)
+    cells = (
+        p.groupBy(
+            F.expr(f"x DIV {_R}").alias("cx"), F.expr(f"y DIV {_R}").alias("cy")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .transform(stage)  # neighborhood sum + core join share it
+    )
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    shifted = cells.crossJoin(F.broadcast(offs)).select(
+        (F.col("cx") + F.col("dx")).alias("cx"),
+        (F.col("cy") + F.col("dy")).alias("cy"),
+        F.col("n").alias("on"),
+    )
+    neigh = (
+        cells.join(shifted, ["cx", "cy"])
+        .groupBy("cx", "cy")
+        .agg(F.sum("on").cast("long").alias("nn"), F.min("n").alias("n"))
+    )
+    core = (
+        neigh.filter(F.col("nn") >= _DB_MINPTS)
+        .select(
+            "cx",
+            "cy",
+            "n",
+            (F.col("cx") * (_GRID // _R) + F.col("cy")).alias("cell"),
+        )
+        .transform(stage)  # adjacency + the final size rollup share it
+    )
+    adj = (
+        core.select("cx", "cy", F.col("cell").alias("cell_a"))
+        .crossJoin(F.broadcast(offs))
+        .select(
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+            "cell_a",
+        )
+        .join(core.select("cx", "cy", F.col("cell").alias("cell_b")), ["cx", "cy"])
+        .select("cell_a", "cell_b")
+    )
+    lbl = core.select("cell", F.col("cell").alias("lbl"))
+    for _ in range(_DB_ROUNDS):
+        prop = adj.join(
+            lbl.withColumnRenamed("cell", "pc"), adj.cell_a == F.col("pc")
+        ).select(F.col("cell_b").alias("cell"), "lbl")
+        lbl = (
+            lbl.unionByName(prop).groupBy("cell").agg(F.min("lbl").alias("lbl"))
+        )
+    return (
+        lbl.join(core.select("cell", "n"), "cell")
+        .groupBy(F.col("lbl").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("n").cast("long").alias("n_points"),
+        )
+        .transform(pin)
+        .orderBy(F.col("n_points").desc(), "cluster_id")
+        .limit(10)
+    )
