@@ -209,7 +209,9 @@ _WINDOW_PRIORITY = (
 # impact; q311: mSPRT always-valid monitor; q312: exact Shapley
 # attribution; q313: integer forecast-ensemble backtest; and q314:
 # leave-one-group-out data valuation; q315: Bellman-Ford weighted
-# SSSP; q316: extractive summarization; and q317: grid DBSCAN) hold
+# SSSP; q316: extractive summarization; q317: grid DBSCAN; q318:
+# segment uplift + Qini; q319: XmR control chart; and q320: retention
+# decay fit) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

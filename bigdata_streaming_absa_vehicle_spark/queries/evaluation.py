@@ -2666,3 +2666,155 @@ def q312_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-108: segment uplift (T-learner) + Qini-style targeting readout
+# ---------------------------------------------------------------------------
+
+_UPL_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id, {_ARM_EXPR.format(t="VARCHAR")} AS arm,
+               CASE WHEN COUNT(*) < 8 THEN 0
+                    WHEN COUNT(*) < 32 THEN 1 ELSE 2 END AS seg,
+               MAX(CASE WHEN event_type = 'purchase' AND value > {_CONV_MIN}
+                   THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    seg AS (
+        SELECT seg,
+               CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+               CAST(SUM(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS BIGINT) AS ct,
+               CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+               CAST(SUM(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS BIGINT) AS cc
+        FROM u GROUP BY seg
+    ),
+    up AS (
+        SELECT seg, nt, ct, nc, cc,
+               CAST(ct * 1000000 // nt - cc * 1000000 // nc AS BIGINT)
+                   AS uplift_micro
+        FROM seg
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY uplift_micro DESC, seg) AS rk
+        FROM up
+    ),
+    cum AS (
+        SELECT seg, rk, nt, ct, nc, cc, uplift_micro,
+               CAST(SUM(nt) OVER w AS BIGINT) AS cnt,
+               CAST(SUM(ct) OVER w AS BIGINT) AS cct,
+               CAST(SUM(nc) OVER w AS BIGINT) AS cnc,
+               CAST(SUM(cc) OVER w AS BIGINT) AS ccc
+        FROM ranked
+        WINDOW w AS (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT seg, rk AS target_order, nt AS n_treat, ct AS conv_treat,
+           nc AS n_control, cc AS conv_control,
+           CAST(uplift_micro AS DOUBLE) / 1e6 AS uplift,
+           CAST(cct - CAST(CAST(ccc AS HUGEINT) * cnt // cnc AS BIGINT)
+                AS BIGINT) AS qini_incremental
+    FROM cum
+    ORDER BY target_order
+"""
+
+
+@query("q318_segment_uplift_qini", oracle=_UPL_ORACLE, tags=("X-108", "X-23"))
+def q318_segment_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level uplift modeling (T-learner) with a Qini-style
+    targeting readout: per activity segment, the treatment-minus-
+    control conversion gap from the q169 randomized arms, segments
+    ranked by estimated uplift, and the cumulative Qini increment
+    (treated conversions minus the control conversions scaled to the
+    treated count) when targeting top segments first — the
+    WHO-to-treat question q169's average effect and q300's policy value
+    both skip: uplift is heterogeneous, and targeting order is the
+    deliverable.
+
+    Determinism: all cell counts are exact integers; uplift scores are
+    exact micro floor-division differences ranked under a total order;
+    the Qini increment is one exact integer floor-division per row; the
+    only double is the display-scaled uplift.
+
+    Scale shape: ONE user rollup onto the 3-segment relation; ranking,
+    cumulating, and the Qini arithmetic run on 3 rows.
+
+    Reference parity: beyond-reference; completes the experimentation
+    family (q169 ATE, q300 OPE, q311 sequential) with heterogeneous
+    effects."""
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > _CONV_MIN),
+                    1,
+                ).otherwise(0)
+            ).alias("conv"),
+        )
+        .select(
+            F.expr(_ARM_EXPR.format(t="STRING")).alias("arm"),
+            F.when(F.col("n_ev") < 8, 0)
+            .when(F.col("n_ev") < 32, 1)
+            .otherwise(2)
+            .alias("seg"),
+            "conv",
+        )
+    )
+    seg = u.groupBy("seg").agg(
+        F.sum(F.when(F.col("arm") == "a", 1).otherwise(0)).cast("long").alias("nt"),
+        F.sum(F.when(F.col("arm") == "a", F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+        F.sum(F.when(F.col("arm") == "b", 1).otherwise(0)).cast("long").alias("nc"),
+        F.sum(F.when(F.col("arm") == "b", F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("cc"),
+    )
+    up = seg.select(
+        "seg",
+        "nt",
+        "ct",
+        "nc",
+        "cc",
+        F.expr(
+            "CAST(ct * 1000000 div nt - cc * 1000000 div nc AS BIGINT)"
+        ).alias("uplift_micro"),
+    )
+    ranked = up.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("uplift_micro").desc(), "seg")),
+    )
+    w = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    cum = ranked.select(
+        "seg",
+        "rk",
+        "nt",
+        "ct",
+        "nc",
+        "cc",
+        "uplift_micro",
+        F.sum("nt").over(w).cast("long").alias("cnt"),
+        F.sum("ct").over(w).cast("long").alias("cct"),
+        F.sum("nc").over(w).cast("long").alias("cnc"),
+        F.sum("cc").over(w).cast("long").alias("ccc"),
+    )
+    return (
+        cum.select(
+            "seg",
+            F.col("rk").cast("long").alias("target_order"),
+            F.col("nt").alias("n_treat"),
+            F.col("ct").alias("conv_treat"),
+            F.col("nc").alias("n_control"),
+            F.col("cc").alias("conv_control"),
+            (F.col("uplift_micro").cast("double") / F.lit(1e6)).alias("uplift"),
+            F.expr(
+                "CAST(cct - CAST(CAST(ccc AS DECIMAL(20,0)) * cnt div cnc"
+                " AS BIGINT) AS BIGINT)"
+            ).alias("qini_incremental"),
+        )
+        .transform(pin)
+        .orderBy("target_order")
+    )

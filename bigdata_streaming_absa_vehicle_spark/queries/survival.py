@@ -360,3 +360,162 @@ def q257_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("variance").cast("double")),
         ).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-110: exponential retention decay fit + half-life
+# ---------------------------------------------------------------------------
+
+_RD_K = 14  #: daily offsets fitted (1.._RD_K)
+
+_RD_ORACLE = f"""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS w
+        FROM events
+    ),
+    u0 AS (SELECT user_id, MIN(w) AS w0 FROM uw GROUP BY user_id),
+    mx AS (SELECT MAX(w) AS maxw FROM uw),
+    cohort AS (
+        SELECT u0.user_id, u0.w0 FROM u0, mx WHERE u0.w0 <= mx.maxw - {_RD_K}
+    ),
+    nrisk AS (SELECT CAST(COUNT(*) AS BIGINT) AS at_risk FROM cohort),
+    act AS (
+        SELECT uw.w - c.w0 AS k, CAST(COUNT(DISTINCT uw.user_id) AS BIGINT)
+                   AS n_active
+        FROM uw JOIN cohort c USING (user_id)
+        WHERE uw.w - c.w0 BETWEEN 1 AND {_RD_K}
+        GROUP BY 1
+    ),
+    pts AS (
+        SELECT a.k, a.n_active, r.at_risk,
+               CAST(a.n_active * 1000000 // r.at_risk AS BIGINT) AS r_micro,
+               CAST(ROUND(ROUND(ln(CAST(a.n_active AS DOUBLE) / r.at_risk), 6)
+                          * 1e6) AS BIGINT) AS lnr6
+        FROM act a, nrisk r
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS kk,
+               CAST(SUM(k) AS HUGEINT) AS sk,
+               CAST(SUM(k * k) AS HUGEINT) AS sk2,
+               CAST(SUM(lnr6) AS HUGEINT) AS sl,
+               CAST(SUM(k * lnr6) AS HUGEINT) AS skl
+        FROM pts
+    ),
+    co AS (
+        SELECT CAST((kk * skl - sk * sl) // (kk * sk2 - sk * sk) AS BIGINT)
+                   AS b6,
+               CAST((sk2 * sl - sk * skl) // (kk * sk2 - sk * sk) AS BIGINT)
+                   AS a6
+        FROM fit
+    )
+    SELECT p.k AS day_offset, p.at_risk, p.n_active,
+           CAST(p.r_micro AS DOUBLE) / 1e6 AS retention,
+           c.b6 AS slope_micro_nats, c.a6 AS intercept_micro_nats,
+           CASE WHEN c.b6 < 0
+                THEN CAST(CAST(-693147000 AS BIGINT) // c.b6 AS DOUBLE)
+                     / 1e3 END AS half_life_days
+    FROM pts p, co c
+    ORDER BY day_offset
+"""
+
+
+@query("q320_retention_decay_fit", oracle=_RD_ORACLE, tags=("X-110", "X-85"))
+def q320_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential retention decay fit: pooled DAILY retention of the
+    fully-observed cohort (users with >= 14 observable days), log-linear
+    least squares over ln(r_k) = a + b*k, and the HALF-LIFE ln(2)/(-b)
+    — the one-number retention summary product teams quote, which
+    q87's raw retention matrix and q179's survival curve display but
+    never compress: the half-life makes two products comparable in a
+    way 16 matrix cells don't.
+
+    Determinism: retention ratios and their pinned-ln values are exact
+    micro integers (the q291/q316 idiom); the 2-parameter fit runs on
+    exact integer moments of the <=14-point relation with truncating
+    divisions (engine-identical on the negative slope); the half-life
+    is one exact integer division of the pinned ln(2) constant; the
+    only doubles are display scalings.
+
+    Scale shape: distinct (user, week) reduction, one user rollup for
+    cohort entry, one keyed join + offset rollup onto the bounded
+    14-row relation; the fit is single-row.
+
+    Reference parity: beyond-reference; closes the retention family
+    (q87 matrix, q179 survival, q214 LTV, q227 bitmap) with the decay
+    MODEL."""
+    uw = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(FLOOR(unix_timestamp(date_trunc('day', ts)) / 86400)"
+                " AS BIGINT)"
+            ).alias("w"),
+        )
+        .distinct()
+        .transform(stage)  # cohort entry + the offset join share it
+    )
+    u0 = uw.groupBy("user_id").agg(F.min("w").alias("w0"))
+    mx = uw.agg(F.max("w").alias("maxw"))
+    cohort = (
+        u0.crossJoin(F.broadcast(mx))
+        .filter(F.col("w0") <= F.col("maxw") - _RD_K)
+        .select("user_id", "w0")
+    )
+    nrisk = cohort.agg(F.count(F.lit(1)).cast("long").alias("at_risk"))
+    act = (
+        uw.join(cohort, "user_id")
+        .select((F.col("w") - F.col("w0")).alias("k"), "user_id")
+        .filter((F.col("k") >= 1) & (F.col("k") <= _RD_K))
+        .groupBy("k")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+    pts = act.crossJoin(F.broadcast(nrisk)).select(
+        "k",
+        "n_active",
+        "at_risk",
+        F.expr("CAST(n_active * 1000000 div at_risk AS BIGINT)").alias("r_micro"),
+        F.round(
+            F.round(
+                F.log(F.col("n_active").cast("double") / F.col("at_risk")), 6
+            )
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("lnr6"),
+    ).transform(stage)  # the fit + the per-row readout share it
+    d38 = "decimal(38,0)"
+    fit = pts.agg(
+        F.count(F.lit(1)).cast(d38).alias("kk"),
+        F.sum("k").cast(d38).alias("sk"),
+        F.sum(F.col("k") * F.col("k")).cast(d38).alias("sk2"),
+        F.sum("lnr6").cast(d38).alias("sl"),
+        F.sum(F.col("k") * F.col("lnr6")).cast(d38).alias("skl"),
+    )
+    co = fit.select(
+        F.expr(
+            "CAST((kk * skl - sk * sl) div (kk * sk2 - sk * sk) AS BIGINT)"
+        ).alias("b6"),
+        F.expr(
+            "CAST((sk2 * sl - sk * skl) div (kk * sk2 - sk * sk) AS BIGINT)"
+        ).alias("a6"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(co))
+        .select(
+            F.col("k").cast("long").alias("day_offset"),
+            "at_risk",
+            "n_active",
+            (F.col("r_micro").cast("double") / F.lit(1e6)).alias("retention"),
+            F.col("b6").alias("slope_micro_nats"),
+            F.col("a6").alias("intercept_micro_nats"),
+            F.when(
+                F.col("b6") < 0,
+                F.expr("CAST(CAST(-693147000 AS BIGINT) div b6 AS DOUBLE)")
+                / F.lit(1e3),
+            ).alias("half_life_days"),
+        )
+        .transform(pin)
+        .orderBy("day_offset")
+    )

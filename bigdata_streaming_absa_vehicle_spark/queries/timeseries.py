@@ -3710,3 +3710,145 @@ def q313_forecast_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mae_ensemble_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-109: XmR control chart (statistical process control)
+# ---------------------------------------------------------------------------
+
+_SPC_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    mr AS (
+        SELECT d, y, abs(y - LAG(y) OVER (ORDER BY d)) AS r
+        FROM daily
+    ),
+    lim AS (
+        SELECT CAST(CAST(SUM(y) AS HUGEINT) * 1000 // COUNT(*) AS BIGINT)
+                   AS cl_milli,
+               CAST(CAST(SUM(r) AS HUGEINT) * 1000 // COUNT(r) AS BIGINT)
+                   AS mrbar_milli
+        FROM mr
+    ),
+    flags AS (
+        SELECT m.d, m.y, l.cl_milli, l.mrbar_milli,
+               CASE WHEN 1000 * m.y > l.cl_milli + (2660 * l.mrbar_milli) // 1000
+                    THEN 1 ELSE 0 END AS above_ucl,
+               CASE WHEN 1000 * m.y < l.cl_milli - (2660 * l.mrbar_milli) // 1000
+                    THEN 1 ELSE 0 END AS below_lcl
+        FROM mr m, lim l
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(cl_milli) AS DOUBLE) / 1e3 AS center_cents,
+           CAST(MAX(cl_milli) + (2660 * MAX(mrbar_milli)) // 1000 AS DOUBLE)
+               / 1e3 AS ucl_cents,
+           CAST(MAX(cl_milli) - (2660 * MAX(mrbar_milli)) // 1000 AS DOUBLE)
+               / 1e3 AS lcl_cents,
+           CAST(SUM(above_ucl) AS BIGINT) AS n_above_ucl,
+           CAST(SUM(below_lcl) AS BIGINT) AS n_below_lcl,
+           CAST(MIN(CASE WHEN above_ucl = 1 OR below_lcl = 1 THEN d END)
+                AS BIGINT) AS first_signal_day
+    FROM flags
+"""
+
+
+@query("q319_xmr_control_chart", oracle=_SPC_ORACLE, tags=("X-109", "W-02"))
+def q319_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals / moving-range) control chart over daily
+    revenue: center line = mean, control limits = mean +/- 2.66 * mean
+    moving range (the Shewhart individuals-chart constant), and the
+    out-of-control day count + first signal day — the SPC monitoring
+    discipline behind every ops dashboard, DISTINCT from the X-20/X-83
+    anomaly gates: control limits derive from short-term (day-to-day)
+    variation, so a slow drift that inflates the overall sigma still
+    signals here.
+
+    Determinism: the center and mean moving range are exact integer
+    milli-cent floor divisions; the 2.66 constant enters as the exact
+    integer ratio 2660/1000, so every limit comparison is pure integer
+    arithmetic — no float decides a signal; display values are scaled
+    at readout only.
+
+    Scale shape: one fact rollup to the bounded daily relation; the
+    lag, limits, and flags all run on it (q292 discipline).
+
+    Reference parity: beyond-reference; the reference's dashboards
+    plot counts with no control limits at all."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+            .cast("long")
+            .alias("d"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            )
+            .otherwise(0)
+            .alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").cast("long").alias("y"))
+    )
+    mr = daily.select(
+        "d",
+        "y",
+        F.abs(F.col("y") - F.lag("y").over(Window.orderBy("d"))).alias("r"),
+    ).transform(stage)  # limits + flags share it
+    lim = mr.agg(
+        F.expr(
+            "CAST(CAST(SUM(y) AS DECIMAL(38,0)) * 1000 div COUNT(*) AS BIGINT)"
+        ).alias("cl_milli"),
+        F.expr(
+            "CAST(CAST(SUM(r) AS DECIMAL(38,0)) * 1000 div COUNT(r) AS BIGINT)"
+        ).alias("mrbar_milli"),
+    )
+    flags = mr.crossJoin(F.broadcast(lim)).select(
+        "d",
+        "cl_milli",
+        "mrbar_milli",
+        F.when(
+            1000 * F.col("y")
+            > F.col("cl_milli") + F.expr("(2660 * mrbar_milli) div 1000"),
+            1,
+        )
+        .otherwise(0)
+        .alias("above_ucl"),
+        F.when(
+            1000 * F.col("y")
+            < F.col("cl_milli") - F.expr("(2660 * mrbar_milli) div 1000"),
+            1,
+        )
+        .otherwise(0)
+        .alias("below_lcl"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (F.max("cl_milli").cast("double") / F.lit(1e3)).alias("center_cents"),
+        (
+            (
+                F.max("cl_milli") + F.expr("(2660 * MAX(mrbar_milli)) div 1000")
+            ).cast("double")
+            / F.lit(1e3)
+        ).alias("ucl_cents"),
+        (
+            (
+                F.max("cl_milli") - F.expr("(2660 * MAX(mrbar_milli)) div 1000")
+            ).cast("double")
+            / F.lit(1e3)
+        ).alias("lcl_cents"),
+        F.sum("above_ucl").cast("long").alias("n_above_ucl"),
+        F.sum("below_lcl").cast("long").alias("n_below_lcl"),
+        F.min(
+            F.when(
+                (F.col("above_ucl") == 1) | (F.col("below_lcl") == 1), F.col("d")
+            )
+        )
+        .cast("long")
+        .alias("first_signal_day"),
+    )
