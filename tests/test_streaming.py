@@ -605,3 +605,54 @@ def test_stream_stream_left_outer_interval_join(spark, tmpdir):
     assert not missing, f"closed purchases never emitted: {sorted(missing)[:10]}"
     # and no purchase emits BOTH a match and a NULL row
     assert not (got_nulls & {b for b, _ in got_pairs})
+
+
+def test_msprt_user_state_stream_equals_batch(spark, tmpdir):
+    """X-101 (q311) streaming twin: the sequential monitor's state is a
+    per-user (first day, arm, converted) aggregate — expressible as a
+    built-in streaming groupBy in update mode. The drained stream's
+    final state, rolled into per-day cumulative arm stats, must equal
+    the q311 batch monitor's count columns exactly (the Lambda and
+    always-valid p derive deterministically from them)."""
+    from bigdata_streaming_absa_vehicle_spark.queries import all_queries
+    from bigdata_streaming_absa_vehicle_spark.queries.evaluation import (
+        _ARM_EXPR,
+        _CONV_MIN,
+    )
+    from pyspark.sql.window import Window as W
+
+    stream = events_stream(spark, SF_DIR, f"{tmpdir}/stage", n_files=5)
+    day = F.expr(
+        "CAST(FLOOR(unix_timestamp(date_trunc('day', ts)) / 86400) AS BIGINT)"
+    )
+    conv = F.when(
+        (F.col("event_type") == "purchase") & (F.col("value") > _CONV_MIN), 1
+    ).otherwise(0)
+    u = stream.groupBy("user_id").agg(
+        F.min(day).alias("d0"), F.max(conv).alias("conv")
+    )
+    raw = run_to_memory(spark, u, "msprt_state_t", mode="update")
+    # update mode re-emits a key on every refinement; final state per user
+    state = raw.groupBy("user_id").agg(
+        F.min("d0").alias("d0"), F.max("conv").alias("conv")
+    )
+    state = state.select(
+        "d0", "conv", F.expr(_ARM_EXPR.format(t="STRING")).alias("arm")
+    )
+    byday = state.groupBy(F.col("d0").alias("day")).agg(
+        F.sum(F.when(F.col("arm") == "a", 1).otherwise(0)).alias("ua"),
+        F.sum(F.when(F.col("arm") == "a", F.col("conv")).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("arm") == "b", 1).otherwise(0)).alias("ub"),
+        F.sum(F.when(F.col("arm") == "b", F.col("conv")).otherwise(0)).alias("cb"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    stream_cum = byday.select(
+        "day",
+        F.sum("ua").over(w).cast("long").alias("n_a"),
+        F.sum("ca").over(w).cast("long").alias("conv_a"),
+        F.sum("ub").over(w).cast("long").alias("n_b"),
+        F.sum("cb").over(w).cast("long").alias("conv_b"),
+    )
+    batch = all_queries()["q311_msprt_monitor"].fn(spark, SF_DIR)
+    cols = ["day", "n_a", "conv_a", "n_b", "conv_b"]
+    assert as_sorted_rows(stream_cum, cols) == as_sorted_rows(batch, cols)
