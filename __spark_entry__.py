@@ -211,7 +211,8 @@ _WINDOW_PRIORITY = (
 # leave-one-group-out data valuation; q315: Bellman-Ford weighted
 # SSSP; q316: extractive summarization; q317: grid DBSCAN; q318:
 # segment uplift + Qini; q319: XmR control chart; and q320: retention
-# decay fit) hold
+# decay fit; q321: cost-sensitive threshold; q322: Mahalanobis
+# multivariate anomaly; and q323: cross-validated stump selection) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

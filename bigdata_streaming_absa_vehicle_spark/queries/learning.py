@@ -1465,3 +1465,468 @@ def q314_data_valuation_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("left_out_group")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-111: cost-sensitive decision threshold for the logistic scorer
+# ---------------------------------------------------------------------------
+
+_CT_C_FP = 1  #: cost of acting on a non-converter
+_CT_C_FN = 4  #: cost of missing a converter
+
+_CT_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id, LEAST(CAST(COUNT(*) AS BIGINT), {_X_CAP}) AS xc,
+               MAX(CASE WHEN event_type = 'purchase' AND value > {_CONV_MIN}
+                   THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+    ),
+    xa AS (
+        SELECT xc, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+        FROM u GROUP BY xc
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(pos) AS BIGINT) AS post
+            FROM xa),
+    cum AS (
+        SELECT xc,
+               CAST(SUM(n) OVER (ORDER BY xc DESC) AS BIGINT) AS n_ge,
+               CAST(SUM(pos) OVER (ORDER BY xc DESC) AS BIGINT) AS pos_ge
+        FROM xa
+    ),
+    cost AS (
+        SELECT c.xc AS threshold, c.n_ge, c.pos_ge,
+               {_CT_C_FP} * (c.n_ge - c.pos_ge)
+               + {_CT_C_FN} * (t.post - c.pos_ge) AS total_cost
+        FROM cum c, tot t
+        UNION ALL
+        SELECT NULL, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               {_CT_C_FN} * t.post
+        FROM tot t
+    ),
+    best AS (
+        SELECT threshold, n_ge, pos_ge, total_cost,
+               ROW_NUMBER() OVER (ORDER BY total_cost,
+                                  COALESCE(threshold, 9223372036854775807)) AS rn
+        FROM cost
+    )
+    SELECT b.threshold AS act_if_activity_ge,
+           b.n_ge AS n_acted_on, b.pos_ge AS converters_reached,
+           CAST(b.total_cost AS BIGINT) AS total_cost,
+           CAST({_CT_C_FN} AS BIGINT) * t.post AS cost_do_nothing,
+           CAST({_CT_C_FP} AS BIGINT) * (t.nt - t.post) AS cost_act_on_all
+    FROM best b, tot t WHERE b.rn = 1
+"""
+
+
+@query("q321_cost_threshold", oracle=_CT_ORACLE, tags=("X-111", "X-88"))
+def q321_cost_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-sensitive decision threshold: with asymmetric action costs
+    (false positive = 1, missed converter = 4), sweep EVERY 'act if
+    activity >= t' policy via a single descending cumulative scan and
+    pick the exact cost minimizer — including the degenerate
+    never-act/always-act endpoints as explicit alternatives. This is
+    the step that turns a SCORE (q299's probabilities are monotone in
+    activity) into a DECISION, and the asymmetric-cost generalization
+    of q297's accuracy-flavored split: the optimal threshold moves
+    when the cost ratio does, which is exactly what this readout
+    demonstrates against the two baselines.
+
+    Determinism: reach/conversion counts per threshold come from one
+    descending cumulative window over the bounded activity rollup; all
+    costs are exact integers; the argmin is a (cost, threshold) total
+    order with never-act sorted last via a sentinel. No float exists.
+
+    Scale shape: ONE user rollup, one bounded-domain rollup, one
+    window + argmax on that bounded relation (the q297 shape reversed).
+
+    Reference parity: beyond-reference."""
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.least(F.count(F.lit(1)).cast("long"), F.lit(_X_CAP)).alias("xc"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > _CONV_MIN),
+                    1,
+                ).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    xa = (
+        u.groupBy("xc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+        .transform(stage)
+    )
+    tot = xa.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("pos").cast("long").alias("post"),
+    )
+    w = Window.orderBy(F.col("xc").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = xa.select(
+        "xc",
+        F.sum("n").over(w).cast("long").alias("n_ge"),
+        F.sum("pos").over(w).cast("long").alias("pos_ge"),
+    )
+    cost = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("xc").alias("threshold"),
+            "n_ge",
+            "pos_ge",
+            (
+                F.lit(_CT_C_FP) * (F.col("n_ge") - F.col("pos_ge"))
+                + F.lit(_CT_C_FN) * (F.col("post") - F.col("pos_ge"))
+            ).alias("total_cost"),
+        )
+        .unionByName(
+            tot.select(
+                F.lit(None).cast("long").alias("threshold"),
+                F.lit(0).cast("long").alias("n_ge"),
+                F.lit(0).cast("long").alias("pos_ge"),
+                (F.lit(_CT_C_FN) * F.col("post")).alias("total_cost"),
+            )
+        )
+    )
+    best = (
+        cost.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(
+                    "total_cost",
+                    F.coalesce(F.col("threshold"), F.lit(2**63 - 1)),
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return best.crossJoin(F.broadcast(tot)).select(
+        F.col("threshold").alias("act_if_activity_ge"),
+        F.col("n_ge").alias("n_acted_on"),
+        F.col("pos_ge").alias("converters_reached"),
+        F.col("total_cost").cast("long").alias("total_cost"),
+        (F.lit(_CT_C_FN) * F.col("post")).cast("long").alias("cost_do_nothing"),
+        (F.lit(_CT_C_FP) * (F.col("nt") - F.col("post")))
+        .cast("long")
+        .alias("cost_act_on_all"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-113: cross-validated model selection (stump vs constant, 4 folds)
+# ---------------------------------------------------------------------------
+
+_CV_FOLDS = 4
+
+_CV_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id, LEAST(CAST(COUNT(*) AS BIGINT), {_X_CAP}) AS x,
+               MAX(CASE WHEN event_type = 'purchase' AND value > {_CONV_MIN}
+                   THEN 1 ELSE 0 END) AS y,
+               (instr('0123456789abcdef',
+                      substr(md5('cv:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+                   % {_CV_FOLDS} AS f
+        FROM events GROUP BY user_id
+    ),
+    xf AS (
+        SELECT x, f, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+        FROM u GROUP BY x, f
+    ),
+    xd AS (SELECT DISTINCT x FROM xf),
+    grid AS (
+        SELECT xd.x, fo.f, COALESCE(xf.n, 0) AS n, COALESCE(xf.pos, 0) AS pos
+        FROM xd
+        CROSS JOIN (SELECT unnest(range(0, {_CV_FOLDS})) AS f) fo
+        LEFT JOIN xf ON xf.x = xd.x AND xf.f = fo.f
+    ),
+    cumf AS (
+        SELECT x, f,
+               CAST(SUM(n) OVER (PARTITION BY f ORDER BY x) AS BIGINT) AS cn,
+               CAST(SUM(pos) OVER (PARTITION BY f ORDER BY x) AS BIGINT) AS cp,
+               CAST(SUM(n) OVER (PARTITION BY f) AS BIGINT) AS tn,
+               CAST(SUM(pos) OVER (PARTITION BY f) AS BIGINT) AS tp
+        FROM grid
+    ),
+    tot AS (
+        SELECT x,
+               CAST(SUM(cn) AS BIGINT) AS cn_all,
+               CAST(SUM(cp) AS BIGINT) AS cp_all
+        FROM cumf GROUP BY x
+    ),
+    gtot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_all, CAST(SUM(pos) AS BIGINT) AS p_all
+        FROM xf
+    ),
+    trcum AS (
+        SELECT c.f, c.x,
+               t.cn_all - c.cn AS n_l, t.cp_all - c.cp AS pos_l,
+               g.n_all - c.tn AS n_tr, g.p_all - c.tp AS pos_tr
+        FROM cumf c JOIN tot t USING (x), gtot g
+    ),
+    sc AS (
+        SELECT f, x AS t1, n_l, pos_l, n_tr, pos_tr,
+               n_tr - n_l AS n_r, pos_tr - pos_l AS pos_r,
+               ((CAST(pos_l AS HUGEINT) * pos_l
+                 + CAST(n_l - pos_l AS HUGEINT) * (n_l - pos_l)) * (n_tr - n_l)
+                + (CAST(pos_tr - pos_l AS HUGEINT) * (pos_tr - pos_l)
+                   + CAST((n_tr - n_l) - (pos_tr - pos_l) AS HUGEINT)
+                         * ((n_tr - n_l) - (pos_tr - pos_l))) * n_l) * 1000000
+                   // (CAST(n_l AS HUGEINT) * (n_tr - n_l)) AS score
+        FROM trcum
+        WHERE n_l > 0 AND n_l < n_tr
+    ),
+    best AS (
+        SELECT f, t1, n_tr, pos_tr,
+               CASE WHEN 2 * pos_l > n_l THEN 1 ELSE 0 END AS maj_l,
+               CASE WHEN 2 * pos_r > n_r THEN 1 ELSE 0 END AS maj_r,
+               CASE WHEN 2 * pos_tr > n_tr THEN 1 ELSE 0 END AS maj_c,
+               ROW_NUMBER() OVER (PARTITION BY f ORDER BY score DESC, t1) AS rn
+        FROM sc
+    ),
+    err AS (
+        SELECT b.f, b.t1, b.maj_c,
+               CAST(SUM(CASE WHEN xf.x <= b.t1
+                        THEN CASE WHEN b.maj_l = 1 THEN xf.n - xf.pos
+                                  ELSE xf.pos END
+                        ELSE CASE WHEN b.maj_r = 1 THEN xf.n - xf.pos
+                                  ELSE xf.pos END END) AS BIGINT) AS err_stump,
+               CAST(SUM(CASE WHEN b.maj_c = 1 THEN xf.n - xf.pos
+                        ELSE xf.pos END) AS BIGINT) AS err_const,
+               CAST(SUM(xf.n) AS BIGINT) AS n_test
+        FROM (SELECT * FROM best WHERE rn = 1) b
+        JOIN xf ON xf.f = b.f
+        GROUP BY b.f, b.t1, b.maj_c
+    )
+    SELECT f AS fold, t1 AS threshold, n_test, err_stump, err_const,
+           CAST(err_stump AS DOUBLE) / n_test AS cv_error_stump,
+           CAST(err_const AS DOUBLE) / n_test AS cv_error_const
+    FROM err ORDER BY fold
+"""
+
+
+@query("q323_cross_validated_stump", oracle=_CV_ORACLE, tags=("X-113", "X-88", "X-16"))
+def q323_cross_validated_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-fold cross-validated model selection: per fold, train q297's
+    decision stump on the OTHER three folds and score it on the held
+    fold against the constant (majority-class) baseline — the honest
+    out-of-sample comparison q297's in-sample purity cannot give (a
+    split always looks better in-sample; CV says whether it
+    generalizes). The move that makes it ONE query instead of 4
+    training jobs: every fold's training contingency curve DERIVES from
+    the global cumulative curve minus the fold's own (the q285/q314
+    total-minus-part trick), so the fold fan-out is a bounded grid,
+    never a data re-scan.
+
+    Determinism: folds are md5 hashes; all contingency/cumulative
+    counts are exact integers on the grid-completed (activity x fold)
+    relation; split scores are the q297 exact integer floor-division
+    under a per-fold (score DESC, threshold) total order; leaf
+    majorities and error counts are pure integer comparisons; the two
+    doubles are display-scaled error rates.
+
+    Scale shape: ONE user rollup; the grid is |distinct activity| x 4;
+    cumulative windows partition by fold (keyed); evaluation joins the
+    4 best rows against the bounded per-fold counts.
+
+    Reference parity: beyond-reference; composes X-88 and X-16 into
+    the model-selection protocol."""
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.least(F.count(F.lit(1)).cast("long"), F.lit(_X_CAP)).alias("x"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > _CONV_MIN),
+                    1,
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        .select(
+            "x",
+            "y",
+            (
+                (
+                    F.instr(
+                        F.lit("0123456789abcdef"),
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit("cv:"), F.col("user_id").cast("string")
+                                )
+                            ),
+                            1,
+                            1,
+                        ),
+                    )
+                    - 1
+                )
+                % _CV_FOLDS
+            ).alias("f"),
+        )
+    )
+    xf = (
+        u.groupBy("x", "f")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+        .transform(stage)  # grid, totals, and the eval join share it
+    )
+    xd = xf.select("x").distinct()
+    folds = spark.createDataFrame([(f,) for f in range(_CV_FOLDS)], "f int")
+    grid = (
+        xd.crossJoin(F.broadcast(folds))
+        .join(xf, ["x", "f"], "left")
+        .na.fill({"n": 0, "pos": 0})
+    )
+    wf = (
+        Window.partitionBy("f")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("f")
+    cumf = grid.select(
+        "x",
+        "f",
+        F.sum("n").over(wf).cast("long").alias("cn"),
+        F.sum("pos").over(wf).cast("long").alias("cp"),
+        F.sum("n").over(wt).cast("long").alias("tn"),
+        F.sum("pos").over(wt).cast("long").alias("tp"),
+    ).transform(stage)
+    tot = cumf.groupBy("x").agg(
+        F.sum("cn").cast("long").alias("cn_all"),
+        F.sum("cp").cast("long").alias("cp_all"),
+    )
+    gtot = xf.agg(
+        F.sum("n").cast("long").alias("n_all"),
+        F.sum("pos").cast("long").alias("p_all"),
+    )
+    trcum = (
+        cumf.join(tot, "x")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "f",
+            "x",
+            (F.col("cn_all") - F.col("cn")).alias("n_l"),
+            (F.col("cp_all") - F.col("cp")).alias("pos_l"),
+            (F.col("n_all") - F.col("tn")).alias("n_tr"),
+            (F.col("p_all") - F.col("tp")).alias("pos_tr"),
+        )
+    )
+    d20 = "decimal(20,0)"
+    n_r = F.col("n_tr") - F.col("n_l")
+    pos_r = F.col("pos_tr") - F.col("pos_l")
+    neg_l = F.col("n_l") - F.col("pos_l")
+    neg_r = n_r - pos_r
+    sc = (
+        trcum.filter((F.col("n_l") > 0) & (F.col("n_l") < F.col("n_tr")))
+        .select(
+            "f",
+            F.col("x").alias("t1"),
+            "n_l",
+            "pos_l",
+            "n_tr",
+            "pos_tr",
+            n_r.alias("n_r"),
+            pos_r.alias("pos_r"),
+            (
+                (
+                    (
+                        F.col("pos_l").cast(d20) * F.col("pos_l")
+                        + neg_l.cast(d20) * neg_l
+                    )
+                    * n_r
+                    + (pos_r.cast(d20) * pos_r + neg_r.cast(d20) * neg_r)
+                    * F.col("n_l")
+                ).cast("decimal(38,0)")
+                * F.lit(1000000)
+            ).alias("s_num"),
+            (F.col("n_l").cast(d20) * n_r).cast("decimal(38,0)").alias("s_den"),
+        )
+        .select(
+            "f",
+            "t1",
+            "n_l",
+            "pos_l",
+            "n_r",
+            "pos_r",
+            "n_tr",
+            "pos_tr",
+            F.expr("CAST(s_num div s_den AS BIGINT)").alias("score"),
+        )
+    )
+    best = (
+        sc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("f").orderBy(F.col("score").desc(), "t1")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "f",
+            "t1",
+            F.when(2 * F.col("pos_l") > F.col("n_l"), 1).otherwise(0).alias(
+                "maj_l"
+            ),
+            F.when(2 * F.col("pos_r") > F.col("n_r"), 1).otherwise(0).alias(
+                "maj_r"
+            ),
+            F.when(2 * F.col("pos_tr") > F.col("n_tr"), 1).otherwise(0).alias(
+                "maj_c"
+            ),
+        )
+    )
+    err = (
+        xf.join(F.broadcast(best), "f")
+        .groupBy("f", "t1", "maj_c")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("x") <= F.col("t1"),
+                    F.when(
+                        F.col("maj_l") == 1, F.col("n") - F.col("pos")
+                    ).otherwise(F.col("pos")),
+                ).otherwise(
+                    F.when(
+                        F.col("maj_r") == 1, F.col("n") - F.col("pos")
+                    ).otherwise(F.col("pos"))
+                )
+            )
+            .cast("long")
+            .alias("err_stump"),
+            F.sum(
+                F.when(F.col("maj_c") == 1, F.col("n") - F.col("pos")).otherwise(
+                    F.col("pos")
+                )
+            )
+            .cast("long")
+            .alias("err_const"),
+            F.sum("n").cast("long").alias("n_test"),
+        )
+    )
+    return (
+        err.select(
+            F.col("f").cast("long").alias("fold"),
+            F.col("t1").alias("threshold"),
+            "n_test",
+            "err_stump",
+            "err_const",
+            (F.col("err_stump").cast("double") / F.col("n_test")).alias(
+                "cv_error_stump"
+            ),
+            (F.col("err_const").cast("double") / F.col("n_test")).alias(
+                "cv_error_const"
+            ),
+        )
+        .transform(pin)
+        .orderBy("fold")
+    )

@@ -3852,3 +3852,207 @@ def q319_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_signal_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-112: multivariate (Mahalanobis) daily anomaly detection
+# ---------------------------------------------------------------------------
+
+_MH_TOPK = 5
+
+_MAHA_ORACLE = f"""
+    WITH daily AS (
+        SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS rev,
+               CAST(COUNT(*) AS BIGINT) AS ev,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS us
+        FROM events GROUP BY 1
+    ),
+    mu AS (
+        SELECT CAST(SUM(rev) AS HUGEINT) // COUNT(*) AS m_rev,
+               CAST(SUM(ev) AS HUGEINT) // COUNT(*) AS m_ev,
+               CAST(SUM(us) AS HUGEINT) // COUNT(*) AS m_us
+        FROM daily
+    ),
+    pm AS (
+        SELECT d.d,
+               CAST(d.rev * 1000 // m.m_rev AS BIGINT) AS x1,
+               CAST(d.ev * 1000 // m.m_ev AS BIGINT) AS x2,
+               CAST(d.us * 1000 // m.m_us AS BIGINT) AS x3
+        FROM daily d, mu m
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x1) AS HUGEINT) AS s1, CAST(SUM(x2) AS HUGEINT) AS s2,
+               CAST(SUM(x3) AS HUGEINT) AS s3,
+               CAST(SUM(x1 * x1) AS HUGEINT) AS s11,
+               CAST(SUM(x1 * x2) AS HUGEINT) AS s12,
+               CAST(SUM(x1 * x3) AS HUGEINT) AS s13,
+               CAST(SUM(x2 * x2) AS HUGEINT) AS s22,
+               CAST(SUM(x2 * x3) AS HUGEINT) AS s23,
+               CAST(SUM(x3 * x3) AS HUGEINT) AS s33
+        FROM pm
+    ),
+    cov AS (
+        SELECT n,
+               n * s11 - s1 * s1 AS a, n * s12 - s1 * s2 AS b,
+               n * s13 - s1 * s3 AS c, n * s22 - s2 * s2 AS dd,
+               n * s23 - s2 * s3 AS e, n * s33 - s3 * s3 AS f,
+               s1, s2, s3
+        FROM mom
+    ),
+    dets AS (
+        SELECT *,
+               a * (dd * f - e * e) - b * (b * f - c * e)
+                   + c * (b * e - c * dd) AS det
+        FROM cov
+    ),
+    scored AS (
+        SELECT p.d, p.x1, p.x2, p.x3,
+               CAST((
+                   (c2.n * p.x1 - c2.s1) * (c2.n * p.x1 - c2.s1)
+                       * (c2.dd * c2.f - c2.e * c2.e)
+                   + (c2.n * p.x2 - c2.s2) * (c2.n * p.x2 - c2.s2)
+                       * (c2.a * c2.f - c2.c * c2.c)
+                   + (c2.n * p.x3 - c2.s3) * (c2.n * p.x3 - c2.s3)
+                       * (c2.a * c2.dd - c2.b * c2.b)
+                   + 2 * (c2.n * p.x1 - c2.s1) * (c2.n * p.x2 - c2.s2)
+                       * (c2.c * c2.e - c2.b * c2.f)
+                   + 2 * (c2.n * p.x1 - c2.s1) * (c2.n * p.x3 - c2.s3)
+                       * (c2.b * c2.e - c2.c * c2.dd)
+                   + 2 * (c2.n * p.x2 - c2.s2) * (c2.n * p.x3 - c2.s3)
+                       * (c2.b * c2.c - c2.a * c2.e)
+               ) * (c2.n - 1) * 1000 // (c2.det * c2.n) AS BIGINT) AS d2_milli
+        FROM pm p, dets c2
+    )
+    SELECT d AS day, x1 AS rev_permille, x2 AS events_permille,
+           x3 AS users_permille,
+           CAST(d2_milli AS DOUBLE) / 1e3 AS mahalanobis_sq
+    FROM scored
+    ORDER BY d2_milli DESC, day
+    LIMIT {_MH_TOPK}
+"""
+
+
+@query("q322_mahalanobis_anomaly", oracle=_MAHA_ORACLE, tags=("X-112", "A-14"))
+def q322_mahalanobis_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate daily anomaly detection by Mahalanobis distance over
+    three correlated health metrics (revenue, events, distinct users,
+    each normalized to per-mille-of-mean so the statistic is
+    scale-invariant): the top-5 days whose JOINT position is farthest
+    from the center under the inverse covariance — the anomaly class
+    every univariate gate (X-20 MAD, X-83 consensus, q319 SPC) misses:
+    a day where revenue is normal-high but users are normal-low is
+    jointly bizarre while each margin looks fine.
+
+    Determinism: per-mille metrics are exact integer floor-divisions;
+    the 3x3 scatter matrix entries n*Sxy - Sx*Sy, its adjugate (each
+    entry a 2x2 integer determinant), its determinant, and the
+    quadratic form (n*x - S)' adj (n*x - S) are ALL exact integers —
+    Mahalanobis d^2 collapses to ONE integer floor-division per day
+    (times the n-1 bias factor), ranked under a (d2, day) total order.
+    The per-mille pre-normalization also bounds every intermediate
+    below decimal(38) at ANY data scale.
+
+    Scale shape: one fact rollup to the bounded daily relation; one
+    10-moment single-row rollup (A-14 mergeable); scoring is map-only
+    over the bounded relation with the moment row broadcast.
+
+    Reference parity: beyond-reference."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100 + 0.5).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("rev"),
+            F.count(F.lit(1)).cast("long").alias("ev"),
+            F.countDistinct("user_id").cast("long").alias("us"),
+        )
+    )
+    mu = daily.agg(
+        F.expr("CAST(CAST(SUM(rev) AS DECIMAL(38,0)) div COUNT(*) AS BIGINT)")
+        .alias("m_rev"),
+        F.expr("CAST(CAST(SUM(ev) AS DECIMAL(38,0)) div COUNT(*) AS BIGINT)")
+        .alias("m_ev"),
+        F.expr("CAST(CAST(SUM(us) AS DECIMAL(38,0)) div COUNT(*) AS BIGINT)")
+        .alias("m_us"),
+    )
+    pm = daily.crossJoin(F.broadcast(mu)).select(
+        "d",
+        F.expr("CAST(rev * 1000 div m_rev AS BIGINT)").alias("x1"),
+        F.expr("CAST(ev * 1000 div m_ev AS BIGINT)").alias("x2"),
+        F.expr("CAST(us * 1000 div m_us AS BIGINT)").alias("x3"),
+    ).transform(stage)  # the moment rollup + scoring share it
+    d38 = "decimal(38,0)"
+    mom = pm.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x1").cast(d38).alias("s1"),
+        F.sum("x2").cast(d38).alias("s2"),
+        F.sum("x3").cast(d38).alias("s3"),
+        F.sum(F.col("x1") * F.col("x1")).cast(d38).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast(d38).alias("s12"),
+        F.sum(F.col("x1") * F.col("x3")).cast(d38).alias("s13"),
+        F.sum(F.col("x2") * F.col("x2")).cast(d38).alias("s22"),
+        F.sum(F.col("x2") * F.col("x3")).cast(d38).alias("s23"),
+        F.sum(F.col("x3") * F.col("x3")).cast(d38).alias("s33"),
+    )
+    cov = mom.select(
+        "n",
+        "s1",
+        "s2",
+        "s3",
+        F.expr("n * s11 - s1 * s1").alias("a"),
+        F.expr("n * s12 - s1 * s2").alias("b"),
+        F.expr("n * s13 - s1 * s3").alias("c"),
+        F.expr("n * s22 - s2 * s2").alias("dd"),
+        F.expr("n * s23 - s2 * s3").alias("e"),
+        F.expr("n * s33 - s3 * s3").alias("f"),
+    ).withColumn(
+        "det",
+        F.expr(
+            "a * (dd * f - e * e) - b * (b * f - c * e)"
+            " + c * (b * e - c * dd)"
+        ),
+    )
+    scored = pm.crossJoin(F.broadcast(cov)).select(
+        "d",
+        "x1",
+        "x2",
+        "x3",
+        F.expr(
+            "CAST(("
+            " (n * x1 - s1) * (n * x1 - s1) * (dd * f - e * e)"
+            " + (n * x2 - s2) * (n * x2 - s2) * (a * f - c * c)"
+            " + (n * x3 - s3) * (n * x3 - s3) * (a * dd - b * b)"
+            " + 2 * (n * x1 - s1) * (n * x2 - s2) * (c * e - b * f)"
+            " + 2 * (n * x1 - s1) * (n * x3 - s3) * (b * e - c * dd)"
+            " + 2 * (n * x2 - s2) * (n * x3 - s3) * (b * c - a * e)"
+            ") * (n - 1) * 1000 div (det * n) AS BIGINT)"
+        ).alias("d2_milli"),
+    )
+    return (
+        scored.select(
+            F.col("d").alias("day"),
+            F.col("x1").alias("rev_permille"),
+            F.col("x2").alias("events_permille"),
+            F.col("x3").alias("users_permille"),
+            (F.col("d2_milli").cast("double") / F.lit(1e3)).alias(
+                "mahalanobis_sq"
+            ),
+        )
+        .transform(pin)
+        .orderBy(F.col("mahalanobis_sq").desc(), "day")
+        .limit(_MH_TOPK)
+    )
