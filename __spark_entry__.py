@@ -212,7 +212,9 @@ _WINDOW_PRIORITY = (
 # SSSP; q316: extractive summarization; q317: grid DBSCAN; q318:
 # segment uplift + Qini; q319: XmR control chart; and q320: retention
 # decay fit; q321: cost-sensitive threshold; q322: Mahalanobis
-# multivariate anomaly; and q323: cross-validated stump selection) hold
+# multivariate anomaly; q323: cross-validated stump selection; q324:
+# elasticity what-if simulation; q325: Erlang-C staffing curve; and
+# q326: watermark impact audit) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

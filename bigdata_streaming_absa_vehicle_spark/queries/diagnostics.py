@@ -578,3 +578,151 @@ def q251_wasserstein_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-116: watermark impact audit (what each candidate delay would drop)
+# ---------------------------------------------------------------------------
+
+#: candidate withWatermark() delays, in seconds
+_WM_CANDS = (0, 60, 300, 900, 3600)
+
+_WM_ORACLE = f"""
+    WITH a AS (
+        SELECT event_id, user_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hr,
+               epoch_us(ts) AS ts_us
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, hr, ts_us,
+               MAX(ts_us) OVER (
+                   ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING) AS run_max
+        FROM a
+    ),
+    lat AS (
+        SELECT user_id, hr,
+               CASE WHEN run_max IS NULL OR run_max <= ts_us THEN 0
+                    ELSE run_max - ts_us END AS late_us
+        FROM r
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT (user_id, hr)) AS BIGINT) AS n_groups
+        FROM lat
+    ),
+    per AS (
+        SELECT c.d,
+               CAST(COUNT(CASE WHEN l.late_us > CAST(c.d AS BIGINT) * 1000000
+                          THEN 1 END) AS BIGINT) AS n_dropped,
+               CAST(COUNT(DISTINCT CASE WHEN l.late_us > CAST(c.d AS BIGINT) * 1000000
+                          THEN (l.user_id, l.hr) END) AS BIGINT)
+                   AS groups_affected
+        FROM (SELECT unnest([{", ".join(str(c) for c in _WM_CANDS)}]) AS d) c
+        CROSS JOIN lat l
+        GROUP BY c.d
+    )
+    SELECT p.d AS watermark_delay_s, p.n_dropped,
+           CAST(p.n_dropped AS DOUBLE) / t.n_events AS drop_frac,
+           p.groups_affected,
+           CAST(p.groups_affected AS DOUBLE) / t.n_groups AS group_frac
+    FROM per p, tot t
+    ORDER BY watermark_delay_s
+"""
+
+
+@query("q326_watermark_impact", oracle=_WM_ORACLE, tags=("X-116", "T-09", "X-14"))
+def q326_watermark_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark impact audit: for each candidate withWatermark() delay,
+    how many events a streaming job would DROP (arrived later than the
+    delay behind the event-time high-water mark, q185's lateness) and
+    how many (user, hour) window aggregates those drops would corrupt —
+    the BUSINESS-impact curve that turns q185's lateness percentiles
+    into the actual T-05/T-09 configuration decision: pick the smallest
+    delay whose group-corruption share is acceptable.
+
+    Determinism: lateness is the exact integer-microsecond q185
+    statistic (two-level bucketed prefix MAX — never a single-partition
+    window); per-candidate drop and affected-group counts are exact
+    integers over a 5-way bounded fan-out; the two fractions are
+    raw-double IEEE on exact counts.
+
+    Scale shape: the lateness relation is computed once and staged; the
+    candidate fan-out multiplies by |candidates|=5 only; affected-group
+    counting distinct-reduces on (candidate, user, hour).
+
+    Reference parity: beyond-reference; operationalizes T-09 the way
+    the reference's fixed 10-second watermark
+    (spark_kafka_consumer_dag.py) never could."""
+    a = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) div 3600").alias("hr"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.expr(f"event_id DIV {_LATE_BUCKET}").alias("bucket"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = a.withColumn("w_max", F.max("ts_us").over(w_in)).transform(stage)
+    btot = within.groupBy("bucket").agg(F.max("ts_us").alias("b_max"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select("bucket", F.max("b_max").over(w_off).alias("off_max"))
+    run_max = F.greatest(
+        F.coalesce(F.col("w_max"), F.lit(-1).cast("long")),
+        F.coalesce(F.col("off_max"), F.lit(-1).cast("long")),
+    )
+    lat = (
+        within.join(F.broadcast(offs), "bucket")
+        .select(
+            "user_id",
+            "hr",
+            F.when(run_max <= F.col("ts_us"), F.lit(0).cast("long"))
+            .otherwise(run_max - F.col("ts_us"))
+            .alias("late_us"),
+        )
+        .transform(stage)  # totals + the candidate fan-out share it
+    )
+    tot = lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id", "hr").cast("long").alias("n_groups"),
+    )
+    cands = spark.createDataFrame([(c,) for c in _WM_CANDS], "d long")
+    per = (
+        lat.crossJoin(F.broadcast(cands))
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when(F.col("late_us") > F.col("d") * 1000000, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_dropped"),
+            F.countDistinct(
+                F.when(
+                    F.col("late_us") > F.col("d") * 1000000,
+                    F.concat_ws(":", "user_id", "hr"),
+                )
+            )
+            .cast("long")
+            .alias("groups_affected"),
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("watermark_delay_s"),
+            "n_dropped",
+            (F.col("n_dropped").cast("double") / F.col("n_events")).alias(
+                "drop_frac"
+            ),
+            "groups_affected",
+            (F.col("groups_affected").cast("double") / F.col("n_groups")).alias(
+                "group_frac"
+            ),
+        )
+        .transform(pin)
+        .orderBy("watermark_delay_s")
+    )

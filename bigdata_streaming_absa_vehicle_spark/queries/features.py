@@ -651,3 +651,127 @@ def q256_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-114: what-if price simulation from fitted elasticities
+# ---------------------------------------------------------------------------
+
+#: pinned ln(1.10) / ln(0.90) literals — no libm ln runs in either engine
+_WI_LN_UP = 0.09531
+_WI_LN_DN = -0.105361
+
+_WHATIF_ORACLE = f"""
+    WITH pq AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS qty,
+               CAST(SUM(CAST(l_extendedprice * 100 AS DECIMAL(28,0)))
+                    AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    obs AS (
+        SELECT p_brand AS brand,
+               CAST(ROUND(ln(p_retailprice), 6) AS DECIMAL(16,6)) AS x,
+               CAST(ROUND(ln(qty), 6) AS DECIMAL(16,6)) AS y,
+               rev_cents
+        FROM pq JOIN part ON l_partkey = p_partkey
+    ),
+    m AS (
+        SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DECIMAL(28,6)) AS sx,
+               CAST(SUM(y) AS DECIMAL(28,6)) AS sy,
+               CAST(SUM(x * y) AS DECIMAL(38,12)) AS sxy,
+               CAST(SUM(x * x) AS DECIMAL(38,12)) AS sxx,
+               CAST(SUM(rev_cents) AS BIGINT) AS rev
+        FROM obs GROUP BY brand
+    ),
+    el AS (
+        SELECT brand, n, rev,
+               ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+                   AS eps
+        FROM m
+        WHERE n >= 3 AND n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx <> 0
+    )
+    SELECT brand, n AS n_parts, eps AS elasticity, rev AS rev_now_cents,
+           ROUND(exp((1 + eps) * {_WI_LN_UP}) - 1, 6) AS rev_delta_up10,
+           ROUND(exp((1 + eps) * {_WI_LN_DN}) - 1, 6) AS rev_delta_dn10
+    FROM el
+    ORDER BY brand
+"""
+
+
+@query("q324_price_whatif", oracle=_WHATIF_ORACLE, tags=("X-114", "X-61"))
+def q324_price_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What-if price simulation: under each brand's fitted constant
+    elasticity (the q256 log-log OLS slope), the revenue impact of a
+    +/-10% price move — Rev' = Rev * (1+d)^(1+eps), so a brand with
+    eps < -1 LOSES revenue on a price hike and the readout says which
+    ones — the counterfactual pricing decision the elasticity fit
+    exists to feed (fit: q256; decide: here; measure after shipping:
+    q310's causal impact).
+
+    Determinism: the elasticity enters 6-dp rounded (q256's published
+    precision); ln(1.1)/ln(0.9) are pinned Python literals so NO libm
+    ln runs; the single exp per brand is the q203/q299 libm idiom with
+    the result rounded 6 dp; revenue bases are exact integer cents.
+
+    Scale shape: one partkey rollup, one brand-keyed moment rollup
+    (A-14 mergeable), map-only scalar readouts per brand row.
+
+    Reference parity: beyond-reference."""
+    li = load(spark, sf_dir, "lineitem")
+    pq = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(28,2)"))
+        .cast("double")
+        .alias("qty"),
+        F.sum((F.col("l_extendedprice") * 100).cast("decimal(28,0)"))
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    obs = pq.join(
+        load(spark, sf_dir, "part"), pq.l_partkey == F.col("p_partkey")
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.log("p_retailprice"), 6).cast("decimal(16,6)").alias("x"),
+        F.round(F.log("qty"), 6).cast("decimal(16,6)").alias("y"),
+        "rev_cents",
+    )
+    m = obs.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(28,6)").alias("sx"),
+        F.sum("y").cast("decimal(28,6)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,12)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,12)").alias("sxx"),
+        F.sum("rev_cents").cast("long").alias("rev"),
+    )
+    den = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    eps = F.round(
+        (
+            F.col("n") * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        )
+        / den,
+        6,
+    )
+    el = m.filter((F.col("n") >= 3) & (den != 0)).select(
+        "brand", "n", "rev", eps.alias("eps")
+    )
+    return (
+        el.select(
+            "brand",
+            F.col("n").alias("n_parts"),
+            F.col("eps").alias("elasticity"),
+            F.col("rev").alias("rev_now_cents"),
+            F.round(
+                F.exp((1 + F.col("eps")) * F.lit(_WI_LN_UP)) - 1, 6
+            ).alias("rev_delta_up10"),
+            F.round(
+                F.exp((1 + F.col("eps")) * F.lit(_WI_LN_DN)) - 1, 6
+            ).alias("rev_delta_dn10"),
+        )
+        .transform(pin)
+        .orderBy("brand")
+    )

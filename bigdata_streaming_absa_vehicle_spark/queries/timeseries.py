@@ -4056,3 +4056,123 @@ def q322_mahalanobis_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("mahalanobis_sq").desc(), "day")
         .limit(_MH_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# X-115: Erlang-C capacity planning from the peak arrival rate
+# ---------------------------------------------------------------------------
+
+_EC_KMAX = 16  #: unrolled Erlang-B recurrence depth (covers c_min+4 <= 13)
+
+
+def _erlang_chain_ctes() -> str:
+    """b1..bK as MATERIALIZED chained CTEs — lateral column aliases (or
+    inlined CTEs) expand each b_{k-1} reference twice per level, an
+    exponential optimizer blowup measured at ~95 s; materializing each
+    level keeps it linear."""
+    out = ""
+    prev = "base"
+    for k in range(1, _EC_KMAX + 1):
+        out += f""",
+    ch{k} AS MATERIALIZED (
+        SELECT *, CAST((a_milli * b{k-1})
+             // (1000 * {k} + (a_milli * b{k-1}) // 1000) AS BIGINT) AS b{k}
+        FROM {prev}
+    )"""
+        prev = f"ch{k}"
+    return out
+
+
+def _erlang_b_case() -> str:
+    arms = " ".join(f"WHEN {k} THEN b{k}" for k in range(1, _EC_KMAX + 1))
+    return f"CASE c {arms} END"
+
+
+_ERLANG_ORACLE = f"""
+    WITH hourly AS (
+        SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    peak AS (SELECT CAST(MAX(n) AS BIGINT) AS lam FROM hourly),
+    base AS (
+        SELECT lam, (lam + 7) // 8 AS mu,
+               CAST(lam * 1000 // ((lam + 7) // 8) AS BIGINT) AS a_milli,
+               CAST(1000 AS BIGINT) AS b0
+        FROM peak
+    ){_erlang_chain_ctes()},
+    grid AS (
+        SELECT ch.*, CAST(ch.a_milli // 1000 + 1 + o.off AS BIGINT) AS c
+        FROM ch{_EC_KMAX} ch CROSS JOIN (SELECT unnest(range(0, 5)) AS off) o
+    ),
+    ec AS (
+        SELECT lam, mu, a_milli, c, {_erlang_b_case()} AS bc
+        FROM grid
+    )
+    SELECT c AS agents, lam AS peak_per_hour, mu AS per_agent_per_hour,
+           CAST(a_milli AS DOUBLE) / 1e3 AS offered_load,
+           CAST(CAST(1000 * c * bc AS HUGEINT)
+                // (1000 * c - (a_milli * (1000 - bc)) // 1000) AS DOUBLE)
+               / 1e3 AS prob_wait
+    FROM ec
+    ORDER BY agents
+"""
+
+
+@query("q325_erlang_c_staffing", oracle=_ERLANG_ORACLE, tags=("X-115", "A-06"))
+def q325_erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erlang-C capacity planning: from the PEAK hourly arrival rate
+    and a per-agent service rate pegged at an eighth of peak (offered
+    load ~= 8 Erlangs at any data scale), the probability an arrival
+    must WAIT for each staffing level c = ceil(a)+1 .. +5 — the
+    M/M/c staffing table behind every support-desk / worker-pool sizing
+    decision, and the queueing-theory complement of q246's Lindley
+    backlog replay (that simulates one policy; this gives the whole
+    staffing curve from two rates).
+
+    Determinism: the Erlang-B recurrence B_k = aB/(k + aB) runs as an
+    unrolled exact integer milli-unit chain with DEFINED floors at
+    every step (both engines compute the identical integers — the
+    q221/q299 discipline applied to a numeric recurrence), and the
+    B-to-C conversion is one more integer floor-division; the two
+    doubles are display scalings. Pegging mu to lam/8 bounds the
+    recurrence depth at any scale.
+
+    Scale shape: one fact rollup to bounded hours, a single-row chain
+    of {_EC_KMAX} scalar columns, a 5-row grid.
+
+    Reference parity: beyond-reference."""
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) div 3600").alias(
+                "h"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    lam = int(hourly.agg(F.max("n").alias("lam")).first()["lam"])
+    # the recurrence is scalar work on ONE collected integer (the X-15
+    # bounded-driver-traffic discipline); a relational withColumn chain
+    # was measured 50x slower — CollapseProject inlines each b_{k-1}
+    # reference twice per level, an exponential expression blowup.
+    mu = (lam + 7) // 8
+    a_milli = lam * 1000 // mu
+    b = [1000]
+    for k in range(1, _EC_KMAX + 1):
+        b.append((a_milli * b[k - 1]) // (1000 * k + (a_milli * b[k - 1]) // 1000))
+    c_min = a_milli // 1000 + 1
+    rows = []
+    for off in range(5):
+        c = c_min + off
+        bc = b[c]
+        pw_milli = (1000 * c * bc) // (1000 * c - (a_milli * (1000 - bc)) // 1000)
+        rows.append(
+            (c, lam, mu, float(a_milli) / 1e3, float(pw_milli) / 1e3)
+        )
+    out = spark.createDataFrame(
+        rows,
+        "agents long, peak_per_hour long, per_agent_per_hour long, "
+        "offered_load double, prob_wait double",
+    )
+    return out.transform(pin).orderBy("agents")
