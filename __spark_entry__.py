@@ -214,7 +214,9 @@ _WINDOW_PRIORITY = (
 # decay fit; q321: cost-sensitive threshold; q322: Mahalanobis
 # multivariate anomaly; q323: cross-validated stump selection; q324:
 # elasticity what-if simulation; q325: Erlang-C staffing curve; and
-# q326: watermark impact audit) hold
+# q326: watermark impact audit; q327: experiment health / SRM gate;
+# q328: join-view incremental maintenance; and q329: partition-key
+# advisor) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

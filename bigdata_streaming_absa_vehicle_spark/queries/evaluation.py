@@ -2818,3 +2818,162 @@ def q318_segment_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("target_order")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-117: experiment health check (SRM + novelty-effect drift)
+# ---------------------------------------------------------------------------
+
+_EH_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id, {_ARM_EXPR.format(t="VARCHAR")} AS arm,
+               CAST(MIN(FLOOR(epoch(date_trunc('day', ts))) // 86400) AS BIGINT)
+                   AS d0,
+               MAX(CASE WHEN event_type = 'purchase' AND value > {_CONV_MIN}
+                   THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    half AS (
+        SELECT u.*, CASE WHEN u.d0 <= m.mid THEN 0 ELSE 1 END AS h
+        FROM u, (SELECT (MIN(d0) + MAX(d0)) // 2 AS mid FROM u) m
+    ),
+    cell AS (
+        SELECT h,
+               CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+               CAST(SUM(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS BIGINT) AS cb
+        FROM half GROUP BY h
+    ),
+    tot AS (
+        SELECT CAST(SUM(na) AS BIGINT) AS na, CAST(SUM(ca) AS BIGINT) AS ca,
+               CAST(SUM(nb) AS BIGINT) AS nb, CAST(SUM(cb) AS BIGINT) AS cb
+        FROM cell
+    ),
+    srm AS (
+        SELECT na, nb,
+               CAST((na - nb) AS HUGEINT) * (na - nb) * 1000000
+                   // (na + nb) AS chisq_micro
+        FROM tot
+    ),
+    lift AS (
+        SELECT h,
+               CAST(ca * 1000000 // na - cb * 1000000 // nb AS BIGINT)
+                   AS lift_micro
+        FROM cell
+    )
+    SELECT s.na AS n_arm_a, s.nb AS n_arm_b,
+           CAST(s.chisq_micro AS DOUBLE) / 1e6 AS srm_chisq,
+           CASE WHEN s.chisq_micro > 3841459 THEN 1 ELSE 0 END AS srm_alarm,
+           CAST(e.lift_micro AS DOUBLE) / 1e6 AS lift_early,
+           CAST(l.lift_micro AS DOUBLE) / 1e6 AS lift_late,
+           CAST(e.lift_micro - l.lift_micro AS DOUBLE) / 1e6
+               AS novelty_drift
+    FROM srm s,
+         (SELECT lift_micro FROM lift WHERE h = 0) e,
+         (SELECT lift_micro FROM lift WHERE h = 1) l
+"""
+
+
+@query("q327_experiment_health", oracle=_EH_ORACLE, tags=("X-117", "X-23"))
+def q327_experiment_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment health check: (1) SAMPLE-RATIO MISMATCH — the 1-df
+    chi-square (na-nb)^2/(na+nb) of the arm counts against the designed
+    50/50 split, alarmed at the 95% critical value 3.841459 (an SRM
+    means the randomization itself is broken and every downstream
+    readout is invalid — the first gate real platforms check); and
+    (2) NOVELTY DRIFT — the treatment lift among early-entering users
+    vs late-entering users, whose gap flags novelty/primacy effects
+    that make the launch-week lift unrepresentative. Both are
+    preconditions for trusting q169/q311/q318.
+
+    Determinism: all counts exact integers; the chi-square and lifts
+    are exact micro floor-divisions (the critical value enters as the
+    exact integer 3841459); doubles are display scalings only.
+
+    Scale shape: ONE user rollup, a 2x2x2 cell rollup, single-row
+    readout arithmetic.
+
+    Reference parity: beyond-reference."""
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.expr(
+                    "CAST(FLOOR(unix_timestamp(date_trunc('day', ts)) / 86400)"
+                    " AS BIGINT)"
+                )
+            ).alias("d0"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > _CONV_MIN),
+                    1,
+                ).otherwise(0)
+            ).alias("conv"),
+        )
+        .select(
+            F.expr(_ARM_EXPR.format(t="STRING")).alias("arm"), "d0", "conv"
+        )
+        .transform(stage)  # the midpoint + the cell rollup share it
+    )
+    mid = u.agg(F.expr("(MIN(d0) + MAX(d0)) div 2").alias("mid"))
+    half = u.crossJoin(F.broadcast(mid)).select(
+        "arm",
+        "conv",
+        F.when(F.col("d0") <= F.col("mid"), 0).otherwise(1).alias("h"),
+    )
+    cell = half.groupBy("h").agg(
+        F.sum(F.when(F.col("arm") == "a", 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("arm") == "a", F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("arm") == "b", 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(F.col("arm") == "b", F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    ).transform(stage)  # totals + both half lifts share it
+    tot = cell.agg(
+        F.sum("na").cast("long").alias("na"),
+        F.sum("ca").cast("long").alias("ca"),
+        F.sum("nb").cast("long").alias("nb"),
+        F.sum("cb").cast("long").alias("cb"),
+    )
+    srm = tot.select(
+        "na",
+        "nb",
+        F.expr(
+            "CAST(CAST(na - nb AS DECIMAL(20,0)) * (na - nb) * 1000000"
+            " div (na + nb) AS BIGINT)"
+        ).alias("chisq_micro"),
+    )
+    lift = cell.select(
+        "h",
+        F.expr(
+            "CAST(ca * 1000000 div na - cb * 1000000 div nb AS BIGINT)"
+        ).alias("lift_micro"),
+    )
+    early = lift.filter(F.col("h") == 0).select(
+        F.col("lift_micro").alias("le")
+    )
+    late = lift.filter(F.col("h") == 1).select(F.col("lift_micro").alias("ll"))
+    return (
+        srm.crossJoin(F.broadcast(early))
+        .crossJoin(F.broadcast(late))
+        .select(
+            F.col("na").alias("n_arm_a"),
+            F.col("nb").alias("n_arm_b"),
+            (F.col("chisq_micro").cast("double") / F.lit(1e6)).alias(
+                "srm_chisq"
+            ),
+            F.when(F.col("chisq_micro") > 3841459, 1).otherwise(0).alias(
+                "srm_alarm"
+            ),
+            (F.col("le").cast("double") / F.lit(1e6)).alias("lift_early"),
+            (F.col("ll").cast("double") / F.lit(1e6)).alias("lift_late"),
+            ((F.col("le") - F.col("ll")).cast("double") / F.lit(1e6)).alias(
+                "novelty_drift"
+            ),
+        )
+    )

@@ -644,3 +644,173 @@ def q291_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-118: incremental maintenance of a JOIN view (delta algebra certificate)
+# ---------------------------------------------------------------------------
+
+_IVM_ORACLE = """
+    WITH c0 AS (
+        SELECT c_custkey AS ck, c_mktsegment AS seg,
+               CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS upd,
+               'SEG_' || CAST(c_custkey % 3 AS VARCHAR) AS new_seg
+        FROM customer
+    ),
+    o0 AS (
+        SELECT o_orderkey AS ok, o_custkey AS ck,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END AS is_new
+        FROM orders
+    ),
+    v_old AS (
+        SELECT c.seg, CAST(SUM(o.cents) AS BIGINT) AS v
+        FROM c0 c JOIN o0 o USING (ck) WHERE o.is_new = 0
+        GROUP BY c.seg
+    ),
+    v_full AS (
+        SELECT CASE WHEN c.upd = 1 THEN c.new_seg ELSE c.seg END AS seg,
+               CAST(SUM(o.cents) AS BIGINT) AS v
+        FROM c0 c JOIN o0 o USING (ck)
+        GROUP BY 1
+    ),
+    d_retract AS (
+        SELECT c.seg, CAST(-SUM(o.cents) AS BIGINT) AS dv
+        FROM c0 c JOIN o0 o USING (ck)
+        WHERE c.upd = 1 AND o.is_new = 0
+        GROUP BY c.seg
+    ),
+    d_insert_seg AS (
+        SELECT c.new_seg AS seg, CAST(SUM(o.cents) AS BIGINT) AS dv
+        FROM c0 c JOIN o0 o USING (ck)
+        WHERE c.upd = 1 AND o.is_new = 0
+        GROUP BY c.new_seg
+    ),
+    d_new_orders AS (
+        SELECT CASE WHEN c.upd = 1 THEN c.new_seg ELSE c.seg END AS seg,
+               CAST(SUM(o.cents) AS BIGINT) AS dv
+        FROM c0 c JOIN o0 o USING (ck)
+        WHERE o.is_new = 1
+        GROUP BY 1
+    ),
+    delta AS (
+        SELECT seg, CAST(SUM(dv) AS BIGINT) AS dv FROM (
+            SELECT * FROM d_retract
+            UNION ALL SELECT * FROM d_insert_seg
+            UNION ALL SELECT * FROM d_new_orders
+        ) GROUP BY seg
+    ),
+    incr AS (
+        SELECT COALESCE(a.seg, b.seg) AS seg,
+               COALESCE(a.v, 0) + COALESCE(b.dv, 0) AS v_incr,
+               COALESCE(a.v, 0) AS v_before, COALESCE(b.dv, 0) AS dv
+        FROM v_old a FULL JOIN delta b ON a.seg = b.seg
+    )
+    SELECT i.seg AS segment, i.v_before AS view_before_cents,
+           i.dv AS delta_cents, CAST(i.v_incr AS BIGINT) AS view_incr_cents,
+           COALESCE(f.v, 0) AS view_full_cents,
+           CASE WHEN i.v_incr = COALESCE(f.v, 0) THEN 1 ELSE 0 END
+               AS exact_match
+    FROM incr i FULL JOIN v_full f ON i.seg = f.seg
+    WHERE COALESCE(i.v_incr, 0) <> 0 OR COALESCE(f.v, 0) <> 0
+    ORDER BY segment
+"""
+
+
+@query("q328_join_view_ivm", oracle=_IVM_ORACLE, tags=("X-118", "X-13", "J-01"))
+def q328_join_view_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view: revenue-per-segment over
+    customer⋈orders, maintained under a simultaneous batch of dimension
+    UPDATES (every 7th customer changes segment) and fact INSERTS
+    (every 10th order is the new batch) by the delta algebra —
+    retract the updated customers' old-segment contributions, insert
+    them under the new segment, add the new orders under current
+    segments — and CERTIFIED against the full recompute with an
+    exact_match column that must be all-1: the IVM correctness
+    certificate (the join-view generalization of q191's incremental
+    aggregate merge, and the write-side companion of q117's
+    snapshot-diff CDC). At 100 TB this is the difference between
+    touching the delta and rescanning the world.
+
+    Determinism: every view value is an exact integer cent sum; the
+    delta legs union exactly; equality is integer equality — the
+    certificate cannot flake.
+
+    Scale shape: the delta legs filter to the changed keys BEFORE
+    joining (the deltas drive the join, never the full view); the full
+    recompute exists here only as the certificate's other side.
+
+    Reference parity: beyond-reference lakehouse capability."""
+    c0 = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("c_custkey") % 7 == 0, 1).otherwise(0).alias("upd"),
+        F.concat(F.lit("SEG_"), (F.col("c_custkey") % 3).cast("string")).alias(
+            "new_seg"
+        ),
+    )
+    o0 = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        F.when(F.col("o_orderkey") % 10 == 0, 1).otherwise(0).alias("is_new"),
+    )
+    j = c0.join(o0, "ck").transform(stage)  # all five legs share one join
+    v_old = (
+        j.filter(F.col("is_new") == 0)
+        .groupBy("seg")
+        .agg(F.sum("cents").cast("long").alias("v"))
+    )
+    cur_seg = F.when(F.col("upd") == 1, F.col("new_seg")).otherwise(F.col("seg"))
+    v_full = (
+        j.groupBy(cur_seg.alias("seg"))
+        .agg(F.sum("cents").cast("long").alias("v"))
+    )
+    d_retract = (
+        j.filter((F.col("upd") == 1) & (F.col("is_new") == 0))
+        .groupBy("seg")
+        .agg((-F.sum("cents")).cast("long").alias("dv"))
+    )
+    d_insert = (
+        j.filter((F.col("upd") == 1) & (F.col("is_new") == 0))
+        .groupBy(F.col("new_seg").alias("seg"))
+        .agg(F.sum("cents").cast("long").alias("dv"))
+    )
+    d_new = (
+        j.filter(F.col("is_new") == 1)
+        .groupBy(cur_seg.alias("seg"))
+        .agg(F.sum("cents").cast("long").alias("dv"))
+    )
+    delta = (
+        d_retract.unionByName(d_insert)
+        .unionByName(d_new)
+        .groupBy("seg")
+        .agg(F.sum("dv").cast("long").alias("dv"))
+    )
+    incr = v_old.join(delta, "seg", "full_outer").select(
+        "seg",
+        F.coalesce("v", F.lit(0)).alias("v_before"),
+        F.coalesce("dv", F.lit(0)).alias("dv"),
+        (F.coalesce("v", F.lit(0)) + F.coalesce("dv", F.lit(0))).alias("v_incr"),
+    )
+    out = (
+        incr.join(v_full.withColumnRenamed("v", "v_full"), "seg", "full_outer")
+        .select(
+            F.col("seg").alias("segment"),
+            F.coalesce("v_before", F.lit(0)).cast("long").alias(
+                "view_before_cents"
+            ),
+            F.coalesce("dv", F.lit(0)).cast("long").alias("delta_cents"),
+            F.coalesce("v_incr", F.lit(0)).cast("long").alias("view_incr_cents"),
+            F.coalesce("v_full", F.lit(0)).cast("long").alias("view_full_cents"),
+            F.when(
+                F.coalesce("v_incr", F.lit(0)) == F.coalesce("v_full", F.lit(0)),
+                1,
+            )
+            .otherwise(0)
+            .alias("exact_match"),
+        )
+        .filter(
+            (F.col("view_incr_cents") != 0) | (F.col("view_full_cents") != 0)
+        )
+    )
+    return out.transform(pin).orderBy("segment")

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.ordering import pin
 from ..tables import load
 from .registry import query
 
@@ -187,4 +188,120 @@ def q191_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_customers") > 0)
         .orderBy("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-119: partition-key advisor (workload-weighted pruning benefit)
+# ---------------------------------------------------------------------------
+
+_PKA_ORACLE = """
+    WITH base AS (
+        SELECT event_type,
+               (CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT)
+                // 86400 + 4) % 7 AS dow,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 % 24 AS hr
+        FROM events
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    sel AS (
+        SELECT
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS w1,
+            CAST(SUM(CASE WHEN dow IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS w2,
+            CAST(SUM(CASE WHEN hr < 6 THEN 1 ELSE 0 END) AS BIGINT) AS w3
+        FROM base
+    ),
+    cand AS (
+        SELECT 'event_type' AS candidate, s.w1 AS r1, t.n AS r2, t.n AS r3
+        FROM sel s, tot t
+        UNION ALL
+        SELECT 'dow', t.n, s.w2, t.n FROM sel s, tot t
+        UNION ALL
+        SELECT 'hour_of_day', t.n, t.n, s.w3 FROM sel s, tot t
+    )
+    SELECT c.candidate, c.r1 AS rows_w1, c.r2 AS rows_w2, c.r3 AS rows_w3,
+           CAST(c.r1 + c.r2 + c.r3 AS BIGINT) AS total_rows_read,
+           1 - CAST(c.r1 + c.r2 + c.r3 AS DOUBLE) / (3 * t.n) AS skip_frac,
+           ROW_NUMBER() OVER (ORDER BY c.r1 + c.r2 + c.r3, c.candidate)
+               AS advisor_rank
+    FROM cand c, tot t
+    ORDER BY advisor_rank
+"""
+
+
+@query("q329_partition_key_advisor", oracle=_PKA_ORACLE, tags=("X-119", "X-12"))
+def q329_partition_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key advisor: for each candidate partition column
+    (event_type, day-of-week, hour-of-day) and a declared 3-query
+    workload (purchase scans, weekend scans, night scans), the rows a
+    partition-pruned scan would actually read — a predicate prunes only
+    when it filters the PARTITION column; every other query reads the
+    whole table — ranked by total read cost. The layout decision
+    upstream of q116's z-order (choose the coarse partition key first,
+    z-order within it) and of q190's compaction planning; at 100 TB
+    this choice IS the query bill.
+
+    Determinism: all row counts are exact integers from ONE scan's
+    conditional aggregates; the advisor rank is a (cost, candidate)
+    total order; the single double is the skip fraction.
+
+    Scale shape: one map-side-combined pass produces every selectivity;
+    the candidate relation is 3 rows.
+
+    Reference parity: beyond-reference lakehouse planning."""
+    base = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.pmod(
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+            .cast("long")
+            + 4,
+            F.lit(7),
+        ).alias("dow"),
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) div 3600 % 24").alias(
+            "hr"
+        ),
+    )
+    sel = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("w1"),
+        F.sum(F.when(F.col("dow").isin(0, 6), 1).otherwise(0))
+        .cast("long")
+        .alias("w2"),
+        F.sum(F.when(F.col("hr") < 6, 1).otherwise(0)).cast("long").alias("w3"),
+    )
+    cand = sel.select(
+        F.expr(
+            "stack(3,"
+            " 'event_type', w1, n, n,"
+            " 'dow', n, w2, n,"
+            " 'hour_of_day', n, n, w3) AS (candidate, r1, r2, r3)"
+        ),
+        "n",
+    )
+    from pyspark.sql.window import Window as W
+
+    return (
+        cand.select(
+            "candidate",
+            F.col("r1").cast("long").alias("rows_w1"),
+            F.col("r2").cast("long").alias("rows_w2"),
+            F.col("r3").cast("long").alias("rows_w3"),
+            (F.col("r1") + F.col("r2") + F.col("r3")).cast("long").alias(
+                "total_rows_read"
+            ),
+            (
+                F.lit(1)
+                - (F.col("r1") + F.col("r2") + F.col("r3")).cast("double")
+                / (3 * F.col("n"))
+            ).alias("skip_frac"),
+        )
+        .withColumn(
+            "advisor_rank",
+            F.row_number().over(W.orderBy("total_rows_read", "candidate")),
+        )
+        .transform(pin)
+        .orderBy("advisor_rank")
     )
