@@ -2082,3 +2082,57 @@ def test_shapley_lattice_is_single_row_pivot(spark):
         l for l in plan.splitlines() if "Exchange hashpartitioning" in l
     ]
     assert all("user_id" in l or "mask" in l for l in hash_exchanges), plan
+
+
+def test_cost_threshold_sweeps_bounded_domain(spark):
+    """q321 (X-111): the policy sweep is a window over the bounded
+    activity rollup — exchanges carry user_id or the activity key."""
+    q = all_queries()["q321_cost_threshold"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    hash_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert all("user_id" in l or "xc#" in l for l in hash_exchanges), plan
+
+
+def test_mahalanobis_is_one_moment_rollup(spark):
+    """q322 (X-112): one fact rollup to daily; the 10-moment row
+    broadcasts into a map-only scorer — no shuffle after the day key."""
+    q = all_queries()["q322_mahalanobis_anomaly"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            # the day key appears directly or as the groupBy's derived
+            # grouping expression (day computed inline in the groupBy)
+            assert "d#" in l or "_groupingexpression" in l, l
+
+
+def test_cv_stump_windows_partition_by_fold(spark):
+    """q323 (X-113): the cumulative curves window per fold (keyed), and
+    the held-fold evaluation joins the 4 best rows broadcast."""
+    q = all_queries()["q323_cross_validated_stump"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert any(
+        "Exchange hashpartitioning(f#" in l for l in plan.splitlines()
+    ), plan
+
+
+def test_watermark_impact_uses_bucketed_prefix_max(spark):
+    """q326 (X-116): the running event-time max is the two-level
+    bucketed prefix pattern — a bucket-keyed window exchange exists and
+    no ungrouped fact-wide sort window does."""
+    q = all_queries()["q326_watermark_impact"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    assert any("bucket" in l for l in plan.splitlines()
+               if "Exchange hashpartitioning" in l), plan
+
+
+def test_partition_advisor_is_single_scan(spark):
+    """q329 (X-119): every candidate selectivity comes from ONE events
+    scan's conditional aggregates."""
+    q = all_queries()["q329_partition_key_advisor"]
+    plan = plan_of(q.fn(spark, SF_DIR), "simple")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1, plan
