@@ -216,7 +216,8 @@ _WINDOW_PRIORITY = (
 # elasticity what-if simulation; q325: Erlang-C staffing curve; and
 # q326: watermark impact audit; q327: experiment health / SRM gate;
 # q328: join-view incremental maintenance; and q329: partition-key
-# advisor) hold
+# advisor; q330: near-dup threshold advisor; and q331: embedding
+# class-separation audit) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

@@ -1173,3 +1173,146 @@ def q316_extractive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("doc_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-120: near-dup threshold advisor (dedup cost-benefit curve)
+# ---------------------------------------------------------------------------
+
+_NT_THRESH = (500000, 600000, 700000, 800000, 900000)  #: micro-Jaccard cuts
+
+_NT_ORACLE = rf"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in range(1, len(toks) - 1)]) AS sh,
+               len(toks) AS n_toks
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3
+    ),
+    post AS (
+        SELECT doc_id, len(sh) AS sz, n_toks, unnest(sh) AS s FROM t
+    ),
+    pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, MIN(b.n_toks) AS toks_b,
+               CAST(COUNT(*) * 1000000
+                    // (MIN(a.sz) + MIN(b.sz) - COUNT(*)) AS BIGINT) AS jm
+        FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    cand AS (SELECT unnest([{", ".join(str(x) for x in _NT_THRESH)}]) AS thr),
+    per AS (
+        SELECT c.thr,
+               CAST(COUNT(CASE WHEN p.jm >= c.thr THEN 1 END) AS BIGINT)
+                   AS n_pairs,
+               CAST(COUNT(DISTINCT CASE WHEN p.jm >= c.thr THEN p.db END)
+                    AS BIGINT) AS n_docs_removed
+        FROM cand c CROSS JOIN pairs p
+        GROUP BY c.thr
+    ),
+    toks AS (
+        SELECT c.thr, CAST(COALESCE(SUM(x.n_toks), 0) AS BIGINT) AS tokens_saved
+        FROM cand c
+        LEFT JOIN (
+            SELECT DISTINCT c2.thr AS thr2, p.db, p.toks_b AS n_toks
+            FROM cand c2 CROSS JOIN pairs p WHERE p.jm >= c2.thr
+        ) x ON x.thr2 = c.thr
+        GROUP BY c.thr
+    )
+    SELECT p.thr AS jaccard_micro_threshold, p.n_pairs, p.n_docs_removed,
+           k.tokens_saved
+    FROM per p JOIN toks k ON k.thr = p.thr
+    ORDER BY jaccard_micro_threshold
+"""
+
+
+@query("q330_dedup_threshold_advisor", oracle=_NT_ORACLE, tags=("X-120", "X-02"))
+def q330_dedup_threshold_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold advisor: for each candidate Jaccard cut, how
+    many similar pairs fire, how many documents a keep-lowest-id dedup
+    would remove, and how many tokens that saves — the cost-benefit
+    curve that turns X-02's fixed-threshold dedup into a TUNING
+    decision (too low: real content removed; too high: redundancy
+    survives; the curve's knee is the answer). Uses the q43/q301
+    inverted-index machinery so only shingle-sharing pairs ever
+    materialize.
+
+    Determinism: micro-Jaccard scores are exact integer floor
+    divisions; per-threshold pair/doc/token counts are exact integers
+    over a bounded 5-way candidate fan-out with distinct-reduced
+    removed-doc sets.
+
+    Scale shape: postings equi-join generates candidates (zero-overlap
+    pairs never exist); the threshold fan-out multiplies the bounded
+    PAIR relation, not the corpus.
+
+    Reference parity: beyond-reference; the planning layer over X-02."""
+    base = dd.shingle_hashes_batched(
+        load(spark, sf_dir, "documents"), "doc_id", "text", 3, "jac"
+    ).localCheckpoint(eager=False)
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_toks"),
+        )
+    )
+    post = base.select(
+        "doc_id", F.col("sz").alias("s"), F.explode("hs").alias("h")
+    )
+    pa = post.select(
+        F.col("doc_id").alias("da"), F.col("s").alias("sa"), "h"
+    )
+    pb = post.select(
+        F.col("doc_id").alias("db"), F.col("s").alias("sb"), "h"
+    )
+    pairs = (
+        pa.join(pb, "h")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db", "sa", "sb")
+        .agg(F.count(F.lit(1)).cast("long").alias("isz"))
+        .select(
+            "da",
+            "db",
+            F.expr(
+                "CAST(isz * 1000000 div (sa + sb - isz) AS BIGINT)"
+            ).alias("jm"),
+        )
+        .join(
+            F.broadcast(toks.select(F.col("doc_id").alias("db"),
+                                    F.col("n_toks").alias("toks_b"))),
+            "db",
+        )
+        .transform(stage)  # all three per-threshold rollups share it
+    )
+    cands = spark.createDataFrame([(t,) for t in _NT_THRESH], "thr long")
+    fan = pairs.crossJoin(F.broadcast(cands))
+    per = fan.groupBy("thr").agg(
+        F.sum(F.when(F.col("jm") >= F.col("thr"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pairs"),
+        F.countDistinct(F.when(F.col("jm") >= F.col("thr"), F.col("db")))
+        .cast("long")
+        .alias("n_docs_removed"),
+    )
+    saved = (
+        fan.filter(F.col("jm") >= F.col("thr"))
+        .select("thr", "db", "toks_b")
+        .distinct()
+        .groupBy("thr")
+        .agg(F.sum("toks_b").cast("long").alias("tokens_saved"))
+    )
+    return (
+        cands.join(per, "thr", "left")
+        .join(saved, "thr", "left")
+        .na.fill({"n_pairs": 0, "n_docs_removed": 0, "tokens_saved": 0})
+        .select(
+            F.col("thr").alias("jaccard_micro_threshold"),
+            "n_pairs",
+            "n_docs_removed",
+            "tokens_saved",
+        )
+        .transform(pin)
+        .orderBy("jaccard_micro_threshold")
+    )

@@ -181,3 +181,194 @@ def q296_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "explained_share double, n_vectors long",
     )
     return out.transform(pin).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# X-121: embedding class-separation audit via the exact moment identity
+# ---------------------------------------------------------------------------
+
+_SEP_ORACLE = f"""
+    WITH ex AS (
+        SELECT vec_id, label, j,
+               CAST(ROUND(CAST(embedding[j] AS DOUBLE) * 1e6) AS BIGINT) AS x6
+        FROM embeddings CROSS JOIN (SELECT unnest(range(1, {_DIM + 1})) AS j) t
+    ),
+    rows_q AS (
+        SELECT vec_id, label, CAST(SUM(x6 * x6) AS HUGEINT) AS q
+        FROM ex GROUP BY vec_id, label
+    ),
+    lbl AS (
+        SELECT r.label, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(r.q) AS HUGEINT) AS q,
+               s.ss
+        FROM rows_q r
+        JOIN (
+            SELECT label, SUM(CAST(sj AS HUGEINT) * sj) AS ss
+            FROM (SELECT label, j, CAST(SUM(x6) AS BIGINT) AS sj
+                  FROM ex GROUP BY label, j)
+            GROUP BY label
+        ) s USING (label)
+        GROUP BY r.label, s.ss
+    ),
+    gstat AS (
+        SELECT CAST(SUM(n) AS HUGEINT) AS n, CAST(SUM(q) AS HUGEINT) AS q,
+               (SELECT SUM(CAST(sj AS HUGEINT) * sj)
+                FROM (SELECT j, CAST(SUM(x6) AS BIGINT) AS sj
+                      FROM ex GROUP BY j)) AS ss
+        FROM lbl
+    ),
+    intra AS (
+        SELECT label, CAST(n AS BIGINT) AS n_vectors,
+               CAST((n * q - ss) * 2 // (n * (n - 1)) AS BIGINT)
+                   AS intra_mean_sq
+        FROM lbl WHERE n >= 2
+    ),
+    parts AS (
+        SELECT (SELECT SUM(n * q - ss) FROM lbl) AS intra_tot,
+               (SELECT SUM(CAST(n AS HUGEINT) * (n - 1)) // 2 FROM lbl)
+                   AS intra_pairs,
+               g.n * g.q - g.ss AS all_tot,
+               g.n * (g.n - 1) // 2 AS all_pairs
+        FROM gstat g
+    ),
+    ratio AS (
+        SELECT CAST((all_tot - intra_tot) * 2
+                    // (2 * (all_pairs - intra_pairs)) AS BIGINT)
+                   AS inter_mean_sq,
+               CAST(intra_tot * 2 // (2 * intra_pairs) AS BIGINT)
+                   AS intra_mean_all
+        FROM parts
+    )
+    SELECT i.label, i.n_vectors, i.intra_mean_sq,
+           r.inter_mean_sq,
+           CAST(r.inter_mean_sq * 1000000 // r.intra_mean_all AS BIGINT)
+               AS separation_micro
+    FROM intra i, ratio r
+    ORDER BY i.label
+"""
+
+
+@query("q331_embedding_separation", oracle=_SEP_ORACLE, tags=("X-121", "X-86"))
+def q331_embedding_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding class-separation audit: per label the mean
+    intra-class squared distance, next to the global inter-class mean
+    and the separation ratio — the silhouette-style 'do the labels
+    cluster' readout computed WITHOUT enumerating a single pair: the
+    identity sum_{i,k in S} ||x_i - x_k||^2 = 2n*sum||x||^2 - 2||sum x||^2
+    collapses every pairwise sum to per-label moments (n, sum x,
+    sum||x||^2), so the audit is mergeable aggregation where the naive
+    form is quadratic — the measurement a 100 TB embedding pipeline can
+    actually afford before/after training (q250's nearest-centroid
+    accuracy asks the supervised twin of this unsupervised question).
+
+    Determinism: ppm-quantized components make every moment and every
+    pairwise-sum collapse an exact integer; means and the separation
+    ratio are integer floor divisions; no float exists anywhere.
+
+    Scale shape: one exploded pass to (label, j) sums and per-row
+    ||x||^2 rollups — all mergeable; no pair join exists in the plan.
+
+    Reference parity: beyond-reference; completes the embedding family
+    (X-03 search, X-86 spectrum, q204 per-dim profile) with the
+    label-geometry audit."""
+    ex = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode("embedding").alias("pos", "x"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            (F.col("pos") + 1).alias("j"),
+            F.round(F.col("x").cast("double") * F.lit(1e6))
+            .cast("long")
+            .alias("x6"),
+        )
+        .transform(stage)  # row-q, label sums, and global sums share it
+    )
+    d38 = "decimal(38,0)"
+    rows_q = ex.groupBy("vec_id", "label").agg(
+        F.sum(F.col("x6") * F.col("x6")).cast("long").alias("q")
+    )
+    lblsum = (
+        ex.groupBy("label", "j")
+        .agg(F.sum("x6").cast("long").alias("sj"))
+        .groupBy("label")
+        .agg(
+            F.sum((F.col("sj").cast("decimal(19,0)") * F.col("sj")))
+            .cast(d38)
+            .alias("ss")
+        )
+    )
+    lbl = (
+        rows_q.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("n"),
+            F.sum("q").cast(d38).alias("q"),
+        )
+        .join(lblsum, "label")
+        .transform(stage)  # intra rows + the global parts share it
+    )
+    glob = lbl.agg(
+        F.sum("n").cast(d38).alias("n"), F.sum("q").cast(d38).alias("q")
+    ).crossJoin(
+        F.broadcast(
+            ex.groupBy("j")
+            .agg(F.sum("x6").cast("long").alias("sj"))
+            .agg(
+                F.sum(F.col("sj").cast("decimal(19,0)") * F.col("sj"))
+                .cast(d38)
+                .alias("ss")
+            )
+        )
+    )
+    intra = lbl.filter(F.col("n") >= 2).select(
+        "label",
+        F.col("n").cast("long").alias("n_vectors"),
+        F.expr(
+            "CAST((n * q - ss) * 2 div (n * (n - 1)) AS BIGINT)"
+        ).alias("intra_mean_sq"),
+    )
+    parts = (
+        lbl.agg(
+            F.sum(F.expr("n * q - ss")).cast(d38).alias("intra_tot"),
+            F.expr("CAST(SUM(n * (n - 1)) AS DECIMAL(38,0)) div 2").alias(
+                "intra_pairs"
+            ),
+        )
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "intra_tot",
+            "intra_pairs",
+            F.expr("n * q - ss").alias("all_tot"),
+            F.expr("CAST(n * (n - 1) AS DECIMAL(38,0)) div 2").alias(
+                "all_pairs"
+            ),
+        )
+    )
+    ratio = parts.select(
+        F.expr(
+            "CAST((all_tot - intra_tot) * 2"
+            " div (2 * (all_pairs - intra_pairs)) AS BIGINT)"
+        ).alias("inter_mean_sq"),
+        F.expr("CAST(intra_tot * 2 div (2 * intra_pairs) AS BIGINT)").alias(
+            "intra_mean_all"
+        ),
+    )
+    return (
+        intra.crossJoin(F.broadcast(ratio))
+        .select(
+            "label",
+            "n_vectors",
+            "intra_mean_sq",
+            "inter_mean_sq",
+            F.expr(
+                "CAST(CAST(inter_mean_sq AS DECIMAL(20,0)) * 1000000"
+                " div intra_mean_all AS BIGINT)"
+            ).alias("separation_micro"),
+        )
+        .transform(pin)
+        .orderBy("label")
+    )
