@@ -217,7 +217,8 @@ _WINDOW_PRIORITY = (
 # q326: watermark impact audit; q327: experiment health / SRM gate;
 # q328: join-view incremental maintenance; and q329: partition-key
 # advisor; q330: near-dup threshold advisor; and q331: embedding
-# class-separation audit) hold
+# class-separation audit; q332: Neyman allocation; q333: systematic
+# PPS sampling; and q334: consistent-hash rebalance audit) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

@@ -2977,3 +2977,210 @@ def q327_experiment_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-122: Neyman-optimal stratified sampling allocation
+# ---------------------------------------------------------------------------
+
+_NA_BUDGET = 10000  #: total sample budget to allocate
+
+_NEYMAN_ORACLE = f"""
+    WITH u AS (
+        SELECT event_type AS stratum,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    m AS (
+        SELECT stratum, CAST(COUNT(*) AS BIGINT) AS nh,
+               CAST(SUM(cents) AS HUGEINT) AS s1,
+               CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2
+        FROM u GROUP BY stratum
+    ),
+    sd AS (
+        SELECT stratum, nh,
+               CAST(FLOOR(sqrt(CAST((nh * s2 - s1 * s1) // nh // GREATEST(nh - 1, 1)
+                                    AS DOUBLE))) AS BIGINT) AS sh
+        FROM m
+    ),
+    tot AS (SELECT CAST(SUM(CAST(nh AS HUGEINT) * sh) AS HUGEINT) AS z FROM sd)
+    SELECT s.stratum, s.nh AS stratum_size, s.sh AS stratum_sd_cents,
+           CAST(CAST({_NA_BUDGET} AS HUGEINT) * s.nh * s.sh // t.z AS BIGINT)
+               AS neyman_alloc,
+           CAST(CAST({_NA_BUDGET} AS HUGEINT) * s.nh
+                // (SELECT SUM(nh) FROM sd) AS BIGINT) AS proportional_alloc
+    FROM sd s, tot t
+    ORDER BY s.stratum
+"""
+
+
+@query("q332_neyman_allocation", oracle=_NEYMAN_ORACLE, tags=("X-122", "O-06"))
+def q332_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation: given a 10k-row
+    sample budget across event-type strata, allocate n_h proportional
+    to N_h * sigma_h (the variance-minimizing design for estimating the
+    mean transaction value), next to naive proportional allocation —
+    the survey-sampling design step BEHIND O-06's stratified sampler:
+    that operator executes a given allocation; this computes the one
+    worth executing. High-variance strata get oversampled, which is
+    exactly the audit-sampling / labeling-budget logic of a training-
+    data pipeline.
+
+    Determinism: per-stratum moments are exact integers; the stratum
+    SD is floor(sqrt(integer variance)) — sqrt is IEEE
+    correctly-rounded in both engines on identical operands, so unlike
+    ln/exp it carries NO cross-libm risk; allocations are exact integer
+    floor divisions of exact products. No display double exists at all.
+
+    Scale shape: one map-side-combined moment rollup onto the bounded
+    stratum relation; everything after runs on ~5 rows.
+
+    Reference parity: beyond-reference."""
+    u = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("stratum"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    d38 = "decimal(38,0)"
+    m = u.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum("cents").cast(d38).alias("s1"),
+        F.sum((F.col("cents").cast("decimal(19,0)") * F.col("cents")))
+        .cast(d38)
+        .alias("s2"),
+    )
+    sd = m.select(
+        "stratum",
+        "nh",
+        F.floor(
+            F.sqrt(
+                F.expr(
+                    "CAST((nh * s2 - s1 * s1) div nh"
+                    " div GREATEST(nh - 1, 1) AS DOUBLE)"
+                )
+            )
+        )
+        .cast("long")
+        .alias("sh"),
+    ).transform(stage)  # the total + both allocations share it
+    tot = sd.agg(
+        F.sum(F.col("nh").cast("decimal(19,0)") * F.col("sh"))
+        .cast(d38)
+        .alias("z"),
+        F.sum("nh").cast("long").alias("n_all"),
+    )
+    return (
+        sd.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            F.col("nh").alias("stratum_size"),
+            F.col("sh").alias("stratum_sd_cents"),
+            F.expr(
+                f"CAST(CAST({_NA_BUDGET} AS DECIMAL(20,0)) * nh * sh div z"
+                " AS BIGINT)"
+            ).alias("neyman_alloc"),
+            F.expr(
+                f"CAST(CAST({_NA_BUDGET} AS DECIMAL(20,0)) * nh div n_all"
+                " AS BIGINT)"
+            ).alias("proportional_alloc"),
+        )
+        .transform(pin)
+        .orderBy("stratum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-123: systematic PPS (probability-proportional-to-size) sampling
+# ---------------------------------------------------------------------------
+
+_PPS_K = 20  #: sample size drawn systematically
+
+_PPS_ORACLE = f"""
+    WITH sz AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS size
+        FROM events GROUP BY user_id
+    ),
+    cum AS (
+        SELECT user_id, size,
+               CAST(SUM(size) OVER (ORDER BY user_id) AS BIGINT) AS c
+        FROM sz
+    ),
+    tot AS (SELECT CAST(SUM(size) AS BIGINT) AS t FROM sz),
+    marks AS (
+        SELECT k.k,
+               (2 * CAST(k.k AS HUGEINT) + 1) * t.t // (2 * {_PPS_K}) AS m
+        FROM (SELECT unnest(range(0, {_PPS_K})) AS k) k, tot t
+    ),
+    hits AS (
+        SELECT m.k, CAST(MIN(c.user_id) AS BIGINT) AS user_id
+        FROM marks m JOIN cum c ON c.c > m.m
+        GROUP BY m.k
+    )
+    SELECT h.k AS draw, h.user_id, s.size AS user_events,
+           CAST(s.size * 1000000 // t.t AS BIGINT)
+               AS inclusion_ppm_per_draw
+    FROM hits h JOIN sz s USING (user_id), tot t
+    ORDER BY draw
+"""
+
+
+@query("q333_systematic_pps_sample", oracle=_PPS_ORACLE, tags=("X-123", "O-03"))
+def q333_systematic_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sampling: draw 20 users with probability
+    proportional to their event volume by walking equally-spaced marks
+    (2k+1)T/2K through the cumulative size line — the audit/labeling
+    draw that weights heavy users correctly where O-03's uniform keyed
+    sample under-represents them, and the classic deterministic
+    companion of q213's randomized weighted reservoir (systematic PPS
+    is the textbook design when a REPRODUCIBLE pps panel is wanted).
+    Each draw reports its exact inclusion weight for Horvitz-Thompson
+    reweighting downstream.
+
+    Determinism: sizes, the cumulative line (over the total user order),
+    the marks, and the mark-to-user assignment (min user whose
+    cumulative strictly exceeds the mark) are all exact integers — the
+    draw is a pure function of the data.
+
+    Scale shape: one user rollup; the cumulative line uses a keyed
+    window over the user order (at 100 TB: the q84 two-level bucketed
+    prefix by user-id range); the 20 marks broadcast into a bounded
+    range join.
+
+    Reference parity: beyond-reference."""
+    sz = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+    )
+    w = Window.orderBy("user_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sz.select(
+        "user_id", "size", F.sum("size").over(w).cast("long").alias("c")
+    ).transform(stage)  # marks join + the size readout share it
+    tot = sz.agg(F.sum("size").cast("long").alias("t"))
+    ks = spark.createDataFrame([(k,) for k in range(_PPS_K)], "k int")
+    marks = ks.crossJoin(F.broadcast(tot)).select(
+        "k",
+        F.expr(
+            f"CAST((2 * CAST(k AS DECIMAL(20,0)) + 1) * t div (2 * {_PPS_K})"
+            " AS BIGINT)"
+        ).alias("m"),
+        "t",
+    )
+    hits = (
+        cum.crossJoin(F.broadcast(marks))
+        .filter(F.col("c") > F.col("m"))
+        .groupBy("k", "t")
+        .agg(F.min("user_id").cast("long").alias("user_id"))
+    )
+    return (
+        hits.join(sz, "user_id")
+        .select(
+            F.col("k").cast("long").alias("draw"),
+            "user_id",
+            F.col("size").alias("user_events"),
+            F.expr("CAST(size * 1000000 div t AS BIGINT)").alias(
+                "inclusion_ppm_per_draw"
+            ),
+        )
+        .transform(pin)
+        .orderBy("draw")
+    )

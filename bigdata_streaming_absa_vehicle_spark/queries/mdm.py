@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.ordering import pin, stage
 from ..tables import load
 from .registry import query
 
@@ -119,4 +120,159 @@ def q181_user_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_type",
         )
         .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-124: consistent-hashing ring rebalance audit
+# ---------------------------------------------------------------------------
+
+_CH_NODES = 16  #: virtual ring positions (node i at hash('node:i'))
+_CH_LEAVING = 7  #: the node whose departure is audited
+
+
+def _ch_ring_sql() -> str:
+    from ..operators.dedup import oracle_hash64
+
+    rows = []
+    for i in range(_CH_NODES):
+        lit = "'" + f"node:{i}" + "'"
+        rows.append(
+            f"SELECT {i} AS node, {oracle_hash64('ring', lit)} AS pos"
+        )
+    return " UNION ALL ".join(rows)
+
+
+_CH_ORACLE = f"""
+    WITH ring AS ({_ch_ring_sql()}),
+    keys AS (
+        SELECT DISTINCT user_id,
+               CAST(('0x' || substr(md5('key:' || CAST(user_id AS VARCHAR)),
+                                    1, 15)) AS BIGINT) AS kpos
+        FROM events
+    ),
+    owner AS (
+        SELECT k.user_id, k.kpos,
+               COALESCE(MIN(CASE WHEN r.pos >= k.kpos THEN r.node END),
+                        (SELECT node FROM ring ORDER BY pos LIMIT 1))
+                   AS node
+        FROM keys k CROSS JOIN ring r
+        GROUP BY k.user_id, k.kpos
+    ),
+    owner2 AS (
+        SELECT k.user_id,
+               COALESCE(MIN(CASE WHEN r.pos >= k.kpos AND r.node <> {_CH_LEAVING}
+                            THEN r.node END),
+                        (SELECT node FROM ring WHERE node <> {_CH_LEAVING}
+                         ORDER BY pos LIMIT 1)) AS node
+        FROM keys k CROSS JOIN ring r
+        GROUP BY k.user_id, k.kpos
+    )
+    SELECT o2.node AS node,
+           CAST(COUNT(*) AS BIGINT) AS keys_after,
+           CAST(SUM(CASE WHEN o1.node = {_CH_LEAVING} THEN 1 ELSE 0 END)
+                AS BIGINT) AS keys_received,
+           CAST(SUM(CASE WHEN o1.node <> o2.node
+                         AND o1.node <> {_CH_LEAVING} THEN 1 ELSE 0 END)
+                AS BIGINT) AS keys_stolen_wrongly
+    FROM owner o1 JOIN owner2 o2 USING (user_id)
+    GROUP BY o2.node
+    ORDER BY node
+"""
+
+
+@query("q334_consistent_hash_rebalance", oracle=_CH_ORACLE, tags=("X-124", "X-16"))
+def q334_consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hashing ring rebalance audit: place 16 nodes and every
+    user key on the md5 ring (clockwise successor ownership), remove
+    node {_CH_LEAVING}, and report per surviving node how many keys it
+    now owns, how many it RECEIVED from the leaver, and — the property
+    consistent hashing exists to guarantee — how many keys moved
+    between two SURVIVING nodes (must be 0: only the leaver's keys
+    remap). The shard-assignment audit for stateful-stream/store
+    topology changes; the keys_stolen_wrongly column is the invariant
+    certificate.
+
+    Determinism: ring positions and key positions are md5-derived
+    exact integers; ownership is a MIN over integer comparisons with
+    the wraparound pinned to the smallest-position node; every count is
+    exact.
+
+    Scale shape: keys distinct-reduce first; ownership is a bounded
+    16-row broadcast cross join with a MIN rollup per key (at scale:
+    a range join against the sorted ring, same result); the audit is
+    one keyed rollup.
+
+    Reference parity: beyond-reference; infrastructure-layer math for
+    the T-family's stateful shards."""
+    from ..operators.dedup import hash64
+
+    ring = spark.createDataFrame(
+        [
+            (
+                i,
+                int(
+                    __import__("hashlib")
+                    .md5(f"ring:node:{i}".encode())
+                    .hexdigest()[:15],
+                    16,
+                ),
+            )
+            for i in range(_CH_NODES)
+        ],
+        "node int, pos long",
+    )
+    keys = (
+        load(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select("user_id", hash64("key", F.col("user_id").cast("string")).alias("kpos"))
+        .transform(stage)  # both ownership passes share it
+    )
+    wrap1 = ring.orderBy("pos").limit(1).select(F.col("node").alias("wnode"))
+    wrap2 = (
+        ring.filter(F.col("node") != _CH_LEAVING)
+        .orderBy("pos")
+        .limit(1)
+        .select(F.col("node").alias("wnode"))
+    )
+
+    def owners(r: DataFrame, wrap: DataFrame) -> DataFrame:
+        return (
+            keys.crossJoin(F.broadcast(r))
+            .groupBy("user_id")
+            .agg(
+                F.min(
+                    F.when(F.col("pos") >= F.col("kpos"), F.col("node"))
+                ).alias("succ")
+            )
+            .crossJoin(F.broadcast(wrap))
+            .select(
+                "user_id", F.coalesce("succ", "wnode").alias("node")
+            )
+        )
+
+    o1 = owners(ring, wrap1)
+    o2 = owners(ring.filter(F.col("node") != _CH_LEAVING), wrap2)
+    return (
+        o1.withColumnRenamed("node", "n1")
+        .join(o2.withColumnRenamed("node", "n2"), "user_id")
+        .groupBy(F.col("n2").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("keys_after"),
+            F.sum(F.when(F.col("n1") == _CH_LEAVING, 1).otherwise(0))
+            .cast("long")
+            .alias("keys_received"),
+            F.sum(
+                F.when(
+                    (F.col("n1") != F.col("n2"))
+                    & (F.col("n1") != _CH_LEAVING),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("keys_stolen_wrongly"),
+        )
+        .transform(pin)
+        .orderBy("node")
     )
