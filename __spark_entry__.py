@@ -218,7 +218,8 @@ _WINDOW_PRIORITY = (
 # q328: join-view incremental maintenance; and q329: partition-key
 # advisor; q330: near-dup threshold advisor; and q331: embedding
 # class-separation audit; q332: Neyman allocation; q333: systematic
-# PPS sampling; and q334: consistent-hash rebalance audit) hold
+# PPS sampling; q334: consistent-hash rebalance audit; q335: Dunning
+# keyness per source; and q336: absorbing-chain expected lifetime) hold
 # pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

@@ -1316,3 +1316,169 @@ def q330_dedup_threshold_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("jaccard_micro_threshold")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-125: keyness — distinctive terms per source by Dunning's G^2
+# ---------------------------------------------------------------------------
+
+_KEY_TOPK = 2
+
+_KEYNESS_ORACLE = rf"""
+    WITH flat AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    st AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM flat
+        GROUP BY source, tok
+    ),
+    stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM st GROUP BY source),
+    ttot AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS c_t FROM st GROUP BY tok),
+    nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM st),
+    cells AS (
+        SELECT s.source, s.tok,
+               s.c AS o11, t.c_t - s.c AS o12,
+               o.n_s - s.c AS o21, (nn.n - o.n_s) - (t.c_t - s.c) AS o22,
+               o.n_s, t.c_t, nn.n
+        FROM st s JOIN stot o USING (source) JOIN ttot t USING (tok), nn
+    ),
+    g2 AS (
+        SELECT source, tok, o11, c_t,
+               CAST(SUM(CASE WHEN o > 0 THEN
+                   CAST(ROUND(2 * o * ROUND(ln(CAST(o AS DOUBLE) * n
+                                               / row_t / col_t), 6), 3)
+                        AS DECIMAL(28,3)) ELSE 0 END) AS DOUBLE) AS g2
+        FROM (
+            SELECT source, tok, o11, c_t, n, o, row_t, col_t FROM cells,
+            LATERAL (VALUES (o11, n_s, c_t), (o12, n - n_s, c_t),
+                            (o21, n_s, n - c_t), (o22, n - n_s, n - c_t))
+                AS x(o, row_t, col_t)
+        )
+        GROUP BY source, tok, o11, c_t
+    ),
+    ranked AS (
+        SELECT source, tok, o11, c_t, g2,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY g2 DESC, tok) AS rk
+        FROM g2 WHERE o11 * 2 > c_t  -- over-represented in s, not under
+    )
+    SELECT source, rk AS rank, tok AS token, o11 AS count_in_source,
+           c_t AS count_total, g2
+    FROM ranked WHERE rk <= {_KEY_TOPK}
+    ORDER BY source, rank
+"""
+
+
+@query("q335_source_keyness", oracle=_KEYNESS_ORACLE, tags=("X-125", "X-04"))
+def q335_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyness analysis: each source's top-2 DISTINCTIVE tokens by
+    Dunning's log-likelihood G^2 over the (token in/out, source
+    in/out) 2x2 — the corpus-linguistics standard for 'what words make
+    this source itself', with a significance footing frequency ratios
+    lack (rare tokens can have huge ratios but tiny G^2). The
+    source-level companion of q74's per-doc tf-idf salient terms and
+    the token-level refinement of q144's source-overlap matrix —
+    exactly the readout that catches a contaminated or off-domain
+    source before it pollutes a training mix.
+
+    Determinism: all contingency cells are exact integers; each cell's
+    2*O*ln(O*N/(row*col)) uses the q203 pinned-ln idiom with the term
+    rounded to 3 dp into exact decimal sums (G^2 ~ O(100s): 3 dp is
+    far coarser than the 1-ulp libm divergence); ranking is a
+    (G^2, token) total order per source restricted to over-represented
+    tokens.
+
+    Scale shape: one (source, token) rollup; row/column totals and the
+    grand total are rollups of it; the 4-cell expansion is a bounded
+    LATERAL/stack fan-out; top-2 per source is the O-05 grouped-top-k.
+
+    Reference parity: beyond-reference."""
+    from pyspark.sql.window import Window as W
+
+    flat = load(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    st = (
+        flat.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .transform(stage)  # all three totals derive from it
+    )
+    stot = st.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    ttot = st.groupBy("tok").agg(F.sum("c").cast("long").alias("c_t"))
+    nn = st.agg(F.sum("c").cast("long").alias("n"))
+    cells = (
+        st.join(F.broadcast(stot), "source")
+        .join(ttot, "tok")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "source",
+            "tok",
+            F.col("c").alias("o11"),
+            (F.col("c_t") - F.col("c")).alias("o12"),
+            (F.col("n_s") - F.col("c")).alias("o21"),
+            ((F.col("n") - F.col("n_s")) - (F.col("c_t") - F.col("c"))).alias(
+                "o22"
+            ),
+            "n_s",
+            "c_t",
+            "n",
+        )
+    )
+    expanded = cells.select(
+        "source",
+        "tok",
+        "o11",
+        "c_t",
+        "n",
+        F.expr(
+            "stack(4, o11, n_s, c_t, o12, n - n_s, c_t,"
+            " o21, n_s, n - c_t, o22, n - n_s, n - c_t)"
+            " AS (o, row_t, col_t)"
+        ),
+    )
+    term = F.when(
+        F.col("o") > 0,
+        F.round(
+            2
+            * F.col("o")
+            * F.round(
+                F.log(
+                    F.col("o").cast("double")
+                    * F.col("n")
+                    / F.col("row_t")
+                    / F.col("col_t")
+                ),
+                6,
+            ),
+            3,
+        ).cast("decimal(28,3)"),
+    ).otherwise(F.lit(0).cast("decimal(28,3)"))
+    g2 = (
+        expanded.select("source", "tok", "o11", "c_t", term.alias("t"))
+        .groupBy("source", "tok", "o11", "c_t")
+        .agg(F.sum("t").cast("double").alias("g2"))
+    )
+    ranked = (
+        g2.filter(F.col("o11") * 2 > F.col("c_t"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.col("g2").desc(), "tok")
+            ),
+        )
+        .filter(F.col("rk") <= _KEY_TOPK)
+    )
+    return (
+        ranked.select(
+            "source",
+            F.col("rk").cast("long").alias("rank"),
+            F.col("tok").alias("token"),
+            F.col("o11").alias("count_in_source"),
+            F.col("c_t").alias("count_total"),
+            "g2",
+        )
+        .transform(pin)
+        .orderBy("source", "rank")
+    )

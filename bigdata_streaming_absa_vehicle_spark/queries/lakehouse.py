@@ -814,3 +814,198 @@ def q328_join_view_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.transform(pin).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# X-126: absorbing-chain expected lifetime (fundamental-matrix solve)
+# ---------------------------------------------------------------------------
+
+_AB_STATES = ("click", "purchase", "signup", "view")  #: transient states
+_AB_SINK = "error"  #: absorbing state
+
+
+def _det4(entry) -> str:
+    """24-term expansion of a 4x4 determinant; `entry(r, c)` names the
+    (1-based) matrix entry expression."""
+    from itertools import permutations
+
+    terms = []
+    for perm in permutations(range(1, 5)):
+        inv = sum(
+            1
+            for a in range(4)
+            for b in range(a + 1, 4)
+            if perm[a] > perm[b]
+        )
+        sign = "-" if inv % 2 else "+"
+        prod = " * ".join(entry(r + 1, perm[r]) for r in range(4))
+        terms.append(f"{sign} {prod}")
+    return " ".join(terms)
+
+
+def _ab_solver_sql() -> tuple[str, list[str]]:
+    """(det(M), [det(M with col i replaced by ones) for i in 1..4]) as SQL
+    expressions over columns m11..m44."""
+    base = _det4(lambda r, c: f"m{r}{c}")
+    repl = [
+        _det4(lambda r, c, i=i: "1" if c == i else f"m{r}{c}")
+        for i in range(1, 5)
+    ]
+    return base, repl
+
+
+def _ab_oracle() -> str:
+    det, reps = _ab_solver_sql()
+    st_case = " ".join(
+        f"WHEN '{s}' THEN {i + 1}" for i, s in enumerate(_AB_STATES)
+    )
+    mcols = ", ".join(
+        f"CAST(COALESCE(MAX(CASE WHEN i = {r} AND j = {c} THEN q6 END), 0)"
+        f" * -1 + (CASE WHEN {r} = {c} THEN 1000000 ELSE 0 END) AS HUGEINT)"
+        f" AS m{r}{c}"
+        for r in range(1, 5)
+        for c in range(1, 5)
+    )
+    tsel = ", ".join(
+        f"CAST((CAST({reps[i]} AS HUGEINT) * 1000000000)"
+        f" // ({det}) AS BIGINT) AS t{i + 1}"
+        for i in range(4)
+    )
+    return f"""{_MK_SQL_PRELUDE},
+    q AS (
+        SELECT CASE p.prev_type {st_case} END AS i,
+               CASE p.next_type {st_case} END AS j,
+               CAST(p.p12 // 1000000 AS BIGINT) AS q6
+        FROM p12 p
+        WHERE p.prev_type <> '{_AB_SINK}' AND p.next_type <> '{_AB_SINK}'
+    ),
+    mm AS (SELECT {mcols} FROM q),
+    tt AS (SELECT {tsel} FROM mm),
+    err AS (
+        SELECT CASE p.prev_type {st_case} END AS i,
+               CAST(p.p12 // 1000000 AS BIGINT) AS pe6
+        FROM p12 p
+        WHERE p.prev_type <> '{_AB_SINK}' AND p.next_type = '{_AB_SINK}'
+    )
+    SELECT s.state,
+           CAST((CASE s.i WHEN 1 THEN t.t1 WHEN 2 THEN t.t2
+                 WHEN 3 THEN t.t3 ELSE t.t4 END) AS DOUBLE) / 1e3
+               AS expected_steps_to_error,
+           CAST(COALESCE(e.pe6, 0) AS DOUBLE) / 1e6 AS p_error_next_step
+    FROM (VALUES {", ".join(f"({i + 1}, '{s}')" for i, s in enumerate(_AB_STATES))})
+         s(i, state)
+    CROSS JOIN tt t
+    LEFT JOIN err e ON e.i = s.i
+    ORDER BY s.state
+    """
+
+
+@query("q336_absorbing_chain_lifetime", oracle=_ab_oracle(), tags=("X-126", "X-13"))
+def q336_absorbing_chain_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-chain expected lifetime: treating '{_AB_SINK}' as the
+    absorbing failure state of the q118/q221 behavior chain, the
+    expected number of steps each transient state survives before
+    absorption — t = (I-Q)^-1 * 1, the fundamental-matrix readout that
+    turns the one-step transition matrix into a LIFETIME number (the
+    Markov-structural sibling of q179's empirical survival curve:
+    that measures observed lifetimes; this derives them from the
+    fitted dynamics, so the two disagreeing is itself a finding).
+
+    Determinism: Q comes from q221's exact pico transitions floored to
+    micro units; M = 1e6*I - Q is an exact integer matrix, and the
+    solve is CRAMER's rule — det(M) and the four ones-column
+    determinants expand as generated 24-term integer polynomials
+    (numerically identical in both engines by construction), with the
+    expected steps ONE integer floor-division each. The q322 adjugate
+    discipline extended from quadratic forms to a linear SOLVE.
+
+    Scale shape: one user-keyed window pass to the bounded transition
+    matrix (the q221 plan); the 4x4 algebra is a single-row pivot.
+
+    Reference parity: beyond-reference."""
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .transform(stage)
+    )
+    totals = pairs.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("row_total")
+    )
+    p12 = pairs.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(26,0)) * 1000000000000 AS DECIMAL(38,0))"
+            " div row_total"
+        ).alias("p12"),
+    ).transform(stage)  # the Q pivot + the error column share it
+    st_case = " ".join(
+        f"WHEN '{s}' THEN {i + 1}" for i, s in enumerate(_AB_STATES)
+    )
+    q = p12.filter(
+        (F.col("prev_type") != _AB_SINK) & (F.col("next_type") != _AB_SINK)
+    ).select(
+        F.expr(f"CASE prev_type {st_case} END").alias("i"),
+        F.expr(f"CASE next_type {st_case} END").alias("j"),
+        F.expr("CAST(p12 div 1000000 AS BIGINT)").alias("q6"),
+    )
+    mm = q.agg(
+        *[
+            F.expr(
+                f"CAST(COALESCE(MAX(CASE WHEN i = {r} AND j = {c}"
+                f" THEN q6 END), 0) * -1"
+                f" + (CASE WHEN {r} = {c} THEN 1000000 ELSE 0 END)"
+                f" AS DECIMAL(38,0))"
+            ).alias(f"m{r}{c}")
+            for r in range(1, 5)
+            for c in range(1, 5)
+        ]
+    )
+    det, reps = _ab_solver_sql()
+    tt = mm.select(
+        *[
+            F.expr(
+                f"CAST((CAST({reps[i]} AS DECIMAL(38,0)) * 1000000000)"
+                f" div ({det}) AS BIGINT)"
+            ).alias(f"t{i + 1}")
+            for i in range(4)
+        ]
+    )
+    err = p12.filter(
+        (F.col("prev_type") != _AB_SINK) & (F.col("next_type") == _AB_SINK)
+    ).select(
+        F.expr(f"CASE prev_type {st_case} END").alias("i"),
+        F.expr("CAST(p12 div 1000000 AS BIGINT)").alias("pe6"),
+    )
+    states = load(spark, sf_dir, "events").sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(_AB_STATES)], "i int, state string"
+    )
+    return (
+        states.crossJoin(F.broadcast(tt))
+        .join(F.broadcast(err), "i", "left")
+        .na.fill({"pe6": 0})
+        .select(
+            "state",
+            (
+                F.expr(
+                    "CASE i WHEN 1 THEN t1 WHEN 2 THEN t2"
+                    " WHEN 3 THEN t3 ELSE t4 END"
+                ).cast("double")
+                / F.lit(1e3)
+            ).alias("expected_steps_to_error"),
+            (F.col("pe6").cast("double") / F.lit(1e6)).alias(
+                "p_error_next_step"
+            ),
+        )
+        .transform(pin)
+        .orderBy("state")
+    )
