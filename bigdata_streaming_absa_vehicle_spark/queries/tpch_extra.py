@@ -869,3 +869,83 @@ def q241_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17: small-quantity-order revenue (the canonical correlated scalar
+# AVG subquery — the query SQ-02's decorrelation pattern is named after)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q337_tpch_q17_small_quantity",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey FROM part
+        WHERE p_brand = 'Brand#12' AND p_size <= 25
+    ),
+    li AS (
+        SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q, l_extendedprice
+        FROM lineitem JOIN p ON l_partkey = p_partkey
+    ),
+    st AS (
+        SELECT l_partkey, SUM(q) AS sum_qty, COUNT(*) AS cnt
+        FROM li GROUP BY l_partkey
+    )
+    SELECT ROUND(CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+                 / 7.0, 6) AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM li JOIN st USING (l_partkey)
+    WHERE 5 * li.q * st.cnt < st.sum_qty
+    """,
+    tags=("SQ-02",),
+)
+def q337_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): yearly revenue lost if
+    small orders (below 20% of a part's average order quantity) for one
+    brand's small parts were no longer taken — the canonical correlated
+    scalar AVG subquery, the shape the SQ-02 decorrelation rule is named
+    after (p_size <= 25 stands in for the testdata's missing p_container).
+
+    Determinism: quantities are whole numbers, so the 20%-of-average
+    threshold `q < 0.2 * sum/cnt` is rewritten as the EXACT integer
+    inequality `5*q*cnt < sum` — no division, no float boundary; revenue
+    sums through decimal(28,2), and the single /7.0 + round(6) runs on
+    identical IEEE operands in both engines.
+
+    Scale shape: the brand filter pushes to the part scan and the survivor
+    key set BROADCASTs into a left-semi that prunes lineitem before
+    anything aggregates (the per-part stats are computed over the reduced
+    relation, never the full fact); stats (one row per selected part) then
+    broadcast back, so the whole query shuffles the fact zero times — scan,
+    two broadcast joins, map-side-combined partials, one scalar row out.
+
+    Reference parity: beyond the reference's own queries; completes the
+    engine's TPC-H planner-shape suite (Q1-Q22 minus the columns the
+    testdata lacks) alongside q95/q96/q107-q112/q125-q130/q139/q140/
+    q156-q158.
+    """
+    p = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 25))
+        .select("p_partkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("long").alias("q"),
+            "l_extendedprice",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    st = li.groupBy("l_partkey").agg(
+        F.sum("q").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    small = li.join(F.broadcast(st), "l_partkey").filter(
+        F.lit(5) * F.col("q") * F.col("cnt") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.round(dsum("l_extendedprice", 2) / F.lit(7.0), 6).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
