@@ -1004,3 +1004,110 @@ def q306_spectral_token_embedding(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("v6").cast("long").alias("loading_ppm"),
     )
     return out.transform(pin).orderBy("token")
+
+
+# ---------------------------------------------------------------------------
+# X-22 extension: ordered event-pair support (sequential pattern mining)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q340_sequence_pair_support",
+    oracle="""
+    WITH ft AS (
+        SELECT user_id, event_type,
+               MIN(ts) AS first_ts, MAX(ts) AS last_ts
+        FROM events GROUP BY user_id, event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM ft a JOIN ft b
+          ON a.user_id = b.user_id
+         AND a.event_type <> b.event_type
+         AND a.first_ts < b.last_ts
+        GROUP BY a.event_type, b.event_type
+    ),
+    tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events)
+    SELECT type_a, type_b, support,
+           ROUND(CAST(support AS DOUBLE) / n_users, 6) AS share
+    FROM pairs CROSS JOIN tot
+    ORDER BY type_a, type_b
+    """,
+    tags=("X-22",),
+)
+def q340_sequence_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-pair support (the 2-sequence core of sequential
+    pattern mining, SPADE/PrefixSpan's first level): for each directed
+    type pair (a -> b), the number of users with SOME a-event strictly
+    before SOME b-event, and that support as a share of all users. The
+    ordered counterpart of q168's unordered basket pairs and the mining
+    view of q86's fixed funnel — q86 scores ONE declared path, this
+    surfaces which paths have support at all (the input that decides
+    what's worth a funnel).
+
+    Semantics: "a before b" for a user <=> min_ts(a) < max_ts(b) — the
+    existential pairwise-order test collapses to two timestamps per
+    (user, type), so NO per-user sequence scan and no quadratic event
+    pairing exists anywhere.
+
+    Determinism: strict timestamp inequality on parquet-identical values;
+    support is an exact count; the one division runs on exact integer
+    operands and rounds at 6 dp.
+
+    Scale shape: the q168 basket discipline applied to ordered pairs —
+    ONE user+type-keyed map-side-combined rollup reduces the fact to
+    <= |types| rows per user, one user-keyed rollup collects each user's
+    BOUNDED type-stats array (<= |types| structs), and the directed pairs
+    generate MAP-ONLY via a JVM higher-order transform over that array
+    (fan-out <= |types|^2 per user, never event-count; no self-join
+    exists anywhere — plan-asserted join-free); the support rollup lands
+    on the bounded |types|(|types|-1) pair relation and the user total
+    cross-broadcasts one row. The fact shuffles once; everything after
+    moves <= |types| rows per user.
+
+    Reference parity: beyond-reference; extends X-22 (q168 baskets, q183
+    bigram PMI) and feeds X-08's funnel (q86) with candidate paths."""
+    ev = load(spark, sf_dir, "events")
+    arr = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.collect_list(
+                F.struct("event_type", "first_ts", "last_ts")
+            ).alias("tstats")  # bounded: one entry per event type
+        )
+    )
+    pairs = (
+        arr.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(tstats, a ->
+                        transform(
+                            filter(tstats, b -> a.event_type != b.event_type
+                                               AND a.first_ts < b.last_ts),
+                            b -> struct(a.event_type AS type_a,
+                                        b.event_type AS type_b))))
+                    """
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    tot = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    return (
+        pairs.join(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "support",
+            F.round(F.col("support").cast("double") / F.col("n_users"), 6).alias(
+                "share"
+            ),
+        )
+        .transform(pin)
+        .orderBy("type_a", "type_b")
+    )

@@ -3184,3 +3184,124 @@ def q333_systematic_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("draw")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-23 extension: UCB1 bandit allocation audit
+# ---------------------------------------------------------------------------
+
+_N_ARMS = 4
+#: md5 first nibble mod 4 -> arm label: the X-16 hash assignment widened to a
+#: 4-arm bandit (every unit wholly in one arm, RNG-free, backfill-stable).
+_ARM4_EXPR = (
+    "concat('arm_', CAST((instr('0123456789abcdef', "
+    "substr(md5(CAST(user_id AS {t})), 1, 1)) - 1) % {k} AS {t}))"
+)
+
+
+@query(
+    "q338_ucb1_allocation",
+    oracle=f"""
+    WITH u AS (
+        SELECT {_ARM4_EXPR.format(t="VARCHAR", k=_N_ARMS)} AS arm,
+               MAX(CASE WHEN event_type = 'purchase' AND value > {_CONV_MIN}
+                   THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    a AS (
+        SELECT arm, COUNT(*) AS n_users,
+               CAST(SUM(conv) AS BIGINT) AS conversions
+        FROM u GROUP BY arm
+    ),
+    s AS (
+        SELECT arm, n_users, conversions,
+               SUM(n_users) OVER () AS total_n
+        FROM a
+    ),
+    sc AS (
+        SELECT arm, n_users, conversions,
+               ROUND(CAST(conversions AS DOUBLE) / n_users, 6) AS mean_rate,
+               ROUND(CAST(conversions AS DOUBLE) / n_users
+                     + sqrt(2.0 * ROUND(ln(CAST(total_n AS DOUBLE)), 6)
+                            / n_users), 6) AS ucb_score
+        FROM s
+    )
+    SELECT arm, n_users, conversions, mean_rate, ucb_score,
+           CAST(RANK() OVER (ORDER BY ucb_score DESC, arm) = 1
+                AS BIGINT) AS chosen
+    FROM sc ORDER BY arm
+    """,
+    tags=("X-23", "X-16"),
+)
+def q338_ucb1_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit allocation audit: units hash-split into 4 arms (md5
+    nibble mod 4 — the X-16 assignment widened from A/B to a bandit),
+    per-arm conversion means, and the UCB1 exploration score
+    mean + sqrt(2·ln(N)/n) that names the arm a bandit policy would play
+    next. The q169 z-test answers "did the completed experiment win?";
+    this is the adaptive-allocation readout an experimentation platform
+    computes BETWEEN batches — which arm is under-explored relative to
+    its observed rate.
+
+    Determinism: counts are exact integers; ln(N) is the one libm call,
+    rounded at 6 dp (the q120 cross-libm precedent) before the IEEE-exact
+    2·/n and sqrt (correctly rounded on identical operands); the final
+    score rounds at 6 dp, and the chosen flag ranks with an arm-label
+    tie-break.
+
+    Scale shape: one user-keyed shuffle for the per-unit conversion
+    rollup (map-side combined MAX), one map-side-combined rollup onto the
+    BOUNDED 4-row arm relation; the total-N window, scoring, and rank all
+    run on those 4 rows. Partials are A-14-mergeable, so per-shard arm
+    counts sum without rescanning — the bandit update costs one pass over
+    the new batch at any scale.
+
+    Reference parity: beyond-reference (the reference retrains on a fixed
+    schedule, `train_retrain.py`); completes the X-23 experiment family
+    (q169 z-test, q189 MDE, q311 mSPRT sequential monitor) with the
+    allocation-policy side."""
+    ev = load(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > _CONV_MIN),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+        .select(
+            F.expr(_ARM4_EXPR.format(t="string", k=_N_ARMS)).alias("arm"), "conv"
+        )
+    )
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("conv").cast("long").alias("conversions"),
+    )
+    w_all = Window.partitionBy()  # bounded: exactly _N_ARMS rows
+    mean = F.col("conversions").cast("double") / F.col("n_users")
+    bonus = F.sqrt(
+        F.lit(2.0)
+        * F.round(F.log(F.col("total_n").cast("double")), 6)
+        / F.col("n_users")
+    )
+    sc = (
+        a.withColumn("total_n", F.sum("n_users").over(w_all))
+        .withColumn("mean_rate", F.round(mean, 6))
+        .withColumn("ucb_score", F.round(mean + bonus, 6))
+    )
+    return (
+        sc.withColumn(
+            "chosen",
+            (
+                F.rank().over(
+                    Window.partitionBy().orderBy(F.col("ucb_score").desc(), "arm")
+                )
+                == 1
+            ).cast("long"),
+        )
+        .select("arm", "n_users", "conversions", "mean_rate", "ucb_score", "chosen")
+        .transform(pin)
+        .orderBy("arm")
+    )

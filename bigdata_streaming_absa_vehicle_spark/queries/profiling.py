@@ -1560,3 +1560,121 @@ def q265_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("col_x", "col_y")
     )
+
+
+# ---------------------------------------------------------------------------
+# A-13 extension: KMV (k-minimum-values) distinct sketch with accuracy audit
+# ---------------------------------------------------------------------------
+
+from .audit import _nibble_int  # noqa: E402  (48-bit md5 int, shared idiom)
+
+_KMV_K = 32
+_HASH_SPACE = 1 << 48  #: _nibble_int keeps md5's first 12 nibbles
+
+
+@query(
+    "q339_kmv_distinct_sketch",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT event_type,
+               {_nibble_int("md5(CAST(user_id AS VARCHAR))")} AS h
+        FROM events GROUP BY event_type, user_id
+    ),
+    uniq AS (SELECT event_type, h FROM hashed GROUP BY event_type, h),
+    ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM uniq
+    ),
+    sk AS (
+        SELECT event_type, MAX(h) AS h_k,
+               CAST(COUNT(*) AS BIGINT) AS n_in_sketch
+        FROM ranked WHERE rn <= {_KMV_K} GROUP BY event_type
+    ),
+    ex AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM uniq GROUP BY event_type
+    )
+    SELECT ex.event_type, ex.n_exact,
+           CAST(CASE WHEN sk.n_in_sketch < {_KMV_K} THEN sk.n_in_sketch
+                ELSE ({_KMV_K - 1} * {_HASH_SPACE}) // sk.h_k
+                END AS BIGINT) AS n_kmv,
+           CAST(ABS(CASE WHEN sk.n_in_sketch < {_KMV_K} THEN sk.n_in_sketch
+                    ELSE ({_KMV_K - 1} * {_HASH_SPACE}) // sk.h_k
+                    END - ex.n_exact) AS BIGINT) AS abs_err
+    FROM ex JOIN sk USING (event_type)
+    ORDER BY event_type
+    """,
+    tags=("A-13", "A-14"),
+)
+def q339_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event type, with
+    its accuracy against the exact count in the same readout: keep each
+    group's k=32 smallest 48-bit value hashes; the k-th smallest h_k
+    estimates the cardinality as (k-1)·2^48 / h_k (uniform order
+    statistics), EXACT when the group holds fewer than k values. The
+    third mergeable-sketch family beside A-13's HLL (q90) and A-15's
+    Count-Min (q115) — KMV is the one that also supports set
+    INTERSECTION estimates (q188's overlap machinery) and, unlike HLL,
+    its estimate here is pure integer arithmetic: (k-1)·2^48 div h_k,
+    no libm anywhere, so the sketch value is engine-exact by
+    construction rather than by rounding convention.
+
+    Determinism: the hash domain is md5's first 12 nibbles (the q164
+    48-bit idiom, identical SQL in both engines); estimate and error are
+    exact integer div/abs.
+
+    Scale shape: the fact reduces map-side to distinct (type, user) then
+    distinct (type, h); the rank<=k filter over the per-type window is
+    the WindowGroupLimit pattern — Spark 4 pushes the limit into a
+    per-partition partial top-k BEFORE the exchange, so only ~k rows per
+    partition per group shuffle. The k-minimum set is a commutative
+    mergeable partial (union's k smallest = k smallest of each side's k
+    smallest — A-14), so per-shard sketches roll up without rescanning;
+    that merge is exactly how this sketch runs across 1000 executors.
+
+    Reference parity: beyond-reference; extends A-13 (q90 HLL rollup) and
+    the sketch-accuracy scorecard (q200 HDR bound, q218 CMS product,
+    q238 MinHash agreement)."""
+    ev = load(spark, sf_dir, "events")
+    uniq = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "event_type",
+            F.expr(_nibble_int("md5(CAST(user_id AS string))")).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select("event_type", "h")
+        .transform(stage)  # exact leg + sketch leg share one build
+    )
+    ranked = uniq.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+    )
+    sk = (
+        ranked.filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.max("h").alias("h_k"),
+            F.count(F.lit(1)).cast("long").alias("n_in_sketch"),
+        )
+    )
+    ex = uniq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    est = F.when(
+        F.col("n_in_sketch") < _KMV_K, F.col("n_in_sketch")
+    ).otherwise(
+        F.expr(f"{_KMV_K - 1} * {_HASH_SPACE}L div h_k")
+    ).cast("long")
+    return (
+        ex.join(sk, "event_type")
+        .withColumn("n_kmv", est)
+        .withColumn(
+            "abs_err", F.abs(F.col("n_kmv") - F.col("n_exact")).cast("long")
+        )
+        .select("event_type", "n_exact", "n_kmv", "abs_err")
+        .transform(pin)
+        .orderBy("event_type")
+    )

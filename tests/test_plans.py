@@ -2136,3 +2136,24 @@ def test_partition_advisor_is_single_scan(spark):
     plan = plan_of(q.fn(spark, SF_DIR), "simple")
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
     assert len(scans) == 1, plan
+
+
+def test_sequence_pair_support_is_join_free(spark):
+    """q340 (X-22): the ordered-pair generator is a MAP-ONLY higher-order
+    array transform over per-user collected type stats — no self-join,
+    no shuffle join, no cartesian pairing anywhere; the only join is the
+    single-row user-total broadcast."""
+    q = all_queries()["q340_sequence_pair_support"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kmv_sketch_rank_filter_is_group_limited(spark):
+    """q339 (A-13): the rank<=k filter over the per-type hash window must
+    compile to WindowGroupLimit — Spark's partial per-partition top-k —
+    so only ~k rows per partition per group reach the exchange."""
+    q = all_queries()["q339_kmv_distinct_sketch"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
