@@ -1009,3 +1009,124 @@ def q336_absorbing_chain_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame
         .transform(pin)
         .orderBy("state")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-36 extension: schema-drift column matcher (rename detection by content)
+# ---------------------------------------------------------------------------
+
+from .audit import _nibble_int  # noqa: E402  (48-bit md5 int, shared idiom)
+
+#: canonical per-column value serialization — the SAME expression template
+#: runs in both engines ({t}: string/VARCHAR, {us}: unix_micros/epoch_us).
+_DRIFT_CANON = {
+    "o_orderkey": "CAST(o_orderkey AS {t})",
+    "o_custkey": "CAST(o_custkey AS {t})",
+    "o_totalprice": "CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS {t})",
+    "o_orderdate": "CAST({us}(o_orderdate) AS {t})",
+    "o_orderpriority": "o_orderpriority",
+}
+#: the simulated v2 migration's renames (content identical, names new)
+_DRIFT_RENAME = {
+    "o_orderkey": "ok",
+    "o_custkey": "customer_ref",
+    "o_totalprice": "price_total",
+    "o_orderdate": "created_at",
+    "o_orderpriority": "priority_class",
+}
+
+
+@query(
+    "q343_schema_drift_matcher",
+    oracle=f"""
+    WITH agg AS (
+        SELECT
+            {", ".join(
+                f"CAST(COUNT({c}) AS BIGINT) AS n_{i}, "
+                f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{i}, "
+                f"CAST(SUM({_nibble_int('md5(' + _DRIFT_CANON[c].format(t='VARCHAR', us='epoch_us') + ')')}) AS DECIMAL(38,0)) AS ck_{i}"
+                for i, c in enumerate(_DRIFT_CANON)
+            )}
+        FROM orders
+    ),
+    v1 AS (
+        {" UNION ALL ".join(
+            f"SELECT '{c}' AS v1_column, n_{i} AS n_values, nd_{i} AS n_distinct, ck_{i} AS cksum FROM agg"
+            for i, c in enumerate(_DRIFT_CANON)
+        )}
+    ),
+    v2 AS (
+        {" UNION ALL ".join(
+            f"SELECT '{_DRIFT_RENAME[c]}' AS v2_column, n_{i} AS n_values, nd_{i} AS n_distinct, ck_{i} AS cksum FROM agg"
+            for i, c in enumerate(_DRIFT_CANON)
+        )}
+    )
+    SELECT v1.v1_column, v2.v2_column, v1.n_values, v1.n_distinct
+    FROM v1 JOIN v2 USING (n_values, n_distinct, cksum)
+    ORDER BY v1.v1_column
+    """,
+    tags=("X-36", "X-11"),
+)
+def q343_schema_drift_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift column matcher: after a migration renames every column
+    of a table (v2 simulated from v1 by the rename map — content
+    identical, names new), re-derive the old->new column mapping purely
+    from CONTENT fingerprints: per column (non-null count, distinct
+    count, order-independent 48-bit md5 checksum — the q164 table
+    checksum applied per COLUMN), then an equi-join of the two
+    fingerprint sets. The schema-evolution step X-36's profile drift
+    assumes away: q196 diffs profiles of columns with matching names;
+    this recovers the name mapping when names DON'T match, which is what
+    a lakehouse catalog needs before any column-level diff can run.
+
+    Determinism: counts exact; checksum is a commutative decimal sum of
+    md5-derived integers over engine-identical canonical strings
+    (integers as-is, money as exact cents, timestamps as epoch micros).
+
+    Scale shape: ONE scan computes all 15 statistics (the q113 wide-agg
+    discipline — the three count-distincts ride one HashAggregate's
+    Expand, never one scan per column); the 5-row fingerprint relations
+    explode from single aggregate rows and join trivially. Checksums and
+    counts are A-14-mergeable, so per-shard column fingerprints roll up
+    without rescanning — matching two 100 TB snapshots costs two scans
+    total. A fingerprint collision between different columns is
+    possible in principle and surfaces as a fan-out row pair — an
+    auditable artifact, not a silent mismatch.
+
+    Reference parity: beyond-reference; extends X-36 (q196) and X-24's
+    q164 checksum to the schema-evolution use case."""
+    o = load(spark, sf_dir, "orders")
+    cols = list(_DRIFT_CANON)
+    aggs = []
+    for i, c in enumerate(cols):
+        canon = _DRIFT_CANON[c].format(t="string", us="unix_micros")
+        aggs += [
+            F.count(c).cast("long").alias(f"n_{i}"),
+            F.countDistinct(c).cast("long").alias(f"nd_{i}"),
+            F.sum(F.expr(_nibble_int(f"md5({canon})")))
+            .cast("decimal(38,0)")
+            .alias(f"ck_{i}"),
+        ]
+    agg = o.agg(*aggs).transform(stage)  # both sides explode from this row
+    stack_v1 = ", ".join(
+        f"'{c}', n_{i}, nd_{i}, ck_{i}" for i, c in enumerate(cols)
+    )
+    stack_v2 = ", ".join(
+        f"'{_DRIFT_RENAME[c]}', n_{i}, nd_{i}, ck_{i}" for i, c in enumerate(cols)
+    )
+    v1 = agg.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_v1}) AS (v1_column, n_values, n_distinct, cksum)"
+        )
+    )
+    v2 = agg.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_v2}) AS (v2_column, n_values, n_distinct, cksum)"
+        )
+    )
+    return (
+        v1.join(v2, ["n_values", "n_distinct", "cksum"])
+        .select("v1_column", "v2_column", "n_values", "n_distinct")
+        .transform(pin)
+        .orderBy("v1_column")
+    )

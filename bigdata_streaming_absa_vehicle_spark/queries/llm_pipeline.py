@@ -1999,3 +1999,99 @@ def q301_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fused_rank") <= 10)
     )
     return fused.transform(pin).orderBy("fused_rank")
+
+
+# ---------------------------------------------------------------------------
+# X-03 extension: hard-negative mining for contrastive training
+# ---------------------------------------------------------------------------
+
+_HARDNEG_K = 5
+
+
+@query(
+    "q341_hard_negative_mining",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, label AS probe_label,
+               embedding::DOUBLE[] AS pvec
+        FROM embeddings WHERE vec_id < {_NDCG_PROBES}
+    ), scored AS (
+        SELECT probe_id, probe_label, e.vec_id, e.label,
+               list_cosine_similarity(pvec, e.embedding::DOUBLE[]) AS cos
+        FROM probes, embeddings e
+        WHERE e.vec_id <> probe_id AND e.label <> probe_label
+    ), ranked AS (
+        SELECT probe_id, probe_label, vec_id, label, cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY probe_id ORDER BY cos DESC, vec_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT probe_id, probe_label, rank, vec_id AS neg_id,
+           label AS neg_label, ROUND(cos, 6) AS cosine
+    FROM ranked WHERE rank <= {_HARDNEG_K}
+    ORDER BY probe_id, rank
+    """,
+    tags=("X-03",),
+)
+def q341_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the k=5
+    most-similar vectors carrying a DIFFERENT label — the pairs a
+    contrastive/triplet loss learns most from. q163's negative sampling
+    draws negatives at hash-random (cheap, uninformative); this ranks
+    them by actual similarity, which is what metric-learning pipelines
+    mine between epochs. Completes the X-03 training loop: q45 retrieves,
+    q232 evaluates label agreement, this EXPORTS the disagreements worth
+    training on.
+
+    Determinism: the cosine is the q45 sequential fold (bit-equal to
+    DuckDB's list_cosine_similarity), rounded 6 dp for display only —
+    ranking happens on the raw double with a vec_id tie-break.
+
+    Scale shape: the probe set broadcasts (anchors are a sample/batch,
+    never the corpus); the label-mismatch filter composes into the scan
+    side of the broadcast join; the per-anchor top-k is the
+    WindowGroupLimit partial-top-k pattern. At corpus scale the exact
+    scorer swaps for the X-03 ANN candidate generator (over-fetch k' > k,
+    label-filter, refill) with this exact dataflow downstream — the
+    mining loop's cost is one ANN query batch, not a corpus scan.
+
+    Reference parity: beyond-reference; extends X-03 (q45/q46/q46b/q44)
+    and the X-16/X-17 training-set family (q163 random negatives)."""
+    from pyspark.sql import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _NDCG_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("embedding").cast("array<double>").alias("pvec"),
+    )
+    corpus = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    scored = corpus.join(
+        F.broadcast(probes),
+        (F.col("vec_id") != F.col("probe_id"))
+        & (F.col("label") != F.col("probe_label")),
+    ).select(
+        "probe_id",
+        "probe_label",
+        "vec_id",
+        "label",
+        sim.cosine(F.col("pvec"), F.col("vec")).alias("cos"),
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HARDNEG_K)
+        .select(
+            "probe_id",
+            "probe_label",
+            "rank",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round("cos", 6).alias("cosine"),
+        )
+        .transform(pin)
+        .orderBy("probe_id", "rank")
+    )

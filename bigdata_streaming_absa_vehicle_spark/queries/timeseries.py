@@ -4176,3 +4176,112 @@ def q325_erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "offered_load double, prob_wait double",
     )
     return out.transform(pin).orderBy("agents")
+
+
+# ---------------------------------------------------------------------------
+# X-83 (cont.): paired t-test — within-user weekend vs weekday contrast
+# ---------------------------------------------------------------------------
+
+_PAIRED_T_ORACLE = """
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN dayofweek(date_trunc('day', ts)) + 1 IN (1, 7)
+                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS we_cents,
+               CAST(SUM(CASE WHEN dayofweek(date_trunc('day', ts)) + 1 IN (1, 7)
+                        THEN 0
+                        ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        END) AS BIGINT) AS wd_cents,
+               MAX(CASE WHEN dayofweek(date_trunc('day', ts)) + 1 IN (1, 7)
+                   THEN 1 ELSE 0 END) AS has_we,
+               MAX(CASE WHEN dayofweek(date_trunc('day', ts)) + 1 IN (1, 7)
+                   THEN 0 ELSE 1 END) AS has_wd
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    d AS (
+        SELECT we_cents - wd_cents AS di FROM per_user
+        WHERE has_we = 1 AND has_wd = 1
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(di) AS BIGINT) AS s,
+               CAST(SUM(CAST(di AS DECIMAL(19,0)) * CAST(di AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS s2
+        FROM d
+    )
+    SELECT n AS n_pairs, s AS sum_diff_cents,
+           ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_diff_cents,
+           CASE WHEN n < 2 OR n * s2 = CAST(s AS DECIMAL(19,0)) * s THEN NULL
+                ELSE ROUND((CAST(s AS DOUBLE) / n)
+                     / sqrt(CAST(n * s2 - CAST(s AS DECIMAL(19,0)) * s AS DOUBLE)
+                            / n / (n - 1) / n), 6) END AS paired_t
+    FROM m
+"""
+
+
+@query("q342_paired_ttest", oracle=_PAIRED_T_ORACLE, tags=("X-83", "X-23"))
+def q342_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t-test of the weekend effect: each user is their OWN
+    control — per-user weekend purchase cents minus weekday purchase
+    cents (users observed on both sides only), tested against zero with
+    the one-sample t on the differences. The within-subject complement
+    of q288's Welch test: Welch compares two independent day samples and
+    pays for between-user variance; pairing differences it away, which
+    is why matched designs detect smaller effects at the same n.
+
+    Determinism: differences are exact integer cents; Σd and Σd² are
+    exact (BIGINT / decimal(38,0)); the t statistic is a fixed-order
+    IEEE expression over those integers (one sqrt, correctly rounded),
+    rounded 6 dp; a degenerate spread (n < 2 or all differences equal)
+    yields NULL identically in both engines via an exact integer
+    predicate.
+
+    Scale shape: ONE map-side-combined user-keyed rollup (conditional
+    sums — the fact shuffles once), then ONE ungrouped A-14-mergeable
+    moment aggregate; three numbers cross the final exchange and one row
+    reaches the driver.
+
+    Reference parity: beyond-reference; completes the calendar-contrast
+    family (q288 Welch, q233 ANOVA, q180/q184 seasonal baseline)."""
+    d19 = "decimal(19,0)"
+    is_we = F.dayofweek(F.date_trunc("day", F.col("ts"))).isin(1, 7)
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    per_user = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(is_we, cents).otherwise(0)).cast("long").alias("we_cents"),
+            F.sum(F.when(is_we, 0).otherwise(cents)).cast("long").alias("wd_cents"),
+            F.max(F.when(is_we, 1).otherwise(0)).alias("has_we"),
+            F.max(F.when(is_we, 0).otherwise(1)).alias("has_wd"),
+        )
+    )
+    d = per_user.filter((F.col("has_we") == 1) & (F.col("has_wd") == 1)).select(
+        (F.col("we_cents") - F.col("wd_cents")).alias("di")
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("di").cast("long").alias("s"),
+        F.sum(F.col("di").cast(d19) * F.col("di").cast(d19))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var_num = F.expr(f"CAST(n * s2 - CAST(s AS {d19}) * s AS DOUBLE)")
+    degenerate = (F.col("n") < 2) | F.expr(f"n * s2 = CAST(s AS {d19}) * s")
+    return m.select(
+        F.col("n").alias("n_pairs"),
+        F.col("s").alias("sum_diff_cents"),
+        F.round(mean, 6).alias("mean_diff_cents"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                mean
+                / F.sqrt(var_num / F.col("n") / (F.col("n") - 1) / F.col("n")),
+                6,
+            )
+        )
+        .alias("paired_t"),
+    )
