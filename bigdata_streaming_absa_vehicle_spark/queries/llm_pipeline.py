@@ -2095,3 +2095,119 @@ def q341_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("probe_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-03 / X-23: label-noise candidate export (confident-learning style)
+# ---------------------------------------------------------------------------
+
+_NOISE_PROBES = 100
+_NOISE_K = 5
+
+
+@query(
+    "q345_label_noise_candidates",
+    oracle=f"""
+    WITH topk AS ({sim.oracle_cosine_topk(f"vec_id < {_NOISE_PROBES}", k=_NOISE_K)}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    votes AS (
+        SELECT t.probe_id, rl.label, CAST(COUNT(*) AS BIGINT) AS v
+        FROM topk t JOIN lab rl ON rl.vec_id = t.vec_id
+        GROUP BY t.probe_id, rl.label
+    ),
+    pred AS (
+        SELECT probe_id, label AS predicted, v AS votes_pred
+        FROM (
+            SELECT probe_id, label, v,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY probe_id ORDER BY v DESC, label
+                   ) AS rk
+            FROM votes
+        ) WHERE rk = 1
+    )
+    SELECT p.probe_id, pl.label, p.predicted, p.votes_pred,
+           CAST(COALESCE(vo.v, 0) AS BIGINT) AS votes_own,
+           CAST(p.votes_pred - COALESCE(vo.v, 0) AS BIGINT) AS margin
+    FROM pred p
+    JOIN lab pl ON pl.vec_id = p.probe_id
+    LEFT JOIN votes vo ON vo.probe_id = p.probe_id AND vo.label = pl.label
+    WHERE p.predicted <> pl.label
+    ORDER BY margin DESC, p.probe_id
+    """,
+    tags=("X-03", "X-23"),
+)
+def q345_label_noise_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise candidate export (the confident-learning/cleanlab
+    read): probes whose k-NN majority vote DISAGREES with their recorded
+    label, ranked by vote margin — the prioritized relabeling queue a
+    dataset-quality loop works through. q232 reports the aggregate
+    accuracy per label; this exports the individual disagreements with
+    the evidence (own-label votes vs predicted-label votes) attached.
+
+    Determinism: votes are exact counts over the q45 deterministic top-k
+    (cosine bit-equal to DuckDB, vec_id tie-break); prediction ties break
+    count-desc then label-asc; the export orders by (margin desc,
+    probe_id).
+
+    Scale shape: the certified X-03 retrieval (probes broadcast, grouped
+    top-k) feeds a (probe, label) vote rollup; prediction is the q13
+    grouped-top-1; the own-label lookup is a left join on the bounded
+    vote relation keyed by probe. At corpus scale probes are the audit
+    batch and the retriever swaps to the ANN path — the export dataflow
+    is unchanged.
+
+    Reference parity: beyond-reference; composes X-03 retrieval with the
+    X-23 evaluation discipline into the training-data QA operator."""
+    from pyspark.sql import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _NOISE_PROBES)
+    topk = sim.cosine_topk(emb, probes, k=_NOISE_K)
+    lab = emb.select("vec_id", "label")
+    votes = (
+        topk.join(F.broadcast(lab), "vec_id")
+        .groupBy("probe_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+        .transform(stage)  # prediction leg + own-label leg share one build
+    )
+    pred = (
+        votes.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("probe_id").orderBy(F.desc("v"), F.asc("label"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "probe_id", F.col("label").alias("predicted"), F.col("v").alias("votes_pred")
+        )
+    )
+    own = votes.select(
+        F.col("probe_id").alias("own_pid"),
+        F.col("label").alias("own_label"),
+        F.col("v").alias("votes_own"),
+    )
+    truth = lab.select(F.col("vec_id").alias("probe_id"), "label")
+    return (
+        pred.join(F.broadcast(truth), "probe_id")
+        .join(
+            own,
+            (F.col("probe_id") == F.col("own_pid"))
+            & (F.col("label") == F.col("own_label")),
+            "left",
+        )
+        .drop("own_pid")
+        .filter(F.col("predicted") != F.col("label"))
+        .select(
+            "probe_id",
+            "label",
+            "predicted",
+            "votes_pred",
+            F.coalesce(F.col("votes_own"), F.lit(0)).cast("long").alias("votes_own"),
+            (F.col("votes_pred") - F.coalesce(F.col("votes_own"), F.lit(0)))
+            .cast("long")
+            .alias("margin"),
+        )
+        .transform(pin)
+        .orderBy(F.desc("margin"), "probe_id")
+    )

@@ -1297,3 +1297,93 @@ def q290_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("class", "fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-16 (cont.): balanced class downsampling to the minority-class count
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q344_class_downsample",
+    oracle="""
+    WITH counts AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label
+    ),
+    floor_n AS (SELECT MIN(n) AS min_n FROM counts),
+    ranked AS (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY label
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rk
+        FROM embeddings
+    )
+    SELECT r.label,
+           c.n AS n_before,
+           CAST(COUNT(*) AS BIGINT) AS n_after,
+           CAST(MIN(r.vec_id) AS BIGINT) AS min_kept_id,
+           CAST(MAX(r.vec_id) AS BIGINT) AS max_kept_id
+    FROM ranked r
+    CROSS JOIN floor_n f
+    JOIN counts c ON c.label = r.label
+    WHERE r.rk <= f.min_n
+    GROUP BY r.label, c.n
+    ORDER BY r.label
+    """,
+    tags=("X-16", "O-05"),
+)
+def q344_class_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced class downsampling: every class cut to the minority
+    class's count by keeping each class's lowest-md5-priority members —
+    the deterministic version of 'downsample the majority classes', the
+    step a classification training set takes when q135's class weights
+    aren't enough (weights rebalance the loss; downsampling rebalances
+    the GRADIENT BATCHES and the storage bill). Selection by content
+    hash (the q133 Efraimidis-Spirakis discipline) makes the kept set
+    reproducible across engines, runs, and incremental backfills.
+
+    Determinism: the minority count is an exact integer MIN; per-class
+    ranking orders by (md5, vec_id) — total order, no RNG anywhere.
+
+    Scale shape: class counts are ONE map-side-combined rollup onto the
+    bounded label relation; the floor broadcasts as a single row; the
+    keep-set is per-class top-k by priority — WindowGroupLimit partial
+    top-k per partition here, and at 100 TB the same selection runs as
+    the q13 mergeable grouped-top-k with only min_n rows per class
+    crossing the wire. The verification rollup lands on |labels| rows.
+
+    Reference parity: beyond-reference; completes X-16's sampling kit
+    (q131 temporal, q132 hash split, q133 per-key reservoir, q213
+    weighted, q290 stratified k-fold, q332 Neyman, q333 PPS) with the
+    class-balance case."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    floor_n = counts.agg(F.min("n").alias("min_n"))
+    ranked = emb.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("label").orderBy(
+                F.md5(F.col("vec_id").cast("string")), "vec_id"
+            )
+        ),
+    )
+    kept = ranked.join(F.broadcast(floor_n)).filter(F.col("rk") <= F.col("min_n"))
+    return (
+        kept.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_after"),
+            F.min("vec_id").cast("long").alias("min_kept_id"),
+            F.max("vec_id").cast("long").alias("max_kept_id"),
+        )
+        .join(F.broadcast(counts), "label")
+        .select(
+            "label",
+            F.col("n").alias("n_before"),
+            "n_after",
+            "min_kept_id",
+            "max_kept_id",
+        )
+        .transform(pin)
+        .orderBy("label")
+    )
