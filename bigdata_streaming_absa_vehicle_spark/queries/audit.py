@@ -1232,3 +1232,97 @@ def q307_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dow").alias("worst_dow"),
         "n_groups_above_02",
     )
+
+
+# ---------------------------------------------------------------------------
+# X-24 (cont.): retention/TTL compliance sweep
+# ---------------------------------------------------------------------------
+
+#: published retention policy, days per event type (a config literal — the
+#: policy is an input, not data)
+_TTL_DAYS = {
+    "click": 30,
+    "view": 30,
+    "error": 90,
+    "signup": 365,
+    "purchase": 365,
+}
+
+_TTL_CASE = "CASE event_type " + " ".join(
+    f"WHEN '{t}' THEN {d}" for t, d in sorted(_TTL_DAYS.items())
+) + " ELSE 365 END"
+
+
+@query(
+    "q349_ttl_compliance",
+    oracle=f"""
+    WITH ref AS (
+        SELECT CAST(FLOOR(epoch(MAX(date_trunc('day', ts)))) AS BIGINT) // 86400
+               AS ref_day
+        FROM events
+    ),
+    rows_ AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+               {_TTL_CASE} AS ttl_days
+        FROM events
+    )
+    SELECT event_type,
+           CAST(MAX(ttl_days) AS BIGINT) AS ttl_days,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN d < ref_day - ttl_days THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_expired,
+           ROUND(CAST(SUM(CASE WHEN d < ref_day - ttl_days THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS expired_share,
+           CAST(MAX(ref_day - d) AS BIGINT) AS max_age_days
+    FROM rows_ CROSS JOIN ref
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("X-24", "X-29"),
+)
+def q349_ttl_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention/TTL compliance sweep: against a published per-type
+    retention policy (a config literal), count the rows that have
+    outlived their TTL and the oldest age present — the deletion-SLA
+    audit a privacy/compliance team runs before q199's deletion audit
+    verifies the purge actually happened. The reference day is the
+    warehouse's own freshest day (the q223 discipline — never
+    wall-clock NOW(), which would be untestable).
+
+    Determinism: day arithmetic is exact integer epoch-days; the policy
+    CASE is a literal; one exact-ratio division rounds at 6 dp.
+
+    Scale shape: one footer-friendly scan with a map-only policy CASE,
+    ONE map-side-combined rollup onto the bounded type relation; the
+    reference day cross-broadcasts a single row. At 100 TB with
+    day-partitioned layout the expired predicate prunes to partition
+    metadata — the audit costs the manifest, not the data.
+
+    Reference parity: beyond-reference; completes X-24's audit kit (q159
+    referential, q164 checksum, q220 expectations, q223 freshness, q199
+    deletion) with the retention-policy gate."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+        .cast("long")
+        .alias("d"),
+        F.expr(_TTL_CASE).alias("ttl_days"),
+    )
+    ref = ev.agg(F.max("d").alias("ref_day"))
+    expired = F.col("d") < F.col("ref_day") - F.col("ttl_days")
+    return (
+        ev.join(F.broadcast(ref))
+        .groupBy("event_type")
+        .agg(
+            F.max("ttl_days").cast("long").alias("ttl_days"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(expired.cast("int")).cast("long").alias("n_expired"),
+            F.round(
+                F.sum(expired.cast("int")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("expired_share"),
+            F.max(F.col("ref_day") - F.col("d")).cast("long").alias("max_age_days"),
+        )
+        .transform(pin)
+        .orderBy("event_type")
+    )

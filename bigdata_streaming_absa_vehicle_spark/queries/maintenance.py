@@ -305,3 +305,137 @@ def q329_partition_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("advisor_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-30 (cont.): column-encoding advisor (dictionary / RLE / plain)
+# ---------------------------------------------------------------------------
+
+#: canonical per-column value expression ({t}: string/VARCHAR) — value as
+#: exact cents so runs/ndv mean the same thing in both engines.
+_ENC_COLS = {
+    "event_type": "event_type",
+    "user_id": "CAST(user_id AS {t})",
+    "value_cents": "CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS {t})",
+}
+
+
+def _enc_run_flag(expr: str) -> str:
+    """1 when this row STARTS a run of equal values under the per-day
+    (ts, event_id) order — valid in both engines."""
+    return (
+        f"CASE WHEN LAG({expr}) OVER (PARTITION BY day_ ORDER BY ts, event_id) "
+        f"IS DISTINCT FROM {expr} THEN 1 ELSE 0 END"
+    )
+
+
+@query(
+    "q348_encoding_advisor",
+    oracle=f"""
+    WITH base AS (
+        SELECT date_trunc('day', ts) AS day_, ts, event_id,
+               {", ".join(f"{e.format(t='VARCHAR')} AS c_{i}" for i, e in enumerate(_ENC_COLS.values()))}
+        FROM events
+    ),
+    runs AS (
+        SELECT *,
+               {", ".join(f"{_enc_run_flag(f'c_{i}')} AS r_{i}" for i in range(len(_ENC_COLS)))}
+        FROM base
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {", ".join(
+                   f"CAST(COUNT(DISTINCT c_{i}) AS BIGINT) AS nd_{i}, "
+                   f"CAST(SUM(r_{i}) AS BIGINT) AS nr_{i}"
+                   for i in range(len(_ENC_COLS))
+               )}
+        FROM runs
+    )
+    {" UNION ALL ".join(
+        f'''SELECT '{c}' AS column_name, n AS n_rows, nd_{i} AS n_distinct,
+                   nr_{i} AS n_runs,
+                   ROUND(CAST(n AS DOUBLE) / nr_{i}, 6) AS avg_run_len,
+                   CASE WHEN 100 * nd_{i} <= n THEN 'DICTIONARY'
+                        WHEN 2 * nr_{i} <= n THEN 'RLE'
+                        ELSE 'PLAIN' END AS advice
+            FROM agg'''
+        for i, c in enumerate(_ENC_COLS)
+    )}
+    ORDER BY column_name
+    """,
+    tags=("X-30", "X-11"),
+)
+def q348_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-encoding advisor: per column, the statistics a columnar
+    writer's encoding chooser needs — distinct count (dictionary
+    eligibility) and run count under the table's declared sort order
+    (RLE eligibility; runs are measured within day segments ordered by
+    (ts, event_id), the layout q116's clustering and q190's compaction
+    produce) — plus the verdict via exact integer thresholds: DICTIONARY
+    when ndv <= n/100, else RLE when average run length >= 2, else
+    PLAIN. The OPTIMIZE-adjacent half of X-30: q190 plans the file bins,
+    this advises what to encode inside them (the decision Parquet/ORC
+    writers make from exactly these stats).
+
+    Determinism: run starts use IS DISTINCT FROM under a total
+    per-segment order; counts are exact; the one ratio rounds at 6 dp;
+    advice thresholds are exact integer comparisons (100·ndv <= n,
+    2·runs <= n).
+
+    Scale shape: one scan; the three run-flag lags share ONE window
+    (partitioned by day — never a single global sort; segment count
+    grows with the calendar, so parallelism survives 100 TB); the three
+    count-distincts ride one wide ungrouped HashAggregate (the q113
+    Expand discipline, never a scan per column); three rows explode from
+    the single aggregate row.
+
+    Reference parity: beyond-reference; extends X-30 (q190 compaction
+    bins) and X-11/X-119's advisor family (q329 partition keys) down to
+    the encoding level."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day_"),
+        "ts",
+        "event_id",
+        *[
+            F.expr(e.format(t="string")).alias(f"c_{i}")
+            for i, e in enumerate(_ENC_COLS.values())
+        ],
+    )
+    runs = ev.select(
+        "*",
+        *[
+            F.expr(_enc_run_flag(f"c_{i}")).alias(f"r_{i}")
+            for i in range(len(_ENC_COLS))
+        ],
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i in range(len(_ENC_COLS)):
+        aggs.append(F.countDistinct(f"c_{i}").cast("long").alias(f"nd_{i}"))
+        aggs.append(F.sum(f"r_{i}").cast("long").alias(f"nr_{i}"))
+    agg = runs.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', n, nd_{i}, nr_{i}" for i, c in enumerate(_ENC_COLS)
+    )
+    out = agg.select(
+        F.expr(
+            f"stack({len(_ENC_COLS)}, {stack}) "
+            "AS (column_name, n_rows, n_distinct, n_runs)"
+        )
+    )
+    return (
+        out.select(
+            "column_name",
+            "n_rows",
+            "n_distinct",
+            "n_runs",
+            F.round(F.col("n_rows").cast("double") / F.col("n_runs"), 6).alias(
+                "avg_run_len"
+            ),
+            F.when(100 * F.col("n_distinct") <= F.col("n_rows"), "DICTIONARY")
+            .when(2 * F.col("n_runs") <= F.col("n_rows"), "RLE")
+            .otherwise("PLAIN")
+            .alias("advice"),
+        )
+        .transform(pin)
+        .orderBy("column_name")
+    )

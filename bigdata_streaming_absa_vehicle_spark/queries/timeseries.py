@@ -4285,3 +4285,107 @@ def q342_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("paired_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-20 (cont.): rolling windowed OLS trend per series
+# ---------------------------------------------------------------------------
+
+_ROLLTREND_ORACLE = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT event_type, d,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(d) OVER w AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(y) OVER w AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(CAST(d AS DECIMAL(19,0)) * y) OVER w AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(d AS DECIMAL(19,0)) * d) OVER w AS DECIMAL(38,0)) AS sxx
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     RANGE BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, d, n AS n_days,
+           CASE WHEN n < 2 OR n * sxx = sx * sx THEN NULL
+                ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+           END AS slope_cents_per_day
+    FROM win ORDER BY event_type, d
+"""
+
+
+@query("q347_rolling_trend", oracle=_ROLLTREND_ORACLE, tags=("X-20", "W-04"))
+def q347_rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling trailing-14-day OLS slope of each event type's daily
+    revenue — the windowed version of q154's whole-series trend and the
+    feature a forecasting/alerting model actually consumes (the slope AT
+    each day, not one slope for all time). Day index is the x variable,
+    exact daily cents the y; the slope is the textbook
+    (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) where every moment is an exact-integer SUM
+    over a RANGE frame keyed on the integer day — peers share frames by
+    definition, no tie-break, no float accumulation anywhere; the single
+    division runs on exact decimal operands cast to double and rounds at
+    6 dp; a degenerate window (n<2, impossible here but pinned anyway)
+    yields NULL identically in both engines via an exact predicate.
+
+    Scale shape: ONE map-side-combined fact rollup onto the
+    calendar-bounded (type, day) relation; the four moment windows share
+    one frame over that bounded relation (more data adds cents, not
+    rows), so window cost is independent of fact size — the W-04
+    time-range discipline applied to regression features.
+
+    Reference parity: beyond-reference; completes X-20's trend kit (q154
+    global slope, q249 Theil-Sen, q141 EWMA) with the rolling form."""
+    d19 = "decimal(19,0)"
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+            .cast("long")
+            .alias("d"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rangeBetween(-13, 0)
+    )
+    win = daily.select(
+        "event_type",
+        "d",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("d").over(w).cast("decimal(38,0)").alias("sx"),
+        F.sum("y").over(w).cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("d").cast(d19) * F.col("y")).over(w)
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("d").cast(d19) * F.col("d")).over(w)
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    degenerate = (F.col("n") < 2) | F.expr("n * sxx = sx * sx")
+    slope = F.round(
+        F.expr("CAST(n * sxy - sx * sy AS DOUBLE)")
+        / F.expr("CAST(n * sxx - sx * sx AS DOUBLE)"),
+        6,
+    )
+    return (
+        win.select(
+            "event_type",
+            "d",
+            F.col("n").alias("n_days"),
+            F.when(degenerate, F.lit(None).cast("double"))
+            .otherwise(slope)
+            .alias("slope_cents_per_day"),
+        )
+        .transform(pin)
+        .orderBy("event_type", "d")
+    )
