@@ -2135,3 +2135,224 @@ def q276_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-70 (cont.): revenue bridge — price/volume decomposition between periods
+# ---------------------------------------------------------------------------
+
+_BRIDGE_ORACLE = """
+    WITH per AS (
+        SELECT p.p_brand AS brand,
+               year(l.l_shipdate) AS y,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE year(l.l_shipdate) IN (1996, 1997)
+        GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT brand,
+               MAX(CASE WHEN y = 1996 THEN q END) AS q1,
+               MAX(CASE WHEN y = 1996 THEN rev END) AS rev1,
+               MAX(CASE WHEN y = 1997 THEN q END) AS q2,
+               MAX(CASE WHEN y = 1997 THEN rev END) AS rev2
+        FROM per GROUP BY brand
+    )
+    SELECT brand, q1, q2, rev1, rev2,
+           rev2 - rev1 AS delta_cents,
+           ROUND(CAST(CAST(rev1 AS DECIMAL(38,0)) * (q2 - q1) AS DOUBLE) / q1, 6)
+               AS volume_effect_cents,
+           ROUND(rev2 - CAST(CAST(rev1 AS DECIMAL(38,0)) * q2 AS DOUBLE) / q1, 6)
+               AS price_effect_cents
+    FROM wide
+    WHERE q1 IS NOT NULL AND q2 IS NOT NULL AND q1 > 0 AND q2 > 0
+    ORDER BY brand
+"""
+
+
+@query("q350_revenue_bridge", oracle=_BRIDGE_ORACLE, tags=("X-70", "A-01", "J-02"))
+def q350_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue bridge: the year-over-year revenue change per brand
+    decomposed into a VOLUME effect (base-year prices x quantity change,
+    Laspeyres) and a PRICE effect (current-year quantities x price
+    change, Paasche) — the pairing that makes the bridge EXACTLY
+    additive: volume + price = delta with no residual mix term, which is
+    why finance teams report this decomposition. q266 indexes prices
+    against a base month; this explains a revenue delta — 'did we sell
+    more, or sell dearer?'.
+
+    Determinism: quantities and revenue cents are exact integers; each
+    effect is one decimal-exact product cast to double and divided once
+    by an integer (identical operands, identical parenthesization in
+    both engines), rounded 6 dp; additivity holds exactly in the
+    pre-rounding reals by construction.
+
+    Scale shape: the part dim joins BROADCAST; ONE map-side-combined
+    fact rollup onto the bounded (brand, year) relation (the year filter
+    pushes to the scan); the pivot and both effects run on <= |brands|
+    rows. A-14-mergeable partials.
+
+    Reference parity: beyond-reference; extends X-70 (q266 price index)
+    and the what-if family (q324)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate").isin(1996, 1997))
+        .select(
+            "l_partkey",
+            F.year("l_shipdate").alias("y"),
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", F.col("p_brand").alias("brand"))
+    per = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("brand", "y")
+        .agg(
+            F.sum("qty").cast("long").alias("q"),
+            F.sum("cents").cast("long").alias("rev"),
+        )
+    )
+
+    def _side(col, yr):
+        return F.max(F.when(F.col("y") == yr, F.col(col)))
+
+    wide = per.groupBy("brand").agg(
+        _side("q", 1996).alias("q1"),
+        _side("rev", 1996).alias("rev1"),
+        _side("q", 1997).alias("q2"),
+        _side("rev", 1997).alias("rev2"),
+    )
+    vol = F.round(
+        F.expr("CAST(CAST(rev1 AS DECIMAL(38,0)) * (q2 - q1) AS DOUBLE)")
+        / F.col("q1"),
+        6,
+    )
+    price = F.round(
+        F.col("rev2")
+        - F.expr("CAST(CAST(rev1 AS DECIMAL(38,0)) * q2 AS DOUBLE)") / F.col("q1"),
+        6,
+    )
+    return (
+        wide.filter(
+            F.col("q1").isNotNull()
+            & F.col("q2").isNotNull()
+            & (F.col("q1") > 0)
+            & (F.col("q2") > 0)
+        )
+        .select(
+            "brand",
+            "q1",
+            "q2",
+            "rev1",
+            "rev2",
+            (F.col("rev2") - F.col("rev1")).alias("delta_cents"),
+            vol.alias("volume_effect_cents"),
+            price.alias("price_effect_cents"),
+        )
+        .transform(pin)
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-05 (cont.): grouped top-k with an OTHERS rollup (the dashboard pattern)
+# ---------------------------------------------------------------------------
+
+_TOPK_OTHERS_K = 3
+
+_TOPK_OTHERS_ORACLE = f"""
+    WITH rev AS (
+        SELECT n.n_name AS nation, p.p_brand AS brand,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT nation, brand, rev_cents,
+               ROW_NUMBER() OVER (PARTITION BY nation
+                                  ORDER BY rev_cents DESC, brand) AS rk
+        FROM rev
+    )
+    SELECT nation, brand, CAST(rk AS BIGINT) AS rk, rev_cents
+    FROM ranked WHERE rk <= {_TOPK_OTHERS_K}
+    UNION ALL
+    SELECT nation, 'OTHERS' AS brand,
+           CAST({_TOPK_OTHERS_K + 1} AS BIGINT) AS rk,
+           CAST(SUM(rev_cents) AS BIGINT) AS rev_cents
+    FROM ranked WHERE rk > {_TOPK_OTHERS_K}
+    GROUP BY nation
+    ORDER BY nation, rk
+"""
+
+
+@query(
+    "q352_topk_with_others",
+    oracle=_TOPK_OTHERS_ORACLE,
+    tags=("O-05", "A-01", "J-02"),
+)
+def q352_topk_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k with an OTHERS rollup: each nation's top-3 brands by
+    revenue plus one OTHERS row absorbing the remainder — the dashboard/
+    report pattern a plain grouped top-k (q13) leaves half-done (a pie
+    chart that silently drops the tail misreports shares; OTHERS keeps
+    the group total reconcilable to q04's full rollup).
+
+    Determinism: revenue is exact integer cents; ranking ties break by
+    brand; the OTHERS row is an exact sum of the untaken remainder.
+
+    Scale shape: both dims BROADCAST into the fact; ONE map-side-combined
+    rollup onto the bounded (nation, brand) relation; the rank and the
+    OTHERS aggregation both run on that bounded relation (the window is
+    per-nation over <= |brands| rows, never over the fact), and the two
+    legs share the ranked relation via one stage — no second fact scan,
+    no anti-join.
+
+    Reference parity: beyond-reference; completes O-05 (q13 plain, q222
+    diversified) with the reconcilable-report form."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("nation", "brand")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    ranked = rev.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("nation").orderBy(F.desc("rev_cents"), "brand")
+        ),
+    ).transform(stage)  # top-k leg + OTHERS leg share one ranked build
+    top = ranked.filter(F.col("rk") <= _TOPK_OTHERS_K).select(
+        "nation", "brand", F.col("rk").cast("long").alias("rk"), "rev_cents"
+    )
+    others = (
+        ranked.filter(F.col("rk") > _TOPK_OTHERS_K)
+        .groupBy("nation")
+        .agg(F.sum("rev_cents").cast("long").alias("rev_cents"))
+        .select(
+            "nation",
+            F.lit("OTHERS").alias("brand"),
+            F.lit(_TOPK_OTHERS_K + 1).cast("long").alias("rk"),
+            "rev_cents",
+        )
+    )
+    return top.unionByName(others).transform(pin).orderBy("nation", "rk")

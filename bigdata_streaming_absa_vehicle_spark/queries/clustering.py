@@ -186,3 +186,140 @@ def q195_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-35 (cont.): product-quantization codebook audit
+# ---------------------------------------------------------------------------
+
+_PQ_SUBS = 8  #: 64 dims -> 8 subvectors of 8
+_PQ_SUBDIM = EMBEDDING_DIM // _PQ_SUBS
+_PQ_CODES = 4  #: codebook seeds = subvectors of vec_id 0..3 (one PQ train step)
+
+
+def _pq_oracle() -> str:
+    dist = _DIST_DUCK.format(a="v.sv", b="c.cv", dim=_PQ_SUBDIM)
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(ve, x -> CAST(floor(
+                   x / sqrt(list_reduce(list_transform(ve, y -> y*y), (a,b) -> a+b))
+                   * {Q_SCALE} + 0.5) AS BIGINT)) AS qv
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings)
+    ),
+    subs AS (
+        SELECT vec_id, u.s AS sub,
+               qv[u.s * {_PQ_SUBDIM} + 1 : u.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sv
+        FROM q CROSS JOIN (SELECT unnest(range(0, {_PQ_SUBS})) AS s) u
+    ),
+    codes AS (
+        SELECT sub, vec_id AS cid, sv AS cv FROM subs WHERE vec_id < {_PQ_CODES}
+    ),
+    scored AS (
+        SELECT vec_id, sub, cid, dist FROM (
+            SELECT v.vec_id, v.sub, c.cid, {dist} AS dist
+            FROM subs v JOIN codes c USING (sub)
+        )
+    ),
+    assigned AS (
+        SELECT vec_id, sub, cid, dist FROM (
+            SELECT vec_id, sub, cid, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, cid) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT sub, cid AS code_id,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           CAST(SUM(dist) AS BIGINT) AS sse_q,
+           ROUND(CAST(SUM(dist) AS DOUBLE) / (COUNT(*) * {_PQ_SUBDIM})
+                 / {Q_SCALE * Q_SCALE}, 9) AS mse_unit
+    FROM assigned GROUP BY sub, cid ORDER BY sub, code_id
+    """
+
+
+@query("q351_product_quantization", oracle=_pq_oracle(), tags=("X-35", "X-03"))
+def q351_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook audit: the embedding space split
+    into 8 subspaces of 8 dims, each subvector assigned to its nearest
+    of 4 codebook entries (seeds = the first 4 vectors' subvectors —
+    one PQ training step, the q195 seeding discipline), reporting per
+    (subspace, code) the assignment count and exact quantized SSE/MSE —
+    the compression-quality readout behind every PQ-based ANN index
+    (FAISS-style IVFPQ): an unbalanced code or a high-MSE subspace says
+    re-train that codebook. Completes the X-03/X-35 vector stack: q46b
+    IVF is the coarse quantizer, this is the fine one.
+
+    Determinism: subvectors come from the exact 2^20 fixed-point
+    quantization (X-03 kernel); distances are exact int64 sums (fold
+    order irrelevant); assignment ties break toward the lowest code id;
+    SSE is an exact integer (diff^2 <= 2^42, x8 dims <= 2^45 per row —
+    widen to decimal(38,0) beyond ~2^8 rows-per-partial at extreme
+    scale); MSE is rescaled by Q_SCALE^2 back to unit-sphere units
+    BEFORE rounding (at the raw 1e10 quantized magnitude a double
+    cannot hold 6 decimals and engine rounding diverges), then one
+    fixed-order division chain rounds at 9 dp.
+
+    Scale shape: the 8-way subvector fan-out is MAP-ONLY (transform +
+    explode, no shuffle); the 32-entry codebook is collected into one
+    bounded array per subspace and BROADCAST (the q195 in-plan
+    collect_list, no driver round-trip); assignment is map-only
+    array_sort over 4 exact distances; ONE map-side-combined rollup
+    lands on the bounded 32-row (sub, code) relation. Vectors never
+    shuffle — the q195 invariant, preserved under subspace decomposition.
+
+    Reference parity: beyond-reference; extends X-35 (q195 Lloyd) and
+    X-03's quantized kernel family (q44/q46b)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = quantized_batched(emb)
+    subs = (
+        q.select(
+            "vec_id",
+            F.expr(
+                f"explode(transform(sequence(0, {_PQ_SUBS - 1}), "
+                f"s -> struct(s AS sub, slice(qv, s * {_PQ_SUBDIM} + 1, "
+                f"{_PQ_SUBDIM}) AS sv)))"
+            ).alias("e"),
+        )
+        .select("vec_id", F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
+        .transform(stage)  # vector leg + codebook leg share one quantize pass
+    )
+    carr = (
+        subs.filter(F.col("vec_id") < _PQ_CODES)
+        .select("sub", F.col("vec_id").alias("cid"), F.col("sv").alias("cv"))
+        .groupBy("sub")
+        .agg(F.collect_list(F.struct("cid", "cv")).alias("cs"))
+    )
+    dist = _DIST_SPARK.format(a="sv", b="c.cv")
+    assigned = (
+        subs.join(F.broadcast(carr), "sub")
+        .select(
+            "vec_id",
+            "sub",
+            F.expr(
+                f"array_sort(transform(cs, c -> struct({dist} AS dist,"
+                " c.cid AS cid)))[0]"
+            ).alias("pick"),
+        )
+        .select(
+            "vec_id",
+            "sub",
+            F.col("pick.cid").alias("code_id"),
+            F.col("pick.dist").alias("dist"),
+        )
+    )
+    return (
+        assigned.groupBy("sub", "code_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            F.sum("dist").cast("long").alias("sse_q"),
+            F.round(
+                F.sum("dist").cast("double")
+                / (F.count(F.lit(1)) * F.lit(_PQ_SUBDIM))
+                / F.lit(float(Q_SCALE) * Q_SCALE),
+                9,
+            ).alias("mse_unit"),
+        )
+        .transform(stage)
+        .orderBy("sub", "code_id")
+    )
