@@ -3308,23 +3308,24 @@ def q338_ucb1_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X-23 extension: sample-ratio-mismatch (SRM) assignment-integrity check
+# X-23 extension: SEGMENTED sample-ratio-mismatch (SRM) drill-down
 # ---------------------------------------------------------------------------
 
 
 @query(
-    "q346_srm_check",
+    "q346_srm_by_segment",
     oracle=f"""
     WITH u AS (
-        SELECT {_ARM_EXPR.format(t="VARCHAR")} AS arm
-        FROM events GROUP BY user_id
+        SELECT event_type, user_id, {_ARM_EXPR.format(t="VARCHAR")} AS arm
+        FROM events GROUP BY event_type, user_id
     ),
     agg AS (
-        SELECT CAST(COUNT(CASE WHEN arm = 'a' THEN 1 END) AS BIGINT) AS n_a,
+        SELECT event_type,
+               CAST(COUNT(CASE WHEN arm = 'a' THEN 1 END) AS BIGINT) AS n_a,
                CAST(COUNT(CASE WHEN arm = 'b' THEN 1 END) AS BIGINT) AS n_b
-        FROM u
+        FROM u GROUP BY event_type
     )
-    SELECT n_a, n_b,
+    SELECT event_type, n_a, n_b,
            ROUND(CAST(n_a AS DOUBLE) / (n_a + n_b), 6) AS share_a,
            ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
                AS srm_chi2,
@@ -3332,37 +3333,38 @@ def q338_ucb1_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                           / (n_a + n_b) > 3.841459 THEN 1 ELSE 0 END
                 AS BIGINT) AS srm_flag
     FROM agg
+    ORDER BY event_type
     """,
     tags=("X-23", "X-16", "X-24"),
 )
-def q346_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample-ratio-mismatch (SRM) check: is the 50/50 hash assignment
-    actually delivering 50/50? The chi-square goodness-of-fit against the
-    declared split — for equal expected counts it reduces EXACTLY to
-    (n_a - n_b)^2 / (n_a + n_b) — flagged at the 1-dof 5% critical value
-    (3.841459, a fixed literal — no libm). SRM is the first trust gate an
-    experimentation platform runs: a triggered mismatch means exposure
-    logging or assignment is broken and q169's outcome read is void. The
-    assignment-integrity complement of q169 (outcome) and q338
-    (allocation); files under X-24's audit discipline because it audits
-    the pipeline, not the metric.
+def q346_srm_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENTED sample-ratio-mismatch drill-down: the SRM chi-square
+    (for equal expected counts exactly (n_a-n_b)^2/(n_a+n_b), 1-dof 5%
+    literal 3.841459) computed PER EVENT-TYPE segment over the users
+    exposed in that segment — the localization step after q327's global
+    SRM gate fires. A global mismatch rarely explains itself; platforms
+    re-run the ratio test per logging surface because the usual culprit
+    is ONE event type dropping one arm's exposures (a client build that
+    stopped firing 'view' for arm b), and the broken segment's flag
+    names the surface to fix.
 
-    Determinism: pure integer counts, one exact-ratio division rounded
-    6 dp, and an exact comparison against a literal.
+    Determinism: pure integer counts per segment; one exact-ratio
+    division rounded 6 dp; exact comparison against a literal.
 
-    Scale shape: one user-keyed rollup (map-side combined), one ungrouped
-    conditional agg — two integers cross the final exchange, one row to
-    the driver; partials A-14-mergeable across shards/days.
+    Scale shape: one (type, user)-keyed map-side-combined rollup — the
+    fact shuffles once — then a rollup onto the bounded type relation;
+    two integers per segment cross the final exchange. A-14-mergeable,
+    so per-shard segment counts sum without rescanning.
 
-    Reference parity: beyond-reference; completes the X-23 experiment kit
-    (q169 z, q189 MDE, q311 mSPRT, q327 health gate, q338 UCB1)."""
+    Reference parity: beyond-reference; extends q327 (global SRM +
+    novelty) with the per-segment localization an incident review needs."""
     ev = load(spark, sf_dir, "events")
     u = (
-        ev.groupBy("user_id")
+        ev.groupBy("event_type", "user_id")
         .agg(F.count(F.lit(1)).alias("_n"))
-        .select(F.expr(_ARM_EXPR.format(t="string")).alias("arm"))
+        .select("event_type", F.expr(_ARM_EXPR.format(t="string")).alias("arm"))
     )
-    agg = u.agg(
+    agg = u.groupBy("event_type").agg(
         F.count(F.when(F.col("arm") == "a", 1)).cast("long").alias("n_a"),
         F.count(F.when(F.col("arm") == "b", 1)).cast("long").alias("n_b"),
     )
@@ -3370,10 +3372,15 @@ def q346_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     chi2 = ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))).cast(
         "double"
     ) / tot
-    return agg.select(
-        "n_a",
-        "n_b",
-        F.round(F.col("n_a").cast("double") / tot, 6).alias("share_a"),
-        F.round(chi2, 6).alias("srm_chi2"),
-        F.when(chi2 > 3.841459, 1).otherwise(0).cast("long").alias("srm_flag"),
+    return (
+        agg.select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_a").cast("double") / tot, 6).alias("share_a"),
+            F.round(chi2, 6).alias("srm_chi2"),
+            F.when(chi2 > 3.841459, 1).otherwise(0).cast("long").alias("srm_flag"),
+        )
+        .transform(pin)
+        .orderBy("event_type")
     )
