@@ -375,7 +375,13 @@ def q348_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     when ndv <= n/100, else RLE when average run length >= 2, else
     PLAIN. The OPTIMIZE-adjacent half of X-30: q190 plans the file bins,
     this advises what to encode inside them (the decision Parquet/ORC
-    writers make from exactly these stats).
+    writers make from exactly these stats). Distinct from q224's
+    entropy advisor by construction: entropy is ORDER-FREE information
+    content (predicts dictionary win), while run length is an
+    ORDER-DEPENDENT layout property (predicts RLE win) that only exists
+    relative to the declared sort — the two advisors disagree exactly
+    when re-sorting would change the verdict, which is the signal q116's
+    clustering acts on.
 
     Determinism: run starts use IS DISTINCT FROM under a total
     per-segment order; counts are exact; the one ratio rounds at 6 dp;
