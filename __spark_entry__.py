@@ -219,8 +219,16 @@ _WINDOW_PRIORITY = (
 # advisor; q330: near-dup threshold advisor; and q331: embedding
 # class-separation audit; q332: Neyman allocation; q333: systematic
 # PPS sampling; q334: consistent-hash rebalance audit; q335: Dunning
-# keyness per source; and q336: absorbing-chain expected lifetime) hold
-# pytest-oracle evidence at
+# keyness per source; and q336: absorbing-chain expected lifetime;
+# q337: TPC-H Q17 small-quantity revenue; q338: UCB1 bandit
+# allocation; q339: KMV distinct sketch; q340: ordered event-pair
+# support; q341: hard-negative mining; q342: paired weekend t-test;
+# q343: schema-drift column matcher; q344: balanced class
+# downsampling; q345: label-noise candidate export; q346: segmented
+# SRM drill-down; q347: rolling windowed OLS trend; q348:
+# column-encoding advisor; q349: TTL compliance sweep; q350: revenue
+# price/volume bridge; q351: product-quantization audit; and q352:
+# top-k with OTHERS rollup) hold pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.
 
