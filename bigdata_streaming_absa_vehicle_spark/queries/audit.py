@@ -1326,3 +1326,191 @@ def q349_ttl_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-24 (cont.): candidate-key uniqueness audit (the dbt-test 'unique' rule)
+# ---------------------------------------------------------------------------
+
+#: candidate keys under audit: (table, key name, key expression) — the
+#: expression template runs in both engines ({t}: string/VARCHAR)
+_UNIQ_KEYS = (
+    ("events", "event_id", "CAST(event_id AS {t})"),
+    ("events", "user_id_ts", "CAST(user_id AS {t}) || '|' || CAST({us}(ts) AS {t})"),
+    ("orders", "o_orderkey", "CAST(o_orderkey AS {t})"),
+    ("lineitem", "orderkey_linenumber",
+     "CAST(l_orderkey AS {t}) || '|' || CAST(l_linenumber AS {t})"),
+)
+
+
+def _uniq_leg_oracle(table: str, key: str, expr: str) -> str:
+    e = expr.format(t="VARCHAR", us="epoch_us")
+    return f"""
+    SELECT '{table}' AS table_name, '{key}' AS key_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT {e}) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) - COUNT(DISTINCT {e}) AS BIGINT) AS n_excess_rows,
+           CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT {e}) THEN 1 ELSE 0 END
+                AS BIGINT) AS is_unique
+    FROM {table}"""
+
+
+@query(
+    "q353_uniqueness_audit",
+    oracle=" UNION ALL ".join(
+        _uniq_leg_oracle(t, k, e) for t, k, e in _UNIQ_KEYS
+    )
+    + " ORDER BY table_name, key_name",
+    tags=("X-24", "A-04"),
+)
+def q353_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key uniqueness audit (the dbt `unique` test as an engine
+    operator): for each declared candidate key — single-column and
+    compound — the row count, distinct-key count, excess-row count, and
+    the pass flag. The key-cardinality complement of q159 (which audits
+    FK EDGES) and q220 (row-level value contracts): a duplicated primary
+    key silently doubles every downstream join and aggregate, so this
+    is the first structural gate a warehouse model runs.
+
+    Determinism: exact counts; compound keys serialize through the
+    engine-portable canonical templates (integers as-is, timestamps as
+    epoch micros — the q164 discipline).
+
+    Scale shape: one scan per audited table (keys on the same table
+    share the scan via one wide aggregate where they co-reside — here
+    events carries two keys through one count-distinct Expand); each leg
+    is ONE ungrouped map-side-combined aggregate, one row out. At scale
+    the distinct count swaps to the A-05 approx form for a monitoring
+    tier while this exact form stays the release gate.
+
+    Reference parity: beyond-reference; completes X-24 (q159
+    referential, q164 checksum, q220 expectations, q223 freshness,
+    q349 TTL) with the key-uniqueness rule."""
+    legs = []
+    # group keys by table so co-resident keys share one scan
+    by_table: dict[str, list[tuple[str, str]]] = {}
+    for t, k, e in _UNIQ_KEYS:
+        by_table.setdefault(t, []).append((k, e))
+    for t, keys in by_table.items():
+        df = load(spark, sf_dir, t)
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+        for i, (k, e) in enumerate(keys):
+            expr = e.format(t="string", us="unix_micros")
+            aggs.append(F.countDistinct(F.expr(expr)).cast("long").alias(f"nk_{i}"))
+        one = df.agg(*aggs)
+        for i, (k, _e) in enumerate(keys):
+            legs.append(
+                one.select(
+                    F.lit(t).alias("table_name"),
+                    F.lit(k).alias("key_name"),
+                    "n_rows",
+                    F.col(f"nk_{i}").alias("n_keys"),
+                    (F.col("n_rows") - F.col(f"nk_{i}"))
+                    .cast("long")
+                    .alias("n_excess_rows"),
+                    F.when(F.col("n_rows") == F.col(f"nk_{i}"), 1)
+                    .otherwise(0)
+                    .cast("long")
+                    .alias("is_unique"),
+                )
+            )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.transform(pin).orderBy("table_name", "key_name")
+
+
+# ---------------------------------------------------------------------------
+# X-24 (cont.): ingest coverage-gap detection (missing hours per series)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q354_coverage_gaps",
+    oracle="""
+    WITH present AS (
+        SELECT DISTINCT event_type,
+               CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS h
+        FROM events
+    ),
+    bounds AS (
+        SELECT event_type, MIN(h) AS lo, MAX(h) AS hi
+        FROM present GROUP BY event_type
+    ),
+    spine AS (
+        SELECT b.event_type, u.h
+        FROM bounds b, LATERAL (SELECT unnest(range(b.lo, b.hi + 1)) AS h) u
+    ),
+    missing AS (
+        SELECT s.event_type, s.h,
+               ROW_NUMBER() OVER (PARTITION BY s.event_type ORDER BY s.h) AS rn
+        FROM spine s LEFT JOIN present p
+          ON p.event_type = s.event_type AND p.h = s.h
+        WHERE p.h IS NULL
+    )
+    SELECT event_type,
+           CAST(MIN(h) AS BIGINT) AS gap_start_h,
+           CAST(MAX(h) AS BIGINT) AS gap_end_h,
+           CAST(COUNT(*) AS BIGINT) AS gap_hours
+    FROM missing
+    GROUP BY event_type, h - rn
+    ORDER BY event_type, gap_start_h
+    """,
+    tags=("X-24", "X-21"),
+)
+def q354_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest coverage-gap detection: for each event type, every run of
+    consecutive MISSING hours inside the series' own [first, last] hour
+    span — the data-observability readout ('the click pipeline went dark
+    for 6 hours on the 14th') that q223's freshness lag cannot see
+    (freshness only checks the newest edge; a mid-series outage leaves
+    freshness green). Gaps are reported as (start, end, length) islands,
+    the shape an incident timeline needs.
+
+    Determinism: hours are exact epoch-hour integers; the calendar spine
+    derives from the data's own bounds (the q223 no-wall-clock
+    discipline); islands use the gaps-and-islands h - row_number key
+    (the q226 discipline) under a total per-type order.
+
+    Scale shape: the fact reduces to distinct (type, hour) in ONE
+    map-side-combined rollup — calendar-bounded (more data adds events
+    per hour, not hours); the spine explodes from |types| bound rows
+    map-only; the anti probe, island window, and gap rollup all run on
+    bounded relations. The fact shuffles once.
+
+    Reference parity: beyond-reference; completes the X-24 observability
+    kit (q223 freshness edge, q185 out-of-order profile, q349 TTL) with
+    mid-series outage detection."""
+    ev = load(spark, sf_dir, "events")
+    present = (
+        ev.select(
+            "event_type",
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / F.lit(3600))
+            .cast("long")
+            .alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("event_type", "h")
+        .transform(stage)  # bounds leg + anti-probe leg share one build
+    )
+    bounds = present.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("h")
+    )
+    missing = spine.join(present, ["event_type", "h"], "left_anti")
+    rn = F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+    islands = missing.withColumn("grp", F.col("h") - rn)
+    return (
+        islands.groupBy("event_type", "grp")
+        .agg(
+            F.min("h").cast("long").alias("gap_start_h"),
+            F.max("h").cast("long").alias("gap_end_h"),
+            F.count(F.lit(1)).cast("long").alias("gap_hours"),
+        )
+        .drop("grp")
+        .transform(pin)
+        .orderBy("event_type", "gap_start_h")
+    )

@@ -4389,3 +4389,101 @@ def q347_rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("event_type", "d")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-24 / W-04: SLO error-budget burn rate with multiwindow paging flag
+# ---------------------------------------------------------------------------
+
+_SLO_BUDGET_PCT = 5  #: SLO 95% non-error -> 5% error budget
+
+_SLO_ORACLE = """
+    WITH hourly AS (
+        SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS h,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS errors,
+               CAST(COUNT(*) AS BIGINT) AS total
+        FROM events GROUP BY 1
+    ),
+    win AS (
+        SELECT h, errors, total,
+               CAST(SUM(errors) OVER w AS BIGINT) AS e6,
+               CAST(SUM(total) OVER w AS BIGINT) AS t6
+        FROM hourly
+        WINDOW w AS (ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT h, errors, total,
+           ROUND(20.0 * errors / total, 6) AS burn_1h,
+           ROUND(20.0 * e6 / t6, 6) AS burn_6h,
+           CAST(CASE WHEN 25 * errors >= 18 * total
+                      AND 10 * e6 >= 3 * t6 THEN 1 ELSE 0 END
+                AS BIGINT) AS page_flag
+    FROM win ORDER BY h
+"""
+
+
+@query("q355_slo_burn_rate", oracle=_SLO_ORACLE, tags=("X-24", "W-04"))
+def q355_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn rate (the SRE multiwindow alert): per hour,
+    the error share against a 95% SLO expressed as a burn-rate multiple
+    (burn = error_rate / 5% budget; burn 1.0 = spending the budget
+    exactly on schedule), over both the 1-hour window and the trailing
+    6-hour window, with the paging flag requiring BOTH windows hot
+    (fast window >= 14.4x AND slow window >= 6x — the multiwindow
+    construction that stops one bad minute from paging while still
+    catching sustained burns). The alerting layer on top of q354's gap
+    detection and q184's anomaly flags.
+
+    Determinism: hourly counts are exact integers; burn rates divide
+    exact integers once (the 20.0 factor is 1/0.05 as an exact literal)
+    and round at 6 dp; the paging thresholds are rewritten to the EXACT
+    integer inequalities 25*errors >= 18*total and 10*e6 >= 3*t6 — no
+    float boundary decides an alert.
+
+    Scale shape: ONE map-side-combined fact rollup onto the
+    calendar-bounded hourly relation; both trailing sums ride one RANGE
+    frame over that bounded relation (window cost independent of fact
+    size — the W-04 discipline); at 100 TB this is a streaming twin of
+    the T-06 sliding window with the same hourly state.
+
+    Reference parity: beyond-reference; the reference's consumer logs
+    errors but never aggregates them into an operational signal."""
+    hourly = (
+        load(spark, sf_dir, "events")
+        .select(
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / F.lit(3600))
+            .cast("long")
+            .alias("h"),
+            (F.col("event_type") == "error").cast("int").alias("is_err"),
+        )
+        .groupBy("h")
+        .agg(
+            F.sum("is_err").cast("long").alias("errors"),
+            F.count(F.lit(1)).cast("long").alias("total"),
+        )
+    )
+    w = Window.orderBy("h").rangeBetween(-5, 0)
+    win = hourly.select(
+        "h",
+        "errors",
+        "total",
+        F.sum("errors").over(w).cast("long").alias("e6"),
+        F.sum("total").over(w).cast("long").alias("t6"),
+    )
+    page = (25 * F.col("errors") >= 18 * F.col("total")) & (
+        10 * F.col("e6") >= 3 * F.col("t6")
+    )
+    return (
+        win.select(
+            "h",
+            "errors",
+            "total",
+            F.round(F.lit(20.0) * F.col("errors") / F.col("total"), 6).alias(
+                "burn_1h"
+            ),
+            F.round(F.lit(20.0) * F.col("e6") / F.col("t6"), 6).alias("burn_6h"),
+            page.cast("long").alias("page_flag"),
+        )
+        .transform(pin)
+        .orderBy("h")
+    )
