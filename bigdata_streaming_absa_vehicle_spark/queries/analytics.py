@@ -2356,3 +2356,140 @@ def q352_topk_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top.unionByName(others).transform(pin).orderBy("nation", "rk")
+
+
+# ---------------------------------------------------------------------------
+# X-08 (cont.): growth accounting (new / retained / resurrected / churned)
+# ---------------------------------------------------------------------------
+
+_GROWTH_ORACLE = """
+    WITH active AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d
+        FROM events
+    ),
+    first_day AS (
+        SELECT user_id, MIN(d) AS d0 FROM active GROUP BY user_id
+    ),
+    bounds AS (SELECT MAX(d) AS dmax FROM active),
+    flags AS (
+        SELECT a.d, a.user_id,
+               CASE WHEN f.d0 = a.d THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS is_retained,
+               CASE WHEN f.d0 < a.d AND p.user_id IS NULL THEN 1 ELSE 0 END
+                   AS is_resurrected
+        FROM active a
+        JOIN first_day f ON f.user_id = a.user_id
+        LEFT JOIN active p ON p.user_id = a.user_id AND p.d = a.d - 1
+    ),
+    churn AS (
+        SELECT a.d + 1 AS d, CAST(COUNT(*) AS BIGINT) AS n_churned
+        FROM active a
+        LEFT JOIN active nxt ON nxt.user_id = a.user_id AND nxt.d = a.d + 1
+        CROSS JOIN bounds b
+        WHERE nxt.user_id IS NULL AND a.d + 1 <= b.dmax
+        GROUP BY a.d + 1
+    ),
+    daily AS (
+        SELECT d,
+               CAST(SUM(is_new) AS BIGINT) AS n_new,
+               CAST(SUM(is_retained) AS BIGINT) AS n_retained,
+               CAST(SUM(is_resurrected) AS BIGINT) AS n_resurrected
+        FROM flags GROUP BY d
+    )
+    SELECT daily.d, n_new, n_retained, n_resurrected,
+           CAST(COALESCE(churn.n_churned, 0) AS BIGINT) AS n_churned,
+           CAST(n_new + n_resurrected - COALESCE(churn.n_churned, 0) AS BIGINT)
+               AS net_change
+    FROM daily LEFT JOIN churn ON churn.d = daily.d
+    ORDER BY daily.d
+"""
+
+
+@query("q358_growth_accounting", oracle=_GROWTH_ORACLE, tags=("X-08", "X-21"))
+def q358_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (the canonical DAU decomposition): every day's
+    active users split into NEW (first day ever), RETAINED (also active
+    yesterday), and RESURRECTED (seen before, inactive yesterday), with
+    CHURNED (active yesterday, absent today) attributed to today and the
+    identity DAU_t - DAU_{t-1} = new + resurrected - churned holding
+    exactly — the scoreboard growth teams read before any cohort drill-
+    down. q87's cohort matrix follows one signup class forward; q227's
+    bitmap gives day-pair retention; this reconciles the TOTAL day-over-
+    day movement.
+
+    Determinism: exact integer day keys and counts; churn on the day
+    after the last observed day is excluded (no claim about the unseen
+    future — the q223 discipline).
+
+    Scale shape: the fact reduces ONCE to distinct (user, day); first
+    days are a user-keyed rollup co-partitioned with the activity
+    relation; yesterday/tomorrow presence are self-joins of that same
+    reduced relation keyed (user, day) — at 100 TB these are
+    co-partitioned bucket joins on the same key, never fact joins; all
+    rollups land on the calendar-bounded day relation.
+
+    Reference parity: beyond-reference; completes X-08/X-21's engagement
+    kit (q87 cohorts, q175 WAU, q209 growth curve, q226 streaks, q227
+    bitmap retention, q228 stickiness) with the reconciling ledger."""
+    ev = load(spark, sf_dir, "events")
+    active = (
+        ev.select(
+            "user_id",
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+            .cast("long")
+            .alias("d"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("user_id", "d")
+        .transform(stage)  # first-day, prev, next, bounds legs share one build
+    )
+    first_day = active.groupBy("user_id").agg(F.min("d").alias("d0"))
+    bounds = active.agg(F.max("d").alias("dmax"))
+    prev = active.select("user_id", (F.col("d") + 1).alias("d"), F.lit(1).alias("p"))
+    flags = (
+        active.join(first_day, "user_id")
+        .join(prev, ["user_id", "d"], "left")
+        .select(
+            "d",
+            (F.col("d0") == F.col("d")).cast("int").alias("is_new"),
+            F.coalesce(F.col("p"), F.lit(0)).alias("is_retained"),
+            ((F.col("d0") < F.col("d")) & F.col("p").isNull())
+            .cast("int")
+            .alias("is_resurrected"),
+        )
+    )
+    nxt = active.select("user_id", (F.col("d") - 1).alias("d"), F.lit(1).alias("nx"))
+    churn = (
+        active.join(nxt, ["user_id", "d"], "left")
+        .filter(F.col("nx").isNull())
+        .join(F.broadcast(bounds))
+        .filter(F.col("d") + 1 <= F.col("dmax"))
+        .groupBy((F.col("d") + 1).alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    daily = flags.groupBy("d").agg(
+        F.sum("is_new").cast("long").alias("n_new"),
+        F.sum("is_retained").cast("long").alias("n_retained"),
+        F.sum("is_resurrected").cast("long").alias("n_resurrected"),
+    )
+    return (
+        daily.join(churn, "d", "left")
+        .select(
+            "d",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_churned"), F.lit(0)).cast("long").alias("n_churned"),
+            (
+                F.col("n_new")
+                + F.col("n_resurrected")
+                - F.coalesce(F.col("n_churned"), F.lit(0))
+            )
+            .cast("long")
+            .alias("net_change"),
+        )
+        .transform(pin)
+        .orderBy("d")
+    )

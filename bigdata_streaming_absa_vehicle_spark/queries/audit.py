@@ -1514,3 +1514,98 @@ def q354_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("event_type", "gap_start_h")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-24 / X-29: subject-access request (SAR) extract summary
+# ---------------------------------------------------------------------------
+
+_SAR_USERS = (3, 17, 42)  #: the access request's subject ids (an input list)
+
+
+@query(
+    "q357_subject_access_extract",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, 'events' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_kinds,
+               CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_us,
+               CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_us,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS total_value_cents
+        FROM events WHERE user_id IN {_SAR_USERS}
+        GROUP BY user_id
+    ),
+    o AS (
+        SELECT o_custkey AS user_id, 'orders' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_kinds,
+               CAST(epoch_us(MIN(o_orderdate)) AS BIGINT) AS first_us,
+               CAST(epoch_us(MAX(o_orderdate)) AS BIGINT) AS last_us,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_value_cents
+        FROM orders
+        WHERE o_custkey IN {_SAR_USERS}
+        GROUP BY o_custkey
+    )
+    SELECT * FROM ev UNION ALL SELECT * FROM o
+    ORDER BY user_id, table_name
+    """,
+    tags=("X-24", "X-29"),
+)
+def q357_subject_access_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subject-access request (SAR) extract summary: for each requested
+    subject id, every table holding their data with row counts, kind
+    counts, the first/last timestamps, and exact value totals — the
+    GDPR/CCPA Article-15 inventory a privacy pipeline assembles BEFORE
+    q199 verifies deletion. One row per (subject, table); a subject
+    absent from a table is simply absent (the lawyer's report needs
+    what exists, not a null matrix).
+
+    Determinism: the subject list is an input literal; counts and cents
+    are exact; timestamps export as exact epoch micros.
+
+    Scale shape: the subject list is a tiny IN-filter that PUSHES TO THE
+    SCAN on every table (PushedFilters: In(user_id, ...) — at 100 TB
+    with user-bucketed or z-ordered layout this prunes to a handful of
+    files); each table contributes ONE map-side-combined rollup over
+    only the subjects' rows; the union is |subjects| x |tables| rows.
+
+    Reference parity: beyond-reference; completes the privacy kit (q187
+    k-anonymity, q307 t-closeness, q199 deletion audit, q349 TTL) with
+    the access-request side."""
+    subj = list(_SAR_USERS)
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isin(subj))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("event_type").cast("long").alias("n_kinds"),
+            F.unix_micros(F.min("ts")).cast("long").alias("first_us"),
+            F.unix_micros(F.max("ts")).cast("long").alias("last_us"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("total_value_cents"),
+        )
+        .select("user_id", F.lit("events").alias("table_name"), "n_rows",
+                "n_kinds", "first_us", "last_us", "total_value_cents")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isin(subj))
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("o_orderpriority").cast("long").alias("n_kinds"),
+            F.unix_micros(F.min("o_orderdate")).cast("long").alias("first_us"),
+            F.unix_micros(F.max("o_orderdate")).cast("long").alias("last_us"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("total_value_cents"),
+        )
+        .select("user_id", F.lit("orders").alias("table_name"), "n_rows",
+                "n_kinds", "first_us", "last_us", "total_value_cents")
+    )
+    return ev.unionByName(o).transform(pin).orderBy("user_id", "table_name")

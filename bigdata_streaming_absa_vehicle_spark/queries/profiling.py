@@ -1678,3 +1678,113 @@ def q339_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-14 (cont.): join-order advisor from key-count profiles
+# ---------------------------------------------------------------------------
+
+_JOA_ORACLE = """
+    WITH ol AS (
+        SELECT CAST(SUM(o.n * l.n) AS BIGINT) AS sz FROM
+            (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+             FROM orders GROUP BY 1) o
+        JOIN
+            (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+             FROM lineitem GROUP BY 1) l
+        USING (k)
+    ),
+    oc AS (
+        SELECT CAST(SUM(o.n * c.n) AS BIGINT) AS sz FROM
+            (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+             FROM orders GROUP BY 1) o
+        JOIN
+            (SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+             FROM customer GROUP BY 1) c
+        USING (k)
+    ),
+    plans AS (
+        SELECT '(orders JOIN lineitem) JOIN customer' AS join_order,
+               (SELECT sz FROM ol) AS intermediate_rows
+        UNION ALL
+        SELECT '(orders JOIN customer) JOIN lineitem' AS join_order,
+               (SELECT sz FROM oc) AS intermediate_rows
+    )
+    SELECT join_order, intermediate_rows,
+           CAST(CASE WHEN intermediate_rows =
+                     (SELECT MIN(intermediate_rows) FROM plans)
+                THEN 1 ELSE 0 END AS BIGINT) AS recommended
+    FROM plans ORDER BY join_order
+"""
+
+
+@query("q356_join_order_advisor", oracle=_JOA_ORACLE, tags=("X-14", "A-02"))
+def q356_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-order advisor: for the customer-orders-lineitem chain, the
+    EXACT intermediate-result size of each legal first join (|A join B|
+    on a key = sum over keys of cA(k)*cB(k)), and the recommendation —
+    the cost-based-optimizer decision made visible as a query, computed
+    entirely from (key, count) PROFILES so no fact row is ever joined.
+    q218 estimates ONE join's size from sketches; this compares the
+    orders of a multi-join and picks (Catalyst reorders joins from
+    statistics exactly like this; when AQE lacks stats, THIS is the
+    query a data engineer runs before hand-ordering a 100 TB join).
+
+    Determinism: exact integer products and sums; the recommendation is
+    an exact integer argmin (ties recommend both, deterministically).
+
+    Scale shape: each profile is ONE map-side-combined (key, count)
+    rollup — shuffle volume O(|keys|), never fact-payload; the size
+    computation joins count relations only; the plan comparison runs on
+    2 rows. Profiles are A-14-mergeable across shards/days.
+
+    Reference parity: beyond-reference; completes the planner-diagnostic
+    family (q119 fan-out profile, q218 CMS estimate, q329 partition
+    advisor, q348 encoding advisor)."""
+    o_by_ok = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    l_by_ok = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    o_by_ck = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    c_by_ck = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+    def size(a: DataFrame, b: DataFrame) -> DataFrame:
+        an = a.select("k", F.col("n").alias("na"))
+        bn = b.select("k", F.col("n").alias("nb"))
+        return an.join(bn, "k").agg(
+            F.sum(F.col("na") * F.col("nb")).cast("long").alias("sz")
+        )
+
+    ol = size(o_by_ok, l_by_ok).select(
+        F.lit("(orders JOIN lineitem) JOIN customer").alias("join_order"),
+        F.col("sz").alias("intermediate_rows"),
+    )
+    oc = size(o_by_ck, c_by_ck).select(
+        F.lit("(orders JOIN customer) JOIN lineitem").alias("join_order"),
+        F.col("sz").alias("intermediate_rows"),
+    )
+    plans = ol.unionByName(oc)
+    w_all = Window.partitionBy()  # bounded: exactly 2 plan rows
+    return (
+        plans.withColumn(
+            "recommended",
+            (F.col("intermediate_rows") == F.min("intermediate_rows").over(w_all))
+            .cast("long"),
+        )
+        .transform(pin)
+        .orderBy("join_order")
+    )
