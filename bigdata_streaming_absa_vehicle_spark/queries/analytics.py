@@ -2493,3 +2493,88 @@ def q358_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("d")
     )
+
+
+# ---------------------------------------------------------------------------
+# A-09 composition: percent-of-parent hierarchical contribution
+# ---------------------------------------------------------------------------
+
+_POP_ORACLE = """
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, nation, rev_cents,
+           ROUND(CAST(rev_cents AS DOUBLE)
+                 / SUM(rev_cents) OVER (PARTITION BY region), 6)
+               AS share_of_region,
+           ROUND(CAST(rev_cents AS DOUBLE) / SUM(rev_cents) OVER (), 6)
+               AS share_of_total
+    FROM rev ORDER BY region, nation
+"""
+
+
+@query("q360_percent_of_parent", oracle=_POP_ORACLE, tags=("A-09", "W-03", "J-02"))
+def q360_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent hierarchical contribution: each nation's revenue
+    with its share of its region and of the grand total — the
+    percent-of-parent readout every BI hierarchy drill renders next to
+    q10's ROLLUP subtotals (ROLLUP gives the parents' absolute numbers;
+    this normalizes each child against them without emitting extra
+    grouping rows).
+
+    Determinism: revenue is exact integer cents; both shares divide
+    exact integers (window sums of exact longs) once, rounded 6 dp.
+
+    Scale shape: all three dims BROADCAST; ONE map-side-combined fact
+    rollup onto the bounded (region, nation) relation; both parent sums
+    are windows over that <= |nations| relation (the ungrouped total
+    window runs on bounded rows — the q120 precedent), so the hierarchy
+    math costs nothing at any fact scale.
+
+    Reference parity: beyond-reference; composes A-09 (q10/q93) with
+    W-03 frames into the standard drill-down normalization."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", F.col("n_name").alias("nation")
+    )
+    r = load(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region")
+    )
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("region", "nation")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    w_region = W.partitionBy("region")
+    w_all = W.partitionBy()  # bounded: <= |nations| rows
+    return (
+        rev.select(
+            "region",
+            "nation",
+            "rev_cents",
+            F.round(
+                F.col("rev_cents").cast("double")
+                / F.sum("rev_cents").over(w_region),
+                6,
+            ).alias("share_of_region"),
+            F.round(
+                F.col("rev_cents").cast("double") / F.sum("rev_cents").over(w_all),
+                6,
+            ).alias("share_of_total"),
+        )
+        .transform(pin)
+        .orderBy("region", "nation")
+    )

@@ -4487,3 +4487,140 @@ def q355_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("h")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-20 (cont.): linear-interpolation gap fill for hourly series
+# ---------------------------------------------------------------------------
+
+_LERP_ORACLE = """
+    WITH known AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS h,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM known GROUP BY 1
+    ),
+    spine AS (
+        SELECT b.event_type, u.h
+        FROM bounds b, LATERAL (SELECT unnest(range(b.lo, b.hi + 1)) AS h) u
+    ),
+    joined AS (
+        SELECT s.event_type, s.h, k.cents
+        FROM spine s LEFT JOIN known k
+          ON k.event_type = s.event_type AND k.h = s.h
+    ),
+    bracketed AS (
+        SELECT event_type, h, cents,
+               LAST_VALUE(cents IGNORE NULLS) OVER wp AS vp,
+               LAST_VALUE(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER wp AS hp,
+               FIRST_VALUE(cents IGNORE NULLS) OVER wn AS vn,
+               FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER wn AS hn
+        FROM joined
+        WINDOW wp AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, h,
+           CAST(CASE WHEN cents IS NOT NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS interpolated,
+           CASE WHEN cents IS NOT NULL THEN ROUND(CAST(cents AS DOUBLE), 6)
+                ELSE ROUND(vp + CAST((vn - vp) * (h - hp) AS DOUBLE)
+                                / (hn - hp), 6)
+           END AS cents_filled
+    FROM bracketed
+    ORDER BY event_type, h
+"""
+
+
+@query("q361_linear_interpolation", oracle=_LERP_ORACLE, tags=("X-20", "X-09"))
+def q361_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill: each event type's hourly revenue
+    series completed over its own calendar spine, missing hours filled
+    by exact linear interpolation between the bracketing known points —
+    the numeric companion of q123's forward fill (ffill holds a level;
+    interpolation respects trend, which is what a downstream
+    rate-of-change feature needs) over exactly the gaps q354 detects.
+    Interior gaps always have both brackets (the spine spans [min, max]
+    of KNOWN points), so no fill is ever NULL.
+
+    Determinism: known values are exact cents; the interpolation
+    numerator (vn-vp)*(h-hp) is an exact integer, divided once by the
+    exact integer bracket width and added to the exact base — identical
+    IEEE operands in both engines, rounded 6 dp.
+
+    Scale shape: ONE map-side-combined fact rollup onto the
+    calendar-bounded hourly relation; the spine explodes map-only from
+    |types| bound rows; the four bracket lookups are two window passes
+    (backward last-non-null, forward first-non-null) over that bounded
+    relation — the q123 ffill discipline doubled, never a self-join or
+    per-gap probe.
+
+    Reference parity: beyond-reference; completes the X-20 smoothing kit
+    (q141 EWMA, q123 ffill, q304 seasonal decomposition) with the
+    trend-respecting fill."""
+    known = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / F.lit(3600))
+            .cast("long")
+            .alias("h"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("c").cast("long").alias("cents"))
+        .transform(stage)  # bounds leg + join leg share one build
+    )
+    bounds = known.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("h")
+    )
+    joined = spine.join(known, ["event_type", "h"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_h = F.when(F.col("cents").isNotNull(), F.col("h"))
+    br = joined.select(
+        "event_type",
+        "h",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wp).alias("vp"),
+        F.last(known_h, ignorenulls=True).over(wp).alias("hp"),
+        F.first("cents", ignorenulls=True).over(wn).alias("vn"),
+        F.first(known_h, ignorenulls=True).over(wn).alias("hn"),
+    )
+    lerp = F.round(
+        F.col("vp")
+        + ((F.col("vn") - F.col("vp")) * (F.col("h") - F.col("hp"))).cast("double")
+        / (F.col("hn") - F.col("hp")),
+        6,
+    )
+    return (
+        br.select(
+            "event_type",
+            "h",
+            F.col("cents").isNull().cast("long").alias("interpolated"),
+            F.when(
+                F.col("cents").isNotNull(), F.round(F.col("cents").cast("double"), 6)
+            )
+            .otherwise(lerp)
+            .alias("cents_filled"),
+        )
+        .transform(pin)
+        .orderBy("event_type", "h")
+    )

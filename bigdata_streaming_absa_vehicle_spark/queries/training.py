@@ -1387,3 +1387,126 @@ def q344_class_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-16 (cont.): coherent cross-table sampling with closure audit
+# ---------------------------------------------------------------------------
+
+#: keep a customer iff their id's md5 starts with nibble 0-2 (~3/16 sample)
+_COHERENT_PRED = (
+    "instr('0123456789abcdef', substr(md5(CAST({key} AS {t})), 1, 1)) <= 3"
+)
+
+
+@query(
+    "q359_coherent_sample",
+    oracle=f"""
+    WITH sc AS (
+        SELECT c_custkey FROM customer
+        WHERE {_COHERENT_PRED.format(key="c_custkey", t="VARCHAR")}
+    ),
+    so AS (
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE {_COHERENT_PRED.format(key="o_custkey", t="VARCHAR")}
+    ),
+    sl AS (
+        SELECT l.l_orderkey FROM lineitem l JOIN so ON so.o_orderkey = l.l_orderkey
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sc) AS n_sampled,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_total,
+           CAST(0 AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM so),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM so
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM sc))
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sl),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           CAST(0 AS BIGINT)
+    ORDER BY table_name
+    """,
+    tags=("X-16", "X-24"),
+)
+def q359_coherent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coherent cross-table sampling: a ~3/16 customer sample taken by
+    the SAME hash predicate on the SAME entity key in every table
+    (customers by c_custkey, orders by o_custkey; lineitem follows its
+    order), so the sampled star is a self-consistent mini-warehouse —
+    the staging-environment / integration-test dataset recipe, where
+    independent per-table sampling would orphan nearly every FK. The
+    closure AUDIT rides along: orphaned sampled orders (customer absent
+    from the sample) must be zero BY CONSTRUCTION of the shared
+    predicate, and the query proves it (a nonzero orphan count means
+    someone sampled a table by the wrong key).
+
+    Determinism: the predicate is a pure function of md5(entity id)
+    (X-16 discipline); counts exact.
+
+    Scale shape: the customer/orders predicates are map-only and push to
+    their scans; lineitem inherits membership through ONE orderkey-keyed
+    semi-style join (at 100 TB: co-partitioned bucket join on the
+    orderkey); the closure probe runs on the two sampled key sets. No
+    global state, no driver set — the sample is reproducible shard by
+    shard.
+
+    Reference parity: beyond-reference; extends X-16 (q132 hash split)
+    across table boundaries with the FK-closure guarantee made
+    checkable."""
+    pred_c = _COHERENT_PRED.format(key="c_custkey", t="string")
+    pred_o = _COHERENT_PRED.format(key="o_custkey", t="string")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    sc = cust.filter(F.expr(pred_c)).select("c_custkey").transform(stage)
+    so = orders.filter(F.expr(pred_o)).select("o_orderkey", "o_custkey").transform(
+        stage
+    )
+    sl = li.select("l_orderkey").join(
+        so.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+    orphans = so.join(
+        sc, so.o_custkey == sc.c_custkey, "left_anti"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def leg(name, sampled_cnt, total_df, orphan_col):
+        return sampled_cnt.join(F.broadcast(total_df)).join(
+            F.broadcast(orphan_col)
+        ).select(
+            F.lit(name).alias("table_name"),
+            F.col("ns").alias("n_sampled"),
+            F.col("nt").alias("n_total"),
+            F.col("no").alias("n_orphans"),
+        )
+
+    zero = sc.limit(0).agg(F.count(F.lit(1)).cast("long").alias("no")).select(
+        F.lit(0).cast("long").alias("no")
+    )
+    legs = [
+        leg(
+            "customer",
+            sc.agg(F.count(F.lit(1)).cast("long").alias("ns")),
+            cust.agg(F.count(F.lit(1)).cast("long").alias("nt")),
+            zero,
+        ),
+        leg(
+            "orders",
+            so.agg(F.count(F.lit(1)).cast("long").alias("ns")),
+            orders.agg(F.count(F.lit(1)).cast("long").alias("nt")),
+            orphans.select(F.col("n").alias("no")),
+        ),
+        leg(
+            "lineitem",
+            sl.agg(F.count(F.lit(1)).cast("long").alias("ns")),
+            li.agg(F.count(F.lit(1)).cast("long").alias("nt")),
+            zero,
+        ),
+    ]
+    out = legs[0]
+    for l in legs[1:]:
+        out = out.unionByName(l)
+    return out.transform(pin).orderBy("table_name")
