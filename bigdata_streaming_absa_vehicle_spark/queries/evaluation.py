@@ -3384,3 +3384,265 @@ def q346_srm_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-23 (cont.): Wilson score intervals for segment conversion rates
+# ---------------------------------------------------------------------------
+
+_WILSON_Z = 1.959964  #: 95% normal quantile as a fixed literal (no libm)
+
+
+@query(
+    "q363_wilson_intervals",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               ANY_VALUE(dow0) AS segment_dow,
+               MAX(CASE WHEN event_type = 'purchase' AND value > {_CONV_MIN}
+                   THEN 1 ELSE 0 END) AS conv
+        FROM (
+            SELECT user_id, ts, event_type, value,
+                   FIRST_VALUE(dayofweek(date_trunc('day', ts)) + 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS dow0
+            FROM events
+        )
+        GROUP BY user_id
+    ),
+    seg AS (
+        SELECT segment_dow, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(conv) AS BIGINT) AS conversions
+        FROM u GROUP BY segment_dow
+    )
+    SELECT segment_dow, n_users, conversions,
+           ROUND(CAST(conversions AS DOUBLE) / n_users, 6) AS rate,
+           ROUND(((CAST(conversions AS DOUBLE) / n_users
+                   + {_WILSON_Z} * {_WILSON_Z} / (2.0 * n_users))
+                  - {_WILSON_Z} * sqrt((CAST(conversions AS DOUBLE) / n_users)
+                        * (1 - CAST(conversions AS DOUBLE) / n_users) / n_users
+                        + {_WILSON_Z} * {_WILSON_Z}
+                          / (4.0 * n_users * n_users)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n_users), 6) AS ci_lo,
+           ROUND(((CAST(conversions AS DOUBLE) / n_users
+                   + {_WILSON_Z} * {_WILSON_Z} / (2.0 * n_users))
+                  + {_WILSON_Z} * sqrt((CAST(conversions AS DOUBLE) / n_users)
+                        * (1 - CAST(conversions AS DOUBLE) / n_users) / n_users
+                        + {_WILSON_Z} * {_WILSON_Z}
+                          / (4.0 * n_users * n_users)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n_users), 6) AS ci_hi
+    FROM seg ORDER BY segment_dow
+    """,
+    tags=("X-23", "W-01"),
+)
+def q363_wilson_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score intervals for per-segment conversion rates (segments =
+    day-of-week of each user's FIRST event, the acquisition-channel
+    proxy): the small-n-safe 95% CI a dashboard should draw instead of
+    the Wald interval, which collapses to zero width at 0%/100% and
+    goes negative at small n — Wilson stays inside [0,1] and stays
+    honest at n=5 (exactly the segment sizes real funnels produce).
+    q169 tests two arms against each other; this brackets EVERY
+    segment's rate so an eyeballed difference can be dismissed when the
+    intervals overlap.
+
+    Determinism: segment assignment uses the (ts, event_id) total order;
+    counts exact; z enters as a fixed 6-dp literal (no libm quantile);
+    the interval is one fixed-parenthesization IEEE expression over
+    exact operands (one sqrt, correctly rounded), rounded 6 dp.
+
+    Scale shape: one user-keyed window pass assigns segments (the same
+    shuffle the conversion rollup rides); ONE map-side-combined rollup
+    onto the bounded 7-row segment relation; interval math runs on 7
+    rows.
+
+    Reference parity: beyond-reference; completes X-23's uncertainty kit
+    (q193 half-sample SE, q302 median CI, q283 conformal) with the
+    proportion case."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    dow0 = F.first(
+        F.dayofweek(F.date_trunc("day", F.col("ts")))
+    ).over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    u = (
+        ev.withColumn("dow0", dow0)
+        .groupBy("user_id")
+        .agg(
+            F.any_value(F.col("dow0")).alias("segment_dow"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > _CONV_MIN),
+                    1,
+                ).otherwise(0)
+            ).alias("conv"),
+        )
+    )
+    seg = u.groupBy("segment_dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("conversions"),
+    )
+    z = F.lit(_WILSON_Z)
+    p = F.col("conversions").cast("double") / F.col("n_users")
+    n = F.col("n_users")
+    center = p + z * z / (F.lit(2.0) * n)
+    half = z * F.sqrt(
+        p * (F.lit(1) - p) / n + z * z / (F.lit(4.0) * n * n)
+    )
+    denom = F.lit(1) + z * z / n
+    return (
+        seg.select(
+            "segment_dow",
+            "n_users",
+            "conversions",
+            F.round(p, 6).alias("rate"),
+            F.round((center - half) / denom, 6).alias("ci_lo"),
+            F.round((center + half) / denom, 6).alias("ci_hi"),
+        )
+        .transform(pin)
+        .orderBy("segment_dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-33 (cont.): leaderboard rank stability under half-sample replicates
+# ---------------------------------------------------------------------------
+
+_STAB_TOPK = 5
+
+
+@query(
+    "q364_topk_stability",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT p.p_brand AS brand,
+               CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents,
+               {_nibble_int("md5(CAST(l.l_orderkey AS VARCHAR))")} AS h
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    full_rank AS (
+        SELECT brand,
+               ROW_NUMBER() OVER (ORDER BY SUM(cents) DESC, brand) AS rk,
+               CAST(SUM(cents) AS BIGINT) AS rev_cents
+        FROM keyed GROUP BY brand
+    ),
+    rep_rev AS (
+        SELECT r.rep, brand, SUM(cents) AS rev
+        FROM keyed k CROSS JOIN (SELECT unnest(range({_B})) AS rep) r
+        WHERE ((k.h >> r.rep) & 1) = 1
+        GROUP BY r.rep, brand
+    ),
+    rep_top AS (
+        SELECT rep, brand FROM (
+            SELECT rep, brand,
+                   ROW_NUMBER() OVER (PARTITION BY rep
+                                      ORDER BY rev DESC, brand) AS rk
+            FROM rep_rev
+        ) WHERE rk <= {_STAB_TOPK}
+    )
+    SELECT f.brand, CAST(f.rk AS BIGINT) AS full_rank, f.rev_cents,
+           CAST(COUNT(t.brand) AS BIGINT) AS replicates_in_top{_STAB_TOPK},
+           ROUND(CAST(COUNT(t.brand) AS DOUBLE) / {_B}, 6) AS stability
+    FROM full_rank f LEFT JOIN rep_top t ON t.brand = f.brand
+    WHERE f.rk <= 10
+    GROUP BY f.brand, f.rk, f.rev_cents
+    ORDER BY full_rank
+    """,
+    tags=("X-33", "O-05"),
+)
+def q364_topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard rank stability: the full-data top-10 brands by revenue,
+    each scored by how many of 16 deterministic half-sample replicates
+    (q193's md5-bit membership, whole ORDERS in or out so replicates
+    respect the clustering unit — the q255 discipline) still place it in
+    the top-5. A brand at rank 4 with stability 6/16 is a coin flip, not
+    a fact; q248 measures rank churn BETWEEN periods, this measures rank
+    UNCERTAINTY within one — the number that belongs next to any top-k
+    chart before someone reorganizes a product line over it.
+
+    Determinism: replicate membership is a pure md5-bit function of the
+    order key; revenues exact cents; ranking ties break by brand.
+
+    Scale shape: ONE dim-broadcast fact rollup to (brand, orderkey-hash)
+    rows, the 16-way replicate fan-out runs map-only on rows already
+    REDUCED per (order, brand), each replicate's rollup lands on the
+    bounded brand relation, per-replicate top-5 is the WindowGroupLimit
+    partial top-k, and the stability join runs on 25 x 16 rows.
+
+    Reference parity: beyond-reference; composes X-33 resampling with
+    O-05 grouped top-k into the rank-uncertainty readout."""
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    keyed = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            "brand",
+            F.expr(_nibble_int("md5(CAST(l_orderkey AS string))")).alias("h"),
+        )
+        .agg(F.sum("cents").cast("long").alias("cents"))
+        .transform(stage)  # full-rank leg + replicate legs share one build
+    )
+    full_rank = (
+        keyed.groupBy("brand")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+        .withColumn(
+            "full_rank",
+            F.row_number()
+            .over(W.partitionBy().orderBy(F.desc("rev_cents"), "brand"))
+            .cast("long"),
+        )
+        .filter(F.col("full_rank") <= 10)
+    )
+    reps = keyed.select(
+        "brand",
+        "cents",
+        F.explode(
+            F.expr(
+                f"filter(transform(sequence(0, {_B - 1}), "
+                "b -> CASE WHEN (h >> b) & 1 = 1 THEN b END), "
+                "x -> x IS NOT NULL)"
+            )
+        ).alias("rep"),
+    )
+    rep_rev = reps.groupBy("rep", "brand").agg(F.sum("cents").alias("rev"))
+    rep_top = (
+        rep_rev.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("rep").orderBy(F.desc("rev"), "brand")
+            ),
+        )
+        .filter(F.col("rk") <= _STAB_TOPK)
+        .select("rep", "brand")
+    )
+    hits = rep_top.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias(f"replicates_in_top{_STAB_TOPK}")
+    )
+    return (
+        full_rank.join(F.broadcast(hits), "brand", "left")
+        .select(
+            "brand",
+            "full_rank",
+            "rev_cents",
+            F.coalesce(F.col(f"replicates_in_top{_STAB_TOPK}"), F.lit(0))
+            .cast("long")
+            .alias(f"replicates_in_top{_STAB_TOPK}"),
+            F.round(
+                F.coalesce(F.col(f"replicates_in_top{_STAB_TOPK}"), F.lit(0)).cast(
+                    "double"
+                )
+                / F.lit(_B),
+                6,
+            ).alias("stability"),
+        )
+        .transform(pin)
+        .orderBy("full_rank")
+    )

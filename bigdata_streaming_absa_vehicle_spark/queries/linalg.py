@@ -372,3 +372,98 @@ def q331_embedding_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-121 (cont.): embedding isotropy audit via the exact sum identity
+# ---------------------------------------------------------------------------
+
+_Q2 = (1 << 20) * (1 << 20)  #: Q_SCALE^2 — quantized-unit -> cosine rescale
+
+_ISO_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(ve, x -> CAST(floor(
+                   x / sqrt(list_reduce(list_transform(ve, y -> y*y), (a,b) -> a+b))
+                   * {1 << 20} + 0.5) AS BIGINT)) AS qv
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings)
+    ),
+    ex AS (
+        SELECT vec_id, u.j AS j, qv[u.j] AS x
+        FROM q CROSS JOIN (SELECT unnest(range(1, {_DIM + 1})) AS j) u
+    ),
+    byj AS (
+        SELECT j, CAST(SUM(x) AS HUGEINT) AS s,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qq
+        FROM ex GROUP BY j
+    ),
+    agg AS (
+        SELECT CAST(SUM(s * s) AS HUGEINT) AS ssum,
+               CAST(SUM(qq) AS HUGEINT) AS sq,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n
+        FROM byj
+    )
+    SELECT n AS n_vectors,
+           ROUND(CAST(ssum - sq AS DOUBLE) / n / (n - 1) / {_Q2}, 9)
+               AS avg_pairwise_cosine,
+           ROUND(sqrt(CAST(ssum AS DOUBLE)) / n / {1 << 20}, 9)
+               AS mean_vector_norm
+    FROM agg
+"""
+
+
+@query("q362_isotropy_audit", oracle=_ISO_ORACLE, tags=("X-121", "X-03"))
+def q362_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding isotropy audit: the average pairwise cosine across ALL
+    n(n-1) vector pairs and the norm of the mean vector — computed
+    WITHOUT any pair enumeration via the exact sum identity
+    sum over i!=j of <v_i,v_j> = ||sum v||^2 - sum ||v||^2 over the
+    quantized unit vectors. High average cosine / large mean-vector norm
+    is representation COLLAPSE (everything points the same way — the
+    failure mode that silently breaks cosine retrieval and clustering);
+    a healthy space sits near zero. q331 measures between-class
+    separation, q204 per-dimension spread; this is the one-row global
+    health check run after every embedding-model swap.
+
+    Determinism: all moments are exact integers (component sums and
+    squares in decimal(38,0)/HUGEINT); the two readouts divide exact
+    operands in a fixed order (one sqrt, IEEE-correctly rounded),
+    rescaled by Q_SCALE^2 back to cosine units, rounded 9 dp.
+
+    Scale shape: ONE map-only explode feeds ONE map-side-combined
+    rollup onto the 64-row dimension relation; the final identity is an
+    ungrouped aggregate of those 64 rows. O(n*d) work, O(d) shuffle,
+    one row out, A-14-mergeable across shards — the pair-free discipline
+    of q331 applied to the whole space.
+
+    Reference parity: beyond-reference; completes the embedding-QA kit
+    (q204 dim profile, q331 separation, q351 PQ codebooks)."""
+    from ..operators.similarity import quantized_batched
+
+    q = quantized_batched(load(spark, sf_dir, "embeddings"))
+    ex = q.select("vec_id", F.posexplode("qv").alias("pos", "x"))
+    byj = ex.groupBy("pos").agg(
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("qq"),
+    )
+    n_df = q.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    agg = byj.agg(
+        F.sum(F.col("s") * F.col("s")).cast("decimal(38,0)").alias("ssum"),
+        F.sum("qq").cast("decimal(38,0)").alias("sq"),
+    ).join(F.broadcast(n_df))
+    return agg.select(
+        F.col("n").alias("n_vectors"),
+        F.round(
+            F.expr("CAST(ssum - sq AS DOUBLE)")
+            / F.col("n")
+            / (F.col("n") - 1)
+            / F.lit(float(_Q2)),
+            9,
+        ).alias("avg_pairwise_cosine"),
+        F.round(
+            F.sqrt(F.expr("CAST(ssum AS DOUBLE)")) / F.col("n") / F.lit(float(1 << 20)),
+            9,
+        ).alias("mean_vector_norm"),
+    )
