@@ -2578,3 +2578,222 @@ def q360_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("region", "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-08 (cont.): spend-quintile migration matrix (week over week)
+# ---------------------------------------------------------------------------
+
+_MIGR_ORACLE = """
+    WITH weekly AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 604800 AS w,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    bucketed AS (
+        SELECT user_id, w,
+               NTILE(5) OVER (PARTITION BY w ORDER BY cents, user_id) AS q
+        FROM weekly
+    )
+    SELECT a.q AS q_from, b.q AS q_to, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM bucketed a JOIN bucketed b
+      ON b.user_id = a.user_id AND b.w = a.w + 1
+    GROUP BY a.q, b.q
+    ORDER BY q_from, q_to
+"""
+
+
+@query("q366_decile_migration", oracle=_MIGR_ORACLE, tags=("X-08", "W-01"))
+def q366_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-quintile migration matrix: users bucketed into weekly spend
+    quintiles (NTILE over the total (cents, user_id) order — equal-size
+    buckets, engine-identical under a total order), and the week-over-
+    week transition counts between buckets — the CRM value-migration
+    readout ('are my top spenders staying top?') that q211's static RFM
+    snapshot and q118's event-type transitions both miss: this tracks
+    MOVEMENT of the value distribution itself.
+
+    Determinism: weekly cents exact; NTILE over a total order is
+    deterministic and identically defined in both engines; transition
+    counts exact.
+
+    Scale shape: ONE map-side-combined fact rollup onto the (user, week)
+    relation; NTILE partitions by week (parallelism = weeks, each
+    partition the bounded weekly-active user set — at extreme user
+    counts swap to the q103/q162 broadcast-edges + map-only assignment
+    on the same dataflow); the migration join is a self-join of that
+    reduced relation co-keyed on user; the matrix rollup lands on <= 25
+    cells.
+
+    Reference parity: beyond-reference; completes X-08's engagement kit
+    (q358 growth ledger, q87 cohorts) with the value-migration matrix."""
+    weekly = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            (
+                F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(604800)
+            )
+            .cast("long")
+            .alias("w"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    bucketed = weekly.select(
+        "user_id",
+        "w",
+        F.ntile(5)
+        .over(W.partitionBy("w").orderBy("cents", "user_id"))
+        .alias("q"),
+    ).transform(stage)  # both sides of the migration self-join share one build
+    a = bucketed.select("user_id", "w", F.col("q").alias("q_from"))
+    b = bucketed.select(
+        "user_id", (F.col("w") - 1).alias("w"), F.col("q").alias("q_to")
+    )
+    return (
+        a.join(b, ["user_id", "w"])
+        .groupBy("q_from", "q_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .transform(pin)
+        .orderBy("q_from", "q_to")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-08 (cont.): attribution lookback-window sensitivity
+# ---------------------------------------------------------------------------
+
+_AWS_WINDOWS_H = (1, 24, 168)  #: candidate lookback caps, hours
+
+_AWS_ORACLE = f"""
+    WITH conv AS (
+        SELECT user_id, ts AS conv_ts, event_id AS conv_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id, event_type AS channel, ts AS touch_ts,
+               event_id AS touch_id
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    last_touch AS (
+        SELECT conv_id, channel, lag_us FROM (
+            SELECT c.conv_id, t.channel,
+                   epoch_us(c.conv_ts) - epoch_us(t.touch_ts) AS lag_us,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.conv_id
+                       ORDER BY t.touch_ts DESC, t.touch_id DESC
+                   ) AS rn
+            FROM conv c JOIN touch t
+              ON t.user_id = c.user_id
+             AND (t.touch_ts < c.conv_ts
+                  OR (t.touch_ts = c.conv_ts AND t.touch_id < c.conv_id))
+        ) WHERE rn = 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_conv FROM conv)
+    SELECT w.window_h, lt.channel,
+           CAST(COUNT(*) AS BIGINT) AS n_attributed,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(tot.n_conv), 6)
+               AS share_of_conversions
+    FROM last_touch lt
+    CROSS JOIN (SELECT unnest([{", ".join(map(str, _AWS_WINDOWS_H))}])
+                AS window_h) w
+    CROSS JOIN tot
+    WHERE lt.lag_us <= w.window_h * 3600000000
+    GROUP BY w.window_h, lt.channel
+    ORDER BY window_h, channel
+"""
+
+
+@query(
+    "q367_attribution_window_sensitivity",
+    oracle=_AWS_ORACLE,
+    tags=("X-08", "W-01"),
+)
+def q367_attribution_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution lookback-window sensitivity: last-touch credit per
+    channel recomputed under 1-hour, 24-hour, and 7-day lookback caps,
+    with each cell's share of ALL conversions — the robustness table
+    that shows whether q152's channel ranking is a fact or an artifact
+    of the window someone picked (credit that evaporates when the cap
+    tightens was never causal). Conversions whose last touch falls
+    outside a cap simply drop from that cap's rows, so column sums
+    reveal the unattributed share per window.
+
+    Determinism: the last touch is unique under the (ts, event_id)
+    total order; lags are exact integer micros; window membership is an
+    exact integer comparison; one exact division per cell, 6 dp.
+
+    Scale shape: ONE user-co-keyed conversion-touch join ranked by the
+    q13 grouped-top-1 (the q152 dataflow, shared — the sensitivity
+    sweep adds NO new fact work: the 3-window fan-out is a map-only
+    explode on the one-row-per-conversion last-touch relation); rollup
+    onto the bounded (window, channel) grid; the conversion total
+    cross-broadcasts one row.
+
+    Reference parity: beyond-reference; hardens the X-08 attribution
+    family (q152/q171/q212/q273/q276/q312) with the window-sensitivity
+    audit every marketing-mix review asks for first."""
+    ev = load(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+        F.col("event_id").alias("conv_id"),
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_id").alias("touch_id"),
+    )
+    joined = conv.join(touch, "user_id").filter(
+        (F.col("touch_ts") < F.col("conv_ts"))
+        | (
+            (F.col("touch_ts") == F.col("conv_ts"))
+            & (F.col("touch_id") < F.col("conv_id"))
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("conv_id").orderBy(
+            F.desc("touch_ts"), F.desc("touch_id")
+        )
+    )
+    last_touch = (
+        joined.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "conv_id",
+            "channel",
+            (F.unix_micros("conv_ts") - F.unix_micros("touch_ts")).alias("lag_us"),
+        )
+    )
+    tot = conv.agg(F.count(F.lit(1)).cast("long").alias("n_conv"))
+    fanned = last_touch.select(
+        "channel",
+        "lag_us",
+        F.explode(
+            F.array(*[F.lit(h) for h in _AWS_WINDOWS_H])
+        ).alias("window_h"),
+    ).filter(F.col("lag_us") <= F.col("window_h") * F.lit(3600000000))
+    return (
+        fanned.groupBy("window_h", "channel")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_attributed"))
+        .join(F.broadcast(tot))
+        .select(
+            "window_h",
+            "channel",
+            "n_attributed",
+            F.round(
+                F.col("n_attributed").cast("double") / F.col("n_conv"), 6
+            ).alias("share_of_conversions"),
+        )
+        .transform(pin)
+        .orderBy("window_h", "channel")
+    )

@@ -1609,3 +1609,92 @@ def q357_subject_access_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_kinds", "first_us", "last_us", "total_value_cents")
     )
     return ev.unionByName(o).transform(pin).orderBy("user_id", "table_name")
+
+
+# ---------------------------------------------------------------------------
+# X-29 (cont.): k-anonymity generalization-ladder advisor
+# ---------------------------------------------------------------------------
+
+#: candidate generalizations of the (event_type, dow, hour) QI, each one
+#: rung of the Datafly/Incognito lattice: drop or coarsen ONE attribute.
+_GEN_LADDER = (
+    ("full_qi", "event_type", "dow", "hour"),
+    ("hour_to_6h_band", "event_type", "dow", "hour {div} 6"),
+    ("drop_hour", "event_type", "dow", "CAST(0 AS INT)"),
+    ("drop_dow", "event_type", "CAST(0 AS INT)", "hour"),
+    ("drop_type", "'*'", "dow", "hour"),
+)
+_K_POLICY = 10
+
+
+def _gen_leg_oracle(name: str, t: str, d: str, h: str) -> str:
+    h = h.format(div="//")
+    return f"""
+    SELECT '{name}' AS generalization,
+           CAST(MIN(n) AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN n < {_K_POLICY} THEN n ELSE 0 END) AS BIGINT)
+               AS rows_below_k,
+           CAST(COUNT(*) AS BIGINT) AS n_groups
+    FROM (
+        SELECT COUNT(*) AS n FROM (
+            SELECT event_type,
+                   dayofweek(date_trunc('day', ts)) + 1 AS dow,
+                   CAST(hour(ts) AS INT) AS hour
+            FROM events
+        ) GROUP BY {t}, {d}, {h}
+    )"""
+
+
+@query(
+    "q365_generalization_advisor",
+    oracle=" UNION ALL ".join(
+        _gen_leg_oracle(*rung) for rung in _GEN_LADDER
+    )
+    + " ORDER BY generalization",
+    tags=("X-29", "A-02"),
+)
+def q365_generalization_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization-ladder advisor: for each candidate
+    generalization of the quasi-identifier (keep it, coarsen hour to
+    6-hour bands, drop hour, drop day-of-week, drop event type — one
+    rung of the Datafly/Incognito lattice each), the k the release
+    WOULD achieve and the rows still exposed below the k=10 policy —
+    the decision table that turns q187's failing verdict into the
+    CHEAPEST sufficient fix (generalize as little as utility allows).
+
+    Determinism: exact group counts; rungs are declared literals.
+
+    Scale shape: one map-side-combined rollup per rung onto its bounded
+    generalized-QI domain (each strictly SMALLER than q187's full QI
+    domain), one ungrouped agg per rung, 5 rows total. At 100 TB the
+    rungs share one scan via grouping-sets if desired — declared here as
+    independent legs for rung-level pruning.
+
+    Reference parity: beyond-reference; completes the privacy kit (q187
+    audit, q307 t-closeness, q365 picks the remediation)."""
+    base = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.dayofweek(F.date_trunc("day", F.col("ts"))) ).alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    )
+    legs = []
+    for name, t, d, h in _GEN_LADDER:
+        h = h.format(div="DIV")
+        g = base.groupBy(
+            F.expr(t).alias("g1"), F.expr(d).alias("g2"), F.expr(h).alias("g3")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        legs.append(
+            g.agg(
+                F.min("n").cast("long").alias("k"),
+                F.sum(F.when(F.col("n") < _K_POLICY, F.col("n")).otherwise(0))
+                .cast("long")
+                .alias("rows_below_k"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+            ).select(
+                F.lit(name).alias("generalization"), "k", "rows_below_k", "n_groups"
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.transform(pin).orderBy("generalization")
