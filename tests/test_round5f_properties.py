@@ -1,0 +1,133 @@
+"""Mathematical invariants of the q356-q367 operator batch (planner and
+privacy advisors, GDPR extract, growth ledger, interpolation, isotropy,
+Wilson intervals, rank stability, migration matrix, attribution
+sensitivity), on sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_streaming_absa_vehicle_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    def run(name):
+        return all_queries()[name].fn(spark, SF_DIR).toPandas()
+
+    return run
+
+
+def test_q356_recommends_the_smaller_intermediate(q):
+    df = q("q356_join_order_advisor")
+    assert len(df) == 2
+    rec = df[df.recommended == 1]
+    assert len(rec) >= 1
+    assert rec.intermediate_rows.min() == df.intermediate_rows.min()
+
+
+def test_q357_extract_covers_requested_subjects_only(q):
+    from bigdata_streaming_absa_vehicle_spark.queries.audit import _SAR_USERS
+
+    df = q("q357_subject_access_extract")
+    assert set(df.user_id) <= set(_SAR_USERS)
+    assert (df.first_us <= df.last_us).all()
+    assert (df.n_rows > 0).all()
+
+
+def test_q358_ledger_identity_holds_exactly(q):
+    df = q("q358_growth_accounting").sort_values("d").reset_index(drop=True)
+    # DAU_t = new + retained + resurrected by definition of the split
+    dau = df.n_new + df.n_retained + df.n_resurrected
+    # and DAU_t - DAU_{t-1} = net_change on every day after the first
+    for i in range(1, len(df)):
+        if df.d[i] == df.d[i - 1] + 1:  # consecutive days only
+            assert dau[i] - dau[i - 1] == df.net_change[i], df.d[i]
+    assert (df.net_change == df.n_new + df.n_resurrected - df.n_churned).all()
+
+
+def test_q359_sample_closure_is_exact(q):
+    df = q("q359_coherent_sample").set_index("table_name")
+    assert (df.n_orphans == 0).all()
+    assert (df.n_sampled <= df.n_total).all()
+    # the hash predicate keeps roughly 4/16 of customers (nibble 0-3)
+    share = df.loc["customer"].n_sampled / df.loc["customer"].n_total
+    assert 0.1 < share < 0.45
+
+
+def test_q360_shares_sum_to_one(q):
+    df = q("q360_percent_of_parent")
+    assert abs(df.share_of_total.sum() - 1.0) < 1e-3
+    for _, g in df.groupby("region"):
+        assert abs(g.share_of_region.sum() - 1.0) < 1e-3
+
+
+def test_q361_fills_every_spine_hour_and_interpolates_in_range(q):
+    df = q("q361_linear_interpolation")
+    assert df.cents_filled.notna().all()
+    for _, g in df.groupby("event_type"):
+        hs = sorted(g.h)
+        assert hs == list(range(min(hs), max(hs) + 1))  # complete spine
+    interp = df[df.interpolated == 1]
+    assert len(interp) > 0  # hourly series do have gaps
+
+
+def test_q362_isotropy_readouts_are_consistent(q):
+    df = q("q362_isotropy_audit")
+    row = df.iloc[0]
+    assert row.n_vectors > 0
+    assert -1.0 <= row.avg_pairwise_cosine <= 1.0
+    assert 0.0 <= row.mean_vector_norm <= 1.0 + 1e-6
+    # ||mean||^2 ~ (sum_pairs + sum_self)/n^2 >= avg_pairwise*(n-1)/n
+    n = row.n_vectors
+    lhs = row.mean_vector_norm**2
+    rhs = row.avg_pairwise_cosine * (n - 1) / n
+    assert lhs >= rhs - 1e-6
+
+
+def test_q363_wilson_brackets_the_rate_inside_unit_interval(q):
+    df = q("q363_wilson_intervals")
+    assert ((df.ci_lo >= 0) & (df.ci_hi <= 1)).all()
+    assert ((df.ci_lo <= df.rate) & (df.rate <= df.ci_hi)).all()
+    assert (df.ci_lo < df.ci_hi).all()
+
+
+def test_q364_stability_is_a_replicate_fraction(q):
+    df = q("q364_topk_stability")
+    assert len(df) == 10
+    assert df.replicates_in_top5.between(0, 16).all()
+    assert (df.stability == df.replicates_in_top5 / 16).all()
+    # the full-data #1 brand should appear in most replicates' top-5
+    assert df[df.full_rank == 1].replicates_in_top5.iloc[0] >= 8
+
+
+def test_q365_generalizing_never_lowers_k(q):
+    df = q("q365_generalization_advisor").set_index("generalization")
+    base = df.loc["full_qi"]
+    # every strictly-coarser rung has k >= the full QI's k and fewer groups
+    for rung in ("hour_to_6h_band", "drop_hour", "drop_dow", "drop_type"):
+        assert df.loc[rung].k >= base.k, rung
+        assert df.loc[rung].n_groups <= base.n_groups, rung
+        assert df.loc[rung].rows_below_k <= base.rows_below_k, rung
+
+
+def test_q366_migration_cells_are_valid_quintiles(q):
+    df = q("q366_decile_migration")
+    assert df.q_from.between(1, 5).all() and df.q_to.between(1, 5).all()
+    assert (df.n_users > 0).all()
+
+
+def test_q367_credit_is_monotone_in_the_window(q):
+    df = q("q367_attribution_window_sensitivity")
+    # widening the lookback can only add attributed conversions per channel
+    piv = df.pivot_table(
+        index="channel", columns="window_h", values="n_attributed", fill_value=0
+    )
+    cols = sorted(piv.columns)
+    for a, b in zip(cols, cols[1:]):
+        assert (piv[a] <= piv[b]).all(), (a, b)
+    # and the per-window share totals never exceed 1
+    assert df.groupby("window_h").share_of_conversions.sum().le(1.0 + 1e-9).all()
