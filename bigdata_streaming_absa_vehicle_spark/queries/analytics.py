@@ -2797,3 +2797,94 @@ def q367_attribution_window_sensitivity(spark: SparkSession, sf_dir: str) -> Dat
         .transform(pin)
         .orderBy("window_h", "channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-08 (cont.): sessionization gap-parameter sweep
+# ---------------------------------------------------------------------------
+
+_GAP_SWEEP_MIN = (5, 15, 30, 60)  #: candidate inactivity gaps, minutes
+
+_GAP_SWEEP_ORACLE = f"""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    ),
+    fanned AS (
+        SELECT g.user_id, w.gap_min,
+               CASE WHEN g.gap_us IS NULL
+                         OR g.gap_us > CAST(w.gap_min AS BIGINT) * 60000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM gaps g
+        CROSS JOIN (SELECT unnest([{", ".join(map(str, _GAP_SWEEP_MIN))}])
+                    AS gap_min) w
+    )
+    SELECT gap_min,
+           CAST(SUM(is_start) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(is_start), 6)
+               AS events_per_session
+    FROM fanned GROUP BY gap_min ORDER BY gap_min
+"""
+
+
+@query("q368_session_gap_sweep", oracle=_GAP_SWEEP_ORACLE, tags=("X-08", "W-02"))
+def q368_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization gap-parameter sweep: session counts and mean events
+    per session under 5/15/30/60-minute inactivity thresholds — the
+    tuning table behind q91's fixed 30-minute choice (a knee in this
+    curve is where the gap parameter stops mattering; no knee means
+    session counts are an artifact of the threshold, which is worth
+    knowing before anyone reports 'sessions' as a KPI). Session count =
+    number of gap-exceeding boundaries + first events, counted WITHOUT
+    materializing any session ids.
+
+    Determinism: gaps are exact integer micros from the (ts, event_id)
+    total order; boundary tests are exact integer comparisons; one
+    division per row, 6 dp.
+
+    Scale shape: ONE per-user window pass computes every gap ONCE; the
+    4-threshold sweep is a map-only fan-out over the gap relation (the
+    q367 discipline — parameter sweeps must not rescan); the rollup
+    lands on 4 rows. Same single-shuffle cost as one sessionization.
+
+    Reference parity: beyond-reference; hardens X-08's q91/q65 session
+    machinery with the parameter-sensitivity audit."""
+    ev = load(spark, sf_dir, "events")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts")
+            - F.lag(F.unix_micros("ts")).over(
+                W.partitionBy("user_id").orderBy("ts", "event_id")
+            )
+        ).alias("gap_us"),
+    )
+    fanned = gaps.select(
+        F.explode(F.array(*[F.lit(m) for m in _GAP_SWEEP_MIN])).alias("gap_min"),
+        "gap_us",
+    ).select(
+        "gap_min",
+        F.when(
+            F.col("gap_us").isNull()
+            | (F.col("gap_us") > F.col("gap_min").cast("long") * F.lit(60000000)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    return (
+        fanned.groupBy("gap_min")
+        .agg(
+            F.sum("is_start").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.sum("is_start"), 6
+            ).alias("events_per_session"),
+        )
+        .transform(pin)
+        .orderBy("gap_min")
+    )

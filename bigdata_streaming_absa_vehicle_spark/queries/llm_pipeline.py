@@ -2211,3 +2211,102 @@ def q345_label_noise_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy(F.desc("margin"), "probe_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-03 (cont.): mutual-kNN share (hubness audit of the embedding space)
+# ---------------------------------------------------------------------------
+
+_MKNN_SUB = 200  #: audit subcorpus: vectors with vec_id < 200
+_MKNN_K = 5
+
+
+@query(
+    "q370_mutual_knn",
+    oracle=f"""
+    WITH sub AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id < {_MKNN_SUB}
+    ),
+    scored AS (
+        SELECT a.vec_id AS probe_id, b.vec_id AS nb,
+               list_cosine_similarity(a.v, b.v) AS cos
+        FROM sub a JOIN sub b ON b.vec_id <> a.vec_id
+    ),
+    topk AS (
+        SELECT probe_id, nb FROM (
+            SELECT probe_id, nb,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY cos DESC, nb) AS rk
+            FROM scored
+        ) WHERE rk <= {_MKNN_K}
+    ),
+    mutual AS (
+        SELECT t.probe_id,
+               CAST(SUM(CASE WHEN r.probe_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_mutual
+        FROM topk t LEFT JOIN topk r
+          ON r.probe_id = t.nb AND r.nb = t.probe_id
+        GROUP BY t.probe_id
+    )
+    SELECT n_mutual, CAST(COUNT(*) AS BIGINT) AS n_probes,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM mutual), 6) AS share
+    FROM mutual GROUP BY n_mutual ORDER BY n_mutual
+    """,
+    tags=("X-03", "X-121"),
+)
+def q370_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN distribution (hubness audit): over the audit subcorpus,
+    how many of each vector's k=5 nearest neighbors list it back —
+    histogrammed by mutual count. Low mutuality = HUBNESS (a few
+    vectors appear in everyone's neighbor lists while pointing
+    elsewhere), the high-dimensional pathology that silently degrades
+    kNN classification (q232), ANN recall (q231), and near-dup
+    clustering — and the reason mutual-kNN graphs are the standard
+    input to density clustering. Complements q362: isotropy measures
+    global collapse, this measures local asymmetry.
+
+    Determinism: the q45 deterministic top-k on both directions; mutual
+    counts exact; one exact division, 6 dp.
+
+    Scale shape: the subcorpus self-retrieval is the certified X-03 path
+    (broadcast probes, WindowGroupLimit top-k); the reciprocity check is
+    a self-join of the k x n edge relation on the reversed pair key
+    (co-keyed, k-bounded fan-out); the histogram lands on <= k+1 rows.
+    At corpus scale the audit runs on exactly this kind of sampled
+    subcorpus — the dataflow is unchanged.
+
+    Reference parity: beyond-reference; completes the embedding-QA kit
+    (q204, q231, q331, q351, q362)."""
+    from pyspark.sql import Window as W
+
+    sub = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _MKNN_SUB)
+    topk = sim.cosine_topk(sub, sub, k=_MKNN_K).select(
+        "probe_id", F.col("vec_id").alias("nb")
+    ).transform(stage)  # forward leg + reversed leg share one build
+    rev = topk.select(
+        F.col("nb").alias("probe_id"),
+        F.col("probe_id").alias("nb"),
+        F.lit(1).alias("m"),
+    )
+    mutual = (
+        topk.join(rev, ["probe_id", "nb"], "left")
+        .groupBy("probe_id")
+        .agg(F.sum(F.coalesce(F.col("m"), F.lit(0))).cast("long").alias("n_mutual"))
+    )
+    tot = mutual.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    return (
+        mutual.groupBy("n_mutual")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+        .join(F.broadcast(tot))
+        .select(
+            "n_mutual",
+            "n_probes",
+            F.round(F.col("n_probes").cast("double") / F.col("n_tot"), 6).alias(
+                "share"
+            ),
+        )
+        .transform(pin)
+        .orderBy("n_mutual")
+    )

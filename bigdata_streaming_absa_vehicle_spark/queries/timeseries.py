@@ -4624,3 +4624,125 @@ def q361_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("event_type", "h")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-20 (cont.): calendar-mix-adjusted week-over-week growth
+# ---------------------------------------------------------------------------
+
+_CMIX_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    tagged AS (
+        SELECT d, d // 7 AS w, d % 7 AS dow, cents FROM daily
+    ),
+    dowstats AS (
+        SELECT dow, CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM tagged GROUP BY dow
+    ),
+    wk_dow AS (
+        SELECT w, dow, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS actual_part
+        FROM tagged GROUP BY w, dow
+    ),
+    expected AS (
+        SELECT w,
+               CAST(SUM(CAST(ROUND(CAST(ds.s AS DOUBLE) * wd.n / ds.c, 6)
+                    AS DECIMAL(28,6))) AS DOUBLE) AS expected_cents,
+               CAST(SUM(wd.actual_part) AS BIGINT) AS actual_cents
+        FROM wk_dow wd JOIN dowstats ds ON ds.dow = wd.dow
+        GROUP BY w
+    )
+    SELECT w, actual_cents,
+           ROUND(expected_cents, 6) AS expected_cents,
+           ROUND(actual_cents / expected_cents, 6) AS mix_adjusted_index,
+           ROUND(CAST(actual_cents AS DOUBLE)
+                 / LAG(actual_cents) OVER (ORDER BY w), 6) AS raw_wow
+    FROM expected ORDER BY w
+"""
+
+
+@query("q369_calendar_adjusted_growth", oracle=_CMIX_ORACLE, tags=("X-20", "W-02"))
+def q369_calendar_adjusted_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-mix-adjusted weekly revenue index: each week's actual
+    revenue against what the global day-of-week profile PREDICTS for the
+    days that week actually contains, plus the raw week-over-week ratio
+    — the adjustment that stops a week with an extra weekend (or a
+    partial first/last week, which raw WoW always misreads) from
+    looking like growth. Index > 1 means genuinely above the calendar
+    expectation; raw_wow swinging while the index is flat is pure
+    calendar mix.
+
+    Determinism: daily cents exact; expected = sum over dows of
+    (dow total x days present / dow day-count), each term one exact-
+    operand division rounded 6 dp then DECIMAL-summed (the q120
+    cross-libm discipline applied to IEEE term ordering); ratios round
+    6 dp; the first week's raw_wow is NULL in both engines.
+
+    Scale shape: ONE map-side-combined fact rollup onto the calendar-
+    bounded daily relation; everything downstream (dow profile, weekly
+    rollup, expected join, lag) runs on bounded relations.
+
+    Reference parity: beyond-reference; the seasonality-aware growth
+    read on top of q180's profile and q358's ledger."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .select(
+            "d",
+            F.expr("d DIV 7").alias("w"),
+            F.expr("d % 7").alias("dow"),
+            "cents",
+        )
+        .transform(stage)  # dow profile + weekly legs share one build
+    )
+    dowstats = daily.groupBy("dow").agg(
+        F.sum("cents").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    wk_dow = daily.groupBy("w", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("actual_part"),
+    )
+    term = F.round(
+        F.col("s").cast("double") * F.col("n") / F.col("c"), 6
+    ).cast("decimal(28,6)")
+    expected = (
+        wk_dow.join(F.broadcast(dowstats), "dow")
+        .groupBy("w")
+        .agg(
+            F.sum(term).cast("double").alias("expected_cents"),
+            F.sum("actual_part").cast("long").alias("actual_cents"),
+        )
+    )
+    lag_actual = F.lag("actual_cents").over(Window.partitionBy().orderBy("w"))
+    return (
+        expected.select(
+            "w",
+            "actual_cents",
+            F.round("expected_cents", 6).alias("expected_cents"),
+            F.round(
+                F.col("actual_cents") / F.col("expected_cents"), 6
+            ).alias("mix_adjusted_index"),
+            F.round(F.col("actual_cents").cast("double") / lag_actual, 6).alias(
+                "raw_wow"
+            ),
+        )
+        .transform(pin)
+        .orderBy("w")
+    )
