@@ -726,3 +726,122 @@ def q326_watermark_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("watermark_delay_s")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-14 (cont.): metric-delta contribution decomposition (root-cause read)
+# ---------------------------------------------------------------------------
+
+_DELTA_ORACLE = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    target AS (SELECT MAX(d) AS d1 FROM daily),
+    sides AS (
+        SELECT dd.event_type,
+               CAST(SUM(CASE WHEN dd.d = t.d1 THEN dd.cents ELSE 0 END)
+                    AS BIGINT) AS rev_now,
+               CAST(SUM(CASE WHEN dd.d = t.d1 - 7 THEN dd.cents ELSE 0 END)
+                    AS BIGINT) AS rev_base
+        FROM daily dd CROSS JOIN target t
+        WHERE dd.d = t.d1 OR dd.d = t.d1 - 7
+        GROUP BY dd.event_type
+    ),
+    tot AS (
+        SELECT CAST(SUM(rev_now) - SUM(rev_base) AS BIGINT) AS total_delta
+        FROM sides
+    )
+    SELECT s.event_type, s.rev_now, s.rev_base,
+           CAST(s.rev_now - s.rev_base AS BIGINT) AS delta_cents,
+           CASE WHEN t.total_delta = 0 THEN NULL
+                ELSE ROUND(CAST(s.rev_now - s.rev_base AS DOUBLE)
+                           / t.total_delta, 6) END AS share_of_total_delta,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY ABS(s.rev_now - s.rev_base) DESC, s.event_type
+           ) AS BIGINT) AS impact_rank
+    FROM sides s CROSS JOIN tot t
+    ORDER BY impact_rank
+"""
+
+
+@query("q373_delta_contribution", oracle=_DELTA_ORACLE, tags=("X-14", "A-01"))
+def q373_delta_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-delta contribution decomposition (the Adtributor-style
+    root-cause read): the newest day's revenue against the same weekday
+    one week earlier, decomposed by segment — each event type's exact
+    delta, its share of the total movement, and an impact rank. The
+    first question after any q287/q184 anomaly fires is 'WHICH segment
+    did it'; segment deltas sum to the total by construction, so the
+    table is a complete account of the movement, not a list of
+    suspects.
+
+    Determinism: exact day keys and cents; shares divide exact integers
+    once (NULL when the total delta is exactly zero — pinned in both
+    engines); ranking ties break by segment name.
+
+    Scale shape: ONE map-side-combined fact rollup onto the calendar-
+    bounded (type, day) relation; the target day derives from the data
+    (q223 no-wall-clock discipline) and broadcasts; the comparison,
+    total, shares, and rank all run on <= |types| rows. At 100 TB with
+    day-partitioning the two-day filter prunes to two partitions.
+
+    Reference parity: beyond-reference; completes the diagnostics kit
+    (q287 consensus flags -> q373 names the segment -> q310 sizes the
+    causal impact)."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+            .cast("long")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .transform(stage)  # target leg + sides leg share one build
+    )
+    target = daily.agg(F.max("d").alias("d1"))
+    sides = (
+        daily.join(F.broadcast(target))
+        .filter((F.col("d") == F.col("d1")) | (F.col("d") == F.col("d1") - 7))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("d") == F.col("d1"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("rev_now"),
+            F.sum(
+                F.when(F.col("d") == F.col("d1") - 7, F.col("cents")).otherwise(0)
+            )
+            .cast("long")
+            .alias("rev_base"),
+        )
+    )
+    w_all = W.partitionBy()  # bounded: <= |types| rows
+    delta = F.col("rev_now") - F.col("rev_base")
+    total_delta = F.sum(delta).over(w_all)
+    return (
+        sides.select(
+            "event_type",
+            "rev_now",
+            "rev_base",
+            delta.cast("long").alias("delta_cents"),
+            F.when(total_delta == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(delta.cast("double") / total_delta, 6))
+            .alias("share_of_total_delta"),
+            F.row_number()
+            .over(w_all.orderBy(F.abs(delta).desc(), "event_type"))
+            .cast("long")
+            .alias("impact_rank"),
+        )
+        .transform(pin)
+        .orderBy("impact_rank")
+    )

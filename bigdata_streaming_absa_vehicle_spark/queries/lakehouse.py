@@ -1130,3 +1130,136 @@ def q343_schema_drift_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("v1_column")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-13 (cont.): SCD-2 validity-window integrity audit
+# ---------------------------------------------------------------------------
+
+_SCD2_AUDIT_ORACLE = """
+    WITH versions AS (
+        SELECT o_custkey AS k,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn,
+               CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS vf,
+               LEAD(CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS vt
+        FROM orders
+    ),
+    corrupted AS (
+        SELECT k, rn, vf,
+               CASE WHEN k % 13 = 0 AND vt IS NOT NULL THEN vt + 10
+                    ELSE vt END AS vt
+        FROM versions
+        WHERE NOT (k % 17 = 0 AND rn = 2)
+    ),
+    seq AS (
+        SELECT k, vf, vt,
+               LEAD(vf) OVER (PARTITION BY k ORDER BY vf, rn) AS next_vf
+        FROM corrupted
+    ),
+    viol AS (
+        SELECT 'overlap' AS violation, k
+        FROM seq WHERE next_vf IS NOT NULL AND vt > next_vf
+        UNION ALL
+        SELECT 'gap' AS violation, k
+        FROM seq WHERE next_vf IS NOT NULL AND vt < next_vf
+        UNION ALL
+        SELECT 'multiple_current' AS violation, k
+        FROM (SELECT k, COUNT(*) FILTER (WHERE vt IS NULL) AS c
+              FROM seq GROUP BY k)
+        WHERE c <> 1
+    )
+    SELECT violation,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_entities,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM viol GROUP BY violation ORDER BY violation
+"""
+
+
+@query("q372_scd2_integrity", oracle=_SCD2_AUDIT_ORACLE, tags=("X-13", "X-24"))
+def q372_scd2_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 validity-window integrity audit: given a versioned dimension
+    (validity windows derived from each customer's order dates; defects
+    INJECTED deterministically — every 13th key's window stretched 10
+    days to create overlaps, every 17th key's second version deleted to
+    create gaps, the q117 simulation discipline), report per violation
+    class how many entities and version rows break the SCD-2 contract:
+    overlapping windows (two versions both 'true' at one instant — the
+    q149/q182 as-of joins silently return one of them), gaps (instants
+    with NO version), and keys without exactly one open version. The
+    dbt-utils-style structural test q106's builder must pass and every
+    hand-maintained dimension eventually fails.
+
+    Determinism: windows are exact epoch-day integers under the
+    (date, orderkey) total order; the injected defects are pure key
+    arithmetic; violations are exact comparisons.
+
+    Scale shape: ONE key-partitioned window pass builds and sequences
+    the versions (the same shuffle an SCD-2 MERGE already pays); all
+    three violation tests are per-row comparisons against lead()
+    neighbors — no self-join; rollup onto <= 3 rows.
+
+    Reference parity: beyond-reference; completes the X-13 lakehouse kit
+    (q106 build, q117 diff, q150 compaction, q182 as-of) with the
+    structural QA gate."""
+    from pyspark.sql import Window as W
+
+    day = (
+        F.unix_timestamp(F.col("o_orderdate")) / F.lit(86400)
+    ).cast("long")
+    wv = W.partitionBy("k").orderBy("vf_src", "o_orderkey")
+    versions = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("k"),
+            "o_orderkey",
+            day.alias("vf_src"),
+        )
+        .select(
+            "k",
+            "o_orderkey",
+            F.row_number().over(wv).alias("rn"),
+            F.col("vf_src").alias("vf"),
+            F.lead("vf_src").over(wv).alias("vt"),
+        )
+    )
+    corrupted = versions.filter(
+        ~((F.col("k") % 17 == 0) & (F.col("rn") == 2))
+    ).select(
+        "k",
+        "rn",
+        "vf",
+        F.when(
+            (F.col("k") % 13 == 0) & F.col("vt").isNotNull(), F.col("vt") + 10
+        )
+        .otherwise(F.col("vt"))
+        .alias("vt"),
+    )
+    ws = W.partitionBy("k").orderBy("vf", "rn")
+    seq = corrupted.select(
+        "k", "vf", "vt", F.lead("vf").over(ws).alias("next_vf")
+    ).transform(stage)  # all three violation legs share one build
+    overlap = seq.filter(
+        F.col("next_vf").isNotNull() & (F.col("vt") > F.col("next_vf"))
+    ).select(F.lit("overlap").alias("violation"), "k")
+    gap = seq.filter(
+        F.col("next_vf").isNotNull() & (F.col("vt") < F.col("next_vf"))
+    ).select(F.lit("gap").alias("violation"), "k")
+    multi = (
+        seq.groupBy("k")
+        .agg(F.sum(F.col("vt").isNull().cast("int")).alias("c"))
+        .filter(F.col("c") != 1)
+        .select(F.lit("multiple_current").alias("violation"), "k")
+    )
+    viol = overlap.unionByName(gap).unionByName(multi)
+    return (
+        viol.groupBy("violation")
+        .agg(
+            F.countDistinct("k").cast("long").alias("n_entities"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .transform(pin)
+        .orderBy("violation")
+    )

@@ -2310,3 +2310,93 @@ def q370_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("n_mutual")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-01 (cont.): incremental dedup of a new batch against a fingerprint store
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q371_incremental_dedup",
+    oracle="""
+    WITH hist AS (
+        SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0
+    ),
+    batch AS (
+        SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 = 0
+    ),
+    first_in_batch AS (
+        SELECT fp, MIN(doc_id) AS keeper FROM batch GROUP BY fp
+    ),
+    judged AS (
+        SELECT b.doc_id,
+               CASE WHEN h.fp IS NOT NULL THEN 'dup_of_history'
+                    WHEN b.doc_id <> f.keeper THEN 'dup_within_batch'
+                    ELSE 'net_new' END AS verdict
+        FROM batch b
+        LEFT JOIN hist h ON h.fp = b.fp
+        JOIN first_in_batch f ON f.fp = b.fp
+    )
+    SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM judged GROUP BY verdict ORDER BY verdict
+    """,
+    tags=("X-01", "J-06"),
+)
+def q371_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a new ingest batch (every 5th doc_id simulates
+    today's arrivals) deduplicated against the HISTORICAL fingerprint
+    store (the other 80%) without ever rescanning historical text —
+    each batch doc judged dup-of-history (fingerprint already stored),
+    dup-within-batch (a batch-mate with a smaller id keeps it), or
+    net-new. This is how X-01 actually runs in production: q40's global
+    dedup is the backfill; the daily increment probes a 16-byte
+    fingerprint store and appends the net-new fingerprints back to it.
+
+    Determinism: md5 fingerprints; within-batch keeper = min doc_id;
+    verdict precedence (history beats batch) is an exact CASE.
+
+    Scale shape: history contributes ONLY its distinct 16-byte
+    fingerprints (the store — at 100 TB this is the only thing that
+    persists between runs, and it is A-14-mergeable by union); the
+    batch hashes map-only, probes the store with one fingerprint-keyed
+    join, and resolves within-batch dups with one grouped MIN on the
+    same key — total shuffle is O(|batch| + |store|) fingerprints,
+    never text, never history rows.
+
+    Reference parity: beyond-reference; operationalizes X-01 (q40/q40b
+    global passes) as the incremental form and pairs with T-08's
+    streaming dedup (bounded state) for the in-flight window."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    hist = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select("fp")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("fp", F.lit(1).alias("in_hist"))
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0).transform(stage)
+    first_in_batch = batch.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    judged = (
+        batch.join(hist, "fp", "left")
+        .join(first_in_batch, "fp")
+        .select(
+            "doc_id",
+            F.when(F.col("in_hist").isNotNull(), "dup_of_history")
+            .when(F.col("doc_id") != F.col("keeper"), "dup_within_batch")
+            .otherwise("net_new")
+            .alias("verdict"),
+        )
+    )
+    return (
+        judged.groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .transform(pin)
+        .orderBy("verdict")
+    )
