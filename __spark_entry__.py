@@ -227,8 +227,19 @@ _WINDOW_PRIORITY = (
 # downsampling; q345: label-noise candidate export; q346: segmented
 # SRM drill-down; q347: rolling windowed OLS trend; q348:
 # column-encoding advisor; q349: TTL compliance sweep; q350: revenue
-# price/volume bridge; q351: product-quantization audit; and q352:
-# top-k with OTHERS rollup) hold pytest-oracle evidence at
+# price/volume bridge; q351: product-quantization audit; q352:
+# top-k with OTHERS rollup; q353: candidate-key uniqueness audit;
+# q354: ingest coverage-gap detection; q355: SLO burn-rate alerting;
+# q356: join-order advisor; q357: subject-access extract; q358:
+# growth accounting; q359: coherent cross-table sampling; q360:
+# percent-of-parent shares; q361: linear-interpolation gap fill;
+# q362: embedding isotropy audit; q363: Wilson score intervals;
+# q364: leaderboard rank stability; q365: k-anonymity generalization
+# advisor; q366: spend-quintile migration; q367: attribution window
+# sensitivity; q368: session gap-parameter sweep; q369:
+# calendar-mix-adjusted growth; q370: mutual-kNN hubness audit;
+# q371: incremental dedup; q372: SCD-2 integrity audit; and q373:
+# metric-delta contribution) hold pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.
 

@@ -131,3 +131,57 @@ def test_q367_credit_is_monotone_in_the_window(q):
         assert (piv[a] <= piv[b]).all(), (a, b)
     # and the per-window share totals never exceed 1
     assert df.groupby("window_h").share_of_conversions.sum().le(1.0 + 1e-9).all()
+
+
+def test_q368_sessions_monotone_in_gap(q):
+    df = q("q368_session_gap_sweep").sort_values("gap_min")
+    # a larger gap can only merge sessions, never split them
+    assert (df.n_sessions.diff().dropna() <= 0).all()
+    # events counted identically under every threshold
+    assert df.n_events.nunique() == 1
+    assert (df.events_per_session >= 1).all()
+
+
+def test_q369_adjusted_index_and_raw_wow(q):
+    df = q("q369_calendar_adjusted_growth").sort_values("w")
+    assert (df.expected_cents > 0).all()
+    assert (df.mix_adjusted_index > 0).all()
+    assert df.raw_wow.isna().iloc[0]  # first week has no prior
+
+
+def test_q370_mutual_counts_form_a_distribution(q):
+    df = q("q370_mutual_knn")
+    assert df.n_mutual.between(0, 5).all()
+    assert abs(df.share.sum() - 1.0) < 1e-3
+
+
+def test_q371_verdicts_partition_the_batch(q, spark):
+    from bigdata_streaming_absa_vehicle_spark.tables import load
+    from pyspark.sql import functions as F
+
+    df = q("q371_incremental_dedup")
+    batch_n = (
+        load(spark, SF_DIR, "documents").filter(F.col("doc_id") % 5 == 0).count()
+    )
+    assert df.n_docs.sum() == batch_n
+    assert set(df.verdict) <= {"dup_of_history", "dup_within_batch", "net_new"}
+
+
+def test_q372_audit_catches_exactly_the_injected_defects(q):
+    df = q("q372_scd2_integrity").set_index("violation")
+    # overlaps come from the %13 stretch, gaps from the %17 deletion
+    assert df.loc["overlap"].n_rows > 0
+    assert df.loc["gap"].n_rows > 0
+    # every key still has exactly one open version (deletion never
+    # removes the last row: rn=2 exists only when a later version does,
+    # except 2-version keys... so multiple_current may or may not appear)
+    if "multiple_current" in df.index:
+        assert df.loc["multiple_current"].n_rows >= 0
+
+
+def test_q373_deltas_sum_to_the_total_and_ranks_are_a_permutation(q):
+    df = q("q373_delta_contribution")
+    assert sorted(df.impact_rank) == list(range(1, len(df) + 1))
+    total = df.delta_cents.sum()
+    if total != 0:
+        assert abs(df.share_of_total_delta.sum() - 1.0) < 1e-3
