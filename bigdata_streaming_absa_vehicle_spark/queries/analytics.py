@@ -2888,3 +2888,130 @@ def q368_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("gap_min")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-08 (cont.): churn-signature contrast (final-week event mix vs retained)
+# ---------------------------------------------------------------------------
+
+_CHURN_ORACLE = """
+    WITH bounds AS (
+        SELECT MAX(CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400)
+               AS dmax
+        FROM events
+    ),
+    ev AS (
+        SELECT user_id, event_type,
+               CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d
+        FROM events
+    ),
+    status AS (
+        SELECT e.user_id,
+               CAST(CASE WHEN MAX(e.d) < b.dmax - 7 THEN 1 ELSE 0 END AS INT)
+                   AS churned,
+               MAX(e.d) AS last_d
+        FROM ev e CROSS JOIN bounds b
+        GROUP BY e.user_id, b.dmax
+    ),
+    final_week AS (
+        SELECT e.user_id, e.event_type, s.churned
+        FROM ev e JOIN status s ON s.user_id = e.user_id
+        WHERE e.d > s.last_d - 7
+    ),
+    mix AS (
+        SELECT churned, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM final_week GROUP BY churned, event_type
+    ),
+    tot AS (
+        SELECT churned, CAST(SUM(n) AS BIGINT) AS t FROM mix GROUP BY churned
+    ),
+    shares AS (
+        SELECT m.event_type, m.churned,
+               ROUND(CAST(m.n AS DOUBLE) / t.t, 6) AS share
+        FROM mix m JOIN tot t ON t.churned = m.churned
+    )
+    SELECT c.event_type,
+           c.share AS churned_share,
+           r.share AS retained_share,
+           ROUND(c.share / r.share, 6) AS lift
+    FROM (SELECT * FROM shares WHERE churned = 1) c
+    JOIN (SELECT * FROM shares WHERE churned = 0) r
+      ON r.event_type = c.event_type
+    ORDER BY c.event_type
+"""
+
+
+@query("q374_churn_signature", oracle=_CHURN_ORACLE, tags=("X-08", "X-14"))
+def q374_churn_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-signature contrast: the event-type mix of churned users'
+    FINAL active week (churned = silent for the dataset's last 7 days —
+    the q223 data-derived horizon) against retained users' final-week
+    mix, with the lift per type — 'churners error out and stop
+    purchasing' read as a table. The descriptive precursor to q197's
+    predictive backtest and the feature-selection hint for q297/q299:
+    types with lift far from 1 are the churn features worth encoding.
+
+    Determinism: churn status and week membership are exact integer day
+    comparisons under data-derived bounds; shares and lift divide exact
+    counts, 6 dp.
+
+    Scale shape: ONE fact rollup derives per-user status (max day rides
+    the same user-keyed shuffle); the final-week filter is a
+    co-partitioned join back on user_id; mix/total/lift land on the
+    bounded (2 x |types|) relation.
+
+    Reference parity: beyond-reference; completes the X-08 lifecycle kit
+    (q358 ledger counts churn, q179 curves it, this EXPLAINS it)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+            .cast("long")
+            .alias("d"),
+        )
+        .transform(stage)  # status leg + final-week leg share one build
+    )
+    bounds = ev.agg(F.max("d").alias("dmax"))
+    status = (
+        ev.groupBy("user_id")
+        .agg(F.max("d").alias("last_d"))
+        .join(F.broadcast(bounds))
+        .select(
+            "user_id",
+            "last_d",
+            (F.col("last_d") < F.col("dmax") - 7).cast("int").alias("churned"),
+        )
+    )
+    final_week = ev.join(status, "user_id").filter(
+        F.col("d") > F.col("last_d") - 7
+    )
+    mix = final_week.groupBy("churned", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = mix.groupBy("churned").agg(F.sum("n").cast("long").alias("t"))
+    shares = mix.join(tot, "churned").select(
+        "event_type",
+        "churned",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
+    )
+    c = shares.filter(F.col("churned") == 1).select(
+        "event_type", F.col("share").alias("churned_share")
+    )
+    r = shares.filter(F.col("churned") == 0).select(
+        "event_type", F.col("share").alias("retained_share")
+    )
+    return (
+        c.join(r, "event_type")
+        .select(
+            "event_type",
+            "churned_share",
+            "retained_share",
+            F.round(F.col("churned_share") / F.col("retained_share"), 6).alias(
+                "lift"
+            ),
+        )
+        .transform(pin)
+        .orderBy("event_type")
+    )

@@ -1079,7 +1079,9 @@ def q343_schema_drift_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     this recovers the name mapping when names DON'T match, which is what
     a lakehouse catalog needs before any column-level diff can run.
 
-    Determinism: counts exact; checksum is a commutative decimal sum of
+    Determinism: counts exact; checksum is a commutative decimal sum
+    (each 48-bit term widened to decimal BEFORE accumulation — a long
+    accumulator overflows past ~32k rows x 2^48) of
     md5-derived integers over engine-identical canonical strings
     (integers as-is, money as exact cents, timestamps as epoch micros).
 
@@ -1103,7 +1105,7 @@ def q343_schema_drift_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs += [
             F.count(c).cast("long").alias(f"n_{i}"),
             F.countDistinct(c).cast("long").alias(f"nd_{i}"),
-            F.sum(F.expr(_nibble_int(f"md5({canon})")))
+            F.sum(F.expr(_nibble_int(f"md5({canon})")).cast("decimal(20,0)"))
             .cast("decimal(38,0)")
             .alias(f"ck_{i}"),
         ]

@@ -566,3 +566,73 @@ def q151_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# O-05 (cont.): grouped top-k WITH TIES (the RANK-cut semantics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q375_topk_with_ties",
+    oracle="""
+    WITH qty AS (
+        SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT flag, qty, n_lines,
+               RANK() OVER (PARTITION BY flag ORDER BY n_lines DESC) AS rk
+        FROM qty
+    )
+    SELECT flag, qty, n_lines, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY flag, rk, qty
+    """,
+    tags=("O-05", "W-01"),
+)
+def q375_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k WITH TIES (the `FETCH FIRST k ROWS WITH TIES` / RANK
+    cut): per return flag, the 3 most frequent quantity values — and
+    every value TIED with the 3rd, so the result is a deterministic
+    FUNCTION of the data rather than of an arbitrary tie-break. q13's
+    row_number cut answers 'give me exactly k'; this answers 'give me
+    the top k VALUES' — the semantics a report needs when the cut line
+    lands mid-tie (row_number would silently keep an arbitrary tied
+    member and drop its equals). Ties are frequent by construction here
+    (50 quantity values over thousands of lines), so the semantics
+    difference is exercised, not theoretical.
+
+    Determinism: the RANK cut needs no tie-break AT the cut by design
+    (equal keys are all kept); presentation order totals with (qty).
+
+    Scale shape: ONE map-side-combined rollup onto the bounded
+    (flag, quantity) domain; the RANK window and cut run on that
+    bounded relation and compile to the same WindowGroupLimit partial
+    top-k as row_number (rank <= k is group-limit eligible in Spark 4).
+
+    Reference parity: beyond-reference; completes O-05's top-k semantics
+    family (q13 exact-k, q222 diversified, q352 with-OTHERS, q364
+    stability)."""
+    from pyspark.sql import Window as W
+
+    qty = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+    )
+    ranked = qty.withColumn(
+        "rk",
+        F.rank()
+        .over(W.partitionBy("flag").orderBy(F.desc("n_lines")))
+        .cast("long"),
+    )
+    return (
+        ranked.filter(F.col("rk") <= 3)
+        .transform(pin)
+        .orderBy("flag", "rk", "qty")
+    )
