@@ -3015,3 +3015,110 @@ def q374_churn_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-08 (cont.): landing/exit/bounce session report
+# ---------------------------------------------------------------------------
+
+_BOUNCE_ORACLE = """
+    WITH marked AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_type, ts, event_id,
+               SUM(is_start) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    ),
+    per_sess AS (
+        SELECT user_id, sid,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               FIRST(event_type ORDER BY ts, event_id) AS landing
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT landing,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS bounce_rate,
+           ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6)
+               AS avg_session_events
+    FROM per_sess GROUP BY landing ORDER BY landing
+"""
+
+
+@query("q376_bounce_report", oracle=_BOUNCE_ORACLE, tags=("X-08", "W-02"))
+def q376_bounce_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landing-type session report with bounce rate: sessions (30-minute
+    inactivity gap, the q91 semantics) grouped by their LANDING event
+    type, with session counts, single-event BOUNCE share, and mean
+    session depth — the web-analytics table q91's raw sessionization
+    feeds ('sessions that START with an error bounce at 80%' is an
+    actionable sentence; a session count alone is not).
+
+    Determinism: session boundaries and the landing/exit picks use the
+    (ts, event_id) total order; counts exact; two divisions, 6 dp.
+
+    Scale shape: ONE user-keyed window pass marks boundaries and one
+    running sum assigns session ids (the q91 dataflow); the per-session
+    rollup rides the same user partitioning; the landing rollup lands on
+    the bounded type relation. The fact shuffles once.
+
+    Reference parity: beyond-reference; composes q91 sessionization into
+    the report layer (q186 top paths, q368 parameter sweep, this the
+    entry/exit quality read)."""
+    from pyspark.sql import Window as W
+
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+                > 1800000000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = marked.withColumn(
+        "sid", F.sum("is_start").over(wu.rowsBetween(W.unboundedPreceding, 0))
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(F.struct("ts", "event_id", "event_type")).alias("first_ev"),
+    )
+    bounced = (F.col("n_events") == 1).cast("int")
+    return (
+        per_sess.select(
+            F.col("first_ev.event_type").alias("landing"),
+            "n_events",
+            bounced.alias("b"),
+        )
+        .groupBy("landing")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("b").cast("long").alias("n_bounces"),
+            F.round(F.sum("b").cast("double") / F.count(F.lit(1)), 6).alias(
+                "bounce_rate"
+            ),
+            F.round(
+                F.sum("n_events").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_session_events"),
+        )
+        .transform(pin)
+        .orderBy("landing")
+    )

@@ -2400,3 +2400,131 @@ def q371_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("verdict")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-03 (cont.): LSH collision-count precision profile (index tuning table)
+# ---------------------------------------------------------------------------
+
+_LSHP_PROBES = 20
+
+
+def _lsh_collision_oracle() -> str:
+    from ..operators.similarity import _oracle_plane_dot, plane_weights
+
+    weights = plane_weights()
+    bucket_exprs = ",\n               ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN {_oracle_plane_dot(plane)} >= 0 THEN {1 << p} ELSE 0 END"
+            for p, plane in enumerate(table)
+        )
+        + f") AS bucket_{t}"
+        for t, table in enumerate(weights)
+    )
+    bucket_union = "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, {t} AS tbl, bucket_{t} AS bucket FROM wide"
+        for t in range(len(weights))
+    )
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ), wide AS (
+        SELECT vec_id, vec,
+               {bucket_exprs}
+        FROM vecs
+    ), bucketed AS (
+        {bucket_union}
+    ), coll AS (
+        SELECT p.vec_id AS probe_id, c.vec_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tables
+        FROM bucketed p
+        JOIN bucketed c ON p.tbl = c.tbl AND p.bucket = c.bucket
+        WHERE p.vec_id < {_LSHP_PROBES} AND c.vec_id <> p.vec_id
+        GROUP BY p.vec_id, c.vec_id
+    ), truth AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT p.vec_id AS probe_id, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY list_cosine_similarity(
+                           p.vec, e.embedding::DOUBLE[]) DESC, e.vec_id
+                   ) AS rk
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+                  WHERE vec_id < {_LSHP_PROBES}) p,
+                 embeddings e
+            WHERE e.vec_id <> p.vec_id
+        ) WHERE rk <= 5
+    )
+    SELECT coll.n_tables,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_in_exact_top5,
+           ROUND(CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS precision
+    FROM coll LEFT JOIN truth t
+      ON t.probe_id = coll.probe_id AND t.vec_id = coll.vec_id
+    GROUP BY coll.n_tables ORDER BY coll.n_tables
+    """
+
+
+@query("q377_lsh_collision_profile", oracle=_lsh_collision_oracle(), tags=("X-03",))
+def q377_lsh_collision_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH collision-count precision profile: for the probe batch, every
+    candidate pair bucketed by HOW MANY hash tables it collides in,
+    scored against the exact top-5 ground truth — precision per
+    collision count. This is THE index-tuning table for q46's ANN path:
+    if precision only becomes useful at >= 2 collisions, the query-time
+    candidate filter should require 2 tables (fewer cosine evaluations
+    at the same recall); if 1-collision pairs already hit, add tables
+    for recall instead. q231 scores the shipped configuration; this
+    says how to CHANGE it.
+
+    Determinism: planes/buckets are the md5-derived q46 family;
+    collision counts and hits are exact; one division, 6 dp.
+
+    Scale shape: the bucket relation carries IDS ONLY (the q41/q44b
+    band-join discipline — vectors never shuffle for candidates); the
+    collision rollup keys on the (probe, candidate) pair; ground truth
+    is the certified X-03 exact path over the broadcast probe batch; the
+    profile lands on <= |tables|+1 rows. At corpus scale ground truth
+    comes from the same sampled probe batch this query already uses.
+
+    Reference parity: beyond-reference; completes the ANN tuning kit
+    (q46 index, q231 recall, q330 minhash-threshold advisor — this the
+    hyperplane-LSH twin)."""
+    corpus = load(spark, sf_dir, "embeddings")
+    probes = corpus.filter(F.col("vec_id") < _LSHP_PROBES)
+    weights = sim.plane_weights()
+    n = len(weights)
+    c = sim.bucketed_batched(corpus, "vec_id", "vec_id", "embedding", "vec", weights)
+    p = sim.bucketed_batched(probes, "vec_id", "probe_id", "embedding", "pvec", weights)
+    stack = ", ".join(f"{t}, bucket_{t}" for t in range(n))
+    c_long = c.selectExpr("vec_id", f"stack({n}, {stack}) AS (tbl, bucket)")
+    p_long = p.selectExpr("probe_id", f"stack({n}, {stack}) AS (tbl, bucket)")
+    coll = (
+        c_long.join(F.broadcast(p_long), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tables"))
+    )
+    truth = sim.cosine_topk(corpus, probes, k=5).select(
+        "probe_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        coll.join(F.broadcast(truth), ["probe_id", "vec_id"], "left")
+        .groupBy("n_tables")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_in_exact_top5"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("precision"),
+        )
+        .transform(pin)
+        .orderBy("n_tables")
+    )

@@ -312,3 +312,99 @@ def q37_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_seconds(epoch_s).alias("ts_rt"),
         F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
     ).transform(pin).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# F-06 (cont.): envelope parse-health audit over corrupt input
+# ---------------------------------------------------------------------------
+
+_PARSE_ORACLE = """
+    WITH feed AS (
+        SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+               CASE WHEN event_id % 19 = 0 THEN '{' || props ELSE props END
+                   AS raw
+        FROM events
+    ),
+    parsed AS (
+        SELECT d, raw,
+               CASE WHEN json_valid(raw)
+                    THEN CAST(json_extract(raw, '$.k') AS BIGINT)
+                    ELSE NULL END AS k,
+               CASE WHEN json_valid(raw) THEN 0 ELSE 1 END AS corrupt
+        FROM feed
+    )
+    SELECT d,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(corrupt) AS BIGINT) AS n_corrupt,
+           ROUND(CAST(SUM(corrupt) AS DOUBLE) / COUNT(*), 6) AS corrupt_share,
+           CAST(SUM(k) AS BIGINT) AS sum_k_valid
+    FROM parsed GROUP BY d ORDER BY d
+"""
+
+
+@query("q378_parse_health", oracle=_PARSE_ORACLE, tags=("F-06", "X-24"))
+def q378_parse_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope parse-health audit: the JSON payload feed with a
+    deterministic corruption injected (every 19th envelope gets a
+    leading stray brace — the q117/q372 simulation discipline), parsed in
+    PERMISSIVE mode and scored per day: row count, unparseable count
+    and share, and the extracted-field sum over the rows that DID
+    parse. This certifies the failure path of the F-06 envelope parser
+    the happy-path queries (q30/q30b) never touch — from_json returning
+    NULL instead of killing the stream is exactly what PERMISSIVE mode
+    promises, and the per-day corrupt share is the dead-letter-rate
+    dashboard every ingest pipeline watches.
+
+    Determinism: the corruption is pure key arithmetic; parse validity
+    agrees across engines on this feed (valid JSON stays valid, a
+    leading stray brace is invalid everywhere (trailing garbage would
+    NOT be — Spark's Jackson parser stops after the first valid value,
+    so the corruption must break the first token)); counts and the extracted sum
+    are exact integers; one division, 6 dp.
+
+    Scale shape: corruption, parse, and field extraction are MAP-ONLY
+    (from_json in codegen); ONE map-side-combined rollup onto the
+    calendar-bounded day relation. In the streaming twin this exact
+    aggregate runs per micro-batch and feeds the q355-style alert.
+
+    Reference parity: the reference's consumer crashes the batch on a
+    malformed envelope (no bad-record branch in
+    consumer_postgres_streaming.py); this is the engine-grade version."""
+    feed = load(spark, sf_dir, "events").select(
+        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+        .cast("long")
+        .alias("d"),
+        F.when(
+            F.col("event_id") % 19 == 0, F.concat(F.lit("{"), F.col("props"))
+        )
+        .otherwise(F.col("props"))
+        .alias("raw"),
+    )
+    # PERMISSIVE mode yields a struct with a populated _corrupt_record
+    # column on parse failure (never a null struct) — the canonical
+    # bad-record channel
+    parsed = feed.select(
+        "d",
+        F.from_json(
+            F.col("raw"),
+            "k BIGINT, _corrupt_record STRING",
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("p"),
+    ).select(
+        "d",
+        F.col("p.k").alias("k"),
+        F.col("p._corrupt_record").isNotNull().cast("int").alias("corrupt"),
+    )
+    return (
+        parsed.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("corrupt").cast("long").alias("n_corrupt"),
+            F.round(F.sum("corrupt").cast("double") / F.count(F.lit(1)), 6).alias(
+                "corrupt_share"
+            ),
+            F.sum("k").cast("long").alias("sum_k_valid"),
+        )
+        .transform(pin)
+        .orderBy("d")
+    )
