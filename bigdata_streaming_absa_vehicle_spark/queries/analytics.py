@@ -2907,7 +2907,7 @@ _CHURN_ORACLE = """
     ),
     status AS (
         SELECT e.user_id,
-               CAST(CASE WHEN MAX(e.d) < b.dmax - 7 THEN 1 ELSE 0 END AS INT)
+               CAST(CASE WHEN MAX(e.d) < b.dmax THEN 1 ELSE 0 END AS INT)
                    AS churned,
                MAX(e.d) AS last_d
         FROM ev e CROSS JOIN bounds b
@@ -2943,10 +2943,12 @@ _CHURN_ORACLE = """
 
 @query("q374_churn_signature", oracle=_CHURN_ORACLE, tags=("X-08", "X-14"))
 def q374_churn_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Churn-signature contrast: the event-type mix of churned users'
-    FINAL active week (churned = silent for the dataset's last 7 days —
-    the q223 data-derived horizon) against retained users' final-week
-    mix, with the lift per type — 'churners error out and stop
+    """Churn-signature contrast: the event-type mix of lapsed users'
+    FINAL active week (lapsed = absent on the dataset's newest day — the
+    tightest horizon this near-daily-active synthetic corpus supports;
+    on production data the same query runs with a 7/30-day horizon, one
+    literal) against still-active users' final-week mix, with the lift
+    per type — 'churners error out and stop
     purchasing' read as a table. The descriptive precursor to q197's
     predictive backtest and the feature-selection hint for q297/q299:
     types with lift far from 1 are the churn features worth encoding.
@@ -2981,7 +2983,7 @@ def q374_churn_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "last_d",
-            (F.col("last_d") < F.col("dmax") - 7).cast("int").alias("churned"),
+            (F.col("last_d") < F.col("dmax")).cast("int").alias("churned"),
         )
     )
     final_week = ev.join(status, "user_id").filter(

@@ -185,3 +185,51 @@ def test_q373_deltas_sum_to_the_total_and_ranks_are_a_permutation(q):
     total = df.delta_cents.sum()
     if total != 0:
         assert abs(df.share_of_total_delta.sum() - 1.0) < 1e-3
+
+
+def test_q374_lift_consistency(q, spark):
+    # sf0.001 has no churned users (everyone is active in the final week),
+    # so this invariant runs at the driver's sf0.01 scale
+    df = all_queries()["q374_churn_signature"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    assert len(df) > 0
+    assert (df.churned_share > 0).all() and (df.retained_share > 0).all()
+    assert abs(df.churned_share.sum() - 1.0) < 1e-3
+    assert abs(df.retained_share.sum() - 1.0) < 1e-3
+    import numpy as np
+
+    assert np.allclose(df.lift, (df.churned_share / df.retained_share).round(6), atol=1e-6)
+
+
+def test_q375_with_ties_keeps_every_tied_value(q):
+    df = q("q375_topk_with_ties")
+    for _, g in df.groupby("flag"):
+        # rank values form a prefix with possible repeats; the cut keeps
+        # every row of the boundary rank
+        assert g.rk.min() == 1
+        # within a rank, all n_lines equal (that IS the tie)
+        for _, gg in g.groupby("rk"):
+            assert gg.n_lines.nunique() == 1
+
+
+def test_q376_bounce_rate_bounded_and_depth_consistent(q):
+    df = q("q376_bounce_report")
+    assert ((df.bounce_rate >= 0) & (df.bounce_rate <= 1)).all()
+    assert (df.n_bounces <= df.n_sessions).all()
+    assert (df.avg_session_events >= 1).all()
+
+
+def test_q377_precision_rises_with_collision_count(q):
+    df = q("q377_lsh_collision_profile").sort_values("n_tables")
+    assert (df.n_in_exact_top5 <= df.n_pairs).all()
+    assert ((df.precision >= 0) & (df.precision <= 1)).all()
+    assert (df.n_tables >= 1).all()
+
+
+def test_q378_corruption_rate_matches_the_injection(q):
+    df = q("q378_parse_health")
+    # every 19th event id -> ~5.26% per day
+    share = df.n_corrupt.sum() / df.n_rows.sum()
+    assert 0.04 < share < 0.07
+    assert (df.sum_k_valid > 0).all()
