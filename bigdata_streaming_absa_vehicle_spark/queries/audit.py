@@ -1698,3 +1698,124 @@ def q365_generalization_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.transform(pin).orderBy("generalization")
+
+
+# ---------------------------------------------------------------------------
+# X-24 (cont.): Merkle-bucket replica reconciliation
+# ---------------------------------------------------------------------------
+
+_MERKLE_BUCKETS = 64
+
+
+@query(
+    "q380_merkle_reconcile",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 997 = 13 THEN cents + 1 ELSE cents END
+                   AS cents
+        FROM v1
+        WHERE o_orderkey % 1009 <> 17
+    ),
+    h1 AS (
+        SELECT o_orderkey % {_MERKLE_BUCKETS} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST({_nibble_int("md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(cents AS VARCHAR))")} AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS ck
+        FROM v1 GROUP BY bucket
+    ),
+    h2 AS (
+        SELECT o_orderkey % {_MERKLE_BUCKETS} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST({_nibble_int("md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(cents AS VARCHAR))")} AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS ck
+        FROM v2 GROUP BY bucket
+    )
+    SELECT h1.bucket,
+           h1.n AS n_replica_a, h2.n AS n_replica_b,
+           CAST(CASE WHEN h1.n <> h2.n THEN 1 ELSE 0 END AS BIGINT)
+               AS count_diverged,
+           CAST(CASE WHEN h1.ck <> h2.ck THEN 1 ELSE 0 END AS BIGINT)
+               AS content_diverged
+    FROM h1 JOIN h2 USING (bucket)
+    WHERE h1.ck <> h2.ck OR h1.n <> h2.n
+    ORDER BY h1.bucket
+    """,
+    tags=("X-24", "A-14"),
+)
+def q380_merkle_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-bucket replica reconciliation (the anti-entropy pattern of
+    Cassandra repair / rsync): both replicas summarize into 64
+    key-bucketed (count, order-independent checksum) digests and ONLY
+    diverging buckets are reported — replica B simulated with one
+    deterministic value flip (key%997=13) and one dropped row
+    (key%1009=17), so the expected result is the handful of buckets
+    those keys land in. The point at 100 TB: reconciliation exchanges
+    64 digest rows, not two tables; only flagged buckets ever need a
+    row-level diff (q117's machinery), and a count divergence vs a
+    content divergence tell the operator whether rows are MISSING or
+    CORRUPTED before any row moves.
+
+    Determinism: the q164 canonical-serialization + 48-bit md5 checksum
+    per bucket, widened to decimal BEFORE accumulation (the q343
+    overflow lesson); injected defects are pure key arithmetic.
+
+    Scale shape: each replica costs ONE map-side-combined rollup onto
+    its bounded 64-bucket digest (A-14-mergeable, so per-shard digests
+    roll up); the comparison joins two 64-row relations. Nothing else
+    crosses the wire.
+
+    Reference parity: beyond-reference; composes the q164 table
+    checksum into the bucketed form that makes it actionable (q164 says
+    THE TABLES differ; this says WHERE)."""
+    v1 = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).transform(stage)  # replica A + simulated replica B share one build
+    v2 = v1.filter(F.col("o_orderkey") % 1009 != 17).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 997 == 13, F.col("cents") + 1)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    row_hash = F.expr(
+        _nibble_int(
+            "md5(CAST(o_orderkey AS string) || ':' || CAST(cents AS string))"
+        )
+    ).cast("decimal(20,0)")
+
+    def digest(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            (F.col("o_orderkey") % _MERKLE_BUCKETS).alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(row_hash).cast("decimal(38,0)").alias("ck"),
+        )
+
+    h1 = digest(v1).select(
+        "bucket", F.col("n").alias("n_replica_a"), F.col("ck").alias("ck_a")
+    )
+    h2 = digest(v2).select(
+        "bucket", F.col("n").alias("n_replica_b"), F.col("ck").alias("ck_b")
+    )
+    return (
+        h1.join(h2, "bucket")
+        .filter(
+            (F.col("ck_a") != F.col("ck_b"))
+            | (F.col("n_replica_a") != F.col("n_replica_b"))
+        )
+        .select(
+            "bucket",
+            "n_replica_a",
+            "n_replica_b",
+            (F.col("n_replica_a") != F.col("n_replica_b"))
+            .cast("long")
+            .alias("count_diverged"),
+            (F.col("ck_a") != F.col("ck_b")).cast("long").alias("content_diverged"),
+        )
+        .transform(pin)
+        .orderBy("bucket")
+    )

@@ -24,7 +24,7 @@ from ..functions.deterministic import dsum, dsum_expr
 from ..functions.deterministic import oracle_dsum as odsum
 from ..tables import load
 from .registry import query
-from ..functions.ordering import pin
+from ..functions.ordering import pin, stage
 
 
 @query(
@@ -662,4 +662,107 @@ def q96_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J-05 (cont.): relational division (the universal-quantifier join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q379_relational_division",
+    oracle="""
+    WITH region_nations AS (
+        SELECT n.n_nationkey FROM nation n
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'REGION_1'
+    ),
+    ships_to AS (
+        SELECT DISTINCT l.l_suppkey, c.c_nationkey
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_nationkey IN (SELECT n_nationkey FROM region_nations)
+    ),
+    divided AS (
+        SELECT l_suppkey FROM ships_to
+        GROUP BY l_suppkey
+        HAVING COUNT(*) = (SELECT COUNT(*) FROM region_nations)
+    )
+    SELECT s.s_suppkey, s.s_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM region_nations)
+               AS n_nations_required
+    FROM supplier s JOIN divided d ON d.l_suppkey = s.s_suppkey
+    ORDER BY s.s_suppkey
+    """,
+    tags=("J-05", "A-04"),
+)
+def q379_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION (the universal quantifier): suppliers who have
+    shipped to customers in EVERY nation of one region — the 'for all'
+    query shape (Codd's division) that naive SQL writes as a double
+    NOT EXISTS and that trips every ORM. Implemented as the count-based
+    division: distinct (supplier, nation) pairs restricted to the
+    divisor set, grouped per supplier, kept when the distinct-nation
+    count equals the divisor's size. The one classical relational
+    operator the engine's join family (semi/anti/outer/theta) didn't
+    yet name explicitly.
+
+    Determinism: set sizes are exact; the divisor count broadcasts.
+
+    Scale shape: the divisor (region's nations) is tiny and broadcasts
+    into the fact as an IN filter that pushes below the joins; the
+    distinct (supplier, nation) reduction is ONE map-side-combined
+    rollup (the pair domain is |suppliers| x |divisor|, far below the
+    fact); the HAVING compares against a broadcast scalar. The double-
+    NOT-EXISTS formulation would plan two correlated anti-joins — this
+    is the shape a 100 TB division should compile to.
+
+    Reference parity: beyond-reference; completes the join-algebra
+    family (J-01..J-12) with division."""
+    nations = (
+        load(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "REGION_1"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+        .transform(stage)  # filter leg + count leg share one build
+    )
+    n_required = nations.agg(F.count(F.lit(1)).cast("long").alias("n_req"))
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ships_to = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    divided = (
+        ships_to.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+        .join(F.broadcast(n_required))
+        .filter(F.col("n_nations") == F.col("n_req"))
+        .select("l_suppkey")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(divided, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n_required))
+        .select(
+            "s_suppkey", "s_name", F.col("n_req").alias("n_nations_required")
+        )
+        .transform(pin)
+        .orderBy("s_suppkey")
     )
