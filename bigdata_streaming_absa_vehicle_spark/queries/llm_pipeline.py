@@ -2528,3 +2528,128 @@ def q377_lsh_collision_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("n_tables")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-06 (cont.): vocabulary drift between corpus halves (tokenizer diff)
+# ---------------------------------------------------------------------------
+
+_VDRIFT_TOPK = 200  #: compare the top-200 tokens of each half
+
+
+@query(
+    "q382_vocab_drift",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % 2 AS half, unnest(tk) AS token
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+              FROM documents)
+    ),
+    counts AS (
+        SELECT half, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE token <> '' GROUP BY half, token
+    ),
+    ranked AS (
+        SELECT half, token, tf,
+               ROW_NUMBER() OVER (PARTITION BY half
+                                  ORDER BY tf DESC, token) AS rk
+        FROM counts
+    ),
+    top AS (SELECT * FROM ranked WHERE rk <= {_VDRIFT_TOPK}),
+    a AS (SELECT token, tf AS tf_a, rk AS rk_a FROM top WHERE half = 0),
+    b AS (SELECT token, tf AS tf_b, rk AS rk_b FROM top WHERE half = 1)
+    SELECT COALESCE(a.token, b.token) AS token,
+           CASE WHEN b.token IS NULL THEN 'dropped'
+                WHEN a.token IS NULL THEN 'new'
+                ELSE 'shifted' END AS status,
+           a.rk_a, b.rk_b, a.tf_a, b.tf_b,
+           CASE WHEN a.token IS NOT NULL AND b.token IS NOT NULL
+                THEN CAST(b.rk_b - a.rk_a AS BIGINT) END AS rank_shift
+    FROM a FULL OUTER JOIN b ON b.token = a.token
+    WHERE a.token IS NULL OR b.token IS NULL
+       OR ABS(b.rk_b - a.rk_a) >= 10
+    ORDER BY status, token
+    """,
+    tags=("X-06", "J-12"),
+)
+def q382_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift (the tokenizer-update impact diff): the top-200
+    token vocabularies of two corpus halves (doc_id parity — the stand-in
+    for 'before/after the new data lands') FULL-OUTER compared, reporting
+    tokens that are NEW, DROPPED, or rank-SHIFTED by >= 10 places.
+    Retraining a tokenizer re-numbers every downstream embedding row;
+    this is the table that says whether the new corpus actually moved
+    the vocabulary enough to justify that cost (q81 builds one
+    vocabulary; this diffs two builds — the q196/q343 drift discipline
+    applied to X-06).
+
+    Determinism: term frequencies exact; ranking ties break
+    lexicographically; the shift threshold is an exact integer
+    comparison.
+
+    Scale shape: ONE corpus explode feeds ONE (half, token)-keyed
+    map-side-combined rollup; per-half top-k is the WindowGroupLimit
+    partial top-k; the diff FULL-OUTER joins two k-row relations. The
+    corpus is read once.
+
+    Reference parity: beyond-reference; completes X-06 (q81 vocab, q82
+    ids, q121 BPE, q284 cross-entropy) with the version-diff gate."""
+    from pyspark.sql import Window as W
+
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    counts = toks.groupBy("half", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    top = (
+        counts.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("half").orderBy(F.desc("tf"), "token")
+            ),
+        )
+        .filter(F.col("rk") <= _VDRIFT_TOPK)
+        .transform(stage)  # both sides of the diff share one build
+    )
+    a = top.filter(F.col("half") == 0).select(
+        "token", F.col("tf").alias("tf_a"), F.col("rk").alias("rk_a")
+    )
+    b = top.filter(F.col("half") == 1).select(
+        F.col("token").alias("token_b"),
+        F.col("tf").alias("tf_b"),
+        F.col("rk").alias("rk_b"),
+    )
+    joined = a.join(b, a.token == b.token_b, "full_outer")
+    status = (
+        F.when(F.col("token_b").isNull(), "dropped")
+        .when(F.col("token").isNull(), "new")
+        .otherwise("shifted")
+    )
+    shift = F.when(
+        F.col("token").isNotNull() & F.col("token_b").isNotNull(),
+        (F.col("rk_b") - F.col("rk_a")).cast("long"),
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("token"), F.col("token_b")).alias("token"),
+            status.alias("status"),
+            "rk_a",
+            "rk_b",
+            "tf_a",
+            "tf_b",
+            shift.alias("rank_shift"),
+        )
+        .filter(
+            F.col("rk_a").isNull()
+            | F.col("rk_b").isNull()
+            | (F.abs(F.col("rk_b") - F.col("rk_a")) >= 10)
+        )
+        .transform(pin)
+        .orderBy("status", "token")
+    )

@@ -1788,3 +1788,96 @@ def q356_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("join_order")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-11 (cont.): dataset card (one datasheet row per warehouse table)
+# ---------------------------------------------------------------------------
+
+#: per table: (primary key column, time column or None) — the card's
+#: declared metadata inputs
+_CARD = {
+    "region": ("r_regionkey", None),
+    "nation": ("n_nationkey", None),
+    "supplier": ("s_suppkey", None),
+    "part": ("p_partkey", None),
+    "customer": ("c_custkey", None),
+    "orders": ("o_orderkey", "o_orderdate"),
+    "lineitem": ("l_orderkey", "l_shipdate"),
+    "events": ("event_id", "ts"),
+    "documents": ("doc_id", None),
+    "embeddings": ("vec_id", None),
+}
+
+
+def _card_leg_oracle(t: str, key: str, ts: str | None) -> str:
+    newest = (
+        f"CAST(FLOOR(epoch(MAX({ts}))) AS BIGINT) // 86400"
+        if ts
+        else "CAST(NULL AS BIGINT)"
+    )
+    return f"""
+    SELECT '{t}' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT {key}) AS BIGINT) AS key_ndv,
+           CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT {key}) THEN 1 ELSE 0 END
+                AS BIGINT) AS key_unique,
+           {newest} AS newest_day
+    FROM {t}"""
+
+
+@query(
+    "q381_dataset_card",
+    oracle=" UNION ALL ".join(
+        _card_leg_oracle(t, k, ts) for t, (k, ts) in _CARD.items()
+    )
+    + " ORDER BY table_name",
+    tags=("X-11", "X-24"),
+)
+def q381_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: one datasheet row per warehouse table — row count,
+    declared-key cardinality and uniqueness verdict, and the newest day
+    for time-bearing tables — the 'datasheets for datasets' summary a
+    catalog renders on every table page and the one-glance diff between
+    two environments (staging card vs prod card = q343/q380 told at
+    table granularity). Composes the engine's audits (q353 uniqueness,
+    q223 freshness) into the publishable artifact.
+
+    Determinism: counts exact; newest day exact epoch days; timeless
+    tables carry NULL identically.
+
+    Scale shape: ONE ungrouped map-side-combined aggregate per table
+    (count-distinct rides the scan's Expand), one row each — the whole
+    card costs 10 footer-friendly scans and 10 rows, A-14-mergeable so
+    per-shard cards roll up.
+
+    Reference parity: beyond-reference; the catalog-layer capstone of
+    X-11's profiling family."""
+    legs = []
+    for t, (key, ts) in _CARD.items():
+        df = load(spark, sf_dir, t)
+        newest = (
+            (F.unix_timestamp(F.date_trunc("day", F.max(ts))) / F.lit(86400))
+            .cast("long")
+            if ts
+            else F.lit(None).cast("long")
+        )
+        legs.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.countDistinct(key).cast("long").alias("key_ndv"),
+                newest.alias("newest_day"),
+            ).select(
+                F.lit(t).alias("table_name"),
+                "n_rows",
+                "key_ndv",
+                (F.col("n_rows") == F.col("key_ndv")).cast("long").alias(
+                    "key_unique"
+                ),
+                "newest_day",
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.transform(pin).orderBy("table_name")
