@@ -233,3 +233,71 @@ def test_q378_corruption_rate_matches_the_injection(q):
     share = df.n_corrupt.sum() / df.n_rows.sum()
     assert 0.04 < share < 0.07
     assert (df.sum_k_valid > 0).all()
+
+
+def test_q379_division_members_ship_to_every_nation(q, spark):
+    from pyspark.sql import functions as F
+    from bigdata_streaming_absa_vehicle_spark.tables import load
+
+    df = q("q379_relational_division")
+    n_req = df.n_nations_required.iloc[0] if len(df) else None
+    if n_req is not None:
+        assert df.n_nations_required.nunique() == 1
+        # spot-verify one member actually covers all required nations
+        s0 = int(df.s_suppkey.iloc[0])
+        li = load(spark, SF_DIR, "lineitem").filter(F.col("l_suppkey") == s0)
+        o = load(spark, SF_DIR, "orders")
+        c = load(spark, SF_DIR, "customer")
+        nat = (
+            load(spark, SF_DIR, "nation")
+            .join(
+                load(spark, SF_DIR, "region").filter(
+                    F.col("r_name") == "REGION_1"
+                ),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+            .select("n_nationkey")
+        )
+        got = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(nat, F.col("c_nationkey") == F.col("n_nationkey"), "left_semi")
+            .select("c_nationkey")
+            .distinct()
+            .count()
+        )
+        assert got == n_req
+
+
+def test_q380_reconcile_flags_only_defective_buckets(q):
+    df = q("q380_merkle_reconcile")
+    # the two injections touch few keys; diverged buckets are a small subset
+    assert 0 < len(df) <= 64
+    assert ((df.count_diverged == 1) | (df.content_diverged == 1)).all()
+    # a dropped row diverges the count; a flipped value only the content
+    assert df.content_diverged.sum() >= 1
+
+
+def test_q381_card_covers_every_table(q):
+    from bigdata_streaming_absa_vehicle_spark.tables import TABLE_NAMES
+
+    df = q("q381_dataset_card")
+    assert set(df.table_name) == set(TABLE_NAMES)
+    assert (df.n_rows > 0).all()
+    assert (df.key_ndv <= df.n_rows).all()
+    timeless = df[df.newest_day.isna()]
+    assert set(timeless.table_name) == {
+        "region", "nation", "supplier", "part", "customer",
+        "documents", "embeddings",
+    }
+
+
+def test_q382_drift_statuses_are_consistent(q):
+    df = q("q382_vocab_drift")
+    new = df[df.status == "new"]
+    dropped = df[df.status == "dropped"]
+    shifted = df[df.status == "shifted"]
+    assert new.rk_a.isna().all() and dropped.rk_b.isna().all()
+    assert shifted.rank_shift.abs().ge(10).all()
+    # a fixed-size top-k on both sides: |new| == |dropped|
+    assert len(new) == len(dropped)
