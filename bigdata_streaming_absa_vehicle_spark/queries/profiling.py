@@ -1881,3 +1881,63 @@ def q381_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.transform(pin).orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# X-11 (cont.): row-size profile (storage capacity planning)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q384_row_size_profile",
+    oracle="""
+    WITH sized AS (
+        SELECT lang, CAST(strlen(text) AS BIGINT) AS b FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(b) AS BIGINT) AS total_bytes,
+           CAST(MIN(b) AS BIGINT) AS min_bytes,
+           quantile_cont(b, 0.5) AS p50_bytes,
+           quantile_cont(b, 0.95) AS p95_bytes,
+           CAST(MAX(b) AS BIGINT) AS max_bytes
+    FROM sized GROUP BY lang ORDER BY lang
+    """,
+    tags=("X-11", "A-12"),
+)
+def q384_row_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-size profile of the document corpus per language: payload
+    byte percentiles (p50/p95), min/max, and exact totals — the
+    capacity-planning numbers behind every storage / shuffle-partition
+    / maxPartitionBytes decision (q190's compaction bins and q329's
+    partition advisor both presuppose someone knows the byte
+    distribution; this measures it). p95 >> p50 is the long-document
+    skew that makes per-ROW batch sizing wrong for Arrow UDFs — the
+    practical reason X-04's chunking (q73) exists.
+
+    Determinism: byte length is exact UTF-8 bytes in both engines (Spark octet_length ≡ DuckDB strlen);
+    percentiles are the q75-certified exact interpolation; sums exact.
+
+    Scale shape: byte lengths are map-only; ONE map-side-combined
+    rollup per language with exact grouped percentiles (A-12). At
+    100 TB the same numbers come from parquet footer statistics first,
+    with this scan as the ground-truth calibration.
+
+    Reference parity: beyond-reference; extends X-11 profiling to the
+    physical-bytes dimension."""
+    sized = load(spark, sf_dir, "documents").select(
+        "lang", F.octet_length("text").cast("long").alias("b")
+    )
+    return (
+        sized.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("b").cast("long").alias("total_bytes"),
+            F.min("b").cast("long").alias("min_bytes"),
+            F.expr("percentile(b, 0.5)").alias("p50_bytes"),
+            F.expr("percentile(b, 0.95)").alias("p95_bytes"),
+            F.max("b").cast("long").alias("max_bytes"),
+        )
+        .transform(pin)
+        .orderBy("lang")
+    )

@@ -636,3 +636,127 @@ def q375_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("flag", "rk", "qty")
     )
+
+
+# ---------------------------------------------------------------------------
+# A-01 (cont.): salted two-phase aggregation (hot-key skew mechanism)
+# ---------------------------------------------------------------------------
+
+_SALT_N = 16
+
+
+@query(
+    "q383_salted_aggregation",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("A-01", "J-01"),
+)
+def q383_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation: the skew-survival form of a grouped
+    sum — phase 1 aggregates on (key, salt-of-16) so a hot key's rows
+    spread over 16 reducers, phase 2 re-aggregates the 16 partials per
+    key. The ORACLE is the plain one-phase group-sum, so the hash match
+    IS the proof the decomposition is exact (sums/counts are the A-14
+    mergeable pair). Event types here are only 5 keys — exactly the
+    cardinality regime where one hot key would otherwise own one
+    reducer at 100 TB; q16c salts a JOIN, this salts the AGGREGATION.
+
+    Determinism: the salt is md5-derived from the row's event_id (pure
+    function, any spread works because phase 2 re-merges); cents exact.
+
+    Scale shape: phase 1 is map-side combined on (key, salt) — at most
+    16x|keys| rows cross the first exchange regardless of skew; phase 2
+    shuffles those partials on the bare key. Two small exchanges replace
+    one skew-bound one. (Spark's own partial aggregation gives similar
+    protection for SUM/COUNT; explicit salting is the pattern that
+    also survives exact count-distinct and collect-style aggregates,
+    and this query certifies its algebra.)
+
+    Reference parity: beyond-reference; the aggregation twin of q16c's
+    salted join under X-09's skew discipline."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        (F.expr("instr('0123456789abcdef', substr(md5(CAST(event_id AS string)), 1, 1)) - 1")
+         % _SALT_N).alias("salt"),
+    )
+    phase1 = ev.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_part"),
+        F.sum("cents").cast("long").alias("c_part"),
+    )
+    return (
+        phase1.groupBy("event_type")
+        .agg(
+            F.sum("n_part").cast("long").alias("n_events"),
+            F.sum("c_part").cast("long").alias("cents"),
+        )
+        .transform(pin)
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-01 (cont.): keyset pagination (the seek method vs OFFSET)
+# ---------------------------------------------------------------------------
+
+_PAGE_SIZE = 100
+_PAGE_SKIP = 200  #: page 3
+
+
+@query(
+    "q385_keyset_pagination",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS d,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT {_PAGE_SIZE} OFFSET {_PAGE_SKIP}
+    """,
+    tags=("O-01", "O-04"),
+)
+def q385_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination (the seek method): page 3 of the order ledger
+    fetched by WHERE (date, key) > last-seen-boundary LIMIT n — while
+    the ORACLE fetches the same page with OFFSET/LIMIT, so the hash
+    match certifies the two formulations equivalent under the total
+    (o_orderdate, o_orderkey) order. The point is the SCALE asymmetry:
+    OFFSET must produce and discard every skipped row on every page
+    (page N costs O(N·n)), while the seek predicate pushes to the scan
+    (PushedFilters on the boundary) and each page costs O(n) — the only
+    pagination that survives a 100 TB ledger or a billion-row API.
+
+    Determinism: the boundary is the exact 200th row under a total
+    order; struct comparison is lexicographic in both formulations.
+
+    Scale shape: the boundary derives as TakeOrdered(200) + a one-row
+    max (here, to keep the query self-contained; in the API flow the
+    client supplies it for free), broadcasts, and the page itself is a
+    filtered TakeOrdered(n) — no global sort, no skip-scan.
+
+    Reference parity: beyond-reference; completes O-01/O-04's ordering
+    family with the pagination pattern every result-serving layer needs."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.unix_timestamp(F.col("o_orderdate")) / F.lit(86400))
+        .cast("long")
+        .alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    boundary = (
+        o.orderBy("d", "o_orderkey")
+        .limit(_PAGE_SKIP)
+        .agg(F.max(F.struct("d", "o_orderkey")).alias("b"))
+    )
+    return (
+        o.join(F.broadcast(boundary))
+        .filter(F.struct("d", "o_orderkey") > F.col("b"))
+        .select("o_orderkey", "d", "cents")
+        .orderBy("d", "o_orderkey")
+        .limit(_PAGE_SIZE)
+    )
