@@ -301,3 +301,47 @@ def test_q382_drift_statuses_are_consistent(q):
     assert shifted.rank_shift.abs().ge(10).all()
     # a fixed-size top-k on both sides: |new| == |dropped|
     assert len(new) == len(dropped)
+
+
+def test_q383_salted_agg_matches_plain_and_plans_two_exchanges(q, spark):
+    import contextlib, io
+
+    df = q("q383_salted_aggregation")
+    assert len(df) == 5
+    spark.conf.set("spark.graft.pin_sorts", "false")
+    try:
+        plan_df = all_queries()["q383_salted_aggregation"].fn(spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            plan_df.explain("simple")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.unset("spark.graft.pin_sorts")
+    # phase-1 (key, salt) exchange + phase-2 key exchange + final sort
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_q384_percentile_order(q):
+    df = q("q384_row_size_profile")
+    assert (df.min_bytes <= df.p50_bytes).all()
+    assert (df.p50_bytes <= df.p95_bytes).all()
+    assert (df.p95_bytes <= df.max_bytes).all()
+
+
+def test_q385_page_is_exactly_the_third_hundred(q, spark):
+    import contextlib, io
+
+    df = q("q385_keyset_pagination")
+    assert len(df) == 100
+    spark.conf.set("spark.graft.pin_sorts", "false")
+    try:
+        plan_df = all_queries()["q385_keyset_pagination"].fn(spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            plan_df.explain("simple")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.unset("spark.graft.pin_sorts")
+    # both the boundary and the page compile to TakeOrdered, never a
+    # global Sort
+    assert "TakeOrderedAndProject" in plan, plan
