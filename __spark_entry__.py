@@ -238,8 +238,14 @@ _WINDOW_PRIORITY = (
 # advisor; q366: spend-quintile migration; q367: attribution window
 # sensitivity; q368: session gap-parameter sweep; q369:
 # calendar-mix-adjusted growth; q370: mutual-kNN hubness audit;
-# q371: incremental dedup; q372: SCD-2 integrity audit; and q373:
-# metric-delta contribution) hold pytest-oracle evidence at
+# q371: incremental dedup; q372: SCD-2 integrity audit; q373:
+# metric-delta contribution; q374: lapse-signature contrast; q375:
+# top-k WITH TIES; q376: landing/bounce session report; q377: LSH
+# collision-precision profile; q378: envelope parse-health audit;
+# q379: relational division; q380: Merkle-bucket reconciliation;
+# q381: dataset card; q382: vocabulary drift; q383: salted two-phase
+# aggregation; q384: row-size profile; and q385: keyset pagination)
+# hold pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.
 
