@@ -1355,3 +1355,150 @@ def q315_bellman_ford_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("distance")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-15 (cont.): Boruvka minimum-spanning-forest round
+# ---------------------------------------------------------------------------
+
+_MST_SUB = 100  #: the audit subgraph: vectors with vec_id < 100
+_MST_DIM = 64
+
+
+def _boruvka_oracle() -> str:
+    dist = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])), (x, y) -> x + y)"
+    )
+    return f"""
+    WITH RECURSIVE q AS (
+        SELECT vec_id,
+               list_transform(ve, x -> CAST(floor(
+                   x / sqrt(list_reduce(list_transform(ve, y -> y*y), (a,b) -> a+b))
+                   * {1 << 20} + 0.5) AS BIGINT)) AS qv
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+              WHERE vec_id < {_MST_SUB})
+    ),
+    edges AS (
+        SELECT a.vec_id AS u, b.vec_id AS v, {dist} AS w
+        FROM q a JOIN q b ON b.vec_id > a.vec_id
+    ),
+    symm AS (
+        SELECT u AS x, u, v, w FROM edges
+        UNION ALL
+        SELECT v AS x, u, v, w FROM edges
+    ),
+    picks AS (
+        SELECT u, v, w FROM (
+            SELECT u, v, w,
+                   ROW_NUMBER() OVER (PARTITION BY x ORDER BY w, u, v) AS rn
+            FROM symm
+        ) WHERE rn = 1
+    ),
+    chosen AS (SELECT DISTINCT u, v, w FROM picks),
+    sym AS (
+        SELECT u, v FROM chosen UNION SELECT v, u FROM chosen
+    ),
+    reach(u, r) AS (
+        SELECT vec_id, vec_id FROM q
+        UNION
+        SELECT sym.u, reach.r FROM sym JOIN reach ON sym.v = reach.u
+    ),
+    comp AS (SELECT u AS id, MIN(r) AS component FROM reach GROUP BY u),
+    edge_comp AS (
+        SELECT c.component, ch.w
+        FROM chosen ch JOIN comp c ON c.id = ch.u
+    )
+    SELECT n.component,
+           CAST(COUNT(DISTINCT n.id) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM edge_comp e
+                 WHERE e.component = n.component) AS BIGINT) AS n_edges,
+           CAST((SELECT COALESCE(SUM(w), 0) FROM edge_comp e
+                 WHERE e.component = n.component) AS BIGINT) AS total_weight
+    FROM comp n GROUP BY n.component
+    ORDER BY n.component
+    """
+
+
+@query("q386_boruvka_round", oracle=_boruvka_oracle(), tags=("X-15", "X-03"))
+def q386_boruvka_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Boruvka round of the distributed minimum-spanning-forest over
+    the embedding similarity graph (exact int64 squared-L2 weights on
+    quantized unit vectors, complete graph over the audit subcorpus):
+    every node picks its minimum incident edge (tie-break (w, u, v)),
+    the union of picks is the round's forest, and the resulting
+    components — found by the certified q78 distributed min-label
+    operator against DuckDB's recursive CTE — are the supernodes the
+    next round would contract. Boruvka is THE distributed MST algorithm
+    (each round halves component count, so O(log n) rounds), and MST
+    single-linkage is how HDBSCAN-style clustering consumes the X-03
+    space; this certifies the round's algebra the way q195 certifies
+    Lloyd's and q124 PageRank's.
+
+    Determinism: weights exact int64 (diff^2 <= 2^42 x 64 dims); edge
+    picks totally ordered; component labels are min node ids.
+
+    Scale shape: at corpus scale the candidate edges come from the X-03
+    kNN/LSH graph, never the complete graph (here complete over 100
+    nodes to pin the algebra exactly); the per-node min-edge pick is a
+    map-side-combined min-struct rollup (one shuffle on the node id);
+    the contraction is q78's one-shuffle-per-round label loop with a
+    converged?-scalar as the only driver value. Chosen edges carry ids
+    and one weight — never vectors.
+
+    Reference parity: beyond-reference; completes the X-15 iterative-
+    graph family (PageRank, BFS, SSSP, components, LPA, k-core, HITS)
+    with the MST/contraction primitive."""
+    from ..operators import components as cc
+    from ..operators.similarity import quantized_batched
+
+    q = quantized_batched(
+        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _MST_SUB)
+    ).transform(stage)  # edge build + node set share one quantize pass
+    a = q.select(F.col("vec_id").alias("u"), F.col("qv").alias("qa"))
+    b = q.select(F.col("vec_id").alias("v"), F.col("qv").alias("qb"))
+    dist = (
+        "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, z) -> acc + z)"
+    )
+    edges = (
+        a.join(F.broadcast(b), F.col("v") > F.col("u"))
+        .select("u", "v", F.expr(dist).alias("w"))
+        .transform(stage)  # both symmetrization legs share one scoring pass
+    )
+    symm = edges.select(F.col("u").alias("x"), "u", "v", "w").unionByName(
+        edges.select(F.col("v").alias("x"), "u", "v", "w")
+    )
+    picks = (
+        symm.groupBy("x")
+        .agg(F.min(F.struct("w", "u", "v")).alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+    )
+    chosen = picks.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("_n")).drop(
+        "_n"
+    ).transform(stage)  # component leg + weight leg share one build
+    nodes = q.select(F.col("vec_id").alias("id"))
+    comp = cc.connected_components(nodes, chosen, "id", "u", "v")
+    edge_comp = chosen.join(
+        comp.select(F.col("id").alias("u"), "component"), "u"
+    ).select("component", "w")
+    node_counts = comp.groupBy("component").agg(
+        F.countDistinct("id").cast("long").alias("n_nodes")
+    )
+    edge_stats = edge_comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("w").cast("long").alias("total_weight"),
+    )
+    return (
+        node_counts.join(edge_stats, "component", "left")
+        .select(
+            "component",
+            "n_nodes",
+            F.coalesce(F.col("n_edges"), F.lit(0)).cast("long").alias("n_edges"),
+            F.coalesce(F.col("total_weight"), F.lit(0))
+            .cast("long")
+            .alias("total_weight"),
+        )
+        .transform(pin)
+        .orderBy("component")
+    )
