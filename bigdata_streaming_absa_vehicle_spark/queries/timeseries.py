@@ -4422,6 +4422,27 @@ _SLO_ORACLE = """
 """
 
 
+def hourly_error_counts(df):
+    """(h, errors, total) per hour — ONE mergeable map-side-combined
+    groupBy, so the identical code path runs over the batch table and a
+    streaming source (complete-mode agg): the streamable state beneath
+    q355's burn-rate readout (the RANGE-frame trailing windows run on
+    this bounded relation downstream, per micro-batch)."""
+    return (
+        df.select(
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / F.lit(3600))
+            .cast("long")
+            .alias("h"),
+            (F.col("event_type") == "error").cast("int").alias("is_err"),
+        )
+        .groupBy("h")
+        .agg(
+            F.sum("is_err").cast("long").alias("errors"),
+            F.count(F.lit(1)).cast("long").alias("total"),
+        )
+    )
+
+
 @query("q355_slo_burn_rate", oracle=_SLO_ORACLE, tags=("X-24", "W-04"))
 def q355_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLO error-budget burn rate (the SRE multiwindow alert): per hour,
@@ -4448,20 +4469,7 @@ def q355_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: beyond-reference; the reference's consumer logs
     errors but never aggregates them into an operational signal."""
-    hourly = (
-        load(spark, sf_dir, "events")
-        .select(
-            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / F.lit(3600))
-            .cast("long")
-            .alias("h"),
-            (F.col("event_type") == "error").cast("int").alias("is_err"),
-        )
-        .groupBy("h")
-        .agg(
-            F.sum("is_err").cast("long").alias("errors"),
-            F.count(F.lit(1)).cast("long").alias("total"),
-        )
-    )
+    hourly = hourly_error_counts(load(spark, sf_dir, "events"))
     w = Window.orderBy("h").rangeBetween(-5, 0)
     win = hourly.select(
         "h",

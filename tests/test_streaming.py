@@ -656,3 +656,21 @@ def test_msprt_user_state_stream_equals_batch(spark, tmpdir):
     batch = all_queries()["q311_msprt_monitor"].fn(spark, SF_DIR)
     cols = ["day", "n_a", "conv_a", "n_b", "conv_b"]
     assert as_sorted_rows(stream_cum, cols) == as_sorted_rows(batch, cols)
+
+
+def test_slo_hourly_counts_stream_equals_batch(spark, tmpdir):
+    """X-24 (q355) streaming twin: the burn-rate readout's state is ONE
+    mergeable hourly (errors, total) groupBy, so the same
+    hourly_error_counts() code path drains a file-replayed stream
+    (complete mode) to exactly the batch table's hourly relation — the
+    trailing-window burn computation then runs per micro-batch on that
+    bounded state, which is what makes the SRE alert streamable."""
+    from bigdata_streaming_absa_vehicle_spark.queries.timeseries import (
+        hourly_error_counts,
+    )
+
+    stream = events_stream(spark, SF_DIR, f"{tmpdir}/stage", n_files=5)
+    result = run_to_memory(spark, hourly_error_counts(stream), "slo_t")
+    batch = hourly_error_counts(load(spark, SF_DIR, "events"))
+    cols = ["h", "errors", "total"]
+    assert as_sorted_rows(result, cols) == as_sorted_rows(batch, cols)
