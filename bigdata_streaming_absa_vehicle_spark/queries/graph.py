@@ -1502,3 +1502,140 @@ def q386_boruvka_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-15 (cont.): percolation sweep — component structure vs distance threshold
+# ---------------------------------------------------------------------------
+
+_PERC_QUANTILES = (0.01, 0.05, 0.10, 0.25)
+#: exact k-th-smallest ranks over the fixed 4950-pair relation (100 choose 2)
+#: — order statistics, never interpolation: interpolated quantiles of huge
+#: int64 weights differ across engines in the last double ulp
+_PERC_KS = {0.01: 49, 0.05: 247, 0.10: 495, 0.25: 1237}
+
+
+def _percolation_oracle() -> str:
+    dist = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])), (x, y) -> x + y)"
+    )
+    legs = []
+    for i, p in enumerate(_PERC_QUANTILES):
+        legs.append(f"""
+    reach{i}(u, r) AS (
+        SELECT vec_id, vec_id FROM q
+        UNION
+        SELECT s.u, reach{i}.r
+        FROM (SELECT e.u, e.v FROM edges e CROSS JOIN th
+              WHERE e.w <= th.t{i}
+              UNION
+              SELECT e.v, e.u FROM edges e CROSS JOIN th
+              WHERE e.w <= th.t{i}) s
+        JOIN reach{i} ON s.v = reach{i}.u
+    ),
+    comp{i} AS (
+        SELECT u AS id, MIN(r) AS component FROM reach{i} GROUP BY u
+    ),
+    stat{i} AS (
+        SELECT {p} AS quantile, (SELECT t{i} FROM th) AS threshold_w,
+               CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+               CAST(MAX(sz) AS BIGINT) AS max_component
+        FROM (SELECT component, COUNT(*) AS sz FROM comp{i} GROUP BY component)
+    )""")
+    return f"""
+    WITH RECURSIVE q AS (
+        SELECT vec_id,
+               list_transform(ve, x -> CAST(floor(
+                   x / sqrt(list_reduce(list_transform(ve, y -> y*y), (a,b) -> a+b))
+                   * {1 << 20} + 0.5) AS BIGINT)) AS qv
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+              WHERE vec_id < {_MST_SUB})
+    ),
+    edges AS (
+        SELECT a.vec_id AS u, b.vec_id AS v, {dist} AS w
+        FROM q a JOIN q b ON b.vec_id > a.vec_id
+    ),
+    th AS (
+        SELECT {", ".join(
+            f"(SELECT w FROM edges ORDER BY w, u, v LIMIT 1 OFFSET {_PERC_KS[p] - 1}) AS t{i}"
+            for i, p in enumerate(_PERC_QUANTILES)
+        )}
+    ),{",".join(legs)}
+    {" UNION ALL ".join(f"SELECT * FROM stat{i}" for i in range(len(_PERC_QUANTILES)))}
+    ORDER BY quantile
+    """
+
+
+@query("q387_percolation_sweep", oracle=_percolation_oracle(), tags=("X-15", "X-02"))
+def q387_percolation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation sweep of the similarity graph: connected-component
+    count and giant-component size at four distance thresholds (the
+    p01/p05/p10/p25 quantiles of the pairwise weight distribution) —
+    the STRUCTURAL threshold-choice read q330's pair counts cannot
+    give: pair counts grow smoothly, but the moment clusters glue into
+    a giant component (the percolation transition) is exactly where a
+    single-linkage dedup starts over-merging, and this table shows that
+    moment. Complements q386: Boruvka builds the skeleton bottom-up,
+    this cuts it top-down.
+
+    Determinism: weights exact int64; thresholds are exact k-th ORDER
+    STATISTICS under the (w, u, v) total order (never interpolated
+    quantiles — those differ across engines in the last double ulp on
+    1e12-scale integers); components by the certified q78 min-label
+    loop vs recursive CTEs.
+
+    Scale shape: at corpus scale the edge relation is the X-03 kNN/LSH
+    graph; each threshold's components cost the q78 one-shuffle-per-
+    round loop over the FILTERED edge set (cheapest thresholds converge
+    fastest); the sweep shares one edge build and one quantile pass.
+
+    Reference parity: beyond-reference; the cluster-structure companion
+    of q330 (pair-level) and q44 (pair generation)."""
+    from ..operators import components as cc
+    from ..operators.similarity import quantized_batched
+
+    q = quantized_batched(
+        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _MST_SUB)
+    ).transform(stage)
+    a = q.select(F.col("vec_id").alias("u"), F.col("qv").alias("qa"))
+    b = q.select(F.col("vec_id").alias("v"), F.col("qv").alias("qb"))
+    dist = (
+        "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, z) -> acc + z)"
+    )
+    edges = (
+        a.join(F.broadcast(b), F.col("v") > F.col("u"))
+        .select("u", "v", F.expr(dist).alias("w"))
+        .transform(stage)  # quantiles + all four threshold legs share it
+    )
+    th = {}
+    for i, p in enumerate(_PERC_QUANTILES):
+        k = _PERC_KS[p]
+        th[f"t{i}"] = (
+            edges.orderBy("w", "u", "v")
+            .limit(k)
+            .agg(F.max("w").alias("t"))
+            .collect()[0]["t"]
+        )  # exact k-th order statistic — 4 scalars, the sweep's parameters
+    nodes = q.select(F.col("vec_id").alias("id"))
+    legs = []
+    for i, p in enumerate(_PERC_QUANTILES):
+        sub = edges.filter(F.col("w") <= int(th[f"t{i}"]))
+        comp = cc.connected_components(nodes, sub, "id", "u", "v")
+        sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+        legs.append(
+            sizes.agg(
+                F.count(F.lit(1)).cast("long").alias("n_components"),
+                F.max("sz").cast("long").alias("max_component"),
+            ).select(
+                F.lit(p).alias("quantile"),
+                F.lit(int(th[f"t{i}"])).cast("long").alias("threshold_w"),
+                "n_components",
+                "max_component",
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.transform(pin).orderBy("quantile")
