@@ -345,3 +345,26 @@ def test_q385_page_is_exactly_the_third_hundred(q, spark):
     # both the boundary and the page compile to TakeOrdered, never a
     # global Sort
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q386_boruvka_round_yields_spanning_trees(q):
+    df = q("q386_boruvka_round")
+    # the subgraph has exactly 100 nodes, all assigned
+    assert df.n_nodes.sum() == 100
+    # Boruvka halves: every component holds >= 2 nodes
+    assert (df.n_nodes >= 2).all()
+    assert len(df) <= 50
+    # tie-broken min-edge picks are acyclic => each component's chosen
+    # edges form a spanning TREE: exactly n-1 edges
+    assert (df.n_edges == df.n_nodes - 1).all()
+    assert (df.total_weight > 0).all()
+
+
+def test_q387_percolation_is_monotone_in_the_threshold(q):
+    df = q("q387_percolation_sweep").sort_values("quantile")
+    assert (df.threshold_w.diff().dropna() >= 0).all()
+    # more edges can only merge components and grow the giant one
+    assert (df.n_components.diff().dropna() <= 0).all()
+    assert (df.max_component.diff().dropna() >= 0).all()
+    assert df.n_components.between(1, 100).all()
+    assert df.max_component.between(1, 100).all()
