@@ -766,3 +766,73 @@ def q379_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# J-01 (cont.): null-safe equi-join (the <=> / IS NOT DISTINCT FROM semantics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q388_nullsafe_join",
+    oracle="""
+    WITH a AS (
+        SELECT CASE WHEN value > 400 THEN event_type END AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_a
+        FROM events WHERE event_id % 2 = 0 GROUP BY k
+    ),
+    b AS (
+        SELECT CASE WHEN value > 400 THEN event_type END AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_b
+        FROM events WHERE event_id % 2 = 1 GROUP BY k
+    )
+    SELECT COALESCE(a.k, '<NULL>') AS join_key, a.n_a, b.n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY join_key
+    """,
+    tags=("J-01", "F-13"),
+)
+def q388_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): two halves of
+    the stream aggregated on a DELIBERATELY nullable key (low-value
+    events collapse to NULL) and joined so the NULL groups MATCH — the
+    semantics an ordinary equi-join silently drops (NULL = NULL is
+    never true), which is the classic silent-data-loss bug when a
+    dimension key is optional. The NULL row surviving into the result
+    IS the certification.
+
+    Determinism: exact counts; the null bucket labels as '<NULL>' for a
+    hashable output.
+
+    Scale shape: both sides reduce to bounded (key, count) relations
+    before the join; Spark plans `<=>` as an ordinary hash join key
+    (null-safe equality is hash-compatible — no fallback to
+    nested-loop), which is why this semantics is free at 100 TB.
+
+    Reference parity: beyond-reference; completes J-01's equality
+    semantics (plain, salted, and null-safe) with F-13's null
+    discipline."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") > 400, F.col("event_type")).alias("k"),
+    )
+    a = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    )
+    b = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .select(
+            F.coalesce(a["k"], F.lit("<NULL>")).alias("join_key"),
+            "n_a",
+            "n_b",
+        )
+        .transform(pin)
+        .orderBy("join_key")
+    )
