@@ -760,3 +760,76 @@ def q385_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d", "o_orderkey")
         .limit(_PAGE_SIZE)
     )
+
+
+# ---------------------------------------------------------------------------
+# A-10 (cont.): UNPIVOT (wide -> long reshape, the pivot inverse)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q389_unpivot_roundtrip",
+    oracle="""
+    WITH wide AS (
+        SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+               CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+                   AS click,
+               CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+                   AS view,
+               CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+                   AS purchase
+        FROM events GROUP BY d
+    )
+    SELECT d, event_type, n FROM wide
+    UNPIVOT (n FOR event_type IN (click, view, purchase))
+    WHERE n > 0
+    ORDER BY d, event_type
+    """,
+    tags=("A-10", "P-01"),
+)
+def q389_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT — the wide-to-long reshape that inverts A-10's pivot: a
+    per-day wide count matrix (one column per event type, built with
+    conditional aggregation) melted back to (day, type, n) rows via
+    Spark's native unpivot against DuckDB's SQL-standard UNPIVOT
+    clause. Reshape is where silent schema bugs live (a dropped column
+    vanishes without an error), so the round-trip deserves its own
+    hash-checked certification; zero cells are excluded on BOTH sides
+    because SQL UNPIVOT drops NULLs while conditional counts produce
+    zeros — the classic melt asymmetry made explicit.
+
+    Determinism: exact counts; the melt is a deterministic relabeling.
+
+    Scale shape: the wide build is ONE map-side-combined rollup onto the
+    calendar-bounded day relation; unpivot is a MAP-ONLY expand of that
+    bounded relation (fan-out = column count, never row count) —
+    exactly why long<->wide reshapes are free at 100 TB once the
+    aggregation is done.
+
+    Reference parity: beyond-reference; completes A-10 (q11/q61 pivot)
+    with the inverse direction."""
+    wide = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1))
+            .cast("long")
+            .alias("click"),
+            F.count(F.when(F.col("event_type") == "view", 1))
+            .cast("long")
+            .alias("view"),
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("long")
+            .alias("purchase"),
+        )
+    )
+    return (
+        wide.unpivot("d", ["click", "view", "purchase"], "event_type", "n")
+        .filter(F.col("n") > 0)
+        .transform(pin)
+        .orderBy("d", "event_type")
+    )
