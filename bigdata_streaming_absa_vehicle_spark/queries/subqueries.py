@@ -243,3 +243,64 @@ def q130_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFram
     is a pure timestamp comparison, deterministic in both engines; the
     nation filter broadcasts through supplier."""
     return _run_sql(spark, sf_dir, _Q130_SQL, ("supplier", "nation", "lineitem", "orders"))
+
+
+# ---------------------------------------------------------------------------
+# SQ-01 (cont.): correlated LATERAL subquery with per-row top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q390_lateral_topk",
+    oracle="""
+    WITH prio AS (SELECT DISTINCT o_orderpriority AS p FROM orders)
+    SELECT prio.p AS priority, l.o_orderkey,
+           CAST(FLOOR(epoch(l.o_orderdate)) AS BIGINT) // 86400 AS d,
+           CAST(ROUND(l.o_totalprice * 100) AS BIGINT) AS cents
+    FROM prio,
+    LATERAL (
+        SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        WHERE o_orderpriority = prio.p
+        ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2
+    ) l
+    ORDER BY priority, o_orderkey
+    """,
+    tags=("SQ-01", "O-05"),
+)
+def q390_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT: the two
+    newest orders for EACH priority class, written as the SQL-standard
+    LATERAL join both engines now support — the 'top-k per outer row'
+    idiom ORM users reach for first, certified equivalent across
+    engines (ties impossible under the (date, key) total order). The
+    declarative twin of q13's window formulation: same result, but the
+    LATERAL form is what arrives in migrated Postgres/DuckDB SQL, so an
+    engine claiming drop-in coverage must accept and optimize it.
+
+    Determinism: the per-group cut orders totally by
+    (o_orderdate DESC, o_orderkey DESC).
+
+    Scale shape: Spark decorrelates the lateral limit into the same
+    window/group-limit machinery as q13 (DecorrelateInnerQuery) — no
+    per-outer-row rescan survives optimization, which is the entire
+    point of accepting the syntax: the naive nested-loop reading is
+    O(|outer| x |orders|), the plan is one shuffle.
+
+    Reference parity: beyond-reference; completes SQ-01's correlation
+    family (EXISTS, scalar, IN) with the LATERAL form."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("q390_orders")
+    return spark.sql(
+        """
+        WITH prio AS (SELECT DISTINCT o_orderpriority AS p FROM q390_orders)
+        SELECT prio.p AS priority, l.o_orderkey,
+               CAST(unix_timestamp(l.o_orderdate) / 86400 AS BIGINT) AS d,
+               CAST(ROUND(l.o_totalprice * 100) AS BIGINT) AS cents
+        FROM prio,
+        LATERAL (
+            SELECT o_orderkey, o_orderdate, o_totalprice FROM q390_orders
+            WHERE o_orderpriority = prio.p
+            ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2
+        ) l
+        ORDER BY priority, o_orderkey
+        """
+    )
