@@ -833,3 +833,74 @@ def q389_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("d", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# F-04 (cont.): calendar-truncation semantics certification
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q391_calendar_semantics",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day_ts FROM events
+    )
+    SELECT CAST(FLOOR(epoch(day_ts)) AS BIGINT) // 86400 AS d,
+           CAST(FLOOR(epoch(date_trunc('week', day_ts))) AS BIGINT) // 86400
+               AS iso_week_start_d,
+           CAST(dayofweek(day_ts) + 1 AS BIGINT) AS dow_sunday1,
+           CAST(isodow(day_ts) AS BIGINT) AS iso_dow,
+           CAST(weekofyear(day_ts) AS BIGINT) AS iso_week,
+           CAST(quarter(day_ts) AS BIGINT) AS qtr,
+           CAST(FLOOR(epoch(date_trunc('month', day_ts))) AS BIGINT) // 86400
+               AS month_start_d
+    FROM days ORDER BY d
+    """,
+    tags=("F-04", "P-05"),
+)
+def q391_calendar_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-truncation semantics certification: for every distinct
+    day in the data, the ISO week start (Monday-anchored date_trunc),
+    both day-of-week conventions (Sunday=1 and ISO Monday=1), ISO week
+    number, quarter, and month start — hash-matched across engines.
+    Calendar functions are where cross-engine migrations silently break
+    (week anchors, dow numbering, and week-of-year all have competing
+    conventions; Spark's dayofweek is Sunday=1 while DuckDB's dayofweek
+    is Sunday=0, mapped explicitly here), and every X-20/X-83 calendar
+    query upstream leans on these semantics — this row pins them.
+
+    Determinism: pure integer calendar arithmetic on exact epoch days.
+
+    Scale shape: distinct-day reduction is ONE map-side-combined rollup
+    onto the calendar-bounded relation; every truncation is map-only
+    codegen on <= |days| rows.
+
+    Reference parity: beyond-reference; the portability contract under
+    every time-bucketed operator (F-04/A-06/X-20)."""
+    days = (
+        load(spark, sf_dir, "events")
+        .select(F.date_trunc("day", F.col("ts")).alias("day_ts"))
+        .groupBy("day_ts")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("day_ts")
+    )
+    epoch_days = lambda c: (F.unix_timestamp(c) / F.lit(86400)).cast("long")
+    return (
+        days.select(
+            epoch_days(F.col("day_ts")).alias("d"),
+            epoch_days(F.date_trunc("week", F.col("day_ts"))).alias(
+                "iso_week_start_d"
+            ),
+            F.dayofweek("day_ts").cast("long").alias("dow_sunday1"),
+            # ISO dow (Mon=1..Sun=7) from Spark's Sunday=1 convention
+            ((F.dayofweek("day_ts") + 5) % 7 + 1).cast("long").alias("iso_dow"),
+            F.weekofyear("day_ts").cast("long").alias("iso_week"),
+            F.quarter("day_ts").cast("long").alias("qtr"),
+            epoch_days(F.date_trunc("month", F.col("day_ts"))).alias(
+                "month_start_d"
+            ),
+        )
+        .transform(pin)
+        .orderBy("d")
+    )
