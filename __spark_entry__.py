@@ -244,7 +244,10 @@ _WINDOW_PRIORITY = (
 # collision-precision profile; q378: envelope parse-health audit;
 # q379: relational division; q380: Merkle-bucket reconciliation;
 # q381: dataset card; q382: vocabulary drift; q383: salted two-phase
-# aggregation; q384: row-size profile; and q385: keyset pagination)
+# aggregation; q384: row-size profile; q385: keyset pagination;
+# q386: Boruvka spanning-forest round; q387: percolation sweep;
+# q388: null-safe equi-join; q389: UNPIVOT reshape; q390: correlated
+# LATERAL top-k; and q391: calendar-semantics certification)
 # hold pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

@@ -368,3 +368,45 @@ def test_q387_percolation_is_monotone_in_the_threshold(q):
     assert (df.max_component.diff().dropna() >= 0).all()
     assert df.n_components.between(1, 100).all()
     assert df.max_component.between(1, 100).all()
+
+
+def test_q388_null_group_survives_the_join(q):
+    df = q("q388_nullsafe_join")
+    assert "<NULL>" in set(df.join_key)
+    assert (df.n_a > 0).all() and (df.n_b > 0).all()
+
+
+def test_q389_long_form_reconciles_to_event_counts(q, spark):
+    from pyspark.sql import functions as F
+    from bigdata_streaming_absa_vehicle_spark.tables import load
+
+    df = q("q389_unpivot_roundtrip")
+    totals = df.groupby("event_type").n.sum()
+    batch = (
+        load(spark, SF_DIR, "events")
+        .filter(F.col("event_type").isin("click", "view", "purchase"))
+        .groupBy("event_type")
+        .count()
+        .toPandas()
+        .set_index("event_type")["count"]
+    )
+    for t, n in batch.items():
+        assert totals[t] == n, t
+
+
+def test_q390_lateral_gives_exactly_two_per_priority(q):
+    df = q("q390_lateral_topk")
+    assert (df.groupby("priority").size() == 2).all()
+
+
+def test_q391_calendar_identities(q):
+    df = q("q391_calendar_semantics")
+    # ISO week start is a Monday: iso_dow of the start day == 1 for the
+    # rows that ARE week starts
+    starts = df[df.d == df.iso_week_start_d]
+    assert (starts.iso_dow == 1).all()
+    # every day is within 6 days after its week start
+    assert ((df.d - df.iso_week_start_d).between(0, 6)).all()
+    # the two dow conventions agree modulo the anchor shift
+    assert ((df.dow_sunday1 + 5) % 7 + 1 == df.iso_dow).all()
+    assert df.qtr.between(1, 4).all()
