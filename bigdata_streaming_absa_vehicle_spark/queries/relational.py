@@ -904,3 +904,87 @@ def q391_calendar_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("d")
     )
+
+
+# ---------------------------------------------------------------------------
+# O-04 (cont.): NULL-ordering semantics certification
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q393_null_ordering",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_id,
+               CASE WHEN value > 450 THEN CAST(FLOOR(value) AS BIGINT) END
+                   AS nullable_key
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_id, nullable_key,
+               ROW_NUMBER() OVER (
+                   ORDER BY nullable_key ASC NULLS FIRST, event_id
+               ) AS rk_nf,
+               ROW_NUMBER() OVER (
+                   ORDER BY nullable_key ASC NULLS LAST, event_id
+               ) AS rk_nl
+        FROM keyed
+    )
+    SELECT CAST(rk_nf AS BIGINT) AS rk_nf, CAST(rk_nl AS BIGINT) AS rk_nl,
+           event_id, nullable_key
+    FROM ranked
+    WHERE rk_nf <= 10 OR rk_nl <= 10
+    ORDER BY event_id
+    """,
+    tags=("O-04", "F-13"),
+)
+def q393_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-ordering semantics certification: the same nullable sort key
+    ranked under explicit NULLS FIRST and NULLS LAST, exporting the rows
+    that make either top-10 — pinned because the engines' DEFAULTS
+    diverge (Spark sorts ASC NULLS FIRST, DuckDB ASC NULLS LAST), which
+    is a classic silent top-k corruption when migrated SQL omits the
+    clause: the NULLS FIRST top-10 here is all NULLs, the NULLS LAST
+    top-10 all values, and a defaults-reliant query would return one or
+    the other depending on the engine. Every ordered operator upstream
+    uses non-null keys or explicit clauses; this row certifies the
+    machinery that keeps it that way.
+
+    Determinism: explicit NULLS clauses on both engines; tie-break by
+    event_id.
+
+    Scale shape: both rankings are global top-k reads over the same
+    scan; the WHERE rk<=10 cut compiles to WindowGroupLimit-style
+    partial filters; the export is <= 20 rows.
+
+    Reference parity: beyond-reference; the ordering-semantics
+    portability contract under O-01/O-04."""
+    from pyspark.sql import Window as W
+
+    keyed = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") > 450, F.floor(F.col("value")).cast("long")).alias(
+            "nullable_key"
+        ),
+    )
+    rk_nf = F.row_number().over(
+        W.partitionBy().orderBy(
+            F.col("nullable_key").asc_nulls_first(), F.col("event_id")
+        )
+    )
+    rk_nl = F.row_number().over(
+        W.partitionBy().orderBy(
+            F.col("nullable_key").asc_nulls_last(), F.col("event_id")
+        )
+    )
+    return (
+        keyed.select(
+            rk_nf.cast("long").alias("rk_nf"),
+            rk_nl.cast("long").alias("rk_nl"),
+            "event_id",
+            "nullable_key",
+        )
+        .filter((F.col("rk_nf") <= 10) | (F.col("rk_nl") <= 10))
+        .transform(pin)
+        .orderBy("event_id")
+    )
