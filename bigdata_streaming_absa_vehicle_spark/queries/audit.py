@@ -1819,3 +1819,86 @@ def q380_merkle_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-24 (cont.): identity-column continuity audit (missing-id islands)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q394_id_continuity",
+    oracle="""
+    WITH ids AS (SELECT DISTINCT event_id AS i FROM events),
+    bounds AS (SELECT MIN(i) AS lo, MAX(i) AS hi,
+                      CAST(COUNT(*) AS BIGINT) AS n FROM ids),
+    gaps AS (
+        SELECT i AS gap_after,
+               nxt - i - 1 AS gap_len
+        FROM (SELECT i, LEAD(i) OVER (ORDER BY i) AS nxt FROM ids)
+        WHERE nxt IS NOT NULL AND nxt > i + 1
+    )
+    SELECT b.lo AS first_id, b.hi AS last_id, b.n AS n_present,
+           CAST(b.hi - b.lo + 1 - b.n AS BIGINT) AS n_missing,
+           CAST((SELECT COUNT(*) FROM gaps) AS BIGINT) AS n_gaps,
+           CAST((SELECT COALESCE(MAX(gap_len), 0) FROM gaps) AS BIGINT)
+               AS max_gap_len
+    FROM bounds b
+    """,
+    tags=("X-24", "W-02"),
+)
+def q394_id_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-column continuity audit: are the event ids a contiguous
+    sequence? Reports the id range, the exact missing-id count (an
+    arithmetic identity: hi - lo + 1 - n, no spine materialized), and
+    the gap census (count + longest run of missing ids via one
+    lead() pass). A sequence with holes is the single cheapest signal
+    of dropped ingest batches or a mis-merged backfill — checked before
+    anything row-level because it costs one scan and three numbers.
+    The id-space sibling of q354's time-coverage gaps.
+
+    Determinism: exact integer ids; gap tests are exact comparisons.
+
+    Scale shape: the missing COUNT is pure min/max/count arithmetic
+    (footer-statistics cheap); the gap census is one global-order
+    lead() pass over the distinct-id relation — at 100 TB run it
+    per id-range bucket (the q84 two-level discipline) or accept the
+    count-only fast path; both legs here share the one reduction.
+
+    Reference parity: beyond-reference; completes X-24's ingest
+    forensics (q354 time gaps, q378 parse health, q164 checksums)."""
+    from pyspark.sql import Window as W
+
+    ids = (
+        load(spark, sf_dir, "events")
+        .select(F.col("event_id").alias("i"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("i")
+        .transform(stage)  # bounds leg + gap leg share one reduction
+    )
+    bounds = ids.agg(
+        F.min("i").alias("first_id"),
+        F.max("i").alias("last_id"),
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+    )
+    nxt = F.lead("i").over(W.partitionBy().orderBy("i"))
+    gaps = (
+        ids.select("i", nxt.alias("nxt"))
+        .filter(F.col("nxt").isNotNull() & (F.col("nxt") > F.col("i") + 1))
+        .select((F.col("nxt") - F.col("i") - 1).alias("gap_len"))
+    )
+    gap_stats = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.coalesce(F.max("gap_len"), F.lit(0)).cast("long").alias("max_gap_len"),
+    )
+    return bounds.join(F.broadcast(gap_stats)).select(
+        "first_id",
+        "last_id",
+        "n_present",
+        (F.col("last_id") - F.col("first_id") + 1 - F.col("n_present"))
+        .cast("long")
+        .alias("n_missing"),
+        "n_gaps",
+        "max_gap_len",
+    )

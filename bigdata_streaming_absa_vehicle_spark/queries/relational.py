@@ -988,3 +988,76 @@ def q393_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# A-06 (cont.): timezone-local day rollup certification
+# ---------------------------------------------------------------------------
+
+_TZ = "America/New_York"
+
+
+@query(
+    "q395_timezone_rollup",
+    oracle=f"""
+    WITH localized AS (
+        SELECT CAST(FLOOR(epoch(date_trunc('day',
+                   (ts AT TIME ZONE 'UTC') AT TIME ZONE '{_TZ}')))
+               AS BIGINT) // 86400 AS local_d,
+               CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400
+                   AS utc_d,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT local_d,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(COUNT(DISTINCT utc_d) AS BIGINT) AS n_utc_days_touched
+    FROM localized GROUP BY local_d ORDER BY local_d
+    """,
+    tags=("A-06", "F-04"),
+)
+def q395_timezone_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-local day rollup: the daily ledger re-bucketed into
+    America/New_York business days (Spark from_utc_timestamp vs the SQL
+    `AT TIME ZONE` pair, both resolving through IANA tzdata) — every
+    local day straddles two UTC days, and the n_utc_days_touched column
+    shows it, which is exactly the reconciliation surprise ('why don't
+    the UTC and local dashboards agree?') this certification pins. Any
+    finance/ops close that runs in a business timezone needs this
+    rollup to hash-match the warehouse's UTC storage.
+
+    Determinism: both engines resolve the same IANA zone rules on
+    identical UTC instants; counts and cents exact.
+
+    Scale shape: the zone shift is map-only codegen; ONE map-side-
+    combined rollup onto the calendar-bounded local-day relation (the
+    distinct-UTC-day count rides the same shuffle).
+
+    Reference parity: beyond-reference; the timezone leg of F-04/A-06's
+    calendar contract (q391 pins truncation anchors, this pins zone
+    conversion)."""
+    localized = load(spark, sf_dir, "events").select(
+        (
+            F.unix_timestamp(
+                F.date_trunc("day", F.from_utc_timestamp(F.col("ts"), _TZ))
+            )
+            / F.lit(86400)
+        )
+        .cast("long")
+        .alias("local_d"),
+        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+        .cast("long")
+        .alias("utc_d"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    return (
+        localized.groupBy("local_d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.countDistinct("utc_d").cast("long").alias("n_utc_days_touched"),
+        )
+        .transform(pin)
+        .orderBy("local_d")
+    )
