@@ -3124,3 +3124,103 @@ def q376_bounce_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("landing")
     )
+
+
+# ---------------------------------------------------------------------------
+# A-14 (cont.): rollup-chain validity audit (additive vs distinct re-agg)
+# ---------------------------------------------------------------------------
+
+_CHAIN_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM events GROUP BY d
+    ),
+    weekly_from_daily AS (
+        SELECT d // 7 AS w,
+               CAST(SUM(cents) AS BIGINT) AS cents_chained,
+               CAST(SUM(dau) AS BIGINT) AS users_naive_chained
+        FROM daily GROUP BY w
+    ),
+    weekly_direct AS (
+        SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 // 7
+                   AS w,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents_direct,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_direct
+        FROM events GROUP BY w
+    )
+    SELECT c.w, c.cents_chained, d.cents_direct,
+           CAST(CASE WHEN c.cents_chained = d.cents_direct THEN 1 ELSE 0 END
+                AS BIGINT) AS additive_ok,
+           c.users_naive_chained, d.users_direct,
+           CAST(c.users_naive_chained - d.users_direct AS BIGINT)
+               AS distinct_overcount
+    FROM weekly_from_daily c JOIN weekly_direct d USING (w)
+    ORDER BY c.w
+"""
+
+
+@query("q396_rollup_chain_audit", oracle=_CHAIN_ORACLE, tags=("A-14", "A-04"))
+def q396_rollup_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup-chain validity audit: weekly metrics computed BY
+    RE-AGGREGATING the stored daily rollup, side by side with the
+    direct-from-fact truth — the additive measure (revenue cents)
+    matches exactly by A-14 mergeability, while the naive chained
+    distinct (summing DAUs into a 'WAU') OVERCOUNTS by exactly the
+    cross-day repeat visitors, and the audit reports that overcount per
+    week. This is the most common silent dashboard bug in any
+    materialized-rollup warehouse, stated as a query: which measures
+    may legally roll up from rollups (sums/counts/sketches — q90's HLL
+    chain is the fix for distinct) and which must go back to the fact.
+
+    Determinism: exact cents and counts; the divergence is an exact
+    integer difference.
+
+    Scale shape: the chained leg reads ONLY the calendar-bounded daily
+    relation (that is the point — at 100 TB it never rescans the
+    fact); the direct leg is one fact rollup; the comparison joins two
+    bounded weekly relations.
+
+    Reference parity: beyond-reference; the negative-space certification
+    of A-14 (q114/q191 prove mergeable paths correct; this pins where
+    the naive path is provably WRONG and by how much)."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+        .cast("long")
+        .alias("d"),
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    ).transform(stage)  # daily leg + direct leg share one reduction
+    daily = ev.groupBy("d").agg(
+        F.sum("cents").cast("long").alias("cents"),
+        F.countDistinct("user_id").cast("long").alias("dau"),
+    )
+    chained = daily.groupBy(F.expr("d DIV 7").alias("w")).agg(
+        F.sum("cents").cast("long").alias("cents_chained"),
+        F.sum("dau").cast("long").alias("users_naive_chained"),
+    )
+    direct = ev.groupBy(F.expr("d DIV 7").alias("w")).agg(
+        F.sum("cents").cast("long").alias("cents_direct"),
+        F.countDistinct("user_id").cast("long").alias("users_direct"),
+    )
+    return (
+        chained.join(direct, "w")
+        .select(
+            "w",
+            "cents_chained",
+            "cents_direct",
+            (F.col("cents_chained") == F.col("cents_direct"))
+            .cast("long")
+            .alias("additive_ok"),
+            "users_naive_chained",
+            "users_direct",
+            (F.col("users_naive_chained") - F.col("users_direct"))
+            .cast("long")
+            .alias("distinct_overcount"),
+        )
+        .transform(pin)
+        .orderBy("w")
+    )
