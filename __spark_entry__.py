@@ -247,8 +247,10 @@ _WINDOW_PRIORITY = (
 # aggregation; q384: row-size profile; q385: keyset pagination;
 # q386: Boruvka spanning-forest round; q387: percolation sweep;
 # q388: null-safe equi-join; q389: UNPIVOT reshape; q390: correlated
-# LATERAL top-k; and q391: calendar-semantics certification)
-# hold pytest-oracle evidence at
+# LATERAL top-k; q391: calendar-semantics certification; q392: bag
+# EXCEPT/INTERSECT ALL; q393: null-ordering certification; q394:
+# id-continuity audit; q395: timezone-local rollup; and q396:
+# rollup-chain validity audit) hold pytest-oracle evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.
 

@@ -410,3 +410,66 @@ def test_q391_calendar_identities(q):
     # the two dow conventions agree modulo the anchor shift
     assert ((df.dow_sunday1 + 5) % 7 + 1 == df.iso_dow).all()
     assert df.qtr.between(1, 4).all()
+
+
+def test_q392_bag_multiplicity_identities(q, spark):
+    from pyspark.sql import functions as F
+    from bigdata_streaming_absa_vehicle_spark.tables import load
+
+    df = q("q392_bag_set_ops")
+    li = load(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    ca = (
+        li.filter(F.col("l_returnflag") == "R").groupBy("qty").count()
+        .toPandas().set_index("qty")["count"]
+    )
+    cb = (
+        li.filter(F.col("l_returnflag") == "A").groupBy("qty").count()
+        .toPandas().set_index("qty")["count"]
+    )
+    for r in df.itertuples():
+        a = int(ca.get(r.qty, 0))
+        b = int(cb.get(r.qty, 0))
+        if r.op == "except_all":
+            assert r.copies == max(a - b, 0), r
+        else:
+            assert r.copies == min(a, b), r
+
+
+def test_q393_null_orderings_are_mirrored(q):
+    df = q("q393_null_ordering")
+    nf = df[df.rk_nf <= 10]
+    nl = df[df.rk_nl <= 10].sort_values("rk_nl")
+    assert nf.nullable_key.isna().all()  # NULLS FIRST top-10 is all null
+    # NULLS LAST: every non-null ranks before every null (at tiny sf there
+    # may be fewer than 10 non-null keys, so the tail may reach the nulls)
+    seen_null = False
+    for v in nl.nullable_key:
+        if v != v or v is None:  # NaN check
+            seen_null = True
+        else:
+            assert not seen_null
+
+
+def test_q394_missing_count_identity(q):
+    df = q("q394_id_continuity")
+    r = df.iloc[0]
+    assert r.n_missing == r.last_id - r.first_id + 1 - r.n_present
+    assert (r.n_gaps == 0) == (r.n_missing == 0)
+    assert r.max_gap_len <= r.n_missing
+
+
+def test_q395_local_days_straddle_utc_days(q):
+    df = q("q395_timezone_rollup")
+    # NY is UTC-5 in January: every interior local day touches 2 UTC days
+    assert df.n_utc_days_touched.isin([1, 2]).all()
+    assert (df.n_utc_days_touched == 2).sum() >= len(df) - 2
+
+
+def test_q396_additive_holds_and_distinct_overcounts(q):
+    df = q("q396_rollup_chain_audit")
+    assert (df.additive_ok == 1).all()
+    assert (df.distinct_overcount >= 0).all()
+    # repeat visitors exist across days, so some week must overcount
+    assert df.distinct_overcount.sum() > 0
