@@ -2653,3 +2653,156 @@ def q382_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("status", "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-16 / X-02: cross-split near-dup leakage (eval contamination by duplicates)
+# ---------------------------------------------------------------------------
+
+#: doc -> split: md5 first nibble <= 12 -> train (~13/16), else test
+_SPLIT_EXPR = (
+    "CASE WHEN instr('0123456789abcdef', "
+    "substr(md5(CAST(doc_id AS {t})), 1, 1)) - 1 <= 12 "
+    "THEN 'train' ELSE 'test' END"
+)
+
+
+def _leakage_oracle() -> str:
+    pairs = dd.oracle_minhash_lsh_pairs(threshold=0.5)
+    return f"""
+    WITH splits AS (
+        SELECT doc_id, {_SPLIT_EXPR.format(t="VARCHAR")} AS split
+        FROM documents
+    ),
+    test_total AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_test FROM splits
+        WHERE split = 'test'
+    ),
+    exact_groups AS (
+        SELECT md5(text) AS fp,
+               CAST(COUNT(CASE WHEN s.split = 'train' THEN 1 END) AS BIGINT)
+                   AS n_tr,
+               CAST(COUNT(CASE WHEN s.split = 'test' THEN 1 END) AS BIGINT)
+                   AS n_te
+        FROM documents d JOIN splits s ON s.doc_id = d.doc_id
+        GROUP BY md5(text)
+    ),
+    exact_stats AS (
+        SELECT CAST(SUM(n_tr * n_te) AS BIGINT) AS n_cross_pairs,
+               CAST(SUM(CASE WHEN n_tr > 0 THEN n_te ELSE 0 END) AS BIGINT)
+                   AS n_test_docs_affected
+        FROM exact_groups
+    ),
+    lsh AS ({pairs}),
+    lsh_cross AS (
+        SELECT l.doc_a, l.doc_b, sa.split AS split_a, sb.split AS split_b
+        FROM lsh l
+        JOIN splits sa ON sa.doc_id = l.doc_a
+        JOIN splits sb ON sb.doc_id = l.doc_b
+        WHERE sa.split <> sb.split
+    ),
+    lsh_stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cross_pairs,
+               CAST(COUNT(DISTINCT CASE WHEN split_a = 'test' THEN doc_a
+                                        ELSE doc_b END) AS BIGINT)
+                   AS n_test_docs_affected
+        FROM lsh_cross
+    )
+    SELECT 'exact_dup' AS detector, e.n_cross_pairs, e.n_test_docs_affected,
+           ROUND(CAST(e.n_test_docs_affected AS DOUBLE) / t.n_test, 6)
+               AS test_share
+    FROM exact_stats e CROSS JOIN test_total t
+    UNION ALL
+    SELECT 'minhash_lsh', l.n_cross_pairs, l.n_test_docs_affected,
+           ROUND(CAST(l.n_test_docs_affected AS DOUBLE) / t.n_test, 6)
+    FROM lsh_stats l CROSS JOIN test_total t
+    ORDER BY detector
+    """
+
+
+@query("q397_split_leakage", oracle=_leakage_oracle(), tags=("X-16", "X-02"))
+def q397_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-dup leakage: after an md5 train/test split, how
+    many duplicate pairs STRADDLE the boundary — exact content dups and
+    MinHash-LSH near-dups counted separately, each with the share of
+    test docs contaminated. A test doc whose near-duplicate sits in
+    train is a leaked eval item (the model has effectively seen it), so
+    this number is the empirical argument for 'dedup BEFORE splitting'
+    — q131 audits USER leakage across temporal splits; this audits
+    CONTENT leakage across hash splits, the vector/LLM-era failure
+    mode q83's benchmark decontamination addresses from the other side.
+
+    Determinism: the split is a pure md5 function; exact-dup cross
+    pairs count as sum(n_train x n_test) per content hash (no pair
+    materialized); the near-dup leg reuses the certified q41 banded
+    pipeline with splits joined onto the id-only pair relation.
+
+    Scale shape: exact leg = ONE content-hash rollup with two
+    conditional counts; near-dup leg = the q41 candidate generator
+    (ids-only band joins) plus two broadcastable split lookups; both
+    stats are single-row aggregates. Nothing pairs across the corpus
+    beyond the banded candidates.
+
+    Reference parity: beyond-reference; composes X-01/X-02 detection
+    with X-16 splitting into the leakage gate every training-data
+    pipeline should run before reporting eval numbers."""
+    docs = load(spark, sf_dir, "documents")
+    splits = docs.select(
+        "doc_id", F.expr(_SPLIT_EXPR.format(t="string")).alias("split")
+    ).transform(stage)  # exact leg + lsh leg + totals share one build
+    test_total = splits.filter(F.col("split") == "test").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test")
+    )
+    exact_groups = (
+        docs.join(splits, "doc_id")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .agg(
+            F.count(F.when(F.col("split") == "train", 1)).cast("long").alias("n_tr"),
+            F.count(F.when(F.col("split") == "test", 1)).cast("long").alias("n_te"),
+        )
+    )
+    exact_stats = exact_groups.agg(
+        F.sum(F.col("n_tr") * F.col("n_te")).cast("long").alias("n_cross_pairs"),
+        F.sum(F.when(F.col("n_tr") > 0, F.col("n_te")).otherwise(0))
+        .cast("long")
+        .alias("n_test_docs_affected"),
+    )
+    lsh = dd.minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    lsh_cross = (
+        lsh.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    lsh_stats = lsh_cross.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cross_pairs"),
+        F.countDistinct(
+            F.when(F.col("split_a") == "test", F.col("doc_a")).otherwise(
+                F.col("doc_b")
+            )
+        )
+        .cast("long")
+        .alias("n_test_docs_affected"),
+    )
+    ex = exact_stats.join(F.broadcast(test_total)).select(
+        F.lit("exact_dup").alias("detector"),
+        "n_cross_pairs",
+        "n_test_docs_affected",
+        F.round(
+            F.col("n_test_docs_affected").cast("double") / F.col("n_test"), 6
+        ).alias("test_share"),
+    )
+    lh = lsh_stats.join(F.broadcast(test_total)).select(
+        F.lit("minhash_lsh").alias("detector"),
+        "n_cross_pairs",
+        "n_test_docs_affected",
+        F.round(
+            F.col("n_test_docs_affected").cast("double") / F.col("n_test"), 6
+        ).alias("test_share"),
+    )
+    return ex.unionByName(lh).transform(pin).orderBy("detector")
