@@ -2806,3 +2806,108 @@ def q397_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("test_share"),
     )
     return ex.unionByName(lh).transform(pin).orderBy("detector")
+
+
+# ---------------------------------------------------------------------------
+# X-16 / X-03: embedding-level cross-split leakage
+# ---------------------------------------------------------------------------
+
+_VSPLIT_EXPR = (
+    "CASE WHEN instr('0123456789abcdef', "
+    "substr(md5(CAST(vec_id AS {t})), 1, 1)) - 1 <= 12 "
+    "THEN 'train' ELSE 'test' END"
+)
+
+
+@query(
+    "q398_embedding_leakage",
+    oracle=f"""
+    WITH splits AS (
+        SELECT vec_id, {_VSPLIT_EXPR.format(t="VARCHAR")} AS split
+        FROM embeddings
+    ),
+    test_total AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_test FROM splits
+        WHERE split = 'test'
+    ),
+    pairs AS ({sim.oracle_banded_neardup(threshold=0.4)}),
+    cross_pairs AS (
+        SELECT p.vec_a, p.vec_b, sa.split AS split_a, sb.split AS split_b
+        FROM pairs p
+        JOIN splits sa ON sa.vec_id = p.vec_a
+        JOIN splits sb ON sb.vec_id = p.vec_b
+        WHERE sa.split <> sb.split
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_neardup_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_cross_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN split_a = 'test' THEN vec_a
+                                    ELSE vec_b END) AS BIGINT)
+               AS n_test_vecs_affected,
+           ROUND(CAST(COUNT(DISTINCT CASE WHEN split_a = 'test' THEN vec_a
+                                          ELSE vec_b END) AS DOUBLE)
+                 / ANY_VALUE(t.n_test), 6) AS test_share
+    FROM cross_pairs CROSS JOIN test_total t
+    """,
+    tags=("X-16", "X-03"),
+)
+def q398_embedding_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level cross-split leakage: the q44b banded near-dup
+    pairs (quantized cosine >= 0.4) that straddle an md5 train/test
+    boundary, with the contaminated-test-vector share — q397's gate for
+    the modality WITHOUT text: paraphrases, re-encodes, and crops leave
+    no shingle overlap but sit next to each other in embedding space,
+    so a vector-level leakage pass is what actually certifies an eval
+    split clean in the LLM era.
+
+    Determinism: the split is a pure md5 function of the vector id; the
+    pair set is the certified q44b banded pipeline (exact quantized
+    verify); counts exact; one division, 6 dp.
+
+    Scale shape: band-pruned candidates carry ids only (the q41/q44b
+    discipline); the two split lookups broadcast onto the pair
+    relation; one single-row aggregate out. At 100 TB this is exactly
+    the decontamination sweep's cost: the banded index, never all
+    pairs.
+
+    Reference parity: beyond-reference; completes the leakage kit (q131
+    user-temporal, q397 content-hash/shingle, this vector-space)."""
+    emb = load(spark, sf_dir, "embeddings")
+    splits = emb.select(
+        "vec_id", F.expr(_VSPLIT_EXPR.format(t="string")).alias("split")
+    ).transform(stage)  # totals leg + two lookups share one build
+    test_total = splits.filter(F.col("split") == "test").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test")
+    )
+    pairs = sim.banded_neardup_pairs(emb, threshold=0.4).select(
+        "vec_a", "vec_b"
+    ).transform(stage)  # total-pairs leg + cross leg share one build
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_neardup_pairs"))
+    sa = splits.select(F.col("vec_id").alias("vec_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("vec_id").alias("vec_b"), F.col("split").alias("split_b"))
+    cross = (
+        pairs.join(F.broadcast(sa), "vec_a")
+        .join(F.broadcast(sb), "vec_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    stats = cross.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cross_pairs"),
+        F.countDistinct(
+            F.when(F.col("split_a") == "test", F.col("vec_a")).otherwise(
+                F.col("vec_b")
+            )
+        )
+        .cast("long")
+        .alias("n_test_vecs_affected"),
+    )
+    return (
+        n_pairs.join(F.broadcast(stats))
+        .join(F.broadcast(test_total))
+        .select(
+            "n_neardup_pairs",
+            "n_cross_pairs",
+            "n_test_vecs_affected",
+            F.round(
+                F.col("n_test_vecs_affected").cast("double") / F.col("n_test"), 6
+            ).alias("test_share"),
+        )
+    )
