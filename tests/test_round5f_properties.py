@@ -473,3 +473,18 @@ def test_q396_additive_holds_and_distinct_overcounts(q):
     assert (df.distinct_overcount >= 0).all()
     # repeat visitors exist across days, so some week must overcount
     assert df.distinct_overcount.sum() > 0
+
+
+def test_q397_leakage_shares_bounded_and_detectors_ordered(q):
+    df = q("q397_split_leakage").set_index("detector")
+    assert set(df.index) == {"exact_dup", "minhash_lsh"}
+    assert ((df.test_share >= 0) & (df.test_share <= 1)).all()
+    assert (df.n_test_docs_affected <= df.n_cross_pairs * 1 + df.n_cross_pairs).all()
+
+
+def test_q398_embedding_leakage_is_a_subset_of_all_pairs(q):
+    df = q("q398_embedding_leakage")
+    r = df.iloc[0]
+    assert r.n_cross_pairs <= r.n_neardup_pairs
+    assert r.n_test_vecs_affected <= r.n_cross_pairs or r.n_cross_pairs == 0
+    assert 0 <= r.test_share <= 1
