@@ -4754,3 +4754,166 @@ def q369_calendar_adjusted_growth(spark: SparkSession, sf_dir: str) -> DataFrame
         .transform(pin)
         .orderBy("w")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-83 (cont.): two-way factorial ANOVA with interaction
+# ---------------------------------------------------------------------------
+
+_ANOVA2_ORACLE = """
+    WITH cells AS (
+        SELECT event_type AS a, dayofweek(date_trunc('day', ts)) + 1 AS b,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS HUGEINT) AS s,
+               CAST(SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                             AS HUGEINT)
+                        * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS HUGEINT) AS s2
+        FROM events GROUP BY 1, 2
+    ),
+    cell_terms AS (
+        SELECT a, b, n, s, s2,
+               CAST(ROUND(CAST(s * s AS DOUBLE) / n, 6) AS DECIMAL(28,6))
+                   AS sq_over_n
+        FROM cells
+    ),
+    marg_a AS (
+        SELECT a, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s) AS HUGEINT) AS s
+        FROM cells GROUP BY a
+    ),
+    marg_b AS (
+        SELECT b, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s) AS HUGEINT) AS s
+        FROM cells GROUP BY b
+    ),
+    tots AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(s) AS HUGEINT) AS t,
+               CAST(SUM(s2) AS HUGEINT) AS ss2,
+               CAST(SUM(sq_over_n) AS DECIMAL(28,6)) AS sq_cells,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               (SELECT CAST(SUM(CAST(ROUND(CAST(s * s AS DOUBLE) / n, 6)
+                                AS DECIMAL(28,6))) AS DECIMAL(28,6))
+                FROM marg_a) AS sq_a,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM marg_a) AS ka,
+               (SELECT CAST(SUM(CAST(ROUND(CAST(s * s AS DOUBLE) / n, 6)
+                                AS DECIMAL(28,6))) AS DECIMAL(28,6))
+                FROM marg_b) AS sq_b,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM marg_b) AS kb
+        FROM cell_terms
+    )
+    SELECT nn AS n_events, ka AS a_levels, kb AS b_levels,
+           ROUND(CAST(sq_a AS DOUBLE) - CAST(t * t AS DOUBLE) / nn, 2) AS ss_a,
+           ROUND(CAST(sq_b AS DOUBLE) - CAST(t * t AS DOUBLE) / nn, 2) AS ss_b,
+           ROUND(CAST(sq_cells AS DOUBLE) - CAST(sq_a AS DOUBLE)
+                 - CAST(sq_b AS DOUBLE) + CAST(t * t AS DOUBLE) / nn, 2)
+               AS ss_ab,
+           ROUND(CAST(ss2 AS DOUBLE) - CAST(sq_cells AS DOUBLE), 2) AS ss_w,
+           ROUND(((CAST(sq_a AS DOUBLE) - CAST(t * t AS DOUBLE) / nn)
+                  / (ka - 1))
+                 / ((CAST(ss2 AS DOUBLE) - CAST(sq_cells AS DOUBLE))
+                    / (nn - n_cells)), 6) AS f_a,
+           ROUND(((CAST(sq_b AS DOUBLE) - CAST(t * t AS DOUBLE) / nn)
+                  / (kb - 1))
+                 / ((CAST(ss2 AS DOUBLE) - CAST(sq_cells AS DOUBLE))
+                    / (nn - n_cells)), 6) AS f_b,
+           ROUND(((CAST(sq_cells AS DOUBLE) - CAST(sq_a AS DOUBLE)
+                   - CAST(sq_b AS DOUBLE) + CAST(t * t AS DOUBLE) / nn)
+                  / ((ka - 1) * (kb - 1)))
+                 / ((CAST(ss2 AS DOUBLE) - CAST(sq_cells AS DOUBLE))
+                    / (nn - n_cells)), 6) AS f_ab
+    FROM tots
+"""
+
+
+@query("q399_two_way_anova", oracle=_ANOVA2_ORACLE, tags=("X-83", "A-14"))
+def q399_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way factorial ANOVA with interaction: event value variance
+    decomposed over type x day-of-week — main-effect sums of squares
+    for each factor, the INTERACTION term (does the weekday effect
+    differ BY type — the question q233's one-way F and q288's pairwise
+    contrast cannot ask), and the within-cell residual, all via the
+    classical computational identities from one pass of exact cell
+    moments (the balanced-design hand-calculation decomposition,
+    evaluated on these cells; regression ANOVA is the refinement for
+    strongly unbalanced designs).
+
+    Determinism: cell and marginal moments are exact integers; each
+    s^2/n term divides exact operands once, rounds 6 dp, decimal-sums
+    (the q233/q120 discipline); SS and F assembly is a fixed-order IEEE
+    expression over those bit-identical doubles.
+
+    Scale shape: ONE map-side-combined rollup onto the bounded
+    (types x 7) cell grid; marginals and totals derive FROM the cells
+    (never a second fact scan); one scalar row out; cell moments are
+    A-14-mergeable across shards.
+
+    Reference parity: beyond-reference; completes the variance-analysis
+    kit (q233 one-way, q288 Welch pair, q342 paired t) with the
+    factorial form."""
+    d0 = "decimal(38,0)"
+    cells = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("a"),
+            F.dayofweek(F.date_trunc("day", F.col("ts"))).alias("b"),
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("vc"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("vc").cast(d0)).cast(d0).alias("s"),
+            F.sum(F.col("vc").cast(d0) * F.col("vc")).cast(d0).alias("s2"),
+        )
+        .transform(stage)  # marginals + totals all derive from one build
+    )
+    sq = lambda: F.sum(
+        F.round((F.col("s") * F.col("s")).cast("double") / F.col("n"), 6).cast(
+            "decimal(28,6)"
+        )
+    ).cast("decimal(28,6)")
+    marg_a = cells.groupBy("a").agg(
+        F.sum("n").cast("long").alias("n"), F.sum("s").cast(d0).alias("s")
+    )
+    marg_b = cells.groupBy("b").agg(
+        F.sum("n").cast("long").alias("n"), F.sum("s").cast(d0).alias("s")
+    )
+    tots = cells.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast(d0).alias("t"),
+        F.sum("s2").cast(d0).alias("ss2"),
+        sq().alias("sq_cells"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    a_stats = marg_a.agg(
+        sq().alias("sq_a"), F.count(F.lit(1)).cast("long").alias("ka")
+    )
+    b_stats = marg_b.agg(
+        sq().alias("sq_b"), F.count(F.lit(1)).cast("long").alias("kb")
+    )
+    j = tots.join(F.broadcast(a_stats)).join(F.broadcast(b_stats))
+    cf = (F.col("t") * F.col("t")).cast("double") / F.col("nn")
+    ss_a = F.col("sq_a").cast("double") - cf
+    ss_b = F.col("sq_b").cast("double") - cf
+    ss_ab = (
+        F.col("sq_cells").cast("double")
+        - F.col("sq_a").cast("double")
+        - F.col("sq_b").cast("double")
+        + cf
+    )
+    ss_w = F.col("ss2").cast("double") - F.col("sq_cells").cast("double")
+    msw = ss_w / (F.col("nn") - F.col("n_cells"))
+    return j.select(
+        F.col("nn").alias("n_events"),
+        F.col("ka").alias("a_levels"),
+        F.col("kb").alias("b_levels"),
+        F.round(ss_a, 2).alias("ss_a"),
+        F.round(ss_b, 2).alias("ss_b"),
+        F.round(ss_ab, 2).alias("ss_ab"),
+        F.round(ss_w, 2).alias("ss_w"),
+        F.round((ss_a / (F.col("ka") - 1)) / msw, 6).alias("f_a"),
+        F.round((ss_b / (F.col("kb") - 1)) / msw, 6).alias("f_b"),
+        F.round(
+            (ss_ab / ((F.col("ka") - 1) * (F.col("kb") - 1))) / msw, 6
+        ).alias("f_ab"),
+    )
