@@ -251,7 +251,8 @@ _WINDOW_PRIORITY = (
 # EXCEPT/INTERSECT ALL; q393: null-ordering certification; q394:
 # id-continuity audit; q395: timezone-local rollup; and q396:
 # rollup-chain validity audit; q397: cross-split content-leakage
-# gate; and q398: embedding-level leakage gate) hold pytest-oracle
+# gate; q398: embedding-level leakage gate; and q399: two-way
+# factorial ANOVA) hold pytest-oracle
 # evidence at
 # sf0.01 and sit past the window — they are ROUND 6's tier-1 rotation
 # priority, exactly as q100-q124 were this round's.

