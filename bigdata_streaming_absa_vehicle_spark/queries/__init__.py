@@ -39,3 +39,4 @@ from . import clustering  # noqa: E402,F401
 from . import spatial  # noqa: E402,F401
 from . import linalg  # noqa: E402,F401
 from . import learning  # noqa: E402,F401
+from . import stats_inference  # noqa: E402,F401
