@@ -79,7 +79,7 @@ _MANN_WHITNEY_ORACLE = f"""
     )
     SELECT n1 AS n_weekend, n2 AS n_weekday, n_values,
            CAST(r2w - n1 * (CAST(n1 AS HUGEINT) + 1) AS DOUBLE) / 2 AS u_stat,
-           CAST(CAST(n1 AS HUGEINT) * n2 AS BIGINT) AS u_mean_x2,
+           CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) AS u_mean_x2,
            (CAST(r2w - n1 * (CAST(n1 AS HUGEINT) + 1) AS DOUBLE)
             - CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE))
            / (2 * sqrt(CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) / 12
@@ -107,7 +107,11 @@ def q400_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     U statistic, and the tie term sum(t^3 - t) are all exact integers;
     the z-score is one fixed-shape IEEE expression over those integers
     (sqrt is correctly rounded — no libm risk); U itself is emitted as
-    an exact half-integer double.
+    an exact half-integer double, and u_mean_x2 = n1*n2 is computed in
+    decimal(38,0) and read out as a DOUBLE like u_stat (ADVICE r5: a
+    BIGINT readout would overflow once n1, n2 > ~3e9 — the very scale
+    the exact-integer pipeline targets — while the double readout never
+    overflows and keeps 2^-53 relative precision).
 
     Scale shape: the fact reduces MAP-SIDE to the distinct-value
     relation (v, n, n_weekend) — ranks come from a cumulative window
@@ -172,7 +176,7 @@ def q400_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("n_weekday"),
         "n_values",
         (u2.cast("double") / 2).alias("u_stat"),
-        prod.cast("long").alias("u_mean_x2"),
+        prod.cast("double").alias("u_mean_x2"),
         ((u2.cast("double") - prod.cast("double")) / (2 * F.sqrt(var))).alias(
             "z_score"
         ),
@@ -369,15 +373,24 @@ _PERIODOGRAM_ORACLE = f"""
                         THEN {_CENTS_SQL} ELSE 0 END) AS BIGINT) AS y
         FROM events GROUP BY 1
     ),
+    bar AS (
+        SELECT CAST((2 * SUM(y) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+                   AS ybar
+        FROM daily
+    ),
+    resid AS (
+        SELECT d.d, CAST(d.y - b.ybar AS BIGINT) AS yr
+        FROM daily d CROSS JOIN bar b
+    ),
     trig(p, r, c, s) AS (VALUES
         {_TRIG_VALUES}
     ),
     terms AS (
         SELECT t.p,
-               CAST(SUM(d.y * t.c) AS DECIMAL(38,12)) AS a,
-               CAST(SUM(d.y * t.s) AS DECIMAL(38,12)) AS b,
+               CAST(SUM(d.yr * t.c) AS DECIMAL(38,12)) AS a,
+               CAST(SUM(d.yr * t.s) AS DECIMAL(38,12)) AS b,
                CAST(COUNT(*) AS BIGINT) AS n_days
-        FROM daily d
+        FROM resid d
         JOIN trig t ON t.r = d.d % t.p
         GROUP BY t.p
     ),
@@ -402,20 +415,27 @@ _PERIODOGRAM_ORACLE = f"""
 
 @query("q402_dft_periodogram", oracle=_PERIODOGRAM_ORACLE, tags=("X-129", "A-06"))
 def q402_dft_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DFT periodogram of daily purchase revenue over the integer period
-    grid 2..14 days — spectral power |sum_d y_d e^(-2pi i d/p)|^2 per
-    candidate period, normalized shares, and the power ranking that
-    reads off the dominant cycle (7 days for this data) — the FREQUENCY-
-    domain seasonality detector next to q207's time-domain autocorrelation
-    (the periodogram separates close periods, e.g. 6 vs 7 days, that
-    autocorrelation smears) and beneath q304's fixed-7 decomposition
-    (which ASSUMES the period this query detects).
+    """DFT periodogram of DEMEANED daily purchase revenue over the
+    integer period grid 2..14 days — spectral power
+    |sum_d (y_d - ybar) e^(-2pi i d/p)|^2 per candidate period,
+    normalized shares, and the power ranking of candidate cycles — the
+    FREQUENCY-domain seasonality detector next to q207's time-domain
+    autocorrelation (the periodogram separates close periods, e.g. 6 vs
+    7 days, that autocorrelation smears) and beneath q304's fixed-7
+    decomposition. The series mean is subtracted first (ADVICE r5):
+    without demeaning, the large positive mean leaks into every period
+    that does not evenly divide the day count and the ranking reads off
+    divisibility artifacts, not cycles. ybar is rounded to the NEAREST
+    CENT by pure integer arithmetic ((2*sum+n) div (2*n)), so residuals
+    stay exact integers; the sub-cent remainder leaks < 0.5 cent/day of
+    DC — orders of magnitude below any real seasonal component.
 
     Determinism: completely libm-free — cos/sin values enter BOTH
     engines as the SAME Python-precomputed 12-dp decimal literals (the
     q272 constant-injection precedent extended to a basis table), so
-    every spectral sum is EXACT decimal arithmetic (integer cents x
-    decimal(14,12)); power and shares are fixed-shape IEEE expressions
+    every spectral sum is EXACT decimal arithmetic (integer residual
+    cents x decimal(14,12)); the demeaning constant is an exact integer
+    in both engines; power and shares are fixed-shape IEEE expressions
     over those exact sums; the rank is a total order on (power, p).
 
     Scale shape: ONE map-side-combined fact rollup to the bounded daily
@@ -441,6 +461,14 @@ def q402_dft_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("d")
         .agg(F.sum("c").cast("long").alias("y"))
+    )
+    bar = daily.agg(
+        F.expr("CAST((2 * SUM(y) + COUNT(*)) DIV (2 * COUNT(*)) AS BIGINT)").alias(
+            "ybar"
+        )
+    )
+    daily = daily.crossJoin(F.broadcast(bar)).select(
+        "d", (F.col("y") - F.col("ybar")).cast("long").alias("y")
     )
     trig_schema = StructType(
         [
@@ -509,8 +537,7 @@ _RIDGE_ORACLE = f"""
         SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400
                    AS d,
                CAST(SUM(CASE WHEN event_type = 'purchase'
-                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
-                        ELSE 0 END) AS BIGINT) AS y
+                        THEN {_CENTS_SQL} ELSE 0 END) AS BIGINT) AS y
         FROM events GROUP BY 1
     ),
     xt AS (
@@ -574,7 +601,10 @@ def q403_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection for q295's OLS, whose solution IS the lambda=0 row; the
     classic remedy when covariates correlate and OLS variance blows up).
 
-    Determinism: the eight cross-moments are exact integers (the q295
+    Determinism: daily cents use the shared _CENTS_SQL DECIMAL(18,2)
+    idiom (ADVICE r5: the FLOOR(v*100+0.5) variant could diverge from
+    q402's daily series on double-representation edge cases); the eight
+    cross-moments are exact integers (the q295
     A-14 rollup); lambda joins as an exact integer; all four 3x3
     determinants expand in exact HUGEINT/decimal arithmetic with
     IDENTICAL parenthesization in both engines; each beta is ONE IEEE
@@ -596,7 +626,7 @@ def q403_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = F.when(
         F.col("event_type") == "purchase",
-        F.floor(F.col("value") * 100 + 0.5).cast("long"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
     ).otherwise(0)
     daily = (
         load(spark, sf_dir, "events")
@@ -957,7 +987,7 @@ _AMS_ORACLE = """
     summary AS (
         SELECT CAST((SELECT COUNT(*) FROM f) AS BIGINT) AS n_users,
                CAST((SELECT SUM(CAST(fc AS HUGEINT) * fc) FROM f)
-                    AS BIGINT) AS f2_exact,
+                    AS DOUBLE) AS f2_exact,
                CAST((SELECT SUM(est) FROM ests) AS DOUBLE) / 16 AS est_mean,
                (SELECT est_median FROM gmed) AS est_median
     )
@@ -984,9 +1014,12 @@ def q405_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the sign function is a pure md5-nibble function of
     (user, counter) — RNG-free, the X-16 discipline; counters, their
-    squares, and exact F2 are exact integers (squares held in
-    decimal(38,0): at 1e12-row scale C_j^2 reaches ~1e24 and must not
-    overflow a long); the 4-group means and the median-of-4 (mean of
+    squares, and exact F2 are exact integers computed in decimal(38,0)
+    (at 1e12-row scale both C_j^2 and F2 reach ~1e24 and must not
+    overflow a long — ADVICE r5 caught the f2_exact readout still
+    casting to BIGINT; like est_mean it now reads out as a DOUBLE,
+    which never overflows); the 4-group means and
+    the median-of-4 (mean of
     the 2 middle order statistics under a (mean, group) total order)
     are fixed-shape IEEE expressions over exact operands.
 
@@ -1047,7 +1080,7 @@ def q405_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = f.agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum(F.col("fc").cast("decimal(38,0)") * F.col("fc"))
-        .cast("long")
+        .cast("double")
         .alias("f2_exact"),
     )
     est_mean = ests.agg((F.sum("est").cast("double") / 16).alias("est_mean"))
