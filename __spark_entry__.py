@@ -126,7 +126,12 @@ _WINDOW_PRIORITY = (
     "q254_item_neighbors",       # X-58
     "q255_jackknife_ratio_se",   # X-59
     "q258_simpsons_audit",       # X-60
-    "q259_leadlag_xcorr",        # X-63
+    # -- Tier 4: the round-6 addition, certified the round it was written
+    # (the no-new-backlog rule).  q406 hash-certifies the REAL pixel-decode
+    # kernel (pure-Python PPM/PGM/BMP codec behind decode_image_pixels),
+    # flipping S-08 from `partial` to done (VERDICT r5 item 5); it displaced
+    # q259_leadlag_xcorr (X-63), which moves to round 7's tier-1 set. --
+    "q406_pixel_decode",         # S-08 (pixel kernel) + X-05
 )
 # Window budget note: 6 + 19 + 25 fill the 50 exactly.  Every query past
 # the window holds either a green driver row on the current engine from

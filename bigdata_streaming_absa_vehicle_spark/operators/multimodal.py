@@ -2,14 +2,15 @@
 base64 JSON strings, vehicle_producer.py:23-26 / vehicle_consumer.py:81).
 
 Media payloads are opaque `binary` columns with a typed metadata struct.
-Decode / feature-extraction runs as Arrow-batched `mapInPandas` — the real
-Spark plumbing (schema, batch iteration, partition preservation) with the
-actual pixel decode STUBBED deterministically: the image/audio libraries are
-not in this container, so `decode_image_meta` derives "decoded" metadata from
-the payload's md5 (documented, reproducible, oracle-checkable) and
-`decode_image_pixels` raises NotImplementedError at the clearly-marked point
-where cv2.imdecode would run (the reference's UDF does exactly that at
-vehicle_consumer.py:81-83).
+Decode / feature-extraction runs as Arrow-batched `mapInPandas`. Two decode
+tiers exist:
+- `decode_image_meta` — md5-derived deterministic metadata stand-ins (no
+  pixel work; documented, reproducible, oracle-checkable), and
+- `decode_image_pixels` — a REAL pixel kernel: cv2/Pillow when importable
+  (the reference's cv2.imdecode UDF, vehicle_consumer.py:81-83), else the
+  vendored pure-Python codec (`.imagecodec`) that byte-level-decodes
+  uncompressed PPM/PGM/BMP — hash-certified end-to-end by q406_pixel_decode.
+  Only JPEG/PNG entropy decode remains gated on cv2/PIL.
 
 At scale: payloads never pass through the driver; mapInPandas streams Arrow
 batches executor-side, and metadata-only queries (dimensions, content hash)
@@ -80,9 +81,11 @@ DECODED_PIXELS_SCHEMA = (
 
 
 def _pixel_backend():
-    """('cv2'|'pil', module) if an image library is importable, else None.
-    Resolved at call time so dropping cv2 or Pillow into the environment
-    upgrades decode_image_pixels with zero code change."""
+    """('cv2'|'pil'|'pure', module) — cv2 then Pillow when importable (full
+    JPEG/PNG coverage), else the vendored pure-Python codec in
+    :mod:`.imagecodec` (uncompressed PPM/PGM/BMP — a REAL byte-level decoder,
+    not a stub). Resolved at call time so dropping cv2 or Pillow into the
+    environment widens format coverage with zero code change."""
     try:
         import cv2  # noqa: PLC0415
 
@@ -94,21 +97,22 @@ def _pixel_backend():
 
         return ("pil", PIL.Image)
     except ImportError:
-        return None
+        from . import imagecodec  # noqa: PLC0415
+
+        return ("pure", imagecodec)
 
 
 def decode_image_pixels(media: DataFrame) -> DataFrame:
     """Real pixel decode (reference: cv2.imdecode at vehicle_consumer.py:81-83)
-    behind the same Arrow mapInPandas contract as decode_image_meta. When
-    neither cv2 nor Pillow is importable — the case in this container — it
-    raises NotImplementedError at the clearly-marked point instead of
-    shipping a kernel that would crash every task; decode_image_meta() is
-    the deterministic stand-in exercising identical plumbing."""
-    if _pixel_backend() is None:
-        raise NotImplementedError(
-            "pixel decode requires cv2/PIL (not in this container); "
-            "decode_image_meta() exercises the identical mapInPandas plumbing"
-        )
+    behind the same Arrow mapInPandas contract as decode_image_meta.
+
+    Backend ladder: cv2 -> Pillow -> the vendored pure-Python codec
+    (:mod:`.imagecodec`, PPM/PGM/24-bit-BMP). Every rung follows the same
+    cv2.imdecode contract: payloads the active backend cannot decode are
+    DROPPED, never task-fatal — so without cv2/PIL, JPEG/PNG payloads drop
+    while uncompressed payloads decode for real (header parse, row-padding
+    strip, BGR unswizzle, exact mean). q406_pixel_decode hash-certifies the
+    pure kernel against a closed-form DuckDB oracle."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # noqa: PLC0415
@@ -117,14 +121,12 @@ def decode_image_pixels(media: DataFrame) -> DataFrame:
         rows: dict[str, list] = {k: [] for k in
                                  ("doc_id", "width", "height", "n_channels", "mean_intensity")}
 
-        def emit(did, arr):
-            h, w = arr.shape[:2]
-            c = 1 if arr.ndim == 2 else arr.shape[2]
+        def emit(did, w, h, c, mean):
             rows["doc_id"].append(did)
             rows["width"].append(w)
             rows["height"].append(h)
             rows["n_channels"].append(c)
-            rows["mean_intensity"].append(float(arr.astype(np.float64).mean()))
+            rows["mean_intensity"].append(mean)
 
         for pdf in it:
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -132,14 +134,25 @@ def decode_image_pixels(media: DataFrame) -> DataFrame:
                     arr = mod.imdecode(np.frombuffer(payload, np.uint8), mod.IMREAD_UNCHANGED)
                     if arr is None:
                         continue  # undecodable payload: drop, don't kill the task
-                else:
+                elif kind == "pil":
                     import io  # noqa: PLC0415
 
                     try:
                         arr = np.asarray(mod.open(io.BytesIO(payload)))
                     except Exception:
                         continue
-                emit(did, arr)
+                else:
+                    try:
+                        w, h, c, pixels = mod.decode_image(bytes(payload))
+                    except ValueError:
+                        continue  # e.g. a JPEG without cv2/PIL: same drop contract
+                    # exact integer sum / count — bit-identical to np.mean on
+                    # a uint8 array (both are exact-int-sum-in-f64 / n)
+                    emit(did, w, h, c, sum(pixels) / len(pixels))
+                    continue
+                h, w = arr.shape[:2]
+                c = 1 if arr.ndim == 2 else arr.shape[2]
+                emit(did, w, h, c, float(arr.astype(np.float64).mean()))
         if rows["doc_id"]:
             yield pd.DataFrame(rows)
 

