@@ -126,6 +126,8 @@ _WINDOW_PRIORITY = (
     "q254_item_neighbors",       # X-58
     "q255_jackknife_ratio_se",   # X-59
     "q258_simpsons_audit",       # X-60
+    # (q259_leadlag_xcorr / X-63 was slot 50 of the original set-cover;
+    # displaced by q406 below, first in line for round 7.)
     # -- Tier 4: the round-6 addition, certified the round it was written
     # (the no-new-backlog rule).  q406 hash-certifies the REAL pixel-decode
     # kernel (pure-Python PPM/PGM/BMP codec behind decode_image_pixels),
@@ -133,7 +135,7 @@ _WINDOW_PRIORITY = (
     # q259_leadlag_xcorr (X-63), which moves to round 7's tier-1 set. --
     "q406_pixel_decode",         # S-08 (pixel kernel) + X-05
 )
-# Window budget note: 6 + 19 + 25 fill the 50 exactly.  Every query past
+# Window budget note: 6 + 19 + 24 + 1 fill the 50 exactly.  Every query past
 # the window holds either a green driver row on the current engine from
 # rounds 3-5 (CORRECTNESS_r03/r04/r05 — 140 queries) or builder-drive
 # evidence (tools/verify/drive_vanilla.py full-registry run, 403/403 ALL
