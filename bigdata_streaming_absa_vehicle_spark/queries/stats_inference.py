@@ -10,8 +10,9 @@ are in place —
 - q401: Benjamini-Hochberg FDR control across the (type x day-of-week)
   grid of binomial deviation tests — p-values via the Abramowitz-Stegun
   7.1.26 erfc polynomial evaluated identically in both engines;
-- q402: DFT periodogram of daily revenue over an integer period grid —
-  completely libm-free: cos/sin enter BOTH engines as the same Python-
+- q402: DFT periodogram of DEMEANED daily revenue over an integer period
+  grid — completely libm-free: the mean is removed by exact integer
+  round-half-up and cos/sin enter BOTH engines as the same Python-
   precomputed 12-dp decimal literals, so every spectral sum is exact
   decimal arithmetic;
 - q403: ridge regression regularization path by Cramer's rule on the
