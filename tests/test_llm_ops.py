@@ -108,23 +108,24 @@ def test_ivf_ann_recall_vs_exact(spark):
     assert recall >= 0.3, f"IVF recall collapsed: {recall:.2f}"
 
 
-def test_multimodal_pixel_decode_is_explicit_stub(spark):
-    """Without an image library the pixel path must refuse loudly; with one
-    installed it auto-upgrades (covered by the test below)."""
-    if mm._pixel_backend() is not None:
-        pytest.skip("cv2/PIL present: the real decode path is active")
+def test_multimodal_pixel_decode_drops_non_images(spark):
+    """The backend ladder now bottoms out at the vendored pure codec
+    (never None), and every rung keeps the cv2.imdecode contract: payloads
+    that are not decodable images DROP — document text wrapped as a binary
+    payload must yield zero rows, not an error (the byte-level positive
+    cases live in tests/test_imagecodec.py and q406's oracle)."""
     docs = load(spark, SF_DIR, "documents")
     media = mm.with_payload(docs)
-    with pytest.raises(NotImplementedError):
-        mm.decode_image_pixels(media)
+    assert mm.decode_image_pixels(media).count() == 0
 
 
 def test_multimodal_pixel_decode_real_when_library_present(spark):
     """Auto-upgrade contract: the moment cv2 or Pillow is importable,
-    decode_image_pixels decodes real images under DECODED_PIXELS_SCHEMA.
-    Skipped (not failed) in containers without an image library."""
-    if mm._pixel_backend() is None:
-        pytest.skip("no image library in this container")
+    decode_image_pixels decodes entropy-coded formats (PNG here) under
+    DECODED_PIXELS_SCHEMA. Skipped (not failed) while only the pure codec
+    is available — it handles uncompressed formats only, by design."""
+    if mm._pixel_backend()[0] == "pure":
+        pytest.skip("no cv2/PIL in this container; pure codec has no PNG")
     import io
     import struct
     import zlib
