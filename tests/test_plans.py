@@ -2157,3 +2157,43 @@ def test_kmv_sketch_rank_filter_is_group_limited(spark):
     q = all_queries()["q339_kmv_distinct_sketch"]
     plan = plan_of(q.fn(spark, SF_DIR))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_pixel_decode_pipeline_is_map_only(spark):
+    """q406 (S-08/X-05): encode->decode is a fused map-only mapInPandas
+    chain — no Exchange of the payload column anywhere before the
+    presentation sort (payloads must never shuffle; at 100 TB the binary
+    column streams through each executor Arrow batch by Arrow batch)."""
+    from bigdata_streaming_absa_vehicle_spark.operators import multimodal as mm
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id")
+
+    def encode(batches):
+        import pandas as pd
+
+        from bigdata_streaming_absa_vehicle_spark.operators.imagecodec import encode_ppm
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_ppm(2, 2, bytes(12)) for _ in range(len(pdf))],
+                }
+            )
+
+    media = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    plan = plan_of(mm.decode_image_pixels(media))
+    assert "Exchange" not in plan, plan
+    # the two stages sit ADJACENT in the tree — fused map-only, no barrier
+    assert re.search(r"MapInPandas \(\d+\)\n\+- MapInPandas", plan), plan
+
+
+def test_periodogram_demeaning_is_broadcast_not_reshuffle(spark):
+    """q402 (X-129): the mean subtraction joins ONE broadcast scalar row
+    onto the bounded daily relation — demeaning must not introduce any
+    hash-partitioned exchange of the daily series, and the trig basis
+    stays a broadcast join."""
+    q = all_queries()["q402_dft_periodogram"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
