@@ -121,19 +121,20 @@ _WINDOW_PRIORITY = (
     "q247_interval_coverage",    # X-51
     "q248_rank_churn",           # X-53
     "q249_theil_sen_trend",      # X-52
-    "q250_nearest_centroid_eval",   # X-54
     "q251_wasserstein_matrix",   # X-55
     "q254_item_neighbors",       # X-58
     "q255_jackknife_ratio_se",   # X-59
     "q258_simpsons_audit",       # X-60
-    # (q259_leadlag_xcorr / X-63 was slot 50 of the original set-cover;
-    # displaced by q406 below, first in line for round 7.)
-    # -- Tier 4: the round-6 addition, certified the round it was written
-    # (the no-new-backlog rule).  q406 hash-certifies the REAL pixel-decode
-    # kernel (pure-Python PPM/PGM/BMP codec behind decode_image_pixels),
-    # flipping S-08 from `partial` to done (VERDICT r5 item 5); it displaced
-    # q259_leadlag_xcorr (X-63), which moves to round 7's tier-1 set. --
+    # (q259_leadlag_xcorr / X-63 and q250_nearest_centroid_eval / X-54 were
+    # slots 49-50 of the original set-cover; displaced by the two round-6
+    # additions below, both first in line for round 7.)
+    # -- Tier 4: the round-6 additions, certified the round they were
+    # written (the no-new-backlog rule).  q406/q407 hash-certify the REAL
+    # pixel decode + nearest-neighbor resize kernels (pure-Python
+    # PPM/PGM/BMP codec behind decode_image_pixels/resize_pixels), flipping
+    # S-08 from `partial` to done (VERDICT r5 item 5). --
     "q406_pixel_decode",         # S-08 (pixel kernel) + X-05
+    "q407_pixel_resize",         # S-08 (resample kernel) + X-05
 )
 # Window budget note: 6 + 19 + 24 + 1 fill the 50 exactly.  Every query past
 # the window holds either a green driver row on the current engine from

@@ -215,6 +215,60 @@ def resize_images(media: DataFrame, max_dim: int = 256) -> DataFrame:
     return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
 
 
+#: output schema of resize_pixels (the REAL resample; cf. RESIZED_SCHEMA's
+#: md5-meta twin)
+RESIZED_PIXELS_SCHEMA = (
+    "doc_id long, in_width int, in_height int, out_width int, out_height int, "
+    "out_mean double"
+)
+
+
+def resize_pixels(media: DataFrame, max_dim: int = 16) -> DataFrame:
+    """REAL aspect-preserving resize: decode the payload with the
+    :func:`_pixel_backend` ladder's pure codec, then NEAREST-NEIGHBOR
+    resample — out pixel (x, y) reads src pixel
+    (floor(x*w/ow), floor(y*h/oh)) — and report the resampled mean. The
+    index arithmetic is pure integer math, so the result is deterministic
+    and closed-form-checkable (q407). Geometry contract matches
+    :func:`resize_images`: fit into max_dim x max_dim, never upscale.
+    Undecodable payloads drop (the imdecode contract). Runs Arrow-batched
+    executor-side; payloads never visit the driver."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .imagecodec import decode_image  # noqa: PLC0415
+
+        rows: dict[str, list] = {
+            k: []
+            for k in ("doc_id", "in_width", "in_height", "out_width", "out_height", "out_mean")
+        }
+        for pdf in it:
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, c, px = decode_image(bytes(payload))
+                except ValueError:
+                    continue
+                scale_num, scale_den = (max_dim, max(w, h)) if max(w, h) > max_dim else (1, 1)
+                ow = max(w * scale_num // scale_den, 1)
+                oh = max(h * scale_num // scale_den, 1)
+                total = 0
+                for y in range(oh):
+                    sy = y * h // oh
+                    for x in range(ow):
+                        sx = x * w // ow
+                        base = (sy * w + sx) * c
+                        total += sum(px[base : base + c])
+                rows["doc_id"].append(did)
+                rows["in_width"].append(w)
+                rows["in_height"].append(h)
+                rows["out_width"].append(ow)
+                rows["out_height"].append(oh)
+                rows["out_mean"].append(total / (ow * oh * c))
+        if rows["doc_id"]:
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=RESIZED_PIXELS_SCHEMA)
+
+
 ORACLE_RESIZED = """
     WITH dims AS (
         SELECT doc_id,

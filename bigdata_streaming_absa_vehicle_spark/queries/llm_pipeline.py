@@ -631,6 +631,92 @@ def q406_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_image_pixels(media).transform(pin).orderBy("doc_id")
 
 
+_PIXEL_RESIZE_ORACLE = """
+    WITH g AS (
+        SELECT doc_id,
+               doc_id % 31 + 2 AS w,
+               doc_id % 17 + 2 AS h
+        FROM documents
+    ),
+    dims AS (
+        SELECT doc_id, w, h,
+               CASE WHEN greatest(w, h) > 16
+                    THEN greatest(w * 16 // greatest(w, h), 1) ELSE w END AS ow,
+               CASE WHEN greatest(w, h) > 16
+                    THEN greatest(h * 16 // greatest(w, h), 1) ELSE h END AS oh
+        FROM g
+    ),
+    px AS (
+        SELECT d.doc_id, d.w, d.h, d.ow, d.oh,
+               7 * d.doc_id
+               + 3 * ((ty.y * d.h // d.oh) * d.w + (tx.x * d.w // d.ow)) AS m
+        FROM dims d,
+             UNNEST(range(0, d.oh)) AS ty(y),
+             UNNEST(range(0, d.ow)) AS tx(x)
+    ),
+    s AS (
+        SELECT doc_id, w, h, ow, oh,
+               SUM(m % 256 + (m + 1) % 256 + (m + 2) % 256) AS total
+        FROM px GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS in_width,
+           CAST(h AS INTEGER) AS in_height,
+           CAST(ow AS INTEGER) AS out_width,
+           CAST(oh AS INTEGER) AS out_height,
+           CAST(total AS DOUBLE) / (ow * oh * 3) AS out_mean
+    FROM s
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "q407_pixel_resize",
+    oracle=_PIXEL_RESIZE_ORACLE,
+    tags=("X-05", "S-08"),
+)
+def q407_pixel_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor resize, hash-certified — the resample twin of
+    q406's decode: the same deterministic gradient images (PPM odd /
+    24-bit BMP even doc_ids) are decoded by the pure codec and resampled
+    to fit 16x16 (never upscaled) with exact integer index math — out
+    pixel (x,y) reads src pixel (x*w div ow, y*h div oh) — and the mean of
+    the RESAMPLED pixels is reported. The oracle re-derives that mean
+    analytically by expanding the output grid with correlated
+    UNNEST(range(...)) and evaluating (7*doc_id + 3*(sy*w+sx) + c) mod 256
+    per sampled byte — so a wrong scale floor, a transposed axis, or a
+    sample read through the padded BMP row breaks the hash. Upgrades
+    q53's geometry-only stand-in (RESIZED_SCHEMA md5 twin, kept for the
+    meta path) to a real pixel kernel; with cv2/PIL installed the same
+    decode ladder feeds real JPEG frames (vehicle_consumer.py:81-83).
+
+    Scale shape: map-only — encode, decode, and resample fuse into one
+    mapInPandas chain per partition (plan-asserted for the decode chain);
+    the only exchange is the presentation sort. Resample cost is
+    O(out pixels), not O(in pixels)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        from bigdata_streaming_absa_vehicle_spark.operators.imagecodec import (
+            encode_bmp24,
+            encode_ppm,
+        )
+
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 31 + 2, did % 17 + 2
+                px = bytes((7 * did + i) % 256 for i in range(w * h * 3))
+                payloads.append(encode_ppm(w, h, px) if did % 2 else encode_bmp24(w, h, px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return mm.resize_pixels(media, max_dim=16).transform(pin).orderBy("doc_id")
+
+
 @query(
     "q73_chunking",
     oracle="""

@@ -134,3 +134,37 @@ def test_decode_image_pixels_pure_backend_exact_means(spark):
     assert got[2]["mean_intensity"] == 13.0
     assert (got[4]["width"], got[4]["height"], got[4]["n_channels"]) == (5, 2, 1)
     assert got[4]["mean_intensity"] == 4.5
+
+
+def test_resize_pixels_identity_when_small_and_downscale_when_large(spark):
+    from bigdata_streaming_absa_vehicle_spark.operators.multimodal import (
+        RESIZED_PIXELS_SCHEMA,
+        resize_pixels,
+    )
+    from pyspark.sql.types import StructType as _ST
+
+    small = encode_ppm(4, 2, bytes([7] * 24))            # fits 16x16: identity
+    big = encode_ppm(32, 8, bytes([9] * (32 * 8 * 3)))   # shrinks 2x: 16x4
+    rows = [(1, small), (2, big), (3, b"not an image")]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = resize_pixels(media, max_dim=16)
+    assert out.schema == _ST.fromDDL(RESIZED_PIXELS_SCHEMA)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert sorted(got) == [1, 2]
+    assert (got[1]["out_width"], got[1]["out_height"]) == (4, 2)
+    assert got[1]["out_mean"] == 7.0
+    assert (got[2]["in_width"], got[2]["in_height"]) == (32, 8)
+    assert (got[2]["out_width"], got[2]["out_height"]) == (16, 4)
+    assert got[2]["out_mean"] == 9.0
+
+
+def test_resize_pixels_nearest_neighbor_indexing_is_floor_based(spark):
+    """A 4x1 image [0, 60, 120, 180] shrunk to 2x1 must sample src pixels
+    floor(0*4/2)=0 and floor(1*4/2)=2 -> values 0 and 120, mean 60."""
+    from bigdata_streaming_absa_vehicle_spark.operators.multimodal import resize_pixels
+
+    px = bytes(v for v in (0, 60, 120, 180) for _ in range(3))
+    media = spark.createDataFrame([(1, encode_ppm(4, 1, px))], "doc_id long, payload binary")
+    r = resize_pixels(media, max_dim=2).collect()[0]
+    assert (r["out_width"], r["out_height"]) == (2, 1)
+    assert r["out_mean"] == 60.0
