@@ -46,20 +46,18 @@ def encode_pgm(width: int, height: int, pixels: bytes) -> bytes:
 def encode_bmp24(width: int, height: int, pixels: bytes) -> bytes:
     """24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up, BI_RGB).
     `pixels` is row-major RGB-interleaved top-down — the encoder performs the
-    BMP-mandated BGR swizzle, bottom-up row order, and 4-byte row padding."""
+    BMP-mandated BGR swizzle, bottom-up row order, and 4-byte row padding.
+    Vectorized (numpy views, no per-pixel Python) so real frame sizes encode
+    in O(bytes) C time."""
+    import numpy as np  # noqa: PLC0415
+
     if len(pixels) != width * height * 3:
         raise ValueError(f"BMP24 needs {width * height * 3} bytes, got {len(pixels)}")
     row_size = (3 * width + 3) // 4 * 4
-    pad = b"\x00" * (row_size - 3 * width)
-    rows = []
-    for y in range(height - 1, -1, -1):  # bottom-up storage
-        row = bytearray()
-        base = y * width * 3
-        for x in range(width):
-            r, g, b = pixels[base + 3 * x : base + 3 * x + 3]
-            row += bytes((b, g, r))  # BGR on disk
-        rows.append(bytes(row) + pad)
-    raster = b"".join(rows)
+    bgr = np.frombuffer(pixels, np.uint8).reshape(height, width, 3)[:, :, ::-1]
+    rows = np.zeros((height, row_size), np.uint8)
+    rows[:, : 3 * width] = bgr.reshape(height, 3 * width)
+    raster = rows[::-1].tobytes()  # bottom-up storage
     data_offset = 14 + 40
     file_size = data_offset + len(raster)
     header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
@@ -129,15 +127,14 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
     need = data_offset + row_size * height
     if len(payload) < need:
         raise ValueError(f"BMP raster truncated: {len(payload)}/{need} bytes")
-    out = bytearray(width * height * 3)
-    for row in range(height):
-        y = row if top_down else height - 1 - row  # logical top-down row index
-        src = data_offset + row * row_size
-        dst = y * width * 3
-        for x in range(width):
-            b, g, r = payload[src + 3 * x : src + 3 * x + 3]
-            out[dst + 3 * x : dst + 3 * x + 3] = bytes((r, g, b))
-    return width, height, 3, bytes(out)
+    import numpy as np  # noqa: PLC0415
+
+    raster = np.frombuffer(payload, np.uint8, count=row_size * height, offset=data_offset)
+    rows = raster.reshape(height, row_size)[:, : 3 * width]  # strip padding
+    if not top_down:
+        rows = rows[::-1]  # restore top-down reading order
+    rgb = rows.reshape(height, width, 3)[:, :, ::-1]  # BGR -> RGB
+    return width, height, 3, rgb.tobytes()
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:

@@ -235,6 +235,8 @@ def resize_pixels(media: DataFrame, max_dim: int = 16) -> DataFrame:
     executor-side; payloads never visit the driver."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415
+
         from .imagecodec import decode_image  # noqa: PLC0415
 
         rows: dict[str, list] = {
@@ -250,13 +252,13 @@ def resize_pixels(media: DataFrame, max_dim: int = 16) -> DataFrame:
                 scale_num, scale_den = (max_dim, max(w, h)) if max(w, h) > max_dim else (1, 1)
                 ow = max(w * scale_num // scale_den, 1)
                 oh = max(h * scale_num // scale_den, 1)
-                total = 0
-                for y in range(oh):
-                    sy = y * h // oh
-                    for x in range(ow):
-                        sx = x * w // ow
-                        base = (sy * w + sx) * c
-                        total += sum(px[base : base + c])
+                # vectorized gather: same floor-index math as the scalar
+                # form (y*h//oh, x*w//ow), O(out pixels) C time
+                arr = np.frombuffer(px, np.uint8).reshape(h, w, c)
+                ys = (np.arange(oh, dtype=np.int64) * h) // oh
+                xs = (np.arange(ow, dtype=np.int64) * w) // ow
+                sampled = arr[np.ix_(ys, xs)]
+                total = int(sampled.sum(dtype=np.int64))  # exact integer sum
                 rows["doc_id"].append(did)
                 rows["in_width"].append(w)
                 rows["in_height"].append(h)
