@@ -616,6 +616,7 @@ def q406_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             encode_ppm,
         )
 
+        import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
         for pdf in batches:
@@ -623,7 +624,11 @@ def q406_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = did % 31 + 2, did % 17 + 2
-                px = bytes((7 * did + i) % 256 for i in range(w * h * 3))
+                # (7*did + i) mod 256, vectorized: identical bytes to the
+                # scalar genexpr the oracle's closed form mirrors
+                px = ((7 * did + np.arange(w * h * 3, dtype=np.int64)) % 256).astype(
+                    np.uint8
+                ).tobytes()
                 payloads.append(encode_ppm(w, h, px) if did % 2 else encode_bmp24(w, h, px))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
@@ -702,6 +707,7 @@ def q407_pixel_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             encode_ppm,
         )
 
+        import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
         for pdf in batches:
@@ -709,7 +715,11 @@ def q407_pixel_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = did % 31 + 2, did % 17 + 2
-                px = bytes((7 * did + i) % 256 for i in range(w * h * 3))
+                # (7*did + i) mod 256, vectorized: identical bytes to the
+                # scalar genexpr the oracle's closed form mirrors
+                px = ((7 * did + np.arange(w * h * 3, dtype=np.int64)) % 256).astype(
+                    np.uint8
+                ).tobytes()
                 payloads.append(encode_ppm(w, h, px) if did % 2 else encode_bmp24(w, h, px))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
