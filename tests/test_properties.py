@@ -536,3 +536,29 @@ def test_sessionize_equals_python_simulation(spark, seed):
             dur = int((sess[-1] - sess[0]).total_seconds() * 1_000_000)
             want[(uid, k)] = (len(sess), sess[0], dur)
     assert got == want
+
+
+def test_dsum_davg_bitwise_invariant_across_partition_layouts(spark):
+    """The 100 TB merge contract on the LIVE engine path: dsum/davg must
+    produce bit-identical doubles no matter how rows are partitioned —
+    Spark merges partial aggregates in nondeterministic order, so a plain
+    sum(double) fails this; the decimal detour must not. Values are chosen
+    to be float-summation-hostile (irrational-step pattern, mixed signs)."""
+    from bigdata_streaming_absa_vehicle_spark.functions.deterministic import davg, dsum
+
+    data = [
+        (i % 5, ((-1) ** i) * (((i * 2654435761) % 1000003) / 97.0))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(data, "k int, v double")
+    outs = []
+    for parts in (1, 7, 32):
+        rows = (
+            df.repartition(parts, "v")
+            .groupBy("k")
+            .agg(dsum("v").alias("s"), davg("v").alias("a"))
+            .orderBy("k")
+            .collect()
+        )
+        outs.append([(r["k"], float(r["s"]).hex(), float(r["a"]).hex()) for r in rows])
+    assert outs[0] == outs[1] == outs[2]
