@@ -562,3 +562,46 @@ def test_dsum_davg_bitwise_invariant_across_partition_layouts(spark):
         )
         outs.append([(r["k"], float(r["s"]).hex(), float(r["a"]).hex()) for r in rows])
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_representative_queries_invariant_to_aqe_toggle(spark):
+    """AQE rewrites physical plans at runtime (coalesced shuffles, demoted
+    broadcasts, skew splits) — results must not depend on it. One
+    representative query per physical family: hash agg, multi-join,
+    window, Arrow mapInPandas kernel, global sort."""
+    import math
+
+    from bigdata_streaming_absa_vehicle_spark.queries import all_queries
+
+    names = (
+        "q09_pricing_summary",      # hash aggregate
+        "q17_star_join",            # broadcast/shuffle join mix
+        "q23w_running_sum",         # window
+        "q406_pixel_decode",        # Arrow mapInPandas chain
+        "q14_global_sort",          # range-partitioned sort
+    )
+    specs = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    def canon(df):
+        rows = []
+        for t in df.collect():
+            parts = []
+            for v in t:
+                if isinstance(v, float):
+                    parts.append("nan" if math.isnan(v) else float(v).hex())
+                else:
+                    parts.append(str(v))
+            rows.append("|".join(parts))
+        return sorted(rows)
+
+    before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        results = {}
+        for aqe in ("true", "false"):
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            results[aqe] = {n: canon(specs[n].fn(spark, sf)) for n in names}
+        for n in names:
+            assert results["true"][n] == results["false"][n], n
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", before)
