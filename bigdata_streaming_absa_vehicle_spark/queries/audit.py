@@ -1902,3 +1902,147 @@ def q394_id_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_gaps",
         "max_gap_len",
     )
+
+
+# ---------------------------------------------------------------------------
+# X-133: differentially-private rollup export (truncated discrete Laplace)
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 1.0
+_DP_TRUNC = 64  #: noise support [-64, 64]; tail mass beyond is ~2e-29
+
+
+def _dp_noise_cdf() -> list[tuple[int, str]]:
+    """(k, cdf-literal) rows of the truncated discrete Laplace CDF at
+    epsilon=1: pmf(k) ~ exp(-eps*|k|), renormalized over [-T, T]. Computed
+    once on the driver and injected into BOTH engines as the SAME 17-sig-dig
+    double literals (the q402 basis-table pattern), so the inverse-CDF pick
+    compares bit-identical operands; the last entry is pinned to exactly 1.0
+    so every u in (0, 1] selects a k."""
+    import math as _m
+
+    alpha = _m.exp(-_DP_EPS)
+    ks = list(range(-_DP_TRUNC, _DP_TRUNC + 1))
+    pmf = [alpha ** abs(k) for k in ks]
+    z = sum(pmf)
+    cdf, acc = [], 0.0
+    for k, p in zip(ks, pmf):
+        acc += p / z
+        cdf.append((k, f"{min(acc, 1.0):.17g}"))
+    cdf[-1] = (ks[-1], "1.0")
+    return cdf
+
+
+_DP_CDF = _dp_noise_cdf()
+_DP_CDF_VALUES = ",\n        ".join(f"({k}, CAST({c} AS DOUBLE))" for k, c in _DP_CDF)
+_H48_DP = 1 << 48
+
+_DP_ROLLUP_ORACLE = f"""
+    WITH cell AS (
+        SELECT event_type AS etype,
+               dayofweek(date_trunc('day', ts)) + 1 AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n_true
+        FROM events GROUP BY 1, 2
+    ),
+    keyed AS (
+        SELECT *,
+               (CAST(('0x' || substr(md5('dp408:' || etype || ':'
+                                     || CAST(dow AS VARCHAR)), 1, 15))
+                     AS BIGINT) % {_H48_DP} + 1) / CAST({_H48_DP} AS DOUBLE) AS u
+        FROM cell
+    ),
+    noise(k, cdf) AS (VALUES
+        {_DP_CDF_VALUES}
+    ),
+    picked AS (
+        SELECT keyed.etype, keyed.dow, keyed.n_true, keyed.u,
+               CAST(MIN(noise.k) AS BIGINT) AS noise_k
+        FROM keyed JOIN noise ON noise.cdf >= keyed.u
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT etype, dow, n_true, noise_k,
+           GREATEST(n_true + noise_k, 0) AS dp_count,
+           CAST({_DP_EPS} AS DOUBLE) AS epsilon
+    FROM picked
+    ORDER BY etype, dow
+"""
+
+
+@query("q408_dp_rollup", oracle=_DP_ROLLUP_ORACLE, tags=("X-133", "A-02"))
+def q408_dp_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private rollup export: per (event type x day-of-week)
+    cell, the true count plus TRUNCATED DISCRETE LAPLACE noise at
+    epsilon=1 (sensitivity 1: one event changes one cell count by one),
+    clamped at zero by post-processing — the mechanism a platform applies
+    before counts leave the trust boundary, completing the privacy kit
+    (q184 k-anonymity/l-diversity, q307 t-closeness, q365 generalization
+    advisor ASSESS disclosure risk; this one REMOVES it with an epsilon
+    budget). Cells are disjoint, so one epsilon covers the whole grid by
+    parallel composition.
+
+    Determinism (the certifiable-DP trick): the noise draw is an
+    inverse-CDF lookup k = min{{k : CDF(k) >= u}} where u = (h48+1)/2^48
+    comes from md5 of the cell key (the q213 exact-ratio idiom — RNG-free,
+    backfill-reproducible) and the 129 CDF values are driver-precomputed
+    17-sig-digit double literals injected into BOTH engines (the q402
+    basis-table pattern), with CDF(64) pinned to exactly 1.0. Every
+    operand of the pick is bit-identical across engines. Truncation to
+    |k| <= 64 leaves tail mass ~2e-29 — a (1, 2e-29)-DP mechanism, noted
+    rather than hidden. A PRODUCTION export would hash a rotating secret
+    salt instead of a constant, trading replayability for
+    unpredictability; the mechanism and its calibration are unchanged.
+
+    Scale shape: ONE map-side-combined fact rollup onto the bounded
+    (type x dow) grid; the inverse-CDF pick is a 129-row broadcast range
+    join + min — per-cell cost is O(support), independent of fact size;
+    noisy cells are A-14-mergeable AFTER noise only if noise is added
+    once at the final merge (hence noise keys off the CELL, not the
+    shard).
+
+    Reference parity: beyond-reference; the reference exports raw counts
+    to Postgres with no disclosure control."""
+    cells = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("etype"),
+            (F.dayofweek(F.date_trunc("day", F.col("ts")))).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    )
+    h48 = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dp408:"), F.col("etype"), F.lit(":"), F.col("dow").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _H48_DP
+    )
+    keyed = cells.withColumn("u", (h48 + 1) / F.lit(float(_H48_DP)))
+    noise = spark.createDataFrame(
+        [(k, float(c)) for k, c in _DP_CDF], "k int, cdf double"
+    )
+    picked = (
+        keyed.join(F.broadcast(noise), F.col("cdf") >= F.col("u"))
+        .groupBy("etype", "dow", "n_true", "u")
+        .agg(F.min("k").cast("long").alias("noise_k"))
+    )
+    return (
+        picked.select(
+            "etype",
+            "dow",
+            "n_true",
+            "noise_k",
+            F.greatest(F.col("n_true") + F.col("noise_k"), F.lit(0)).alias("dp_count"),
+            F.lit(_DP_EPS).cast("double").alias("epsilon"),
+        )
+        .transform(pin)
+        .orderBy("etype", "dow")
+    )

@@ -775,3 +775,147 @@ def q324_price_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-135: Johnson-Lindenstrauss random-projection compression + distortion audit
+# ---------------------------------------------------------------------------
+
+_JL_K = 16  #: target dimension (64 -> 16, a 4x embedding compression)
+_JL_D = 64  #: source embedding dimension
+_JL_SAMPLE = 40  #: vectors in the audit sample -> 780 pairs
+
+
+def _jl_sign(j: int, i: int) -> int:
+    """+-1 from md5(f"jl:{j}:{i}") — the X-16 RNG-free discipline; the same
+    literal matrix is inlined into both engines."""
+    import hashlib as _hl
+
+    h = _hl.md5(f"jl:{j}:{i}".encode()).hexdigest()
+    return 1 if int(h[0], 16) < 8 else -1
+
+
+_JL_SIGNS = [[_jl_sign(j, i) for i in range(_JL_D)] for j in range(_JL_K)]
+
+
+def _jl_oracle_dot(signs: list[int], vec: str) -> str:
+    lit = "[" + ", ".join(f"{s}.0" for s in signs) + "]"
+    return (
+        f"list_reduce(list_transform(range(1, {len(signs) + 1}), "
+        f"i -> ({lit})[i] * {vec}[i]), (x, y) -> x + y)"
+    )
+
+
+_JL_ORACLE = f"""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ve
+        FROM embeddings WHERE vec_id < {_JL_SAMPLE}
+    ),
+    proj AS (
+        SELECT vec_id, ve,
+               [{", ".join(_jl_oracle_dot(row, "ve") for row in _JL_SIGNS)}] AS y
+        FROM base
+    ),
+    pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               a.ve AS ave, b.ve AS bve, a.y AS ya, b.y AS yb
+        FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+    ),
+    d AS (
+        SELECT va, vb,
+               list_reduce(list_transform(range(1, {_JL_D + 1}),
+                   i -> (ave[i] - bve[i]) * (ave[i] - bve[i])),
+                   (x, y) -> x + y) AS d2o,
+               list_reduce(list_transform(range(1, {_JL_K + 1}),
+                   i -> (ya[i] - yb[i]) * (ya[i] - yb[i])),
+                   (x, y) -> x + y) AS d2p
+        FROM pairs
+    )
+    SELECT va AS vec_a, vb AS vec_b,
+           ROUND(d2o, 6) AS d2_orig, ROUND(d2p, 6) AS d2_proj,
+           ROUND(d2p / ({_JL_K} * d2o), 6) AS distortion
+    FROM d WHERE d2o > 0
+    ORDER BY vec_a, vec_b
+"""
+
+
+@query("q410_jl_projection", oracle=_JL_ORACLE, tags=("X-135", "X-03"))
+def q410_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (64 -> 16 dims via a +-1
+    sign matrix) with a pairwise DISTORTION AUDIT: for every pair in a
+    deterministic 40-vector sample, the ratio
+    ||Sx_a - Sx_b||^2 / (k * ||x_a - x_b||^2) — the unbiasedness check of
+    the JL estimator (E = 1 for +-1 matrices). This is the dimension-
+    reduction front-end for the X-03 vector-search family: projecting
+    embeddings 4x before q46's LSH / q46b's IVF cuts candidate-scoring
+    FLOPs and shuffle bytes 4x while the audit quantifies exactly how much
+    neighbor geometry was spent, and the same audit gates any future
+    learned-compression swap (q351's PQ audit is the codebook sibling).
+
+    Determinism: the sign matrix is md5-derived (RNG-free, X-16) and
+    inlined into BOTH engines as literals; every projection and distance
+    is a SEQUENTIAL left fold over double arrays (F.aggregate/zip_with on
+    the Spark side, list_reduce/list_transform on DuckDB — the q45
+    idiom), so operands are bit-identical; readouts round 6 dp.
+
+    Scale shape: projection is MAP-ONLY (16 literal-weighted dots per
+    vector, no shuffle — the q46 plane-dot shape); at corpus scale the
+    projected table is what ships to ANN. The quadratic pair audit runs
+    only on the bounded sample (780 pairs via one broadcast self-join);
+    the corpus-wide audit would reuse X-02's banded candidates instead of
+    all pairs.
+
+    Reference parity: beyond-reference; completes the embedding kit
+    (q104 int8 quantization, q351 PQ audit, q362 isotropy) with the
+    projection-compression primitive."""
+    base = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _JL_SAMPLE)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("ve"),
+        )
+    )
+
+    def dot(signs: list[int]):
+        warr = F.array(*[F.lit(float(s)) for s in signs])
+        return F.aggregate(
+            F.zip_with(warr, F.col("ve"), lambda w, x: w * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    proj = base.select(
+        "vec_id", "ve", F.array(*[dot(row) for row in _JL_SIGNS]).alias("y")
+    )
+    a, b = proj.alias("a"), proj.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("va"),
+        F.col("b.vec_id").alias("vb"),
+        F.col("a.ve").alias("ave"),
+        F.col("b.ve").alias("bve"),
+        F.col("a.y").alias("ya"),
+        F.col("b.y").alias("yb"),
+    )
+    sqdist = lambda u, v: F.aggregate(  # noqa: E731 — sequential fold, q45 idiom
+        F.zip_with(u, v, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = pairs.select(
+        "va",
+        "vb",
+        sqdist(F.col("ave"), F.col("bve")).alias("d2o"),
+        sqdist(F.col("ya"), F.col("yb")).alias("d2p"),
+    ).filter(F.col("d2o") > 0)
+    return (
+        d.select(
+            F.col("va").alias("vec_a"),
+            F.col("vb").alias("vec_b"),
+            F.round("d2o", 6).alias("d2_orig"),
+            F.round("d2p", 6).alias("d2_proj"),
+            F.round(F.col("d2p") / (_JL_K * F.col("d2o")), 6).alias("distortion"),
+        )
+        .transform(pin)
+        .orderBy("vec_a", "vec_b")
+    )

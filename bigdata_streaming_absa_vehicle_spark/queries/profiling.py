@@ -1941,3 +1941,111 @@ def q384_row_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-134: exact percentile by two-pass histogram refinement
+# ---------------------------------------------------------------------------
+
+_REFINE_W = 1024  #: coarse bucket width (cents) for pass A
+
+_REFINE_ORACLE = f"""
+    WITH pv AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM pv),
+    t(p) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.95 AS DOUBLE))),
+    ks AS (
+        SELECT p, nn, CAST(CEIL(p * nn) AS BIGINT) AS k
+        FROM t CROSS JOIN tot
+    ),
+    cnt AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS m FROM pv GROUP BY v),
+    c AS (
+        SELECT v, CAST(SUM(m) OVER (ORDER BY v) AS BIGINT) AS cum FROM cnt
+    ),
+    pick AS (
+        SELECT ks.p, ks.nn, ks.k, MIN(c.v) AS value_cents
+        FROM ks JOIN c ON c.cum >= ks.k
+        GROUP BY 1, 2, 3
+    )
+    SELECT p, nn AS n, k, value_cents // {_REFINE_W} AS bucket, value_cents
+    FROM pick
+    ORDER BY p
+"""
+
+
+@query("q409_percentile_refinement", oracle=_REFINE_ORACLE, tags=("X-134", "A-12"))
+def q409_percentile_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p95 of purchase cents by TWO-PASS HISTOGRAM REFINEMENT —
+    the unbounded-domain scale path for exact order statistics: pass A
+    rolls the fact map-side onto coarse width-1024 buckets and locates,
+    per target rank k = ceil(p*n), the ONE bucket whose cumulative count
+    crosses k; pass B re-scans only rows in the target buckets and takes
+    the exact k-th value inside. Neither pass sorts the fact and no
+    relation proportional to the number of DISTINCT VALUES is ever
+    windowed — which is exactly where q151/q75's compressed-value
+    cumulative window stops scaling when the domain is wide (64-bit ids,
+    microsecond latencies): this dataflow's intermediate state is
+    (domain/1024) bucket counts + two bucket-loads of rows, and extra
+    refinement rounds multiply precision, not passes over history.
+
+    The ORACLE is the direct definition (cumulative window over distinct
+    values, min v with cum >= k) — certifying algorithm == definition,
+    the q250/q286 'clever plan vs naive spec' pattern. The found bucket
+    is re-derived in the oracle as value div 1024, which the refinement
+    must agree with by construction.
+
+    Determinism: k = ceil(p*n) is one IEEE multiply+ceil of identical
+    operands; counts and cumulative counts are exact integers; the k-th
+    value is an exact order statistic (no interpolation — the q387
+    lesson).
+
+    Reference parity: beyond-reference; joins X-40's mergeable HDR sketch
+    (approximate, one pass) as the exact-two-pass alternative."""
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    pv = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(cents.alias("v"))
+    )
+    tot = pv.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    ks = (
+        spark.createDataFrame([(0.5,), (0.95,)], "p double")
+        .crossJoin(F.broadcast(tot))
+        .select("p", "nn", F.ceil(F.col("p") * F.col("nn")).cast("long").alias("k"))
+    )
+    # pass A: coarse histogram + cumulative over the BOUNDED bucket relation
+    buckets = pv.groupBy(F.expr(f"v DIV {_REFINE_W}").alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    bcum = buckets.select(
+        "b",
+        F.sum("m").over(wb).cast("long").alias("cum"),
+        (F.sum("m").over(wb) - F.col("m")).cast("long").alias("cum_before"),
+    )
+    targets = (
+        ks.join(
+            F.broadcast(bcum),
+            (F.col("cum") >= F.col("k")) & (F.col("cum_before") < F.col("k")),
+        )
+        .select("p", "nn", "k", "b", "cum_before")
+        .transform(stage)  # pass B's filter and the readout reuse it
+    )
+    # pass B: exact order statistic INSIDE the one target bucket per p
+    inb = (
+        pv.join(F.broadcast(targets), F.expr(f"v DIV {_REFINE_W}") == F.col("b"))
+        .groupBy("p", "nn", "k", "b", "cum_before", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    wv = Window.partitionBy("p").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    hit = inb.select(
+        "p", "nn", "k", "b", "v", (F.col("cum_before") + F.sum("m").over(wv)).alias("cumk")
+    ).filter(F.col("cumk") >= F.col("k"))
+    return (
+        hit.groupBy("p", F.col("nn").alias("n"), "k", F.col("b").alias("bucket"))
+        .agg(F.min("v").cast("long").alias("value_cents"))
+        .transform(pin)
+        .orderBy("p")
+    )
