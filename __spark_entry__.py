@@ -118,29 +118,31 @@ _WINDOW_PRIORITY = (
     "q243_fd_discovery",         # X-47
     "q244_powerlaw_tail",        # X-48
     "q245_brand_momentum",       # X-49
-    "q247_interval_coverage",    # X-51
-    "q248_rank_churn",           # X-53
-    "q249_theil_sen_trend",      # X-52
     "q258_simpsons_audit",       # X-60
-    # (q259/X-63, q250/X-54, q251/X-55, q254/X-58, q255/X-59 were the last
-    # five slots of the original set-cover; displaced by the five round-6
-    # additions below — all five displaced queries are first in line for
-    # round 7's tier-1 set, so net ID coverage is unchanged while the NEW
-    # code gets same-round driver certification.)
+    # (Eight original set-cover slots were displaced by the eight round-6
+    # additions below: q259/X-63, q250/X-54, q251/X-55, q254/X-58,
+    # q255/X-59, q247/X-51, q248/X-53, q249/X-52.  All eight displaced
+    # queries lead round 7's tier-1 set, so net ID coverage shifts one
+    # round while the NEW code gets same-round driver certification.)
     # -- Tier 4: the round-6 additions, certified the round they were
     # written (the no-new-backlog rule).  q406/q407 hash-certify the REAL
     # pixel decode + nearest-neighbor resize kernels (pure-Python
     # PPM/PGM/BMP codec behind decode_image_pixels/resize_pixels), flipping
-    # S-08 from `partial` to done (VERDICT r5 item 5); q408-q410 are the
-    # round-6 §2K extensions X-133..X-135 (DP rollup export, two-pass
-    # percentile refinement, JL projection + distortion audit). --
+    # S-08 from `partial` to done (VERDICT r5 item 5); q408-q413 are the
+    # round-6 §2K extensions X-133..X-138 (DP rollup export, two-pass
+    # percentile refinement — ungrouped and grouped, JL projection +
+    # distortion audit, prefix-filtered set-similarity join, Wilcoxon
+    # signed-rank test). --
     "q406_pixel_decode",         # S-08 (pixel kernel) + X-05
     "q407_pixel_resize",         # S-08 (resample kernel) + X-05
     "q408_dp_rollup",            # X-133
     "q409_percentile_refinement",  # X-134
     "q410_jl_projection",        # X-135
+    "q411_prefix_filter_join",   # X-136
+    "q412_grouped_percentile_refinement",  # X-137
+    "q413_signed_rank_test",     # X-138
 )
-# Window budget note: 6 + 19 + 20 + 5 fill the 50 exactly.  Every query past
+# Window budget note: 6 + 19 + 17 + 8 fill the 50 exactly.  Every query past
 # the window holds either a green driver row on the current engine from
 # rounds 3-5 (CORRECTNESS_r03/r04/r05 — 140 queries) or builder-drive
 # evidence (tools/verify/drive_vanilla.py full-registry run, 403/403 ALL

@@ -3093,3 +3093,123 @@ def q398_embedding_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("test_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-136: prefix-filtered set-similarity join (ppjoin-style, lossless)
+# ---------------------------------------------------------------------------
+
+_SSJ_ORACLE = r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               len(list_intersect(a.toks, b.toks)) AS inter,
+               len(a.toks) + len(b.toks)
+                   - len(list_intersect(a.toks, b.toks)) AS un
+        FROM t a JOIN t b ON a.doc_id % 10 = 0 AND a.doc_id < b.doc_id
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(inter AS BIGINT) AS n_inter,
+           CAST(un AS BIGINT) AS n_union,
+           ROUND(CAST(inter AS DOUBLE) / un, 6) AS jaccard
+    FROM pairs WHERE 10 * inter >= 9 * un
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query("q411_prefix_filter_join", oracle=_SSJ_ORACLE, tags=("X-136", "X-02"))
+def q411_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-FILTERED set-similarity join (the ppjoin family): all
+    (probe, corpus) document pairs with token-set Jaccard >= 0.9, where
+    candidate generation touches only each document's PREFIX — its
+    p = s - ceil(0.9*s) + 1 globally-rarest tokens under the canonical
+    (doc-frequency, token) total order. The prefix-filtering principle
+    makes this LOSSLESS for a similarity threshold: two sets with
+    J >= t MUST share a token inside both prefixes, so the candidate
+    join on prefix tokens (instead of ALL tokens) prunes the posting
+    lists to their rare tail without losing a single qualifying pair —
+    the deterministic-exact complement to X-02's probabilistic MinHash
+    banding (banding trades recall for pruning; prefixes prune for
+    free at high thresholds). The ORACLE is the direct definition
+    (all-pairs list_intersect), certifying algorithm == spec exactly
+    like q409.
+
+    Determinism: prefix length is pure integer arithmetic
+    (ceil(9s/10) = (9s+9) div 10); the threshold test is the exact
+    rational 10*inter >= 9*union — no float compare anywhere; the
+    jaccard readout rounds one IEEE division 6 dp.
+
+    Scale shape: postings shuffle once on the token key to pick up
+    global doc-frequencies; prefixes are a per-doc window over the
+    bounded per-doc token list; the candidate join runs ONLY on prefix
+    postings (the rare-token tail, where posting lists are shortest —
+    frequent tokens never generate candidates); verification joins the
+    deduped candidate pairs back to per-doc token ARRAYS (bounded by
+    doc length) and intersects map-side. No all-pairs stage exists on
+    the algorithm path at any scale.
+
+    Reference parity: beyond-reference; completes the dedup kit
+    (q40 exact, q41 MinHash-LSH, q42 SimHash, q43 n-gram Jaccard,
+    q44 embedding near-dup) with the threshold-exact join."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("toks"),
+    )
+    from pyspark.sql import Window  # noqa: PLC0415 — module convention
+
+    tok = docs.select("doc_id", F.explode("toks").alias("w"))
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
+    wdoc = Window.partitionBy("doc_id").orderBy("dfreq", "w")
+    ranked = (
+        tok.join(dfreq, "w")
+        .select(
+            "doc_id",
+            "w",
+            F.row_number().over(wdoc).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("s"),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.expr("s - ((9 * s + 9) DIV 10) + 1")
+    ).select("doc_id", "w")
+    probes = prefix.filter(F.col("doc_id") % 10 == 0)
+    cand = (
+        probes.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    arrs = docs.select("doc_id", "toks", F.size("toks").alias("s")).transform(stage)
+    ver = (
+        cand.join(arrs.select(F.col("doc_id").alias("da"), F.col("toks").alias("ta"),
+                              F.col("s").alias("sa")), "da")
+        .join(arrs.select(F.col("doc_id").alias("db"), F.col("toks").alias("tb"),
+                          F.col("s").alias("sb")), "db")
+        .select(
+            "da",
+            "db",
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("n_inter"),
+            (F.col("sa") + F.col("sb") - F.size(F.array_intersect("ta", "tb")))
+            .cast("long")
+            .alias("n_union"),
+        )
+        .filter(F.expr("10 * n_inter >= 9 * n_union"))
+    )
+    return (
+        ver.select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "n_inter",
+            "n_union",
+            F.round(F.col("n_inter") / F.col("n_union"), 6).alias("jaccard"),
+        )
+        .transform(pin)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -2049,3 +2049,115 @@ def q409_percentile_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("p")
     )
+
+
+_GREFINE_ORACLE = f"""
+    WITH pv AS (
+        SELECT event_type AS etype,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM events
+    ),
+    tot AS (
+        SELECT etype, CAST(COUNT(*) AS BIGINT) AS nn FROM pv GROUP BY etype
+    ),
+    t(p) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.95 AS DOUBLE))),
+    ks AS (
+        SELECT etype, p, nn, CAST(CEIL(p * nn) AS BIGINT) AS k
+        FROM tot CROSS JOIN t
+    ),
+    cnt AS (
+        SELECT etype, v, CAST(COUNT(*) AS BIGINT) AS m FROM pv GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT etype, v,
+               CAST(SUM(m) OVER (PARTITION BY etype ORDER BY v) AS BIGINT) AS cum
+        FROM cnt
+    ),
+    pick AS (
+        SELECT ks.etype, ks.p, ks.nn, ks.k, MIN(c.v) AS value_cents
+        FROM ks JOIN c ON c.etype = ks.etype AND c.cum >= ks.k
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT etype, p, nn AS n, k, value_cents // {_REFINE_W} AS bucket, value_cents
+    FROM pick
+    ORDER BY etype, p
+"""
+
+
+@query("q412_grouped_percentile_refinement", oracle=_GREFINE_ORACLE, tags=("X-137", "A-12"))
+def q412_grouped_percentile_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP exact p50/p95 by two-pass histogram refinement — q409
+    generalized to the grouped form every ops dashboard actually needs
+    (p95 latency per endpoint, p50 basket per type): pass A rolls the
+    fact onto (group, coarse-bucket) counts and locates each (group,
+    rank) target's crossing bucket via a group-partitioned cumulative
+    window over the BOUNDED bucket relation; pass B re-scans only rows
+    in the per-group target buckets for the exact in-bucket order
+    statistic. Per-group state is (domain/1024) counts — groups multiply
+    the bucket relation, never fact passes, and both fact touches stay
+    map-side-combinable rollups (no per-group sort, no distinct-value
+    window over the fact). The ORACLE is the direct per-group definition
+    (algorithm == spec, the q409 pattern).
+
+    Determinism: identical to q409 — exact integer counts, k =
+    ceil(p*n) one IEEE multiply+ceil per group, exact order statistic,
+    no interpolation.
+
+    Reference parity: beyond-reference; the grouped sibling of X-134,
+    beside q75's distinct-value grouped percentiles (right for narrow
+    domains) and X-40's mergeable sketch (approximate)."""
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    pv = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("etype"), cents.alias("v")
+    )
+    tot = pv.groupBy("etype").agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    ps = pv.sparkSession.createDataFrame([(0.5,), (0.95,)], "p double")
+    ks = tot.crossJoin(F.broadcast(ps)).select(
+        "etype", "p", "nn", F.ceil(F.col("p") * F.col("nn")).cast("long").alias("k")
+    )
+    buckets = pv.groupBy("etype", F.expr(f"v DIV {_REFINE_W}").alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    wb = (
+        Window.partitionBy("etype").orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bcum = buckets.select(
+        "etype",
+        "b",
+        F.sum("m").over(wb).cast("long").alias("cum"),
+        (F.sum("m").over(wb) - F.col("m")).cast("long").alias("cum_before"),
+    )
+    targets = (
+        ks.join(
+            F.broadcast(bcum.withColumnRenamed("etype", "betype")),
+            (F.col("betype") == F.col("etype"))
+            & (F.col("cum") >= F.col("k"))
+            & (F.col("cum_before") < F.col("k")),
+        )
+        .select("etype", "p", "nn", "k", "b", "cum_before")
+        .transform(stage)  # pass B's filter and the readout reuse it
+    )
+    inb = (
+        pv.join(
+            F.broadcast(targets.withColumnRenamed("etype", "tetype")),
+            (F.col("tetype") == F.col("etype"))
+            & (F.expr(f"v DIV {_REFINE_W}") == F.col("b")),
+        )
+        .groupBy("etype", "p", "nn", "k", "b", "cum_before", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    wv = (
+        Window.partitionBy("etype", "p")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hit = inb.select(
+        "etype", "p", "nn", "k", "b", "v",
+        (F.col("cum_before") + F.sum("m").over(wv)).alias("cumk"),
+    ).filter(F.col("cumk") >= F.col("k"))
+    return (
+        hit.groupBy("etype", "p", F.col("nn").alias("n"), "k", F.col("b").alias("bucket"))
+        .agg(F.min("v").cast("long").alias("value_cents"))
+        .transform(pin)
+        .orderBy("etype", "p")
+    )

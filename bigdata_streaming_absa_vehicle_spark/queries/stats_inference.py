@@ -1,5 +1,5 @@
 """Statistical-inference & sketch extensions (SURVEY.md §2K rows
-X-127..X-132): the nonparametric / multiple-testing / spectral /
+X-127..X-132 + X-138): the nonparametric / multiple-testing / spectral /
 regularized / robust / second-moment layer a measurement platform needs
 once the parametric basics (X-23 z-test, X-33 ANOVA, X-83 Welch/factorial)
 are in place —
@@ -21,7 +21,10 @@ are in place —
   the value-compressed relation;
 - q405: AMS tug-of-war F2 sketch vs the exact second frequency moment —
   the join/self-join size estimator that complements X-40's quantile and
-  A-13's cardinality sketches.
+  A-13's cardinality sketches;
+- q413: Wilcoxon signed-rank test of per-user weekend-vs-weekday spend —
+  the PAIRED nonparametric twin of q400's independent-sample U, on exact
+  integer differences with the same half-unit midrank discipline.
 
 Determinism: counts, ranks, moments, counters are exact integers or
 decimals; every libm call (exp in q401) follows the q120/q203 pinned-
@@ -1101,4 +1104,137 @@ def q405_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("est_median") - F.col("f2_exact")) / F.col("f2_exact"), 6
             ).alias("rel_err_median"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-138: Wilcoxon signed-rank test (paired weekend-vs-weekday per user)
+# ---------------------------------------------------------------------------
+
+_SIGNED_RANK_ORACLE = f"""
+    WITH pu AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN dayofweek(date_trunc('day', ts)) + 1 IN (1, 7)
+                        THEN {_CENTS_SQL} ELSE 0 END) AS BIGINT)
+               - CAST(SUM(CASE WHEN dayofweek(date_trunc('day', ts)) + 1 IN (1, 7)
+                          THEN 0 ELSE {_CENTS_SQL} END) AS BIGINT) AS d
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    nz AS (SELECT d FROM pu WHERE d <> 0),
+    grp AS (
+        SELECT abs(d) AS a,
+               CAST(COUNT(*) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS npos
+        FROM nz GROUP BY 1
+    ),
+    rk AS (
+        SELECT a, n_a, npos,
+               CAST(COALESCE(SUM(n_a) OVER (ORDER BY a
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum
+        FROM grp
+    ),
+    agg AS (
+        SELECT CAST(SUM(n_a) AS BIGINT) AS n,
+               CAST(SUM(npos) AS BIGINT) AS n_pos,
+               CAST(SUM(CAST(npos AS HUGEINT) * (2 * cum + n_a + 1))
+                    AS HUGEINT) AS w2,
+               CAST(SUM(CAST(n_a AS HUGEINT) * n_a * n_a - n_a)
+                    AS HUGEINT) AS tie3
+        FROM rk
+    )
+    SELECT n AS n_nonzero, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg,
+           CAST(w2 AS DOUBLE) / 2 AS w_plus,
+           (2 * CAST(w2 AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1))
+           / (4 * sqrt((2.0 * n * (n + 1) * (2 * n + 1)
+                        - CAST(tie3 AS DOUBLE)) / 48)) AS z_score
+    FROM agg
+"""
+
+
+@query("q413_signed_rank_test", oracle=_SIGNED_RANK_ORACLE, tags=("X-138", "A-12"))
+def q413_signed_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon SIGNED-RANK test of per-user weekend-vs-weekday purchase
+    spend — the PAIRED nonparametric location test (each user is their
+    own control: d_u = weekend cents - weekday cents, exact integers),
+    completing the rank-test kit: X-127's Mann-Whitney compares two
+    INDEPENDENT samples, q342's paired t assumes near-normal
+    differences, this ranks the within-pair differences and stays valid
+    on heavy-tailed spend. Standard treatment: zero differences drop,
+    ties midrank, W+ = rank-sum of positive differences, normal
+    approximation with the tie correction.
+
+    Determinism (the q400 half-unit discipline): differences are exact
+    integer cents, so |d| groups exactly; 2*midrank = 2*cum_before +
+    n_a + 1 is an exact integer, hence 2*W+ and the tie term sum(t^3-t)
+    are exact integers; z = (4W - n(n+1)) / (4*sqrt((2n(n+1)(2n+1) -
+    tie3)/48)) is ONE fixed-shape IEEE expression over those integers
+    (sqrt correctly rounded — no libm risk); W+ reads out as an exact
+    half-integer double.
+
+    Scale shape: ONE map-side-combined fact rollup to per-user signed
+    integer differences, a second rollup to the DISTINCT-|d| relation
+    (ties ARE the value compression — never a per-row rank), a
+    cumulative window over that bounded relation, and a 4-term rollup
+    to a single row.
+
+    Reference parity: beyond-reference; the paired sibling of X-127."""
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    wk = F.dayofweek(F.date_trunc("day", F.col("ts"))).isin(1, 7)
+    pu = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.when(wk, cents).otherwise(0))
+                - F.sum(F.when(wk, F.lit(0)).otherwise(cents))
+            )
+            .cast("long")
+            .alias("d")
+        )
+    )
+    grp = (
+        pu.filter(F.col("d") != 0)
+        .groupBy(F.abs(F.col("d")).alias("a"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_a"),
+            F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("long").alias("npos"),
+        )
+    )
+    w = Window.orderBy("a").rowsBetween(Window.unboundedPreceding, -1)
+    d38 = "decimal(38,0)"
+    rk = grp.select(
+        "a", "n_a", "npos", F.coalesce(F.sum("n_a").over(w), F.lit(0)).cast("long").alias("cum")
+    )
+    agg = rk.agg(
+        F.sum("n_a").cast("long").alias("n"),
+        F.sum("npos").cast("long").alias("n_pos"),
+        F.sum(F.col("npos").cast(d38) * (2 * F.col("cum") + F.col("n_a") + 1))
+        .cast(d38)
+        .alias("w2"),
+        F.sum(F.col("n_a").cast(d38) * F.col("n_a") * F.col("n_a") - F.col("n_a"))
+        .cast(d38)
+        .alias("tie3"),
+    )
+    nD = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").alias("n_nonzero"),
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).cast("long").alias("n_neg"),
+        (F.col("w2").cast("double") / 2).alias("w_plus"),
+        (
+            (2 * F.col("w2").cast("double") - nD * (F.col("n") + 1))
+            / (
+                4
+                * F.sqrt(
+                    (
+                        2.0 * F.col("n") * (F.col("n") + 1) * (2 * F.col("n") + 1)
+                        - F.col("tie3").cast("double")
+                    )
+                    / 48
+                )
+            )
+        ).alias("z_score"),
     )
