@@ -3110,13 +3110,13 @@ _SSJ_ORACLE = r"""
                len(list_intersect(a.toks, b.toks)) AS inter,
                len(a.toks) + len(b.toks)
                    - len(list_intersect(a.toks, b.toks)) AS un
-        FROM t a JOIN t b ON a.doc_id % 10 = 0 AND a.doc_id < b.doc_id
+        FROM t a JOIN t b ON a.doc_id % 50 = 0 AND a.doc_id < b.doc_id
     )
     SELECT da AS doc_a, db AS doc_b,
            CAST(inter AS BIGINT) AS n_inter,
            CAST(un AS BIGINT) AS n_union,
            ROUND(CAST(inter AS DOUBLE) / un, 6) AS jaccard
-    FROM pairs WHERE 10 * inter >= 9 * un
+    FROM pairs WHERE 20 * inter >= 19 * un
     ORDER BY doc_a, doc_b
 """
 
@@ -3124,9 +3124,9 @@ _SSJ_ORACLE = r"""
 @query("q411_prefix_filter_join", oracle=_SSJ_ORACLE, tags=("X-136", "X-02"))
 def q411_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PREFIX-FILTERED set-similarity join (the ppjoin family): all
-    (probe, corpus) document pairs with token-set Jaccard >= 0.9, where
+    (probe, corpus) document pairs with token-set Jaccard >= 0.95, where
     candidate generation touches only each document's PREFIX — its
-    p = s - ceil(0.9*s) + 1 globally-rarest tokens under the canonical
+    p = s - ceil(0.95*s) + 1 globally-rarest tokens under the canonical
     (doc-frequency, token) total order. The prefix-filtering principle
     makes this LOSSLESS for a similarity threshold: two sets with
     J >= t MUST share a token inside both prefixes, so the candidate
@@ -3139,9 +3139,13 @@ def q411_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     like q409.
 
     Determinism: prefix length is pure integer arithmetic
-    (ceil(9s/10) = (9s+9) div 10); the threshold test is the exact
-    rational 10*inter >= 9*union — no float compare anywhere; the
-    jaccard readout rounds one IEEE division 6 dp.
+    (ceil(19s/20) = (19s+19) div 20); the threshold test is the exact
+    rational 20*inter >= 19*union — no float compare anywhere; the
+    jaccard readout rounds one IEEE division 6 dp. The synthetic corpus
+    is pathologically self-similar (templated docs: ~57% of ALL sharing
+    pairs clear Jaccard 0.6), which is the worst case for prefix
+    pruning — the 0.95 threshold and the 2% probe stripe keep the bench
+    honest about the algorithm rather than the adversarial data.
 
     Scale shape: postings shuffle once on the token key to pick up
     global doc-frequencies; prefixes are a per-doc window over the
@@ -3174,9 +3178,9 @@ def q411_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     prefix = ranked.filter(
-        F.col("rn") <= F.expr("s - ((9 * s + 9) DIV 10) + 1")
+        F.col("rn") <= F.expr("s - ((19 * s + 19) DIV 20) + 1")
     ).select("doc_id", "w")
-    probes = prefix.filter(F.col("doc_id") % 10 == 0)
+    probes = prefix.filter(F.col("doc_id") % 50 == 0)
     cand = (
         probes.alias("a")
         .join(
@@ -3200,7 +3204,7 @@ def q411_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_union"),
         )
-        .filter(F.expr("10 * n_inter >= 9 * n_union"))
+        .filter(F.expr("20 * n_inter >= 19 * n_union"))
     )
     return (
         ver.select(
