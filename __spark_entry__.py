@@ -116,23 +116,22 @@ _WINDOW_PRIORITY = (
     "q205_pareto_frontier",      # X-44
     "q211_rfm_segmentation",     # X-45
     "q243_fd_discovery",         # X-47
-    "q244_powerlaw_tail",        # X-48
-    "q245_brand_momentum",       # X-49
     "q258_simpsons_audit",       # X-60
-    # (Eight original set-cover slots were displaced by the eight round-6
+    # (Ten original set-cover slots were displaced by the ten round-6
     # additions below: q259/X-63, q250/X-54, q251/X-55, q254/X-58,
-    # q255/X-59, q247/X-51, q248/X-53, q249/X-52.  All eight displaced
-    # queries lead round 7's tier-1 set, so net ID coverage shifts one
-    # round while the NEW code gets same-round driver certification.)
+    # q255/X-59, q247/X-51, q248/X-53, q249/X-52, q244/X-48,
+    # q245/X-49.  All ten displaced queries lead round 7's tier-1 set, so
+    # net ID coverage shifts one round while the NEW code gets same-round
+    # driver certification.)
     # -- Tier 4: the round-6 additions, certified the round they were
     # written (the no-new-backlog rule).  q406/q407 hash-certify the REAL
     # pixel decode + nearest-neighbor resize kernels (pure-Python
     # PPM/PGM/BMP codec behind decode_image_pixels/resize_pixels), flipping
-    # S-08 from `partial` to done (VERDICT r5 item 5); q408-q413 are the
-    # round-6 §2K extensions X-133..X-138 (DP rollup export, two-pass
+    # S-08 from `partial` to done (VERDICT r5 item 5); q408-q415 are the
+    # round-6 §2K extensions X-133..X-140 (DP rollup export, two-pass
     # percentile refinement — ungrouped and grouped, JL projection +
     # distortion audit, prefix-filtered set-similarity join, Wilcoxon
-    # signed-rank test). --
+    # signed-rank test, stratified ATE, IPF raking weights). --
     "q406_pixel_decode",         # S-08 (pixel kernel) + X-05
     "q407_pixel_resize",         # S-08 (resample kernel) + X-05
     "q408_dp_rollup",            # X-133
@@ -141,8 +140,10 @@ _WINDOW_PRIORITY = (
     "q411_prefix_filter_join",   # X-136
     "q412_grouped_percentile_refinement",  # X-137
     "q413_signed_rank_test",     # X-138
+    "q414_stratified_ate",       # X-139
+    "q415_raking_weights",       # X-140
 )
-# Window budget note: 6 + 19 + 17 + 8 fill the 50 exactly.  Every query past
+# Window budget note: 6 + 19 + 15 + 10 fill the 50 exactly.  Every query past
 # the window holds either a green driver row on the current engine from
 # rounds 3-5 (CORRECTNESS_r03/r04/r05 — 140 queries) or builder-drive
 # evidence (tools/verify/drive_vanilla.py full-registry run, 403/403 ALL

@@ -3224,3 +3224,147 @@ def q396_rollup_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("w")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-140: raking / iterative proportional fitting (2 rounds) to population margins
+# ---------------------------------------------------------------------------
+
+_RAKE_ORACLE = """
+    WITH samp AS (
+        SELECT event_type AS etype,
+               dayofweek(date_trunc('day', ts)) + 1 AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE user_id % 7 = 0 GROUP BY 1, 2
+    ),
+    trow AS (
+        SELECT event_type AS etype, CAST(COUNT(*) AS BIGINT) AS tgt
+        FROM events GROUP BY 1
+    ),
+    tcol AS (
+        SELECT dayofweek(date_trunc('day', ts)) + 1 AS dow,
+               CAST(COUNT(*) AS BIGINT) AS tgt
+        FROM events GROUP BY 1
+    ),
+    w0 AS (SELECT etype, dow, n, CAST(1 AS DECIMAL(18,9)) AS w FROM samp),
+    r1 AS (
+        SELECT w0.etype, w0.dow, w0.n,
+               CAST(ROUND(w0.w * f.f, 9) AS DECIMAL(18,9)) AS w
+        FROM w0 JOIN (
+            SELECT w0.etype,
+                   ROUND(CAST(t.tgt AS DOUBLE)
+                         / CAST(SUM(w0.n * w0.w) AS DOUBLE), 9) AS f
+            FROM w0 JOIN trow t USING (etype) GROUP BY w0.etype, t.tgt
+        ) f USING (etype)
+    ),
+    c1 AS (
+        SELECT r1.etype, r1.dow, r1.n,
+               CAST(ROUND(r1.w * f.f, 9) AS DECIMAL(18,9)) AS w
+        FROM r1 JOIN (
+            SELECT r1.dow,
+                   ROUND(CAST(t.tgt AS DOUBLE)
+                         / CAST(SUM(r1.n * r1.w) AS DOUBLE), 9) AS f
+            FROM r1 JOIN tcol t USING (dow) GROUP BY r1.dow, t.tgt
+        ) f USING (dow)
+    ),
+    r2 AS (
+        SELECT c1.etype, c1.dow, c1.n,
+               CAST(ROUND(c1.w * f.f, 9) AS DECIMAL(18,9)) AS w
+        FROM c1 JOIN (
+            SELECT c1.etype,
+                   ROUND(CAST(t.tgt AS DOUBLE)
+                         / CAST(SUM(c1.n * c1.w) AS DOUBLE), 9) AS f
+            FROM c1 JOIN trow t USING (etype) GROUP BY c1.etype, t.tgt
+        ) f USING (etype)
+    ),
+    c2 AS (
+        SELECT r2.etype, r2.dow, r2.n,
+               CAST(ROUND(r2.w * f.f, 9) AS DECIMAL(18,9)) AS w
+        FROM r2 JOIN (
+            SELECT r2.dow,
+                   ROUND(CAST(t.tgt AS DOUBLE)
+                         / CAST(SUM(r2.n * r2.w) AS DOUBLE), 9) AS f
+            FROM r2 JOIN tcol t USING (dow) GROUP BY r2.dow, t.tgt
+        ) f USING (dow)
+    )
+    SELECT etype, dow, n AS n_sample,
+           CAST(w AS DOUBLE) AS weight,
+           ROUND(CAST(n * w AS DOUBLE), 3) AS weighted_count
+    FROM c2
+    ORDER BY etype, dow
+"""
+
+
+@query("q415_raking_weights", oracle=_RAKE_ORACLE, tags=("X-140", "A-02"))
+def q415_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKING (iterative proportional fitting, two full row/column
+    rounds): reweight a 1-in-7 user panel's (event type x day-of-week)
+    cell counts to the FULL population's type and weekday marginals —
+    the survey/panel calibration step every platform needs before
+    reading metrics off a sampled or skewed panel (q305 aligns
+    distributions by quantiles; raking aligns CATEGORICAL margins and
+    yields per-cell weights downstream aggregations can carry). Two
+    rounds suffice to certify the mechanism; more rounds repeat the
+    same dataflow.
+
+    Determinism: cell counts and marginal targets are exact integers;
+    weights live in DECIMAL(18,9) — each factor is ONE IEEE division
+    (integer target / exact-decimal-sum-cast-double) ROUNDED 9 dp (the
+    q120 pinned-rounding discipline), each weight update one decimal
+    multiply re-rounded 9 dp — so both engines iterate on bit-identical
+    operands and the cross-cell marginal sums are order-independent
+    exact decimals.
+
+    Scale shape: TWO map-side-combined fact rollups (sample cells,
+    population margins) and then four factor steps over the BOUNDED
+    35-cell grid with broadcast factor joins — iteration cost is
+    O(cells), independent of fact size; the weight table re-enters
+    production aggregates as a broadcast.
+
+    Reference parity: beyond-reference; the calibration sibling of
+    q332's Neyman allocation (which sizes a future sample; raking
+    corrects the one you already have)."""
+    ev = load(spark, sf_dir, "events")
+    dow = F.dayofweek(F.date_trunc("day", F.col("ts")))
+    samp = (
+        ev.filter(F.col("user_id") % 7 == 0)
+        .groupBy(F.col("event_type").alias("etype"), dow.alias("dow"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    trow = ev.groupBy(F.col("event_type").alias("etype")).agg(
+        F.count(F.lit(1)).cast("long").alias("tgt")
+    )
+    tcol = ev.groupBy(dow.alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("tgt")
+    )
+    d189 = "decimal(18,9)"
+    cur = samp.withColumn("w", F.lit(1).cast(d189)).transform(stage)
+    for axis, tgt in (("etype", trow), ("dow", tcol), ("etype", trow), ("dow", tcol)):
+        factors = (
+            cur.join(F.broadcast(tgt), axis)
+            .groupBy(axis, "tgt")
+            .agg(F.sum(F.col("n") * F.col("w")).alias("cursum"))
+            .select(
+                axis,
+                F.round(
+                    F.col("tgt").cast("double") / F.col("cursum").cast("double"), 9
+                ).alias("f"),
+            )
+        )
+        cur = cur.join(F.broadcast(factors), axis).select(
+            "etype",
+            "dow",
+            "n",
+            F.round(F.col("w") * F.col("f"), 9).cast(d189).alias("w"),
+        )
+    return (
+        cur.select(
+            "etype",
+            "dow",
+            F.col("n").alias("n_sample"),
+            F.col("w").cast("double").alias("weight"),
+            F.round((F.col("n") * F.col("w")).cast("double"), 3).alias("weighted_count"),
+        )
+        .transform(pin)
+        .orderBy("etype", "dow")
+    )

@@ -3646,3 +3646,169 @@ def q364_topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
         .orderBy("full_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-139: stratified (subclassification) ATE with common-support audit
+# ---------------------------------------------------------------------------
+
+_SATE_ORACLE = """
+    WITH u AS (
+        SELECT user_id,
+               CAST(MAX(CASE WHEN event_type = 'signup'
+                             AND ts < TIMESTAMP '2024-01-03 00:00:00'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS t,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y,
+               CAST(SUM(CASE WHEN event_type NOT IN ('purchase', 'signup')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS act
+        FROM events GROUP BY user_id
+    ),
+    s AS (SELECT *, LEAST(act // 10, 9) AS strat FROM u),
+    cell AS (
+        SELECT strat,
+               CAST(SUM(t) AS BIGINT) AS n_t,
+               CAST(SUM(1 - t) AS BIGINT) AS n_c,
+               CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS y_t,
+               CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS y_c
+        FROM s GROUP BY strat
+    ),
+    supp AS (SELECT * FROM cell WHERE n_t > 0 AND n_c > 0),
+    ate AS (
+        SELECT CAST(SUM(n_t + n_c) AS BIGINT) AS n_common,
+               CAST(COUNT(*) AS BIGINT) AS n_support_strata,
+               CAST(SUM(
+                   CAST(ROUND(CAST(y_t AS DOUBLE) / n_t
+                              - CAST(y_c AS DOUBLE) / n_c, 6)
+                        AS DECIMAL(28,6)) * (n_t + n_c)) AS DOUBLE)
+               / SUM(n_t + n_c) AS ate_cents
+        FROM supp
+    ),
+    naive AS (
+        SELECT ROUND(CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS DOUBLE)
+                         / SUM(t)
+                     - CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS DOUBLE)
+                         / SUM(1 - t), 6) AS naive_diff_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(t) AS BIGINT) AS n_treated,
+               CAST(COUNT(*) - SUM(t) AS BIGINT) AS n_control,
+               CAST(COUNT(DISTINCT LEAST(act // 10, 9)) AS BIGINT) AS n_strata
+        FROM s
+    )
+    SELECT n_users, n_treated, n_control, n_strata, n_support_strata,
+           n_common,
+           ROUND(CAST(n_common AS DOUBLE) / n_users, 6) AS support_share,
+           naive_diff_cents,
+           ROUND(ate_cents, 6) AS ate_cents
+    FROM naive CROSS JOIN ate
+"""
+
+
+@query("q414_stratified_ate", oracle=_SATE_ORACLE, tags=("X-139", "X-71", "A-12"))
+def q414_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (subclassification) AVERAGE TREATMENT EFFECT with a
+    common-support audit — the workhorse observational-causal estimator
+    between q267's difference-in-differences (needs a before/after) and
+    q279's Mantel-Haenszel (binary outcomes): treatment = EARLY signup
+    (within the window's first two days — both arms exist at every test
+    scale factor; the exposure-window design is standard when everyone
+    eventually converts), outcome = lifetime purchase cents, strata =
+    activity deciles over NON-outcome events (the confounder: active
+    users both sign up earlier and buy more). Within each stratum the treated-minus-
+    control mean difference is (approximately) confounder-free; the ATE
+    re-weights those differences by stratum size OVER THE COMMON SUPPORT
+    only (strata holding both arms), and the report carries the naive
+    unadjusted difference beside it — the audit row every causal readout
+    should ship: no-support strata are EXCLUDED and counted, never
+    silently extrapolated.
+
+    Determinism: outcomes are exact integer cents; each within-stratum
+    difference is ROUNDED 6 dp then held in decimal(28,6) for the
+    stratum-weighted sum (the q120 discipline — the cross-strata sum is
+    order-independent exact decimal), divided once by the common-support
+    size; the naive contrast is one fixed-shape IEEE expression.
+
+    Scale shape: ONE map-side-combined fact rollup to per-user
+    (treatment, outcome, activity), a second rollup onto the BOUNDED
+    stratum grid (10 cells x 4 sums, A-14-mergeable), and scalar
+    readouts. Nothing scales with users except the two rollups.
+
+    Reference parity: beyond-reference; completes the causal kit (q267
+    DiD, q279 MH odds, q273 removal effects, q300 IPS, q310 control-
+    series, q312 Shapley, q318 uplift) with the stratification
+    estimator."""
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "signup")
+                    & (F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("t"),
+            F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+            .cast("long")
+            .alias("y"),
+            F.sum(
+                F.when(~F.col("event_type").isin("purchase", "signup"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("act"),
+        )
+        .withColumn("strat", F.least(F.expr("act DIV 10"), F.lit(9)))
+        .transform(stage)  # the stratum grid and the naive contrast reuse it
+    )
+    cell = u.groupBy("strat").agg(
+        F.sum("t").cast("long").alias("n_t"),
+        F.sum(1 - F.col("t")).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0)).cast("long").alias("y_t"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0)).cast("long").alias("y_c"),
+    )
+    supp = cell.filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    ate = supp.agg(
+        F.sum(F.col("n_t") + F.col("n_c")).cast("long").alias("n_common"),
+        F.count(F.lit(1)).cast("long").alias("n_support_strata"),
+        (
+            F.sum(
+                F.round(
+                    F.col("y_t").cast("double") / F.col("n_t")
+                    - F.col("y_c").cast("double") / F.col("n_c"),
+                    6,
+                ).cast("decimal(28,6)")
+                * (F.col("n_t") + F.col("n_c"))
+            ).cast("double")
+            / F.sum(F.col("n_t") + F.col("n_c"))
+        ).alias("ate_raw"),
+    )
+    naive = u.agg(
+        F.round(
+            F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0)).cast("double")
+            / F.sum("t")
+            - F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0)).cast("double")
+            / F.sum(1 - F.col("t")),
+            6,
+        ).alias("naive_diff_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("t").cast("long").alias("n_treated"),
+        (F.count(F.lit(1)) - F.sum("t")).cast("long").alias("n_control"),
+        F.countDistinct("strat").cast("long").alias("n_strata"),
+    )
+    return naive.crossJoin(F.broadcast(ate)).select(
+        "n_users",
+        "n_treated",
+        "n_control",
+        "n_strata",
+        "n_support_strata",
+        "n_common",
+        F.round(F.col("n_common").cast("double") / F.col("n_users"), 6).alias(
+            "support_share"
+        ),
+        "naive_diff_cents",
+        F.round(F.col("ate_raw"), 6).alias("ate_cents"),
+    )
