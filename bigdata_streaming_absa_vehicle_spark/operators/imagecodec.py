@@ -11,11 +11,10 @@ Real encoders/decoders for the two classic UNCOMPRESSED raster formats:
 These are not stand-ins: ``decode_image`` parses any valid file of these
 formats byte-for-byte (the same work ``cv2.imdecode`` does for .ppm/.bmp,
 reference parity: projects/vehicle_count/scripts/vehicle_consumer.py:81-83,
-which np.frombuffer+imdecodes JPEG payloads). JPEG/PNG entropy coding stays
-behind the cv2/PIL gate in :mod:`.multimodal` — vendoring a DCT/inflate
-implementation would be slow Python in the hot path for no oracle value,
-while the uncompressed formats give the pixel kernel a real, hash-certifiable
-byte-level contract TODAY and auto-yield to cv2/PIL when present.
+which np.frombuffer+imdecodes JPEG payloads). Baseline sequential grayscale
+JPEG dispatches to the vendored entropy decoder (:mod:`.jpegcodec`, certified
+by q416); progressive/color JPEG and PNG remain behind the cv2/PIL gate in
+:mod:`.multimodal` and auto-activate when those libraries exist.
 
 Everything here is called from Arrow-batched ``mapInPandas`` workers; payloads
 never pass through the driver.
@@ -112,6 +111,10 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
     dib_size = struct.unpack_from("<I", payload, 14)[0]
     if dib_size < 40:
         raise ValueError("pre-BITMAPINFOHEADER BMP not supported")
+    if data_offset < 14 + dib_size:
+        # a crafted offset pointing back into the headers would "decode"
+        # header bytes as pixels instead of failing (ADVICE r6)
+        raise ValueError("BMP data offset points inside the headers")
     width, height = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
@@ -138,14 +141,21 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a PPM (P6), PGM (P5), or 24-bit uncompressed BMP payload to
-    ``(width, height, n_channels, pixels)`` with `pixels` row-major top-down
-    RGB-interleaved (grayscale: one byte per pixel). Raises ValueError on
-    anything else — callers drop undecodable payloads, mirroring the
-    ``cv2.imdecode(...) is None`` contract."""
+    """Decode a PPM (P6), PGM (P5), 24-bit uncompressed BMP, or baseline
+    sequential grayscale JPEG payload to ``(width, height, n_channels,
+    pixels)`` with `pixels` row-major top-down RGB-interleaved (grayscale:
+    one byte per pixel). Raises ValueError on anything else — callers drop
+    undecodable payloads, mirroring the ``cv2.imdecode(...) is None``
+    contract. JPEG entropy decode is the vendored pure-Python baseline
+    decoder (:mod:`.jpegcodec`); progressive/color JPEG and PNG still need
+    the cv2/PIL backend rungs."""
     head = payload[:2]
     if head in (b"P6", b"P5"):
         return _decode_netpbm(payload)
     if head == b"BM":
         return _decode_bmp(payload)
-    raise ValueError("unrecognized image magic (PPM/PGM/BMP supported)")
+    if head == b"\xff\xd8":
+        from .jpegcodec import decode_jpeg  # noqa: PLC0415
+
+        return decode_jpeg(payload)
+    raise ValueError("unrecognized image magic (PPM/PGM/BMP/baseline-JPEG supported)")

@@ -8,9 +8,10 @@ tiers exist:
   pixel work; documented, reproducible, oracle-checkable), and
 - `decode_image_pixels` — a REAL pixel kernel: cv2/Pillow when importable
   (the reference's cv2.imdecode UDF, vehicle_consumer.py:81-83), else the
-  vendored pure-Python codec (`.imagecodec`) that byte-level-decodes
-  uncompressed PPM/PGM/BMP — hash-certified end-to-end by q406_pixel_decode.
-  Only JPEG/PNG entropy decode remains gated on cv2/PIL.
+  vendored pure-Python codecs (`.imagecodec` for uncompressed PPM/PGM/BMP,
+  `.jpegcodec` for baseline sequential grayscale JPEG) — hash-certified
+  end-to-end by q406_pixel_decode and q416_jpeg_decode. Only color/
+  progressive JPEG and PNG entropy decode remain gated on cv2/PIL.
 
 At scale: payloads never pass through the driver; mapInPandas streams Arrow
 batches executor-side, and metadata-only queries (dimensions, content hash)
@@ -82,10 +83,11 @@ DECODED_PIXELS_SCHEMA = (
 
 def _pixel_backend():
     """('cv2'|'pil'|'pure', module) — cv2 then Pillow when importable (full
-    JPEG/PNG coverage), else the vendored pure-Python codec in
-    :mod:`.imagecodec` (uncompressed PPM/PGM/BMP — a REAL byte-level decoder,
-    not a stub). Resolved at call time so dropping cv2 or Pillow into the
-    environment widens format coverage with zero code change."""
+    JPEG/PNG coverage), else the vendored pure-Python codecs in
+    :mod:`.imagecodec` (uncompressed PPM/PGM/BMP + baseline grayscale JPEG
+    via :mod:`.jpegcodec` — REAL byte-level decoders, not stubs). Resolved
+    at call time so dropping cv2 or Pillow into the environment widens
+    format coverage with zero code change."""
     try:
         import cv2  # noqa: PLC0415
 
@@ -100,6 +102,29 @@ def _pixel_backend():
         from . import imagecodec  # noqa: PLC0415
 
         return ("pure", imagecodec)
+
+
+def _decode_to_array(kind, mod, payload):
+    """Decode one payload with the resolved backend rung to an (h, w[, c])
+    uint8 numpy array, or None when the rung cannot decode it (the
+    cv2.imdecode drop-don't-kill contract, shared by decode_image_pixels and
+    resize_pixels so both walk the SAME ladder — ADVICE r6 item 1)."""
+    import numpy as np  # noqa: PLC0415
+
+    if kind == "cv2":
+        return mod.imdecode(np.frombuffer(payload, np.uint8), mod.IMREAD_UNCHANGED)
+    if kind == "pil":
+        import io  # noqa: PLC0415
+
+        try:
+            return np.asarray(mod.open(io.BytesIO(payload)))
+        except Exception:
+            return None
+    try:
+        w, h, c, pixels = mod.decode_image(bytes(payload))
+    except ValueError:
+        return None
+    return np.frombuffer(pixels, np.uint8).reshape((h, w) if c == 1 else (h, w, c))
 
 
 def decode_image_pixels(media: DataFrame) -> DataFrame:
@@ -120,39 +145,20 @@ def decode_image_pixels(media: DataFrame) -> DataFrame:
         kind, mod = _pixel_backend()  # re-resolve on the worker
         rows: dict[str, list] = {k: [] for k in
                                  ("doc_id", "width", "height", "n_channels", "mean_intensity")}
-
-        def emit(did, w, h, c, mean):
-            rows["doc_id"].append(did)
-            rows["width"].append(w)
-            rows["height"].append(h)
-            rows["n_channels"].append(c)
-            rows["mean_intensity"].append(mean)
-
         for pdf in it:
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                if kind == "cv2":
-                    arr = mod.imdecode(np.frombuffer(payload, np.uint8), mod.IMREAD_UNCHANGED)
-                    if arr is None:
-                        continue  # undecodable payload: drop, don't kill the task
-                elif kind == "pil":
-                    import io  # noqa: PLC0415
-
-                    try:
-                        arr = np.asarray(mod.open(io.BytesIO(payload)))
-                    except Exception:
-                        continue
-                else:
-                    try:
-                        w, h, c, pixels = mod.decode_image(bytes(payload))
-                    except ValueError:
-                        continue  # e.g. a JPEG without cv2/PIL: same drop contract
-                    # exact integer sum / count — bit-identical to np.mean on
-                    # a uint8 array (both are exact-int-sum-in-f64 / n)
-                    emit(did, w, h, c, sum(pixels) / len(pixels))
-                    continue
+                arr = _decode_to_array(kind, mod, payload)
+                if arr is None:
+                    continue  # undecodable payload: drop, don't kill the task
                 h, w = arr.shape[:2]
                 c = 1 if arr.ndim == 2 else arr.shape[2]
-                emit(did, w, h, c, float(arr.astype(np.float64).mean()))
+                rows["doc_id"].append(did)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_channels"].append(c)
+                # exact integer sum / count: deterministic, closed-form
+                # checkable (and equal to np.mean on uint8 input)
+                rows["mean_intensity"].append(int(arr.sum(dtype=np.int64)) / arr.size)
         if rows["doc_id"]:
             yield pd.DataFrame(rows)
 
@@ -225,36 +231,36 @@ RESIZED_PIXELS_SCHEMA = (
 
 def resize_pixels(media: DataFrame, max_dim: int = 16) -> DataFrame:
     """REAL aspect-preserving resize: decode the payload with the
-    :func:`_pixel_backend` ladder's pure codec, then NEAREST-NEIGHBOR
-    resample — out pixel (x, y) reads src pixel
+    :func:`_pixel_backend` ladder (cv2 -> PIL -> the vendored pure codec,
+    same rung resolution as :func:`decode_image_pixels` — ADVICE r6 item 1),
+    then NEAREST-NEIGHBOR resample — out pixel (x, y) reads src pixel
     (floor(x*w/ow), floor(y*h/oh)) — and report the resampled mean. The
     index arithmetic is pure integer math, so the result is deterministic
-    and closed-form-checkable (q407). Geometry contract matches
-    :func:`resize_images`: fit into max_dim x max_dim, never upscale.
-    Undecodable payloads drop (the imdecode contract). Runs Arrow-batched
-    executor-side; payloads never visit the driver."""
+    and closed-form-checkable (q407) on every rung. Geometry contract
+    matches :func:`resize_images`: fit into max_dim x max_dim, never
+    upscale. Undecodable payloads drop (the imdecode contract). Runs
+    Arrow-batched executor-side; payloads never visit the driver."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # noqa: PLC0415
 
-        from .imagecodec import decode_image  # noqa: PLC0415
-
+        kind, mod = _pixel_backend()  # re-resolve on the worker
         rows: dict[str, list] = {
             k: []
             for k in ("doc_id", "in_width", "in_height", "out_width", "out_height", "out_mean")
         }
         for pdf in it:
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                try:
-                    w, h, c, px = decode_image(bytes(payload))
-                except ValueError:
+                arr = _decode_to_array(kind, mod, payload)
+                if arr is None:
                     continue
+                h, w = arr.shape[:2]
+                c = 1 if arr.ndim == 2 else arr.shape[2]
                 scale_num, scale_den = (max_dim, max(w, h)) if max(w, h) > max_dim else (1, 1)
                 ow = max(w * scale_num // scale_den, 1)
                 oh = max(h * scale_num // scale_den, 1)
                 # vectorized gather: same floor-index math as the scalar
                 # form (y*h//oh, x*w//ow), O(out pixels) C time
-                arr = np.frombuffer(px, np.uint8).reshape(h, w, c)
                 ys = (np.arange(oh, dtype=np.int64) * h) // oh
                 xs = (np.arange(ow, dtype=np.int64) * w) // ow
                 sampled = arr[np.ix_(ys, xs)]

@@ -1986,11 +1986,20 @@ def q408_dp_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     backfill-reproducible) and the 129 CDF values are driver-precomputed
     17-sig-digit double literals injected into BOTH engines (the q402
     basis-table pattern), with CDF(64) pinned to exactly 1.0. Every
-    operand of the pick is bit-identical across engines. Truncation to
-    |k| <= 64 leaves tail mass ~2e-29 — a (1, 2e-29)-DP mechanism, noted
-    rather than hidden. A PRODUCTION export would hash a rotating secret
-    salt instead of a constant, trading replayability for
-    unpredictability; the mechanism and its calibration are unchanged.
+    operand of the pick is bit-identical across engines.
+
+    Privacy claim, stated precisely (ADVICE r6): the noise is
+    DP-CALIBRATED (truncated discrete Laplace at eps=1, sensitivity 1,
+    tail mass ~2e-29 from the |k| <= 64 truncation) but, AS CONFIGURED,
+    the mechanism is NOT differentially private — the draw is a
+    deterministic function of the public cell key under the constant
+    salt 'dp408:', so the release is exactly invertible by anyone who
+    can recompute the hash. The query certifies the MECHANISM
+    (calibration, inverse-CDF pick, post-processing clamp) under a
+    replayable seed; a private deployment must substitute a secret,
+    non-replayable salt, at which point the (1, ~2e-29)-DP guarantee
+    attaches. The epsilon column is the calibration parameter, not an
+    achieved-privacy assertion.
 
     Scale shape: ONE map-side-combined fact rollup onto the bounded
     (type x dow) grid; the inverse-CDF pick is a 129-row broadcast range

@@ -467,9 +467,13 @@ def q402_dft_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").cast("long").alias("y"))
     )
     bar = daily.agg(
-        F.expr("CAST((2 * SUM(y) + COUNT(*)) DIV (2 * COUNT(*)) AS BIGINT)").alias(
-            "ybar"
-        )
+        # demeaning sum in decimal(38,0): SUM(long) wraps silently in
+        # non-ANSI Spark at extreme totals while the DuckDB oracle promotes
+        # to HUGEINT — same overflow discipline as q400/q405 (ADVICE r6)
+        F.expr(
+            "CAST((2 * SUM(CAST(y AS DECIMAL(38,0))) + COUNT(*))"
+            " DIV (2 * COUNT(*)) AS BIGINT)"
+        ).alias("ybar")
     )
     daily = daily.crossJoin(F.broadcast(bar)).select(
         "d", (F.col("y") - F.col("ybar")).cast("long").alias("y")

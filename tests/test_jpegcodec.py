@@ -1,0 +1,149 @@
+"""Unit tests for the vendored pure-Python baseline JPEG codec
+(operators/jpegcodec.py) — the S-08 entropy-decode slice (VERDICT r6 item 6).
+
+The exactness family mirrors q416's fixture: rasters in the span of the DC
+and (4,4) DCT basis vectors with flat-8 quantization land on exact integer
+multiples of the quant step, so encode -> decode must reproduce the pixels
+byte-for-byte while still exercising the full entropy pipeline (Huffman DC
+diffs of both signs, ZRL + the (4,4) AC coefficient, EOB, 0xFF00 byte
+stuffing, DRI/RSTn with predictor resets, partial-MCU crop).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bigdata_streaming_absa_vehicle_spark.operators.jpegcodec import (
+    decode_jpeg,
+    encode_jpeg_gray,
+)
+
+
+def _sign():
+    return np.where(np.isin(np.arange(8), (0, 3, 4, 7)), 1, -1)
+
+
+def _fixture(did: int) -> tuple[int, int, np.ndarray]:
+    """The q416 raster family: per 8x8 block k, 128 + dc_k + ac_k*s(x)s(y)."""
+    sgn = _sign()
+    wb, hb = did % 4 + 1, did % 3 + 1
+    w, h = 8 * wb, 8 * hb
+    ky, kx = np.meshgrid(np.arange(h) // 8, np.arange(w) // 8, indexing="ij")
+    k = ky * wb + kx
+    dc = (7 * did + 5 * k) % 33 - 16
+    ac = (3 * did + k) % 17 - 8
+    img = 128 + dc + ac * np.outer(sgn[np.arange(h) % 8], sgn[np.arange(w) % 8])
+    return w, h, img.astype(np.uint8)
+
+
+@pytest.mark.parametrize("did", [0, 1, 2, 3, 5, 7, 11, 17, 23, 59, 118])
+def test_exact_roundtrip_basis_family(did):
+    w, h, img = _fixture(did)
+    payload = encode_jpeg_gray(w, h, img.tobytes())
+    dw, dh, c, px = decode_jpeg(payload)
+    assert (dw, dh, c) == (w, h, 1)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w), img)
+
+
+@pytest.mark.parametrize("did", [0, 2, 4, 6, 22, 118])
+def test_exact_roundtrip_with_restart_markers(did):
+    w, h, img = _fixture(did)
+    plain = encode_jpeg_gray(w, h, img.tobytes())
+    rst = encode_jpeg_gray(w, h, img.tobytes(), restart_interval=w // 8)
+    assert rst != plain, "DRI must change the bitstream"
+    for payload in (plain, rst):
+        dw, dh, _, px = decode_jpeg(payload)
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w), img)
+
+
+def test_byte_stuffing_is_present_and_undone():
+    """At least one fixture stream contains a stuffed 0xFF00 inside the
+    entropy-coded segment (the corpus sweep found many; pin one) and
+    decoding it is still exact."""
+    found = None
+    for did in range(60):
+        w, h, img = _fixture(did)
+        payload = encode_jpeg_gray(w, h, img.tobytes())
+        scan = payload[payload.index(b"\xff\xda") + 2 :]
+        if b"\xff\x00" in scan[:-2]:
+            found = (did, w, h, img, payload)
+            break
+    assert found is not None, "no fixture stream exercised byte stuffing"
+    did, w, h, img, payload = found
+    _, _, _, px = decode_jpeg(payload)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w), img)
+
+
+@pytest.mark.parametrize(
+    "w,h,val", [(13, 7, 200), (1, 1, 0), (17, 23, 255), (9, 16, 77), (8, 8, 128)]
+)
+def test_partial_mcu_crop_constant_images(w, h, val):
+    """Non-multiple-of-8 dims: edge-replicated pad keeps blocks constant, so
+    the roundtrip stays exact and the decoder must crop back to (w, h)."""
+    img = np.full((h, w), val, np.uint8)
+    dw, dh, _, px = decode_jpeg(encode_jpeg_gray(w, h, img.tobytes()))
+    assert (dw, dh) == (w, h)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w), img)
+
+
+def test_lossy_roundtrip_error_bounded_by_quantization():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 32), np.uint8)
+    _, _, _, px = decode_jpeg(encode_jpeg_gray(32, 24, img.tobytes()))
+    err = np.abs(np.frombuffer(px, np.uint8).reshape(24, 32).astype(int) - img.astype(int))
+    # flat-8 quantization: coefficient error <= 4 per coefficient; the
+    # empirical max on this seed is 8 — the bound below is loose but real:
+    # a Huffman/zigzag/EXTEND bug produces errors in the hundreds
+    assert err.max() <= 32
+
+
+def test_decode_rejects_what_it_does_not_claim():
+    w, h, img = _fixture(3)
+    payload = bytearray(encode_jpeg_gray(w, h, img.tobytes()))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG\r\n")  # not a JPEG at all
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload[:40]))  # truncated mid-headers
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)  # claim progressive
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(prog))
+
+
+def test_decode_image_dispatches_jpeg_magic():
+    from bigdata_streaming_absa_vehicle_spark.operators.imagecodec import decode_image
+
+    w, h, img = _fixture(9)
+    dw, dh, c, px = decode_image(encode_jpeg_gray(w, h, img.tobytes()))
+    assert (dw, dh, c) == (w, h, 1)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w), img)
+
+
+def test_bmp_data_offset_inside_headers_rejected():
+    """ADVICE r6 item 4: a crafted BMP whose data offset points back into
+    the headers must raise, not decode header bytes as pixels."""
+    import struct
+
+    from bigdata_streaming_absa_vehicle_spark.operators.imagecodec import (
+        decode_image,
+        encode_bmp24,
+    )
+
+    good = bytearray(encode_bmp24(2, 2, bytes(12)))
+    struct.pack_into("<I", good, 10, 20)  # data_offset 54 -> 20 (inside DIB)
+    with pytest.raises(ValueError):
+        decode_image(bytes(good))
+
+
+def test_interop_with_pillow_when_available():
+    """Env-gated: when Pillow exists, it must decode our streams to the same
+    pixels up to the T.81 IDCT tolerance (+-1)."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    w, h, img = _fixture(5)
+    payload = encode_jpeg_gray(w, h, img.tobytes())
+    theirs = np.asarray(PIL.open(io.BytesIO(payload)))
+    assert theirs.shape == (h, w)
+    assert np.abs(theirs.astype(int) - img.astype(int)).max() <= 1
