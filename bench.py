@@ -46,10 +46,24 @@ def streaming_throughput(spark, sf_dir: str) -> dict[str, float]:
     n_runs = 3  # medians: single-shot rows/s moved ~2x across identical
     # code between rounds (JIT/page-cache warm-up noise); the median of 3
     # makes round-over-round comparison trustworthy (r2 verdict item)
+    # Ambient-load telemetry (r6 verdict item 2): the r6 driver bench
+    # recorded events throughput at half the r5 number on bit-identical
+    # code; quiet-machine reruns recovered it, implicating machine
+    # contention the record could not prove.  Record the 1-minute load
+    # average around every streaming run so the next regression is
+    # attributable from the bench artifact alone: rows/s moving with
+    # loadavg is contention; rows/s moving at flat loadavg is a
+    # regression.
+    loadavg: list[list[float]] = []
+
+    def mark_load() -> None:
+        loadavg.append([round(x, 2) for x in os.getloadavg()])
+
     try:
         win_runs: list[float] = []
         for run in range(n_runs):
             stream = events_stream(spark, sf_dir, f"{stage}/in{run}", n_files=8)
+            mark_load()
             t0 = time.perf_counter()
             q = (
                 tumbling_counts(stream)
@@ -61,6 +75,7 @@ def streaming_throughput(spark, sf_dir: str) -> dict[str, float]:
             )
             q.awaitTermination(600)
             win_runs.append(round(n_rows / (time.perf_counter() - t0), 1))
+        mark_load()
         stats.update(
             {"rows": n_rows, "rows_per_sec": median(win_runs), "rows_per_sec_runs": win_runs}
         )
@@ -80,6 +95,7 @@ def streaming_throughput(spark, sf_dir: str) -> dict[str, float]:
                 .option("maxFilesPerTrigger", 2)
                 .parquet(f"{stage}/absa_in")
             )
+            mark_load()
             t0 = time.perf_counter()
             q2 = (
                 absa_transform(parse_envelope(raw, REVIEW_ENVELOPE))
@@ -91,11 +107,14 @@ def streaming_throughput(spark, sf_dir: str) -> dict[str, float]:
             )
             q2.awaitTermination(600)
             absa_runs.append(round(n_docs / (time.perf_counter() - t0), 1))
+        mark_load()
         stats.update(
             {
                 "absa_rows": n_docs,
                 "absa_rows_per_sec": median(absa_runs),
                 "absa_rows_per_sec_runs": absa_runs,
+                # [load before run1..3 (events), before run1..3 (absa), after]
+                "loadavg_1m_5m_15m": loadavg,
             }
         )
     finally:
@@ -222,6 +241,13 @@ def main() -> None:
         "streaming_rows_per_sec": stream_stats.get("rows_per_sec"),
         "absa_rows_per_sec": stream_stats.get("absa_rows_per_sec"),
     }
+    la = stream_stats.get("loadavg_1m_5m_15m") or []
+    if la:
+        # ambient-contention telemetry (r6 verdict item 2): 1-min loadavg
+        # range across the streaming runs; full samples in BENCH_DETAIL
+        summary["streaming_loadavg_1m_range"] = [
+            min(x[0] for x in la), max(x[0] for x in la)
+        ]
     print(json.dumps(summary))
     spark.stop()
 

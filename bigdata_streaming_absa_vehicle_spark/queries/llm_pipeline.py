@@ -1212,7 +1212,11 @@ def _vocab(docs: DataFrame, top_n: int = 1000) -> DataFrame:
 )
 def q81_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary building — the tokenizer-training primitive: term and
-    document frequencies for every token (see _vocab)."""
+    document frequencies for every token (see _vocab).
+
+    Scale shape: one explode + one token-keyed groupBy; the id-assigning
+    unpartitioned window sorts the VOCABULARY relation (grows ~O(corpus^0.5)
+    by Heaps' law, bounded next to the corpus), never corpus rows."""
     return _vocab(load(spark, sf_dir, "documents")).transform(pin).orderBy("token_id")
 
 

@@ -127,7 +127,11 @@ def q24w_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q25w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """6-bucket moving window over the per-minute series (trend smoothing,
-    the batch twin of the T-06 sliding window)."""
+    the batch twin of the T-06 sliding window).
+
+    Scale shape: the unpartitioned window scans the PER-MINUTE rollup — a
+    relation bounded by the time domain (minutes in range), not the fact
+    table; the facts reduce map-side in the groupBy first."""
     ev = load(spark, sf_dir, "events")
     per_minute = ev.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
         F.sum(F.col("value").cast(_DECIMAL)).cast("double").alias("minute_value")
