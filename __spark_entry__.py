@@ -67,7 +67,76 @@ def entry(spark: SparkSession) -> DataFrame:
 #     queries (q01-q96 era) — exactly 3 rounds old at r6, inside the
 #     <=3-round policy; round 7 must reserve ~10 slots/round to start
 #     re-certifying them (they hit 4 rounds at r7).
+#   - Round 7 (this file): computed by tools/rotation_plan.py --round 7
+#     --force q411b_ppjoin_full q416_jpeg_decode.  Tier 1: the two round-7
+#     additions (no-new-backlog rule).  Tier 2: the 10 oldest r3-evidence
+#     rows (they hit the 3-round age ceiling at r8 — the re-cert tier the
+#     r6 verdict item 3 asked for).  Tier 3: 38 never-certified queries by
+#     greedy ID set-cover, certifying 38 §2 operator IDs' first driver rows
+#     (driver-covered IDs 155 -> 193 of 213 when green).  Honest math on
+#     the r6 verdict's "≥205" target: 50 slots − 2 forced − 10 re-certs
+#     = 38 new IDs; hitting 205 would need zeroing the same re-cert tier
+#     item 3 of the same verdict requires.  The residual 20 IDs
+#     (X-105/106/108-115/117-126) lead round 8's tier-1 set, after which
+#     every §2 ID has a driver row.
 _WINDOW_PRIORITY = (
+    # -- Tier 1 (r7): queries added this round, certified this round. --
+    "q411b_ppjoin_full",   # X-136 X-02 (full-corpus ppjoin, VERDICT r6 #4)
+    "q416_jpeg_decode",    # S-08 X-05 (baseline-JPEG codec, VERDICT r6 #6)
+    # -- Tier 2 (r7): the 10 oldest driver rows (r3) — age-ceiling re-certs. --
+    "q01_projection",
+    "q02b_fillna",
+    "q03_derived_cast",
+    "q05_group_count",
+    "q06_grand_totals",
+    "q07_count_distinct",
+    "q07b_approx_count_distinct",
+    "q10_rollup",
+    "q11_pivot",
+    "q14_global_sort",
+    # -- Tier 3 (r7): never-driver-certified queries, one per uncovered §2
+    # ID (greedy set-cover; every remaining uncovered ID is single-query so
+    # cover == one slot each). --
+    "q244_powerlaw_tail",        # X-48
+    "q245_brand_momentum",       # X-49
+    "q247_interval_coverage",    # X-51
+    "q248_rank_churn",           # X-53
+    "q249_theil_sen_trend",      # X-52
+    "q250_nearest_centroid_eval",  # X-54
+    "q251_wasserstein_matrix",   # X-55
+    "q254_item_neighbors",       # X-58
+    "q255_jackknife_ratio_se",   # X-59
+    "q259_leadlag_xcorr",        # X-63
+    "q260_capture_recapture",    # X-65
+    "q261_burstiness",           # X-64
+    "q263_eb_shrinkage",         # X-67
+    "q264_rank_correlation",     # X-68
+    "q265_cramers_v",            # X-69
+    "q266_price_index",          # X-70
+    "q268_label_propagation",    # X-72
+    "q270_heaps_law",            # X-74
+    "q271_apriori_triples",      # X-75
+    "q272_gumbel_return_levels",  # X-76
+    "q273_markov_attribution",   # X-77
+    "q278_bfs_distance",         # X-78
+    "q279_mantel_haenszel",      # X-79
+    "q280_cold_start_coverage",  # X-80
+    "q281_var_cvar",             # X-81
+    "q285_oof_target_encoding",  # X-82
+    "q287_anomaly_consensus",    # X-83
+    "q289_voptimal_segments",    # X-84
+    "q299_logistic_irls",        # X-87
+    "q300_offpolicy_ips",        # X-90
+    "q301_rrf_hybrid_retrieval",  # X-91
+    "q302_median_ci",            # X-92
+    "q305_quantile_normalization",  # X-95
+    "q307_t_closeness",          # X-97
+    "q308_newsvendor",           # X-98
+    "q309_poisson_mixture_em",   # X-99
+    "q311_msprt_monitor",        # X-101
+    "q312_shapley_attribution",  # X-102
+)
+_WINDOW_PRIORITY_R6 = (
     # -- Tier 1: ADVICE-r5-modified stats_inference queries (q400-q405;
     # q402 demeaned periodogram, q400/q405 decimal overflow fixes, q403
     # _CENTS_SQL idiom) — modified this round, certified this round.
@@ -143,11 +212,13 @@ _WINDOW_PRIORITY = (
     "q414_stratified_ate",       # X-139
     "q415_raking_weights",       # X-140
 )
-# Window budget note: 6 + 19 + 15 + 10 fill the 50 exactly.  Every query past
-# the window holds either a green driver row on the current engine from
-# rounds 3-5 (CORRECTNESS_r03/r04/r05 — 140 queries) or builder-drive
-# evidence (tools/verify/drive_vanilla.py full-registry run, 403/403 ALL
-# MATCH, VERIFYLOG_r05.md) plus the pytest oracle suite
+# (ROUND-6 WINDOW above, kept verbatim for the rotation record; the live
+# window is _WINDOW_PRIORITY.)  r7 budget note: 2 forced + 10 re-certs +
+# 38 set-cover fill the 50 exactly.  Every query past the window holds
+# either a green driver row on the current engine from rounds 3-6
+# (CORRECTNESS_r03..r06) or builder-drive evidence
+# (tools/verify/drive_vanilla.py full-registry runs, ALL MATCH,
+# VERIFYLOG_r06/r07) plus the pytest oracle suite
 # (tests/test_oracle_queries.py), which re-hash-checks ALL registry
 # queries against DuckDB at sf0.01 — the driver's own scale — in its
 # default configuration.  The one-line descriptions of every registry
