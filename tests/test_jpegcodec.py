@@ -147,3 +147,57 @@ def test_interop_with_pillow_when_available():
     theirs = np.asarray(PIL.open(io.BytesIO(payload)))
     assert theirs.shape == (h, w)
     assert np.abs(theirs.astype(int) - img.astype(int)).max() <= 1
+
+
+# --- property tests (hypothesis) -------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    wb=st.integers(1, 4),
+    hb=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+    ri=st.integers(0, 3),
+)
+def test_property_exact_roundtrip_random_basis_blocks(wb, hb, seed, ri):
+    """ANY raster whose blocks lie in span{DC, (4,4)} with coefficients on
+    the flat-8 quant lattice roundtrips exactly — per-block dc/ac drawn
+    randomly, restart interval 0-3 MCUs."""
+    rng = np.random.default_rng(seed)
+    sgn = _sign()
+    w, h = 8 * wb, 8 * hb
+    dc = rng.integers(-100, 101, (hb, wb))
+    ac = rng.integers(-27, 28, (hb, wb))
+    img = (
+        128
+        + np.kron(dc, np.ones((8, 8), np.int64))
+        + np.kron(ac, np.outer(sgn, sgn))
+    )
+    img = np.clip(img, 0, 255)
+    # clipping can push a block off the two-basis span; rebuild from the
+    # clipped values only when no clipping happened (hypothesis shrinks
+    # toward small dc/ac where this always holds)
+    raw = 128 + np.kron(dc, np.ones((8, 8), np.int64)) + np.kron(ac, np.outer(sgn, sgn))
+    if not np.array_equal(img, raw):
+        img = 128 + np.kron(np.clip(dc, -60, 60), np.ones((8, 8), np.int64)) + np.kron(
+            np.clip(ac, -8, 8), np.outer(sgn, sgn)
+        )
+    img = img.astype(np.uint8)
+    payload = encode_jpeg_gray(w, h, img.tobytes(), restart_interval=ri)
+    dw, dh, c, px = decode_jpeg(payload)
+    assert (dw, dh, c) == (w, h, 1)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w), img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400))
+def test_property_decoder_never_crashes_on_garbage(data):
+    """Arbitrary bytes after an SOI marker must either decode or raise
+    ValueError — never IndexError/struct.error/infinite loop (the drop-
+    don't-kill contract the mapInPandas kernels rely on)."""
+    try:
+        decode_jpeg(b"\xff\xd8" + data)
+    except ValueError:
+        pass

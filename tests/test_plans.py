@@ -2197,3 +2197,31 @@ def test_periodogram_demeaning_is_broadcast_not_reshuffle(spark):
     plan = plan_of(q.fn(spark, SF_DIR))
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_ppjoin_full_has_no_allpairs_stage_and_broadcast_verify(spark):
+    """q411b (X-136, full probe set): the candidate join must be an
+    equi-join on the prefix token — no CartesianProduct or
+    BroadcastNestedLoopJoin anywhere — and the verification joins bring the
+    token arrays in as broadcasts, so candidate pairs never reshuffle after
+    the pair-keyed positional aggregate."""
+    q = all_queries()["q411b_ppjoin_full"]
+    plan = plan_of(q.fn(spark, SF_DIR), mode="extended")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in physical, physical
+    assert "BroadcastNestedLoopJoin" not in physical, physical
+    # both verify joins are broadcasts of the token-array relation
+    assert physical.count("BroadcastHashJoin") >= 2, physical
+
+
+def test_jpeg_decode_pipeline_is_map_only(spark):
+    """q416 (S-08): synth -> JPEG encode -> entropy decode fuse into one
+    map-only mapInPandas chain — the only exchange in the whole query is
+    the final presentation sort."""
+    q = all_queries()["q416_jpeg_decode"]
+    plan = plan_of(q.fn(spark, SF_DIR))
+    import re as _re
+
+    exchanges = _re.findall(r"Exchange (\w+)", plan)
+    assert all(kind == "rangepartitioning" for kind in exchanges), plan
+    assert plan.count("MapInPandas") >= 2, plan
