@@ -96,8 +96,14 @@ _A = np.array(
 )
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
 def _canonical_codes(bits, vals) -> dict[int, tuple[int, int]]:
-    """symbol -> (code, length), per T.81 C.2 canonical assignment."""
+    """symbol -> (code, length), per T.81 C.2 canonical assignment.  Cached:
+    the encoder passes the two module constants and real corpora reuse a
+    handful of table sets, so per-image rebuild cost drops to a dict hit."""
     out: dict[int, tuple[int, int]] = {}
     code = 0
     k = 0
@@ -110,6 +116,7 @@ def _canonical_codes(bits, vals) -> dict[int, tuple[int, int]]:
     return out
 
 
+@lru_cache(maxsize=32)
 def _decode_table(bits, vals) -> dict[tuple[int, int], int]:
     """(length, code) -> symbol, for the general DHT-driven decoder."""
     return {(ln, code): sym for sym, (code, ln) in _canonical_codes(bits, vals).items()}

@@ -3325,13 +3325,24 @@ def q411_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("rn") <= F.expr("s - ((19 * s + 19) DIV 20) + 1")
-    ).select("doc_id", "w")
+    ).select("doc_id", "w", "rn", "s")
     probes = prefix.filter(F.col("doc_id") % 50 == 0)
+    # the q411b lossless pruning, back-ported (r7): the length bound is
+    # implied by J >= 19/20 and the per-row positional bound is a valid
+    # overlap ceiling for any single shared token — neither can drop a
+    # qualifying pair, both kill candidates before the distinct
+    row_bound = F.least(F.col("a.rn"), F.col("b.rn")) + F.least(
+        F.col("a.s") - F.col("a.rn"), F.col("b.s") - F.col("b.rn")
+    )
     cand = (
         probes.alias("a")
         .join(
             prefix.alias("b"),
-            (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (19 * F.col("a.s") <= 20 * F.col("b.s"))
+            & (19 * F.col("b.s") <= 20 * F.col("a.s"))
+            & (39 * row_bound >= 19 * (F.col("a.s") + F.col("b.s"))),
         )
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
