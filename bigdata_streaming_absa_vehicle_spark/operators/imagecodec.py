@@ -141,14 +141,16 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a PPM (P6), PGM (P5), 24-bit uncompressed BMP, or baseline
-    sequential grayscale JPEG payload to ``(width, height, n_channels,
-    pixels)`` with `pixels` row-major top-down RGB-interleaved (grayscale:
-    one byte per pixel). Raises ValueError on anything else — callers drop
-    undecodable payloads, mirroring the ``cv2.imdecode(...) is None``
-    contract. JPEG entropy decode is the vendored pure-Python baseline
-    decoder (:mod:`.jpegcodec`); progressive/color JPEG and PNG still need
-    the cv2/PIL backend rungs."""
+    """Decode a PPM (P6), PGM (P5), 24-bit uncompressed BMP, baseline
+    sequential grayscale JPEG, or 8-bit non-interlaced PNG (grey/RGB/RGBA)
+    payload to ``(width, height, n_channels, pixels)`` with `pixels`
+    row-major top-down RGB-interleaved (grayscale: one byte per pixel).
+    Raises ValueError on anything else — callers drop undecodable
+    payloads, mirroring the ``cv2.imdecode(...) is None`` contract. JPEG
+    entropy decode is the vendored pure-Python baseline decoder
+    (:mod:`.jpegcodec`); PNG is the vendored zlib+unfilter decoder
+    (:mod:`.pngcodec`); progressive/color JPEG and interlaced PNG still
+    need the cv2/PIL backend rungs."""
     head = payload[:2]
     if head in (b"P6", b"P5"):
         return _decode_netpbm(payload)
@@ -158,4 +160,10 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         from .jpegcodec import decode_jpeg  # noqa: PLC0415
 
         return decode_jpeg(payload)
-    raise ValueError("unrecognized image magic (PPM/PGM/BMP/baseline-JPEG supported)")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from .pngcodec import decode_png  # noqa: PLC0415
+
+        return decode_png(payload)
+    raise ValueError(
+        "unrecognized image magic (PPM/PGM/BMP/baseline-JPEG/PNG supported)"
+    )

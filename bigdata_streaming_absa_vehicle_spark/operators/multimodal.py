@@ -9,9 +9,10 @@ tiers exist:
 - `decode_image_pixels` — a REAL pixel kernel: cv2/Pillow when importable
   (the reference's cv2.imdecode UDF, vehicle_consumer.py:81-83), else the
   vendored pure-Python codecs (`.imagecodec` for uncompressed PPM/PGM/BMP,
-  `.jpegcodec` for baseline sequential grayscale JPEG) — hash-certified
-  end-to-end by q406_pixel_decode and q416_jpeg_decode. Only color/
-  progressive JPEG and PNG entropy decode remain gated on cv2/PIL.
+  `.jpegcodec` for baseline sequential grayscale JPEG, `.pngcodec` for
+  8-bit non-interlaced PNG) — hash-certified end-to-end by
+  q406_pixel_decode, q416_jpeg_decode, and q417_png_decode. Only color/
+  progressive JPEG and interlaced PNG remain gated on cv2/PIL.
 
 At scale: payloads never pass through the driver; mapInPandas streams Arrow
 batches executor-side, and metadata-only queries (dimensions, content hash)
@@ -85,9 +86,10 @@ def _pixel_backend():
     """('cv2'|'pil'|'pure', module) — cv2 then Pillow when importable (full
     JPEG/PNG coverage), else the vendored pure-Python codecs in
     :mod:`.imagecodec` (uncompressed PPM/PGM/BMP + baseline grayscale JPEG
-    via :mod:`.jpegcodec` — REAL byte-level decoders, not stubs). Resolved
-    at call time so dropping cv2 or Pillow into the environment widens
-    format coverage with zero code change."""
+    via :mod:`.jpegcodec` + 8-bit non-interlaced PNG via :mod:`.pngcodec`
+    — REAL byte-level decoders, not stubs). Resolved at call time so
+    dropping cv2 or Pillow into the environment widens format coverage
+    with zero code change."""
     try:
         import cv2  # noqa: PLC0415
 
