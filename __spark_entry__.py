@@ -68,24 +68,26 @@ def entry(spark: SparkSession) -> DataFrame:
 #     <=3-round policy; round 7 must reserve ~10 slots/round to start
 #     re-certifying them (they hit 4 rounds at r7).
 #   - Round 7 (this file): computed by tools/rotation_plan.py --round 7
-#     --force q411b_ppjoin_full q416_jpeg_decode q417_png_decode.  Tier 1:
-#     the three round-7 additions (no-new-backlog rule).  Tier 2: the 10
-#     oldest r3-evidence rows (they hit the 3-round age ceiling at r8 —
-#     the re-cert tier the r6 verdict item 3 asked for).  Tier 3: 37
-#     never-certified queries by greedy ID set-cover, certifying 37 §2
-#     operator IDs' first driver rows (driver-covered IDs 155 -> 192 of
-#     213 when green).  Honest math on the r6 verdict's "≥205" target:
-#     50 slots − 3 forced − 10 re-certs = 37 new IDs; hitting 205 would
-#     need zeroing the same re-cert tier item 3 of the same verdict
-#     requires.  The residual 21 IDs (X-102/105/106/108-115/117-126) lead
-#     round 8's tier-1 set, after which every §2 ID has a driver row.
+#     --force q411b_ppjoin_full q416_jpeg_decode q417_png_decode
+#     q418_jpeg_color_decode.  Tier 1: the four round-7 additions
+#     (no-new-backlog rule).  Tier 2: the 10 oldest r3-evidence rows (they
+#     hit the 3-round age ceiling at r8 — the re-cert tier the r6 verdict
+#     item 3 asked for).  Tier 3: 36 never-certified queries by greedy ID
+#     set-cover, certifying 36 §2 operator IDs' first driver rows
+#     (driver-covered IDs 155 -> 191 of 213 when green).  Honest math on
+#     the r6 verdict's "≥205" target: 50 slots − 4 forced − 10 re-certs
+#     = 36 new IDs; hitting 205 would need zeroing the same re-cert tier
+#     item 3 of the same verdict requires.  The residual 22 IDs
+#     (X-101/102/105/106/108-115/117-126) lead round 8's tier-1 set, after
+#     which every §2 ID has a driver row.
 _WINDOW_PRIORITY = (
     # -- Tier 1 (r7): queries added this round, certified this round.
-    # q417 displaced the last set-cover pick (q312/X-102 -> r8 tier 1,
-    # the r6 displacement precedent). --
+    # q417/q418 displaced the last two set-cover picks (q312/X-102 and
+    # q311/X-101 -> r8 tier 1, the r6 displacement precedent). --
     "q411b_ppjoin_full",   # X-136 X-02 (full-corpus ppjoin, VERDICT r6 #4)
     "q416_jpeg_decode",    # S-08 X-05 (baseline-JPEG codec, VERDICT r6 #6)
     "q417_png_decode",     # S-08 X-05 (PNG codec: zlib + 5-type unfilter)
+    "q418_jpeg_color_decode",  # S-08 X-05 (color 4:2:0/4:4:4 MCU decode)
     # -- Tier 2 (r7): the 10 oldest driver rows (r3) — age-ceiling re-certs. --
     "q01_projection",
     "q02b_fillna",
@@ -136,7 +138,6 @@ _WINDOW_PRIORITY = (
     "q307_t_closeness",          # X-97
     "q308_newsvendor",           # X-98
     "q309_poisson_mixture_em",   # X-99
-    "q311_msprt_monitor",        # X-101
 )
 _WINDOW_PRIORITY_R6 = (
     # -- Tier 1: ADVICE-r5-modified stats_inference queries (q400-q405;

@@ -800,13 +800,16 @@ def q416_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     +-1 on other content — the oracle certifies THIS codec's bitstream +
     IDCT contract; the cv2 rung carries its own env-gated activation tests.
 
-    Scale shape: map-only — synth, encode, and decode fuse into one
-    mapInPandas stage per partition; payloads never leave the executors and
-    the only exchange is the presentation sort. The pure-Python entropy
-    coder is the no-cv2 fallback rung; with cv2 present the ladder's native
-    path takes the hot spot (multimodal._pixel_backend resolves per
-    worker)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    Scale shape: synth, encode, and decode fuse into one mapInPandas
+    stage; payloads never leave the executors. ONE small exchange fans the
+    8-byte doc-id relation across the cluster first — the input is a
+    single parquet split, and for a CPU-bound codec stage parallelism must
+    follow cores, not input bytes (measured 3-4x at sf0.1). The
+    pure-Python entropy coder is the no-cv2 fallback rung; with cv2
+    present the ladder's native path takes the hot spot
+    (multimodal._pixel_backend resolves per worker)."""
+    n_par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(n_par)
 
     def kernel(batches):
         from bigdata_streaming_absa_vehicle_spark.operators.jpegcodec import (
@@ -927,15 +930,17 @@ def q417_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec's documented contract and the cv2 rung keeps its own gated
     activation tests.
 
-    Scale shape: map-only — synth, deflate, inflate, and unfilter fuse
-    into one mapInPandas stage per partition; payloads never leave the
-    executors and the only exchange is the presentation sort.
+    Scale shape: synth, deflate, inflate, and unfilter fuse into one
+    mapInPandas stage; payloads never leave the executors. ONE small
+    exchange fans the 8-byte doc-id relation across the cluster first (the
+    q416 discipline: codec cost, not input bytes, dictates parallelism).
 
     Reference parity: beyond the reference's JPEG-only frames
     (vehicle_consumer.py:81-83); PNG is the lossless capture format a
     vehicle-count pipeline would use for stills, and the operator is the
     same decode-ladder rung the reference's cv2 UDF occupies."""
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n_par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(n_par)
 
     def kernel(batches):
         from bigdata_streaming_absa_vehicle_spark.operators.pngcodec import (
@@ -971,6 +976,169 @@ def q417_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["width"].append(dw)
                 rows["height"].append(dh)
                 rows["n_channels"].append(dc)
+                rows["mean_intensity"].append(int(out.sum()) / out.size)
+                rows["weighted_checksum"].append(int((out * wgt).sum()))
+            yield pd.DataFrame(rows)
+
+    return (
+        docs.mapInPandas(
+            kernel,
+            schema=(
+                "doc_id long, width int, height int, n_channels int, "
+                "mean_intensity double, weighted_checksum long"
+            ),
+        )
+        .transform(pin)
+        .orderBy("doc_id")
+    )
+
+
+_JPEG_COLOR_ORACLE = """
+    WITH g AS (
+        SELECT doc_id,
+               16 * (doc_id % 2 + 1) AS w,
+               16 * (doc_id % 3 + 1) AS h,
+               doc_id % 2 = 0 AS sub420
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w, h, sub420, tx.x AS x, ty.y AS y,
+               (ty.y // 8) * (w // 8) + (tx.x // 8) AS ky,
+               CASE WHEN sub420
+                    THEN ((ty.y // 2) // 8) * ((w // 2) // 8) + ((tx.x // 2) // 8)
+                    ELSE (ty.y // 8) * (w // 8) + (tx.x // 8) END AS kc
+        FROM g, UNNEST(range(0, h)) AS ty(y), UNNEST(range(0, w)) AS tx(x)
+    ),
+    ycc AS (
+        SELECT doc_id, w, h, x, y,
+               CAST(128 + ((7 * doc_id + 5 * ky) % 33) - 16
+                   + (((3 * doc_id + ky) % 17) - 8)
+                     * (CASE WHEN (x % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+                     * (CASE WHEN (y % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+                 AS DOUBLE) AS yv,
+               CAST(((5 * doc_id + 3 * kc) % 25) - 12 AS DOUBLE) AS cbv,
+               CAST(((11 * doc_id + 7 * kc) % 21) - 10 AS DOUBLE) AS crv
+        FROM px
+    ),
+    rgb AS (
+        SELECT doc_id, w, h, 3 * (y * w + x) AS i,
+               LEAST(255, GREATEST(0,
+                   CAST(FLOOR(yv + 1.402 * crv + 0.5) AS BIGINT))) AS r,
+               LEAST(255, GREATEST(0,
+                   CAST(FLOOR(yv - 0.344136 * cbv - 0.714136 * crv + 0.5)
+                        AS BIGINT))) AS gg,
+               LEAST(255, GREATEST(0,
+                   CAST(FLOOR(yv + 1.772 * cbv + 0.5) AS BIGINT))) AS b
+        FROM ycc
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           3 AS n_channels,
+           CAST(SUM(r + gg + b) AS DOUBLE) / (3 * w * h) AS mean_intensity,
+           CAST(SUM(r * ((i * 13) % 11 + 1)
+                    + gg * (((i + 1) * 13) % 11 + 1)
+                    + b * (((i + 2) * 13) % 11 + 1)) AS BIGINT) AS weighted_checksum
+    FROM rgb
+    GROUP BY doc_id, w, h
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "q418_jpeg_color_decode",
+    oracle=_JPEG_COLOR_ORACLE,
+    tags=("X-05", "S-08"),
+)
+def q418_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline COLOR-JPEG decode (YCbCr 4:2:0 and 4:4:4),
+    hash-certified end-to-end — direct parity with the reference's camera
+    frames, which are color JPEGs (vehicle_consumer.py:81-83 feeds
+    cv2.imdecode): q416 certified the grayscale entropy pipeline; this
+    query certifies the MULTI-COMPONENT layer on top — interleaved MCU
+    decode (4 Y blocks + Cb + Cr per MCU at 4:2:0; 1+1+1 at 4:4:4),
+    per-component DC predictors (all reset at RSTn), per-component
+    Huffman/quant table selection from the payload's own DHT/DQT,
+    replication chroma upsampling, and the JFIF YCbCr->RGB transform.
+
+    Per document: even doc_ids encode 4:2:0 (chroma at quarter
+    resolution), odd 4:4:4; every 5th adds a one-MCU-row restart
+    interval. Planes are the q416 exactness family — Y per 8x8 block k:
+    128 + ((7d+5k)%33-16) + ((3d+k)%17-8)*s(x)s(y); Cb/Cr DC-only per
+    chroma block: 128 + ((5d+3k)%25-12) and 128 + ((11d+7k)%21-10) — so
+    every decoded plane is bit-exact integers, and the color transform is
+    a fixed-shape IEEE expression (floor(x+0.5), never a rounding tie on
+    these operands) both engines evaluate identically: the DuckDB oracle
+    recomputes the final RGB bytes analytically. The position-weighted
+    checksum over the INTERLEAVED byte index pins channel order (a BGR
+    swap or a transposed chroma index breaks the hash even where the mean
+    survives). The transform uses floor(x+0.5) rather than libjpeg's
+    fixed-point — T.81 pins no color-transform rounding, and the vendored
+    contract must be closed-form-checkable; the cv2 rung owns libjpeg's.
+
+    Scale shape: plane synthesis, forward DCT, interleaved entropy
+    coding, decode, upsample, and color transform fuse into one
+    mapInPandas stage; ONE small exchange fans the 8-byte doc-id relation
+    across the cluster first (the q416 discipline — this kernel measures
+    ~1.3 ms/doc, so a single-split input serializes seconds of codec work
+    onto one core)."""
+    n_par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(n_par)
+
+    def kernel(batches):
+        from bigdata_streaming_absa_vehicle_spark.operators.jpegcodec import (
+            decode_jpeg,
+            encode_jpeg_color,
+        )
+
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        sgn = np.where(np.isin(np.arange(8) % 8, (0, 3, 4, 7)), 1, -1)
+
+        def basis_plane(w, h, dcf, acf):
+            ky, kx = np.meshgrid(np.arange(h) // 8, np.arange(w) // 8, indexing="ij")
+            k = ky * (w // 8) + kx
+            return (
+                128 + dcf(k) + acf(k) * np.outer(sgn[np.arange(h) % 8], sgn[np.arange(w) % 8])
+            ).astype(np.uint8)
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "width", "height", "n_channels",
+                    "mean_intensity", "weighted_checksum",
+                )
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 16 * (did % 2 + 1), 16 * (did % 3 + 1)
+                sub = "420" if did % 2 == 0 else "444"
+                cw, chh = (w // 2, h // 2) if sub == "420" else (w, h)
+                y = basis_plane(
+                    w, h,
+                    lambda k: (7 * did + 5 * k) % 33 - 16,
+                    lambda k: (3 * did + k) % 17 - 8,
+                )
+                cb = basis_plane(
+                    cw, chh, lambda k: (5 * did + 3 * k) % 25 - 12, lambda k: 0 * k
+                )
+                cr = basis_plane(
+                    cw, chh, lambda k: (11 * did + 7 * k) % 21 - 10, lambda k: 0 * k
+                )
+                ri = (w // (16 if sub == "420" else 8)) if did % 5 == 0 else 0
+                payload = encode_jpeg_color(
+                    w, h, y.tobytes(), cb.tobytes(), cr.tobytes(),
+                    subsample=sub, restart_interval=ri,
+                )
+                dw, dh, c, px = decode_jpeg(payload)  # readouts from DECODED bytes
+                out = np.frombuffer(px, np.uint8).astype(np.int64)
+                wgt = (np.arange(out.size, dtype=np.int64) * 13) % 11 + 1
+                rows["doc_id"].append(did)
+                rows["width"].append(dw)
+                rows["height"].append(dh)
+                rows["n_channels"].append(c)
                 rows["mean_intensity"].append(int(out.sum()) / out.size)
                 rows["weighted_checksum"].append(int((out * wgt).sum()))
             yield pd.DataFrame(rows)

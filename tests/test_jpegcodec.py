@@ -201,3 +201,81 @@ def test_property_decoder_never_crashes_on_garbage(data):
         decode_jpeg(b"\xff\xd8" + data)
     except ValueError:
         pass
+
+
+# --- color (multi-component) decode ----------------------------------------
+
+from bigdata_streaming_absa_vehicle_spark.operators.jpegcodec import encode_jpeg_color
+
+
+def _color_fixture(did: int):
+    """The q418 plane family: Y in the DC+(4,4) span, DC-only chroma."""
+    sgn = _sign()
+
+    def basis_plane(w, h, dcf, acf):
+        ky, kx = np.meshgrid(np.arange(h) // 8, np.arange(w) // 8, indexing="ij")
+        k = ky * (w // 8) + kx
+        return (
+            128 + dcf(k) + acf(k) * np.outer(sgn[np.arange(h) % 8], sgn[np.arange(w) % 8])
+        ).astype(np.uint8)
+
+    w, h = 16 * (did % 2 + 1), 16 * (did % 3 + 1)
+    sub = "420" if did % 2 == 0 else "444"
+    cw, chh = (w // 2, h // 2) if sub == "420" else (w, h)
+    y = basis_plane(w, h, lambda k: (7 * did + 5 * k) % 33 - 16,
+                    lambda k: (3 * did + k) % 17 - 8)
+    cb = basis_plane(cw, chh, lambda k: (5 * did + 3 * k) % 25 - 12, lambda k: 0 * k)
+    cr = basis_plane(cw, chh, lambda k: (11 * did + 7 * k) % 21 - 10, lambda k: 0 * k)
+    return w, h, sub, y, cb, cr
+
+
+def _expected_rgb(y, cb, cr):
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = np.floor(yf + 1.402 * crf + 0.5)
+    g = np.floor(yf - 0.344136 * cbf - 0.714136 * crf + 0.5)
+    b = np.floor(yf + 1.772 * cbf + 0.5)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("did", [0, 1, 2, 3, 4, 5, 10, 11, 35])
+def test_color_roundtrip_exact_both_subsamplings(did):
+    w, h, sub, y, cb, cr = _color_fixture(did)
+    ri = (w // (16 if sub == "420" else 8)) if did % 5 == 0 else 0
+    payload = encode_jpeg_color(
+        w, h, y.tobytes(), cb.tobytes(), cr.tobytes(), subsample=sub, restart_interval=ri
+    )
+    dw, dh, c, px = decode_jpeg(payload)
+    assert (dw, dh, c) == (w, h, 3)
+    if sub == "420":
+        cb = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+        cr = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+    exp = _expected_rgb(y, cb, cr)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w, 3), exp)
+
+
+def test_color_rejects_unsupported_sampling():
+    w, h, sub, y, cb, cr = _color_fixture(1)  # 444 stream
+    payload = bytearray(
+        encode_jpeg_color(w, h, y.tobytes(), cb.tobytes(), cr.tobytes(), subsample=sub)
+    )
+    sof = payload.index(b"\xff\xc0")
+    assert payload[sof + 11] == 0x11  # Y sampling byte in SOF0
+    payload[sof + 11] = 0x21  # claim 4:2:2 — outside the declared subset
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload))
+
+
+def test_color_interop_with_pillow_when_available():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    w, h, sub, y, cb, cr = _color_fixture(2)  # 420
+    payload = encode_jpeg_color(w, h, y.tobytes(), cb.tobytes(), cr.tobytes(), subsample=sub)
+    theirs = np.asarray(PIL.open(io.BytesIO(payload)).convert("RGB"))
+    cbu = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+    cru = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+    ours = _expected_rgb(y, cbu, cru)
+    # libjpeg's fixed-point IDCT + fancy upsampling differ within tolerance
+    assert np.abs(theirs.astype(int) - ours.astype(int)).max() <= 3

@@ -2214,14 +2214,23 @@ def test_ppjoin_full_has_no_allpairs_stage_and_broadcast_verify(spark):
     assert physical.count("BroadcastHashJoin") >= 2, physical
 
 
-def test_jpeg_decode_pipeline_is_map_only(spark):
-    """q416 (S-08): synth -> JPEG encode -> entropy decode fuse into one
-    map-only mapInPandas chain — the only exchange in the whole query is
-    the final presentation sort."""
-    q = all_queries()["q416_jpeg_decode"]
-    plan = plan_of(q.fn(spark, SF_DIR))
+def test_jpeg_decode_pipeline_is_fanout_then_map_only(spark):
+    """q416/q417/q418 (S-08): synth -> encode -> entropy decode fuse into
+    one mapInPandas chain; the only exchanges are the deliberate
+    round-robin FAN-OUT of the 8-byte doc-id relation (a single-split
+    input would serialize the CPU-bound codec onto one worker) and the
+    final presentation sort — never a hash exchange of payloads."""
     import re as _re
 
-    exchanges = _re.findall(r"Exchange (\w+)", plan)
-    assert all(kind == "rangepartitioning" for kind in exchanges), plan
-    assert plan.count("MapInPandas") >= 2, plan
+    for name in ("q416_jpeg_decode", "q417_png_decode", "q418_jpeg_color_decode"):
+        q = all_queries()[name]
+        plan = plan_of(q.fn(spark, SF_DIR), mode="extended")
+        physical = plan.split("== Physical Plan ==")[-1]
+        kinds = _re.findall(r"Exchange (\w+)", physical)
+        assert all(
+            k.startswith(("rangepartitioning", "RoundRobinPartitioning")) for k in kinds
+        ), name + ":\n" + physical
+        assert sum(k.startswith("RoundRobinPartitioning") for k in kinds) == 1, (
+            name + ":\n" + physical
+        )
+        assert "MapInPandas" in physical, name + ":\n" + physical
