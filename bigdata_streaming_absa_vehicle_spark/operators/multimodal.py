@@ -108,13 +108,19 @@ def _pixel_backend():
 
 def _decode_to_array(kind, mod, payload):
     """Decode one payload with the resolved backend rung to an (h, w[, c])
-    uint8 numpy array, or None when the rung cannot decode it (the
-    cv2.imdecode drop-don't-kill contract, shared by decode_image_pixels and
-    resize_pixels so both walk the SAME ladder — ADVICE r6 item 1)."""
+    uint8 numpy array in RGB(A) channel order, or None when the rung cannot
+    decode it (the cv2.imdecode drop-don't-kill contract, shared by
+    decode_image_pixels and resize_pixels so both walk the SAME ladder —
+    ADVICE r6 item 1). cv2.imdecode returns BGR(A); it is unswizzled here so
+    every rung honors the one documented channel order — per-channel
+    readouts must not depend on which library happens to be installed."""
     import numpy as np  # noqa: PLC0415
 
     if kind == "cv2":
-        return mod.imdecode(np.frombuffer(payload, np.uint8), mod.IMREAD_UNCHANGED)
+        arr = mod.imdecode(np.frombuffer(payload, np.uint8), mod.IMREAD_UNCHANGED)
+        if arr is not None and arr.ndim == 3 and arr.shape[2] in (3, 4):
+            arr = np.ascontiguousarray(arr[:, :, [2, 1, 0, 3][: arr.shape[2]]])
+        return arr
     if kind == "pil":
         import io  # noqa: PLC0415
 

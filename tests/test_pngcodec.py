@@ -167,3 +167,22 @@ def test_corrupt_deflate_stream_raises_valueerror():
     iend = good[-12:]
     with pytest.raises(ValueError):
         decode_png(good[: 8 + 12 + 13] + idat + iend)
+
+
+def test_decode_image_pixels_handles_png_without_cv2(spark):
+    """The S-08 ladder's pure rung now covers PNG: the Arrow-batched
+    decode operator must decode PNG payloads with NO cv2/PIL installed,
+    and still drop undecodable payloads without killing the task."""
+    from bigdata_streaming_absa_vehicle_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    rows = [
+        (1, encode_png(4, 2, bytes(range(24)), channels=3, filters=[3, 4])),
+        (2, b"not an image at all"),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in decode_image_pixels(media).collect()}
+    assert sorted(got) == [1]
+    assert (got[1]["width"], got[1]["height"], got[1]["n_channels"]) == (4, 2, 3)
+    assert got[1]["mean_intensity"] == sum(range(24)) / 24
