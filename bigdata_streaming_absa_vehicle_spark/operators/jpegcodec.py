@@ -4,7 +4,7 @@ gate" slice (VERDICT r6 item 6) the same way operators/imagecodec.py closed
 uncompressed decode: a REAL byte-level codec, vendored, hash-certifiable.
 
 Scope (honest): 8-bit baseline sequential DCT — single-component
-(grayscale), and 3-component YCbCr at 4:4:4 or 4:2:0 (the camera-frame
+(grayscale), and 3-component YCbCr at 4:4:4, 4:2:2, 4:4:0 or 4:2:0 (the camera-frame
 default the reference's consumer decodes per frame,
 projects/vehicle_count/scripts/vehicle_consumer.py:81-83 via cv2.imdecode):
 marker segments, DQT (zigzag-stored tables), DHT (canonical Huffman from
@@ -441,8 +441,15 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     if len(comps) == 1:
         if samplings != ((1, 1),):
             raise ValueError("subsampled single-component JPEG not supported")
-    elif samplings not in (((1, 1), (1, 1), (1, 1)), ((2, 2), (1, 1), (1, 1))):
-        raise ValueError("only 4:4:4 and 4:2:0 sampling supported")
+    elif (
+        samplings[1:] != ((1, 1), (1, 1))
+        or samplings[0][0] not in (1, 2)
+        or samplings[0][1] not in (1, 2)
+    ):
+        # Y at 1x1/2x1/1x2/2x2 with full-res chroma factors covers
+        # 4:4:4, 4:2:2, 4:4:0 and 4:2:0 — the MCU loop and replication
+        # upsampler below are generic over (h, v) in {1,2}^2
+        raise ValueError("only 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 sampling supported")
     for cid, _, _, tq in comps:
         if tq not in qt or cid not in scan_tables:
             raise ValueError("component references undeclared tables")
@@ -545,26 +552,28 @@ def encode_jpeg_color(
     restart_interval: int = 0,
 ) -> bytes:
     """Encode YCbCr planes as a baseline sequential color JPEG. `subsample`
-    is '444' (chroma at full resolution) or '420' (chroma at
-    ceil(w/2) x ceil(h/2), the camera-frame default). Planes are encoded
+    is '444' (chroma at full resolution), '420' (chroma at
+    ceil(w/2) x ceil(h/2), the camera-frame default), '422' (chroma
+    halved horizontally) or '440' (halved vertically). Planes are encoded
     as given — callers hand in YCbCr directly (the RGB->YCbCr analysis
     transform is the caller's choice of rounding; q418 synthesizes planes).
     All three components share the flat-8 quant table and the Annex-K
     luminance Huffman tables (spec-legal: DQT/DHT declare what the decoder
     uses). Real forward DCT per plane, interleaved MCU entropy coding with
     per-component DC predictors, optional DRI/RSTn."""
-    if subsample not in ("444", "420"):
-        raise ValueError("subsample must be '444' or '420'")
+    factors = {"444": (1, 1), "420": (2, 2), "422": (2, 1), "440": (1, 2)}
+    if subsample not in factors:
+        raise ValueError("subsample must be one of '444', '422', '440', '420'")
     if width <= 0 or height <= 0:
         raise ValueError("non-positive JPEG dimensions")
-    cw = (width + 1) // 2 if subsample == "420" else width
-    chh = (height + 1) // 2 if subsample == "420" else height
+    hmax, vmax = factors[subsample]
+    cw = (width + hmax - 1) // hmax
+    chh = (height + vmax - 1) // vmax
     if len(y_plane) != width * height:
         raise ValueError(f"Y plane needs {width * height} bytes, got {len(y_plane)}")
     if len(cb_plane) != cw * chh or len(cr_plane) != cw * chh:
         raise ValueError(f"chroma planes need {cw * chh} bytes")
-    ysamp = 0x22 if subsample == "420" else 0x11
-    hmax = vmax = 2 if subsample == "420" else 1
+    ysamp = (hmax << 4) | vmax
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
 

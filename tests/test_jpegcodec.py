@@ -262,7 +262,7 @@ def test_color_rejects_unsupported_sampling():
     )
     sof = payload.index(b"\xff\xc0")
     assert payload[sof + 11] == 0x11  # Y sampling byte in SOF0
-    payload[sof + 11] = 0x21  # claim 4:2:2 — outside the declared subset
+    payload[sof + 11] = 0x31  # claim 3x1 — outside the declared {1,2}^2 subset
     with pytest.raises(ValueError):
         decode_jpeg(bytes(payload))
 
@@ -279,3 +279,35 @@ def test_color_interop_with_pillow_when_available():
     ours = _expected_rgb(y, cbu, cru)
     # libjpeg's fixed-point IDCT + fancy upsampling differ within tolerance
     assert np.abs(theirs.astype(int) - ours.astype(int)).max() <= 3
+
+
+@pytest.mark.parametrize("sub,fh,fv", [("444", 1, 1), ("420", 2, 2), ("422", 2, 1), ("440", 1, 2)])
+def test_color_roundtrip_exact_all_four_samplings(sub, fh, fv):
+    """The MCU loop and replication upsampler are generic over Y sampling
+    factors in {1,2}^2: all four common subsamplings roundtrip exactly on
+    the basis-plane family."""
+    did = 7
+    sgn = _sign()
+
+    def basis_plane(w, h, dcf, acf):
+        ky, kx = np.meshgrid(np.arange(h) // 8, np.arange(w) // 8, indexing="ij")
+        k = ky * (w // 8) + kx
+        return (
+            128 + dcf(k) + acf(k) * np.outer(sgn[np.arange(h) % 8], sgn[np.arange(w) % 8])
+        ).astype(np.uint8)
+
+    w, h = 32, 16
+    cw, chh = w // fh, h // fv
+    y = basis_plane(w, h, lambda k: (7 * did + 5 * k) % 33 - 16,
+                    lambda k: (3 * did + k) % 17 - 8)
+    cb = basis_plane(cw, chh, lambda k: (5 * did + 3 * k) % 25 - 12, lambda k: 0 * k)
+    cr = basis_plane(cw, chh, lambda k: (11 * did + 7 * k) % 21 - 10, lambda k: 0 * k)
+    payload = encode_jpeg_color(
+        w, h, y.tobytes(), cb.tobytes(), cr.tobytes(), subsample=sub, restart_interval=2
+    )
+    dw, dh, c, px = decode_jpeg(payload)
+    assert (dw, dh, c) == (w, h, 3)
+    cbu = np.repeat(np.repeat(cb, fv, axis=0), fh, axis=1)
+    cru = np.repeat(np.repeat(cr, fv, axis=0), fh, axis=1)
+    exp = _expected_rgb(y, cbu, cru)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w, 3), exp)
