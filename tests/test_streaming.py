@@ -674,3 +674,59 @@ def test_slo_hourly_counts_stream_equals_batch(spark, tmpdir):
     batch = hourly_error_counts(load(spark, SF_DIR, "events"))
     cols = ["h", "errors", "total"]
     assert as_sorted_rows(result, cols) == as_sorted_rows(batch, cols)
+
+
+def test_pixel_decode_stream_equals_batch(spark, tmpdir):
+    """S-08 streaming twin: decode_image_pixels is a stateless Arrow-batched
+    map, so the SAME operator drains a file-replayed media stream (append
+    mode) to exactly the batch relation — PNG, grayscale JPEG, color JPEG
+    and BMP payloads decode identically under any micro-batch split, and
+    undecodable payloads drop in both modes without killing a task."""
+    from bigdata_streaming_absa_vehicle_spark.operators.imagecodec import encode_bmp24
+    from bigdata_streaming_absa_vehicle_spark.operators.jpegcodec import (
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+    from bigdata_streaming_absa_vehicle_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+    from bigdata_streaming_absa_vehicle_spark.operators.pngcodec import encode_png
+
+    rows = []
+    for i in range(24):
+        kind = i % 5
+        if kind == 0:
+            w, h = 3 + i % 5, 2 + i % 3
+            px = bytes((11 * i + 3 * j) % 256 for j in range(w * h * 3))
+            payload = encode_png(w, h, px, channels=3, filters=[(i + y) % 5 for y in range(h)])
+        elif kind == 1:
+            w, h = 8 * (i % 3 + 1), 8
+            px = bytes([100 + i]) * (w * h)  # constant: exact JPEG roundtrip
+            payload = encode_jpeg_gray(w, h, px)
+        elif kind == 2:
+            w, h = 16, 16
+            y = bytes([90 + i]) * (w * h)
+            c = bytes([128]) * (w // 2 * h // 2)
+            payload = encode_jpeg_color(w, h, y, c, c, subsample="420")
+        elif kind == 3:
+            w, h = 4 + i % 3, 3
+            px = bytes((7 * i + j) % 256 for j in range(w * h * 3))
+            payload = encode_bmp24(w, h, px)
+        else:
+            payload = b"\x00garbage payload %d" % i  # must drop, both modes
+        rows.append((i, payload))
+
+    media_batch = spark.createDataFrame(rows, "doc_id long, payload binary")
+    stage = f"{tmpdir}/media"
+    media_batch.repartition(6).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    result = run_to_memory(spark, decode_image_pixels(stream), "pixdec_t", mode="append")
+    batch = decode_image_pixels(media_batch)
+    cols = ["doc_id", "width", "height", "n_channels", "mean_intensity"]
+    got, want = as_sorted_rows(result, cols), as_sorted_rows(batch, cols)
+    assert got == want
+    assert len(got) == 24 - 4  # the four i%5==4 garbage payloads drop
