@@ -363,15 +363,24 @@ def _idct_plane(coefs: np.ndarray, qtab: np.ndarray, hb: int, wb: int) -> np.nda
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline sequential JPEG — single-component (grayscale), or
-    3-component YCbCr at 4:4:4 or 4:2:0 — to ``(width, height, n_channels,
-    pixels)`` (row-major; color is RGB-interleaved after the JFIF
-    transform, computed as floor(x+0.5) so it is closed-form-checkable
+    3-component YCbCr at 4:4:4/4:2:2/4:4:0/4:2:0 — to ``(width, height,
+    n_channels, pixels)`` (row-major; color is RGB-interleaved after the
+    JFIF transform, computed as floor(x+0.5) so it is closed-form-checkable
     rather than libjpeg's tolerance-bound fixed-point). General over the
     declared subset: quant/Huffman tables come from the payload's own
     DQT/DHT segments, restart intervals from DRI, chroma upsampling is
     sample replication. Progressive/extended frames, 16-bit tables, and
     other sampling factor combinations raise ValueError (callers drop
-    them; the cv2/PIL backend rungs decode those when present)."""
+    them; the cv2/PIL backend rungs decode those when present). EVERY
+    malformed payload raises ValueError — struct/index errors from crafted
+    headers are normalized so the drop-don't-kill contract holds."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"malformed JPEG headers: {e}") from e
+
+
+def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qt: dict[int, np.ndarray] = {}

@@ -108,7 +108,16 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode an 8-bit greyscale/RGB/RGBA non-interlaced PNG to
     ``(width, height, n_channels, pixels)``, row-major interleaved.
     CRC-checked chunk walk; ValueError on anything outside the declared
-    subset (callers drop such payloads; cv2/PIL rungs widen coverage)."""
+    subset OR malformed (struct/index errors from crafted chunk bodies are
+    normalized so the drop-don't-kill contract holds; callers drop such
+    payloads, cv2/PIL rungs widen coverage)."""
+    try:
+        return _decode_png_impl(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"malformed PNG chunk structure: {e}") from e
+
+
+def _decode_png_impl(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:8] != _SIG:
         raise ValueError("not a PNG payload (missing signature)")
     pos = 8

@@ -311,3 +311,21 @@ def test_color_roundtrip_exact_all_four_samplings(sub, fh, fv):
     cru = np.repeat(np.repeat(cr, fv, axis=0), fh, axis=1)
     exp = _expected_rgb(y, cbu, cru)
     assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w, 3), exp)
+
+
+def test_malformed_headers_raise_valueerror_not_struct_errors():
+    """Crafted segment bodies (short IHDR-like SOF, truncated SOS, short
+    DQT) must surface as ValueError, never IndexError/struct.error — the
+    mapInPandas drop contract catches only ValueError."""
+    w, h, img = _fixture(3)
+    good = encode_jpeg_gray(w, h, img.tobytes())
+    sos = good.index(b"\xff\xda")
+    # truncate inside the SOS header (component list cut off)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: sos + 5])
+    # shrink the SOF0 segment length so the component bytes fall outside it
+    sof = good.index(b"\xff\xc0")
+    short = bytearray(good)
+    short[sof + 2 : sof + 4] = (0).to_bytes(1, "big") + (4).to_bytes(1, "big")
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(short))

@@ -186,3 +186,18 @@ def test_decode_image_pixels_handles_png_without_cv2(spark):
     assert sorted(got) == [1]
     assert (got[1]["width"], got[1]["height"], got[1]["n_channels"]) == (4, 2, 3)
     assert got[1]["mean_intensity"] == sum(range(24)) / 24
+
+
+def test_malformed_chunk_bodies_raise_valueerror():
+    """A valid-CRC IHDR with a SHORT body must raise ValueError, never
+    struct.error (the drop-don't-kill contract)."""
+    body = struct.pack(">II", 4, 4)  # 8 bytes, IHDR needs 13
+    chunk = (
+        struct.pack(">I", len(body))
+        + b"IHDR"
+        + body
+        + struct.pack(">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+    )
+    good = encode_png(2, 2, bytes(12), channels=3)
+    with pytest.raises(ValueError):
+        decode_png(good[:8] + chunk + good[8 + 12 + 13 :])
