@@ -329,3 +329,26 @@ def test_malformed_headers_raise_valueerror_not_struct_errors():
     short[sof + 2 : sof + 4] = (0).to_bytes(1, "big") + (4).to_bytes(1, "big")
     with pytest.raises(ValueError):
         decode_jpeg(bytes(short))
+
+
+@pytest.mark.parametrize("w,h,sub,fh,fv", [
+    (13, 7, "420", 2, 2), (17, 9, "444", 1, 1), (10, 6, "422", 2, 1), (9, 11, "440", 1, 2),
+])
+def test_color_partial_mcu_crop_constant(w, h, sub, fh, fv):
+    """Non-multiple-of-MCU color dims: Y and chroma planes edge-replicate to
+    the MCU grid on encode and crop back on decode; constant planes keep
+    every block constant so the roundtrip stays exact through the color
+    transform."""
+    cw, chh = (w + fh - 1) // fh, (h + fv - 1) // fv
+    y = np.full((h, w), 90, np.uint8)
+    cb = np.full((chh, cw), 120, np.uint8)
+    cr = np.full((chh, cw), 150, np.uint8)
+    payload = encode_jpeg_color(w, h, y.tobytes(), cb.tobytes(), cr.tobytes(), subsample=sub)
+    dw, dh, c, px = decode_jpeg(payload)
+    assert (dw, dh, c) == (w, h, 3)
+    exp = _expected_rgb(
+        y,
+        np.repeat(np.repeat(cb, fv, axis=0), fh, axis=1)[:h, :w],
+        np.repeat(np.repeat(cr, fv, axis=0), fh, axis=1)[:h, :w],
+    )
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w, 3), exp)
