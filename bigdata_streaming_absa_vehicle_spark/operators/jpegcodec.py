@@ -113,6 +113,13 @@ def _canonical_codes(bits, vals) -> dict[int, tuple[int, int]]:
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            # T.81 C.2: at most 2^length codes of a given length.  A DHT
+            # whose BITS over-subscribe the code space would otherwise
+            # overflow the canonical counter and (in the 16-bit prefix
+            # table) turn into an out-of-range slice that silently builds
+            # a partial table (ADVICE r7 item 1) — reject it here.
+            if code >= (1 << length):
+                raise ValueError("invalid DHT: code space over-subscribed")
             out[vals[k]] = (code, length)
             code += 1
             k += 1
@@ -391,14 +398,29 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
     restart_interval = 0
     pos = 2
     while True:
-        if pos + 4 > len(payload):
+        if pos + 2 > len(payload):
             raise ValueError("truncated JPEG: ran out of marker segments")
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
-        marker = payload[pos + 1]
-        pos += 2
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede the
+        # marker code (ADVICE r7 item 2: exactly-one was too strict and
+        # rejected valid encoder output).
+        while pos < len(payload) and payload[pos] == 0xFF:
+            pos += 1
+        if pos >= len(payload):
+            raise ValueError("truncated JPEG: ran out of marker segments")
+        marker = payload[pos]
+        pos += 1
+        if marker == 0x00:
+            raise ValueError("JPEG marker expected")  # stuffed byte outside scan
         if marker == 0xD9:
             raise ValueError("EOI before scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone (parameterless) markers — no
+            # length field follows (T.81 B.1.1.3).
+            continue
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG: ran out of marker segments")
         seglen = struct.unpack_from(">H", payload, pos)[0]
         body = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT: one or more tables, each zigzag-stored

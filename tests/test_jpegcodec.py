@@ -331,6 +331,44 @@ def test_malformed_headers_raise_valueerror_not_struct_errors():
         decode_jpeg(bytes(short))
 
 
+def test_oversubscribed_dht_rejected():
+    """A DHT whose BITS over-subscribe the canonical code space (e.g. three
+    1-bit codes) must raise ValueError at header parse, not silently build
+    a partial 16-bit prefix table (ADVICE r7 item 1)."""
+    w, h, img = _fixture(3)
+    good = bytearray(encode_jpeg_gray(w, h, img.tobytes()))
+    dht = good.index(b"\xff\xc4")
+    # bits[1] lives at segment body offset 1 (after the class/id byte);
+    # segment starts at dht+4 (marker + 2-byte length).  Force 3 codes of
+    # length 1: code space for length 1 holds only 2.
+    bits_off = dht + 4 + 1
+    n_old = sum(good[bits_off : bits_off + 16])
+    good[bits_off] = 3
+    good[bits_off + 1 : bits_off + 16] = bytes(15)
+    # keep the value list length consistent with the new BITS sum
+    seg_len = int.from_bytes(good[dht + 2 : dht + 4], "big")
+    vals_off = bits_off + 16
+    new_seg = good[: vals_off + 3] + good[vals_off + n_old :]
+    new_seg[dht + 2 : dht + 4] = (seg_len - n_old + 3).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="over-subscribed"):
+        decode_jpeg(bytes(new_seg))
+
+
+def test_fill_bytes_and_standalone_markers_tolerated():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker
+    code, and TEM (0x01) is a standalone parameterless marker — both legal
+    encoder outputs must decode identically (ADVICE r7 item 2)."""
+    w, h, img = _fixture(5)
+    good = encode_jpeg_gray(w, h, img.tobytes())
+    ref = decode_jpeg(good)
+    sof = good.index(b"\xff\xc0")
+    padded = good[:sof] + b"\xff\xff\xff" + b"\xff\x01" + good[sof:]
+    assert decode_jpeg(padded) == ref
+    # a stuffed 0xFF00 outside the scan is NOT a marker: still rejected
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:sof] + b"\xff\x00" + good[sof:])
+
+
 @pytest.mark.parametrize("w,h,sub,fh,fv", [
     (13, 7, "420", 2, 2), (17, 9, "444", 1, 1), (10, 6, "422", 2, 1), (9, 11, "440", 1, 2),
 ])
