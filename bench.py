@@ -113,13 +113,32 @@ def streaming_throughput(spark, sf_dir: str) -> dict[str, float]:
                 "absa_rows": n_docs,
                 "absa_rows_per_sec": median(absa_runs),
                 "absa_rows_per_sec_runs": absa_runs,
-                # [load before run1..3 (events), before run1..3 (absa), after]
+                # 8 samples: [before events run1..3, after events,
+                #             before absa run1..3, after absa]
                 "loadavg_1m_5m_15m": loadavg,
             }
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     return stats
+
+
+def _infer_round_tag(repo: str) -> str:
+    """Newest driver-recorded BENCH_rNN.json + 1 = the round being built.
+
+    The driver writes BENCH_r{N}.json only at round close, so during round
+    N the newest on disk is N-1 and this infers rN; a bench run can
+    therefore never write a detail file for a round that already has a
+    driver-recorded one.
+    """
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in os.listdir(repo)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", p))
+    ]
+    return f"r{(max(rounds) + 1 if rounds else 1):02d}"
 
 
 def main() -> None:
@@ -213,7 +232,12 @@ def main() -> None:
     # overwritten by later rounds, so full per-query regression diffs stay
     # possible round-over-round (r4 verdict item 6: r4's rolling file
     # clobbered r3's and BENCH_r0N.json keeps only the top-3)
-    round_tag = os.environ.get("SPARK_GRAFT_ROUND", "r06")
+    # Round tag for the never-overwritten per-round copy.  When the env var
+    # is absent, DERIVE it as newest driver-recorded BENCH_rNN.json + 1 (the
+    # round currently being built) instead of a hard-coded default: r7's
+    # stale "r06" literal let a default-env driver run clobber the r06
+    # detail record (VERDICT r7 item 2).
+    round_tag = os.environ.get("SPARK_GRAFT_ROUND") or _infer_round_tag(repo)
     # smoke runs at other scale factors must not clobber the sf0.1 record
     # the round-over-round regression diffs read
     detail_paths = (
