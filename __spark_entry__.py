@@ -80,7 +80,90 @@ def entry(spark: SparkSession) -> DataFrame:
 #     item 3 of the same verdict requires.  The residual 22 IDs
 #     (X-101/102/105/106/108-115/117-126) lead round 8's tier-1 set, after
 #     which every §2 ID has a driver row.
+#   - Round 8 (this file): computed by tools/rotation_plan.py --round 8
+#     under the AMENDED steady-state re-cert policy (VERDICT r7 item 3).
+#     POLICY: the hard evidence-age ceiling is defined per OPERATOR ID —
+#     every SURVEY §2 ID must have a green driver row <= 5 rounds old,
+#     where an ID's age is the NEWEST green row among all queries tagged
+#     with it; the re-cert tier is sized by the breach list (set-cover),
+#     not a fixed 10.  Why: a query-level <=3-round ceiling over a
+#     423-query registry needs 141 slots/round — arithmetically impossible
+#     with 50 — and r7's query-level debt report duly showed 130 nominal
+#     breaches while only 7 operator IDs were actually stale.  The 213 IDs
+#     rotate comfortably inside 5 rounds of free slots.  Per-QUERY
+#     freshness for the whole registry keeps coming from the per-round
+#     pytest oracle suite + full vanilla drives (all 423 hash-checked vs
+#     DuckDB at sf0.01 every round).  Window: tier R = the 7 queries
+#     re-certifying the 7 IDs whose newest row (r3) breaches age 5 at r9;
+#     tier N = the 22 never-certified IDs (q311-q336) — after this round
+#     every §2 ID has a driver row, 213/213; tier B = 21 never-certified
+#     backlog queries q136-q158 (lowest-number first).  Planner-reported
+#     post-window ID breaches: 0.
 _WINDOW_PRIORITY = (
+    # -- Tier R (r8): ID-level age-ceiling re-certs — the only 7 operator
+    # IDs whose newest green row (r3) would breach the 5-round ceiling at
+    # r9.  (The r7 planner's "10 oldest r3 query rows" shrank to 7 under
+    # the ID-level policy: q16*/q17-q20/q23w/q24w's IDs all have newer
+    # rows via sibling queries.) --
+    "q21_range_join",
+    "q26u_union_dedup",
+    "q28_normalize_text",
+    "q29_regexp_extract",
+    "q33_string_assembly",
+    "q35_argmax_array",
+    "q83_decontamination",
+    # -- Tier N (r8): the last 22 never-driver-certified §2 IDs
+    # (X-101/102/105/106/108-115/117-126) — VERDICT r7 item 1.  Green
+    # rows here make driver-covered hash-oracle IDs 213/213. --
+    "q311_msprt_monitor",        # X-101
+    "q312_shapley_attribution",  # X-102
+    "q315_bellman_ford_sssp",    # X-105
+    "q316_extractive_summary",   # X-106
+    "q318_segment_uplift_qini",  # X-108
+    "q319_xmr_control_chart",    # X-109
+    "q320_retention_decay_fit",  # X-110
+    "q321_cost_threshold",       # X-111
+    "q322_mahalanobis_anomaly",  # X-112
+    "q323_cross_validated_stump",  # X-113
+    "q324_price_whatif",         # X-114
+    "q325_erlang_c_staffing",    # X-115
+    "q327_experiment_health",    # X-117
+    "q328_join_view_ivm",        # X-118
+    "q329_partition_key_advisor",  # X-119
+    "q330_dedup_threshold_advisor",  # X-120
+    "q331_embedding_separation",  # X-121
+    "q332_neyman_allocation",    # X-122
+    "q333_systematic_pps_sample",  # X-123
+    "q334_consistent_hash_rebalance",  # X-124
+    "q335_source_keyness",       # X-125
+    "q336_absorbing_chain_lifetime",  # X-126
+    # -- Tier B (r8): backlog fill — never-certified registry queries,
+    # lowest query number first (first-ever driver rows; their IDs are
+    # already covered by newer sibling rows, so this burns down the
+    # never-certified count 193 -> 172). --
+    "q136_triangle_count",
+    "q139_tpch_q11_important_parts",
+    "q140_tpch_q20_excess_shippers",
+    "q141_ewma_smoothing",
+    "q142_mad_outliers",
+    "q143_shingle_novelty",
+    "q144_source_overlap",
+    "q145_centroid_cosine_matrix",
+    "q146_containment_pairs",
+    "q147_mixing_plan",
+    "q148_ks_drift",
+    "q149_point_in_time_join",
+    "q150_changelog_compaction",
+    "q151_weighted_median",
+    "q152_last_touch_attribution",
+    "q153_winsorized_mean",
+    "q154_group_trend",
+    "q155_training_assembly",
+    "q156_tpch_q4_order_priority",
+    "q157_tpch_q6_forecast_revenue",
+    "q158_tpch_q18_large_orders",
+)
+_WINDOW_PRIORITY_R7 = (
     # -- Tier 1 (r7): queries added this round, certified this round.
     # q417/q418 displaced the last two set-cover picks (q312/X-102 and
     # q311/X-101 -> r8 tier 1, the r6 displacement precedent). --
@@ -215,9 +298,12 @@ _WINDOW_PRIORITY_R6 = (
     "q414_stratified_ate",       # X-139
     "q415_raking_weights",       # X-140
 )
-# (ROUND-6 WINDOW above, kept verbatim for the rotation record; the live
-# window is _WINDOW_PRIORITY.)  r7 budget note: 2 forced + 10 re-certs +
-# 38 set-cover fill the 50 exactly.  Every query past the window holds
+# (ROUND-7 and ROUND-6 WINDOWS above, kept verbatim for the rotation
+# record; the live window is _WINDOW_PRIORITY.)  r7 budget note: 4 forced
+# + 10 re-certs + 36 set-cover filled the 50 exactly (q417/q418 displaced
+# two set-cover picks after that round's note was first written — ADVICE
+# r7 item 3).  r8 budget note: 7 ID-ceiling re-certs + 22 never-certified
+# IDs + 21 never-certified backlog queries fill the 50 exactly.  Every query past the window holds
 # either a green driver row on the current engine from rounds 3-6
 # (CORRECTNESS_r03..r06) or builder-drive evidence
 # (tools/verify/drive_vanilla.py full-registry runs, ALL MATCH,

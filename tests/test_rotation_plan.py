@@ -1,6 +1,13 @@
 """Policy invariants for tools/rotation_plan.py (the reproducible driver-
 window planner): no Spark session needed — it reads CORRECTNESS_r*.json and
-the registry tags only."""
+the registry tags only.
+
+Since round 8 the planner encodes the ID-LEVEL steady-state policy
+(VERDICT r7 item 3): the hard age ceiling applies to SURVEY §2 operator IDs
+(newest green row among queries tagged with the ID, <= ID_MAX_AGE_ROUNDS
+rounds stale), the re-cert tier is sized by the breach list via set-cover,
+and leftover slots burn down never-certified registry queries.
+"""
 
 from __future__ import annotations
 
@@ -15,8 +22,14 @@ rotation_plan = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(_spec and rotation_plan)
 
 
+def _specs():
+    from bigdata_streaming_absa_vehicle_spark.queries import all_queries
+
+    return all_queries()
+
+
 def test_window_is_exact_size_and_duplicate_free():
-    window, debt = rotation_plan.plan(current_round=7, slots=50, recert_slots=10, force=[])
+    window, debt = rotation_plan.plan(current_round=8, slots=50, recert_slots=None, force=[])
     names = [n for n, _ in window]
     assert len(names) == 50
     assert len(set(names)) == 50
@@ -25,26 +38,69 @@ def test_window_is_exact_size_and_duplicate_free():
 
 def test_forced_entries_lead_the_window():
     window, _ = rotation_plan.plan(
-        current_round=7, slots=50, recert_slots=10, force=["q406_pixel_decode"]
+        current_round=8, slots=50, recert_slots=None, force=["q406_pixel_decode"]
     )
     assert window[0][0] == "q406_pixel_decode"
     assert "forced" in window[0][1]
 
 
-def test_recert_tier_picks_oldest_evidence_first():
-    window, _ = rotation_plan.plan(current_round=7, slots=50, recert_slots=10, force=[])
-    recerts = [(n, why) for n, why in window if why.startswith("re-cert")]
-    assert len(recerts) == 10
+def test_recert_tier_zeroes_id_breaches():
+    """Every ID that would breach the ceiling next round is either
+    re-certified by a scheduled slot or reported — after a full 50-slot
+    plan the residual breach list must be empty (the policy's invariant)."""
+    window, debt = rotation_plan.plan(current_round=8, slots=50, recert_slots=None, force=[])
+    assert debt["id_breaches_after_window"] == 0
+    # and each scheduled re-cert actually covers at least one breaching ID
+    specs = _specs()
     ledger = rotation_plan.load_ledger()
-    ages = [ledger[n] for n, _ in recerts]
-    assert ages == sorted(ages)  # oldest rounds first
-    # every scheduled re-cert would actually breach the ceiling next round
-    assert all(7 + 1 - a > rotation_plan.MAX_AGE_ROUNDS for a in ages)
+    id_newest: dict[str, int] = {}
+    for q, r in ledger.items():
+        if q in specs:
+            for t in specs[q].tags:
+                id_newest[t] = max(r, id_newest.get(t, 0))
+    breaching = {
+        t for t, r in id_newest.items() if 8 + 1 - r > rotation_plan.ID_MAX_AGE_ROUNDS
+    }
+    for name, why in window:
+        if why.startswith("re-cert"):
+            gained = set(specs[name].tags) & breaching
+            assert gained, f"{name} re-certifies no breaching ID"
+            breaching -= gained
+    assert not breaching
 
 
 def test_never_certified_tier_only_contains_uncertified_queries():
-    window, _ = rotation_plan.plan(current_round=7, slots=50, recert_slots=10, force=[])
+    window, _ = rotation_plan.plan(current_round=8, slots=50, recert_slots=None, force=[])
     ledger = rotation_plan.load_ledger()
     for name, why in window:
         if why.startswith("never-certified"):
             assert name not in ledger
+
+
+def test_backlog_fill_prefers_never_certified_lowest_number():
+    window, _ = rotation_plan.plan(current_round=8, slots=50, recert_slots=None, force=[])
+    ledger = rotation_plan.load_ledger()
+    fills = [n for n, why in window if why.startswith("backlog fill")]
+    never_fills = [n for n in fills if n not in ledger]
+    # never-certified fills come first and ascend by query number
+    assert fills[: len(never_fills)] == never_fills
+    nums = [rotation_plan.qnum(n) for n in never_fills]
+    assert nums == sorted(nums)
+
+
+def test_live_window_contains_planner_mandatory_tiers():
+    """_WINDOW_PRIORITY must contain every re-cert and never-certified-ID
+    slot the planner computes for the current round (no hand-editing
+    drift).  Tier-B backlog fills may be displaced by mid-round forced
+    additions — documented precedent since r6 — so only tiers R and N are
+    asserted."""
+    import sys
+
+    sys.path.insert(0, _here)
+    import __spark_entry__ as E
+
+    window, _ = rotation_plan.plan(current_round=8, slots=50, recert_slots=None, force=[])
+    mandatory = {
+        n for n, why in window if why.startswith(("re-cert", "never-certified"))
+    }
+    assert mandatory <= set(E._WINDOW_PRIORITY)

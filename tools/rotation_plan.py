@@ -9,23 +9,35 @@ recommended next window from the hard evidence on disk:
 Inputs: CORRECTNESS_r0*.json (driver rows; newest green row per query = its
 evidence age) and the registry's per-query SURVEY §2 operator-ID tags.
 
-Policy encoded (the contract the verdicts audit):
- 1. NEVER-CERTIFIED FIRST, by operator-ID coverage: greedy max-coverage so
-    each slot certifies as many driver-uncovered §2 IDs as possible.
- 2. EVIDENCE-AGE CEILING: no green row older than MAX_AGE_ROUNDS (3). Queries
-    whose newest row would exceed it by next round get re-cert slots
-    (default 10/round, oldest first; overflow is reported, not hidden).
- 3. SAME-ROUND CERTIFICATION for queries added or semantically modified in
+Policy encoded (the contract the verdicts audit; r8 steady-state policy per
+VERDICT r7 item 3):
+ 1. SAME-ROUND CERTIFICATION for queries added or semantically modified in
     the current round (the no-new-backlog rule) — pass them via --force.
+ 2. ID-LEVEL EVIDENCE-AGE CEILING: every SURVEY §2 operator ID must have a
+    green driver row at most ID_MAX_AGE_ROUNDS (5) rounds old, where an
+    ID's evidence age is the NEWEST green row among all queries tagged
+    with it.  IDs that would breach by next round get re-cert slots via
+    greedy set-cover (each slot re-certifies as many breaching IDs as
+    possible, oldest IDs first on ties); the tier is sized by the breach
+    list, not a fixed count, so breaches stay at zero.
+ 3. NEVER-CERTIFIED ID COVERAGE: remaining slots go to queries covering
+    §2 IDs with no driver row at all (greedy max-coverage).
+ 4. BACKLOG FILL: leftover slots burn down never-certified registry
+    queries (lowest query number first), then the oldest query-level rows.
 
-Honest-math note: with a 410-query registry and a 50-slot window, a <=3-round
-age ceiling cannot hold for EVERY query — a full rotation takes ceil(410/50)
-= 9 rounds. The ceiling therefore governs the RE-CERT TIER's priority order
-(oldest rows first, 10 slots/round), while per-round freshness for the whole
-registry comes from the builder-side full vanilla drive + the pytest oracle
-suite, which re-hash-check all queries at the driver's own scale every round.
-The debt report prints how many rows breach the ceiling so no verdict has to
-discover it by archaeology.
+Honest-math note (why the ceiling is ID-level and 5 rounds): the registry
+holds 423 queries and the window 50 slots, so a query-level ceiling K needs
+423 <= 50*K -> K >= 9; a 3-round query-level ceiling can never hold and the
+r7 planner's query-level debt report duly showed 130 "breaches" with a
+10-slot tier retiring fewer than aged in.  The 213 operator IDs, however,
+rotate in ceil(213/~45) < 5 rounds of free slots — and faster via set-cover
+since one query row often re-certifies several IDs.  The HARD driver-row
+guarantee is therefore per OPERATOR ID (<=5 rounds stale); per-QUERY
+freshness for the whole registry comes from the builder-side full vanilla
+drive + the pytest oracle suite, which re-hash-check all 423 queries against
+DuckDB at the driver's own scale (sf0.01) every round.  The debt report
+prints ID-level breaches (must be 0 after each planned window) plus the
+query-level age histogram so no verdict discovers drift by archaeology.
 
 Output: the ordered window (with per-slot rationale) + a debt report:
 remaining driver-uncovered IDs, queries at/over the age ceiling, and how many
@@ -44,7 +56,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-MAX_AGE_ROUNDS = 3
+# Hard ceiling on OPERATOR-ID evidence age (rounds since the newest green
+# driver row among queries tagged with the ID) — see the policy note above
+# for why 5 is the supportable number and query-level ceilings are not.
+ID_MAX_AGE_ROUNDS = 5
 
 
 def load_ledger() -> dict[str, int]:
@@ -69,21 +84,26 @@ def qnum(name: str) -> int:
     return int(m.group(1)) if m else 10**9
 
 
-def plan(current_round: int, slots: int, recert_slots: int, force: list[str]):
+def plan(current_round: int, slots: int, recert_slots: int | None, force: list[str]):
     from bigdata_streaming_absa_vehicle_spark.queries import all_queries
 
     specs = all_queries()
     ledger = load_ledger()
 
-    covered_ids = set()
-    for q in ledger:
+    # ID-level evidence age: newest green row among queries tagged with it
+    id_newest: dict[str, int] = {}
+    for q, r in ledger.items():
         if q in specs:
-            covered_ids |= set(specs[q].tags)
+            for t in specs[q].tags:
+                id_newest[t] = max(r, id_newest.get(t, 0))
     all_ids = {t for s in specs.values() for t in s.tags}
-    uncovered = all_ids - covered_ids
+    uncovered = all_ids - set(id_newest)
 
     window: list[tuple[str, str]] = []  # (name, rationale)
     used = set()
+
+    def scheduled_ids() -> set[str]:
+        return {t for n, _ in window for t in specs[n].tags}
 
     # tier F: forced (new/modified this round)
     for name in force:
@@ -92,22 +112,40 @@ def plan(current_round: int, slots: int, recert_slots: int, force: list[str]):
         window.append((name, "forced: added/modified this round"))
         used.add(name)
 
-    # tier R: evidence-age re-certification (rows that would breach the
-    # ceiling by NEXT round go first)
-    aging = sorted(
-        (q for q, r in ledger.items() if q in specs and current_round + 1 - r > MAX_AGE_ROUNDS),
-        key=lambda q: (ledger[q], qnum(q)),
-    )
-    for name in aging[:recert_slots]:
-        if len(window) >= slots:
+    # tier R: ID-level age-ceiling re-certification.  An ID breaches at
+    # NEXT round if its newest row is older than ID_MAX_AGE_ROUNDS then.
+    # Greedy set-cover: each slot re-certifies as many breaching IDs as
+    # possible (ties -> the query whose breaching IDs are oldest, then
+    # lowest query number).  Sized by the breach list (recert_slots, if
+    # given, is only a cap).
+    breaching = {
+        t for t, r in id_newest.items() if current_round + 1 - r > ID_MAX_AGE_ROUNDS
+    } - scheduled_ids()
+    n_breach = len(breaching)
+    cap = recert_slots if recert_slots is not None else slots
+    n_recert = 0
+    while breaching and len(window) < slots and n_recert < cap:
+        best, gain = None, set()
+        for n in specs:
+            if n in used:
+                continue
+            g = set(specs[n].tags) & breaching
+            if not g:
+                continue
+            key = (len(g), -min(id_newest[t] for t in g), -qnum(n))
+            if best is None or key > best_key:
+                best, gain, best_key = n, g, key
+        if best is None:
             break
-        if name in used:
-            continue
-        window.append((name, f"re-cert: newest row r{ledger[name]} breaches age {MAX_AGE_ROUNDS} at r{current_round + 1}"))
-        used.add(name)
-    aging_overflow = [q for q in aging[recert_slots:] if q not in used]
+        oldest = min(id_newest[t] for t in gain)
+        window.append(
+            (best, f"re-cert: {len(gain)} ID(s) w/ newest row <= r{oldest} breach age {ID_MAX_AGE_ROUNDS} at r{current_round + 1}")
+        )
+        used.add(best)
+        breaching -= gain
+        n_recert += 1
 
-    # tier N: never-certified, greedy max operator-ID coverage
+    # tier N: never-certified IDs, greedy max operator-ID coverage
     remaining = set(uncovered)
     never = [n for n in specs if n not in ledger and n not in used]
     while len(window) < slots:
@@ -123,26 +161,42 @@ def plan(current_round: int, slots: int, recert_slots: int, force: list[str]):
         never.remove(best)
         remaining -= gain
 
-    # tier B: any leftover slots -> oldest never-certified queries (rows-only
-    # coverage value), then oldest aging overflow
-    fillers = sorted(never, key=qnum) + aging_overflow
+    # tier B: any leftover slots -> never-certified queries lowest-number
+    # first (rows-only coverage value), then the oldest query-level rows
+    aging_queries = sorted(
+        (q for q, r in ledger.items() if q in specs and q not in used),
+        key=lambda q: (ledger[q], qnum(q)),
+    )
+    fillers = sorted(never, key=qnum) + aging_queries
     for name in fillers:
         if len(window) >= slots:
             break
         if name in used:
             continue
-        window.append((name, "backlog fill (never-certified / aging overflow)"))
+        window.append((name, "backlog fill (never-certified, then oldest rows)"))
         used.add(name)
 
+    # post-window ID age histogram: what the ledger will look like if every
+    # scheduled row lands green this round
+    post_newest = dict(id_newest)
+    for t in scheduled_ids():
+        post_newest[t] = current_round
+    ages = [current_round + 1 - r for r in post_newest.values()]
     debt = {
         "registry": len(specs),
         "driver_certified": len(ledger),
         "never_certified": len([n for n in specs if n not in ledger]),
         "ids_total": len(all_ids),
-        "ids_driver_covered": len(covered_ids),
+        "ids_driver_covered": len(id_newest),
         "ids_uncovered_after_window": sorted(remaining),
-        "age_ceiling_breaches_next_round": len(aging),
-        "aging_not_scheduled": aging_overflow,
+        "id_breaches_before_window": n_breach,
+        "id_breaches_after_window": len(breaching),
+        "id_age_histogram_after_window": {
+            f"age{a}": ages.count(a) for a in sorted(set(ages))
+        },
+        "query_rows_older_than_id_ceiling": len(
+            [q for q, r in ledger.items() if q in specs and current_round + 1 - r > ID_MAX_AGE_ROUNDS and q not in used]
+        ),
     }
     return window, debt
 
@@ -151,7 +205,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True, help="the round this window will RUN in")
     ap.add_argument("--slots", type=int, default=50)
-    ap.add_argument("--recert-slots", type=int, default=10)
+    ap.add_argument(
+        "--recert-slots",
+        type=int,
+        default=None,
+        help="optional CAP on the re-cert tier (default: sized by the ID breach list)",
+    )
     ap.add_argument("--force", nargs="*", default=[])
     args = ap.parse_args()
     window, debt = plan(args.round, args.slots, args.recert_slots, args.force)
