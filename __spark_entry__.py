@@ -93,13 +93,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #     rotate comfortably inside 5 rounds of free slots.  Per-QUERY
 #     freshness for the whole registry keeps coming from the per-round
 #     pytest oracle suite + full vanilla drives (all 423 hash-checked vs
-#     DuckDB at sf0.01 every round).  Window: tier R = the 7 queries
-#     re-certifying the 7 IDs whose newest row (r3) breaches age 5 at r9;
-#     tier N = the 22 never-certified IDs (q311-q336) — after this round
-#     every §2 ID has a driver row, 213/213; tier B = 21 never-certified
-#     backlog queries q136-q158 (lowest-number first).  Planner-reported
-#     post-window ID breaches: 0.
+#     DuckDB at sf0.01 every round).  Window: tier F = q419 (progressive
+#     JPEG, added this round); tier R = the 7 queries re-certifying the 7
+#     IDs whose newest row (r3) breaches age 5 at r9; tier N = the 22
+#     never-certified IDs (q311-q336) — after this round every §2 ID has
+#     a driver row, 213/213; tier B = 20 never-certified backlog queries
+#     q136-q157 (lowest-number first; q158 displaced by the forced q419).
+#     Planner-reported post-window ID breaches: 0.
 _WINDOW_PRIORITY = (
+    # -- Tier F (r8): added this round, certified this round (the
+    # no-new-backlog rule).  q419 hash-certifies the vendored PROGRESSIVE
+    # JPEG (SOF2) decode — VERDICT r7 item 7, displacing the last tier-B
+    # pick (q158 -> r9) per documented precedent. --
+    "q419_jpeg_progressive_decode",  # S-08 X-05 (progressive SOF2 decode)
     # -- Tier R (r8): ID-level age-ceiling re-certs — the only 7 operator
     # IDs whose newest green row (r3) would breach the 5-round ceiling at
     # r9.  (The r7 planner's "10 oldest r3 query rows" shrank to 7 under
@@ -161,7 +167,8 @@ _WINDOW_PRIORITY = (
     "q155_training_assembly",
     "q156_tpch_q4_order_priority",
     "q157_tpch_q6_forecast_revenue",
-    "q158_tpch_q18_large_orders",
+    # (q158_tpch_q18_large_orders was the 21st tier-B pick; displaced by
+    # the forced q419 addition — leads tier B at r9.)
 )
 _WINDOW_PRIORITY_R7 = (
     # -- Tier 1 (r7): queries added this round, certified this round.
@@ -302,8 +309,9 @@ _WINDOW_PRIORITY_R6 = (
 # record; the live window is _WINDOW_PRIORITY.)  r7 budget note: 4 forced
 # + 10 re-certs + 36 set-cover filled the 50 exactly (q417/q418 displaced
 # two set-cover picks after that round's note was first written — ADVICE
-# r7 item 3).  r8 budget note: 7 ID-ceiling re-certs + 22 never-certified
-# IDs + 21 never-certified backlog queries fill the 50 exactly.  Every query past the window holds
+# r7 item 3).  r8 budget note: 1 forced (q419) + 7 ID-ceiling re-certs +
+# 22 never-certified IDs + 20 never-certified backlog queries fill the 50
+# exactly.  Every query past the window holds
 # either a green driver row on the current engine from rounds 3-6
 # (CORRECTNESS_r03..r06) or builder-drive evidence
 # (tools/verify/drive_vanilla.py full-registry runs, ALL MATCH,

@@ -14,8 +14,14 @@ the entropy-coded segment with 0xFF00 byte stuffing, magnitude-category
 EXTEND, ZRL/EOB run coding, dequantization, inverse zigzag, float IDCT,
 level shift + clamp, replication chroma upsampling, the JFIF YCbCr->RGB
 transform (floor(x+0.5) — T.81 pins no color rounding; this choice keeps it
-closed-form-checkable), and right/bottom partial-MCU cropping. Progressive,
-arithmetic coding, 16-bit tables and other sampling combinations raise
+closed-form-checkable), and right/bottom partial-MCU cropping.  PROGRESSIVE
+(SOF2, Annex G with Huffman coding) is also decoded since round 8: spectral
+selection + successive approximation, interleaved DC scans, non-interleaved
+AC scans over the component's own (non-MCU-padded) block grid, EOBn
+end-of-band runs, refinement correction bits, and DHT redefinition between
+scans — the last format slice a camera/web corpus hits that the pure ladder
+used to drop (VERDICT r7 item 7).  Arithmetic coding, hierarchical/lossless
+frames, 16-bit tables and other sampling combinations still raise
 ValueError — callers drop such payloads per the imdecode contract, and the
 cv2/PIL rungs of multimodal._pixel_backend take over for them when those
 libraries exist.
@@ -41,7 +47,13 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_jpeg_gray", "encode_jpeg_color", "decode_jpeg"]
+__all__ = [
+    "encode_jpeg_gray",
+    "encode_jpeg_color",
+    "encode_jpeg_progressive_gray",
+    "encode_jpeg_progressive_color",
+    "decode_jpeg",
+]
 
 # --- constant tables -------------------------------------------------------
 
@@ -353,6 +365,197 @@ def _decode_block(rd: _BitReader, dct, act, pred: int) -> tuple[np.ndarray, int]
     return coefs, pred
 
 
+def _comp_block_grid(width: int, height: int, ch: int, cv: int, hmax: int, vmax: int):
+    """Non-interleaved block grid (wb, hb) for one component, T.81 A.2.2:
+    ceil over the component's true sample dimensions — NOT the MCU-padded
+    grid (a 4:2:0 luma plane of width 20 is 3 blocks wide in a
+    non-interleaved scan even though the MCU grid pads it to 4)."""
+    cw = -(-width * ch // hmax)
+    chh = -(-height * cv // vmax)
+    return -(-cw // 8), -(-chh // 8)
+
+
+def _dc_progressive(rd: _BitReader, dct, blk: np.ndarray, ah: int, al: int, pred: int) -> int:
+    """One block's DC in a progressive scan (T.81 G.1.2.1).  First scan
+    (ah=0): Huffman DC diff at reduced precision, stored << al.  Refinement
+    (ah>0): one raw bit ORed in at position al (two's-complement OR is
+    exact for negative coefficients too)."""
+    if ah == 0:
+        if dct is None:
+            raise ValueError("scan references undeclared Huffman tables")
+        s = _huff_decode(rd, dct)
+        pred += _extend(rd.bits(s), s) if s else 0
+        blk[0] = pred << al
+    elif rd.bits(1):
+        blk[0] |= 1 << al
+    return pred
+
+
+def _ac_first_band(
+    rd: _BitReader, act, blk: np.ndarray, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """One block's AC band [ss, se] in a first (ah=0) progressive scan,
+    T.81 G.1.2.2: ZRL, EOBn run-length bands, coefficients stored << al.
+    Returns the remaining end-of-band run count."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(rd, act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: 16 zero coefficients
+                k += 16
+                continue
+            # EOBn: run of 2^r + next-r-bits blocks ending at this one
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rd.bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC run overflows the spectral band")
+        blk[k] = _extend(rd.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_band(
+    rd: _BitReader, act, blk: np.ndarray, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """One block's AC band in a refinement (ah=al+1) progressive scan,
+    T.81 G.1.2.3: newly-nonzero coefficients arrive as ±2^al; every
+    nonzero-history coefficient passed (including the whole tail of an
+    EOB-run block) consumes one correction bit that may append 2^al toward
+    larger magnitude."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(rd, act)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("AC refinement magnitude must be 1 bit")
+                newval = p1 if rd.bits(1) else m1
+            elif r != 15:
+                # full run count here (unlike the first-scan path, which
+                # pre-decrements): the current block's tail below still
+                # consumes correction bits, THEN counts itself off
+                eobrun = 1 << r
+                if r:
+                    eobrun += rd.bits(r)
+                break
+            # advance past r zero-history coefficients, reading a
+            # correction bit at every nonzero-history one on the way
+            while k <= se:
+                if blk[k]:
+                    if rd.bits(1) and not (blk[k] & p1):
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("AC refinement run overflows the band")
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB-run tail: correction bits only
+            if blk[k]:
+                if rd.bits(1) and not (blk[k] & p1):
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_scan(
+    payload: bytes,
+    data_pos: int,
+    width: int,
+    height: int,
+    comps: list,
+    scan_comps: list,
+    huff: dict,
+    store: list,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    mcux: int,
+    mcuy: int,
+    restart_interval: int,
+) -> int:
+    """Decode one progressive scan's entropy-coded data (T.81 Annex G with
+    Huffman coding): DC scans may interleave all frame components in MCU
+    order; AC scans are single-component with blocks in the component's own
+    (non-MCU-padded) raster order.  Mutates the zigzag coefficient stores in
+    place and returns the payload offset where the marker walk resumes."""
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se = 0")
+    if se > 63 or ss > se:
+        raise ValueError("invalid spectral selection band")
+    if ss > 0 and len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    if ah and ah != al + 1:
+        raise ValueError("successive approximation must refine exactly one bit")
+    if ss > 0:
+        ta = scan_comps[0][1][1]
+        if (1, ta) not in huff:
+            raise ValueError("scan references undeclared Huffman tables")
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        n_units = mcux * mcuy
+        wb_c = hb_c = 0
+    else:
+        ci0 = scan_comps[0][0]
+        _, ch0, cv0, _ = comps[ci0]
+        wb_c, hb_c = _comp_block_grid(width, height, ch0, cv0, hmax, vmax)
+        n_units = wb_c * hb_c
+    rd = _BitReader(payload, data_pos)
+    eobrun = 0
+    preds = [0] * len(comps)
+    expected_rst = 0
+    for u in range(n_units):
+        if restart_interval and u and u % restart_interval == 0:
+            mk = rd.align_to_marker()
+            if mk != 0xD0 + expected_rst:
+                raise ValueError(f"expected RST{expected_rst}, found marker {mk:#x}")
+            expected_rst = (expected_rst + 1) % 8
+            preds = [0] * len(comps)
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            for ci, (td, _ta) in scan_comps:
+                _, ch, cv, _ = comps[ci]
+                for v in range(cv):
+                    for hh in range(ch):
+                        bi = (my * cv + v) * (mcux * ch) + (mx * ch + hh)
+                        preds[ci] = _dc_progressive(
+                            rd, huff.get((0, td)), store[ci][bi], ah, al, preds[ci]
+                        )
+        else:
+            ci, (td, ta) = scan_comps[0]
+            _, ch, cv, _ = comps[ci]
+            by, bx = divmod(u, wb_c)
+            blk = store[ci][by * (mcux * ch) + bx]
+            if ss == 0:
+                preds[ci] = _dc_progressive(rd, huff.get((0, td)), blk, ah, al, preds[ci])
+            elif ah == 0:
+                eobrun = _ac_first_band(rd, huff[(1, ta)], blk, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_band(rd, huff[(1, ta)], blk, ss, se, al, eobrun)
+    # resume the marker walk: if the reader already consumed a marker
+    # (its 0xFF pair sits at pos-2), hand those bytes back to the walk
+    return rd.pos - 2 if rd.marker is not None else rd.pos
+
+
 def _idct_plane(coefs: np.ndarray, qtab: np.ndarray, hb: int, wb: int) -> np.ndarray:
     """Dequantize zigzag-ordered block coefficients, IDCT all blocks at
     once, level-shift + clamp; returns the (hb*8, wb*8) uint8 plane."""
@@ -369,14 +572,16 @@ def _idct_plane(coefs: np.ndarray, qtab: np.ndarray, hb: int, wb: int) -> np.nda
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline sequential JPEG — single-component (grayscale), or
-    3-component YCbCr at 4:4:4/4:2:2/4:4:0/4:2:0 — to ``(width, height,
-    n_channels, pixels)`` (row-major; color is RGB-interleaved after the
-    JFIF transform, computed as floor(x+0.5) so it is closed-form-checkable
-    rather than libjpeg's tolerance-bound fixed-point). General over the
-    declared subset: quant/Huffman tables come from the payload's own
-    DQT/DHT segments, restart intervals from DRI, chroma upsampling is
-    sample replication. Progressive/extended frames, 16-bit tables, and
+    """Decode a baseline-sequential (SOF0) or progressive (SOF2) JPEG —
+    single-component (grayscale), or 3-component YCbCr at
+    4:4:4/4:2:2/4:4:0/4:2:0 — to ``(width, height, n_channels, pixels)``
+    (row-major; color is RGB-interleaved after the JFIF transform, computed
+    as floor(x+0.5) so it is closed-form-checkable rather than libjpeg's
+    tolerance-bound fixed-point). General over the declared subset:
+    quant/Huffman tables come from the payload's own DQT/DHT segments
+    (including tables redefined between progressive scans), restart
+    intervals from DRI, chroma upsampling is sample replication.
+    Arithmetic-coded, hierarchical/lossless frames, 16-bit tables, and
     other sampling factor combinations raise ValueError (callers drop
     them; the cv2/PIL backend rungs decode those when present). EVERY
     malformed payload raises ValueError — struct/index errors from crafted
@@ -396,6 +601,10 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
     comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq) in SOF order
     scan_tables: dict[int, tuple[int, int]] = {}  # cid -> (td, ta)
     restart_interval = 0
+    progressive = False
+    n_scans = 0
+    hmax = vmax = mcux = mcuy = 0
+    store: list[np.ndarray] = []  # per comp: MCU-padded zigzag coef grid
     pos = 2
     while True:
         if pos + 2 > len(payload):
@@ -414,6 +623,8 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
         if marker == 0x00:
             raise ValueError("JPEG marker expected")  # stuffed byte outside scan
         if marker == 0xD9:
+            if progressive and n_scans:
+                break  # progressive frame complete: reconstruct from store
             raise ValueError("EOI before scan data")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             # TEM / RSTn are standalone (parameterless) markers — no
@@ -442,77 +653,105 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
                 vals = tuple(body[i + 17 : i + 17 + n])
                 huff[(cls, tid)] = _decode_table(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0: baseline sequential
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if comps:
+                raise ValueError("multiple frame headers")
+            progressive = marker == 0xC2
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise ValueError(f"{precision}-bit JPEG not supported")
             if ncomp not in (1, 3):
                 raise ValueError(f"{ncomp}-component JPEG not supported")
+            if width <= 0 or height <= 0:
+                raise ValueError("non-positive JPEG dimensions")
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/extended) not supported")
+            samplings = tuple((h, v) for _, h, v, _ in comps)
+            if len(comps) == 1:
+                if samplings != ((1, 1),):
+                    raise ValueError("subsampled single-component JPEG not supported")
+            elif (
+                samplings[1:] != ((1, 1), (1, 1))
+                or samplings[0][0] not in (1, 2)
+                or samplings[0][1] not in (1, 2)
+            ):
+                # Y at 1x1/2x1/1x2/2x2 with full-res chroma factors covers
+                # 4:4:4, 4:2:2, 4:4:0 and 4:2:0 — the MCU loop and
+                # replication upsampler below are generic over (h,v)∈{1,2}²
+                raise ValueError("only 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 sampling supported")
+            hmax = max(h for _, h, _, _ in comps)
+            vmax = max(v for _, _, v, _ in comps)
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            store = [np.zeros((mcuy * v * mcux * h, 64), np.int64) for _, h, v, _ in comps]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline/progressive JPEG frame type not supported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS: header then entropy-coded data
+            if not comps:
+                raise ValueError("SOS before a frame header")
             ns = body[0]
-            if ns != len(comps) or ns == 0:
-                raise ValueError("scan must cover exactly the frame's components")
+            if not progressive:
+                if ns != len(comps) or ns == 0:
+                    raise ValueError("scan must cover exactly the frame's components")
+                for c in range(ns):
+                    cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                    scan_tables[cid] = (tt >> 4, tt & 0x0F)
+                pos += seglen
+                break
+            # progressive: decode this scan inline against the coefficient
+            # store, then resume the marker walk after its entropy data
+            if ns == 0 or ns > len(comps):
+                raise ValueError("scan component count out of range")
+            cids = [c[0] for c in comps]
+            sc: list[tuple[int, tuple[int, int]]] = []
             for c in range(ns):
                 cid, tt = body[1 + 2 * c], body[2 + 2 * c]
-                scan_tables[cid] = (tt >> 4, tt & 0x0F)
-            pos += seglen
-            break
+                if cid not in cids:
+                    raise ValueError("scan references a component not in the frame")
+                sc.append((cids.index(cid), (tt >> 4, tt & 0x0F)))
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            pos = _progressive_scan(
+                payload, pos + seglen, width, height, comps, sc, huff, store,
+                ss, se, ahal >> 4, ahal & 0x0F, mcux, mcuy, restart_interval,
+            )
+            n_scans += 1
+            continue
         # APPn / COM / anything else: skip
         pos += seglen
     if width <= 0 or height <= 0 or not comps:
-        raise ValueError("JPEG scan without a valid SOF0 frame header")
-    samplings = tuple((h, v) for _, h, v, _ in comps)
-    if len(comps) == 1:
-        if samplings != ((1, 1),):
-            raise ValueError("subsampled single-component JPEG not supported")
-    elif (
-        samplings[1:] != ((1, 1), (1, 1))
-        or samplings[0][0] not in (1, 2)
-        or samplings[0][1] not in (1, 2)
-    ):
-        # Y at 1x1/2x1/1x2/2x2 with full-res chroma factors covers
-        # 4:4:4, 4:2:2, 4:4:0 and 4:2:0 — the MCU loop and replication
-        # upsampler below are generic over (h, v) in {1,2}^2
-        raise ValueError("only 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 sampling supported")
-    for cid, _, _, tq in comps:
-        if tq not in qt or cid not in scan_tables:
+        raise ValueError("JPEG scan without a valid SOF frame header")
+    for _, _, _, tq in comps:
+        if tq not in qt:
             raise ValueError("component references undeclared tables")
-        td, ta = scan_tables[cid]
-        if (0, td) not in huff or (1, ta) not in huff:
-            raise ValueError("scan references undeclared Huffman tables")
-
-    hmax = max(h for _, h, _, _ in comps)
-    vmax = max(v for _, _, v, _ in comps)
-    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-    # per component: zigzag coef store, block-grid width, DC predictor
-    store = [np.zeros((mcuy * v * mcux * h, 64), np.int64) for _, h, v, _ in comps]
-    preds = [0] * len(comps)
-    rd = _BitReader(payload, pos)
-    expected_rst = 0
-    for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            mk = rd.align_to_marker()
-            if mk != 0xD0 + expected_rst:
-                raise ValueError(f"expected RST{expected_rst}, found marker {mk:#x}")
-            expected_rst = (expected_rst + 1) % 8
-            preds = [0] * len(comps)
-        my, mx = divmod(m, mcux)
-        for ci, (cid, ch, cv, _) in enumerate(comps):
+    if not progressive:
+        for cid, _, _, tq in comps:
+            if cid not in scan_tables:
+                raise ValueError("component references undeclared tables")
             td, ta = scan_tables[cid]
-            for v in range(cv):
-                for hh in range(ch):
-                    coefs, preds[ci] = _decode_block(
-                        rd, huff[(0, td)], huff[(1, ta)], preds[ci]
-                    )
-                    store[ci][(my * cv + v) * (mcux * ch) + (mx * ch + hh)] = coefs
+            if (0, td) not in huff or (1, ta) not in huff:
+                raise ValueError("scan references undeclared Huffman tables")
+        preds = [0] * len(comps)
+        rd = _BitReader(payload, pos)
+        expected_rst = 0
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                mk = rd.align_to_marker()
+                if mk != 0xD0 + expected_rst:
+                    raise ValueError(f"expected RST{expected_rst}, found marker {mk:#x}")
+                expected_rst = (expected_rst + 1) % 8
+                preds = [0] * len(comps)
+            my, mx = divmod(m, mcux)
+            for ci, (cid, ch, cv, _) in enumerate(comps):
+                td, ta = scan_tables[cid]
+                for v in range(cv):
+                    for hh in range(ch):
+                        coefs, preds[ci] = _decode_block(
+                            rd, huff[(0, td)], huff[(1, ta)], preds[ci]
+                        )
+                        store[ci][(my * cv + v) * (mcux * ch) + (mx * ch + hh)] = coefs
 
     planes = []
     for ci, (cid, ch, cv, tq) in enumerate(comps):
@@ -654,3 +893,287 @@ def encode_jpeg_color(
     head += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 2 * 3 + 3, 3)
     head += bytes((1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
     return bytes(head) + bytes(w.out) + b"\xff\xd9"
+
+
+# --- progressive encoder (T.81 Annex G, Huffman) ----------------------------
+# Fixed spec-legal tables that cover EVERY symbol a progressive scan can
+# emit.  The Annex-K baseline tables lack the EOBn symbols (0x10, 0x20, ...,
+# 0xE0), so they cannot express cross-block end-of-band runs; rather than
+# shipping a statistics pass, the test-fixture encoder declares flat tables:
+# 15 four-bit DC codes (categories 0-14) and 255 eight-bit AC codes (symbols
+# 0x00-0xFE).  Both leave the all-ones code of their length unused, as C.2
+# requires so 1-bit padding can never alias a code.  Compression is
+# irrelevant here — the DECODER reads whatever tables the DHT declares.
+_PROG_DC_BITS = (0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+_PROG_DC_VALS = tuple(range(15))
+_PROG_AC_BITS = (0, 0, 0, 0, 0, 0, 0, 255, 0, 0, 0, 0, 0, 0, 0, 0)
+_PROG_AC_VALS = tuple(range(255))
+
+# Default scan script: DC first at Al=1 then refined to full precision; the
+# AC band split at zigzag 5 with TWO successive-approximation stages
+# (Al=2 -> 1 -> 0), exercising EOBn runs, ZRL-in-refinement, and buffered
+# correction bits.  (ss, se, ah, al) per scan; DC scans interleave all
+# components, AC scans repeat per component.
+_PROG_SCRIPT = (
+    (0, 0, 0, 1),
+    (1, 5, 0, 2),
+    (6, 63, 0, 2),
+    (1, 63, 2, 1),
+    (0, 0, 1, 0),
+    (1, 63, 1, 0),
+)
+
+
+def _flush_eobrun(w: _BitWriter, ac_code, eobrun: int, bebits=None) -> int:
+    """Emit a pending EOBn symbol (+ its appended correction bits)."""
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        code, ln = ac_code[r << 4]
+        w.put(code, ln)
+        if r:
+            w.put(eobrun & ((1 << r) - 1), r)
+    if bebits:
+        for b in bebits:
+            w.put(b, 1)
+    return 0
+
+
+def _encode_dc_scan(w, blocks_iter, dc_code, al: int, refine: bool, preds: list, ci_of) -> None:
+    """DC scan over (ci, coefs) pairs in MCU/raster order: first scan emits
+    Huffman diffs of the point-transformed (>> al, arithmetic) DC values;
+    refinement emits the single next bit per block."""
+    for ci, coefs in blocks_iter:
+        v = int(coefs[0])
+        if refine:
+            w.put((v >> al) & 1, 1)
+            continue
+        t = v >> al
+        pi = ci_of(ci)
+        diff = t - preds[pi]
+        preds[pi] = t
+        s = _category(diff)
+        code, ln = dc_code[s]
+        w.put(code, ln)
+        if s:
+            w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+
+def _encode_ac_first_scan(w, blocks, ac_code, ss: int, se: int, al: int) -> None:
+    """AC first scan (ah=0) over one component's blocks: zero runs, ZRL,
+    cross-block EOBn accumulation, magnitudes point-transformed by
+    truncation toward zero (>> al on |v|)."""
+    eobrun = 0
+    for coefs in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(coefs[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            if eobrun:
+                eobrun = _flush_eobrun(w, ac_code, eobrun)
+            while r > 15:
+                code, ln = ac_code[0xF0]
+                w.put(code, ln)
+                r -= 16
+            s = t.bit_length()
+            code, ln = ac_code[(r << 4) | s]
+            w.put(code, ln)
+            tv = t if v > 0 else -t
+            w.put(tv if tv > 0 else tv + (1 << s) - 1, s)
+            r = 0
+        if r:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(w, ac_code, eobrun)
+    if eobrun:
+        _flush_eobrun(w, ac_code, eobrun)
+
+
+def _encode_ac_refine_scan(w, blocks, ac_code, ss: int, se: int, al: int) -> None:
+    """AC refinement scan (ah=al+1) over one component's blocks, mirroring
+    the decoder's G.1.2.3 contract: newly-nonzero coefficients (|v|>>al ==
+    1) are Huffman-coded with a sign bit; nonzero-history coefficients
+    contribute buffered correction bits emitted after the next symbol (or
+    with the EOBn that closes their run); zero-history runs count only
+    true zeros."""
+    eobrun = 0
+    bebits: list[int] = []
+    for coefs in blocks:
+        absv = [abs(int(coefs[k])) >> al for k in range(ss, se + 1)]
+        eob = -1  # band index of the last newly-nonzero coefficient
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i
+        r = 0
+        pending: list[int] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                eobrun = _flush_eobrun(w, ac_code, eobrun, bebits)
+                bebits = []
+                code, ln = ac_code[0xF0]
+                w.put(code, ln)
+                r -= 16
+                for b in pending:
+                    w.put(b, 1)
+                pending = []
+            if t > 1:
+                pending.append(t & 1)
+                continue
+            eobrun = _flush_eobrun(w, ac_code, eobrun, bebits)
+            bebits = []
+            code, ln = ac_code[(r << 4) | 1]
+            w.put(code, ln)
+            w.put(1 if int(coefs[ss + i]) > 0 else 0, 1)
+            for b in pending:
+                w.put(b, 1)
+            pending = []
+            r = 0
+        if r > 0 or pending:
+            eobrun += 1
+            bebits.extend(pending)
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(w, ac_code, eobrun, bebits)
+                bebits = []
+    if eobrun or bebits:
+        _flush_eobrun(w, ac_code, eobrun, bebits)
+
+
+def _prog_headers(width: int, height: int, comps_desc: bytes, ncomp: int) -> bytearray:
+    """SOI + DQT(flat-8) + the two progressive DHTs + SOF2."""
+    head = bytearray(b"\xff\xd8")
+    head += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00)
+    head += bytes(int(_FLAT8[z]) for z in _ZZ)
+    for cls, bits, vals in ((0, _PROG_DC_BITS, _PROG_DC_VALS), (1, _PROG_AC_BITS, _PROG_AC_VALS)):
+        head += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(vals), (cls << 4) | 0)
+        head += bytes(bits) + bytes(vals)
+    head += b"\xff\xc2" + struct.pack(">HBHHB", 2 + 6 + 3 * ncomp, 8, height, width, ncomp)
+    head += comps_desc
+    return head
+
+
+def _sos(scan_comps: tuple[int, ...], ss: int, se: int, ah: int, al: int) -> bytes:
+    ns = len(scan_comps)
+    hdr = struct.pack(">HB", 2 + 1 + 2 * ns + 3, ns)
+    for cid in scan_comps:
+        hdr += bytes((cid, 0x00))  # every scan uses DC table 0 / AC table 0
+    return b"\xff\xda" + hdr + bytes((ss, se, (ah << 4) | al))
+
+
+def encode_jpeg_progressive_gray(
+    width: int, height: int, pixels: bytes, scans: tuple = _PROG_SCRIPT
+) -> bytes:
+    """Encode a grayscale raster as a PROGRESSIVE JPEG (SOF2): spectral
+    selection + successive approximation per `scans` (tuples of
+    (Ss, Se, Ah, Al); the default script refines DC over two stages and AC
+    over three).  A complete script reconstructs the exact same quantized
+    coefficients as the baseline encoder, so decode output is bit-identical
+    to `encode_jpeg_gray` -> `decode_jpeg` — the q419 exactness argument."""
+    if len(pixels) != width * height:
+        raise ValueError(f"gray raster needs {width * height} bytes, got {len(pixels)}")
+    if width <= 0 or height <= 0:
+        raise ValueError("non-positive JPEG dimensions")
+    zz = _encode_plane_blocks(_blocks_of(width, height, pixels))
+    dc_code = _canonical_codes(_PROG_DC_BITS, _PROG_DC_VALS)
+    ac_code = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    out = _prog_headers(width, height, bytes((1, 0x11, 0)), 1)
+    for ss, se, ah, al in scans:
+        out += _sos((1,), ss, se, ah, al)
+        w = _BitWriter()
+        if ss == 0:
+            preds = [0]
+            _encode_dc_scan(w, ((0, c) for c in zz), dc_code, al, ah > 0, preds, lambda ci: ci)
+        elif ah == 0:
+            _encode_ac_first_scan(w, zz, ac_code, ss, se, al)
+        else:
+            _encode_ac_refine_scan(w, zz, ac_code, ss, se, al)
+        w.align()
+        out += w.out
+    return bytes(out) + b"\xff\xd9"
+
+
+def encode_jpeg_progressive_color(
+    width: int,
+    height: int,
+    y_plane: bytes,
+    cb_plane: bytes,
+    cr_plane: bytes,
+    subsample: str = "420",
+    scans: tuple = _PROG_SCRIPT,
+) -> bytes:
+    """Progressive (SOF2) color encoder: DC scans interleave all three
+    components in MCU order; each AC scan entry in `scans` is emitted once
+    per component, non-interleaved, with blocks in the component's own
+    T.81 A.2.2 raster grid (NOT the MCU-padded grid — the decoder's
+    sub-grid addressing is exactly what this exercises)."""
+    factors = {"444": (1, 1), "420": (2, 2), "422": (2, 1), "440": (1, 2)}
+    if subsample not in factors:
+        raise ValueError("subsample must be one of '444', '422', '440', '420'")
+    if width <= 0 or height <= 0:
+        raise ValueError("non-positive JPEG dimensions")
+    hmax, vmax = factors[subsample]
+    cw = (width + hmax - 1) // hmax
+    chh = (height + vmax - 1) // vmax
+    if len(y_plane) != width * height:
+        raise ValueError(f"Y plane needs {width * height} bytes, got {len(y_plane)}")
+    if len(cb_plane) != cw * chh or len(cr_plane) != cw * chh:
+        raise ValueError(f"chroma planes need {cw * chh} bytes")
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+
+    def grid_blocks(plane: bytes, pw: int, ph: int, wb: int, hb: int) -> np.ndarray:
+        img = np.frombuffer(plane, np.uint8).reshape(ph, pw)
+        img = np.pad(img, ((0, hb * 8 - ph), (0, wb * 8 - pw)), mode="edge")
+        return (
+            img.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(hb * wb, 8, 8)
+        ).astype(np.float64)
+
+    samp = ((hmax, vmax), (1, 1), (1, 1))
+    zz = [
+        _encode_plane_blocks(grid_blocks(y_plane, width, height, mcux * hmax, mcuy * vmax)),
+        _encode_plane_blocks(grid_blocks(cb_plane, cw, chh, mcux, mcuy)),
+        _encode_plane_blocks(grid_blocks(cr_plane, cw, chh, mcux, mcuy)),
+    ]
+    dc_code = _canonical_codes(_PROG_DC_BITS, _PROG_DC_VALS)
+    ac_code = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    def mcu_iter():
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci, (ch, cv) in enumerate(samp):
+                for v in range(cv):
+                    for hh in range(ch):
+                        yield ci, zz[ci][(my * cv + v) * (mcux * ch) + (mx * ch + hh)]
+
+    def comp_blocks(ci: int):
+        ch, cv = samp[ci]
+        wb_c, hb_c = _comp_block_grid(width, height, ch, cv, hmax, vmax)
+        for u in range(wb_c * hb_c):
+            by, bx = divmod(u, wb_c)
+            yield zz[ci][by * (mcux * ch) + bx]
+
+    ysamp = (hmax << 4) | vmax
+    out = _prog_headers(width, height, bytes((1, ysamp, 0, 2, 0x11, 0, 3, 0x11, 0)), 3)
+    for ss, se, ah, al in scans:
+        if ss == 0:
+            out += _sos((1, 2, 3), ss, se, ah, al)
+            w = _BitWriter()
+            preds = [0, 0, 0]
+            _encode_dc_scan(w, mcu_iter(), dc_code, al, ah > 0, preds, lambda ci: ci)
+            w.align()
+            out += w.out
+        else:
+            for ci, cid in ((0, 1), (1, 2), (2, 3)):
+                out += _sos((cid,), ss, se, ah, al)
+                w = _BitWriter()
+                if ah == 0:
+                    _encode_ac_first_scan(w, comp_blocks(ci), ac_code, ss, se, al)
+                else:
+                    _encode_ac_refine_scan(w, comp_blocks(ci), ac_code, ss, se, al)
+                w.align()
+                out += w.out
+    return bytes(out) + b"\xff\xd9"

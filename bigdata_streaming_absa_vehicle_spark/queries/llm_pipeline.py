@@ -1156,6 +1156,133 @@ def q418_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JPEG_PROGRESSIVE_ORACLE = """
+    WITH g AS (
+        SELECT doc_id,
+               8 * (doc_id % 5 + 1) AS w,
+               8 * (doc_id % 2 + 2) AS h,
+               doc_id % 5 + 1 AS wb
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w, h,
+               (ty.y // 8) * wb + (tx.x // 8) AS k, tx.x AS x, ty.y AS y
+        FROM g, UNNEST(range(0, h)) AS ty(y), UNNEST(range(0, w)) AS tx(x)
+    ),
+    v AS (
+        SELECT doc_id, w, h, x, y,
+               128 + ((11 * doc_id + 7 * k) % 33) - 16
+                   + (((5 * doc_id + 3 * k) % 17) - 8)
+                     * (CASE WHEN (x % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+                     * (CASE WHEN (y % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END) AS pix
+        FROM px
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           1 AS n_channels,
+           CAST(SUM(pix) AS DOUBLE) / (w * h) AS mean_intensity,
+           CAST(SUM(pix * ((x * 29 + y * 13) % 5 + 1)) AS BIGINT) AS weighted_checksum
+    FROM v
+    GROUP BY doc_id, w, h
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "q419_jpeg_progressive_decode",
+    oracle=_JPEG_PROGRESSIVE_ORACLE,
+    tags=("X-05", "S-08"),
+)
+def q419_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG (SOF2, T.81 Annex G) decode, hash-certified
+    end-to-end — VERDICT r7 item 7, the one format slice a real camera/web
+    corpus still hit that the pure ladder dropped (reference parity:
+    vehicle_consumer.py:81-83 cv2.imdecodes whatever frames arrive;
+    progressive is the dominant web-JPEG framing).
+
+    Per document, an Arrow-batched mapInPandas synthesizes the q416-family
+    grayscale raster (block k of an (8*(d%5+1)) x (8*(d%2+2)) image holds
+    128 + dc_k + ac_k*s(x)s(y) with dc_k = (11d+7k)%33-16,
+    ac_k = (5d+3k)%17-8), ENCODES it with the vendored PROGRESSIVE forward
+    path — the default 6-scan script: DC first at Al=1, AC band splits
+    (1-5, 6-63) at Al=2, an Ah=2->Al=1 AC refinement, the DC refinement
+    bit, and the final Ah=1->Al=0 AC refinement — and DECODES the SOF2
+    bitstream with operators/jpegcodec.decode_jpeg: per-scan SOS parsing,
+    spectral-selection bands, successive-approximation DC bits (two's-
+    complement OR), AC first scans with cross-block EOBn runs, AC
+    refinement scans with buffered correction bits, and the non-MCU-padded
+    block addressing of non-interleaved scans.  A complete script
+    reconstructs exactly the baseline coefficients, so decoded pixels equal
+    the closed form EXACTLY and the DuckDB oracle recomputes them
+    analytically — a wrong EOBn count, a missed correction bit, a
+    mis-shifted approximation stage, or a sub-grid addressing slip shifts
+    pixels and breaks the hash.  The checksum weight family differs from
+    q416's so the two hashes cannot mask each other.
+
+    Scale shape: identical to q416 — synth, encode, decode fuse into one
+    mapInPandas stage; ONE small exchange fans the 8-byte doc-id relation
+    across cores first (CPU-bound codec parallelism must follow cores, not
+    input bytes; the testdata scan is a single split)."""
+    n_par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(n_par)
+
+    def kernel(batches):
+        from bigdata_streaming_absa_vehicle_spark.operators.jpegcodec import (
+            decode_jpeg,
+            encode_jpeg_progressive_gray,
+        )
+
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        sgn = np.where(np.isin(np.arange(8) % 8, (0, 3, 4, 7)), 1, -1)
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "width", "height", "n_channels",
+                    "mean_intensity", "weighted_checksum",
+                )
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                wb, hb = did % 5 + 1, did % 2 + 2
+                w, h = 8 * wb, 8 * hb
+                ky, kx = np.meshgrid(np.arange(h) // 8, np.arange(w) // 8, indexing="ij")
+                k = ky * wb + kx
+                dc = (11 * did + 7 * k) % 33 - 16
+                ac = (5 * did + 3 * k) % 17 - 8
+                img = (
+                    128 + dc + ac * np.outer(sgn[np.arange(h) % 8], sgn[np.arange(w) % 8])
+                ).astype(np.uint8)
+                payload = encode_jpeg_progressive_gray(w, h, img.tobytes())
+                dw, dh, c, px = decode_jpeg(payload)  # readouts from DECODED bytes only
+                out = np.frombuffer(px, np.uint8).reshape(dh, dw).astype(np.int64)
+                yy, xx = np.meshgrid(np.arange(dh), np.arange(dw), indexing="ij")
+                wgt = (xx * 29 + yy * 13) % 5 + 1
+                rows["doc_id"].append(did)
+                rows["width"].append(dw)
+                rows["height"].append(dh)
+                rows["n_channels"].append(c)
+                rows["mean_intensity"].append(int(out.sum()) / out.size)
+                rows["weighted_checksum"].append(int((out * wgt).sum()))
+            yield pd.DataFrame(rows)
+
+    return (
+        docs.mapInPandas(
+            kernel,
+            schema=(
+                "doc_id long, width int, height int, n_channels int, "
+                "mean_intensity double, weighted_checksum long"
+            ),
+        )
+        .transform(pin)
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "q73_chunking",
     oracle="""

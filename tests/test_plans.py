@@ -2222,7 +2222,12 @@ def test_jpeg_decode_pipeline_is_fanout_then_map_only(spark):
     final presentation sort — never a hash exchange of payloads."""
     import re as _re
 
-    for name in ("q416_jpeg_decode", "q417_png_decode", "q418_jpeg_color_decode"):
+    for name in (
+        "q416_jpeg_decode",
+        "q417_png_decode",
+        "q418_jpeg_color_decode",
+        "q419_jpeg_progressive_decode",
+    ):
         q = all_queries()[name]
         plan = plan_of(q.fn(spark, SF_DIR), mode="extended")
         physical = plan.split("== Physical Plan ==")[-1]
