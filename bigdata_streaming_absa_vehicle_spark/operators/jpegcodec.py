@@ -1065,14 +1065,23 @@ def _sos(scan_comps: tuple[int, ...], ss: int, se: int, ah: int, al: int) -> byt
 
 
 def encode_jpeg_progressive_gray(
-    width: int, height: int, pixels: bytes, scans: tuple = _PROG_SCRIPT
+    width: int,
+    height: int,
+    pixels: bytes,
+    scans: tuple = _PROG_SCRIPT,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a grayscale raster as a PROGRESSIVE JPEG (SOF2): spectral
     selection + successive approximation per `scans` (tuples of
     (Ss, Se, Ah, Al); the default script refines DC over two stages and AC
     over three).  A complete script reconstructs the exact same quantized
     coefficients as the baseline encoder, so decode output is bit-identical
-    to `encode_jpeg_gray` -> `decode_jpeg` — the q419 exactness argument."""
+    to `encode_jpeg_gray` -> `decode_jpeg` — the q419 exactness argument.
+    With `restart_interval` > 0, every scan emits RSTn markers each
+    `restart_interval` blocks; restart boundaries flush pending EOBn runs
+    (with their buffered correction bits), byte-align, and reset the DC
+    predictor and restart numbering state — T.81 F.2.1.3.1 applied to the
+    progressive per-scan entropy segments."""
     if len(pixels) != width * height:
         raise ValueError(f"gray raster needs {width * height} bytes, got {len(pixels)}")
     if width <= 0 or height <= 0:
@@ -1081,16 +1090,28 @@ def encode_jpeg_progressive_gray(
     dc_code = _canonical_codes(_PROG_DC_BITS, _PROG_DC_VALS)
     ac_code = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
     out = _prog_headers(width, height, bytes((1, 0x11, 0)), 1)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    step = restart_interval or len(zz)
     for ss, se, ah, al in scans:
         out += _sos((1,), ss, se, ah, al)
         w = _BitWriter()
-        if ss == 0:
-            preds = [0]
-            _encode_dc_scan(w, ((0, c) for c in zz), dc_code, al, ah > 0, preds, lambda ci: ci)
-        elif ah == 0:
-            _encode_ac_first_scan(w, zz, ac_code, ss, se, al)
-        else:
-            _encode_ac_refine_scan(w, zz, ac_code, ss, se, al)
+        rst = 0
+        for start in range(0, len(zz), step):
+            if start:  # restart boundary: per-chunk entropy state is fresh
+                w.align()
+                w.out += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+            chunk = zz[start : start + step]
+            if ss == 0:
+                preds = [0]
+                _encode_dc_scan(
+                    w, ((0, c) for c in chunk), dc_code, al, ah > 0, preds, lambda ci: ci
+                )
+            elif ah == 0:
+                _encode_ac_first_scan(w, chunk, ac_code, ss, se, al)
+            else:
+                _encode_ac_refine_scan(w, chunk, ac_code, ss, se, al)
         w.align()
         out += w.out
     return bytes(out) + b"\xff\xd9"

@@ -98,6 +98,33 @@ def test_alternate_scan_scripts(script):
     assert prog == base
 
 
+@pytest.mark.parametrize("ri", [1, 2, 3, 7])
+def test_restart_markers_in_progressive_scans(ri):
+    """DRI/RSTn inside progressive scans: every boundary must flush pending
+    EOBn runs (plus their buffered correction bits), byte-align, and reset
+    the DC predictor — the decoder checks the RSTn sequence number and
+    resets the same state."""
+    img = _rand(40, 40, ri)
+    base = decode_jpeg(encode_jpeg_gray(40, 40, img.tobytes()))
+    prog = decode_jpeg(
+        encode_jpeg_progressive_gray(40, 40, img.tobytes(), restart_interval=ri)
+    )
+    assert prog == base
+
+
+def test_restart_truncates_eob_runs():
+    """A constant raster makes each AC scan one long EOBn run; restart
+    boundaries must truncate the run exactly at the interval or the reader
+    desyncs from the RSTn markers."""
+    img = np.full((48, 160), 99, np.uint8)
+    base = decode_jpeg(encode_jpeg_gray(160, 48, img.tobytes()))
+    for ri in (1, 5, 17):
+        prog = decode_jpeg(
+            encode_jpeg_progressive_gray(160, 48, img.tobytes(), restart_interval=ri)
+        )
+        assert prog == base
+
+
 def test_partial_file_decodes_coarse_approximation():
     """A progressive file whose refinement scans are missing is LEGAL and
     decodes to a coarser image (low coefficient bits zero) — the decoder
