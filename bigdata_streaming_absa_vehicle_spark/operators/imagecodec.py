@@ -142,15 +142,16 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
 
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PPM (P6), PGM (P5), 24-bit uncompressed BMP, baseline
-    sequential grayscale JPEG, or 8-bit non-interlaced PNG (grey/RGB/RGBA)
-    payload to ``(width, height, n_channels, pixels)`` with `pixels`
-    row-major top-down RGB-interleaved (grayscale: one byte per pixel).
-    Raises ValueError on anything else — callers drop undecodable
-    payloads, mirroring the ``cv2.imdecode(...) is None`` contract. JPEG
-    entropy decode is the vendored pure-Python baseline decoder
-    (:mod:`.jpegcodec`); PNG is the vendored zlib+unfilter decoder
-    (:mod:`.pngcodec`); progressive/color JPEG and interlaced PNG still
-    need the cv2/PIL backend rungs."""
+    gray/color or progressive JPEG, or 8-bit PNG (grey/RGB/RGBA,
+    sequential or Adam7-interlaced) payload to ``(width, height,
+    n_channels, pixels)`` with `pixels` row-major top-down
+    RGB-interleaved (grayscale: one byte per pixel). Raises ValueError on
+    anything else — callers drop undecodable payloads, mirroring the
+    ``cv2.imdecode(...) is None`` contract. JPEG entropy decode is the
+    vendored pure-Python decoder (:mod:`.jpegcodec`); PNG is the vendored
+    zlib+unfilter decoder (:mod:`.pngcodec`); the remaining exotic slices
+    (samplings outside {1,2}^2, 12-bit/arithmetic/lossless JPEG,
+    16-bit/palette PNG) still need the cv2/PIL backend rungs."""
     head = payload[:2]
     if head in (b"P6", b"P5"):
         return _decode_netpbm(payload)

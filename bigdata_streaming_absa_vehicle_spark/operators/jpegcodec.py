@@ -4,9 +4,12 @@ gate" slice (VERDICT r6 item 6) the same way operators/imagecodec.py closed
 uncompressed decode: a REAL byte-level codec, vendored, hash-certifiable.
 
 Scope (honest): 8-bit baseline sequential DCT — single-component
-(grayscale), and 3-component YCbCr at 4:4:4, 4:2:2, 4:4:0 or 4:2:0 (the camera-frame
+(grayscale), and 3-component YCbCr at ANY T.81-legal sampling whose ratios
+to (hmax, vmax) are integral: 4:4:4, 4:2:2, 4:4:0, 4:2:0 (the camera-frame
 default the reference's consumer decodes per frame,
-projects/vehicle_count/scripts/vehicle_consumer.py:81-83 via cv2.imdecode):
+projects/vehicle_count/scripts/vehicle_consumer.py:81-83 via cv2.imdecode),
+4:1:1, and mixed grids like Y 2x2 / Cb 2x1 / Cr 1x1 — factors 1-4 (B.2.2),
+at most 10 data units per MCU (B.2.3):
 marker segments, DQT (zigzag-stored tables), DHT (canonical Huffman from
 BITS/HUFFVAL), SOF0 with per-component sampling/table ids, optional DRI with
 RSTn handling + per-component DC-predictor resets, interleaved MCU layout,
@@ -22,9 +25,10 @@ end-of-band runs, refinement correction bits, and DHT redefinition between
 scans — the last format slice a camera/web corpus hits that the pure ladder
 used to drop (VERDICT r7 item 7).  Arithmetic coding, hierarchical/lossless
 frames, 16-bit tables and other sampling combinations still raise
-ValueError — callers drop such payloads per the imdecode contract, and the
-cv2/PIL rungs of multimodal._pixel_backend take over for them when those
-libraries exist.
+ValueError, as do fractional-ratio samplings (e.g. Y 3x1 with Cb 2x1, which
+would need fractional upsampling) — callers drop such payloads per the
+imdecode contract, and the cv2/PIL rungs of multimodal._pixel_backend take
+over for them when those libraries exist.
 
 The encoder is a real forward path (level shift -> 2D DCT -> quantize ->
 zigzag -> RLE -> Huffman -> stuffing), not a transcoder: q416_jpeg_decode
@@ -573,17 +577,19 @@ def _idct_plane(coefs: np.ndarray, qtab: np.ndarray, hb: int, wb: int) -> np.nda
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline-sequential (SOF0) or progressive (SOF2) JPEG —
-    single-component (grayscale), or 3-component YCbCr at
-    4:4:4/4:2:2/4:4:0/4:2:0 — to ``(width, height, n_channels, pixels)``
-    (row-major; color is RGB-interleaved after the JFIF transform, computed
-    as floor(x+0.5) so it is closed-form-checkable rather than libjpeg's
-    tolerance-bound fixed-point). General over the declared subset:
-    quant/Huffman tables come from the payload's own DQT/DHT segments
-    (including tables redefined between progressive scans), restart
-    intervals from DRI, chroma upsampling is sample replication.
-    Arithmetic-coded, hierarchical/lossless frames, 16-bit tables, and
-    other sampling factor combinations raise ValueError (callers drop
-    them; the cv2/PIL backend rungs decode those when present). EVERY
+    single-component (grayscale), or 3-component YCbCr at any T.81-legal
+    sampling with integral ratios to (hmax, vmax): 4:4:4/4:2:2/4:4:0/4:2:0/
+    4:1:1 and mixed per-component grids, factors 1-4, <= 10 data units per
+    MCU — to ``(width, height, n_channels, pixels)`` (row-major; color is
+    RGB-interleaved after the JFIF transform, computed as floor(x+0.5) so
+    it is closed-form-checkable rather than libjpeg's tolerance-bound
+    fixed-point). General over the declared subset: quant/Huffman tables
+    come from the payload's own DQT/DHT segments (including tables
+    redefined between progressive scans), restart intervals from DRI,
+    chroma upsampling is sample replication. Arithmetic-coded,
+    hierarchical/lossless frames, 16-bit tables, and fractional-ratio
+    samplings raise ValueError (callers drop them; the cv2/PIL backend
+    rungs decode those when present). EVERY
     malformed payload raises ValueError — struct/index errors from crafted
     headers are normalized so the drop-don't-kill contract holds."""
     try:
@@ -671,15 +677,25 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
             if len(comps) == 1:
                 if samplings != ((1, 1),):
                     raise ValueError("subsampled single-component JPEG not supported")
-            elif (
-                samplings[1:] != ((1, 1), (1, 1))
-                or samplings[0][0] not in (1, 2)
-                or samplings[0][1] not in (1, 2)
-            ):
-                # Y at 1x1/2x1/1x2/2x2 with full-res chroma factors covers
-                # 4:4:4, 4:2:2, 4:4:0 and 4:2:0 — the MCU loop and
-                # replication upsampler below are generic over (h,v)∈{1,2}²
-                raise ValueError("only 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 sampling supported")
+            else:
+                # The MCU loop, the non-interleaved sub-grid addressing and
+                # the replication upsampler below are generic over any T.81
+                # factors, so accept the full legal range (B.2.2: 1-4,
+                # B.2.3: <= 10 data units per interleaved MCU) as long as
+                # every ratio to (hmax, vmax) is integral — replication
+                # upsampling is exact only then; fractional-ratio samplings
+                # (e.g. Y 3x1 with Cb 2x1) stay env-gated on cv2/PIL.
+                for h, v in samplings:
+                    if not (1 <= h <= 4 and 1 <= v <= 4):
+                        raise ValueError("JPEG sampling factors must be 1-4 (T.81 B.2.2)")
+                if sum(h * v for h, v in samplings) > 10:
+                    raise ValueError("more than 10 data units per MCU (T.81 B.2.3)")
+                hm = max(h for h, _ in samplings)
+                vm = max(v for _, v in samplings)
+                if any(hm % h or vm % v for h, v in samplings):
+                    raise ValueError(
+                        "non-integral sampling ratios need fractional upsampling"
+                    )
             hmax = max(h for _, h, _, _ in comps)
             vmax = max(v for _, _, v, _ in comps)
             mcux = (width + 8 * hmax - 1) // (8 * hmax)
@@ -812,6 +828,46 @@ def _put_block(w: _BitWriter, coefs: np.ndarray, pred: int, dc_code, ac_code) ->
     return int(coefs[0])
 
 
+_NAMED_SUBSAMPLE = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "440": ((1, 2), (1, 1), (1, 1)),
+    "411": ((4, 1), (1, 1), (1, 1)),
+}
+
+
+def _resolve_factors(subsample, factors):
+    """Per-component (h, v) sampling factors: explicit `factors` (three
+    pairs) wins over the named `subsample`; validates the T.81 legal range
+    so the encoders cannot emit frames the spec forbids."""
+    if factors is None:
+        if subsample not in _NAMED_SUBSAMPLE:
+            raise ValueError(
+                "subsample must be one of '444', '422', '440', '420', '411'"
+            )
+        factors = _NAMED_SUBSAMPLE[subsample]
+    factors = tuple((int(h), int(v)) for h, v in factors)
+    if len(factors) != 3:
+        raise ValueError("factors needs one (h, v) pair per component")
+    for h, v in factors:
+        if not (1 <= h <= 4 and 1 <= v <= 4):
+            raise ValueError("JPEG sampling factors must be 1-4 (T.81 B.2.2)")
+    if sum(h * v for h, v in factors) > 10:
+        raise ValueError("more than 10 data units per MCU (T.81 B.2.3)")
+    return factors
+
+
+def _comp_plane_dims(width, height, samp):
+    """Per-component true sample dimensions (pw, ph), T.81 A.1.1:
+    ceil(width * h / hmax) x ceil(height * v / vmax)."""
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    return [
+        (-(-width * h // hmax), -(-height * v // vmax)) for h, v in samp
+    ], hmax, vmax
+
+
 def encode_jpeg_color(
     width: int,
     height: int,
@@ -820,30 +876,29 @@ def encode_jpeg_color(
     cr_plane: bytes,
     subsample: str = "420",
     restart_interval: int = 0,
+    factors=None,
 ) -> bytes:
     """Encode YCbCr planes as a baseline sequential color JPEG. `subsample`
     is '444' (chroma at full resolution), '420' (chroma at
     ceil(w/2) x ceil(h/2), the camera-frame default), '422' (chroma
-    halved horizontally) or '440' (halved vertically). Planes are encoded
-    as given — callers hand in YCbCr directly (the RGB->YCbCr analysis
-    transform is the caller's choice of rounding; q418 synthesizes planes).
-    All three components share the flat-8 quant table and the Annex-K
-    luminance Huffman tables (spec-legal: DQT/DHT declare what the decoder
-    uses). Real forward DCT per plane, interleaved MCU entropy coding with
-    per-component DC predictors, optional DRI/RSTn."""
-    factors = {"444": (1, 1), "420": (2, 2), "422": (2, 1), "440": (1, 2)}
-    if subsample not in factors:
-        raise ValueError("subsample must be one of '444', '422', '440', '420'")
+    halved horizontally), '440' (halved vertically) or '411' (chroma
+    quartered horizontally); `factors` (three (h, v) pairs, one per
+    component) overrides it for arbitrary T.81-legal grids — each plane
+    must then hold ceil(width*h/hmax) x ceil(height*v/vmax) samples.
+    Planes are encoded as given — callers hand in YCbCr directly (the
+    RGB->YCbCr analysis transform is the caller's choice of rounding; q418
+    synthesizes planes). All three components share the flat-8 quant table
+    and the Annex-K luminance Huffman tables (spec-legal: DQT/DHT declare
+    what the decoder uses). Real forward DCT per plane, interleaved MCU
+    entropy coding with per-component DC predictors, optional DRI/RSTn."""
+    samp = _resolve_factors(subsample, factors)
     if width <= 0 or height <= 0:
         raise ValueError("non-positive JPEG dimensions")
-    hmax, vmax = factors[subsample]
-    cw = (width + hmax - 1) // hmax
-    chh = (height + vmax - 1) // vmax
-    if len(y_plane) != width * height:
-        raise ValueError(f"Y plane needs {width * height} bytes, got {len(y_plane)}")
-    if len(cb_plane) != cw * chh or len(cr_plane) != cw * chh:
-        raise ValueError(f"chroma planes need {cw * chh} bytes")
-    ysamp = (hmax << 4) | vmax
+    dims, hmax, vmax = _comp_plane_dims(width, height, samp)
+    planes = (y_plane, cb_plane, cr_plane)
+    for (pw, ph), plane, label in zip(dims, planes, "Y Cb Cr".split()):
+        if len(plane) != pw * ph:
+            raise ValueError(f"{label} plane needs {pw * ph} bytes, got {len(plane)}")
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
 
@@ -855,10 +910,10 @@ def encode_jpeg_color(
             img.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(hb * wb, 8, 8)
         ).astype(np.float64)
 
-    ywb, yhb = mcux * hmax, mcuy * vmax
-    zz_y = _encode_plane_blocks(grid_blocks(y_plane, width, height, ywb, yhb))
-    zz_cb = _encode_plane_blocks(grid_blocks(cb_plane, cw, chh, mcux, mcuy))
-    zz_cr = _encode_plane_blocks(grid_blocks(cr_plane, cw, chh, mcux, mcuy))
+    zz = [
+        _encode_plane_blocks(grid_blocks(plane, pw, ph, mcux * ch, mcuy * cv))
+        for plane, (pw, ph), (ch, cv) in zip(planes, dims, samp)
+    ]
 
     dc_code = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_code = _canonical_codes(_AC_BITS, _AC_VALS)
@@ -872,12 +927,11 @@ def encode_jpeg_color(
             rst = (rst + 1) % 8
             preds = [0, 0, 0]
         my, mx = divmod(m, mcux)
-        for v in range(vmax):
-            for hh in range(hmax):
-                i = (my * vmax + v) * ywb + (mx * hmax + hh)
-                preds[0] = _put_block(w, zz_y[i], preds[0], dc_code, ac_code)
-        preds[1] = _put_block(w, zz_cb[my * mcux + mx], preds[1], dc_code, ac_code)
-        preds[2] = _put_block(w, zz_cr[my * mcux + mx], preds[2], dc_code, ac_code)
+        for ci, (ch, cv) in enumerate(samp):
+            for v in range(cv):
+                for hh in range(ch):
+                    i = (my * cv + v) * (mcux * ch) + (mx * ch + hh)
+                    preds[ci] = _put_block(w, zz[ci][i], preds[ci], dc_code, ac_code)
     w.align()
 
     head = bytearray(b"\xff\xd8")
@@ -887,7 +941,9 @@ def encode_jpeg_color(
         head += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(vals), (cls << 4) | 0)
         head += bytes(bits) + bytes(vals)
     head += b"\xff\xc0" + struct.pack(">HBHHB", 2 + 6 + 9, 8, height, width, 3)
-    head += bytes((1, ysamp, 0, 2, 0x11, 0, 3, 0x11, 0))
+    head += bytes(
+        b for cid, (ch, cv) in enumerate(samp, 1) for b in (cid, (ch << 4) | cv, 0)
+    )
     if restart_interval:
         head += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     head += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 2 * 3 + 3, 3)
@@ -1125,24 +1181,23 @@ def encode_jpeg_progressive_color(
     cr_plane: bytes,
     subsample: str = "420",
     scans: tuple = _PROG_SCRIPT,
+    factors=None,
 ) -> bytes:
     """Progressive (SOF2) color encoder: DC scans interleave all three
     components in MCU order; each AC scan entry in `scans` is emitted once
     per component, non-interleaved, with blocks in the component's own
     T.81 A.2.2 raster grid (NOT the MCU-padded grid — the decoder's
-    sub-grid addressing is exactly what this exercises)."""
-    factors = {"444": (1, 1), "420": (2, 2), "422": (2, 1), "440": (1, 2)}
-    if subsample not in factors:
-        raise ValueError("subsample must be one of '444', '422', '440', '420'")
+    sub-grid addressing is exactly what this exercises). `factors` (three
+    (h, v) pairs) overrides the named `subsample` exactly as in
+    :func:`encode_jpeg_color`."""
+    samp = _resolve_factors(subsample, factors)
     if width <= 0 or height <= 0:
         raise ValueError("non-positive JPEG dimensions")
-    hmax, vmax = factors[subsample]
-    cw = (width + hmax - 1) // hmax
-    chh = (height + vmax - 1) // vmax
-    if len(y_plane) != width * height:
-        raise ValueError(f"Y plane needs {width * height} bytes, got {len(y_plane)}")
-    if len(cb_plane) != cw * chh or len(cr_plane) != cw * chh:
-        raise ValueError(f"chroma planes need {cw * chh} bytes")
+    dims, hmax, vmax = _comp_plane_dims(width, height, samp)
+    planes = (y_plane, cb_plane, cr_plane)
+    for (pw, ph), plane, label in zip(dims, planes, "Y Cb Cr".split()):
+        if len(plane) != pw * ph:
+            raise ValueError(f"{label} plane needs {pw * ph} bytes, got {len(plane)}")
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
 
@@ -1153,11 +1208,9 @@ def encode_jpeg_progressive_color(
             img.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(hb * wb, 8, 8)
         ).astype(np.float64)
 
-    samp = ((hmax, vmax), (1, 1), (1, 1))
     zz = [
-        _encode_plane_blocks(grid_blocks(y_plane, width, height, mcux * hmax, mcuy * vmax)),
-        _encode_plane_blocks(grid_blocks(cb_plane, cw, chh, mcux, mcuy)),
-        _encode_plane_blocks(grid_blocks(cr_plane, cw, chh, mcux, mcuy)),
+        _encode_plane_blocks(grid_blocks(plane, pw, ph, mcux * ch, mcuy * cv))
+        for plane, (pw, ph), (ch, cv) in zip(planes, dims, samp)
     ]
     dc_code = _canonical_codes(_PROG_DC_BITS, _PROG_DC_VALS)
     ac_code = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
@@ -1177,8 +1230,10 @@ def encode_jpeg_progressive_color(
             by, bx = divmod(u, wb_c)
             yield zz[ci][by * (mcux * ch) + bx]
 
-    ysamp = (hmax << 4) | vmax
-    out = _prog_headers(width, height, bytes((1, ysamp, 0, 2, 0x11, 0, 3, 0x11, 0)), 3)
+    comp_bytes = bytes(
+        b for cid, (ch, cv) in enumerate(samp, 1) for b in (cid, (ch << 4) | cv, 0)
+    )
+    out = _prog_headers(width, height, comp_bytes, 3)
     for ss, se, ah, al in scans:
         if ss == 0:
             out += _sos((1, 2, 3), ss, se, ah, al)

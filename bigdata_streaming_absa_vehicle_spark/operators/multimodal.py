@@ -9,10 +9,11 @@ tiers exist:
 - `decode_image_pixels` — a REAL pixel kernel: cv2/Pillow when importable
   (the reference's cv2.imdecode UDF, vehicle_consumer.py:81-83), else the
   vendored pure-Python codecs (`.imagecodec` for uncompressed PPM/PGM/BMP,
-  `.jpegcodec` for baseline sequential grayscale JPEG, `.pngcodec` for
-  8-bit non-interlaced PNG) — hash-certified end-to-end by
-  q406_pixel_decode, q416_jpeg_decode, and q417_png_decode. Only color/
-  progressive JPEG and interlaced PNG remain gated on cv2/PIL.
+  `.jpegcodec` for baseline gray/color and progressive JPEG, `.pngcodec`
+  for 8-bit PNG in both interlace methods) — hash-certified end-to-end by
+  q406_pixel_decode, q416/q418/q419 (JPEG), and q417 (PNG). Only exotic
+  slices (JPEG samplings outside {1,2}^2, 12-bit/arithmetic/lossless
+  JPEG, 16-bit/palette PNG) remain gated on cv2/PIL.
 
 At scale: payloads never pass through the driver; mapInPandas streams Arrow
 batches executor-side, and metadata-only queries (dimensions, content hash)
@@ -85,11 +86,11 @@ DECODED_PIXELS_SCHEMA = (
 def _pixel_backend():
     """('cv2'|'pil'|'pure', module) — cv2 then Pillow when importable (full
     JPEG/PNG coverage), else the vendored pure-Python codecs in
-    :mod:`.imagecodec` (uncompressed PPM/PGM/BMP + baseline grayscale JPEG
-    via :mod:`.jpegcodec` + 8-bit non-interlaced PNG via :mod:`.pngcodec`
-    — REAL byte-level decoders, not stubs). Resolved at call time so
-    dropping cv2 or Pillow into the environment widens format coverage
-    with zero code change."""
+    :mod:`.imagecodec` (uncompressed PPM/PGM/BMP + baseline gray/color and
+    progressive JPEG via :mod:`.jpegcodec` + 8-bit sequential/Adam7 PNG
+    via :mod:`.pngcodec` — REAL byte-level decoders, not stubs). Resolved
+    at call time so dropping cv2 or Pillow into the environment widens
+    the remaining exotic-format coverage with zero code change."""
     try:
         import cv2  # noqa: PLC0415
 

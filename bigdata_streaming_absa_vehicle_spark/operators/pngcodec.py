@@ -9,12 +9,15 @@ Average, Paeth) — all byte-exact, so any valid image roundtrips exactly and
 the q418 oracle can recompute decoded pixels in closed form.
 
 Scope (honest): 8-bit greyscale (color type 0), truecolor RGB (2), and
-RGBA (6), no interlacing (Adam7 raises ValueError; cv2/PIL rungs take it
-when present), no ancillary-chunk semantics (tRNS/gAMA etc. are skipped,
+RGBA (6), BOTH interlace methods (0 = sequential and 1 = Adam7 — each of
+the seven passes is an independently filtered sub-image, ISO/IEC 15948
+§8.2, so the same unfilter pass runs per pass and pixels scatter back on
+the pass grid), no ancillary-chunk semantics (tRNS/gAMA etc. are skipped,
 matching cv2.IMREAD_UNCHANGED's raw-pixel contract for these types). The
-encoder writes real PNGs (zlib-compressed IDAT, correct CRCs) and can vary
-the filter type per row so the decoder's whole unfilter matrix is exercised
-by roundtrip tests, not just filter 0.
+encoder writes real PNGs (zlib-compressed IDAT, correct CRCs) in either
+interlace method and can vary the filter type per scanline so the
+decoder's whole unfilter matrix is exercised by roundtrip tests, not just
+filter 0.
 
 Like jpegcodec, this is the FALLBACK rung of multimodal._pixel_backend —
 Arrow-batched mapInPandas workers call it only when cv2/PIL are absent, and
@@ -32,6 +35,27 @@ __all__ = ["encode_png", "decode_png"]
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples per pixel (8-bit)
+# Adam7 pass grid (ISO/IEC 15948 §8.2): (x0, y0, dx, dy) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _pass_dims(width: int, height: int) -> list[tuple[int, int, int, int, int, int]]:
+    """Non-empty Adam7 passes as (x0, y0, dx, dy, pass_w, pass_h)."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:  # empty passes contribute no scanlines at all
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
 
 
 def _chunk(tag: bytes, body: bytes) -> bytes:
@@ -51,29 +75,14 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def encode_png(
-    width: int, height: int, pixels: bytes, channels: int = 3, filters=None
-) -> bytes:
-    """Encode a row-major 8-bit raster (1=grey, 3=RGB, 4=RGBA interleaved)
-    as a real PNG. `filters` optionally gives the per-row filter type
-    (0-4, default all 0) so tests can exercise every unfilter path."""
-    ctype = {1: 0, 3: 2, 4: 6}.get(channels)
-    if ctype is None:
-        raise ValueError(f"{channels}-channel PNG encode not supported")
-    if len(pixels) != width * height * channels:
-        raise ValueError(
-            f"raster needs {width * height * channels} bytes, got {len(pixels)}"
-        )
-    if width <= 0 or height <= 0:
-        raise ValueError("non-positive PNG dimensions")
-    img = np.frombuffer(pixels, np.uint8).reshape(height, width * channels)
-    bpp = channels  # bytes per pixel (8-bit samples)
-    filters = [0] * height if filters is None else list(filters)
-    if len(filters) != height:
-        raise ValueError("one filter type per row required")
+def _filter_rows(img: np.ndarray, bpp: int, filters) -> bytes:
+    """Filter a (rows, stride) sub-image: one type byte + filtered bytes per
+    scanline; `filters` is one type (0-4) per row. The previous row is the
+    previous row of the SAME sub-image (pass), per ISO/IEC 15948 §9."""
+    n_rows, stride = img.shape
     raw = bytearray()
-    prev = np.zeros(width * channels, np.uint8)
-    for y in range(height):
+    prev = np.zeros(stride, np.uint8)
+    for y in range(n_rows):
         row = img[y]
         f = filters[y]
         left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
@@ -95,7 +104,63 @@ def encode_png(
         raw.append(f)
         raw += out.astype(np.uint8).tobytes()
         prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return bytes(raw)
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    filters=None,
+    interlace: bool = False,
+) -> bytes:
+    """Encode a row-major 8-bit raster (1=grey, 3=RGB, 4=RGBA interleaved)
+    as a real PNG. `filters` optionally gives the per-scanline filter type
+    (0-4, default all 0) so tests can exercise every unfilter path; with
+    ``interlace=True`` the IDAT holds the seven Adam7 passes and `filters`
+    (an int for all scanlines, or one entry per pass scanline in pass
+    order) applies to the pass scanlines."""
+    ctype = {1: 0, 3: 2, 4: 6}.get(channels)
+    if ctype is None:
+        raise ValueError(f"{channels}-channel PNG encode not supported")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"raster needs {width * height * channels} bytes, got {len(pixels)}"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError("non-positive PNG dimensions")
+    bpp = channels  # bytes per pixel (8-bit samples)
+    if interlace:
+        img3 = np.frombuffer(pixels, np.uint8).reshape(height, width, channels)
+        passes = _pass_dims(width, height)
+        total_rows = sum(ph for *_, ph in passes)
+        if filters is None:
+            filters = [0] * total_rows
+        elif isinstance(filters, int):
+            filters = [filters] * total_rows
+        else:
+            filters = list(filters)
+        if len(filters) != total_rows:
+            raise ValueError("one filter type per Adam7 pass scanline required")
+        raw = bytearray()
+        taken = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            sub = np.ascontiguousarray(img3[y0::dy, x0::dx]).reshape(ph, pw * channels)
+            raw += _filter_rows(sub, bpp, filters[taken : taken + ph])
+            taken += ph
+    else:
+        img = np.frombuffer(pixels, np.uint8).reshape(height, width * channels)
+        if filters is None:
+            filters = [0] * height
+        elif isinstance(filters, int):
+            filters = [filters] * height
+        else:
+            filters = list(filters)
+        if len(filters) != height:
+            raise ValueError("one filter type per row required")
+        raw = _filter_rows(img, bpp, filters)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, int(interlace))
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
@@ -105,8 +170,9 @@ def encode_png(
 
 
 def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode an 8-bit greyscale/RGB/RGBA non-interlaced PNG to
-    ``(width, height, n_channels, pixels)``, row-major interleaved.
+    """Decode an 8-bit greyscale/RGB/RGBA PNG (sequential or
+    Adam7-interlaced) to ``(width, height, n_channels, pixels)``,
+    row-major interleaved.
     CRC-checked chunk walk; ValueError on anything outside the declared
     subset OR malformed (struct/index errors from crafted chunk bodies are
     normalized so the drop-don't-kill contract holds; callers drop such
@@ -147,8 +213,8 @@ def _decode_png_impl(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(f"PNG color type {ctype} not supported")
             if comp != 0 or filt != 0:
                 raise ValueError("non-standard PNG compression/filter method")
-            if interlace != 0:
-                raise ValueError("Adam7-interlaced PNG needs cv2/PIL")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace method {interlace}")
             channels = _CHANNELS[ctype]
             seen_ihdr = True
         elif tag == b"IDAT":
@@ -167,14 +233,40 @@ def _decode_png_impl(payload: bytes) -> tuple[int, int, int, bytes]:
         # surface as ValueError so the drop-don't-kill imdecode contract
         # holds for a CRC-valid chunk wrapping a corrupt DEFLATE stream
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
-    stride = width * channels
-    if len(raw) != height * (stride + 1):
-        raise ValueError(f"PNG scanline data is {len(raw)} bytes, need {height * (stride + 1)}")
-    arr = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
+    if interlace == 0:
+        stride = width * channels
+        if len(raw) != height * (stride + 1):
+            raise ValueError(
+                f"PNG scanline data is {len(raw)} bytes, need {height * (stride + 1)}"
+            )
+        out = _unfilter_rows(raw, height, width, channels)
+        return width, height, channels, out.tobytes()
+    # Adam7: seven independently filtered sub-images, consumed in pass
+    # order then scattered back onto the (dx, dy) pass grid.
+    passes = _pass_dims(width, height)
+    need = sum(ph * (pw * channels + 1) for *_, pw, ph in passes)
+    if len(raw) != need:
+        raise ValueError(f"PNG Adam7 scanline data is {len(raw)} bytes, need {need}")
+    out3 = np.empty((height, width, channels), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        n = ph * (pw * channels + 1)
+        sub = _unfilter_rows(raw[pos : pos + n], ph, pw, channels)
+        pos += n
+        out3[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+    return width, height, channels, out3.tobytes()
+
+
+def _unfilter_rows(raw: bytes, n_rows: int, n_cols: int, channels: int) -> np.ndarray:
+    """Unfilter one (sub-)image: `n_rows` scanlines of a 1-byte filter type
+    plus ``n_cols * channels`` filtered bytes; returns (n_rows, stride)
+    uint8. The previous row is the previous row of the same (sub-)image."""
+    stride = n_cols * channels
+    arr = np.frombuffer(raw, np.uint8).reshape(n_rows, stride + 1)
     bpp = channels
-    out = np.empty((height, stride), np.uint8)
+    out = np.empty((n_rows, stride), np.uint8)
     prev = np.zeros(stride, np.uint8)
-    for y in range(height):
+    for y in range(n_rows):
         f = int(arr[y, 0])
         row = arr[y, 1:].copy()
         if f == 0:
@@ -201,4 +293,4 @@ def _decode_png_impl(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"unknown PNG filter type {f} in scanline {y}")
         out[y] = row
         prev = row
-    return width, height, channels, out.tobytes()
+    return out

@@ -905,9 +905,11 @@ def q417_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "What's missing" #2; the JPEG half is q416). PNG's entropy layer is
     DEFLATE, which the stdlib provides, so the vendored codec
     (operators/pngcodec.py) is COMPLETE for its declared subset: 8-bit
-    greyscale/RGB/RGBA, non-interlaced — CRC-checked chunk walk, one
-    zlib inflate, and the full five-type UNFILTER pass (None/Sub/Up/
-    Average/Paeth), all byte-exact.
+    greyscale/RGB/RGBA in BOTH interlace methods (sequential here;
+    Adam7's seven-pass scatter is roundtrip- and spec-diagram-pinned in
+    tests/test_pngcodec.py) — CRC-checked chunk walk, one zlib inflate,
+    and the full five-type UNFILTER pass (None/Sub/Up/Average/Paeth),
+    all byte-exact.
 
     Per document, an Arrow-batched mapInPandas synthesizes a
     (doc_id%29+1) x (doc_id%13+1) raster with doc_id%3-selected channel

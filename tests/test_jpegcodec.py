@@ -256,15 +256,100 @@ def test_color_roundtrip_exact_both_subsamplings(did):
 
 
 def test_color_rejects_unsupported_sampling():
+    """Header-level sampling gates: factors outside 1-4, more than 10 data
+    units per MCU (T.81 B.2.3), and non-integral ratios to (hmax, vmax)
+    (fractional upsampling) must all reject at the SOF parse."""
     w, h, sub, y, cb, cr = _color_fixture(1)  # 444 stream
     payload = bytearray(
         encode_jpeg_color(w, h, y.tobytes(), cb.tobytes(), cr.tobytes(), subsample=sub)
     )
     sof = payload.index(b"\xff\xc0")
     assert payload[sof + 11] == 0x11  # Y sampling byte in SOF0
-    payload[sof + 11] = 0x31  # claim 3x1 — outside the declared {1,2}^2 subset
+    for samp_byte in (0x51, 0x15, 0x01, 0x10):  # factor 5 / factor 0
+        payload[sof + 11] = samp_byte
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(payload))
+    payload[sof + 11] = 0x43  # Y alone is 12 data units per MCU
     with pytest.raises(ValueError):
         decode_jpeg(bytes(payload))
+    payload[sof + 11] = 0x31  # Y 3x1 ...
+    payload[sof + 14] = 0x21  # ... with Cb 2x1: 3 % 2 != 0, fractional ratio
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload))
+    # the encoder enforces the same legality gates
+    with pytest.raises(ValueError):
+        encode_jpeg_color(8, 8, bytes(64), bytes(64), bytes(64),
+                          factors=((5, 1), (1, 1), (1, 1)))
+    with pytest.raises(ValueError):
+        encode_jpeg_color(8, 8, bytes(64), bytes(16), bytes(16),
+                          factors=((4, 3), (1, 1), (1, 1)))
+
+
+def _general_planes(w, h, samp, did=7):
+    """Basis-family planes (exact under flat-8 quantization) for arbitrary
+    per-component sampling factors; plane dims per T.81 A.1.1."""
+    sgn = _sign()
+
+    def basis_plane(pw, ph, dcf, acf):
+        ky, kx = np.meshgrid(np.arange(ph) // 8, np.arange(pw) // 8, indexing="ij")
+        k = ky * (pw // 8) + kx
+        return (
+            128 + dcf(k) + acf(k) * np.outer(sgn[np.arange(ph) % 8], sgn[np.arange(pw) % 8])
+        ).astype(np.uint8)
+
+    hmax = max(ch for ch, _ in samp)
+    vmax = max(cv for _, cv in samp)
+    coefs = [
+        (lambda k, o=o: (7 * did + 5 * k + o) % 33 - 16,
+         (lambda k: (3 * did + k) % 17 - 8) if o == 0 else (lambda k: 0 * k))
+        for o in (0, 3, 9)
+    ]
+    planes = []
+    for (ch, cv), (dcf, acf) in zip(samp, coefs):
+        pw, ph = w * ch // hmax, h * cv // vmax  # w, h chosen divisible
+        assert pw % 8 == 0 and ph % 8 == 0, "fixture dims must be block-aligned"
+        planes.append(basis_plane(pw, ph, dcf, acf))
+    return planes
+
+
+@pytest.mark.parametrize(
+    "samp",
+    [
+        ((4, 1), (1, 1), (1, 1)),  # 4:1:1 — the DV/camera sampling
+        ((2, 4), (1, 1), (1, 1)),
+        ((2, 2), (2, 1), (1, 1)),  # mixed per-component grid
+        ((2, 2), (2, 1), (1, 2)),
+        ((4, 1), (4, 1), (1, 1)),
+    ],
+)
+def test_color_roundtrip_exact_generalized_samplings(samp):
+    """The MCU loop and replication upsampler are generic over ANY
+    T.81-legal factor set with integral ratios — 4:1:1 and mixed
+    per-component grids roundtrip exactly on the basis-plane family, and
+    the progressive encoder produces bit-identical pixels."""
+    from bigdata_streaming_absa_vehicle_spark.operators.jpegcodec import (
+        encode_jpeg_progressive_color,
+    )
+
+    w, h = 32, 32
+    hmax = max(ch for ch, _ in samp)
+    vmax = max(cv for _, cv in samp)
+    y, cb, cr = _general_planes(w, h, samp)
+    payload = encode_jpeg_color(
+        w, h, y.tobytes(), cb.tobytes(), cr.tobytes(), factors=samp, restart_interval=3
+    )
+    dw, dh, c, px = decode_jpeg(payload)
+    assert (dw, dh, c) == (w, h, 3)
+    ups = [
+        np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        for p, (ch, cv) in zip((y, cb, cr), samp)
+    ]
+    exp = _expected_rgb(*ups)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w, 3), exp)
+    prog = encode_jpeg_progressive_color(
+        w, h, y.tobytes(), cb.tobytes(), cr.tobytes(), factors=samp
+    )
+    assert decode_jpeg(prog)[3] == px, "progressive must match baseline bit-exactly"
 
 
 def test_color_interop_with_pillow_when_available():

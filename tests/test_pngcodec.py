@@ -3,8 +3,9 @@
 
 PNG is lossless, so the contract is byte-exact roundtrip for EVERY valid
 image, across all five scanline filter types and all three supported color
-types — plus hard rejects for everything outside the declared subset
-(interlace, 16-bit, palette, corrupt CRCs, truncation).
+types, in BOTH interlace methods (sequential and Adam7) — plus hard
+rejects for everything outside the declared subset (16-bit, palette,
+corrupt CRCs, truncation).
 """
 
 from __future__ import annotations
@@ -64,7 +65,9 @@ def test_rejects_outside_declared_subset():
     good = encode_png(4, 4, bytes(48), channels=3)
     with pytest.raises(ValueError):
         decode_png(good[:30])  # truncated
-    # rewrite IHDR to claim Adam7 interlace (and fix its CRC) — must reject
+    # rewrite IHDR to claim Adam7 interlace (and fix its CRC): the IDAT
+    # still holds the SEQUENTIAL scanline layout, whose byte count cannot
+    # match the Adam7 pass layout for 4x4 RGB — must reject as malformed
     ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
     adam7 = (
         good[:8]
@@ -76,6 +79,18 @@ def test_rejects_outside_declared_subset():
     )
     with pytest.raises(ValueError):
         decode_png(adam7)
+    # interlace method outside {0, 1} is rejected at the header
+    ihdr2 = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 2)
+    meth2 = (
+        good[:8]
+        + struct.pack(">I", len(ihdr2))
+        + b"IHDR"
+        + ihdr2
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr2) & 0xFFFFFFFF)
+        + good[8 + 12 + 13 :]
+    )
+    with pytest.raises(ValueError):
+        decode_png(meth2)
     # 16-bit depth claim
     ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
     deep = (
@@ -88,6 +103,136 @@ def test_rejects_outside_declared_subset():
     )
     with pytest.raises(ValueError):
         decode_png(deep)
+
+
+# ISO/IEC 15948 §8.2 figure: which Adam7 pass owns each pixel of the
+# repeating 8x8 starting grid. Hardcoded from the spec diagram so the
+# decoder's pass table is pinned INDEPENDENTLY of the encoder (a mirrored
+# pass-grid bug in both would not survive this fixture).
+_ADAM7_GRID = [
+    [1, 6, 4, 6, 2, 6, 4, 6],
+    [7, 7, 7, 7, 7, 7, 7, 7],
+    [5, 6, 5, 6, 5, 6, 5, 6],
+    [7, 7, 7, 7, 7, 7, 7, 7],
+    [3, 6, 4, 6, 3, 6, 4, 6],
+    [7, 7, 7, 7, 7, 7, 7, 7],
+    [5, 6, 5, 6, 5, 6, 5, 6],
+    [7, 7, 7, 7, 7, 7, 7, 7],
+]
+
+
+def _png_from_raw(width, height, raw, ctype=0, interlace=1):
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, interlace)
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_adam7_decode_matches_spec_diagram_8x8():
+    """Hand-built 8x8 greyscale Adam7 IDAT straight from the spec's pass
+    diagram (filter 0 everywhere) — pins pass order, origins, and strides
+    against the published figure, not against our own encoder."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (8, 8), np.uint8)
+    raw = bytearray()
+    for p in range(1, 8):
+        for y in range(8):
+            xs = [x for x in range(8) if _ADAM7_GRID[y][x] == p]
+            if xs:
+                raw.append(0)  # filter type None
+                raw += bytes(int(img[y, x]) for x in xs)
+    dw, dh, dc, px = decode_png(_png_from_raw(8, 8, bytes(raw)))
+    assert (dw, dh, dc) == (8, 8, 1)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(8, 8), img)
+
+
+def test_adam7_decode_2x2_partial_passes():
+    """2x2 RGB Adam7: only passes 1 (pixel 0,0), 6 (pixel 1,0) and
+    7 (row 1) are non-empty; empty passes contribute NO scanlines."""
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    raw = (
+        b"\x00" + img[0, 0].tobytes()   # pass 1
+        + b"\x00" + img[0, 1].tobytes()  # pass 6
+        + b"\x00" + img[1].tobytes()     # pass 7 (both pixels of row 1)
+    )
+    dw, dh, dc, px = decode_png(_png_from_raw(2, 2, raw, ctype=2))
+    assert (dw, dh, dc) == (2, 2, 3)
+    assert px == img.tobytes()
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+@pytest.mark.parametrize("f", [0, 1, 2, 3, 4])
+def test_adam7_roundtrip_each_filter_type(channels, f):
+    rng = np.random.default_rng(100 + f * 10 + channels)
+    w, h = 13, 11  # non-multiples of 8: exercises ragged pass dims
+    img = rng.integers(0, 256, (h, w * channels), np.uint8)
+    payload = encode_png(w, h, img.tobytes(), channels=channels,
+                         interlace=True, filters=f)
+    dw, dh, dc, px = decode_png(payload)
+    assert (dw, dh, dc) == (w, h, channels)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w * channels), img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    c=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_adam7_roundtrip_any_image(w, h, c, seed):
+    """Any image, any per-pass-scanline filter mix, roundtrips exactly
+    through the Adam7 path (including sizes where most passes are empty)."""
+    from bigdata_streaming_absa_vehicle_spark.operators.pngcodec import _pass_dims
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, h * w * c, np.uint8)
+    total_rows = sum(ph for *_, ph in _pass_dims(w, h))
+    filters = rng.integers(0, 5, total_rows).tolist()
+    dw, dh, dc, px = decode_png(
+        encode_png(w, h, img.tobytes(), channels=c, interlace=True, filters=filters)
+    )
+    assert (dw, dh, dc) == (w, h, c)
+    assert np.array_equal(np.frombuffer(px, np.uint8), img)
+
+
+def test_adam7_interop_with_pillow_when_available():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (10, 9, 3), np.uint8)
+    payload = encode_png(9, 10, img.tobytes(), channels=3, interlace=True, filters=4)
+    theirs = np.asarray(PIL.open(io.BytesIO(payload)))
+    assert np.array_equal(theirs, img), "interlaced PNG is lossless: PIL must agree"
+
+
+def test_adam7_truncated_pass_data_rejected():
+    good = encode_png(9, 7, bytes(63), channels=1, interlace=True)
+    # re-wrap an IDAT that inflates one byte short
+    import zlib as _z
+
+    sig_ihdr = good[: 8 + 12 + 13]
+    raw = _z.decompress(good[8 + 12 + 13 + 8 : -12 - 4])
+    short = _z.compress(raw[:-1], 6)
+    idat = (
+        struct.pack(">I", len(short))
+        + b"IDAT"
+        + short
+        + struct.pack(">I", _z.crc32(b"IDAT" + short) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError):
+        decode_png(sig_ihdr + idat + good[-12:])
 
 
 def test_ancillary_chunks_skipped_but_crc_checked():
