@@ -680,8 +680,11 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
             else:
                 # The MCU loop, the non-interleaved sub-grid addressing and
                 # the replication upsampler below are generic over any T.81
-                # factors, so accept the full legal range (B.2.2: 1-4,
-                # B.2.3: <= 10 data units per interleaved MCU) as long as
+                # factors, so accept the full legal range (B.2.2: 1-4;
+                # B.2.3's <= 10 data units per interleaved MCU, enforced
+                # frame-wide here — slightly conservative: a progressive
+                # file scanning >10-unit components only non-interleaved is
+                # spec-legal but left to the cv2/PIL rungs) as long as
                 # every ratio to (hmax, vmax) is integral — replication
                 # upsampling is exact only then; fractional-ratio samplings
                 # (e.g. Y 3x1 with Cb 2x1) stay env-gated on cv2/PIL.
