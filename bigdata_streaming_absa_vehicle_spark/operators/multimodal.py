@@ -9,11 +9,13 @@ tiers exist:
 - `decode_image_pixels` — a REAL pixel kernel: cv2/Pillow when importable
   (the reference's cv2.imdecode UDF, vehicle_consumer.py:81-83), else the
   vendored pure-Python codecs (`.imagecodec` for uncompressed PPM/PGM/BMP,
-  `.jpegcodec` for baseline gray/color and progressive JPEG, `.pngcodec`
-  for 8-bit PNG in both interlace methods) — hash-certified end-to-end by
-  q406_pixel_decode, q416/q418/q419 (JPEG), and q417 (PNG). Only exotic
-  slices (JPEG samplings outside {1,2}^2, 12-bit/arithmetic/lossless
-  JPEG, 16-bit/palette PNG) remain gated on cv2/PIL.
+  `.jpegcodec` for baseline gray/color and progressive JPEG at any
+  integral-ratio sampling grid, `.pngcodec` for grey/RGB/RGBA/paletted
+  PNG in both interlace methods incl. sub-byte depths) — hash-certified
+  end-to-end by q406_pixel_decode, q416/q418/q419 (JPEG), and q417 (PNG).
+  Only exotic slices (fractional-ratio JPEG samplings,
+  12-bit/arithmetic/lossless JPEG, 16-bit/grey+alpha PNG) remain gated on
+  cv2/PIL.
 
 At scale: payloads never pass through the driver; mapInPandas streams Arrow
 batches executor-side, and metadata-only queries (dimensions, content hash)

@@ -8,16 +8,20 @@ per-row UNFILTER pass (the five ISO/IEC 15948 filter types: None, Sub, Up,
 Average, Paeth) — all byte-exact, so any valid image roundtrips exactly and
 the q418 oracle can recompute decoded pixels in closed form.
 
-Scope (honest): 8-bit greyscale (color type 0), truecolor RGB (2), and
-RGBA (6), BOTH interlace methods (0 = sequential and 1 = Adam7 — each of
-the seven passes is an independently filtered sub-image, ISO/IEC 15948
-§8.2, so the same unfilter pass runs per pass and pixels scatter back on
-the pass grid), no ancillary-chunk semantics (tRNS/gAMA etc. are skipped,
-matching cv2.IMREAD_UNCHANGED's raw-pixel contract for these types). The
-encoder writes real PNGs (zlib-compressed IDAT, correct CRCs) in either
-interlace method and can vary the filter type per scanline so the
-decoder's whole unfilter matrix is exercised by roundtrip tests, not just
-filter 0.
+Scope (honest): greyscale (color type 0) at 1/2/4/8 bits (sub-byte samples
+unpack MSB-first and rescale exactly by 255/(2^d - 1) to the 8-bit output
+contract), truecolor RGB (2) and RGBA (6) at 8 bits, paletted (3) at
+1/2/4/8-bit indices with PLTE lookup to RGB, BOTH interlace methods (0 =
+sequential and 1 = Adam7 — each of the seven passes is an independently
+filtered sub-image, ISO/IEC 15948 §8.2, so the same unfilter pass runs per
+pass — with its own scanline packing and pad bits at sub-byte depths — and
+pixels scatter back on the pass grid), no ancillary-chunk semantics
+(tRNS/gAMA etc. are skipped, matching cv2.IMREAD_UNCHANGED's raw-pixel
+contract for these types; 16-bit samples and grey+alpha stay env-gated on
+cv2/PIL). The encoders write real PNGs (zlib-compressed IDAT, correct
+CRCs, PLTE for color type 3) in either interlace method and can vary the
+filter type per scanline so the decoder's whole unfilter matrix is
+exercised by roundtrip tests, not just filter 0.
 
 Like jpegcodec, this is the FALLBACK rung of multimodal._pixel_backend —
 Arrow-batched mapInPandas workers call it only when cv2/PIL are absent, and
@@ -31,10 +35,13 @@ import zlib
 
 import numpy as np
 
-__all__ = ["encode_png", "decode_png"]
+__all__ = ["encode_png", "encode_png_indexed", "decode_png"]
 
 _SIG = b"\x89PNG\r\n\x1a\n"
-_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples per pixel (8-bit)
+_SAMPLES = {0: 1, 2: 3, 3: 1, 6: 4}  # color type -> samples per pixel
+_DEPTHS = {0: (1, 2, 4, 8), 2: (8,), 3: (1, 2, 4, 8), 6: (8,)}  # legal bit depths
+# exact 8-bit rescale factors for sub-byte greyscale: 255 / (2^d - 1)
+_GREY_SCALE = {1: 255, 2: 85, 4: 17, 8: 1}
 # Adam7 pass grid (ISO/IEC 15948 §8.2): (x0, y0, dx, dy) per pass.
 _ADAM7 = (
     (0, 0, 8, 8),
@@ -64,6 +71,40 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
         + tag
         + body
         + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _row_bytes(n_cols: int, spp: int, depth: int) -> int:
+    """Packed scanline byte width: ceil(n_cols * samples * depth / 8)."""
+    return -(-n_cols * spp * depth // 8)
+
+
+def _pack_rows(img: np.ndarray, depth: int) -> np.ndarray:
+    """(rows, n_samples) sample values -> (rows, row_bytes) packed MSB-first
+    within each byte (ISO/IEC 15948 §7.2); identity at depth 8."""
+    if depth == 8:
+        return img.astype(np.uint8)
+    if img.size and int(img.max()) >= (1 << depth):
+        raise ValueError(f"sample value out of range for {depth}-bit PNG")
+    shifts = np.arange(depth - 1, -1, -1, dtype=np.uint8)
+    bits = ((img[:, :, None].astype(np.uint8) >> shifts) & 1).reshape(
+        img.shape[0], img.shape[1] * depth
+    )
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+    return np.packbits(bits, axis=1)
+
+
+def _unpack_rows(rows: np.ndarray, n_samples: int, depth: int) -> np.ndarray:
+    """(rows, row_bytes) packed scanlines -> (rows, n_samples) sample values
+    (MSB-first; trailing pad bits of each scanline dropped)."""
+    if depth == 8:
+        return rows[:, :n_samples]
+    bits = np.unpackbits(rows, axis=1)[:, : n_samples * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    return (bits.reshape(rows.shape[0], n_samples, depth) * weights).sum(axis=2).astype(
+        np.uint8
     )
 
 
@@ -107,6 +148,39 @@ def _filter_rows(img: np.ndarray, bpp: int, filters) -> bytes:
     return bytes(raw)
 
 
+def _encode_idat(
+    width: int, height: int, img3: np.ndarray, depth: int, filters, interlace: bool
+) -> bytes:
+    """Shared filtered-scanline builder: `img3` is (height, width, spp)
+    sample values (< 2^depth). Packs sub-byte depths per scanline (per pass
+    under Adam7), then filters with distance max(1, spp*depth//8)."""
+    spp = img3.shape[2]
+    bpp = max(1, spp * depth // 8)
+    if interlace:
+        passes = _pass_dims(width, height)
+        total_rows = sum(ph for *_, ph in passes)
+    else:
+        total_rows = height
+    if filters is None:
+        filters = [0] * total_rows
+    elif isinstance(filters, int):
+        filters = [filters] * total_rows
+    else:
+        filters = list(filters)
+    if len(filters) != total_rows:
+        raise ValueError("one filter type per scanline required")
+    if not interlace:
+        rows = _pack_rows(img3.reshape(height, width * spp), depth)
+        return _filter_rows(rows, bpp, filters)
+    raw = bytearray()
+    taken = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        sub = np.ascontiguousarray(img3[y0::dy, x0::dx]).reshape(ph, pw * spp)
+        raw += _filter_rows(_pack_rows(sub, depth), bpp, filters[taken : taken + ph])
+        taken += ph
+    return bytes(raw)
+
+
 def encode_png(
     width: int,
     height: int,
@@ -114,53 +188,29 @@ def encode_png(
     channels: int = 3,
     filters=None,
     interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
-    """Encode a row-major 8-bit raster (1=grey, 3=RGB, 4=RGBA interleaved)
-    as a real PNG. `filters` optionally gives the per-scanline filter type
-    (0-4, default all 0) so tests can exercise every unfilter path; with
-    ``interlace=True`` the IDAT holds the seven Adam7 passes and `filters`
-    (an int for all scanlines, or one entry per pass scanline in pass
-    order) applies to the pass scanlines."""
+    """Encode a row-major raster (1=grey, 3=RGB, 4=RGBA interleaved, one
+    byte per sample in `pixels` regardless of depth) as a real PNG.
+    `filters` optionally gives the per-scanline filter type (0-4, default
+    all 0; an int applies to every scanline) so tests can exercise every
+    unfilter path; with ``interlace=True`` the IDAT holds the seven Adam7
+    passes and `filters` applies to the pass scanlines in pass order.
+    `depth` of 1/2/4 (greyscale only) packs sample values < 2^depth."""
     ctype = {1: 0, 3: 2, 4: 6}.get(channels)
     if ctype is None:
         raise ValueError(f"{channels}-channel PNG encode not supported")
+    if depth not in _DEPTHS[ctype]:
+        raise ValueError(f"{depth}-bit PNG encode not supported for {channels} channels")
     if len(pixels) != width * height * channels:
         raise ValueError(
             f"raster needs {width * height * channels} bytes, got {len(pixels)}"
         )
     if width <= 0 or height <= 0:
         raise ValueError("non-positive PNG dimensions")
-    bpp = channels  # bytes per pixel (8-bit samples)
-    if interlace:
-        img3 = np.frombuffer(pixels, np.uint8).reshape(height, width, channels)
-        passes = _pass_dims(width, height)
-        total_rows = sum(ph for *_, ph in passes)
-        if filters is None:
-            filters = [0] * total_rows
-        elif isinstance(filters, int):
-            filters = [filters] * total_rows
-        else:
-            filters = list(filters)
-        if len(filters) != total_rows:
-            raise ValueError("one filter type per Adam7 pass scanline required")
-        raw = bytearray()
-        taken = 0
-        for x0, y0, dx, dy, pw, ph in passes:
-            sub = np.ascontiguousarray(img3[y0::dy, x0::dx]).reshape(ph, pw * channels)
-            raw += _filter_rows(sub, bpp, filters[taken : taken + ph])
-            taken += ph
-    else:
-        img = np.frombuffer(pixels, np.uint8).reshape(height, width * channels)
-        if filters is None:
-            filters = [0] * height
-        elif isinstance(filters, int):
-            filters = [filters] * height
-        else:
-            filters = list(filters)
-        if len(filters) != height:
-            raise ValueError("one filter type per row required")
-        raw = _filter_rows(img, bpp, filters)
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, int(interlace))
+    img3 = np.frombuffer(pixels, np.uint8).reshape(height, width, channels)
+    raw = _encode_idat(width, height, img3, depth, filters, interlace)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, ctype, 0, 0, int(interlace))
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
@@ -169,10 +219,48 @@ def encode_png(
     )
 
 
+def encode_png_indexed(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette,
+    depth: int = 8,
+    filters=None,
+    interlace: bool = False,
+) -> bytes:
+    """Encode a paletted (color type 3) PNG: `indices` is one byte per
+    pixel (each < 2^depth and < len(palette)), `palette` an iterable of
+    (r, g, b) triples (<= 256), `depth` in {1, 2, 4, 8}. Same `filters` /
+    `interlace` semantics as :func:`encode_png`."""
+    pal = np.asarray(list(palette), np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= len(pal) <= 256:
+        raise ValueError("palette must be 1-256 (r, g, b) triples")
+    if depth not in _DEPTHS[3]:
+        raise ValueError(f"{depth}-bit paletted PNG encode not supported")
+    if len(indices) != width * height:
+        raise ValueError(f"index raster needs {width * height} bytes, got {len(indices)}")
+    if width <= 0 or height <= 0:
+        raise ValueError("non-positive PNG dimensions")
+    img3 = np.frombuffer(indices, np.uint8).reshape(height, width, 1)
+    if img3.size and int(img3.max()) >= len(pal):
+        raise ValueError("palette index out of range")
+    raw = _encode_idat(width, height, img3, depth, filters, interlace)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, int(interlace))
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
 def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode an 8-bit greyscale/RGB/RGBA PNG (sequential or
-    Adam7-interlaced) to ``(width, height, n_channels, pixels)``,
-    row-major interleaved.
+    """Decode a PNG — greyscale at 1/2/4/8 bits, 8-bit RGB/RGBA, or
+    paletted at 1/2/4/8-bit indices; sequential or Adam7-interlaced — to
+    ``(width, height, n_channels, pixels)``, row-major interleaved
+    (paletted decodes to its looked-up RGB; sub-byte grey rescales exactly
+    to 8-bit).
     CRC-checked chunk walk; ValueError on anything outside the declared
     subset OR malformed (struct/index errors from crafted chunk bodies are
     normalized so the drop-don't-kill contract holds; callers drop such
@@ -188,7 +276,8 @@ def _decode_png_impl(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("not a PNG payload (missing signature)")
     pos = 8
     width = height = -1
-    channels = 0
+    depth = ctype = 0
+    palette: np.ndarray | None = None
     idat = bytearray()
     seen_ihdr = seen_iend = False
     while pos < len(payload):
@@ -207,16 +296,21 @@ def _decode_png_impl(payload: bytes) -> tuple[int, int, int, bytes]:
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8:
-                raise ValueError(f"{depth}-bit PNG not supported (8-bit only)")
-            if ctype not in _CHANNELS:
+            if ctype not in _SAMPLES:
                 raise ValueError(f"PNG color type {ctype} not supported")
+            if depth not in _DEPTHS[ctype]:
+                raise ValueError(
+                    f"{depth}-bit PNG not supported for color type {ctype}"
+                )
             if comp != 0 or filt != 0:
                 raise ValueError("non-standard PNG compression/filter method")
             if interlace not in (0, 1):
                 raise ValueError(f"unknown PNG interlace method {interlace}")
-            channels = _CHANNELS[ctype]
             seen_ihdr = True
+        elif tag == b"PLTE":
+            if length == 0 or length % 3 or length > 768:
+                raise ValueError(f"PLTE length {length} is not a legal palette")
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -233,37 +327,55 @@ def _decode_png_impl(payload: bytes) -> tuple[int, int, int, bytes]:
         # surface as ValueError so the drop-don't-kill imdecode contract
         # holds for a CRC-valid chunk wrapping a corrupt DEFLATE stream
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    if ctype == 3 and palette is None:
+        raise ValueError("paletted PNG is missing its PLTE chunk")
+    spp = _SAMPLES[ctype]
+    bpp = max(1, spp * depth // 8)  # filter distance, rounded up (§9.2)
     if interlace == 0:
-        stride = width * channels
-        if len(raw) != height * (stride + 1):
+        rb = _row_bytes(width, spp, depth)
+        if len(raw) != height * (rb + 1):
             raise ValueError(
-                f"PNG scanline data is {len(raw)} bytes, need {height * (stride + 1)}"
+                f"PNG scanline data is {len(raw)} bytes, need {height * (rb + 1)}"
             )
-        out = _unfilter_rows(raw, height, width, channels)
-        return width, height, channels, out.tobytes()
-    # Adam7: seven independently filtered sub-images, consumed in pass
-    # order then scattered back onto the (dx, dy) pass grid.
-    passes = _pass_dims(width, height)
-    need = sum(ph * (pw * channels + 1) for *_, pw, ph in passes)
-    if len(raw) != need:
-        raise ValueError(f"PNG Adam7 scanline data is {len(raw)} bytes, need {need}")
-    out3 = np.empty((height, width, channels), np.uint8)
-    pos = 0
-    for x0, y0, dx, dy, pw, ph in passes:
-        n = ph * (pw * channels + 1)
-        sub = _unfilter_rows(raw[pos : pos + n], ph, pw, channels)
-        pos += n
-        out3[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
-    return width, height, channels, out3.tobytes()
+        rows = _unfilter_rows(raw, height, rb, bpp)
+        grid = _unpack_rows(rows, width * spp, depth).reshape(height, width, spp)
+    else:
+        # Adam7: seven independently filtered sub-images, consumed in pass
+        # order then scattered back onto the (dx, dy) pass grid; sub-byte
+        # depths pack each PASS scanline separately (its own pad bits).
+        passes = _pass_dims(width, height)
+        need = sum(ph * (_row_bytes(pw, spp, depth) + 1) for *_, pw, ph in passes)
+        if len(raw) != need:
+            raise ValueError(
+                f"PNG Adam7 scanline data is {len(raw)} bytes, need {need}"
+            )
+        grid = np.empty((height, width, spp), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            rb = _row_bytes(pw, spp, depth)
+            n = ph * (rb + 1)
+            sub = _unfilter_rows(raw[pos : pos + n], ph, rb, bpp)
+            pos += n
+            grid[y0::dy, x0::dx] = _unpack_rows(sub, pw * spp, depth).reshape(
+                ph, pw, spp
+            )
+    if ctype == 3:
+        assert palette is not None
+        if int(grid.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        rgb = palette[grid.reshape(height, width)]
+        return width, height, 3, rgb.tobytes()
+    if ctype == 0 and depth < 8:
+        grid = grid * np.uint8(_GREY_SCALE[depth])  # exact: 255/(2^d - 1)
+    return width, height, spp, grid.tobytes()
 
 
-def _unfilter_rows(raw: bytes, n_rows: int, n_cols: int, channels: int) -> np.ndarray:
+def _unfilter_rows(raw: bytes, n_rows: int, stride: int, bpp: int) -> np.ndarray:
     """Unfilter one (sub-)image: `n_rows` scanlines of a 1-byte filter type
-    plus ``n_cols * channels`` filtered bytes; returns (n_rows, stride)
-    uint8. The previous row is the previous row of the same (sub-)image."""
-    stride = n_cols * channels
+    plus `stride` filtered bytes; `bpp` is the filter distance in bytes
+    (max(1, samples*depth/8)). Returns (n_rows, stride) uint8. The previous
+    row is the previous row of the same (sub-)image."""
     arr = np.frombuffer(raw, np.uint8).reshape(n_rows, stride + 1)
-    bpp = channels
     out = np.empty((n_rows, stride), np.uint8)
     prev = np.zeros(stride, np.uint8)
     for y in range(n_rows):

@@ -217,6 +217,135 @@ def test_adam7_interop_with_pillow_when_available():
     assert np.array_equal(theirs, img), "interlaced PNG is lossless: PIL must agree"
 
 
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_subbyte_greyscale_roundtrip(depth, interlace):
+    """1/2/4-bit greyscale: packed MSB-first scanlines (per Adam7 pass when
+    interlaced, each with its own pad bits), filter distance 1 byte, and
+    the exact 255/(2^d-1) rescale to the 8-bit output contract."""
+    from bigdata_streaming_absa_vehicle_spark.operators.pngcodec import _pass_dims
+
+    scale = {1: 255, 2: 85, 4: 17}[depth]
+    rng = np.random.default_rng(depth * 7 + interlace)
+    for w, h in [(1, 1), (3, 5), (8, 8), (13, 9), (17, 2)]:
+        vals = rng.integers(0, 1 << depth, (h, w), dtype=np.uint8)
+        total = sum(p[-1] for p in _pass_dims(w, h)) if interlace else h
+        filters = rng.integers(0, 5, total).tolist()
+        dw, dh, dc, px = decode_png(
+            encode_png(w, h, vals.tobytes(), channels=1, depth=depth,
+                       interlace=interlace, filters=filters)
+        )
+        assert (dw, dh, dc) == (w, h, 1)
+        assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w), vals * scale)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_paletted_roundtrip(depth, interlace):
+    """Color type 3: PLTE lookup to the RGB output contract across all four
+    legal index depths, both interlace methods, mixed filters."""
+    from bigdata_streaming_absa_vehicle_spark.operators.pngcodec import (
+        _pass_dims,
+        encode_png_indexed,
+    )
+
+    rng = np.random.default_rng(depth * 13 + interlace)
+    npal = min(256, 1 << depth)
+    pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+    for w, h in [(1, 1), (4, 4), (13, 9), (30, 3)]:
+        idx = rng.integers(0, npal, (h, w), dtype=np.uint8)
+        total = sum(p[-1] for p in _pass_dims(w, h)) if interlace else h
+        filters = rng.integers(0, 5, total).tolist()
+        dw, dh, dc, px = decode_png(
+            encode_png_indexed(w, h, idx.tobytes(), pal, depth=depth,
+                               interlace=interlace, filters=filters)
+        )
+        assert (dw, dh, dc) == (w, h, 3)
+        assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w, 3), pal[idx])
+
+
+def test_paletted_rejects():
+    from bigdata_streaming_absa_vehicle_spark.operators.pngcodec import (
+        encode_png_indexed,
+    )
+
+    pal = [(i, 0, 255 - i) for i in range(4)]
+    good = encode_png_indexed(5, 3, bytes(15), pal, depth=2)
+    # strip the PLTE chunk: paletted stream without a palette must reject
+    plte_at = good.index(b"PLTE") - 4
+    plte_len = struct.unpack_from(">I", good, plte_at)[0] + 12
+    without = good[:plte_at] + good[plte_at + plte_len :]
+    with pytest.raises(ValueError):
+        decode_png(without)
+    # index beyond the palette must reject, not read out of bounds
+    idx = bytes([0, 1, 2, 3, 3] * 3)
+    payload = bytearray(encode_png_indexed(5, 3, idx, pal, depth=8))
+    # shrink the palette to 3 entries by re-encoding with a longer index set
+    with pytest.raises(ValueError):
+        encode_png_indexed(5, 3, idx, pal[:3], depth=8)
+    # craft the same via a decoder-side check: PLTE declares 3 entries
+    short = encode_png_indexed(5, 3, bytes(15), pal[:3], depth=8)
+    sp = short.index(b"PLTE") - 4
+    gp = bytes(payload).index(b"PLTE") - 4
+    gl = struct.unpack_from(">I", bytes(payload), gp)[0] + 12
+    spliced = bytes(payload)[:gp] + short[sp : sp + 3 * 3 + 12] + bytes(payload)[gp + gl :]
+    with pytest.raises(ValueError):
+        decode_png(spliced)
+    # illegal PLTE shapes
+    for bad_body in (b"", bytes(4), bytes(769 + 2)):
+        chunk = (
+            struct.pack(">I", len(bad_body))
+            + b"PLTE"
+            + bad_body
+            + struct.pack(">I", zlib.crc32(b"PLTE" + bad_body) & 0xFFFFFFFF)
+        )
+        broken = good[:plte_at] + chunk + good[plte_at + plte_len :]
+        with pytest.raises(ValueError):
+            decode_png(broken)
+    # sub-byte depth on RGB/RGBA stays rejected
+    with pytest.raises(ValueError):
+        encode_png(4, 4, bytes(48), channels=3, depth=4)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0)
+    good_rgb = encode_png(4, 4, bytes(48), channels=3)
+    deep = (
+        good_rgb[:8]
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        + good_rgb[8 + 12 + 13 :]
+    )
+    with pytest.raises(ValueError):
+        decode_png(deep)
+
+
+def test_paletted_interop_with_pillow_when_available():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from bigdata_streaming_absa_vehicle_spark.operators.pngcodec import (
+        encode_png_indexed,
+    )
+
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (9, 7), dtype=np.uint8)
+    payload = encode_png_indexed(7, 9, idx.tobytes(), pal, depth=4,
+                                 interlace=True, filters=2)
+    theirs = np.asarray(PIL.open(io.BytesIO(payload)).convert("RGB"))
+    assert np.array_equal(theirs, pal[idx])
+
+
+def test_subbyte_greyscale_interop_with_pillow_when_available():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    bits = np.array([[1, 0, 1, 0, 1], [0, 1, 1, 0, 0], [1, 1, 0, 1, 0]], np.uint8)
+    payload = encode_png(5, 3, bits.tobytes(), channels=1, depth=1, filters=0)
+    theirs = np.asarray(PIL.open(io.BytesIO(payload)).convert("L"))
+    assert np.array_equal(theirs, bits * 255)
+
+
 def test_adam7_truncated_pass_data_rejected():
     good = encode_png(9, 7, bytes(63), channels=1, interlace=True)
     # re-wrap an IDAT that inflates one byte short
