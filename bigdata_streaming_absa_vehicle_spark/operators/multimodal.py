@@ -128,7 +128,17 @@ def _decode_to_array(kind, mod, payload):
         import io  # noqa: PLC0415
 
         try:
-            return np.asarray(mod.open(io.BytesIO(payload)))
+            img = mod.open(io.BytesIO(payload))
+            # normalize palette/bilevel modes so per-pixel readouts match
+            # the other rungs: P must decode to its looked-up colors (the
+            # pure rung and cv2 both expand PLTE; raw np.asarray would
+            # return the INDEX plane), and mode "1" must land as 0/255
+            # uint8 (raw asarray yields dtype bool)
+            if img.mode == "P":
+                img = img.convert("RGBA" if "transparency" in img.info else "RGB")
+            elif img.mode == "1":
+                img = img.convert("L")
+            return np.asarray(img)
         except Exception:
             return None
     try:

@@ -88,6 +88,95 @@ def test_real_pixel_decode_agrees_with_meta_stub_on_ids(spark):
     assert real_ids == stub_ids == [1, 2, 3, 4, 5]
 
 
+@pytest.mark.skipif(
+    importlib.util.find_spec("PIL") is None,
+    reason="paletted-PNG rung parity needs PIL (env-blocked)",
+)
+def test_pil_rung_matches_pure_rung_on_paletted_and_bilevel():
+    """Cross-rung parity for the types the vendored codec gained in r8:
+    the PIL rung must return looked-up PLTE colors for mode-P payloads
+    (raw np.asarray would return the index plane) and 0/255 uint8 for
+    1-bit payloads (raw asarray yields dtype bool) — the per-pixel
+    readouts must not depend on which library is installed."""
+    import numpy as np
+    import PIL.Image
+
+    from bigdata_streaming_absa_vehicle_spark.operators.multimodal import (
+        _decode_to_array,
+    )
+    from bigdata_streaming_absa_vehicle_spark.operators import imagecodec
+    from bigdata_streaming_absa_vehicle_spark.operators.pngcodec import (
+        encode_png,
+        encode_png_indexed,
+    )
+
+    rng = np.random.default_rng(4)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (6, 9), dtype=np.uint8)
+    paletted = encode_png_indexed(9, 6, idx.tobytes(), pal, depth=4)
+    theirs = _decode_to_array("pil", PIL.Image, paletted)
+    ours = _decode_to_array("pure", imagecodec, paletted)
+    assert theirs.dtype == np.uint8 and theirs.shape == (6, 9, 3)
+    assert np.array_equal(theirs, ours)
+
+    bits = rng.integers(0, 2, (5, 11), dtype=np.uint8)
+    bilevel = encode_png(11, 5, bits.tobytes(), channels=1, depth=1)
+    theirs = _decode_to_array("pil", PIL.Image, bilevel)
+    ours = _decode_to_array("pure", imagecodec, bilevel)
+    assert theirs.dtype == np.uint8
+    assert np.array_equal(theirs, ours)
+
+
+def test_pure_rung_decodes_paletted_and_subbyte_in_operator(spark):
+    """The Spark-side decode operator handles the r8 PNG additions through
+    the pure rung with NO cv2/PIL: paletted payloads decode to their
+    looked-up RGB mean, 1-bit greyscale to the exact 0/255 mean, and a
+    16-bit payload (still env-gated) drops without killing the task."""
+    import struct as _s
+    import zlib as _z
+
+    import numpy as np
+
+    from bigdata_streaming_absa_vehicle_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+    from bigdata_streaming_absa_vehicle_spark.operators.pngcodec import (
+        encode_png,
+        encode_png_indexed,
+    )
+
+    pal = [(10, 20, 30), (200, 100, 0)]
+    idx = np.array([[0, 1, 1, 0], [1, 1, 0, 0]], np.uint8)
+    bits = np.array([[1, 0, 1], [0, 0, 1]], np.uint8)
+    # hand-build a 16-bit grey PNG header over inflate-able data: must drop
+    ihdr = _s.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0)
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + _s.pack(">I", 13) + b"IHDR" + ihdr
+        + _s.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    body = _z.compress(bytes(5))
+    deep += (
+        _s.pack(">I", len(body)) + b"IDAT" + body
+        + _s.pack(">I", _z.crc32(b"IDAT" + body) & 0xFFFFFFFF)
+        + _s.pack(">I", 0) + b"IEND"
+        + _s.pack(">I", _z.crc32(b"IEND") & 0xFFFFFFFF)
+    )
+    rows = [
+        (1, encode_png_indexed(4, 2, idx.tobytes(), pal, depth=1, interlace=True)),
+        (2, encode_png(3, 2, bits.tobytes(), channels=1, depth=1, filters=2)),
+        (3, deep),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in decode_image_pixels(media).collect()}
+    assert sorted(got) == [1, 2], "16-bit payload must drop, not decode or crash"
+    exp_pal = np.asarray(pal, np.uint8)[idx]
+    assert (got[1]["width"], got[1]["height"], got[1]["n_channels"]) == (4, 2, 3)
+    assert got[1]["mean_intensity"] == int(exp_pal.sum()) / exp_pal.size
+    assert (got[2]["width"], got[2]["height"], got[2]["n_channels"]) == (3, 2, 1)
+    assert got[2]["mean_intensity"] == 255 * 3 / 6
+
+
 @pytest.mark.skipif(not _HAS_TORCH, reason="real ABSA inference needs torch (env-blocked)")
 def test_real_torch_model_satisfies_stub_contract(spark):
     """D-02 real path: a torch-backed model implementing the same
