@@ -15,10 +15,12 @@ contract), truecolor RGB (2) and RGBA (6) at 8 bits, paletted (3) at
 sequential and 1 = Adam7 — each of the seven passes is an independently
 filtered sub-image, ISO/IEC 15948 §8.2, so the same unfilter pass runs per
 pass — with its own scanline packing and pad bits at sub-byte depths — and
-pixels scatter back on the pass grid), no ancillary-chunk semantics
-(tRNS/gAMA etc. are skipped, matching cv2.IMREAD_UNCHANGED's raw-pixel
-contract for these types; 16-bit samples and grey+alpha stay env-gated on
-cv2/PIL). The encoders write real PNGs (zlib-compressed IDAT, correct
+pixels scatter back on the pass grid), and per-palette-entry tRNS alpha
+(paletted output becomes RGBA then, matching PIL's P->RGBA convert and
+cv2's BGRA). Other ancillary-chunk semantics (gAMA, color-key tRNS on
+grey/truecolor, etc.) are skipped, matching cv2.IMREAD_UNCHANGED's
+raw-pixel contract for these types; 16-bit samples and grey+alpha stay
+env-gated on cv2/PIL. The encoders write real PNGs (zlib-compressed IDAT, correct
 CRCs, PLTE for color type 3) in either interlace method and can vary the
 filter type per scanline so the decoder's whole unfilter matrix is
 exercised by roundtrip tests, not just filter 0.
@@ -227,14 +229,22 @@ def encode_png_indexed(
     depth: int = 8,
     filters=None,
     interlace: bool = False,
+    trns=None,
 ) -> bytes:
     """Encode a paletted (color type 3) PNG: `indices` is one byte per
     pixel (each < 2^depth and < len(palette)), `palette` an iterable of
-    (r, g, b) triples (<= 256), `depth` in {1, 2, 4, 8}. Same `filters` /
-    `interlace` semantics as :func:`encode_png`."""
+    (r, g, b) triples (<= 256), `depth` in {1, 2, 4, 8}, `trns` an
+    optional iterable of per-entry alpha bytes (<= len(palette); decoders
+    then produce RGBA). Same `filters` / `interlace` semantics as
+    :func:`encode_png`."""
     pal = np.asarray(list(palette), np.uint8)
     if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= len(pal) <= 256:
         raise ValueError("palette must be 1-256 (r, g, b) triples")
+    alpha = None
+    if trns is not None:
+        alpha = np.asarray(list(trns), np.uint8)
+        if alpha.ndim != 1 or not 1 <= len(alpha) <= len(pal):
+            raise ValueError("tRNS must be 1..len(palette) alpha bytes")
     if depth not in _DEPTHS[3]:
         raise ValueError(f"{depth}-bit paletted PNG encode not supported")
     if len(indices) != width * height:
@@ -246,13 +256,10 @@ def encode_png_indexed(
         raise ValueError("palette index out of range")
     raw = _encode_idat(width, height, img3, depth, filters, interlace)
     ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, int(interlace))
-    return (
-        _SIG
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"PLTE", pal.tobytes())
-        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
-        + _chunk(b"IEND", b"")
-    )
+    out = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal.tobytes())
+    if alpha is not None:
+        out += _chunk(b"tRNS", alpha.tobytes())
+    return out + _chunk(b"IDAT", zlib.compress(bytes(raw), 6)) + _chunk(b"IEND", b"")
 
 
 def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
@@ -278,6 +285,7 @@ def _decode_png_impl(payload: bytes) -> tuple[int, int, int, bytes]:
     width = height = -1
     depth = ctype = 0
     palette: np.ndarray | None = None
+    trns: np.ndarray | None = None
     idat = bytearray()
     seen_ihdr = seen_iend = False
     while pos < len(payload):
@@ -311,6 +319,14 @@ def _decode_png_impl(payload: bytes) -> tuple[int, int, int, bytes]:
             if length == 0 or length % 3 or length > 768:
                 raise ValueError(f"PLTE length {length} is not a legal palette")
             palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            if ctype == 3:
+                # per-palette-entry alpha (missing entries default opaque);
+                # paletted output becomes RGBA, matching PIL's
+                # P->convert("RGBA") and cv2's BGRA for such files.  Color
+                # key tRNS on grey/truecolor stays skipped — raw asarray /
+                # IMREAD_UNCHANGED ignore it there too.
+                trns = np.frombuffer(body, np.uint8)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -363,8 +379,15 @@ def _decode_png_impl(payload: bytes) -> tuple[int, int, int, bytes]:
         assert palette is not None
         if int(grid.max(initial=0)) >= len(palette):
             raise ValueError("palette index out of range")
-        rgb = palette[grid.reshape(height, width)]
-        return width, height, 3, rgb.tobytes()
+        lut = palette
+        if trns is not None:
+            if len(trns) > len(palette):
+                raise ValueError("tRNS longer than the palette")
+            alpha = np.full(len(palette), 255, np.uint8)
+            alpha[: len(trns)] = trns
+            lut = np.column_stack([palette, alpha])
+        px = lut[grid.reshape(height, width)]
+        return width, height, lut.shape[1], px.tobytes()
     if ctype == 0 and depth < 8:
         grid = grid * np.uint8(_GREY_SCALE[depth])  # exact: 255/(2^d - 1)
     return width, height, spp, grid.tobytes()

@@ -264,6 +264,71 @@ def test_paletted_roundtrip(depth, interlace):
         assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w, 3), pal[idx])
 
 
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("depth", [2, 8])
+def test_paletted_trns_decodes_to_rgba(depth, interlace):
+    """Per-palette-entry tRNS alpha: shorter-than-palette tables pad
+    opaque, and the output gains an alpha channel (matching PIL's
+    P->convert('RGBA') and cv2's BGRA for such files)."""
+    from bigdata_streaming_absa_vehicle_spark.operators.pngcodec import (
+        encode_png_indexed,
+    )
+
+    rng = np.random.default_rng(depth + interlace)
+    npal = 1 << depth if depth < 8 else 7
+    pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+    alpha = rng.integers(0, 256, npal - 1, dtype=np.uint8)  # short: last pads 255
+    idx = rng.integers(0, npal, (6, 10), dtype=np.uint8)
+    dw, dh, dc, px = decode_png(
+        encode_png_indexed(10, 6, idx.tobytes(), pal, depth=depth,
+                           interlace=interlace, trns=alpha, filters=4)
+    )
+    assert (dw, dh, dc) == (10, 6, 4)
+    full_alpha = np.concatenate([alpha, [255]]).astype(np.uint8)
+    exp = np.dstack([pal[idx], full_alpha[idx]])
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(6, 10, 4), exp)
+
+
+def test_paletted_trns_rejects_overlong_table():
+    from bigdata_streaming_absa_vehicle_spark.operators.pngcodec import (
+        encode_png_indexed,
+    )
+
+    pal = [(1, 2, 3), (4, 5, 6)]
+    with pytest.raises(ValueError):
+        encode_png_indexed(2, 1, bytes(2), pal, trns=bytes(3))
+    # decoder side: splice a 3-byte tRNS against a 2-entry palette
+    good = encode_png_indexed(2, 1, bytes(2), pal, trns=bytes(2))
+    t_at = good.index(b"tRNS") - 4
+    t_len = struct.unpack_from(">I", good, t_at)[0] + 12
+    body = bytes(3)
+    chunk = (
+        struct.pack(">I", len(body))
+        + b"tRNS"
+        + body
+        + struct.pack(">I", zlib.crc32(b"tRNS" + body) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError):
+        decode_png(good[:t_at] + chunk + good[t_at + t_len :])
+
+
+def test_paletted_trns_interop_with_pillow_when_available():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from bigdata_streaming_absa_vehicle_spark.operators.pngcodec import (
+        encode_png_indexed,
+    )
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    idx = np.array([[0, 1, 2], [2, 1, 0]], np.uint8)
+    payload = encode_png_indexed(3, 2, idx.tobytes(), pal, trns=bytes([0, 128]))
+    theirs = np.asarray(PIL.open(io.BytesIO(payload)).convert("RGBA"))
+    _, _, dc, px = decode_png(payload)
+    assert dc == 4
+    assert np.array_equal(theirs, np.frombuffer(px, np.uint8).reshape(2, 3, 4))
+
+
 def test_paletted_rejects():
     from bigdata_streaming_absa_vehicle_spark.operators.pngcodec import (
         encode_png_indexed,
