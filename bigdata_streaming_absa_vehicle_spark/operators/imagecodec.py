@@ -143,16 +143,17 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PPM (P6), PGM (P5), 24-bit uncompressed BMP, baseline
     gray/color or progressive JPEG, or PNG (grey at 1/2/4/8 bits,
-    8-bit RGB/RGBA, paletted at 1/2/4/8-bit indices, sequential or
-    Adam7-interlaced) payload to ``(width, height, n_channels, pixels)``
+    8-bit RGB/RGBA, paletted at 1/2/4/8-bit indices incl. tRNS alpha,
+    grey+alpha normalized to RGBA, sequential or Adam7-interlaced)
+    payload to ``(width, height, n_channels, pixels)``
     with `pixels` row-major top-down RGB-interleaved (grayscale: one byte
     per pixel). Raises ValueError on anything else — callers drop
     undecodable payloads, mirroring the ``cv2.imdecode(...) is None``
     contract. JPEG entropy decode is the vendored pure-Python decoder
     (:mod:`.jpegcodec`); PNG is the vendored zlib+unfilter decoder
     (:mod:`.pngcodec`); the remaining exotic slices (fractional-ratio
-    JPEG samplings, 12-bit/arithmetic/lossless JPEG, 16-bit/grey+alpha
-    PNG) still need the cv2/PIL backend rungs."""
+    JPEG samplings, 12-bit/arithmetic/lossless JPEG, 16-bit PNG) still
+    need the cv2/PIL backend rungs."""
     head = payload[:2]
     if head in (b"P6", b"P5"):
         return _decode_netpbm(payload)

@@ -14,8 +14,7 @@ tiers exist:
   PNG in both interlace methods incl. sub-byte depths) — hash-certified
   end-to-end by q406_pixel_decode, q416/q418/q419 (JPEG), and q417 (PNG).
   Only exotic slices (fractional-ratio JPEG samplings,
-  12-bit/arithmetic/lossless JPEG, 16-bit/grey+alpha PNG) remain gated on
-  cv2/PIL.
+  12-bit/arithmetic/lossless JPEG, 16-bit PNG) remain gated on cv2/PIL.
 
 At scale: payloads never pass through the driver; mapInPandas streams Arrow
 batches executor-side, and metadata-only queries (dimensions, content hash)
@@ -138,6 +137,8 @@ def _decode_to_array(kind, mod, payload):
                 img = img.convert("RGBA" if "transparency" in img.info else "RGB")
             elif img.mode == "1":
                 img = img.convert("L")
+            elif img.mode == "LA":
+                img = img.convert("RGBA")  # match cv2's 4-channel LA expansion
             return np.asarray(img)
         except Exception:
             return None

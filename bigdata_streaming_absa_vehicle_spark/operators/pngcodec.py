@@ -11,7 +11,9 @@ the q418 oracle can recompute decoded pixels in closed form.
 Scope (honest): greyscale (color type 0) at 1/2/4/8 bits (sub-byte samples
 unpack MSB-first and rescale exactly by 255/(2^d - 1) to the 8-bit output
 contract), truecolor RGB (2) and RGBA (6) at 8 bits, paletted (3) at
-1/2/4/8-bit indices with PLTE lookup to RGB, BOTH interlace methods (0 =
+1/2/4/8-bit indices with PLTE lookup to RGB, grey+alpha (4) at 8 bits
+(normalized to RGBA with the grey sample replicated — cv2 expands LA the
+same way and the PIL rung converts to match), BOTH interlace methods (0 =
 sequential and 1 = Adam7 — each of the seven passes is an independently
 filtered sub-image, ISO/IEC 15948 §8.2, so the same unfilter pass runs per
 pass — with its own scanline packing and pad bits at sub-byte depths — and
@@ -19,8 +21,8 @@ pixels scatter back on the pass grid), and per-palette-entry tRNS alpha
 (paletted output becomes RGBA then, matching PIL's P->RGBA convert and
 cv2's BGRA). Other ancillary-chunk semantics (gAMA, color-key tRNS on
 grey/truecolor, etc.) are skipped, matching cv2.IMREAD_UNCHANGED's
-raw-pixel contract for these types; 16-bit samples and grey+alpha stay
-env-gated on cv2/PIL. The encoders write real PNGs (zlib-compressed IDAT, correct
+raw-pixel contract for these types; 16-bit samples stay env-gated on
+cv2/PIL. The encoders write real PNGs (zlib-compressed IDAT, correct
 CRCs, PLTE for color type 3) in either interlace method and can vary the
 filter type per scanline so the decoder's whole unfilter matrix is
 exercised by roundtrip tests, not just filter 0.
@@ -40,8 +42,9 @@ import numpy as np
 __all__ = ["encode_png", "encode_png_indexed", "decode_png"]
 
 _SIG = b"\x89PNG\r\n\x1a\n"
-_SAMPLES = {0: 1, 2: 3, 3: 1, 6: 4}  # color type -> samples per pixel
-_DEPTHS = {0: (1, 2, 4, 8), 2: (8,), 3: (1, 2, 4, 8), 6: (8,)}  # legal bit depths
+_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples per pixel
+# legal bit depths per color type (16-bit stays env-gated on cv2/PIL)
+_DEPTHS = {0: (1, 2, 4, 8), 2: (8,), 3: (1, 2, 4, 8), 4: (8,), 6: (8,)}
 # exact 8-bit rescale factors for sub-byte greyscale: 255 / (2^d - 1)
 _GREY_SCALE = {1: 255, 2: 85, 4: 17, 8: 1}
 # Adam7 pass grid (ISO/IEC 15948 §8.2): (x0, y0, dx, dy) per pass.
@@ -198,8 +201,10 @@ def encode_png(
     all 0; an int applies to every scanline) so tests can exercise every
     unfilter path; with ``interlace=True`` the IDAT holds the seven Adam7
     passes and `filters` applies to the pass scanlines in pass order.
-    `depth` of 1/2/4 (greyscale only) packs sample values < 2^depth."""
-    ctype = {1: 0, 3: 2, 4: 6}.get(channels)
+    `depth` of 1/2/4 (greyscale only) packs sample values < 2^depth.
+    `channels=2` encodes grey+alpha (color type 4; decoders normalize it
+    to RGBA)."""
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
     if ctype is None:
         raise ValueError(f"{channels}-channel PNG encode not supported")
     if depth not in _DEPTHS[ctype]:
@@ -390,6 +395,12 @@ def _decode_png_impl(payload: bytes) -> tuple[int, int, int, bytes]:
         return width, height, lut.shape[1], px.tobytes()
     if ctype == 0 and depth < 8:
         grid = grid * np.uint8(_GREY_SCALE[depth])  # exact: 255/(2^d - 1)
+    if ctype == 4:
+        # grey+alpha normalizes to RGBA (grey replicated): cv2's
+        # IMREAD_UNCHANGED expands LA PNGs to 4 channels, and the PIL rung
+        # converts LA->RGBA to match — one contract across all rungs.
+        grid = grid[:, :, [0, 0, 0, 1]]
+        return width, height, 4, grid.tobytes()
     return width, height, spp, grid.tobytes()
 
 

@@ -289,6 +289,39 @@ def test_paletted_trns_decodes_to_rgba(depth, interlace):
     assert np.array_equal(np.frombuffer(px, np.uint8).reshape(6, 10, 4), exp)
 
 
+@pytest.mark.parametrize("interlace", [False, True])
+def test_grey_alpha_decodes_to_rgba(interlace):
+    """Color type 4 (grey+alpha) normalizes to RGBA with the grey sample
+    replicated — cv2's IMREAD_UNCHANGED expands LA PNGs to 4 channels and
+    the PIL rung converts LA->RGBA, so the pure rung matches both. The
+    filter distance for LA is 2 bytes (spp*depth/8), exercised by the
+    Sub/Average/Paeth cases."""
+    rng = np.random.default_rng(17 + interlace)
+    for w, h in [(1, 1), (7, 3), (12, 9)]:
+        la = rng.integers(0, 256, (h, w, 2), dtype=np.uint8)
+        for f in (0, 1, 2, 3, 4):
+            dw, dh, dc, px = decode_png(
+                encode_png(w, h, la.tobytes(), channels=2, interlace=interlace, filters=f)
+            )
+            assert (dw, dh, dc) == (w, h, 4)
+            assert np.array_equal(
+                np.frombuffer(px, np.uint8).reshape(h, w, 4), la[:, :, [0, 0, 0, 1]]
+            )
+
+
+def test_grey_alpha_interop_with_pillow_when_available():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = np.random.default_rng(23)
+    la = rng.integers(0, 256, (5, 8, 2), dtype=np.uint8)
+    payload = encode_png(8, 5, la.tobytes(), channels=2, filters=3)
+    theirs = np.asarray(PIL.open(io.BytesIO(payload)).convert("RGBA"))
+    _, _, dc, px = decode_png(payload)
+    assert dc == 4
+    assert np.array_equal(theirs, np.frombuffer(px, np.uint8).reshape(5, 8, 4))
+
+
 def test_paletted_trns_rejects_overlong_table():
     from bigdata_streaming_absa_vehicle_spark.operators.pngcodec import (
         encode_png_indexed,
