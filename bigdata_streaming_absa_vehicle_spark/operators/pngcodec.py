@@ -417,9 +417,18 @@ def _unfilter_rows(raw: bytes, n_rows: int, stride: int, bpp: int) -> np.ndarray
         row = arr[y, 1:].copy()
         if f == 0:
             pass
-        elif f == 1:  # Sub: sequential in x, vectorize per bpp-lane cumsum
-            for x in range(bpp, stride):
-                row[x] = (int(row[x]) + int(row[x - bpp])) & 0xFF
+        elif f == 1:
+            # Sub: out[x] = f[x] + out[x-bpp], i.e. a per-bpp-lane prefix
+            # sum mod 256 — exact under int64 cumsum + mask, no Python
+            # loop. stride is always a multiple of bpp (bpp = 1 for
+            # sub-byte rows, = spp otherwise with stride = width*spp);
+            # the ragged tail case cannot arise, assert the invariant.
+            assert stride % bpp == 0
+            row = (
+                (row.reshape(-1, bpp).astype(np.int64).cumsum(axis=0) & 0xFF)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
         elif f == 2:  # Up
             row = (row.astype(np.uint16) + prev).astype(np.uint8)
         elif f == 3:  # Average
