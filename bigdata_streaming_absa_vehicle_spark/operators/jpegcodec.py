@@ -693,14 +693,12 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
                         raise ValueError("JPEG sampling factors must be 1-4 (T.81 B.2.2)")
                 if sum(h * v for h, v in samplings) > 10:
                     raise ValueError("more than 10 data units per MCU (T.81 B.2.3)")
-                hm = max(h for h, _ in samplings)
-                vm = max(v for _, v in samplings)
-                if any(hm % h or vm % v for h, v in samplings):
-                    raise ValueError(
-                        "non-integral sampling ratios need fractional upsampling"
-                    )
-            hmax = max(h for _, h, _, _ in comps)
-            vmax = max(v for _, _, v, _ in comps)
+            hmax = max(h for h, _ in samplings)
+            vmax = max(v for _, v in samplings)
+            if any(hmax % h or vmax % v for h, v in samplings):
+                raise ValueError(
+                    "non-integral sampling ratios need fractional upsampling"
+                )
             mcux = (width + 8 * hmax - 1) // (8 * hmax)
             mcuy = (height + 8 * vmax - 1) // (8 * vmax)
             store = [np.zeros((mcuy * v * mcux * h, 64), np.int64) for _, h, v, _ in comps]
@@ -861,6 +859,18 @@ def _resolve_factors(subsample, factors):
     return factors
 
 
+def _grid_blocks(plane: bytes, pw: int, ph: int, wb: int, hb: int) -> np.ndarray:
+    """8x8 blocks of `plane` edge-padded to exactly (hb*8, wb*8) — the one
+    block-grid builder both the baseline and progressive encoders use, so
+    their padding can never diverge (q419's progressive == baseline
+    bit-exactness depends on it)."""
+    img = np.frombuffer(plane, np.uint8).reshape(ph, pw)
+    img = np.pad(img, ((0, hb * 8 - ph), (0, wb * 8 - pw)), mode="edge")
+    return (
+        img.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(hb * wb, 8, 8)
+    ).astype(np.float64)
+
+
 def _comp_plane_dims(width, height, samp):
     """Per-component true sample dimensions (pw, ph), T.81 A.1.1:
     ceil(width * h / hmax) x ceil(height * v / vmax)."""
@@ -905,16 +915,8 @@ def encode_jpeg_color(
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
 
-    def grid_blocks(plane: bytes, pw: int, ph: int, wb: int, hb: int) -> np.ndarray:
-        """Blocks of `plane` edge-padded to exactly (hb*8, wb*8)."""
-        img = np.frombuffer(plane, np.uint8).reshape(ph, pw)
-        img = np.pad(img, ((0, hb * 8 - ph), (0, wb * 8 - pw)), mode="edge")
-        return (
-            img.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(hb * wb, 8, 8)
-        ).astype(np.float64)
-
     zz = [
-        _encode_plane_blocks(grid_blocks(plane, pw, ph, mcux * ch, mcuy * cv))
+        _encode_plane_blocks(_grid_blocks(plane, pw, ph, mcux * ch, mcuy * cv))
         for plane, (pw, ph), (ch, cv) in zip(planes, dims, samp)
     ]
 
@@ -1204,15 +1206,8 @@ def encode_jpeg_progressive_color(
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
 
-    def grid_blocks(plane: bytes, pw: int, ph: int, wb: int, hb: int) -> np.ndarray:
-        img = np.frombuffer(plane, np.uint8).reshape(ph, pw)
-        img = np.pad(img, ((0, hb * 8 - ph), (0, wb * 8 - pw)), mode="edge")
-        return (
-            img.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(hb * wb, 8, 8)
-        ).astype(np.float64)
-
     zz = [
-        _encode_plane_blocks(grid_blocks(plane, pw, ph, mcux * ch, mcuy * cv))
+        _encode_plane_blocks(_grid_blocks(plane, pw, ph, mcux * ch, mcuy * cv))
         for plane, (pw, ph), (ch, cv) in zip(planes, dims, samp)
     ]
     dc_code = _canonical_codes(_PROG_DC_BITS, _PROG_DC_VALS)

@@ -2,10 +2,11 @@
 (operators/pngcodec.py) — the PNG half of the S-08 entropy-decode slice.
 
 PNG is lossless, so the contract is byte-exact roundtrip for EVERY valid
-image, across all five scanline filter types and all three supported color
-types, in BOTH interlace methods (sequential and Adam7) — plus hard
-rejects for everything outside the declared subset (16-bit, palette,
-corrupt CRCs, truncation).
+image, across all five scanline filter types, all five supported color
+types (grey incl. 1/2/4-bit, RGB, paletted incl. tRNS alpha, grey+alpha
+normalized to RGBA, RGBA), in BOTH interlace methods (sequential and
+Adam7) — plus hard rejects for everything outside the declared subset
+(16-bit samples, corrupt CRCs, truncation, illegal PLTE/tRNS shapes).
 """
 
 from __future__ import annotations
