@@ -657,6 +657,13 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
                 bits = tuple(body[i + 1 : i + 17])
                 n = sum(bits)
                 vals = tuple(body[i + 17 : i + 17 + n])
+                if cls == 0 and any(v > 15 for v in vals):
+                    # T.81 table B.5: DC HUFFVAL are magnitude categories
+                    # 0-15. A corrupt table beyond that would make the
+                    # decoder read absurd bit counts and grow the DC
+                    # predictor past int64 (OverflowError, breaking the
+                    # drop-don't-kill ValueError contract) — reject here.
+                    raise ValueError("invalid DHT: DC category above 15")
                 huff[(cls, tid)] = _decode_table(bits, vals)
                 i += 17 + n
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
@@ -670,6 +677,13 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(f"{ncomp}-component JPEG not supported")
             if width <= 0 or height <= 0:
                 raise ValueError("non-positive JPEG dimensions")
+            if width * height > (1 << 30):
+                # cv2's CV_IO_MAX_IMAGE_PIXELS default: a crafted SOF
+                # declaring 65535x65535 would allocate a ~34 GB coefficient
+                # store before any entropy data is read — reject instead of
+                # risking MemoryError (which would break the ValueError
+                # drop contract)
+                raise ValueError("JPEG dimensions exceed the 2^30-pixel decode cap")
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))

@@ -342,16 +342,35 @@ def _decode_png_impl(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("PNG missing IHDR/IDAT/IEND")
     if width <= 0 or height <= 0:
         raise ValueError("non-positive PNG dimensions")
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as e:
-        # surface as ValueError so the drop-don't-kill imdecode contract
-        # holds for a CRC-valid chunk wrapping a corrupt DEFLATE stream
-        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    if width * height > (1 << 30):
+        # PIL's decompression-bomb discipline (cv2 caps the same way): a
+        # crafted IHDR would otherwise commit a multi-GB raster before any
+        # pixel data is read
+        raise ValueError("PNG dimensions exceed the 2^30-pixel decode cap")
     if ctype == 3 and palette is None:
         raise ValueError("paletted PNG is missing its PLTE chunk")
     spp = _SAMPLES[ctype]
     bpp = max(1, spp * depth // 8)  # filter distance, rounded up (§9.2)
+    # the exact inflated size is known from the header BEFORE inflating, so
+    # cap the inflate at it — a zip-bomb IDAT (kilobytes compressing to
+    # gigabytes) stops at need+1 bytes instead of materializing in full
+    if interlace == 0:
+        need = height * (_row_bytes(width, spp, depth) + 1)
+    else:
+        need = sum(
+            ph * (_row_bytes(pw, spp, depth) + 1)
+            for *_, pw, ph in _pass_dims(width, height)
+        )
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), need + 1)
+        excess = bool(d.unconsumed_tail or d.unused_data or d.flush())
+    except zlib.error as e:
+        # surface as ValueError so the drop-don't-kill imdecode contract
+        # holds for a CRC-valid chunk wrapping a corrupt DEFLATE stream
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    if excess:
+        raise ValueError(f"PNG scanline data exceeds the {need} bytes the header declares")
     if interlace == 0:
         rb = _row_bytes(width, spp, depth)
         if len(raw) != height * (rb + 1):

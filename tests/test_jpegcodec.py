@@ -439,6 +439,36 @@ def test_oversubscribed_dht_rejected():
         decode_jpeg(bytes(new_seg))
 
 
+def test_dc_category_above_15_rejected():
+    """A class-0 DHT declaring a HUFFVAL above 15 is illegal (T.81 table
+    B.5: DC symbols are magnitude categories 0-15). Found by fuzzing: such
+    a table made the decoder read absurd bit counts and grow the DC
+    predictor past int64 — an OverflowError escaping the ValueError drop
+    contract. Must reject at header parse."""
+    w, h, img = _fixture(4)
+    good = bytearray(encode_jpeg_gray(w, h, img.tobytes()))
+    dht = good.index(b"\xff\xc4")
+    assert good[dht + 4] == 0x00  # first table is class 0 (DC)
+    vals_off = dht + 4 + 17  # class/id byte + 16 BITS bytes
+    good[vals_off] = 0x20  # first DC category -> 32
+    with pytest.raises(ValueError, match="DC category"):
+        decode_jpeg(bytes(good))
+
+
+def test_huge_sof_dimensions_rejected_before_allocation():
+    """A crafted SOF declaring 60000x60000 would allocate a ~34 GB
+    coefficient store before any entropy data is read; the 2^30-pixel cap
+    (cv2's CV_IO_MAX_IMAGE_PIXELS default) rejects it at the header."""
+    import struct as _s
+
+    w, h, img = _fixture(6)
+    good = bytearray(encode_jpeg_gray(w, h, img.tobytes()))
+    sof = good.index(b"\xff\xc0")
+    _s.pack_into(">HH", good, sof + 5, 60000, 60000)
+    with pytest.raises(ValueError, match="2\\^30-pixel"):
+        decode_jpeg(bytes(good))
+
+
 def test_fill_bytes_and_standalone_markers_tolerated():
     """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker
     code, and TEM (0x01) is a standalone parameterless marker — both legal

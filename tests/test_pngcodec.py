@@ -463,6 +463,39 @@ def test_adam7_truncated_pass_data_rejected():
         decode_png(sig_ihdr + idat + good[-12:])
 
 
+def test_decompression_bomb_and_huge_dims_rejected():
+    """Hostile-corpus discipline (PIL's DecompressionBombError / cv2's
+    CV_IO_MAX_IMAGE_PIXELS): a crafted IHDR past 2^30 pixels rejects
+    before committing a raster, and a zip-bomb IDAT (kilobytes inflating
+    to gigabytes) stops at the header-declared scanline size instead of
+    materializing — both as ValueError, instantly."""
+    good = encode_png(4, 4, bytes(48), channels=3)
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+    huge = (
+        good[:8]
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        + good[8 + 12 + 13 :]
+    )
+    with pytest.raises(ValueError):
+        decode_png(huge)
+    bomb = zlib.compress(bytes(8 * 1024 * 1024), 9)  # 8 MB of zeros, ~8 KB
+    idat = (
+        struct.pack(">I", len(bomb)) + b"IDAT" + bomb
+        + struct.pack(">I", zlib.crc32(b"IDAT" + bomb) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError):
+        decode_png(good[: 8 + 12 + 13] + idat + good[-12:])
+    # trailing bytes after the zlib stream still reject (pre-cap behavior)
+    body = zlib.compress(bytes(4 * (4 * 3 + 1))) + b"JUNK"
+    idat = (
+        struct.pack(">I", len(body)) + b"IDAT" + body
+        + struct.pack(">I", zlib.crc32(b"IDAT" + body) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError):
+        decode_png(good[: 8 + 12 + 13] + idat + good[-12:])
+
+
 def test_ancillary_chunks_skipped_but_crc_checked():
     good = encode_png(2, 2, bytes(12), channels=3)
     text = b"comment\x00hello"
