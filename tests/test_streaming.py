@@ -679,22 +679,27 @@ def test_slo_hourly_counts_stream_equals_batch(spark, tmpdir):
 def test_pixel_decode_stream_equals_batch(spark, tmpdir):
     """S-08 streaming twin: decode_image_pixels is a stateless Arrow-batched
     map, so the SAME operator drains a file-replayed media stream (append
-    mode) to exactly the batch relation — PNG, grayscale JPEG, color JPEG
+    mode) to exactly the batch relation — PNG (sequential, Adam7-paletted
+    with tRNS, 1-bit grey), grayscale/color/progressive JPEG (incl. 4:1:1)
     and BMP payloads decode identically under any micro-batch split, and
     undecodable payloads drop in both modes without killing a task."""
     from bigdata_streaming_absa_vehicle_spark.operators.imagecodec import encode_bmp24
     from bigdata_streaming_absa_vehicle_spark.operators.jpegcodec import (
         encode_jpeg_color,
         encode_jpeg_gray,
+        encode_jpeg_progressive_gray,
     )
     from bigdata_streaming_absa_vehicle_spark.operators.multimodal import (
         decode_image_pixels,
     )
-    from bigdata_streaming_absa_vehicle_spark.operators.pngcodec import encode_png
+    from bigdata_streaming_absa_vehicle_spark.operators.pngcodec import (
+        encode_png,
+        encode_png_indexed,
+    )
 
     rows = []
-    for i in range(24):
-        kind = i % 5
+    for i in range(32):
+        kind = i % 8
         if kind == 0:
             w, h = 3 + i % 5, 2 + i % 3
             px = bytes((11 * i + 3 * j) % 256 for j in range(w * h * 3))
@@ -712,6 +717,22 @@ def test_pixel_decode_stream_equals_batch(spark, tmpdir):
             w, h = 4 + i % 3, 3
             px = bytes((7 * i + j) % 256 for j in range(w * h * 3))
             payload = encode_bmp24(w, h, px)
+        elif kind == 4:
+            # Adam7-interlaced 2-bit paletted with tRNS alpha (r8 paths)
+            w, h = 5 + i % 4, 4
+            pal = [((13 * i + 7 * p) % 256, (5 * p) % 256, p * 40 % 256) for p in range(4)]
+            idx = bytes((i + j) % 4 for j in range(w * h))
+            payload = encode_png_indexed(
+                w, h, idx, pal, depth=2, interlace=True, trns=bytes([255, 128, 0])
+            )
+        elif kind == 5:
+            w, h = 9, 3 + i % 4  # 1-bit greyscale
+            bits = bytes((i + j) % 2 for j in range(w * h))
+            payload = encode_png(w, h, bits, channels=1, depth=1, filters=2)
+        elif kind == 6:
+            w, h = 16, 8  # progressive grayscale (SOF2)
+            px = bytes([60 + i]) * (w * h)
+            payload = encode_jpeg_progressive_gray(w, h, px)
         else:
             payload = b"\x00garbage payload %d" % i  # must drop, both modes
         rows.append((i, payload))
@@ -729,4 +750,4 @@ def test_pixel_decode_stream_equals_batch(spark, tmpdir):
     cols = ["doc_id", "width", "height", "n_channels", "mean_intensity"]
     got, want = as_sorted_rows(result, cols), as_sorted_rows(batch, cols)
     assert got == want
-    assert len(got) == 24 - 4  # the four i%5==4 garbage payloads drop
+    assert len(got) == 32 - 4  # the four i%8==7 garbage payloads drop
