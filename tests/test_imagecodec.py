@@ -158,6 +158,39 @@ def test_resize_pixels_identity_when_small_and_downscale_when_large(spark):
     assert got[2]["out_mean"] == 9.0
 
 
+def test_resize_pixels_handles_r8_png_formats_via_shared_ladder(spark):
+    """resize_pixels walks the SAME _pixel_backend ladder as
+    decode_image_pixels (ADVICE r6 item 1), so the round-8 PNG additions
+    (paletted, 1-bit grey, grey+alpha->RGBA) resize through the pure rung
+    with exact closed-form means."""
+    import numpy as np
+
+    from bigdata_streaming_absa_vehicle_spark.operators.multimodal import resize_pixels
+    from bigdata_streaming_absa_vehicle_spark.operators.pngcodec import (
+        encode_png,
+        encode_png_indexed,
+    )
+
+    # 4x2 paletted, constant index 1 -> constant RGB (50, 100, 150)
+    pal = [(0, 0, 0), (50, 100, 150)]
+    paletted = encode_png_indexed(4, 2, bytes([1] * 8), pal, depth=1)
+    # 32x8 1-bit grey, all ones -> constant 255, shrinks 2x to 16x4
+    bilevel = encode_png(32, 8, bytes([1] * 256), channels=1, depth=1)
+    # 4x2 grey+alpha, grey 80 alpha 200 -> RGBA mean (3*80 + 200)/4
+    la = np.full((2, 4, 2), 0, np.uint8); la[:, :, 0] = 80; la[:, :, 1] = 200
+    ga = encode_png(4, 2, la.tobytes(), channels=2)
+    media = spark.createDataFrame(
+        [(1, paletted), (2, bilevel), (3, ga)], "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: r for r in resize_pixels(media, max_dim=16).collect()}
+    assert sorted(got) == [1, 2, 3]
+    assert (got[1]["out_width"], got[1]["out_height"]) == (4, 2)
+    assert got[1]["out_mean"] == (50 + 100 + 150) / 3
+    assert (got[2]["out_width"], got[2]["out_height"]) == (16, 4)
+    assert got[2]["out_mean"] == 255.0
+    assert got[3]["out_mean"] == (3 * 80 + 200) / 4
+
+
 def test_resize_pixels_nearest_neighbor_indexing_is_floor_based(spark):
     """A 4x1 image [0, 60, 120, 180] shrunk to 2x1 must sample src pixels
     floor(0*4/2)=0 and floor(1*4/2)=2 -> values 0 and 120, mean 60."""
