@@ -100,7 +100,77 @@ def entry(spark: SparkSession) -> DataFrame:
 #     a driver row, 213/213; tier B = 20 never-certified backlog queries
 #     q136-q157 (lowest-number first; q158 displaced by the forced q419).
 #     Planner-reported post-window ID breaches: 0.
+#   - Round 9 (this file): the first pure steady-state window, computed by
+#     tools/rotation_plan.py --round 9 with NO forced additions (zero new
+#     registry queries this round — the registry covers all 230 §2 IDs and
+#     adding queries now only adds freshness debt, VERDICT r8 item 3).
+#     Tier R = the 18 queries re-certifying the 23 operator IDs whose
+#     newest green row (<= r4) breaches the 5-round ID-age ceiling at r10
+#     (set-cover: q62 carries 3 IDs, q60/q82/q188 carry 2 each).  Tier B =
+#     the 32 lowest-numbered never-certified backlog queries (q158-q202,
+#     led by q158 which the forced q419 displaced from the r8 window).
+#     Planner-reported post-window ID breaches: 0; never-certified
+#     151 -> 119 when green.
 _WINDOW_PRIORITY = (
+    # -- Tier R (r9): ID-level age-ceiling re-certs — the 18-query set
+    # cover of the 23 operator IDs whose newest row (r4) would breach the
+    # 5-round ceiling at r10. --
+    "q62_vehicle_pipeline_batch",    # 3 IDs (F-08, D-02-adjacent kernel chain)
+    "q60_absa_inference_batch",      # 2 IDs (S-05, D-02)
+    "q82_token_ids",                 # 2 IDs (X-06 tokenizer chain)
+    "q188_sketch_overlap",           # 2 IDs (sketch-overlap pair)
+    "q08_time_bucket",               # F-04
+    "q12_latest_topn",               # O-02
+    "q23_collect_set",               # A-11
+    "q31_json_roundtrip",            # F-07
+    "q36_sigmoid_math",              # F-12
+    "q41_minhash_lsh_neardup",       # J-09
+    "q46b_ivf_ann_topk",             # D-06
+    "q61_absa_sentiment_counts",     # D-03
+    "q63_tumbling_window_batch",     # T-05
+    "q64_sliding_window_batch",      # T-06
+    "q65_session_window_batch",      # T-07
+    "q68_detections_exploded",       # D-07
+    "q77_interval_join_batch",       # J-10
+    "q99_group_having_in",           # SQ-03
+    # -- Tier B (r9): backlog fill — never-certified registry queries,
+    # lowest query number first (first-ever driver rows; their IDs are all
+    # covered by newer sibling rows, so this burns the never-certified
+    # count 151 -> 119). --
+    "q158_tpch_q18_large_orders",
+    "q159_referential_integrity",
+    "q160_time_weighted_avg",
+    "q162_gains_table",
+    "q163_negative_sampling",
+    "q164_table_checksum",
+    "q165_mutual_information",
+    "q166_exact_auc",
+    "q167_peak_concurrency",
+    "q168_basket_pairs",
+    "q169_ab_test_z",
+    "q170_funnel_latency",
+    "q171_linear_attribution",
+    "q172_user_entropy",
+    "q173_benford_audit",
+    "q174_revenue_gini",
+    "q175_rolling_active_users",
+    "q176_degree_assortativity",
+    "q177_model_churn",
+    "q178_version_class_shift",
+    "q179_survival_curve",
+    "q180_seasonal_profile",
+    "q181_user_golden_record",
+    "q182_state_as_of",
+    "q183_bigram_pmi",
+    "q184_seasonal_anomaly",
+    "q185_out_of_order_profile",
+    "q186_session_paths",
+    "q187_k_anonymity",
+    "q189_mde_power",
+    "q191_incremental_agg_merge",
+    "q202_adamic_adar",
+)
+_WINDOW_PRIORITY_R8 = (
     # -- Tier F (r8): added this round, certified this round (the
     # no-new-backlog rule).  q419 hash-certifies the vendored PROGRESSIVE
     # JPEG (SOF2) decode — VERDICT r7 item 7, displacing the last tier-B
@@ -305,13 +375,15 @@ _WINDOW_PRIORITY_R6 = (
     "q414_stratified_ate",       # X-139
     "q415_raking_weights",       # X-140
 )
-# (ROUND-7 and ROUND-6 WINDOWS above, kept verbatim for the rotation
-# record; the live window is _WINDOW_PRIORITY.)  r7 budget note: 4 forced
-# + 10 re-certs + 36 set-cover filled the 50 exactly (q417/q418 displaced
-# two set-cover picks after that round's note was first written — ADVICE
-# r7 item 3).  r8 budget note: 1 forced (q419) + 7 ID-ceiling re-certs +
-# 22 never-certified IDs + 20 never-certified backlog queries fill the 50
-# exactly.  Every query past the window holds
+# (ROUND-8, ROUND-7 and ROUND-6 WINDOWS above, kept verbatim for the
+# rotation record; the live window is _WINDOW_PRIORITY.)  r7 budget note:
+# 4 forced + 10 re-certs + 36 set-cover filled the 50 exactly (q417/q418
+# displaced two set-cover picks after that round's note was first written
+# — ADVICE r7 item 3).  r8 budget note: 1 forced (q419) + 7 ID-ceiling
+# re-certs + 22 never-certified IDs + 20 never-certified backlog queries
+# fill the 50 exactly.  r9 budget note: 0 forced + 18 ID-ceiling re-certs
+# + 32 never-certified backlog queries fill the 50 exactly.  Every query
+# past the window holds
 # either a green driver row on the current engine from rounds 3-6
 # (CORRECTNESS_r03..r06) or builder-drive evidence
 # (tools/verify/drive_vanilla.py full-registry runs, ALL MATCH,
