@@ -677,13 +677,16 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(f"{ncomp}-component JPEG not supported")
             if width <= 0 or height <= 0:
                 raise ValueError("non-positive JPEG dimensions")
-            if width * height > (1 << 30):
-                # cv2's CV_IO_MAX_IMAGE_PIXELS default: a crafted SOF
-                # declaring 65535x65535 would allocate a ~34 GB coefficient
-                # store before any entropy data is read — reject instead of
+            if width * height * ncomp > (1 << 30):
+                # decode cap in DECODED BYTES (width*height*components at
+                # uint8; cv2's CV_IO_MAX_IMAGE_PIXELS default for greyscale,
+                # 3x tighter for color — the PNG codec's ADVICE-r8 byte-cap
+                # discipline applied here too): a crafted SOF declaring
+                # 65535x65535 would allocate a ~34 GB coefficient store
+                # before any entropy data is read — reject instead of
                 # risking MemoryError (which would break the ValueError
                 # drop contract)
-                raise ValueError("JPEG dimensions exceed the 2^30-pixel decode cap")
+                raise ValueError("JPEG decoded size exceeds the 2^30-byte decode cap")
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))

@@ -47,6 +47,12 @@ _SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples per pixel
 _DEPTHS = {0: (1, 2, 4, 8), 2: (8,), 3: (1, 2, 4, 8), 4: (8,), 6: (8,)}
 # exact 8-bit rescale factors for sub-byte greyscale: 255 / (2^d - 1)
 _GREY_SCALE = {1: 255, 2: 85, 4: 17, 8: 1}
+
+# decode cap in DECODED RASTER BYTES (width * height * samples at uint8):
+# equals cv2's 2^30-pixel default for greyscale, 4x tighter for RGBA, so a
+# hostile header can't commit a multi-GiB scanline buffer (ADVICE r8);
+# pure-rung workers may lower this for tighter memory budgets
+_MAX_DECODE_BYTES = 1 << 30
 # Adam7 pass grid (ISO/IEC 15948 §8.2): (x0, y0, dx, dy) per pass.
 _ADAM7 = (
     (0, 0, 8, 8),
@@ -331,6 +337,11 @@ def _decode_png_impl(payload: bytes) -> tuple[int, int, int, bytes]:
                 # P->convert("RGBA") and cv2's BGRA for such files.  Color
                 # key tRNS on grey/truecolor stays skipped — raw asarray /
                 # IMREAD_UNCHANGED ignore it there too.
+                if length == 0:
+                    # ISO 15948 §11.3.2.1 requires 1..palette-size entries;
+                    # accepting an empty tRNS would silently emit all-opaque
+                    # RGBA where cv2/PIL reject (ADVICE r8)
+                    raise ValueError("empty tRNS chunk on a paletted PNG")
                 trns = np.frombuffer(body, np.uint8)
         elif tag == b"IDAT":
             idat += body
@@ -342,14 +353,20 @@ def _decode_png_impl(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("PNG missing IHDR/IDAT/IEND")
     if width <= 0 or height <= 0:
         raise ValueError("non-positive PNG dimensions")
-    if width * height > (1 << 30):
-        # PIL's decompression-bomb discipline (cv2 caps the same way): a
-        # crafted IHDR would otherwise commit a multi-GB raster before any
-        # pixel data is read
-        raise ValueError("PNG dimensions exceed the 2^30-pixel decode cap")
     if ctype == 3 and palette is None:
         raise ValueError("paletted PNG is missing its PLTE chunk")
     spp = _SAMPLES[ctype]
+    if width * height * spp > _MAX_DECODE_BYTES:
+        # decompression-bomb discipline, counted in DECODED BYTES (unpacked
+        # uint8 raster = width*height*samples), not pixels: a channel-blind
+        # pixel cap lets a crafted RGBA header just under 2^30 pixels commit
+        # ~4.3 GB of scanlines before any mismatch error (ADVICE r8).  For
+        # greyscale this equals the old 2^30-pixel cap (cv2's default); for
+        # RGBA it is 4x tighter, bounding worst-case decode peak (raw
+        # scanlines + unfiltered rows + raster) to a few GiB.
+        raise ValueError(
+            "PNG decoded size exceeds the 2^30-byte decode cap"
+        )
     bpp = max(1, spp * depth // 8)  # filter distance, rounded up (§9.2)
     # the exact inflated size is known from the header BEFORE inflating, so
     # cap the inflate at it — a zip-bomb IDAT (kilobytes compressing to

@@ -457,15 +457,30 @@ def test_dc_category_above_15_rejected():
 
 def test_huge_sof_dimensions_rejected_before_allocation():
     """A crafted SOF declaring 60000x60000 would allocate a ~34 GB
-    coefficient store before any entropy data is read; the 2^30-pixel cap
-    (cv2's CV_IO_MAX_IMAGE_PIXELS default) rejects it at the header."""
+    coefficient store before any entropy data is read; the 2^30-BYTE
+    decoded-size cap (width*height*components — cv2's
+    CV_IO_MAX_IMAGE_PIXELS default for greyscale, 3x tighter for color,
+    ADVICE r8 discipline) rejects it at the header."""
     import struct as _s
 
     w, h, img = _fixture(6)
     good = bytearray(encode_jpeg_gray(w, h, img.tobytes()))
     sof = good.index(b"\xff\xc0")
     _s.pack_into(">HH", good, sof + 5, 60000, 60000)
-    with pytest.raises(ValueError, match="2\\^30-pixel"):
+    with pytest.raises(ValueError, match="2\\^30-byte"):
+        decode_jpeg(bytes(good))
+    # channel-aware: a 3-component frame at 20000x20000 is only 4e8 pixels
+    # (under the old channel-blind pixel cap) but 1.2e9 decoded bytes —
+    # must reject too
+    from bigdata_streaming_absa_vehicle_spark.operators.jpegcodec import (
+        encode_jpeg_color,
+    )
+
+    plane = bytes(64)
+    good = bytearray(encode_jpeg_color(8, 8, plane, plane, plane, "444"))
+    sof = good.index(b"\xff\xc0")
+    _s.pack_into(">HH", good, sof + 5, 20000, 20000)
+    with pytest.raises(ValueError, match="2\\^30-byte"):
         decode_jpeg(bytes(good))
 
 

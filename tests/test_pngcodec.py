@@ -346,6 +346,30 @@ def test_paletted_trns_rejects_overlong_table():
         decode_png(good[:t_at] + chunk + good[t_at + t_len :])
 
 
+def test_paletted_trns_rejects_empty_chunk():
+    """ISO 15948 §11.3.2.1 requires 1..palette-size tRNS entries for color
+    type 3; a zero-length tRNS previously slipped through and silently
+    switched output to all-opaque RGBA where cv2/PIL reject (ADVICE r8)."""
+    from bigdata_streaming_absa_vehicle_spark.operators.pngcodec import (
+        encode_png_indexed,
+    )
+
+    pal = [(1, 2, 3), (4, 5, 6)]
+    good = encode_png_indexed(2, 1, bytes(2), pal, trns=bytes(2))
+    t_at = good.index(b"tRNS") - 4
+    t_len = struct.unpack_from(">I", good, t_at)[0] + 12
+    empty = (
+        struct.pack(">I", 0)
+        + b"tRNS"
+        + struct.pack(">I", zlib.crc32(b"tRNS") & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="empty tRNS"):
+        decode_png(good[:t_at] + empty + good[t_at + t_len :])
+    # the same palette without any tRNS still decodes (3-channel output)
+    plain = encode_png_indexed(2, 1, bytes(2), pal)
+    assert decode_png(plain)[2] == 3
+
+
 def test_paletted_trns_interop_with_pillow_when_available():
     PIL = pytest.importorskip("PIL.Image")
     import io
@@ -465,10 +489,12 @@ def test_adam7_truncated_pass_data_rejected():
 
 def test_decompression_bomb_and_huge_dims_rejected():
     """Hostile-corpus discipline (PIL's DecompressionBombError / cv2's
-    CV_IO_MAX_IMAGE_PIXELS): a crafted IHDR past 2^30 pixels rejects
-    before committing a raster, and a zip-bomb IDAT (kilobytes inflating
-    to gigabytes) stops at the header-declared scanline size instead of
-    materializing — both as ValueError, instantly."""
+    CV_IO_MAX_IMAGE_PIXELS): a crafted IHDR past the 2^30 DECODED-BYTE cap
+    (width*height*samples, ADVICE r8 — channel-aware, unlike a bare pixel
+    cap) rejects before committing a raster, and a zip-bomb IDAT
+    (kilobytes inflating to gigabytes) stops at the header-declared
+    scanline size instead of materializing — both as ValueError,
+    instantly."""
     good = encode_png(4, 4, bytes(48), channels=3)
     ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
     huge = (
@@ -477,8 +503,27 @@ def test_decompression_bomb_and_huge_dims_rejected():
         + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
         + good[8 + 12 + 13 :]
     )
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="2\\^30-byte"):
         decode_png(huge)
+    # channel-aware: a 20000x20000 RGBA header is only 4e8 pixels (under
+    # the old channel-blind 2^30-pixel cap) but 1.6e9 decoded bytes — the
+    # exact ADVICE r8 scenario (~4.3 GB of scanlines) — must reject too
+    rgba = encode_png(2, 2, bytes(16), channels=4)
+    ihdr = struct.pack(">IIBBBBB", 20000, 20000, 8, 6, 0, 0, 0)
+    huge = (
+        rgba[:8]
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        + rgba[8 + 12 + 13 :]
+    )
+    with pytest.raises(ValueError, match="2\\^30-byte"):
+        decode_png(huge)
+    # a greyscale header at the same pixel count stays ACCEPTED by the cap
+    # (1 byte/pixel = the old greyscale bound) and fails later on scanline
+    # size, proving the cap is byte- not pixel-denominated
+    import bigdata_streaming_absa_vehicle_spark.operators.pngcodec as _png
+
+    assert 20000 * 20000 * 1 <= _png._MAX_DECODE_BYTES
     bomb = zlib.compress(bytes(8 * 1024 * 1024), 9)  # 8 MB of zeros, ~8 KB
     idat = (
         struct.pack(">I", len(bomb)) + b"IDAT" + bomb
