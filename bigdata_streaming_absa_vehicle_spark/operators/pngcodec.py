@@ -43,8 +43,10 @@ __all__ = ["encode_png", "encode_png_indexed", "decode_png"]
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 _SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples per pixel
-# legal bit depths per color type (16-bit stays env-gated on cv2/PIL)
-_DEPTHS = {0: (1, 2, 4, 8), 2: (8,), 3: (1, 2, 4, 8), 4: (8,), 6: (8,)}
+# legal bit depths per color type (ISO 15948 §11.2.2 table; paletted is
+# never 16-bit).  16-bit decodes with the documented MSB output contract —
+# see _unpack_rows.
+_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
 # exact 8-bit rescale factors for sub-byte greyscale: 255 / (2^d - 1)
 _GREY_SCALE = {1: 255, 2: 85, 4: 17, 8: 1}
 
@@ -92,11 +94,15 @@ def _row_bytes(n_cols: int, spp: int, depth: int) -> int:
 
 def _pack_rows(img: np.ndarray, depth: int) -> np.ndarray:
     """(rows, n_samples) sample values -> (rows, row_bytes) packed MSB-first
-    within each byte (ISO/IEC 15948 §7.2); identity at depth 8."""
+    within each byte (ISO/IEC 15948 §7.2); identity at depth 8; big-endian
+    two-byte samples at depth 16 (network order, §7.1)."""
     if depth == 8:
         return img.astype(np.uint8)
     if img.size and int(img.max()) >= (1 << depth):
         raise ValueError(f"sample value out of range for {depth}-bit PNG")
+    if depth == 16:
+        packed = np.ascontiguousarray(img.astype(">u2")).view(np.uint8)
+        return packed.reshape(img.shape[0], img.shape[1] * 2)
     shifts = np.arange(depth - 1, -1, -1, dtype=np.uint8)
     bits = ((img[:, :, None].astype(np.uint8) >> shifts) & 1).reshape(
         img.shape[0], img.shape[1] * depth
@@ -109,9 +115,20 @@ def _pack_rows(img: np.ndarray, depth: int) -> np.ndarray:
 
 def _unpack_rows(rows: np.ndarray, n_samples: int, depth: int) -> np.ndarray:
     """(rows, row_bytes) packed scanlines -> (rows, n_samples) sample values
-    (MSB-first; trailing pad bits of each scanline dropped)."""
+    (MSB-first; trailing pad bits of each scanline dropped).
+
+    OUTPUT CONTRACT at depth 16: samples reduce to 8-bit by MOST
+    SIGNIFICANT BYTE (v >> 8) — the convention PIL uses when it decodes a
+    16-bit RGB(A) PNG straight to 8-bit mode and cv2's CV_16U -> CV_8U
+    imread conversion; the big-endian sample layout (§7.1) makes that the
+    even-indexed scanline bytes.  The codec's output is uint8 everywhere
+    by design (one contract across the decode-ladder rungs); callers
+    needing full 16-bit precision use the env-gated cv2 IMREAD_UNCHANGED
+    rung."""
     if depth == 8:
         return rows[:, :n_samples]
+    if depth == 16:
+        return rows[:, : n_samples * 2 : 2]
     bits = np.unpackbits(rows, axis=1)[:, : n_samples * depth]
     weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
     return (bits.reshape(rows.shape[0], n_samples, depth) * weights).sum(axis=2).astype(
@@ -202,26 +219,33 @@ def encode_png(
     depth: int = 8,
 ) -> bytes:
     """Encode a row-major raster (1=grey, 3=RGB, 4=RGBA interleaved, one
-    byte per sample in `pixels` regardless of depth) as a real PNG.
+    byte per sample in `pixels` regardless of depth — EXCEPT depth 16,
+    which takes two big-endian bytes per sample) as a real PNG.
     `filters` optionally gives the per-scanline filter type (0-4, default
     all 0; an int applies to every scanline) so tests can exercise every
     unfilter path; with ``interlace=True`` the IDAT holds the seven Adam7
     passes and `filters` applies to the pass scanlines in pass order.
-    `depth` of 1/2/4 (greyscale only) packs sample values < 2^depth.
-    `channels=2` encodes grey+alpha (color type 4; decoders normalize it
-    to RGBA)."""
+    `depth` of 1/2/4 (greyscale only) packs sample values < 2^depth;
+    `depth` of 16 (any non-paletted color type) stores full-precision
+    big-endian samples.  `channels=2` encodes grey+alpha (color type 4;
+    decoders normalize it to RGBA)."""
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
     if ctype is None:
         raise ValueError(f"{channels}-channel PNG encode not supported")
     if depth not in _DEPTHS[ctype]:
         raise ValueError(f"{depth}-bit PNG encode not supported for {channels} channels")
-    if len(pixels) != width * height * channels:
+    bytes_per_sample = 2 if depth == 16 else 1
+    if len(pixels) != width * height * channels * bytes_per_sample:
         raise ValueError(
-            f"raster needs {width * height * channels} bytes, got {len(pixels)}"
+            f"raster needs {width * height * channels * bytes_per_sample} bytes,"
+            f" got {len(pixels)}"
         )
     if width <= 0 or height <= 0:
         raise ValueError("non-positive PNG dimensions")
-    img3 = np.frombuffer(pixels, np.uint8).reshape(height, width, channels)
+    if depth == 16:
+        img3 = np.frombuffer(pixels, ">u2").reshape(height, width, channels)
+    else:
+        img3 = np.frombuffer(pixels, np.uint8).reshape(height, width, channels)
     raw = _encode_idat(width, height, img3, depth, filters, interlace)
     ihdr = struct.pack(">IIBBBBB", width, height, depth, ctype, 0, 0, int(interlace))
     return (
@@ -274,11 +298,13 @@ def encode_png_indexed(
 
 
 def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a PNG — greyscale at 1/2/4/8 bits, 8-bit RGB/RGBA, or
-    paletted at 1/2/4/8-bit indices; sequential or Adam7-interlaced — to
-    ``(width, height, n_channels, pixels)``, row-major interleaved
-    (paletted decodes to its looked-up RGB; sub-byte grey rescales exactly
-    to 8-bit).
+    """Decode a PNG — greyscale at 1/2/4/8/16 bits, 8/16-bit
+    RGB/RGBA/grey+alpha, or paletted at 1/2/4/8-bit indices; sequential or
+    Adam7-interlaced — to ``(width, height, n_channels, pixels)``,
+    row-major interleaved (paletted decodes to its looked-up RGB;
+    sub-byte grey rescales exactly to 8-bit; 16-bit samples reduce to
+    their most significant byte — the PIL direct-to-8-bit / cv2
+    CV_16U->CV_8U convention, see ``_unpack_rows``).
     CRC-checked chunk walk; ValueError on anything outside the declared
     subset OR malformed (struct/index errors from crafted chunk bodies are
     normalized so the drop-don't-kill contract holds; callers drop such
@@ -356,7 +382,7 @@ def _decode_png_impl(payload: bytes) -> tuple[int, int, int, bytes]:
     if ctype == 3 and palette is None:
         raise ValueError("paletted PNG is missing its PLTE chunk")
     spp = _SAMPLES[ctype]
-    if width * height * spp > _MAX_DECODE_BYTES:
+    if width * height * spp * max(1, depth // 8) > _MAX_DECODE_BYTES:
         # decompression-bomb discipline, counted in DECODED BYTES (unpacked
         # uint8 raster = width*height*samples), not pixels: a channel-blind
         # pixel cap lets a crafted RGBA header just under 2^30 pixels commit

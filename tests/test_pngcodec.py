@@ -92,7 +92,9 @@ def test_rejects_outside_declared_subset():
     )
     with pytest.raises(ValueError):
         decode_png(meth2)
-    # 16-bit depth claim
+    # a 16-bit IHDR spliced over 8-bit scanline data: 16-bit itself now
+    # decodes (see test_16bit_*), but the byte count cannot match — the
+    # scanline-size check must reject this as malformed, not misdecode
     ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
     deep = (
         good[:8]
@@ -104,6 +106,18 @@ def test_rejects_outside_declared_subset():
     )
     with pytest.raises(ValueError):
         decode_png(deep)
+    # 16-bit paletted is spec-illegal (ISO 15948 §11.2.2 table) — reject
+    ihdr16p = struct.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0)
+    deep_pal = (
+        good[:8]
+        + struct.pack(">I", len(ihdr16p))
+        + b"IHDR"
+        + ihdr16p
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr16p) & 0xFFFFFFFF)
+        + good[8 + 12 + 13 :]
+    )
+    with pytest.raises(ValueError):
+        decode_png(deep_pal)
 
 
 # ISO/IEC 15948 §8.2 figure: which Adam7 pass owns each pixel of the
@@ -593,6 +607,102 @@ def test_property_exact_roundtrip_any_image(w, h, c, seed):
     dw, dh, dc, px = decode_png(encode_png(w, h, img.tobytes(), channels=c, filters=filters))
     assert (dw, dh, dc) == (w, h, c)
     assert np.array_equal(np.frombuffer(px, np.uint8), img)
+
+
+def test_16bit_decode_msb_contract_all_color_types():
+    """16-bit samples reduce to their MOST significant byte (the PIL
+    direct-to-8-bit / cv2 CV_16U->CV_8U convention) across every
+    non-paletted color type, both interlace methods, all five filters."""
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        w, h = 9 - ch, 5 + ch
+        img = rng.integers(0, 65536, (h, w, ch), dtype=np.uint16)
+        exp = (img >> 8).astype(np.uint8)
+        ch_out = ch
+        if ch == 2:  # grey+alpha normalizes to RGBA like the 8-bit path
+            exp, ch_out = exp[:, :, [0, 0, 0, 1]], 4
+        for kw in (
+            {"filters": [(y % 5) for y in range(h)]},
+            {"interlace": True, "filters": 4},
+        ):
+            payload = encode_png(
+                w, h, img.astype(">u2").tobytes(), channels=ch, depth=16, **kw
+            )
+            dw, dh, dc, px = decode_png(payload)
+            assert (dw, dh, dc) == (w, h, ch_out)
+            assert np.array_equal(
+                np.frombuffer(px, np.uint8).reshape(h, w, ch_out), exp
+            )
+
+
+def test_16bit_low_byte_is_invisible():
+    """Two rasters differing only in the LOW bytes decode identically —
+    pins the MSB reduction as the contract (a byte-order slip that read
+    the low byte instead would differ on this input)."""
+    hi = np.full((3, 4, 3), 0xAB00, np.uint16)
+    lo = hi | 0x00CD
+    a = decode_png(encode_png(4, 3, hi.astype(">u2").tobytes(), channels=3, depth=16))
+    b = decode_png(encode_png(4, 3, lo.astype(">u2").tobytes(), channels=3, depth=16))
+    assert a == b
+    assert np.frombuffer(a[3], np.uint8)[0] == 0xAB
+
+
+def test_16bit_encode_rejects_wrong_raster_size():
+    # depth 16 takes TWO big-endian bytes per sample
+    with pytest.raises(ValueError):
+        encode_png(4, 3, bytes(4 * 3 * 3), channels=3, depth=16)
+    # 16-bit paletted encode is spec-illegal
+    from bigdata_streaming_absa_vehicle_spark.operators.pngcodec import (
+        encode_png_indexed,
+    )
+
+    with pytest.raises(ValueError):
+        encode_png_indexed(2, 1, bytes(2), [(1, 2, 3)], depth=16)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 12),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_16bit_roundtrip_msb(w, h, c, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 65536, (h, w, c), dtype=np.uint16)
+    filters = rng.integers(0, 5, h).tolist()
+    dw, dh, dc, px = decode_png(
+        encode_png(w, h, img.astype(">u2").tobytes(), channels=c, depth=16, filters=filters)
+    )
+    exp = (img >> 8).astype(np.uint8)
+    if c == 2:
+        exp, c = exp[:, :, [0, 0, 0, 1]], 4
+    assert (dw, dh, dc) == (w, h, c)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w, c), exp)
+
+
+def test_16bit_interop_with_pillow_when_available():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = np.random.default_rng(11)
+    # 16-bit RGB: PIL decodes straight to 8-bit "RGB" mode by taking the
+    # MSB — must equal the pure rung byte-for-byte
+    img = rng.integers(0, 65536, (5, 7, 3), dtype=np.uint16)
+    payload = encode_png(7, 5, img.astype(">u2").tobytes(), channels=3, depth=16)
+    theirs = np.asarray(PIL.open(io.BytesIO(payload)).convert("RGB"))
+    _, _, dc, px = decode_png(payload)
+    assert np.array_equal(theirs, np.frombuffer(px, np.uint8).reshape(5, 7, dc))
+    # 16-bit grey: PIL keeps precision (I;16/I mode) — compare against its
+    # high byte to pin the same reduction
+    grey = rng.integers(0, 65536, (4, 6, 1), dtype=np.uint16)
+    payload = encode_png(6, 4, grey.astype(">u2").tobytes(), channels=1, depth=16)
+    theirs16 = np.asarray(PIL.open(io.BytesIO(payload))).astype(np.uint16)
+    _, _, _, px = decode_png(payload)
+    assert np.array_equal(
+        (theirs16 >> 8).astype(np.uint8),
+        np.frombuffer(px, np.uint8).reshape(4, 6),
+    )
 
 
 @settings(max_examples=30, deadline=None)

@@ -128,13 +128,11 @@ def test_pil_rung_matches_pure_rung_on_paletted_and_bilevel():
 
 
 def test_pure_rung_decodes_paletted_and_subbyte_in_operator(spark):
-    """The Spark-side decode operator handles the r8 PNG additions through
-    the pure rung with NO cv2/PIL: paletted payloads decode to their
-    looked-up RGB mean, 1-bit greyscale to the exact 0/255 mean, and a
-    16-bit payload (still env-gated) drops without killing the task."""
-    import struct as _s
-    import zlib as _z
-
+    """The Spark-side decode operator handles the r8/r9 PNG additions
+    through the pure rung with NO cv2/PIL: paletted payloads decode to
+    their looked-up RGB mean, 1-bit greyscale to the exact 0/255 mean,
+    and a 16-bit grey payload decodes under the MSB output contract
+    (r9 — previously env-gated and asserted to drop)."""
     import numpy as np
 
     from bigdata_streaming_absa_vehicle_spark.operators.multimodal import (
@@ -148,33 +146,22 @@ def test_pure_rung_decodes_paletted_and_subbyte_in_operator(spark):
     pal = [(10, 20, 30), (200, 100, 0)]
     idx = np.array([[0, 1, 1, 0], [1, 1, 0, 0]], np.uint8)
     bits = np.array([[1, 0, 1], [0, 0, 1]], np.uint8)
-    # hand-build a 16-bit grey PNG header over inflate-able data: must drop
-    ihdr = _s.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0)
-    deep = (
-        b"\x89PNG\r\n\x1a\n"
-        + _s.pack(">I", 13) + b"IHDR" + ihdr
-        + _s.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
-    )
-    body = _z.compress(bytes(5))
-    deep += (
-        _s.pack(">I", len(body)) + b"IDAT" + body
-        + _s.pack(">I", _z.crc32(b"IDAT" + body) & 0xFFFFFFFF)
-        + _s.pack(">I", 0) + b"IEND"
-        + _s.pack(">I", _z.crc32(b"IEND") & 0xFFFFFFFF)
-    )
+    deep16 = np.array([[0x1234, 0xABCD]], np.uint16)  # MSBs 0x12, 0xAB
     rows = [
         (1, encode_png_indexed(4, 2, idx.tobytes(), pal, depth=1, interlace=True)),
         (2, encode_png(3, 2, bits.tobytes(), channels=1, depth=1, filters=2)),
-        (3, deep),
+        (3, encode_png(2, 1, deep16.astype(">u2").tobytes(), channels=1, depth=16)),
     ]
     media = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r["doc_id"]: r for r in decode_image_pixels(media).collect()}
-    assert sorted(got) == [1, 2], "16-bit payload must drop, not decode or crash"
+    assert sorted(got) == [1, 2, 3]
     exp_pal = np.asarray(pal, np.uint8)[idx]
     assert (got[1]["width"], got[1]["height"], got[1]["n_channels"]) == (4, 2, 3)
     assert got[1]["mean_intensity"] == int(exp_pal.sum()) / exp_pal.size
     assert (got[2]["width"], got[2]["height"], got[2]["n_channels"]) == (3, 2, 1)
     assert got[2]["mean_intensity"] == 255 * 3 / 6
+    assert (got[3]["width"], got[3]["height"], got[3]["n_channels"]) == (2, 1, 1)
+    assert got[3]["mean_intensity"] == (0x12 + 0xAB) / 2
 
 
 @pytest.mark.skipif(not _HAS_TORCH, reason="real ABSA inference needs torch (env-blocked)")
