@@ -152,9 +152,9 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     contract. JPEG entropy decode is the vendored pure-Python decoder
     (:mod:`.jpegcodec`); PNG is the vendored zlib+unfilter decoder
     (:mod:`.pngcodec`, 16-bit samples reducing to the MSB); the remaining
-    exotic slices (fractional-ratio JPEG samplings, 12-bit/arithmetic/
-    lossless JPEG, full-precision 16-bit PNG readout) still need the
-    cv2/PIL backend rungs."""
+    exotic slices (12-bit/arithmetic/hierarchical/lossless JPEG,
+    full-precision 16-bit PNG readout) still need the cv2/PIL backend
+    rungs."""
     head = payload[:2]
     if head in (b"P6", b"P5"):
         return _decode_netpbm(payload)

@@ -4,18 +4,20 @@ gate" slice (VERDICT r6 item 6) the same way operators/imagecodec.py closed
 uncompressed decode: a REAL byte-level codec, vendored, hash-certifiable.
 
 Scope (honest): 8-bit baseline sequential DCT — single-component
-(grayscale), and 3-component YCbCr at ANY T.81-legal sampling whose ratios
-to (hmax, vmax) are integral: 4:4:4, 4:2:2, 4:4:0, 4:2:0 (the camera-frame
-default the reference's consumer decodes per frame,
+(grayscale), and 3-component YCbCr at ANY T.81-legal sampling, integral OR
+fractional ratios to (hmax, vmax): 4:4:4, 4:2:2, 4:4:0, 4:2:0 (the
+camera-frame default the reference's consumer decodes per frame,
 projects/vehicle_count/scripts/vehicle_consumer.py:81-83 via cv2.imdecode),
-4:1:1, and mixed grids like Y 2x2 / Cb 2x1 / Cr 1x1 — factors 1-4 (B.2.2),
-at most 10 data units per MCU (B.2.3):
+4:1:1, mixed grids like Y 2x2 / Cb 2x1 / Cr 1x1, and since r9 fractional
+grids like Y 3x1 / Cb 2x1 (nearest-neighbor upsampling, see the assembly
+step) — factors 1-4 (B.2.2), at most 10 data units per MCU (B.2.3):
 marker segments, DQT (zigzag-stored tables), DHT (canonical Huffman from
 BITS/HUFFVAL), SOF0 with per-component sampling/table ids, optional DRI with
 RSTn handling + per-component DC-predictor resets, interleaved MCU layout,
 the entropy-coded segment with 0xFF00 byte stuffing, magnitude-category
 EXTEND, ZRL/EOB run coding, dequantization, inverse zigzag, float IDCT,
-level shift + clamp, replication chroma upsampling, the JFIF YCbCr->RGB
+level shift + clamp, nearest-neighbor chroma upsampling (pure replication
+for integral ratios), the JFIF YCbCr->RGB
 transform (floor(x+0.5) — T.81 pins no color rounding; this choice keeps it
 closed-form-checkable), and right/bottom partial-MCU cropping.  PROGRESSIVE
 (SOF2, Annex G with Huffman coding) is also decoded since round 8: spectral
@@ -24,11 +26,9 @@ AC scans over the component's own (non-MCU-padded) block grid, EOBn
 end-of-band runs, refinement correction bits, and DHT redefinition between
 scans — the last format slice a camera/web corpus hits that the pure ladder
 used to drop (VERDICT r7 item 7).  Arithmetic coding, hierarchical/lossless
-frames, 16-bit tables and other sampling combinations still raise
-ValueError, as do fractional-ratio samplings (e.g. Y 3x1 with Cb 2x1, which
-would need fractional upsampling) — callers drop such payloads per the
-imdecode contract, and the cv2/PIL rungs of multimodal._pixel_backend take
-over for them when those libraries exist.
+frames and 16-bit tables still raise ValueError — callers drop such
+payloads per the imdecode contract, and the cv2/PIL rungs of
+multimodal._pixel_backend take over for them when those libraries exist.
 
 The encoder is a real forward path (level shift -> 2D DCT -> quantize ->
 zigzag -> RLE -> Huffman -> stuffing), not a transcoder: q416_jpeg_decode
@@ -577,19 +577,21 @@ def _idct_plane(coefs: np.ndarray, qtab: np.ndarray, hb: int, wb: int) -> np.nda
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline-sequential (SOF0) or progressive (SOF2) JPEG —
-    single-component (grayscale), or 3-component YCbCr at any T.81-legal
-    sampling with integral ratios to (hmax, vmax): 4:4:4/4:2:2/4:4:0/4:2:0/
-    4:1:1 and mixed per-component grids, factors 1-4, <= 10 data units per
-    MCU — to ``(width, height, n_channels, pixels)`` (row-major; color is
-    RGB-interleaved after the JFIF transform, computed as floor(x+0.5) so
-    it is closed-form-checkable rather than libjpeg's tolerance-bound
-    fixed-point). General over the declared subset: quant/Huffman tables
-    come from the payload's own DQT/DHT segments (including tables
-    redefined between progressive scans), restart intervals from DRI,
-    chroma upsampling is sample replication. Arithmetic-coded,
-    hierarchical/lossless frames, 16-bit tables, and fractional-ratio
-    samplings raise ValueError (callers drop them; the cv2/PIL backend
-    rungs decode those when present). EVERY
+    single-component (grayscale), or 3-component YCbCr at ANY T.81-legal
+    sampling — integral or fractional ratios to (hmax, vmax):
+    4:4:4/4:2:2/4:4:0/4:2:0/4:1:1, mixed per-component grids, and
+    fractional grids like Y 3x1 / Cb 2x1 (r9), factors 1-4, <= 10 data
+    units per MCU — to ``(width, height, n_channels, pixels)`` (row-major;
+    color is RGB-interleaved after the JFIF transform, computed as
+    floor(x+0.5) so it is closed-form-checkable rather than libjpeg's
+    tolerance-bound fixed-point). General over the declared subset:
+    quant/Huffman tables come from the payload's own DQT/DHT segments
+    (including tables redefined between progressive scans), restart
+    intervals from DRI, chroma upsampling is nearest-neighbor index
+    mapping (exactly sample replication for integral ratios).
+    Arithmetic-coded, hierarchical/lossless frames and 16-bit tables raise
+    ValueError (callers drop them; the cv2/PIL backend rungs decode those
+    when present). EVERY
     malformed payload raises ValueError — struct/index errors from crafted
     headers are normalized so the drop-don't-kill contract holds."""
     try:
@@ -696,15 +698,14 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError("subsampled single-component JPEG not supported")
             else:
                 # The MCU loop, the non-interleaved sub-grid addressing and
-                # the replication upsampler below are generic over any T.81
-                # factors, so accept the full legal range (B.2.2: 1-4;
-                # B.2.3's <= 10 data units per interleaved MCU, enforced
-                # frame-wide here — slightly conservative: a progressive
-                # file scanning >10-unit components only non-interleaved is
-                # spec-legal but left to the cv2/PIL rungs) as long as
-                # every ratio to (hmax, vmax) is integral — replication
-                # upsampling is exact only then; fractional-ratio samplings
-                # (e.g. Y 3x1 with Cb 2x1) stay env-gated on cv2/PIL.
+                # the nearest-neighbor upsampler below are generic over any
+                # T.81 factors — INCLUDING fractional ratios to (hmax,
+                # vmax) like Y 3x1 with Cb 2x1 (r9; previously env-gated) —
+                # so accept the full legal range (B.2.2: 1-4; B.2.3's <= 10
+                # data units per interleaved MCU, enforced frame-wide here —
+                # slightly conservative: a progressive file scanning
+                # >10-unit components only non-interleaved is spec-legal
+                # but left to the cv2/PIL rungs).
                 for h, v in samplings:
                     if not (1 <= h <= 4 and 1 <= v <= 4):
                         raise ValueError("JPEG sampling factors must be 1-4 (T.81 B.2.2)")
@@ -712,10 +713,6 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError("more than 10 data units per MCU (T.81 B.2.3)")
             hmax = max(h for h, _ in samplings)
             vmax = max(v for _, v in samplings)
-            if any(hmax % h or vmax % v for h, v in samplings):
-                raise ValueError(
-                    "non-integral sampling ratios need fractional upsampling"
-                )
             mcux = (width + 8 * hmax - 1) // (8 * hmax)
             mcuy = (height + 8 * vmax - 1) // (8 * vmax)
             store = [np.zeros((mcuy * v * mcux * h, 64), np.int64) for _, h, v, _ in comps]
@@ -791,9 +788,19 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
     for ci, (cid, ch, cv, tq) in enumerate(comps):
         hb, wb = mcuy * cv, mcux * ch
         plane = _idct_plane(store[ci], qt[tq], hb, wb)
-        if ch != hmax or cv != vmax:  # chroma upsampling: sample replication
-            plane = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
-        planes.append(plane[:height, :width])
+        if ch != hmax or cv != vmax:
+            # chroma upsampling: nearest-neighbor index map — output pixel
+            # (Y, X) reads component sample (Y*cv//vmax, X*ch//hmax).  For
+            # integral ratios this is EXACTLY the sample replication the
+            # 4:2:0/4:2:2/4:4:0/4:1:1 paths were certified with
+            # ((i*c)//cmax == i//(cmax//c) when c | cmax); for fractional
+            # ratios (Y 3x1 / Cb 2x1, r9) it is the natural generalization
+            # and always lands inside the component's A.1.1 true dims.
+            rows = (np.arange(height, dtype=np.int64) * cv) // vmax
+            cols = (np.arange(width, dtype=np.int64) * ch) // hmax
+            planes.append(plane[np.ix_(rows, cols)])
+        else:
+            planes.append(plane[:height, :width])
 
     if len(comps) == 1:
         return width, height, 1, planes[0].tobytes()

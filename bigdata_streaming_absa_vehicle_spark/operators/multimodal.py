@@ -9,14 +9,14 @@ tiers exist:
 - `decode_image_pixels` — a REAL pixel kernel: cv2/Pillow when importable
   (the reference's cv2.imdecode UDF, vehicle_consumer.py:81-83), else the
   vendored pure-Python codecs (`.imagecodec` for uncompressed PPM/PGM/BMP,
-  `.jpegcodec` for baseline gray/color and progressive JPEG at any
-  integral-ratio sampling grid, `.pngcodec` for grey/RGB/RGBA/paletted
+  `.jpegcodec` for baseline gray/color and progressive JPEG at ANY
+  T.81-legal sampling grid — integral or fractional ratios since r9,
+  `.pngcodec` for grey/RGB/RGBA/paletted
   PNG in both interlace methods incl. sub-byte and 16-bit depths, 16-bit
   reducing to the MSB per the documented 8-bit output contract) — hash-certified
   end-to-end by q406_pixel_decode, q416/q418/q419 (JPEG), and q417 (PNG).
-  Only exotic slices (fractional-ratio JPEG samplings,
-  12-bit/arithmetic/lossless JPEG, full-precision 16-bit PNG readout)
-  remain gated on cv2/PIL.
+  Only exotic slices (12-bit/arithmetic/hierarchical/lossless JPEG,
+  full-precision 16-bit PNG readout) remain gated on cv2/PIL.
 
 At scale: payloads never pass through the driver; mapInPandas streams Arrow
 batches executor-side, and metadata-only queries (dimensions, content hash)

@@ -256,9 +256,10 @@ def test_color_roundtrip_exact_both_subsamplings(did):
 
 
 def test_color_rejects_unsupported_sampling():
-    """Header-level sampling gates: factors outside 1-4, more than 10 data
-    units per MCU (T.81 B.2.3), and non-integral ratios to (hmax, vmax)
-    (fractional upsampling) must all reject at the SOF parse."""
+    """Header-level sampling gates: factors outside 1-4 and more than 10
+    data units per MCU (T.81 B.2.3) must reject at the SOF parse.
+    (Non-integral ratios like Y 3x1 / Cb 2x1 DECODE since r9 — see
+    test_color_roundtrip_exact_fractional_samplings.)"""
     w, h, sub, y, cb, cr = _color_fixture(1)  # 444 stream
     payload = bytearray(
         encode_jpeg_color(w, h, y.tobytes(), cb.tobytes(), cr.tobytes(), subsample=sub)
@@ -270,10 +271,6 @@ def test_color_rejects_unsupported_sampling():
         with pytest.raises(ValueError):
             decode_jpeg(bytes(payload))
     payload[sof + 11] = 0x43  # Y alone is 12 data units per MCU
-    with pytest.raises(ValueError):
-        decode_jpeg(bytes(payload))
-    payload[sof + 11] = 0x31  # Y 3x1 ...
-    payload[sof + 14] = 0x21  # ... with Cb 2x1: 3 % 2 != 0, fractional ratio
     with pytest.raises(ValueError):
         decode_jpeg(bytes(payload))
     # the encoder enforces the same legality gates
@@ -350,6 +347,71 @@ def test_color_roundtrip_exact_generalized_samplings(samp):
         w, h, y.tobytes(), cb.tobytes(), cr.tobytes(), factors=samp
     )
     assert decode_jpeg(prog)[3] == px, "progressive must match baseline bit-exactly"
+
+
+@pytest.mark.parametrize(
+    ("samp", "w", "h"),
+    [
+        (((3, 1), (2, 1), (1, 1)), 48, 32),  # the ADVICE-era example grid
+        (((3, 2), (2, 1), (1, 1)), 48, 32),
+        (((3, 1), (1, 1), (2, 1)), 48, 16),
+        (((4, 1), (3, 1), (1, 1)), 96, 16),
+    ],
+)
+def test_color_roundtrip_exact_fractional_samplings(samp, w, h):
+    """Fractional ratios to (hmax, vmax) — e.g. Y 3x1 with Cb 2x1 —
+    decode since r9 via nearest-neighbor upsampling (output pixel (Y, X)
+    reads component sample (Y*cv//vmax, X*ch//hmax)); exact on the
+    basis-plane family, and progressive stays bit-identical to baseline.
+    Fixture dims keep every A.1.1 plane block-aligned so quantization is
+    exact."""
+    from bigdata_streaming_absa_vehicle_spark.operators.jpegcodec import (
+        encode_jpeg_progressive_color,
+    )
+
+    hmax = max(ch for ch, _ in samp)
+    vmax = max(cv for _, cv in samp)
+    assert any(hmax % ch or vmax % cv for ch, cv in samp), "fixture must be fractional"
+    y, cb, cr = _general_planes(w, h, samp)
+    payload = encode_jpeg_color(
+        w, h, y.tobytes(), cb.tobytes(), cr.tobytes(), factors=samp, restart_interval=2
+    )
+    dw, dh, c, px = decode_jpeg(payload)
+    assert (dw, dh, c) == (w, h, 3)
+    rows = lambda cv: (np.arange(h) * cv) // vmax  # noqa: E731
+    cols = lambda ch: (np.arange(w) * ch) // hmax  # noqa: E731
+    ups = [
+        p[np.ix_(rows(cv), cols(ch))] for p, (ch, cv) in zip((y, cb, cr), samp)
+    ]
+    exp = _expected_rgb(*ups)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w, 3), exp)
+    prog = encode_jpeg_progressive_color(
+        w, h, y.tobytes(), cb.tobytes(), cr.tobytes(), factors=samp
+    )
+    assert decode_jpeg(prog)[3] == px, "progressive must match baseline bit-exactly"
+
+
+def test_fractional_sampling_partial_mcu_crop():
+    """Fractional grids with non-MCU-aligned dims: flat planes quantize
+    exactly for ANY dimensions (edge padding preserves flatness), so the
+    decode must be the flat color everywhere — pins the A.1.1 ceil plane
+    dims and the right/bottom crop under fractional upsampling."""
+    samp = ((3, 1), (2, 1), (1, 1))
+    w, h = 37, 11  # mcux=2 (48-wide grid), crop 11 columns; Cb true width ceil(37*2/3)=25
+    hmax = 3
+    y = np.full((h, w), 120, np.uint8)
+    cb = np.full((h, -(-w * 2 // hmax)), 130, np.uint8)
+    cr = np.full((h, -(-w * 1 // hmax)), 140, np.uint8)
+    payload = encode_jpeg_color(
+        w, h, y.tobytes(), cb.tobytes(), cr.tobytes(), factors=samp
+    )
+    dw, dh, c, px = decode_jpeg(payload)
+    assert (dw, dh, c) == (w, h, 3)
+    got = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+    exp = _expected_rgb(
+        y, np.full((h, w), 130, np.uint8), np.full((h, w), 140, np.uint8)
+    )
+    assert np.array_equal(got, exp)
 
 
 def test_color_interop_with_pillow_when_available():
