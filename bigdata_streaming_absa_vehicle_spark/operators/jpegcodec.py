@@ -25,10 +25,16 @@ selection + successive approximation, interleaved DC scans, non-interleaved
 AC scans over the component's own (non-MCU-padded) block grid, EOBn
 end-of-band runs, refinement correction bits, and DHT redefinition between
 scans — the last format slice a camera/web corpus hits that the pure ladder
-used to drop (VERDICT r7 item 7).  Arithmetic coding, hierarchical/lossless
-frames and 16-bit tables still raise ValueError — callers drop such
-payloads per the imdecode contract, and the cv2/PIL rungs of
-multimodal._pixel_backend take over for them when those libraries exist.
+used to drop (VERDICT r7 item 7).  LOSSLESS (SOF3, Annex H with Huffman
+coding — the DNG/DICOM raw-frame process) is also decoded since round 9:
+seven spec predictors, modulo-2^16 difference coding with SSSS 0-16,
+point transform, precisions 2-16 reducing to the most significant 8 bits
+on output (the 16-bit-PNG contract) — see the Annex-H section at the end
+of this module for its scope gates (1x1 sampling, no restart intervals).
+Arithmetic coding, hierarchical frames, 12-bit DCT precision and 16-bit
+quant tables still raise ValueError — callers drop such payloads per the
+imdecode contract, and the cv2/PIL rungs of multimodal._pixel_backend
+take over for them when those libraries exist.
 
 The encoder is a real forward path (level shift -> 2D DCT -> quantize ->
 zigzag -> RLE -> Huffman -> stuffing), not a transcoder: q416_jpeg_decode
@@ -56,6 +62,7 @@ __all__ = [
     "encode_jpeg_color",
     "encode_jpeg_progressive_gray",
     "encode_jpeg_progressive_color",
+    "encode_jpeg_lossless",
     "decode_jpeg",
 ]
 
@@ -576,7 +583,9 @@ def _idct_plane(coefs: np.ndarray, qtab: np.ndarray, hb: int, wb: int) -> np.nda
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline-sequential (SOF0) or progressive (SOF2) JPEG —
+    """Decode a baseline-sequential (SOF0), progressive (SOF2) or lossless
+    (SOF3, r9 — exact samples, precisions 2-16 reduced to the MSB, see the
+    Annex-H section) JPEG —
     single-component (grayscale), or 3-component YCbCr at ANY T.81-legal
     sampling — integral or fractional ratios to (hmax, vmax):
     4:4:4/4:2:2/4:4:0/4:2:0/4:1:1, mixed per-component grids, and
@@ -600,9 +609,42 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(f"malformed JPEG headers: {e}") from e
 
 
+def _frame_marker(payload: bytes) -> int | None:
+    """Tolerant pre-scan for the frame (SOFn) marker code, so the decoder
+    can dispatch the lossless process before the DCT walk parses tables
+    under DCT-specific validation.  Returns None on any malformed
+    structure — the main walk then produces its usual diagnostics."""
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        while pos < len(payload) and payload[pos] == 0xFF:
+            pos += 1
+        if pos >= len(payload):
+            return None
+        marker = payload[pos]
+        pos += 1
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return marker  # SOFn (DHT/JPG/DAC excluded per T.81 B.1.1.3)
+        if marker == 0xD9 or marker == 0xDA:
+            return None  # EOI / scan before any frame header
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone TEM / RSTn
+        if pos + 2 > len(payload):
+            return None
+        pos += struct.unpack_from(">H", payload, pos)[0]
+    return None
+
+
 def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
+    if _frame_marker(payload) == 0xC3:
+        # SOF3 lossless (r9): shares the DHT/marker machinery but nothing
+        # of the DCT pipeline (no DQT/IDCT/upsampling), and its DC-table
+        # HUFFVAL range differs (SSSS up to 16 vs the DCT paths' 15) — so
+        # it runs its own walk over the same payload
+        return _decode_lossless_impl(payload)
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = -1
@@ -717,7 +759,7 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
             mcuy = (height + 8 * vmax - 1) // (8 * vmax)
             store = [np.zeros((mcuy * v * mcux * h, 64), np.int64) for _, h, v, _ in comps]
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline/progressive JPEG frame type not supported")
+            raise ValueError("non-baseline/progressive/lossless JPEG frame type not supported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS: header then entropy-coded data
@@ -1275,3 +1317,278 @@ def encode_jpeg_progressive_color(
                 w.align()
                 out += w.out
     return bytes(out) + b"\xff\xd9"
+
+
+# --- lossless (T.81 Annex H, Huffman) ---------------------------------------
+# Process 14: sequential lossless with Huffman coding — the format DNG and
+# DICOM corpora carry for raw/medical frames.  No DCT, no quantization, no
+# color transform: each component is a plane of P-bit samples (P 2-16),
+# predicted from decoded neighbors (seven spec predictors, H.1.2.1),
+# differences coded as magnitude categories through DC-class Huffman tables
+# (SSSS 0-16, where 16 means diff = 32768 with no appended bits), modulo
+# 2^16 arithmetic (H.1.2.2), optional point transform Pt (samples are
+# scaled by 2^Pt on output).  Components decode interleaved one sample per
+# MCU; the vendored subset requires all sampling factors 1x1 (the only
+# layout real lossless corpora use; subsampling lossless components is
+# spec-legal but left to cv2/PIL rungs) and no restart intervals (DRI
+# mid-line predictor-reset semantics stay env-gated).
+#
+# OUTPUT CONTRACT (consistent with the 16-bit PNG decision, r9): the codec
+# emits uint8 — P > 8 samples reduce by their most significant 8 bits
+# (v >> (P - 8)); components pass through VERBATIM as channels (lossless
+# JPEG declares no JFIF color space — 1 component decodes as grayscale, 3
+# components as stored-order RGB), so the roundtrip over 8-bit planes is
+# bit-exact by construction.
+
+# spec-legal DC-class table covering every lossless symbol: 17 five-bit
+# codes (SSSS 0-16; 17 <= 31 leaves the all-ones code unused per C.2)
+_LL_DC_BITS = (0, 0, 0, 0, 17) + (0,) * 11
+_LL_DC_VALS = tuple(range(17))
+
+
+def _ll_predict(px_row, prev_row, x: int, psel: int) -> int:
+    """T.81 H.1.2.1 prediction for sample x of the current row; callers
+    handle the first-row / first-column / first-sample defaults."""
+    a = px_row[x - 1]
+    b = prev_row[x]
+    c = prev_row[x - 1]
+    if psel == 1:
+        return a
+    if psel == 2:
+        return b
+    if psel == 3:
+        return c
+    if psel == 4:
+        return a + b - c
+    if psel == 5:
+        return a + ((b - c) >> 1)
+    if psel == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1  # psel == 7
+
+
+def _decode_lossless_impl(payload: bytes) -> tuple[int, int, int, bytes]:
+    huff: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    width = height = -1
+    precision = 0
+    comps: list[int] = []  # component ids in SOF order
+    scan_td: dict[int, int] = {}
+    psel = pt = -1
+    pos = 2
+    while True:
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG: ran out of marker segments")
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        while pos < len(payload) and payload[pos] == 0xFF:
+            pos += 1
+        if pos >= len(payload):
+            raise ValueError("truncated JPEG: ran out of marker segments")
+        marker = payload[pos]
+        pos += 1
+        if marker == 0x00:
+            raise ValueError("JPEG marker expected")
+        if marker == 0xD9:
+            raise ValueError("EOI before scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG: ran out of marker segments")
+        seglen = struct.unpack_from(">H", payload, pos)[0]
+        body = payload[pos + 2 : pos + seglen]
+        if marker == 0xC4:  # DHT: DC-class tables with lossless SSSS range
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                bits = tuple(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = tuple(body[i + 17 : i + 17 + n])
+                if cls == 0:
+                    if any(v > 16 for v in vals):
+                        # H.1.2.2 table H.2: SSSS 0-16 (16 = diff 32768).
+                        # Larger values would read absurd bit counts and
+                        # break the drop contract, as in the DCT walk.
+                        raise ValueError("invalid DHT: lossless SSSS above 16")
+                    huff[tid] = _decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xC3:  # SOF3
+            if comps:
+                raise ValueError("multiple frame headers")
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if not 2 <= precision <= 16:
+                raise ValueError(f"{precision}-bit lossless JPEG is not T.81-legal")
+            if ncomp not in (1, 3):
+                raise ValueError(f"{ncomp}-component JPEG not supported")
+            if width <= 0 or height <= 0:
+                raise ValueError("non-positive JPEG dimensions")
+            if width * height * ncomp * (2 if precision > 8 else 1) > (1 << 30):
+                raise ValueError("JPEG decoded size exceeds the 2^30-byte decode cap")
+            for c in range(ncomp):
+                cid, samp, _tq = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError(
+                        "subsampled lossless JPEG components not supported"
+                    )
+                comps.append(cid)
+        elif marker in (0xC0, 0xC2):
+            raise ValueError("mixed frame types in one payload")
+        elif marker == 0xDD:
+            if struct.unpack_from(">H", body, 0)[0]:
+                raise ValueError("restart intervals in lossless scans not supported")
+        elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("SOS before a frame header")
+            ns = body[0]
+            if ns != len(comps):
+                raise ValueError("scan must cover exactly the frame's components")
+            for c in range(ns):
+                cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                if cid not in comps:
+                    raise ValueError("scan references a component not in the frame")
+                scan_td[cid] = tt >> 4
+            psel, _se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            pt = ahal & 0x0F
+            if not 1 <= psel <= 7:
+                raise ValueError(f"lossless predictor {psel} out of range (H.1)")
+            if pt >= precision:
+                raise ValueError("point transform must be below the sample precision")
+            pos += seglen
+            break
+        pos += seglen
+    for cid in comps:
+        if scan_td.get(cid) not in huff:
+            raise ValueError("component references undeclared tables")
+    tables = [huff[scan_td[cid]] for cid in comps]
+    default = 1 << (precision - pt - 1)
+    rd = _BitReader(payload, pos)
+    ncomp = len(comps)
+    rows = [[0] * width for _ in range(ncomp)]  # current row per component
+    prevs = [[default] * width for _ in range(ncomp)]  # row above (modulo 2^16)
+    out = np.empty((height, width, ncomp), np.uint16)
+    for y in range(height):
+        for x in range(width):
+            for ci in range(ncomp):
+                s = _huff_decode(rd, tables[ci])
+                if s == 16:
+                    diff = 32768  # H.1.2.2: SSSS 16 carries no extra bits
+                elif s:
+                    diff = _extend(rd.bits(s), s)
+                else:
+                    diff = 0
+                row, prev = rows[ci], prevs[ci]
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = row[x - 1]  # first line: predictor 1 (H.1.2.1)
+                elif x == 0:
+                    pred = prev[0]  # first column: predictor 2
+                else:
+                    pred = _ll_predict(row, prev, x, psel)
+                row[x] = (pred + diff) & 0xFFFF
+                out[y, x, ci] = row[x]
+        for ci in range(ncomp):
+            rows[ci], prevs[ci] = prevs[ci], rows[ci]
+    shifted = (out.astype(np.int64) << pt) & 0xFFFF
+    if precision > 8:
+        pixels = (shifted >> (precision - 8)).astype(np.uint8)
+    else:
+        pixels = np.clip(shifted, 0, 255).astype(np.uint8)
+    return width, height, ncomp, pixels.tobytes()
+
+
+def encode_jpeg_lossless(
+    width: int,
+    height: int,
+    planes,
+    precision: int = 8,
+    predictor: int = 1,
+    point_transform: int = 0,
+) -> bytes:
+    """Encode component planes as a T.81 Annex-H lossless JPEG (SOF3,
+    Huffman).  `planes` is one or three planes of width*height samples
+    each — `bytes` (one byte per sample) for precision <= 8, else anything
+    `np.asarray` accepts with values below 2^precision (stored big-endian
+    conceptually; the entropy coding carries differences, not samples).
+    Samples must already be divided by 2^point_transform (H.1: the point
+    transform is applied by the ENCODER before prediction; the decoder
+    scales back up).  All components share one DC-class table covering
+    SSSS 0-16 and sampling factors 1x1; no restart intervals."""
+    if isinstance(planes, (bytes, bytearray, np.ndarray)):
+        planes = [planes]
+    if len(planes) not in (1, 3):
+        raise ValueError("lossless encode supports 1 or 3 component planes")
+    if not 2 <= precision <= 16:
+        raise ValueError("lossless precision must be 2-16 (T.81 B.2.2)")
+    if not 1 <= predictor <= 7:
+        raise ValueError("lossless predictor must be 1-7 (T.81 H.1)")
+    if not 0 <= point_transform < precision:
+        raise ValueError("point transform must be below the sample precision")
+    if width <= 0 or height <= 0:
+        raise ValueError("non-positive JPEG dimensions")
+    arrs = []
+    for plane in planes:
+        arr = (
+            np.frombuffer(plane, np.uint8)
+            if isinstance(plane, (bytes, bytearray))
+            else np.asarray(plane)
+        ).astype(np.int64).reshape(height, width)
+        if arr.size and int(arr.max()) >= (1 << (precision - point_transform)):
+            raise ValueError("sample value out of range for the declared precision")
+        arrs.append(arr)
+
+    code = _canonical_codes(_LL_DC_BITS, _LL_DC_VALS)
+    w = _BitWriter()
+    default = 1 << (precision - point_transform - 1)
+    for ci in range(len(arrs)):
+        # prediction per H.1.2.1 on the reconstructed (== source, lossless)
+        # samples; vectorized: whole predictor planes, then per-sample diffs
+        arr = arrs[ci]
+        a = np.empty_like(arr); a[:, 0] = 0; a[:, 1:] = arr[:, :-1]
+        b = np.empty_like(arr); b[0, :] = 0; b[1:, :] = arr[:-1, :]
+        c = np.empty_like(arr); c[0, :] = 0; c[:, 0] = 0; c[1:, 1:] = arr[:-1, :-1]
+        if predictor == 1:
+            pred = a
+        elif predictor == 2:
+            pred = b
+        elif predictor == 3:
+            pred = c
+        elif predictor == 4:
+            pred = a + b - c
+        elif predictor == 5:
+            pred = a + ((b - c) >> 1)
+        elif predictor == 6:
+            pred = b + ((a - c) >> 1)
+        else:
+            pred = (a + b) >> 1
+        pred[0, 1:] = arr[0, :-1]  # first line: predictor 1
+        if height > 1:
+            pred[1:, 0] = arr[:-1, 0]  # first column: predictor 2
+        pred[0, 0] = default
+        arrs[ci] = ((arr - pred) & 0xFFFF).tolist()  # modulo-2^16 diffs
+    for y in range(height):
+        for x in range(width):
+            for diffs in arrs:
+                d = diffs[y][x]
+                if d == 32768:
+                    cd, ln = code[16]
+                    w.put(cd, ln)  # SSSS 16: no appended bits
+                    continue
+                if d > 32768:
+                    d -= 65536  # back to signed for magnitude coding
+                s = _category(d)
+                cd, ln = code[s]
+                w.put(cd, ln)
+                if s:
+                    w.put(d if d >= 0 else d + (1 << s) - 1, s)
+    w.align()
+
+    ncomp = len(arrs)
+    head = bytearray(b"\xff\xd8")
+    head += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + 17, 0x00)
+    head += bytes(_LL_DC_BITS) + bytes(_LL_DC_VALS)
+    head += b"\xff\xc3" + struct.pack(">HBHHB", 2 + 6 + 3 * ncomp, precision, height, width, ncomp)
+    head += bytes(b for cid in range(1, ncomp + 1) for b in (cid, 0x11, 0))
+    head += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 2 * ncomp + 3, ncomp)
+    head += bytes(b for cid in range(1, ncomp + 1) for b in (cid, 0x00))
+    head += bytes((predictor, 0, point_transform))
+    return bytes(head) + bytes(w.out) + b"\xff\xd9"

@@ -582,3 +582,140 @@ def test_color_partial_mcu_crop_constant(w, h, sub, fh, fv):
         np.repeat(np.repeat(cr, fv, axis=0), fh, axis=1)[:h, :w],
     )
     assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w, 3), exp)
+
+
+# --- lossless (SOF3, T.81 Annex H) ------------------------------------------
+
+
+def _ll():
+    from bigdata_streaming_absa_vehicle_spark.operators.jpegcodec import (
+        encode_jpeg_lossless,
+    )
+
+    return encode_jpeg_lossless
+
+
+@pytest.mark.parametrize("pred", [1, 2, 3, 4, 5, 6, 7])
+def test_lossless_roundtrip_exact_every_predictor(pred):
+    """Annex-H lossless is exact BY CONSTRUCTION at 8-bit: encode->decode
+    must reproduce the source bytes bit-for-bit under every spec
+    predictor (H.1.2.1), greyscale and 3-component."""
+    rng = np.random.default_rng(pred)
+    img = rng.integers(0, 256, (6, 9), dtype=np.uint8)
+    payload = _ll()(9, 6, img.tobytes(), predictor=pred)
+    assert decode_jpeg(payload) == (9, 6, 1, img.tobytes())
+    rgb = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    payload = _ll()(7, 5, [rgb[:, :, i].tobytes() for i in range(3)], predictor=pred)
+    dw, dh, dc, px = decode_jpeg(payload)
+    assert (dw, dh, dc) == (7, 5, 3)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(5, 7, 3), rgb)
+
+
+def test_lossless_deep_precision_msb_contract():
+    """P > 8 reduces to the most significant 8 bits (v >> (P-8)) — the same
+    output contract as 16-bit PNG (r9); low-byte-only differences are
+    invisible, pinning the reduction direction."""
+    rng = np.random.default_rng(42)
+    for P in (12, 16):
+        deep = rng.integers(0, 1 << P, (4, 5), dtype=np.int64)
+        payload = _ll()(5, 4, deep, precision=P, predictor=4)
+        dw, dh, dc, px = decode_jpeg(payload)
+        assert (dw, dh, dc) == (5, 4, 1)
+        assert np.array_equal(
+            np.frombuffer(px, np.uint8).reshape(4, 5), (deep >> (P - 8)).astype(np.uint8)
+        )
+    hi = np.full((3, 4), 0xAB00, np.int64)
+    a = decode_jpeg(_ll()(4, 3, hi, precision=16))
+    b = decode_jpeg(_ll()(4, 3, hi | 0xCD, precision=16))
+    assert a == b and a[3][0] == 0xAB
+
+
+def test_lossless_mod_2_16_wraparound():
+    """Differences are carried modulo 2^16 (H.1.2.2), including the SSSS=16
+    no-appended-bits case for diff 32768 — hostile gradients at 16-bit
+    roundtrip exactly under every predictor."""
+    hostile = np.zeros((3, 5), np.int64)
+    hostile[1, :] = 65535
+    hostile[2, ::2] = 32768
+    for pred in range(1, 8):
+        payload = _ll()(5, 3, hostile, precision=16, predictor=pred)
+        got = np.frombuffer(decode_jpeg(payload)[3], np.uint8).reshape(3, 5)
+        assert np.array_equal(got, (hostile >> 8).astype(np.uint8)), f"pred {pred}"
+
+
+def test_lossless_point_transform():
+    """Samples are encoded pre-divided by 2^Pt and the decoder scales back
+    (H.1): a Pt=2 stream reproduces source << 2."""
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 64, (3, 4), dtype=np.int64)
+    payload = _ll()(4, 3, src, precision=8, predictor=7, point_transform=2)
+    got = np.frombuffer(decode_jpeg(payload)[3], np.uint8).reshape(3, 4)
+    assert np.array_equal(got, (src << 2).astype(np.uint8))
+
+
+def test_lossless_rejects():
+    """Header gates: predictor/Pt/precision out of range, subsampled
+    lossless components, restart intervals, lossless SSSS above 16, and
+    mixed frame types all reject as ValueError."""
+    import struct as _s
+
+    enc = _ll()
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    good = enc(4, 3, img.tobytes())
+    # encoder-side gates
+    for kw in (
+        {"predictor": 0}, {"predictor": 8},
+        {"precision": 1}, {"precision": 17},
+        {"point_transform": 8},
+    ):
+        with pytest.raises(ValueError):
+            enc(4, 3, img.tobytes(), **kw)
+    with pytest.raises(ValueError):
+        enc(4, 3, np.full((3, 4), 256, np.int64))  # sample over 2^8
+    # decoder-side: predictor Ss out of range (splice SOS Ss byte)
+    sos = good.index(b"\xff\xda")
+    bad = bytearray(good)
+    bad[sos + 2 + 2 + 1 + 2] = 0  # Ss == 0 only legal in differential frames
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+    # subsampled lossless component
+    sof = good.index(b"\xff\xc3")
+    bad = bytearray(good)
+    bad[sof + 11] = 0x21
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+    # nonzero DRI before the scan
+    dri = b"\xff\xdd" + _s.pack(">HH", 4, 2)
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(good[:sof] + dri + good[sof:])
+    # zero DRI is a no-op, still decodes
+    dri0 = b"\xff\xdd" + _s.pack(">HH", 4, 0)
+    assert decode_jpeg(good[:sof] + dri0 + good[sof:])[3] == img.tobytes()
+    # SSSS above 16 in a lossless DC table
+    dht = good.index(b"\xff\xc4")
+    bad = bytearray(good)
+    bad[dht + 5 + 16 + 16] = 17  # last HUFFVAL (SSSS 16) -> 17
+    with pytest.raises(ValueError, match="SSSS"):
+        decode_jpeg(bytes(bad))
+    # a second (DCT) frame header after SOF3 is malformed
+    sof0 = b"\xff\xc0" + _s.pack(">HBHHB", 11, 8, 3, 4, 1) + bytes((1, 0x11, 0))
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:sos] + sof0 + good[sos:])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    pred=st.integers(1, 7),
+    prec=st.sampled_from([8, 12, 16]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_lossless_roundtrip(w, h, pred, prec, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 1 << prec, (h, w), dtype=np.int64)
+    payload = _ll()(w, h, img, precision=prec, predictor=pred)
+    dw, dh, dc, px = decode_jpeg(payload)
+    exp = (img >> (prec - 8)).astype(np.uint8) if prec > 8 else img.astype(np.uint8)
+    assert (dw, dh, dc) == (w, h, 1)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w), exp)
