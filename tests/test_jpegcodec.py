@@ -113,11 +113,18 @@ def test_decode_rejects_what_it_does_not_claim():
 
 def test_decode_image_dispatches_jpeg_magic():
     from bigdata_streaming_absa_vehicle_spark.operators.imagecodec import decode_image
+    from bigdata_streaming_absa_vehicle_spark.operators.jpegcodec import (
+        encode_jpeg_lossless,
+    )
 
     w, h, img = _fixture(9)
     dw, dh, c, px = decode_image(encode_jpeg_gray(w, h, img.tobytes()))
     assert (dw, dh, c) == (w, h, 1)
     assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w), img)
+    # lossless (SOF3) shares the 0xFFD8 magic — the ladder reaches it too
+    assert decode_image(encode_jpeg_lossless(w, h, img.tobytes())) == (
+        w, h, 1, img.tobytes()
+    )
 
 
 def test_bmp_data_offset_inside_headers_rejected():
