@@ -31,10 +31,16 @@ seven spec predictors, modulo-2^16 difference coding with SSSS 0-16,
 point transform, precisions 2-16 reducing to the most significant 8 bits
 on output (the 16-bit-PNG contract) — see the Annex-H section at the end
 of this module for its scope gates (1x1 sampling, no restart intervals).
-Arithmetic coding, hierarchical frames, 12-bit DCT precision and 16-bit
-quant tables still raise ValueError — callers drop such payloads per the
-imdecode contract, and the cv2/PIL rungs of multimodal._pixel_backend
-take over for them when those libraries exist.
+EXTENDED SEQUENTIAL (SOF1) decodes since round 9 at 8- OR 12-BIT sample
+precision, including Pq=1 16-bit quantization tables (B.4.4.1: legal only
+with 12-bit frames, enforced) — the same baseline entropy pipeline with a
+2^(P-1) level shift and [0, 2^P-1] clamp, deep planes reducing to their
+most significant 8 bits before the certified 8-bit upsample/color path
+(the documented MSB contract shared with 16-bit PNG and lossless JPEG).
+Arithmetic coding, hierarchical frames and 12-bit PROGRESSIVE scans still
+raise ValueError — callers drop such payloads per the imdecode contract,
+and the cv2/PIL rungs of multimodal._pixel_backend take over for them
+when those libraries exist.
 
 The encoder is a real forward path (level shift -> 2D DCT -> quantize ->
 zigzag -> RLE -> Huffman -> stuffing), not a transcoder: q416_jpeg_decode
@@ -63,6 +69,7 @@ __all__ = [
     "encode_jpeg_progressive_gray",
     "encode_jpeg_progressive_color",
     "encode_jpeg_lossless",
+    "encode_jpeg_extended",
     "decode_jpeg",
 ]
 
@@ -567,15 +574,21 @@ def _progressive_scan(
     return rd.pos - 2 if rd.marker is not None else rd.pos
 
 
-def _idct_plane(coefs: np.ndarray, qtab: np.ndarray, hb: int, wb: int) -> np.ndarray:
+def _idct_plane(
+    coefs: np.ndarray, qtab: np.ndarray, hb: int, wb: int, precision: int = 8
+) -> np.ndarray:
     """Dequantize zigzag-ordered block coefficients, IDCT all blocks at
-    once, level-shift + clamp; returns the (hb*8, wb*8) uint8 plane."""
+    once, level-shift by 2^(P-1) + clamp to [0, 2^P - 1]; returns the
+    (hb*8, wb*8) plane — uint8 at 8-bit, uint16 at 12-bit (the assembly
+    step reduces deep planes to the MSB 8 bits per the documented output
+    contract)."""
     nat = np.zeros((len(coefs), 64), np.float64)
     nat[:, _ZZ] = coefs * qtab[_ZZ]
-    pixels = _A.T @ nat.reshape(-1, 8, 8) @ _A + 128.0
+    pixels = _A.T @ nat.reshape(-1, 8, 8) @ _A + float(1 << (precision - 1))
+    dtype = np.uint8 if precision == 8 else np.uint16
     return (
-        np.clip(np.rint(pixels), 0, 255)
-        .astype(np.uint8)
+        np.clip(np.rint(pixels), 0, (1 << precision) - 1)
+        .astype(dtype)
         .reshape(hb, wb, 8, 8)
         .transpose(0, 2, 1, 3)
         .reshape(hb * 8, wb * 8)
@@ -583,9 +596,11 @@ def _idct_plane(coefs: np.ndarray, qtab: np.ndarray, hb: int, wb: int) -> np.nda
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline-sequential (SOF0), progressive (SOF2) or lossless
-    (SOF3, r9 — exact samples, precisions 2-16 reduced to the MSB, see the
-    Annex-H section) JPEG —
+    """Decode a baseline-sequential (SOF0), extended-sequential (SOF1,
+    r9 — 8- or 12-bit, incl. Pq=1 16-bit quant tables, deep samples
+    reduced to the MSB), progressive (SOF2) or lossless (SOF3, r9 — exact
+    samples, precisions 2-16 reduced to the MSB, see the Annex-H section)
+    JPEG —
     single-component (grayscale), or 3-component YCbCr at ANY T.81-legal
     sampling — integral or fractional ratios to (hmax, vmax):
     4:4:4/4:2:2/4:4:0/4:2:0/4:1:1, mixed per-component grids, and
@@ -646,8 +661,10 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
         # it runs its own walk over the same payload
         return _decode_lossless_impl(payload)
     qt: dict[int, np.ndarray] = {}
+    qt16: set[int] = set()  # table ids declared with Pq=1 (16-bit entries)
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = -1
+    precision = 8
     comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq) in SOF order
     scan_tables: dict[int, tuple[int, int]] = {}  # cid -> (td, ta)
     restart_interval = 0
@@ -688,12 +705,18 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq != 0:
-                    raise ValueError("16-bit quant tables not supported")
+                if pq not in (0, 1):
+                    raise ValueError(f"DQT element precision {pq} is not T.81-legal")
                 nat = np.empty(64, np.int64)
-                nat[_ZZ] = np.frombuffer(body[i + 1 : i + 65], np.uint8)
+                if pq:  # Pq=1: 16-bit big-endian entries (12-bit frames only)
+                    nat[_ZZ] = np.frombuffer(body[i + 1 : i + 129], ">u2").astype(np.int64)
+                    qt16.add(tq)
+                    i += 129
+                else:
+                    nat[_ZZ] = np.frombuffer(body[i + 1 : i + 65], np.uint8)
+                    qt16.discard(tq)
+                    i += 65
                 qt[tq] = nat
-                i += 65
         elif marker == 0xC4:  # DHT: one or more tables
             i = 0
             while i < len(body):
@@ -710,18 +733,26 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError("invalid DHT: DC category above 15")
                 huff[(cls, tid)] = _decode_table(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
             if comps:
                 raise ValueError("multiple frame headers")
             progressive = marker == 0xC2
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if precision != 8:
+            if marker == 0xC1:
+                # extended sequential (r9): 8- or 12-bit (B.2.2); the
+                # entropy pipeline is the baseline one — only the level
+                # shift/clamp and the output reduction change
+                if precision not in (8, 12):
+                    raise ValueError(
+                        f"{precision}-bit extended-sequential JPEG is not T.81-legal"
+                    )
+            elif precision != 8:
                 raise ValueError(f"{precision}-bit JPEG not supported")
             if ncomp not in (1, 3):
                 raise ValueError(f"{ncomp}-component JPEG not supported")
             if width <= 0 or height <= 0:
                 raise ValueError("non-positive JPEG dimensions")
-            if width * height * ncomp > (1 << 30):
+            if width * height * ncomp * (2 if precision > 8 else 1) > (1 << 30):
                 # decode cap in DECODED BYTES (width*height*components at
                 # uint8; cv2's CV_IO_MAX_IMAGE_PIXELS default for greyscale,
                 # 3x tighter for color — the PNG codec's ADVICE-r8 byte-cap
@@ -758,8 +789,8 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
             mcux = (width + 8 * hmax - 1) // (8 * hmax)
             mcuy = (height + 8 * vmax - 1) // (8 * vmax)
             store = [np.zeros((mcuy * v * mcux * h, 64), np.int64) for _, h, v, _ in comps]
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline/progressive/lossless JPEG frame type not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("arithmetic/hierarchical JPEG frame type not supported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS: header then entropy-coded data
@@ -799,6 +830,9 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
     for _, _, _, tq in comps:
         if tq not in qt:
             raise ValueError("component references undeclared tables")
+        if precision == 8 and tq in qt16:
+            # B.4.4.1: Pq=1 is permitted only with 12-bit sample precision
+            raise ValueError("16-bit quant tables require a 12-bit frame")
     if not progressive:
         for cid, _, _, tq in comps:
             if cid not in scan_tables:
@@ -829,7 +863,13 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
     planes = []
     for ci, (cid, ch, cv, tq) in enumerate(comps):
         hb, wb = mcuy * cv, mcux * ch
-        plane = _idct_plane(store[ci], qt[tq], hb, wb)
+        plane = _idct_plane(store[ci], qt[tq], hb, wb, precision)
+        if precision > 8:
+            # deep samples reduce to their most significant 8 bits BEFORE
+            # upsampling/color transform — the documented MSB contract
+            # (16-bit PNG / lossless JPEG, r9); downstream stays the
+            # certified 8-bit path
+            plane = (plane >> (precision - 8)).astype(np.uint8)
         if ch != hmax or cv != vmax:
             # chroma upsampling: nearest-neighbor index map — output pixel
             # (Y, X) reads component sample (Y*cv//vmax, X*ch//hmax).  For
@@ -865,9 +905,10 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, 3, rgb.tobytes()
 
 
-def _encode_plane_blocks(plane_blocks: np.ndarray) -> np.ndarray:
-    """(n, 8, 8) float blocks -> (n, 64) zigzag-ordered quantized coefs."""
-    spectra = _A @ (plane_blocks - 128.0) @ _A.T
+def _encode_plane_blocks(plane_blocks: np.ndarray, level: float = 128.0) -> np.ndarray:
+    """(n, 8, 8) float blocks -> (n, 64) zigzag-ordered quantized coefs;
+    `level` is the shift 2^(P-1) (128 for the 8-bit encoders)."""
+    spectra = _A @ (plane_blocks - level) @ _A.T
     quant = np.rint(spectra.reshape(-1, 64) / _FLAT8).astype(np.int64)
     return quant[:, _ZZ]
 
@@ -1436,7 +1477,7 @@ def _decode_lossless_impl(payload: bytes) -> tuple[int, int, int, bytes]:
                         "subsampled lossless JPEG components not supported"
                     )
                 comps.append(cid)
-        elif marker in (0xC0, 0xC2):
+        elif marker in (0xC0, 0xC1, 0xC2):
             raise ValueError("mixed frame types in one payload")
         elif marker == 0xDD:
             if struct.unpack_from(">H", body, 0)[0]:
@@ -1597,4 +1638,95 @@ def encode_jpeg_lossless(
     head += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 2 * ncomp + 3, ncomp)
     head += bytes(b for cid in range(1, ncomp + 1) for b in (cid, 0x00))
     head += bytes((predictor, 0, point_transform))
+    return bytes(head) + bytes(w.out) + b"\xff\xd9"
+
+
+# --- extended sequential (SOF1, 12-bit, T.81 Annex F over B.2) --------------
+
+
+def encode_jpeg_extended(
+    width: int,
+    height: int,
+    planes,
+    precision: int = 12,
+    restart_interval: int = 0,
+    table16: bool | None = None,
+) -> bytes:
+    """Encode 1 (grayscale) or 3 (YCbCr, 4:4:4) component planes as an
+    EXTENDED SEQUENTIAL JPEG (SOF1, Huffman) at 8- or 12-bit sample
+    precision — the encoder twin for the r9 12-bit decode path.  `planes`
+    is one plane or a list of three, each `np.asarray`-compatible with
+    width*height samples below 2^precision (bytes accepted at 8-bit).
+    All components are 1x1-sampled and share the flat-8 quant table and
+    the flat progressive-encoder Huffman tables (whose DC 0-14 / AC
+    0x00-0xFE symbol ranges cover the 12-bit category space Annex K's
+    baseline tables cannot).  `table16` forces the DQT element precision:
+    None picks Pq=1 exactly when a table value needs 16 bits (never, for
+    flat-8), True stores the same table as 16-bit entries (spec-legal
+    only at 12-bit precision, B.4.4.1 — useful to exercise the decoder's
+    Pq=1 walk)."""
+    if isinstance(planes, (bytes, bytearray, np.ndarray)):
+        planes = [planes]
+    if len(planes) not in (1, 3):
+        raise ValueError("extended encode supports 1 or 3 component planes")
+    if precision not in (8, 12):
+        raise ValueError("extended-sequential precision must be 8 or 12 (B.2.2)")
+    if width <= 0 or height <= 0:
+        raise ValueError("non-positive JPEG dimensions")
+    if table16 and precision == 8:
+        raise ValueError("16-bit quant tables require a 12-bit frame (B.4.4.1)")
+    level = float(1 << (precision - 1))
+    zz = []
+    for plane in planes:
+        arr = (
+            np.frombuffer(plane, np.uint8)
+            if isinstance(plane, (bytes, bytearray))
+            else np.asarray(plane)
+        ).astype(np.float64).reshape(height, width)
+        if arr.size and arr.max() >= (1 << precision):
+            raise ValueError("sample value out of range for the declared precision")
+        ph, pw = -height % 8, -width % 8
+        if ph or pw:
+            arr = np.pad(arr, ((0, ph), (0, pw)), mode="edge")
+        hb, wb = arr.shape[0] // 8, arr.shape[1] // 8
+        blocks = arr.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(hb * wb, 8, 8)
+        zz.append(_encode_plane_blocks(blocks, level))
+
+    dc_code = _canonical_codes(_PROG_DC_BITS, _PROG_DC_VALS)
+    ac_code = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    w = _BitWriter()
+    preds = [0] * len(zz)
+    rst = 0
+    n_blocks = len(zz[0])
+    for i in range(n_blocks):  # 1x1 sampling: MCU = one block per component
+        if restart_interval and i and i % restart_interval == 0:
+            w.align()
+            w.out += bytes((0xFF, 0xD0 + rst))
+            rst = (rst + 1) % 8
+            preds = [0] * len(zz)
+        for ci in range(len(zz)):
+            preds[ci] = _put_block(w, zz[ci][i], preds[ci], dc_code, ac_code)
+    w.align()
+
+    ncomp = len(zz)
+    head = bytearray(b"\xff\xd8")
+    if table16:
+        head += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 128, 0x10)
+        head += b"".join(struct.pack(">H", int(_FLAT8[z])) for z in _ZZ)
+    else:
+        head += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00)
+        head += bytes(int(_FLAT8[z]) for z in _ZZ)
+    for cls, bits, vals in (
+        (0, _PROG_DC_BITS, _PROG_DC_VALS),
+        (1, _PROG_AC_BITS, _PROG_AC_VALS),
+    ):
+        head += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(vals), (cls << 4) | 0)
+        head += bytes(bits) + bytes(vals)
+    head += b"\xff\xc1" + struct.pack(">HBHHB", 2 + 6 + 3 * ncomp, precision, height, width, ncomp)
+    head += bytes(b for cid in range(1, ncomp + 1) for b in (cid, 0x11, 0))
+    if restart_interval:
+        head += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    head += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 2 * ncomp + 3, ncomp)
+    head += bytes(b for cid in range(1, ncomp + 1) for b in (cid, 0x00))
+    head += bytes((0, 63, 0))
     return bytes(head) + bytes(w.out) + b"\xff\xd9"

@@ -15,10 +15,11 @@ tiers exist:
   PNG in both interlace methods incl. sub-byte and 16-bit depths, 16-bit
   reducing to the MSB per the documented 8-bit output contract) — hash-certified
   end-to-end by q406_pixel_decode, q416/q418/q419 (JPEG), and q417 (PNG).
-  Lossless JPEG (SOF3 Annex H, the DNG/DICOM raw process) decodes since
-  r9 with the same MSB deep-sample contract.  Only exotic slices
-  (12-bit-DCT/arithmetic/hierarchical JPEG, full-precision 16-bit
-  readout) remain gated on cv2/PIL.
+  Lossless JPEG (SOF3 Annex H, the DNG/DICOM raw process) and 12-bit
+  extended-sequential JPEG (SOF1, incl. 16-bit quant tables) decode
+  since r9 with the same MSB deep-sample contract.  Only exotic slices
+  (arithmetic/hierarchical JPEG, 12-bit progressive, full-precision
+  deep-sample readout) remain gated on cv2/PIL.
 
 At scale: payloads never pass through the driver; mapInPandas streams Arrow
 batches executor-side, and metadata-only queries (dimensions, content hash)

@@ -726,3 +726,123 @@ def test_property_lossless_roundtrip(w, h, pred, prec, seed):
     exp = (img >> (prec - 8)).astype(np.uint8) if prec > 8 else img.astype(np.uint8)
     assert (dw, dh, dc) == (w, h, 1)
     assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w), exp)
+
+
+# --- extended sequential (SOF1, 12-bit) --------------------------------------
+
+
+def _ext():
+    from bigdata_streaming_absa_vehicle_spark.operators.jpegcodec import (
+        encode_jpeg_extended,
+    )
+
+    return encode_jpeg_extended
+
+
+def _basis12(w, h, seed=0):
+    """12-bit basis-family raster (span{DC, (4,4)}), exact under flat-8."""
+    sgn = _sign()
+    wb, hb = w // 8, h // 8
+    ky, kx = np.meshgrid(np.arange(h) // 8, np.arange(w) // 8, indexing="ij")
+    k = ky * wb + kx
+    dc = (35 * k + 7 * seed) % 1601 - 800
+    ac = (17 * k + 3 * seed) % 801 - 400
+    img = 2048 + dc + ac * np.outer(sgn[np.arange(h) % 8], sgn[np.arange(w) % 8])
+    assert img.min() >= 0 and img.max() < 4096
+    return img
+
+
+@pytest.mark.parametrize("seed", [0, 5, 11])
+def test_extended_12bit_gray_exact_msb(seed):
+    """12-bit SOF1 greyscale: the basis family quantizes exactly, so the
+    decoded 12-bit plane equals the source and the uint8 output is its
+    most significant 8 bits (the shared deep-sample contract)."""
+    w, h = 24, 16
+    img = _basis12(w, h, seed)
+    payload = _ext()(w, h, img, precision=12, restart_interval=seed % 3)
+    dw, dh, dc, px = decode_jpeg(payload)
+    assert (dw, dh, dc) == (w, h, 1)
+    assert np.array_equal(
+        np.frombuffer(px, np.uint8).reshape(h, w), (img >> 4).astype(np.uint8)
+    )
+
+
+def test_extended_12bit_pq1_table_equivalent():
+    """The SAME quant table stored as Pq=0 (8-bit entries) and Pq=1
+    (16-bit entries) must decode identically — pins the 16-bit DQT walk."""
+    w, h = 16, 8
+    img = _basis12(w, h, 2)
+    a = decode_jpeg(_ext()(w, h, img, precision=12))
+    b = decode_jpeg(_ext()(w, h, img, precision=12, table16=True))
+    assert a == b
+
+
+def test_extended_12bit_color_exact():
+    """12-bit 4:4:4 color: exact 12-bit planes reduce to MSB, then the
+    certified 8-bit JFIF transform — expected pixels are closed-form."""
+    w, h = 16, 16
+    y12 = _basis12(w, h, 1)
+    cb12 = np.clip(y12 // 2 + 1024, 0, 4095)
+    cr12 = np.clip(4095 - y12, 0, 4095)
+    payload = _ext()(w, h, [y12, cb12, cr12], precision=12)
+    dw, dh, c, px = decode_jpeg(payload)
+    assert (dw, dh, c) == (w, h, 3)
+    exp = _expected_rgb(
+        (y12 >> 4).astype(np.uint8),
+        (cb12 >> 4).astype(np.uint8),
+        (cr12 >> 4).astype(np.uint8),
+    )
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w, 3), exp)
+
+
+def test_extended_8bit_sof1_matches_baseline_pixels():
+    """An 8-bit SOF1 stream decodes through the same pipeline as SOF0 —
+    same quant table and coefficients mean identical pixels."""
+    w, h, img = _fixture(7)
+    ext = decode_jpeg(_ext()(w, h, img.astype(np.int64), precision=8))
+    base = decode_jpeg(encode_jpeg_gray(w, h, img.tobytes()))
+    assert ext == base
+
+
+def test_extended_rejects():
+    import struct as _s
+
+    img = _basis12(8, 8)
+    # Pq=1 with an 8-bit frame (encoder and decoder sides, B.4.4.1)
+    with pytest.raises(ValueError):
+        _ext()(8, 8, (img >> 4), precision=8, table16=True)
+    good = _ext()(8, 8, img, precision=12, table16=True)
+    sof = good.index(b"\xff\xc1")
+    bad = bytearray(good)
+    bad[sof + 4] = 8  # claim 8-bit precision over the Pq=1 table
+    with pytest.raises(ValueError, match="16-bit quant"):
+        decode_jpeg(bytes(bad))
+    # SOF1 precision outside {8, 12}
+    bad = bytearray(good)
+    bad[sof + 4] = 10
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+    # 12-bit PROGRESSIVE stays rejected
+    bad = bytearray(good)
+    bad[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+    # out-of-range sample at encode
+    with pytest.raises(ValueError):
+        _ext()(8, 8, np.full((8, 8), 4096, np.int64), precision=12)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    wb=st.integers(1, 3),
+    hb=st.integers(1, 3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_extended_12bit_roundtrip(wb, hb, seed):
+    img = _basis12(8 * wb, 8 * hb, seed % 997)
+    dw, dh, dc, px = decode_jpeg(_ext()(8 * wb, 8 * hb, img, precision=12))
+    assert (dw, dh, dc) == (8 * wb, 8 * hb, 1)
+    assert np.array_equal(
+        np.frombuffer(px, np.uint8).reshape(8 * hb, 8 * wb),
+        (img >> 4).astype(np.uint8),
+    )
