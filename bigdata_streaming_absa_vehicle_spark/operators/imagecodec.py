@@ -152,10 +152,10 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     contract. JPEG entropy decode is the vendored pure-Python decoder
     (:mod:`.jpegcodec`); PNG is the vendored zlib+unfilter decoder
     (:mod:`.pngcodec`, 16-bit samples reducing to the MSB; lossless and
-    12-bit extended-sequential JPEG deep samples reduce the same way);
-    the remaining exotic slices (arithmetic/hierarchical JPEG, 12-bit
-    progressive, full-precision deep-sample readout) still need the
-    cv2/PIL backend rungs."""
+    12-bit extended-sequential/progressive JPEG deep samples reduce the
+    same way); the remaining exotic slices (arithmetic/hierarchical JPEG,
+    full-precision deep-sample readout) still need the cv2/PIL backend
+    rungs."""
     head = payload[:2]
     if head in (b"P6", b"P5"):
         return _decode_netpbm(payload)

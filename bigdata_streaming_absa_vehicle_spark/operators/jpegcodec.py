@@ -31,16 +31,16 @@ seven spec predictors, modulo-2^16 difference coding with SSSS 0-16,
 point transform, precisions 2-16 reducing to the most significant 8 bits
 on output (the 16-bit-PNG contract) — see the Annex-H section at the end
 of this module for its scope gates (1x1 sampling, no restart intervals).
-EXTENDED SEQUENTIAL (SOF1) decodes since round 9 at 8- OR 12-BIT sample
-precision, including Pq=1 16-bit quantization tables (B.4.4.1: legal only
-with 12-bit frames, enforced) — the same baseline entropy pipeline with a
-2^(P-1) level shift and [0, 2^P-1] clamp, deep planes reducing to their
-most significant 8 bits before the certified 8-bit upsample/color path
-(the documented MSB contract shared with 16-bit PNG and lossless JPEG).
-Arithmetic coding, hierarchical frames and 12-bit PROGRESSIVE scans still
-raise ValueError — callers drop such payloads per the imdecode contract,
-and the cv2/PIL rungs of multimodal._pixel_backend take over for them
-when those libraries exist.
+EXTENDED SEQUENTIAL (SOF1) and 12-BIT PROGRESSIVE frames decode since
+round 9 at 8- or 12-bit sample precision, including Pq=1 16-bit
+quantization tables (B.4.4.1: legal only with 12-bit frames, enforced) —
+the same entropy pipelines with a 2^(P-1) level shift and [0, 2^P-1]
+clamp, deep planes reducing to their most significant 8 bits before the
+certified 8-bit upsample/color path (the documented MSB contract shared
+with 16-bit PNG and lossless JPEG).  Arithmetic coding and hierarchical
+frames still raise ValueError — callers drop such payloads per the
+imdecode contract, and the cv2/PIL rungs of multimodal._pixel_backend
+take over for them when those libraries exist.
 
 The encoder is a real forward path (level shift -> 2D DCT -> quantize ->
 zigzag -> RLE -> Huffman -> stuffing), not a transcoder: q416_jpeg_decode
@@ -598,9 +598,9 @@ def _idct_plane(
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline-sequential (SOF0), extended-sequential (SOF1,
     r9 — 8- or 12-bit, incl. Pq=1 16-bit quant tables, deep samples
-    reduced to the MSB), progressive (SOF2) or lossless (SOF3, r9 — exact
-    samples, precisions 2-16 reduced to the MSB, see the Annex-H section)
-    JPEG —
+    reduced to the MSB), progressive (SOF2, 8- or 12-bit since r9) or
+    lossless (SOF3, r9 — exact samples, precisions 2-16 reduced to the
+    MSB, see the Annex-H section) JPEG —
     single-component (grayscale), or 3-component YCbCr at ANY T.81-legal
     sampling — integral or fractional ratios to (hmax, vmax):
     4:4:4/4:2:2/4:4:0/4:2:0/4:1:1, mixed per-component grids, and
@@ -738,13 +738,14 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("multiple frame headers")
             progressive = marker == 0xC2
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if marker == 0xC1:
-                # extended sequential (r9): 8- or 12-bit (B.2.2); the
-                # entropy pipeline is the baseline one — only the level
-                # shift/clamp and the output reduction change
+            if marker in (0xC1, 0xC2):
+                # extended sequential / progressive (r9): 8- or 12-bit
+                # (B.2.2); the entropy pipeline is unchanged — only the
+                # level shift/clamp and the output reduction differ
                 if precision not in (8, 12):
                     raise ValueError(
-                        f"{precision}-bit extended-sequential JPEG is not T.81-legal"
+                        f"{precision}-bit {'progressive' if progressive else 'extended-sequential'}"
+                        " JPEG is not T.81-legal"
                     )
             elif precision != 8:
                 raise ValueError(f"{precision}-bit JPEG not supported")
@@ -1217,7 +1218,9 @@ def _encode_ac_refine_scan(w, blocks, ac_code, ss: int, se: int, al: int) -> Non
         _flush_eobrun(w, ac_code, eobrun, bebits)
 
 
-def _prog_headers(width: int, height: int, comps_desc: bytes, ncomp: int) -> bytearray:
+def _prog_headers(
+    width: int, height: int, comps_desc: bytes, ncomp: int, precision: int = 8
+) -> bytearray:
     """SOI + DQT(flat-8) + the two progressive DHTs + SOF2."""
     head = bytearray(b"\xff\xd8")
     head += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00)
@@ -1225,7 +1228,7 @@ def _prog_headers(width: int, height: int, comps_desc: bytes, ncomp: int) -> byt
     for cls, bits, vals in ((0, _PROG_DC_BITS, _PROG_DC_VALS), (1, _PROG_AC_BITS, _PROG_AC_VALS)):
         head += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(vals), (cls << 4) | 0)
         head += bytes(bits) + bytes(vals)
-    head += b"\xff\xc2" + struct.pack(">HBHHB", 2 + 6 + 3 * ncomp, 8, height, width, ncomp)
+    head += b"\xff\xc2" + struct.pack(">HBHHB", 2 + 6 + 3 * ncomp, precision, height, width, ncomp)
     head += comps_desc
     return head
 
@@ -1244,6 +1247,7 @@ def encode_jpeg_progressive_gray(
     pixels: bytes,
     scans: tuple = _PROG_SCRIPT,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Encode a grayscale raster as a PROGRESSIVE JPEG (SOF2): spectral
     selection + successive approximation per `scans` (tuples of
@@ -1255,15 +1259,30 @@ def encode_jpeg_progressive_gray(
     `restart_interval` blocks; restart boundaries flush pending EOBn runs
     (with their buffered correction bits), byte-align, and reset the DC
     predictor and restart numbering state — T.81 F.2.1.3.1 applied to the
-    progressive per-scan entropy segments."""
-    if len(pixels) != width * height:
-        raise ValueError(f"gray raster needs {width * height} bytes, got {len(pixels)}")
+    progressive per-scan entropy segments.  `precision` 12 (r9) takes
+    array-like `pixels` below 2^12 and shifts at 2048 — the decoder then
+    applies the MSB deep-sample output contract."""
+    if precision not in (8, 12):
+        raise ValueError("progressive precision must be 8 or 12 (B.2.2)")
     if width <= 0 or height <= 0:
         raise ValueError("non-positive JPEG dimensions")
-    zz = _encode_plane_blocks(_blocks_of(width, height, pixels))
+    if precision == 12:
+        arr = np.asarray(pixels).astype(np.float64).reshape(height, width)
+        if arr.size and arr.max() >= 4096:
+            raise ValueError("sample value out of range for the declared precision")
+        ph, pw = -height % 8, -width % 8
+        if ph or pw:
+            arr = np.pad(arr, ((0, ph), (0, pw)), mode="edge")
+        hb, wb = arr.shape[0] // 8, arr.shape[1] // 8
+        blocks = arr.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(hb * wb, 8, 8)
+        zz = _encode_plane_blocks(blocks, 2048.0)
+    else:
+        if len(pixels) != width * height:
+            raise ValueError(f"gray raster needs {width * height} bytes, got {len(pixels)}")
+        zz = _encode_plane_blocks(_blocks_of(width, height, pixels))
     dc_code = _canonical_codes(_PROG_DC_BITS, _PROG_DC_VALS)
     ac_code = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
-    out = _prog_headers(width, height, bytes((1, 0x11, 0)), 1)
+    out = _prog_headers(width, height, bytes((1, 0x11, 0)), 1, precision)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     step = restart_interval or len(zz)

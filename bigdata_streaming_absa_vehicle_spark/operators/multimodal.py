@@ -16,10 +16,10 @@ tiers exist:
   reducing to the MSB per the documented 8-bit output contract) — hash-certified
   end-to-end by q406_pixel_decode, q416/q418/q419 (JPEG), and q417 (PNG).
   Lossless JPEG (SOF3 Annex H, the DNG/DICOM raw process) and 12-bit
-  extended-sequential JPEG (SOF1, incl. 16-bit quant tables) decode
-  since r9 with the same MSB deep-sample contract.  Only exotic slices
-  (arithmetic/hierarchical JPEG, 12-bit progressive, full-precision
-  deep-sample readout) remain gated on cv2/PIL.
+  extended-sequential/progressive JPEG (SOF1/SOF2, incl. 16-bit quant
+  tables) decode since r9 with the same MSB deep-sample contract.  Only
+  arithmetic-coded/hierarchical JPEG and full-precision deep-sample
+  readout remain gated on cv2/PIL.
 
 At scale: payloads never pass through the driver; mapInPandas streams Arrow
 batches executor-side, and metadata-only queries (dimensions, content hash)

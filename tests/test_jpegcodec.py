@@ -822,7 +822,9 @@ def test_extended_rejects():
     bad[sof + 4] = 10
     with pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
-    # 12-bit PROGRESSIVE stays rejected
+    # relabeling the frame progressive leaves an illegal scan script (a
+    # full-band Ss=0/Se=63 scan is sequential-only) — still rejects, even
+    # though 12-bit SOF2 itself is legal since r9
     bad = bytearray(good)
     bad[sof + 1] = 0xC2
     with pytest.raises(ValueError):
@@ -830,6 +832,28 @@ def test_extended_rejects():
     # out-of-range sample at encode
     with pytest.raises(ValueError):
         _ext()(8, 8, np.full((8, 8), 4096, np.int64), precision=12)
+
+
+def test_progressive_12bit_matches_extended_sequential():
+    """12-bit PROGRESSIVE (SOF2): a complete scan script reconstructs the
+    exact extended-sequential coefficients, so the decode — including the
+    MSB deep-sample reduction — is bit-identical, with and without
+    restart markers (the q419 exactness argument at 12 bits)."""
+    from bigdata_streaming_absa_vehicle_spark.operators.jpegcodec import (
+        encode_jpeg_progressive_gray,
+    )
+
+    img = _basis12(24, 16, 3)
+    seq = decode_jpeg(_ext()(24, 16, img, precision=12))
+    prog = decode_jpeg(encode_jpeg_progressive_gray(24, 16, img, precision=12))
+    assert prog == seq
+    rst = decode_jpeg(
+        encode_jpeg_progressive_gray(24, 16, img, precision=12, restart_interval=2)
+    )
+    assert rst == seq
+    assert seq[3] == (img >> 4).astype(np.uint8).tobytes()
+    with pytest.raises(ValueError):
+        encode_jpeg_progressive_gray(24, 16, img, precision=10)
 
 
 @settings(max_examples=20, deadline=None)
