@@ -110,8 +110,73 @@ def entry(spark: SparkSession) -> DataFrame:
 #     the 32 lowest-numbered never-certified backlog queries (q158-q202,
 #     led by q158 which the forced q419 displaced from the r8 window).
 #     Planner-reported post-window ID breaches: 0; never-certified
-#     151 -> 119 when green.
+#     151 -> 118 when green (the r9 log said 119 — off-by-one vs the
+#     planner's recount, reconciled here per VERDICT r9; 118 is right).
+#   - Round 10 (this file): second steady-state window, computed by
+#     tools/rotation_plan.py --round 10, no forced additions.  Tier R =
+#     the 6 queries re-certifying the 6 operator IDs whose newest row
+#     (r5) breaches the 5-round ceiling at r11 (q17/q89/q100/q101/q106/
+#     q115, one ID each).  Tier B = the 44 lowest-numbered never-certified
+#     backlog queries (q206-q284).  Planner-reported post-window ID
+#     breaches: 0; never-certified 118 -> 74 when green.
 _WINDOW_PRIORITY = (
+    # -- Tier R (r10): ID-level age-ceiling re-certs — 6 IDs with newest
+    # row r5 that would breach the 5-round ceiling at r11. --
+    "q17_star_join",                 # O-01-adjacent star join
+    "q89_full_outer_join",           # full-outer shape
+    "q100_time_range_window",        # W-04
+    "q101_group_zscore",             # X-09
+    "q106_scd2_upsert",              # X-10
+    "q115_count_min_sketch",         # A-15
+    # -- Tier B (r10): backlog fill — never-certified registry queries,
+    # lowest query number first (first-ever driver rows; their IDs are all
+    # covered by newer sibling rows; burns never-certified 118 -> 74). --
+    "q206_abc_classification",
+    "q207_autocorrelation",
+    "q208_fellegi_sunter",
+    "q209_new_user_growth",
+    "q210_chi_square",
+    "q212_time_decay_attribution",
+    "q213_weighted_reservoir",
+    "q214_cohort_ltv",
+    "q215_spatial_density",
+    "q216_radius_join",
+    "q217_cluster_canonical",
+    "q218_join_size_estimate",
+    "q219_seasonal_naive_backtest",
+    "q220_constraint_suite",
+    "q221_markov_stationary",
+    "q222_diversified_topk",
+    "q223_freshness_audit",
+    "q224_column_entropy",
+    "q225_pointer_doubling_roots",
+    "q226_activity_streaks",
+    "q227_bitmap_retention",
+    "q228_stickiness",
+    "q229_funnel_by_arm",
+    "q230_retrieval_ndcg",
+    "q231_ann_recall_at_k",
+    "q232_knn_vote_accuracy",
+    "q233_anova_seasonality",
+    "q234_concentration_curve",
+    "q235_degree_distribution",
+    "q236_trigram_search",
+    "q237_cusum_changepoint",
+    "q238_minhash_estimator_accuracy",
+    "q239_kcore_peeling",
+    "q240_histogram_overlap",
+    "q241_fulfillment_lag",
+    "q242_purchase_intervals",
+    "q267_did_estimator",
+    "q274_zipf_law",
+    "q275_modularity",
+    "q276_position_attribution",
+    "q277_lexical_complexity",
+    "q282_hits_scores",
+    "q283_conformal_intervals",
+    "q284_unigram_crossentropy",
+)
+_WINDOW_PRIORITY_R9 = (
     # -- Tier R (r9): ID-level age-ceiling re-certs — the 18-query set
     # cover of the 23 operator IDs whose newest row (r4) would breach the
     # 5-round ceiling at r10. --

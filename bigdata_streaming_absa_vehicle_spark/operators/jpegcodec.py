@@ -613,9 +613,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     (including tables redefined between progressive scans), restart
     intervals from DRI, chroma upsampling is nearest-neighbor index
     mapping (exactly sample replication for integral ratios).
-    Arithmetic-coded, hierarchical/lossless frames and 16-bit tables raise
-    ValueError (callers drop them; the cv2/PIL backend rungs decode those
-    when present). EVERY
+    Arithmetic-coded and hierarchical frames raise ValueError (callers
+    drop them; the cv2/PIL backend rungs decode those when present). EVERY
     malformed payload raises ValueError — struct/index errors from crafted
     headers are normalized so the drop-don't-kill contract holds."""
     try:
@@ -661,7 +660,13 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
         # it runs its own walk over the same payload
         return _decode_lossless_impl(payload)
     qt: dict[int, np.ndarray] = {}
-    qt16: set[int] = set()  # table ids declared with Pq=1 (16-bit entries)
+    # Table ids EVER declared with Pq=1 (16-bit entries).  Never cleared on
+    # Pq=0 redefinition: B.4.4.1 forbids Pq=1 anywhere in an 8-bit stream,
+    # so the check must see definitions, not just the final table state —
+    # a stream that defines Pq=1, scans, then redefines Pq=0 would
+    # otherwise evade it (ADVICE r9).  Enforced at definition time once the
+    # frame precision is known, and re-validated when SOF arrives.
+    qt16: set[int] = set()
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = -1
     precision = 8
@@ -709,12 +714,16 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError(f"DQT element precision {pq} is not T.81-legal")
                 nat = np.empty(64, np.int64)
                 if pq:  # Pq=1: 16-bit big-endian entries (12-bit frames only)
+                    if comps and precision == 8:
+                        # B.4.4.1 at definition time: the 8-bit frame header
+                        # has already arrived, so this Pq=1 is illegal no
+                        # matter what later DQTs redefine (ADVICE r9)
+                        raise ValueError("16-bit quant tables require a 12-bit frame")
                     nat[_ZZ] = np.frombuffer(body[i + 1 : i + 129], ">u2").astype(np.int64)
                     qt16.add(tq)
                     i += 129
                 else:
                     nat[_ZZ] = np.frombuffer(body[i + 1 : i + 65], np.uint8)
-                    qt16.discard(tq)
                     i += 65
                 qt[tq] = nat
         elif marker == 0xC4:  # DHT: one or more tables
@@ -749,6 +758,11 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
                     )
             elif precision != 8:
                 raise ValueError(f"{precision}-bit JPEG not supported")
+            if precision == 8 and qt16:
+                # B.4.4.1 re-validated at SOF: a Pq=1 table defined BEFORE
+                # the frame header is equally illegal in an 8-bit stream,
+                # even if a later DQT redefines it Pq=0 (ADVICE r9)
+                raise ValueError("16-bit quant tables require a 12-bit frame")
             if ncomp not in (1, 3):
                 raise ValueError(f"{ncomp}-component JPEG not supported")
             if width <= 0 or height <= 0:
@@ -833,6 +847,8 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("component references undeclared tables")
         if precision == 8 and tq in qt16:
             # B.4.4.1: Pq=1 is permitted only with 12-bit sample precision
+            # (defense-in-depth — the definition-time and SOF-time checks
+            # above fire first for any ordering of DQT and SOF)
             raise ValueError("16-bit quant tables require a 12-bit frame")
     if not progressive:
         for cid, _, _, tq in comps:

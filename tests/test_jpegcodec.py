@@ -834,6 +834,56 @@ def test_extended_rejects():
         _ext()(8, 8, np.full((8, 8), 4096, np.int64), precision=12)
 
 
+def _dqt_segment(pq: int, tq: int, value: int = 1) -> bytes:
+    """A standalone DQT marker segment with 64 constant entries."""
+    import struct as _s
+
+    entries = (
+        _s.pack(">64H", *([value] * 64)) if pq else bytes([value] * 64)
+    )
+    return b"\xff\xdb" + _s.pack(">HB", 2 + 1 + len(entries), (pq << 4) | tq) + entries
+
+
+def test_pq1_redefined_pq0_before_8bit_sof_still_rejects():
+    """B.4.4.1 is a STREAM-level rule: a Pq=1 definition in an 8-bit stream
+    is illegal even when a later DQT redefines the same table id Pq=0 before
+    the frame header — the final-table-state check alone would be evaded
+    (ADVICE r9). Enforced by the SOF-time re-validation."""
+    w, h, img = _fixture(3)
+    good = encode_jpeg_gray(w, h, img.tobytes())
+    assert decode_jpeg(good)  # the untampered stream decodes
+    # SOI, [Pq=1 id0], then the original stream's own Pq=0 id0 DQT + SOF0
+    bad = good[:2] + _dqt_segment(pq=1, tq=0) + good[2:]
+    with pytest.raises(ValueError, match="16-bit quant"):
+        decode_jpeg(bad)
+
+
+def test_pq1_after_8bit_sof_rejects_at_definition():
+    """A Pq=1 DQT AFTER the 8-bit frame header raises at definition time,
+    even when immediately redefined Pq=0 (ADVICE r9)."""
+    import struct as _s
+
+    w, h, img = _fixture(4)
+    good = encode_jpeg_gray(w, h, img.tobytes())
+    sof = good.index(b"\xff\xc0")
+    seglen = _s.unpack_from(">H", good, sof + 2)[0]
+    cut = sof + 2 + seglen
+    bad = good[:cut] + _dqt_segment(pq=1, tq=0) + _dqt_segment(pq=0, tq=0) + good[cut:]
+    with pytest.raises(ValueError, match="16-bit quant"):
+        decode_jpeg(bad)
+
+
+def test_pq1_redefined_pq0_in_12bit_stream_uses_final_table():
+    """The never-cleared qt16 tracking must NOT reject 12-bit streams: a
+    Pq=1 table redefined Pq=0 before the 12-bit frame decodes with the
+    final (8-bit-entry) table, identical to the stream without the stale
+    Pq=1 definition."""
+    img = _basis12(16, 8, 6)
+    good = _ext()(16, 8, img, precision=12)
+    redef = good[:2] + _dqt_segment(pq=1, tq=0, value=7) + good[2:]
+    assert decode_jpeg(redef) == decode_jpeg(good)
+
+
 def test_progressive_12bit_matches_extended_sequential():
     """12-bit PROGRESSIVE (SOF2): a complete scan script reconstructs the
     exact extended-sequential coefficients, so the decode — including the
