@@ -86,7 +86,10 @@ def test_bmp_top_down_negative_height():
     [
         b"",  # empty
         b"\xff\xd8\xff\xe0 not actually decodable jpeg",  # JPEG magic
-        b"P6\n4 4\n65535\n" + b"\x00" * 96,  # 2-byte samples unsupported
+        b"P6\n4 4\n65535\n" + b"\x00" * 95,  # truncated 2-byte raster (r10:
+        # a FULL 96-byte raster is now a legal 16-bit PPM, was a gate)
+        b"P6\n4 4\n65536\n" + b"\x00" * 96,  # maxval above the spec ceiling
+        b"P6\n4 4\n0\n",  # maxval 0 is not a legal netpbm header
         b"P6\n4 4\n255\n" + b"\x00" * 10,  # truncated raster
         b"BM" + b"\x00" * 20,  # truncated BMP header
     ],

@@ -300,3 +300,66 @@ def test_transform_with_state_running_totals(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+@pytest.mark.skipif(
+    importlib.util.find_spec("cv2") is None,
+    reason="deep-readout rung parity needs cv2 (env-blocked)",
+)
+def test_cv2_rung_matches_pure_rung_on_deep_samples():
+    """Cross-rung parity for the r10 full-precision readout: cv2's
+    IMREAD_UNCHANGED must return the SAME uint16 samples (after the BGR
+    unswizzle) as the vendored decode_image_deep for 16-bit PNG and
+    2-byte PGM payloads — bit depth and values, not just shape."""
+    import cv2
+    import numpy as np
+
+    from bigdata_streaming_absa_vehicle_spark.operators import imagecodec
+    from bigdata_streaming_absa_vehicle_spark.operators.multimodal import (
+        _decode_to_array_deep,
+    )
+    from bigdata_streaming_absa_vehicle_spark.operators.pngcodec import encode_png
+
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 65536, (6, 9, 3), dtype=np.uint16)
+    payload = encode_png(9, 6, img.astype(">u2").tobytes(), channels=3, depth=16)
+    theirs = _decode_to_array_deep("cv2", cv2, payload)
+    ours = _decode_to_array_deep("pure", imagecodec, payload)
+    assert theirs is not None and ours is not None
+    assert theirs[1] == ours[1] == 16
+    assert theirs[0].dtype == np.uint16
+    assert np.array_equal(theirs[0], ours[0])
+
+    grey = rng.integers(0, 65536, (4, 5), dtype=np.uint16)
+    pgm = b"P5\n5 4\n65535\n" + grey.astype(">u2").tobytes()
+    theirs = _decode_to_array_deep("cv2", cv2, pgm)
+    ours = _decode_to_array_deep("pure", imagecodec, pgm)
+    assert theirs is not None and ours is not None
+    assert theirs[1] == ours[1] == 16
+    assert np.array_equal(theirs[0], ours[0])
+
+
+@pytest.mark.skipif(
+    importlib.util.find_spec("PIL") is None,
+    reason="deep-readout rung parity needs PIL (env-blocked)",
+)
+def test_pil_rung_matches_pure_rung_on_deep_samples():
+    """PIL decodes 16-bit greyscale PNG to mode I/I;16 — the deep ladder
+    must normalize that to the same uint16 samples as the pure rung."""
+    import numpy as np
+    import PIL.Image
+
+    from bigdata_streaming_absa_vehicle_spark.operators import imagecodec
+    from bigdata_streaming_absa_vehicle_spark.operators.multimodal import (
+        _decode_to_array_deep,
+    )
+    from bigdata_streaming_absa_vehicle_spark.operators.pngcodec import encode_png
+
+    rng = np.random.default_rng(11)
+    grey = rng.integers(0, 65536, (7, 3), dtype=np.uint16)
+    payload = encode_png(3, 7, grey.astype(">u2").tobytes(), channels=1, depth=16)
+    theirs = _decode_to_array_deep("pil", PIL.Image, payload)
+    ours = _decode_to_array_deep("pure", imagecodec, payload)
+    assert theirs is not None and ours is not None
+    assert theirs[1] == ours[1] == 16
+    assert np.array_equal(np.asarray(theirs[0]), ours[0].reshape(7, 3))
