@@ -6,8 +6,11 @@ Real encoders/decoders for the two classic UNCOMPRESSED raster formats:
 - **PPM/PGM** (netpbm P6/P5, binary, 1- AND 2-byte samples since r10 —
   maxval 1..65535): full header tokenizer (arbitrary whitespace, ``#``
   comments) + raster extraction; 2-byte samples are big-endian per spec.
-- **BMP** (Windows, BITMAPINFOHEADER, 24-bit BI_RGB): little-endian header
-  parse, bottom-up AND top-down rows, per-row 4-byte padding stripped.
+- **BMP** (Windows, BITMAPINFOHEADER, BI_RGB at 24/32 bpp and paletted
+  1/4/8 bpp since r10): little-endian header parse, bottom-up AND top-down
+  rows, per-row 32-bit padding stripped, BGRx color-table lookup,
+  MSB-first sub-byte index unpack; 32-bpp surfaces the 4th byte as alpha
+  (cv2 IMREAD_UNCHANGED parity).
 
 These are not stand-ins: ``decode_image`` parses any valid file of these
 formats byte-for-byte (the same work ``cv2.imdecode`` does for .ppm/.bmp,
@@ -151,28 +154,62 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
     compression = struct.unpack_from("<I", payload, 30)[0]
     if compression != 0:
         raise ValueError(f"compressed BMP (method {compression}) not supported")
-    if bpp != 24:
-        raise ValueError(f"{bpp}-bpp BMP not supported (24-bit BI_RGB only)")
+    if bpp not in (1, 4, 8, 24, 32):
+        raise ValueError(f"{bpp}-bpp BMP not supported (1/4/8/24/32-bit BI_RGB)")
     top_down = height < 0
     height = abs(height)
     if width <= 0 or height == 0:
         raise ValueError("non-positive BMP dimensions")
-    row_size = (3 * width + 3) // 4 * 4
+    import numpy as np  # noqa: PLC0415
+
+    lut = None
+    if bpp <= 8:
+        # paletted (r10 widening — was a 24-bpp-only gate): the color table
+        # sits right after the DIB header, biClrUsed entries (0 = the full
+        # 2^bpp), 4 bytes each in BGRx order (§BITMAPINFOHEADER); indices
+        # look up to RGB exactly as cv2.imdecode does for such files
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or (1 << bpp)
+        if n_colors > (1 << bpp):
+            raise ValueError(f"BMP declares {n_colors} palette entries at {bpp} bpp")
+        table_end = 14 + dib_size + 4 * n_colors
+        if table_end > data_offset or table_end > len(payload):
+            raise ValueError("BMP color table overruns the pixel data offset")
+        quads = np.frombuffer(
+            payload, np.uint8, count=4 * n_colors, offset=14 + dib_size
+        ).reshape(n_colors, 4)
+        lut = quads[:, [2, 1, 0]]  # BGRx -> RGB
+    row_size = (bpp * width + 31) // 32 * 4
     need = data_offset + row_size * height
     if len(payload) < need:
         raise ValueError(f"BMP raster truncated: {len(payload)}/{need} bytes")
-    import numpy as np  # noqa: PLC0415
-
     raster = np.frombuffer(payload, np.uint8, count=row_size * height, offset=data_offset)
-    rows = raster.reshape(height, row_size)[:, : 3 * width]  # strip padding
+    rows = raster.reshape(height, row_size)
     if not top_down:
         rows = rows[::-1]  # restore top-down reading order
-    rgb = rows.reshape(height, width, 3)[:, :, ::-1]  # BGR -> RGB
-    return width, height, 3, rgb.tobytes()
+    if bpp == 24:
+        rgb = rows[:, : 3 * width].reshape(height, width, 3)[:, :, ::-1]  # BGR -> RGB
+        return width, height, 3, rgb.tobytes()
+    if bpp == 32:
+        # BGRA quads; the 4th byte is "reserved" under BI_RGB but cv2's
+        # IMREAD_UNCHANGED surfaces it as alpha — match that (RGBA out)
+        rgba = rows[:, : 4 * width].reshape(height, width, 4)[:, :, [2, 1, 0, 3]]
+        return width, height, 4, np.ascontiguousarray(rgba).tobytes()
+    if bpp == 8:
+        idx = rows[:, :width]
+    else:
+        # 1/4-bpp: pixels pack MSB-first within each byte, rows padded to
+        # 32-bit boundaries (same bit order as PNG's sub-byte packing)
+        bits = np.unpackbits(rows, axis=1)[:, : width * bpp]
+        weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.uint8)
+        idx = (bits.reshape(height, width, bpp) * weights).sum(axis=2).astype(np.uint8)
+    if int(idx.max(initial=0)) >= len(lut):
+        raise ValueError("BMP pixel index outside the color table")
+    return width, height, 3, lut[idx].tobytes()
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a PPM (P6), PGM (P5), 24-bit uncompressed BMP, baseline
+    """Decode a PPM (P6), PGM (P5), uncompressed BMP (24/32-bpp BI_RGB or
+    paletted 1/4/8-bpp since r10), baseline
     gray/color or progressive JPEG, or PNG (grey at 1/2/4/8 bits,
     8-bit RGB/RGBA, paletted at 1/2/4/8-bit indices incl. tRNS alpha,
     grey+alpha normalized to RGBA, sequential or Adam7-interlaced)
@@ -212,7 +249,7 @@ def decode_image_deep(payload: bytes) -> tuple[int, int, int, int, bytes]:
     bit_depth, pixels)`` with deep samples verbatim instead of reduced to
     their most significant 8 bits.  bit_depth > 8 samples are LITTLE-ENDIAN
     uint16; bit_depth <= 8 output is byte-identical to :func:`decode_image`
-    (BMP is always 24-bit BI_RGB, so always bit_depth 8).  Covers 16-bit
+    (BMP samples are always one byte, so always bit_depth 8).  Covers 16-bit
     PNG (bit_depth 16), 12-bit extended-sequential/progressive and 2-16-bit
     lossless JPEG (bit_depth = frame precision), and 2-byte netpbm
     (bit_depth = maxval.bit_length()).  This retires the 'full-precision

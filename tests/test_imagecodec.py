@@ -14,6 +14,7 @@ from pyspark.sql.types import StructType
 
 from bigdata_streaming_absa_vehicle_spark.operators.imagecodec import (
     decode_image,
+    decode_image_deep,
     encode_bmp24,
     encode_pgm,
     encode_ppm,
@@ -105,9 +106,94 @@ def test_decode_rejects_compressed_and_nonstandard_bmp():
     with pytest.raises(ValueError):
         decode_image(bytes(buf))
     buf = bytearray(encode_bmp24(2, 2, _gradient(12)))
-    struct.pack_into("<H", buf, 28, 8)  # 8-bpp needs a palette — unsupported
+    # relabeled 8-bpp: legal since r10 IF a color table fits before the
+    # pixel data — this file's data offset leaves no room, so it still
+    # rejects (as a malformed color table rather than an unsupported bpp)
+    struct.pack_into("<H", buf, 28, 8)
     with pytest.raises(ValueError):
         decode_image(bytes(buf))
+    buf = bytearray(encode_bmp24(2, 2, _gradient(12)))
+    struct.pack_into("<H", buf, 28, 16)  # 16-bpp BI_RGB stays gated
+    with pytest.raises(ValueError):
+        decode_image(bytes(buf))
+
+
+def _bmp(width, height, bpp, raster_rows, palette=(), top_down=False, clr_used=0):
+    """Hand-assemble a BITMAPINFOHEADER BMP: `raster_rows` is the packed
+    per-row bytes IN TOP-DOWN order (padded to 32 bits by the caller),
+    `palette` is RGB triples stored as BGRx quads."""
+    table = b"".join(bytes((b, g, r, 0)) for (r, g, b) in palette)
+    data_offset = 14 + 40 + len(table)
+    rows = raster_rows if top_down else raster_rows[::-1]
+    raster = b"".join(rows)
+    header = struct.pack("<2sIHHI", b"BM", data_offset + len(raster), 0, 0, data_offset)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height if top_down is False else -height,
+        1, bpp, 0, len(raster), 2835, 2835, clr_used, 0,
+    )
+    return header + dib + table + raster
+
+
+def test_bmp_8bpp_paletted():
+    """8-bpp paletted BMP (r10): indices look up BGRx color-table quads to
+    RGB, rows padded to 32 bits, bottom-up storage."""
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    # 3x2 image, rows padded to 4 bytes
+    rows = [bytes((0, 1, 2, 0)), bytes((3, 3, 0, 0))]
+    payload = _bmp(3, 2, 8, rows, pal, clr_used=4)
+    w, h, c, px = decode_image(payload)
+    assert (w, h, c) == (3, 2, 3)
+    exp = bytes(v for i in (0, 1, 2, 3, 3, 0) for v in pal[i])
+    assert px == exp
+    # deep twin: identical at bit_depth 8
+    assert decode_image_deep(payload) == (3, 2, 3, 8, exp)
+
+
+def test_bmp_1bpp_and_4bpp_msb_first_packing():
+    pal2 = [(10, 20, 30), (200, 210, 220)]
+    # 10x1 at 1 bpp: bits 1010101010 pad to 4 bytes -> 0xAA 0x80 0x00 0x00
+    payload = _bmp(10, 1, 1, [bytes((0xAA, 0x80, 0, 0))], pal2)
+    w, h, c, px = decode_image(payload)
+    assert (w, h, c) == (10, 1, 3)
+    assert px == bytes(v for i in (1, 0) * 5 for v in pal2[i])
+    pal16 = [(i, i * 2 % 256, 255 - i) for i in range(16)]
+    # 3x1 at 4 bpp: high nibble first -> pixels 0xF, 0x3, 0x8
+    payload = _bmp(3, 1, 4, [bytes((0xF3, 0x80, 0, 0))], pal16)
+    w, h, c, px = decode_image(payload)
+    assert (w, h, c) == (3, 1, 3)
+    assert px == bytes(v for i in (15, 3, 8) for v in pal16[i])
+
+
+def test_bmp_32bpp_rgba():
+    """32-bpp BI_RGB (r10): BGRA quads, no row padding needed; the 4th
+    byte surfaces as alpha (cv2 IMREAD_UNCHANGED parity), top-down flag."""
+    rows = [bytes((1, 2, 3, 4, 5, 6, 7, 8)), bytes((9, 10, 11, 12, 13, 14, 15, 16))]
+    w, h, c, px = decode_image(_bmp(2, 2, 32, rows, top_down=True))
+    assert (w, h, c) == (2, 2, 4)
+    assert px == bytes((3, 2, 1, 4, 7, 6, 5, 8, 11, 10, 9, 12, 15, 14, 13, 16))
+    # bottom-up: same rows arrive reversed
+    w, h, c, px = decode_image(_bmp(2, 2, 32, rows))
+    assert px[:8] == bytes((3, 2, 1, 4, 7, 6, 5, 8))
+
+
+def test_bmp_paletted_rejects():
+    pal = [(1, 2, 3), (4, 5, 6)]
+    good = _bmp(3, 1, 8, [bytes((0, 1, 0, 0))], pal, clr_used=2)
+    # index beyond the declared table
+    bad = bytearray(good)
+    bad[-4] = 2  # first pixel byte -> index 2, table has 2 entries
+    with pytest.raises(ValueError):
+        decode_image(bytes(bad))
+    # biClrUsed above 2^bpp
+    bad = bytearray(_bmp(3, 1, 4, [bytes((0x01, 0, 0, 0))], pal, clr_used=2))
+    struct.pack_into("<I", bad, 46, 17)
+    with pytest.raises(ValueError):
+        decode_image(bytes(bad))
+    # truncated color table (offset points inside it)
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 10, 14 + 40 + 4)  # table needs 8 bytes
+    with pytest.raises(ValueError):
+        decode_image(bytes(bad))
 
 
 # ---------------------------------------------------------------------------

@@ -363,3 +363,49 @@ def test_pil_rung_matches_pure_rung_on_deep_samples():
     assert theirs is not None and ours is not None
     assert theirs[1] == ours[1] == 16
     assert np.array_equal(np.asarray(theirs[0]), ours[0].reshape(7, 3))
+
+
+@pytest.mark.skipif(
+    importlib.util.find_spec("cv2") is None,
+    reason="paletted/32-bpp BMP rung parity needs cv2 (env-blocked)",
+)
+def test_cv2_rung_matches_pure_rung_on_widened_bmp():
+    """Cross-rung parity for the r10 BMP widening: cv2.imdecode must return
+    the same looked-up RGB (paletted 8-bpp) and RGBA (32-bpp) pixels as the
+    vendored decoder."""
+    import struct
+
+    import cv2
+    import numpy as np
+
+    from bigdata_streaming_absa_vehicle_spark.operators import imagecodec
+    from bigdata_streaming_absa_vehicle_spark.operators.multimodal import (
+        _decode_to_array,
+    )
+
+    def bmp(width, height, bpp, raster_rows, palette=(), clr_used=0):
+        table = b"".join(bytes((b, g, r, 0)) for (r, g, b) in palette)
+        data_offset = 14 + 40 + len(table)
+        raster = b"".join(raster_rows[::-1])
+        header = struct.pack(
+            "<2sIHHI", b"BM", data_offset + len(raster), 0, 0, data_offset
+        )
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, len(raster),
+            2835, 2835, clr_used, 0,
+        )
+        return header + dib + table + raster
+
+    pal = [(250, 1, 2), (3, 252, 4), (5, 6, 254), (9, 9, 9)]
+    paletted = bmp(3, 2, 8, [bytes((0, 1, 2, 0)), bytes((3, 3, 0, 0))], pal, 4)
+    theirs = _decode_to_array("cv2", cv2, paletted)
+    ours = _decode_to_array("pure", imagecodec, paletted)
+    assert theirs is not None and ours is not None
+    assert np.array_equal(theirs, ours)
+
+    argb = bmp(2, 2, 32, [bytes(range(8)), bytes(range(8, 16))])
+    theirs = _decode_to_array("cv2", cv2, argb)
+    ours = _decode_to_array("pure", imagecodec, argb)
+    assert theirs is not None and ours is not None
+    assert theirs.shape == ours.shape == (2, 2, 4)
+    assert np.array_equal(theirs, ours)
