@@ -40,19 +40,38 @@ __all__ = [
 ]
 
 
-def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
-    """Binary P6 (RGB, maxval 255). `pixels` is row-major RGB-interleaved,
-    exactly ``width*height*3`` bytes."""
-    if len(pixels) != width * height * 3:
-        raise ValueError(f"P6 needs {width * height * 3} bytes, got {len(pixels)}")
-    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+def _netpbm_encode(magic: bytes, width: int, height: int, pixels, maxval: int, spp: int) -> bytes:
+    if not 0 < maxval < 65536:
+        raise ValueError(f"netpbm maxval {maxval} outside the spec range 1..65535")
+    n = width * height * spp
+    if maxval <= 255:
+        if len(pixels) != n:
+            raise ValueError(f"{magic.decode()} needs {n} bytes, got {len(pixels)}")
+        raster = bytes(pixels)
+    else:
+        # 2-byte samples, big-endian per spec (r10, matching the decoder)
+        import numpy as np  # noqa: PLC0415
+
+        samples = np.asarray(pixels).reshape(-1)
+        if samples.size != n:
+            raise ValueError(f"{magic.decode()} needs {n} samples, got {samples.size}")
+        if samples.min(initial=0) < 0 or samples.max(initial=0) > maxval:
+            raise ValueError("netpbm sample outside 0..maxval")
+        raster = samples.astype(">u2").tobytes()
+    return magic + b"\n%d %d\n%d\n" % (width, height, maxval) + raster
 
 
-def encode_pgm(width: int, height: int, pixels: bytes) -> bytes:
-    """Binary P5 (grayscale, maxval 255), ``width*height`` bytes."""
-    if len(pixels) != width * height:
-        raise ValueError(f"P5 needs {width * height} bytes, got {len(pixels)}")
-    return b"P5\n%d %d\n255\n" % (width, height) + pixels
+def encode_ppm(width: int, height: int, pixels, maxval: int = 255) -> bytes:
+    """Binary P6 (RGB), row-major RGB-interleaved.  `maxval` <= 255 takes
+    ``width*height*3`` bytes; larger maxval (r10) takes any array-like of
+    that many samples in 0..maxval, stored big-endian 2-byte per spec."""
+    return _netpbm_encode(b"P6", width, height, pixels, maxval, 3)
+
+
+def encode_pgm(width: int, height: int, pixels, maxval: int = 255) -> bytes:
+    """Binary P5 (grayscale), ``width*height`` samples; see
+    :func:`encode_ppm` for the 2-byte `maxval` contract."""
+    return _netpbm_encode(b"P5", width, height, pixels, maxval, 1)
 
 
 def encode_bmp24(width: int, height: int, pixels: bytes) -> bytes:

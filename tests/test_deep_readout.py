@@ -221,6 +221,28 @@ def test_netpbm_two_byte_samples_decode():
     assert decode_image(payload)[3] == (rgb >> 8).astype(np.uint8).tobytes()
 
 
+def test_netpbm_two_byte_encoder_roundtrip():
+    """encode_pgm/encode_ppm grew a maxval param (r10): 2-byte payloads
+    roundtrip verbatim through the deep decoder and reduce to the MSB of
+    the declared precision through the 8-bit one."""
+    from bigdata_streaming_absa_vehicle_spark.operators.imagecodec import (
+        encode_pgm,
+        encode_ppm,
+    )
+
+    img = np.arange(12, dtype=np.uint16).reshape(3, 4) * 341
+    payload = encode_pgm(4, 3, img, maxval=4095)
+    assert decode_image_deep(payload) == (4, 3, 1, 12, img.astype("<u2").tobytes())
+    rgb = np.arange(24, dtype=np.uint16) * 2730
+    payload = encode_ppm(4, 2, rgb, maxval=65535)
+    assert decode_image_deep(payload) == (4, 2, 3, 16, rgb.astype("<u2").tobytes())
+    assert decode_image(payload)[3] == (rgb >> 8).astype(np.uint8).tobytes()
+    with pytest.raises(ValueError):
+        encode_pgm(2, 2, np.array([0, 1, 2, 70000]), maxval=65535)
+    with pytest.raises(ValueError):
+        encode_pgm(2, 2, np.zeros(4, np.int64), maxval=65536)
+
+
 def test_netpbm_two_byte_rejects():
     for bad in (
         b"P5\n2 2\n4095\n" + bytes(7),  # truncated 2-byte raster
