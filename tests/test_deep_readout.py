@@ -326,3 +326,74 @@ def test_deep_decoders_hold_the_drop_contract_under_mutation():
                 fn(bytes(s))
             except ValueError:
                 pass  # the contract: ValueError or success, nothing else
+
+
+# ------------------------------------------------------ property sweeps
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    channels=st.sampled_from([1, 3, 4]),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_deep_roundtrip_property(w, h, channels, interlace, seed):
+    """PNG is lossless: ANY 16-bit raster roundtrips verbatim through the
+    deep decoder, and the 8-bit contract equals the deep samples >> 8."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 65536, (h, w, channels), dtype=np.uint16)
+    payload = encode_png(
+        w, h, img.astype(">u2").tobytes(), channels=channels, depth=16, interlace=interlace
+    )
+    dw, dh, c, depth, px = decode_png_deep(payload)
+    assert (dw, dh, c, depth) == (w, h, channels, 16)
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    got = _u16(px, shape)
+    assert np.array_equal(got, img.reshape(shape))
+    flat = np.frombuffer(decode_png(payload)[3], np.uint8).reshape(shape)
+    assert np.array_equal(flat, (got >> 8).astype(np.uint8))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 10),
+    h=st.integers(1, 8),
+    precision=st.integers(2, 16),
+    psel=st.integers(1, 7),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_lossless_deep_roundtrip_property(w, h, precision, psel, seed):
+    """Lossless JPEG under ANY predictor/precision: deep readout returns
+    the encoder's samples verbatim (the H.1 process is exact)."""
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(0, 1 << precision, (h, w), dtype=np.int64)
+    payload = encode_jpeg_lossless(w, h, samples, precision=precision, predictor=psel)
+    dw, dh, c, depth, px = decode_jpeg_deep(payload)
+    assert (dw, dh, c, depth) == (w, h, 1, precision)
+    dt = "<u2" if precision > 8 else np.uint8
+    got = np.frombuffer(px, dt).reshape(h, w)
+    assert np.array_equal(got.astype(np.int64), samples)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    wb=st.integers(1, 3),
+    hb=st.integers(1, 3),
+    seed=st.integers(0, 10_000),
+    restart=st.integers(0, 3),
+)
+def test_jpeg_12bit_deep_exact_property(wb, hb, seed, restart):
+    """12-bit SOF1 over the exact-quantizing basis family at any block
+    grid / restart interval: deep decode equals the source raster."""
+    w, h = 8 * wb, 8 * hb
+    img = _basis12(w, h, seed)
+    payload = encode_jpeg_extended(
+        w, h, img, precision=12, restart_interval=restart, table16=bool(seed % 2)
+    )
+    dw, dh, c, depth, px = decode_jpeg_deep(payload)
+    assert (dw, dh, c, depth) == (w, h, 1, 12)
+    assert np.array_equal(_u16(px, (h, w)), img)
