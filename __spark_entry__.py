@@ -119,7 +119,72 @@ def entry(spark: SparkSession) -> DataFrame:
 #     q115, one ID each).  Tier B = the 44 lowest-numbered never-certified
 #     backlog queries (q206-q284).  Planner-reported post-window ID
 #     breaches: 0; never-certified 118 -> 74 when green.
+#   - Round 11 (this file): third steady-state window, computed by
+#     tools/rotation_plan.py --round 11, no forced additions.  Tier R =
+#     the 42 queries re-certifying the r6 mass-certification cohort whose
+#     newest row (r6) breaches the 5-round ceiling at r12 (q246/q313/q314
+#     carry 2 IDs each; the rest 1 each — 45 ID breaches cleared).
+#     Tier B = the 8 lowest-numbered never-certified backlog queries
+#     (q286-q295).  Planner-reported post-window ID breaches: 0;
+#     never-certified 74 -> 66 when green.
 _WINDOW_PRIORITY = (
+    # -- Tier R (r11): ID-level age-ceiling re-certs — the r6 cohort, 45
+    # IDs whose newest row (r6) would breach the 5-round ceiling at r12. --
+    "q246_capped_backlog",                    # 2 IDs (T-10, X-50)
+    "q313_forecast_ensemble",                 # 2 IDs (X-94, X-103)
+    "q314_data_valuation_loo",                # 2 IDs (X-89, X-104)
+    "q137_fuzzy_word_pairs",                  # X-19
+    "q138_bloom_prefilter",                   # A-16
+    "q190_compaction_plan",                   # X-30
+    "q193_half_sample_ci",                    # X-33
+    "q194_brier_calibration",                 # X-34
+    "q195_kmeans_iterations",                 # X-35
+    "q196_profile_drift",                     # X-36
+    "q197_next_event_accuracy",               # X-37
+    "q198_label_windows",                     # X-38
+    "q199_deletion_audit",                    # X-39
+    "q201_token_budget_selection",            # X-41
+    "q203_bigram_surprisal",                  # X-42
+    "q204_embedding_dim_profile",             # X-43
+    "q205_pareto_frontier",                   # X-44
+    "q211_rfm_segmentation",                  # X-45
+    "q243_fd_discovery",                      # X-47
+    "q252_clustering_coefficient",            # X-56
+    "q253_sorted_neighborhood",               # X-57
+    "q257_logrank_test",                      # X-62
+    "q258_simpsons_audit",                    # X-60
+    "q262_abc_xyz_matrix",                    # X-66
+    "q303_boosted_stumps",                    # X-93
+    "q306_spectral_token_embedding",          # X-96
+    "q310_causal_impact",                     # X-100
+    "q317_grid_dbscan",                       # X-107
+    "q326_watermark_impact",                  # X-116
+    "q400_mann_whitney",                      # X-127
+    "q401_bh_fdr",                            # X-128
+    "q402_dft_periodogram",                   # X-129
+    "q403_ridge_path",                        # X-130
+    "q404_huber_mean",                        # X-131
+    "q405_ams_f2_sketch",                     # X-132
+    "q408_dp_rollup",                         # X-133
+    "q409_percentile_refinement",             # X-134
+    "q410_jl_projection",                     # X-135
+    "q412_grouped_percentile_refinement",     # X-137
+    "q413_signed_rank_test",                  # X-138
+    "q414_stratified_ate",                    # X-139
+    "q415_raking_weights",                    # X-140
+    # -- Tier B (r11): backlog fill — never-certified registry queries,
+    # lowest query number first (first-ever driver rows; their IDs are all
+    # covered by newer sibling rows; burns never-certified 74 -> 66). --
+    "q286_isotonic_calibration",
+    "q288_weekend_effect",
+    "q290_stratified_kfold",
+    "q291_entropy_rate",
+    "q292_max_drawdown",
+    "q293_nb_overdispersion",
+    "q294_poisson_bootstrap_se",
+    "q295_ols_trend_weekend",
+)
+_WINDOW_PRIORITY_R10 = (
     # -- Tier R (r10): ID-level age-ceiling re-certs — 6 IDs with newest
     # row r5 that would breach the 5-round ceiling at r11. --
     "q17_star_join",                 # O-01-adjacent star join
