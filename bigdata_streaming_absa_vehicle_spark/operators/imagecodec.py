@@ -44,12 +44,16 @@ def _netpbm_encode(magic: bytes, width: int, height: int, pixels, maxval: int, s
     if not 0 < maxval < 65536:
         raise ValueError(f"netpbm maxval {maxval} outside the spec range 1..65535")
     n = width * height * spp
-    if maxval <= 255:
+    if maxval <= 255 and isinstance(pixels, (bytes, bytearray, memoryview)):
         if len(pixels) != n:
             raise ValueError(f"{magic.decode()} needs {n} bytes, got {len(pixels)}")
         raster = bytes(pixels)
     else:
-        # 2-byte samples, big-endian per spec (r10, matching the decoder)
+        # array-likes are normalized through numpy in BOTH branches: a
+        # non-uint8 array passes a bare len() check but bytes() would
+        # serialize its full itemsize per sample — a silently corrupt
+        # raster (ADVICE r10 item 3).  2-byte samples are big-endian per
+        # spec (r10, matching the decoder).
         import numpy as np  # noqa: PLC0415
 
         samples = np.asarray(pixels).reshape(-1)
@@ -57,14 +61,16 @@ def _netpbm_encode(magic: bytes, width: int, height: int, pixels, maxval: int, s
             raise ValueError(f"{magic.decode()} needs {n} samples, got {samples.size}")
         if samples.min(initial=0) < 0 or samples.max(initial=0) > maxval:
             raise ValueError("netpbm sample outside 0..maxval")
-        raster = samples.astype(">u2").tobytes()
+        raster = samples.astype(np.uint8 if maxval <= 255 else ">u2").tobytes()
     return magic + b"\n%d %d\n%d\n" % (width, height, maxval) + raster
 
 
 def encode_ppm(width: int, height: int, pixels, maxval: int = 255) -> bytes:
     """Binary P6 (RGB), row-major RGB-interleaved.  `maxval` <= 255 takes
-    ``width*height*3`` bytes; larger maxval (r10) takes any array-like of
-    that many samples in 0..maxval, stored big-endian 2-byte per spec."""
+    ``width*height*3`` bytes (or an array-like of that many samples in
+    0..maxval, normalized to uint8 — r11); larger maxval (r10) takes any
+    array-like of that many samples in 0..maxval, stored big-endian 2-byte
+    per spec."""
     return _netpbm_encode(b"P6", width, height, pixels, maxval, 3)
 
 

@@ -115,22 +115,90 @@ def _pixel_backend():
         return ("pure", imagecodec)
 
 
+def _vendored_decode(payload, deep):
+    """Decode via the vendored pure codec regardless of the resolved rung:
+    the 8-bit form returns an (h, w[, c]) uint8 array, the deep form
+    ``(array, bit_depth)`` with uint16 samples when bit_depth > 8 — or None
+    when the codec raises (drop-don't-kill).  This is both the pure rung's
+    body and the library rungs' fallback (ADVICE r10 item 4: the ladder
+    resolves ONE backend per worker, so a cv2/PIL rung that merely drops a
+    payload the vendored decoder supports — 12-bit JPEG under stock
+    libjpeg, float EXR outside the uint contract — would NARROW coverage
+    the moment the library is installed)."""
+    import numpy as np  # noqa: PLC0415
+
+    from . import imagecodec  # noqa: PLC0415
+
+    try:
+        if deep:
+            w, h, c, depth, pixels = imagecodec.decode_image_deep(bytes(payload))
+        else:
+            w, h, c, pixels = imagecodec.decode_image(bytes(payload))
+            depth = 8
+    except ValueError:
+        return None
+    dt = "<u2" if depth > 8 else np.uint8
+    arr = np.frombuffer(pixels, dt).reshape((h, w) if c == 1 else (h, w, c))
+    return (arr, depth) if deep else arr
+
+
+def _prefers_vendored(kind, payload):
+    """True when `kind`'s library diverges from the engine's
+    declared-precision contract on this payload, so the ladder must decode
+    it with the vendored codec even though the library would "succeed":
+
+    - 2-byte netpbm (maxval > 255), cv2 AND PIL rungs: maxval declares the
+      sample precision (bit_depth = maxval.bit_length(), 8-bit readout =
+      v >> (P-8)), but cv2 reads the raster as raw CV_16U — maxval=1000
+      would come back bit_depth 16 with a 4x intensity disparity vs the
+      pure rung (ADVICE r10 item 2; for maxval 65535 the two agree, this
+      routing makes every maxval agree).
+    - 16-bit PNG, PIL rung only: Pillow has no 16-bit RGB/RGBA mode and
+      silently opens such files as 8-bit "RGB", so the deep readout would
+      report bit_depth 8 and a ~256x smaller mean than the cv2/pure rungs
+      (ADVICE r10 item 1).  cv2's IMREAD_UNCHANGED handles 16-bit PNG
+      natively and verbatim, so the cv2 rung keeps it.
+    """
+    head = bytes(payload[:2])
+    if head in (b"P5", b"P6"):
+        from .imagecodec import _ppm_tokens  # noqa: PLC0415
+
+        try:
+            toks, _ = _ppm_tokens(bytes(payload)[2:], 3)
+            return int(toks[2]) > 255
+        except ValueError:
+            return False
+    if kind == "pil" and bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+        p = bytes(payload[:25])
+        return len(p) >= 25 and p[12:16] == b"IHDR" and p[24] == 16
+    return False
+
+
 def _decode_to_array(kind, mod, payload):
     """Decode one payload with the resolved backend rung to an (h, w[, c])
-    uint8 numpy array in RGB(A) channel order, or None when the rung cannot
+    uint8 numpy array in RGB(A) channel order, or None when no rung can
     decode it (the cv2.imdecode drop-don't-kill contract, shared by
     decode_image_pixels and resize_pixels so both walk the SAME ladder —
     ADVICE r6 item 1). cv2.imdecode returns BGR(A); it is unswizzled here so
     every rung honors the one documented channel order — per-channel
-    readouts must not depend on which library happens to be installed."""
+    readouts must not depend on which library happens to be installed.
+    Samples deeper than 8 bits reduce to their most significant 8 (the
+    engine-wide v >> (P-8) contract); payloads where the library's notion
+    of P diverges from the declared precision route through the vendored
+    codec (:func:`_prefers_vendored`), and payloads the library drops fall
+    back to it (ADVICE r10 items 2+4)."""
     import numpy as np  # noqa: PLC0415
 
-    if kind == "cv2":
+    if kind == "cv2" and not _prefers_vendored(kind, payload):
         arr = mod.imdecode(np.frombuffer(payload, np.uint8), mod.IMREAD_UNCHANGED)
-        if arr is not None and arr.ndim == 3 and arr.shape[2] in (3, 4):
-            arr = np.ascontiguousarray(arr[:, :, [2, 1, 0, 3][: arr.shape[2]]])
-        return arr
-    if kind == "pil":
+        if arr is not None and arr.dtype == np.uint16:
+            arr = (arr >> 8).astype(np.uint8)  # MSB contract (16-bit PNG/TIFF)
+        if arr is not None and arr.dtype == np.uint8:
+            if arr.ndim == 3 and arr.shape[2] in (3, 4):
+                arr = np.ascontiguousarray(arr[:, :, [2, 1, 0, 3][: arr.shape[2]]])
+            return arr
+        return _vendored_decode(payload, deep=False)
+    if kind == "pil" and not _prefers_vendored(kind, payload):
         import io  # noqa: PLC0415
 
         try:
@@ -146,14 +214,13 @@ def _decode_to_array(kind, mod, payload):
                 img = img.convert("L")
             elif img.mode == "LA":
                 img = img.convert("RGBA")  # match cv2's 4-channel LA expansion
-            return np.asarray(img)
+            arr = np.asarray(img)
+            if arr.dtype == np.uint8:
+                return arr
         except Exception:
-            return None
-    try:
-        w, h, c, pixels = mod.decode_image(bytes(payload))
-    except ValueError:
-        return None
-    return np.frombuffer(pixels, np.uint8).reshape((h, w) if c == 1 else (h, w, c))
+            pass
+        return _vendored_decode(payload, deep=False)  # mode I/F etc: not uint8
+    return _vendored_decode(payload, deep=False)
 
 
 def decode_image_pixels(media: DataFrame) -> DataFrame:
@@ -204,25 +271,26 @@ DECODED_PIXELS_DEEP_SCHEMA = (
 def _decode_to_array_deep(kind, mod, payload):
     """Decode one payload at its FULL declared sample precision to
     ``(array, bit_depth)`` — uint8 array when bit_depth <= 8 (byte-identical
-    to :func:`_decode_to_array`), uint16 when deeper — or None when the rung
-    cannot decode it (same drop-don't-kill contract).  Channel order is
-    RGB(A) on every rung, exactly as in the 8-bit ladder."""
+    to :func:`_decode_to_array`), uint16 when deeper — or None when no rung
+    can decode it (same drop-don't-kill contract).  Channel order is RGB(A)
+    on every rung, exactly as in the 8-bit ladder.  Declared-precision
+    divergences route through the vendored codec up front
+    (:func:`_prefers_vendored`: PIL's 8-bit view of 16-bit color PNG, cv2's
+    raw-CV_16U view of non-65535-maxval netpbm), and payloads the library
+    rung drops (float EXR dtypes, 12-bit JPEG under stock libjpeg) fall
+    back to it — so bit_depth and mean_intensity are the same whichever
+    backend a worker resolves (ADVICE r10 items 1, 2, 4)."""
     import numpy as np  # noqa: PLC0415
 
-    if kind == "cv2":
+    if kind == "cv2" and not _prefers_vendored(kind, payload):
         arr = mod.imdecode(np.frombuffer(payload, np.uint8), mod.IMREAD_UNCHANGED)
-        if arr is None:
-            return None
-        if arr.dtype == np.uint16:
-            depth = 16
-        elif arr.dtype == np.uint8:
-            depth = 8
-        else:
-            return None  # float (e.g. OpenEXR) outside the ladder contract
-        if arr.ndim == 3 and arr.shape[2] in (3, 4):
-            arr = np.ascontiguousarray(arr[:, :, [2, 1, 0, 3][: arr.shape[2]]])
-        return arr, depth
-    if kind == "pil":
+        if arr is not None and arr.dtype in (np.uint8, np.uint16):
+            depth = 16 if arr.dtype == np.uint16 else 8
+            if arr.ndim == 3 and arr.shape[2] in (3, 4):
+                arr = np.ascontiguousarray(arr[:, :, [2, 1, 0, 3][: arr.shape[2]]])
+            return arr, depth
+        return _vendored_decode(payload, deep=True)
+    if kind == "pil" and not _prefers_vendored(kind, payload):
         import io  # noqa: PLC0415
 
         try:
@@ -242,15 +310,10 @@ def _decode_to_array_deep(kind, mod, payload):
                 # PIL decodes 16-bit greyscale PNG to mode "I" (int32)
                 if int(arr.min()) >= 0 and int(arr.max()) < 65536:
                     return arr.astype(np.uint16), 16
-            return None
         except Exception:
-            return None
-    try:
-        w, h, c, depth, pixels = mod.decode_image_deep(bytes(payload))
-    except ValueError:
-        return None
-    dt = "<u2" if depth > 8 else np.uint8
-    return np.frombuffer(pixels, dt).reshape((h, w) if c == 1 else (h, w, c)), depth
+            pass
+        return _vendored_decode(payload, deep=True)
+    return _vendored_decode(payload, deep=True)
 
 
 def decode_image_pixels_deep(media: DataFrame) -> DataFrame:
@@ -263,7 +326,11 @@ def decode_image_pixels_deep(media: DataFrame) -> DataFrame:
     ranges over [0, 4095], not [0, 255].  On the cv2 rung this is
     IMREAD_UNCHANGED's native behavior; on the pure rung it is
     :func:`..imagecodec.decode_image_deep`, which retires the last
-    deep-sample env-gate (VERDICT r9 missing-list item 2)."""
+    deep-sample env-gate (VERDICT r9 missing-list item 2).  Since r11 the
+    result is rung-INDEPENDENT by construction: declared-precision
+    divergences pre-route to the vendored codec and rung drops fall back
+    to it (see :func:`_decode_to_array_deep`), so bit_depth and
+    mean_intensity never depend on which library a worker resolves."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # noqa: PLC0415

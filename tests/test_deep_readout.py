@@ -294,6 +294,121 @@ def test_decode_image_pixels_deep_mixed_payloads(spark):
     assert (got[3]["bit_depth"], got[3]["mean_intensity"]) == (8, sum(range(12)) / 12)
 
 
+# ------------------------------------- cross-rung ladder consistency (r11)
+
+
+def test_ladder_routes_declared_precision_payloads_to_vendored():
+    """ADVICE r10 items 1+2: payloads where an installed library's notion
+    of sample precision diverges from the declared one (2-byte netpbm with
+    non-65535 maxval on cv2/PIL; 16-bit color PNG on PIL) must route
+    through the vendored codec on EVERY rung — the rung dispatch
+    short-circuits before touching the library, so this is testable with
+    mod=None even though cv2/PIL are absent here."""
+    from bigdata_streaming_absa_vehicle_spark.operators import imagecodec
+    from bigdata_streaming_absa_vehicle_spark.operators.multimodal import (
+        _decode_to_array,
+        _decode_to_array_deep,
+    )
+
+    # maxval=1000: cv2 would read raw CV_16U (depth 16, v>>8); the declared
+    # precision is bit_length(1000)=10, readout v>>2
+    grey = np.array([[0, 1000], [512, 3]], dtype=np.uint16)
+    pgm = b"P5\n2 2\n1000\n" + grey.astype(">u2").tobytes()
+    for kind in ("cv2", "pil"):
+        arr, depth = _decode_to_array_deep(kind, None, pgm)
+        assert depth == 10
+        assert np.array_equal(arr, grey)
+        flat = _decode_to_array(kind, None, pgm)
+        assert flat.dtype == np.uint8
+        assert np.array_equal(flat, (grey >> 2).astype(np.uint8))
+    pure = _decode_to_array_deep("pure", imagecodec, pgm)
+    assert pure[1] == 10 and np.array_equal(pure[0], grey)
+
+    # 16-bit RGB PNG: PIL would silently open as 8-bit "RGB" (depth 8,
+    # ~256x smaller mean); the ladder must report depth 16 verbatim
+    rgb16 = (np.arange(24, dtype=np.uint16) * 2700).reshape(2, 4, 3)
+    png = encode_png(4, 2, rgb16.astype(">u2").tobytes(), channels=3, depth=16)
+    arr, depth = _decode_to_array_deep("pil", None, png)
+    assert depth == 16
+    assert np.array_equal(arr, rgb16)
+    assert np.array_equal(_decode_to_array("pil", None, png),
+                          (rgb16 >> 8).astype(np.uint8))
+
+
+def test_ladder_falls_back_to_vendored_when_rung_drops():
+    """ADVICE r10 item 4: the ladder resolves ONE backend per worker, so a
+    cv2/PIL rung that cannot decode a payload the vendored codec supports
+    must fall through to it instead of dropping the row (12-bit JPEG under
+    stock libjpeg, float EXR dtypes)."""
+    from types import SimpleNamespace
+
+    from bigdata_streaming_absa_vehicle_spark.operators.multimodal import (
+        _decode_to_array,
+        _decode_to_array_deep,
+    )
+
+    ppm = b"P6\n2 2\n255\n" + bytes(range(12))
+    expect = np.frombuffer(bytes(range(12)), np.uint8).reshape(2, 2, 3)
+    # cv2 rung whose imdecode rejects the payload (returns None)
+    rejecting = SimpleNamespace(imdecode=lambda *_: None, IMREAD_UNCHANGED=-1)
+    assert np.array_equal(_decode_to_array("cv2", rejecting, ppm), expect)
+    arr, depth = _decode_to_array_deep("cv2", rejecting, ppm)
+    assert depth == 8 and np.array_equal(arr, expect)
+    # cv2 rung returning a dtype outside the uint contract (float EXR)
+    floaty = SimpleNamespace(
+        imdecode=lambda *_: np.zeros((2, 2), np.float32), IMREAD_UNCHANGED=-1
+    )
+    assert np.array_equal(_decode_to_array("cv2", floaty, ppm), expect)
+    assert _decode_to_array_deep("cv2", floaty, ppm)[1] == 8
+    # PIL rung that cannot open the payload at all
+    class _Boom:
+        @staticmethod
+        def open(_):
+            raise OSError("cannot identify image file")
+
+    assert np.array_equal(_decode_to_array("pil", _Boom, ppm), expect)
+    assert np.array_equal(_decode_to_array_deep("pil", _Boom, ppm)[0], expect)
+    # genuinely undecodable payloads still drop on every rung
+    for kind, mod in (("cv2", rejecting), ("pil", _Boom)):
+        assert _decode_to_array(kind, mod, b"not an image") is None
+        assert _decode_to_array_deep(kind, mod, b"not an image") is None
+
+
+def test_cv2_rung_uint16_reduces_to_msb_in_8bit_ladder():
+    """A cv2 rung returning uint16 (16-bit TIFF etc., outside the
+    pre-route) must reduce to the most significant byte in the 8-bit
+    ladder — the engine-wide v >> (P-8) contract — not leak uint16 means
+    256x the documented range."""
+    from types import SimpleNamespace
+
+    from bigdata_streaming_absa_vehicle_spark.operators.multimodal import (
+        _decode_to_array,
+    )
+
+    bgr16 = (np.arange(12, dtype=np.uint16) * 5000).reshape(2, 2, 3)
+    fake = SimpleNamespace(imdecode=lambda *_: bgr16.copy(), IMREAD_UNCHANGED=-1)
+    got = _decode_to_array("cv2", fake, b"\x00\x00irrelevant")
+    assert got.dtype == np.uint8
+    assert np.array_equal(got, (bgr16 >> 8).astype(np.uint8)[:, :, ::-1])
+
+
+def test_netpbm_encoder_normalizes_array_input_in_byte_branch():
+    """ADVICE r10 item 3: the maxval<=255 branch must serialize array
+    inputs sample-per-byte (a non-uint8 numpy array passes len() but
+    bytes() would emit itemsize bytes per sample — silent corruption)."""
+    from bigdata_streaming_absa_vehicle_spark.operators.imagecodec import encode_pgm
+
+    ref = encode_pgm(2, 2, bytes((5, 6, 7, 8)))
+    assert encode_pgm(2, 2, np.array([5, 6, 7, 8], dtype=np.int64)) == ref
+    assert encode_pgm(2, 2, [5, 6, 7, 8]) == ref
+    with pytest.raises(ValueError):
+        encode_pgm(2, 2, np.array([5, 6, 7, 300]))  # sample above maxval
+    with pytest.raises(ValueError):
+        encode_pgm(2, 2, np.array([5, 6, -1, 8]))  # negative sample
+    with pytest.raises(ValueError):
+        encode_pgm(2, 2, np.zeros(5, np.uint8))  # size mismatch
+
+
 # ------------------------------------------------------------- fuzzing
 
 

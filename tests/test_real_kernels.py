@@ -309,8 +309,11 @@ def test_transform_with_state_running_totals(spark, tmp_path):
 def test_cv2_rung_matches_pure_rung_on_deep_samples():
     """Cross-rung parity for the r10 full-precision readout: cv2's
     IMREAD_UNCHANGED must return the SAME uint16 samples (after the BGR
-    unswizzle) as the vendored decode_image_deep for 16-bit PNG and
-    2-byte PGM payloads — bit depth and values, not just shape."""
+    unswizzle) as the vendored decode_image_deep for 16-bit PNG (native
+    cv2 decode) and 2-byte PGM payloads (pre-routed to the vendored codec
+    since r11 — maxval declares the precision, cv2 reads raw CV_16U;
+    at maxval 65535 the two conventions agree, so this also guards the
+    routing being value-neutral there)."""
     import cv2
     import numpy as np
 
@@ -344,8 +347,11 @@ def test_cv2_rung_matches_pure_rung_on_deep_samples():
     reason="deep-readout rung parity needs PIL (env-blocked)",
 )
 def test_pil_rung_matches_pure_rung_on_deep_samples():
-    """PIL decodes 16-bit greyscale PNG to mode I/I;16 — the deep ladder
-    must normalize that to the same uint16 samples as the pure rung."""
+    """16-bit PNGs on the PIL rung pre-route to the vendored codec (r11,
+    ADVICE r10 item 1: Pillow has no 16-bit RGB mode and silently opens
+    16-bit color PNGs as 8-bit "RGB") — with PIL actually installed, the
+    ladder must still report bit_depth 16 and verbatim samples for BOTH
+    grey and color payloads, same as the pure rung."""
     import numpy as np
     import PIL.Image
 
@@ -363,6 +369,12 @@ def test_pil_rung_matches_pure_rung_on_deep_samples():
     assert theirs is not None and ours is not None
     assert theirs[1] == ours[1] == 16
     assert np.array_equal(np.asarray(theirs[0]), ours[0].reshape(7, 3))
+
+    rgb = rng.integers(0, 65536, (4, 5, 3), dtype=np.uint16)
+    payload = encode_png(5, 4, rgb.astype(">u2").tobytes(), channels=3, depth=16)
+    theirs = _decode_to_array_deep("pil", PIL.Image, payload)
+    assert theirs is not None and theirs[1] == 16  # NOT PIL's 8-bit view
+    assert np.array_equal(theirs[0], rgb)
 
 
 @pytest.mark.skipif(
