@@ -392,6 +392,51 @@ def test_cv2_rung_uint16_reduces_to_msb_in_8bit_ladder():
     assert np.array_equal(got, (bgr16 >> 8).astype(np.uint8)[:, :, ::-1])
 
 
+def test_ladder_holds_drop_contract_under_mutation():
+    """Fuzz the r11 ladder front-end (_prefers_vendored header peek +
+    vendored fallback): for ANY payload bytes, the ladder must return a
+    result or None — never raise — on every rung (2k mutations here;
+    byte-flip / truncate / splice over netpbm/PNG seeds so the header
+    peek sees near-valid garbage)."""
+    import random
+    from types import SimpleNamespace
+
+    from bigdata_streaming_absa_vehicle_spark.operators import imagecodec
+    from bigdata_streaming_absa_vehicle_spark.operators.multimodal import (
+        _decode_to_array,
+        _decode_to_array_deep,
+    )
+
+    rng = random.Random(1100)
+    seeds = [
+        b"P5\n2 2\n1000\n" + bytes(8),
+        b"P6\n2 2\n255\n" + bytes(12),
+        encode_png(2, 2, bytes(8), channels=1, depth=16),
+        b"P5 2 2 70000 " + bytes(8),
+    ]
+    rejecting = SimpleNamespace(imdecode=lambda *_: None, IMREAD_UNCHANGED=-1)
+
+    class _Boom:
+        @staticmethod
+        def open(_):
+            raise OSError("nope")
+
+    for i in range(2000):
+        s = bytearray(rng.choice(seeds))
+        op = i % 3
+        if op == 0:
+            s[rng.randrange(len(s))] = rng.randrange(256)
+        elif op == 1:
+            s = s[: rng.randrange(0, len(s))]
+        else:
+            t = rng.choice(seeds)
+            s = s[: rng.randrange(1, len(s))] + t[rng.randrange(len(t)) :]
+        payload = bytes(s)
+        for kind, mod in (("cv2", rejecting), ("pil", _Boom), ("pure", imagecodec)):
+            _decode_to_array(kind, mod, payload)  # result-or-None, no raise
+            _decode_to_array_deep(kind, mod, payload)
+
+
 def test_netpbm_encoder_normalizes_array_input_in_byte_branch():
     """ADVICE r10 item 3: the maxval<=255 branch must serialize array
     inputs sample-per-byte (a non-uint8 numpy array passes len() but
