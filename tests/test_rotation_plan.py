@@ -88,19 +88,52 @@ def test_backlog_fill_prefers_never_certified_lowest_number():
     assert nums == sorted(nums)
 
 
+def _live_round() -> int:
+    """The round the live window will RUN in: newest CORRECTNESS record + 1."""
+    import glob
+    import re
+
+    rounds = [
+        int(re.search(r"_r0*(\d+)\.json$", f).group(1))
+        for f in glob.glob(os.path.join(_here, "CORRECTNESS_r*.json"))
+    ]
+    return max(rounds) + 1
+
+
 def test_live_window_contains_planner_mandatory_tiers():
     """_WINDOW_PRIORITY must contain every re-cert and never-certified-ID
-    slot the planner computes for the current round (no hand-editing
-    drift).  Tier-B backlog fills may be displaced by mid-round forced
-    additions — documented precedent since r6 — so only tiers R and N are
-    asserted."""
+    slot the planner computes for the CURRENT round (derived from the
+    newest CORRECTNESS record, so this cannot silently go stale — r11;
+    previously pinned round 8 and went vacuous as the ledger freshened).
+    Tier-B backlog fills may be displaced by mid-round forced additions —
+    documented precedent since r6 — so only tiers R and N are asserted."""
     import sys
 
     sys.path.insert(0, _here)
     import __spark_entry__ as E
 
-    window, _ = rotation_plan.plan(current_round=8, slots=50, recert_slots=None, force=[])
+    window, _ = rotation_plan.plan(
+        current_round=_live_round(), slots=50, recert_slots=None, force=[]
+    )
     mandatory = {
         n for n, why in window if why.startswith(("re-cert", "never-certified"))
     }
+    assert mandatory, "planner found no mandatory slots — check _live_round()"
     assert mandatory <= set(E._WINDOW_PRIORITY)
+
+
+def test_projection_reaches_equilibrium_floor():
+    """project() (r11, VERDICT r10 item 6): assuming every policy window
+    lands green, ID breaches stay 0 every projected round, the
+    never-certified backlog is strictly decreasing until empty, and the
+    query-age counter never exceeds the documented equilibrium floor
+    len(registry) - slots*ceiling once the backlog has emptied."""
+    rows = rotation_plan.project(_live_round(), slots=50, horizon=8)
+    _, debt = rotation_plan.plan(_live_round(), 50, None, [])
+    floor = debt["query_rows_over_ceiling_equilibrium_floor"]
+    assert all(r["id_breaches_after_window"] == 0 for r in rows)
+    backlog = [r["never_certified_before"] for r in rows]
+    assert all(b2 < b1 or b1 == 0 for b1, b2 in zip(backlog, backlog[1:]))
+    drained = [r for r in rows if r["never_certified_before"] == 0]
+    assert drained, "horizon too short to drain the backlog"
+    assert all(r["query_rows_older_than_id_ceiling"] <= floor for r in drained)

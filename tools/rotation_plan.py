@@ -84,11 +84,18 @@ def qnum(name: str) -> int:
     return int(m.group(1)) if m else 10**9
 
 
-def plan(current_round: int, slots: int, recert_slots: int | None, force: list[str]):
+def plan(
+    current_round: int,
+    slots: int,
+    recert_slots: int | None,
+    force: list[str],
+    ledger: dict[str, int] | None = None,
+):
     from bigdata_streaming_absa_vehicle_spark.queries import all_queries
 
     specs = all_queries()
-    ledger = load_ledger()
+    if ledger is None:
+        ledger = load_ledger()
 
     # ID-level evidence age: newest green row among queries tagged with it
     id_newest: dict[str, int] = {}
@@ -197,8 +204,47 @@ def plan(current_round: int, slots: int, recert_slots: int | None, force: list[s
         "query_rows_older_than_id_ceiling": len(
             [q for q, r in ledger.items() if q in specs and current_round + 1 - r > ID_MAX_AGE_ROUNDS and q not in used]
         ),
+        # the counter above CANNOT go below this: with S slots/round and a
+        # K-round ceiling only S*K query rows can be fresher than the
+        # ceiling at any time, so len(registry) - S*K rows are always over
+        # it once every query has a row (the honest-math note, quantified —
+        # read the projection against this floor, not against zero)
+        "query_rows_over_ceiling_equilibrium_floor": max(
+            0, len(specs) - slots * ID_MAX_AGE_ROUNDS
+        ),
     }
     return window, debt
+
+
+def project(current_round: int, slots: int, horizon: int) -> list[dict]:
+    """Debt-counter trajectory over the next `horizon` rounds, assuming each
+    round runs the policy-computed window and every scheduled row lands
+    green (VERDICT r10 item 6: when the never-certified backlog empties,
+    tier B flips to oldest query rows — this makes the
+    query_rows_older_than_id_ceiling trajectory one planner line instead
+    of per-round archaeology).  Expected shape: the counter RISES while
+    tier B still burns never-certified backlog (those slots don't refresh
+    old rows), then settles at the equilibrium floor
+    len(registry) - slots*ID_MAX_AGE_ROUNDS once the backlog is empty
+    (r15-r16 at the r11 ledger) — flat-at-floor is the healthy state,
+    not a regression."""
+    ledger = load_ledger()
+    out: list[dict] = []
+    for rnd in range(current_round, current_round + horizon):
+        window, debt = plan(rnd, slots, None, [], ledger=dict(ledger))
+        out.append(
+            {
+                "round": rnd,
+                "never_certified_before": debt["never_certified"],
+                "id_breaches_after_window": debt["id_breaches_after_window"],
+                "query_rows_older_than_id_ceiling": debt[
+                    "query_rows_older_than_id_ceiling"
+                ],
+            }
+        )
+        for name, _ in window:  # assume the window lands green
+            ledger[name] = rnd
+    return out
 
 
 def main() -> None:
@@ -212,11 +258,26 @@ def main() -> None:
         help="optional CAP on the re-cert tier (default: sized by the ID breach list)",
     )
     ap.add_argument("--force", nargs="*", default=[])
+    ap.add_argument(
+        "--project",
+        type=int,
+        default=4,
+        metavar="N",
+        help="also print the debt-counter trajectory for the next N rounds"
+        " assuming each policy window lands green (0 to disable)",
+    )
     args = ap.parse_args()
     window, debt = plan(args.round, args.slots, args.recert_slots, args.force)
     for i, (name, why) in enumerate(window, 1):
         print(f"{i:3d}. {name:40s} # {why}")
     print(json.dumps(debt, indent=1))
+    if args.project:
+        for row in project(args.round, args.slots, args.project):
+            print(
+                "projection r{round}: never_certified_before={never_certified_before}"
+                " id_breaches_after_window={id_breaches_after_window}"
+                " query_rows_older_than_id_ceiling={query_rows_older_than_id_ceiling}".format(**row)
+            )
 
 
 if __name__ == "__main__":
