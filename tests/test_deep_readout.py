@@ -557,3 +557,42 @@ def test_jpeg_12bit_deep_exact_property(wb, hb, seed, restart):
     dw, dh, c, depth, px = decode_jpeg_deep(payload)
     assert (dw, dh, c, depth) == (w, h, 1, 12)
     assert np.array_equal(_u16(px, (h, w)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 6),
+    h=st.integers(1, 6),
+    maxval=st.integers(256, 65535),
+    seed=st.integers(0, 10_000),
+    color=st.booleans(),
+)
+def test_ladder_maxval_contract_property(w, h, maxval, seed, color):
+    """r11 routing sweep over the FULL 2-byte maxval range: on every rung
+    a 2-byte netpbm payload reports bit_depth = maxval.bit_length() with
+    verbatim samples in the deep ladder and the v >> (P-8) MSB reduction
+    in the 8-bit one — rung-independent by construction."""
+    from bigdata_streaming_absa_vehicle_spark.operators import imagecodec
+    from bigdata_streaming_absa_vehicle_spark.operators.imagecodec import (
+        encode_pgm,
+        encode_ppm,
+    )
+    from bigdata_streaming_absa_vehicle_spark.operators.multimodal import (
+        _decode_to_array,
+        _decode_to_array_deep,
+    )
+
+    rng = np.random.default_rng(seed)
+    spp = 3 if color else 1
+    img = rng.integers(0, maxval + 1, w * h * spp, dtype=np.uint16)
+    enc = encode_ppm if color else encode_pgm
+    payload = enc(w, h, img, maxval=maxval)
+    depth = maxval.bit_length()
+    shape = (h, w, 3) if color else (h, w)
+    expect_deep = img.reshape(shape)
+    expect_flat = np.minimum(expect_deep >> (depth - 8), 255).astype(np.uint8)
+    for kind, mod in (("cv2", None), ("pil", None), ("pure", imagecodec)):
+        arr, d = _decode_to_array_deep(kind, mod, payload)
+        assert d == depth
+        assert np.array_equal(arr, expect_deep)
+        assert np.array_equal(_decode_to_array(kind, mod, payload), expect_flat)
