@@ -43,7 +43,8 @@ def test_decode_arbitrary_bytes_valueerror_or_valid(payload):
         w, h, c, px = decode_image(payload)
     except ValueError:
         return
-    assert w > 0 and h > 0 and c in (1, 3)
+    # c=4 possible since the r10 32-bpp BMP widening (RGBA out)
+    assert w > 0 and h > 0 and c in (1, 3, 4)
     assert len(px) == w * h * c
 
 
@@ -62,3 +63,75 @@ def test_mutated_valid_images_never_raise_foreign_exceptions(dims, flip):
         assert len(px) == ww * hh * c
     except ValueError:
         pass
+
+
+# ---- r11: property sweeps for the r10 BMP widenings (paletted + 32-bpp) ----
+
+import struct
+
+import numpy as np
+
+
+def _bmp(width, height, bpp, raster_rows, palette=(), clr_used=0, top_down=False):
+    """Minimal BI_RGB BMP builder (BITMAPINFOHEADER), palette in (r,g,b)."""
+    table = b"".join(bytes((b, g, r, 0)) for (r, g, b) in palette)
+    data_offset = 14 + 40 + len(table)
+    raster = b"".join(raster_rows if top_down else raster_rows[::-1])
+    header = struct.pack("<2sIHHI", b"BM", data_offset + len(raster), 0, 0, data_offset)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, -height if top_down else height, 1, bpp, 0,
+        len(raster), 2835, 2835, clr_used, 0,
+    )
+    return header + dib + table + raster
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    dims=st.tuples(st.integers(1, 24), st.integers(1, 12)),
+    bpp=st.sampled_from([1, 4, 8]),
+    seed=st.integers(0, 10_000),
+    top_down=st.booleans(),
+)
+def test_paletted_bmp_decodes_to_lut_expansion(dims, bpp, seed, top_down):
+    """Any 1/4/8-bpp BI_RGB BMP (either row order, any palette) decodes to
+    exactly its LUT-expanded RGB — MSB-first sub-byte unpack, 32-bit row
+    padding stripped."""
+    w, h = dims
+    rng = np.random.default_rng(seed)
+    n_colors = 1 << bpp
+    pal = [tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(n_colors)]
+    idx = rng.integers(0, n_colors, (h, w), dtype=np.uint8)
+    row_size = (bpp * w + 31) // 32 * 4
+    rows = []
+    for y in range(h):
+        if bpp == 8:
+            packed = idx[y].tobytes()
+        else:
+            bits = np.unpackbits(idx[y][:, None], axis=1, count=8)[:, 8 - bpp:]
+            packed = np.packbits(bits.reshape(-1)).tobytes()
+        rows.append(packed.ljust(row_size, b"\0"))
+    payload = _bmp(w, h, bpp, rows, pal, n_colors, top_down)
+    dw, dh, c, px = decode_image(payload)
+    assert (dw, dh, c) == (w, h, 3)
+    expect = np.array(pal, dtype=np.uint8)[idx]
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w, 3), expect)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    dims=st.tuples(st.integers(1, 16), st.integers(1, 10)),
+    seed=st.integers(0, 10_000),
+    top_down=st.booleans(),
+)
+def test_bmp32_decodes_bgra_to_rgba(dims, seed, top_down):
+    """Any 32-bpp BI_RGB BMP decodes its BGRA quads to RGBA verbatim (the
+    4th byte surfaces as alpha, cv2 IMREAD_UNCHANGED parity)."""
+    w, h = dims
+    rng = np.random.default_rng(seed)
+    bgra = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    payload = _bmp(w, h, 32, [bgra[y].tobytes() for y in range(h)], top_down=top_down)
+    dw, dh, c, px = decode_image(payload)
+    assert (dw, dh, c) == (w, h, 4)
+    assert np.array_equal(
+        np.frombuffer(px, np.uint8).reshape(h, w, 4), bgra[:, :, [2, 1, 0, 3]]
+    )
