@@ -112,14 +112,31 @@ def test_live_window_contains_planner_mandatory_tiers():
     sys.path.insert(0, _here)
     import __spark_entry__ as E
 
-    window, _ = rotation_plan.plan(
-        current_round=_live_round(), slots=50, recert_slots=None, force=[]
-    )
+    rnd = _live_round()
+    window, _ = rotation_plan.plan(current_round=rnd, slots=50, recert_slots=None, force=[])
     mandatory = {
         n for n, why in window if why.startswith(("re-cert", "never-certified"))
     }
     assert mandatory, "planner found no mandatory slots — check _live_round()"
-    assert mandatory <= set(E._WINDOW_PRIORITY)
+    missing = mandatory - set(E._WINDOW_PRIORITY)
+    if missing:
+        # expected failure mode at round open, BEFORE the window rotation:
+        # the live window is still last round's.  Say so instead of dumping
+        # a set diff — the fix is `rotation_plan.py --round {rnd}` copied
+        # into _WINDOW_PRIORITY (the round-open workflow step).
+        prev, _ = rotation_plan.plan(current_round=rnd - 1, slots=50, recert_slots=None, force=[])
+        prev_mandatory = {
+            n for n, why in prev if why.startswith(("re-cert", "never-certified"))
+        }
+        if prev_mandatory <= set(E._WINDOW_PRIORITY):
+            raise AssertionError(
+                f"_WINDOW_PRIORITY is round {rnd - 1}'s window; rotate it: run"
+                f" tools/rotation_plan.py --round {rnd} and copy the result in"
+                f" (missing mandatory slots: {sorted(missing)[:5]}...)"
+            )
+        raise AssertionError(
+            f"_WINDOW_PRIORITY is missing round-{rnd} mandatory slots: {sorted(missing)}"
+        )
 
 
 def test_projection_reaches_equilibrium_floor():
