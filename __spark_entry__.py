@@ -128,6 +128,64 @@ def entry(spark: SparkSession) -> DataFrame:
 #     (q286-q295).  Planner-reported post-window ID breaches: 0;
 #     never-certified 74 -> 66 when green.
 _WINDOW_PRIORITY = (
+    # -- Tier R (r12): ID-level age-ceiling re-certs — 39 ID(s) whose
+    # newest row would breach the 5-round ceiling at r13. --
+    "q01_projection",                         # P-01, S-03
+    "q03_derived_cast",                       # P-02, P-05
+    "q393_null_ordering",                     # F-13, O-04
+    "q06_grand_totals",                       # A-07
+    "q10_rollup",                             # A-09
+    "q244_powerlaw_tail",                     # X-48
+    "q245_brand_momentum",                    # X-49
+    "q247_interval_coverage",                 # X-51
+    "q248_rank_churn",                        # X-53
+    "q249_theil_sen_trend",                   # X-52
+    "q250_nearest_centroid_eval",             # X-54
+    "q251_wasserstein_matrix",                # X-55
+    "q254_item_neighbors",                    # X-58
+    "q259_leadlag_xcorr",                     # X-63
+    "q260_capture_recapture",                 # X-65
+    "q261_burstiness",                        # X-64
+    "q263_eb_shrinkage",                      # X-67
+    "q264_rank_correlation",                  # X-68
+    "q265_cramers_v",                         # X-69
+    "q266_price_index",                       # X-70
+    "q271_apriori_triples",                   # X-75
+    "q272_gumbel_return_levels",              # X-76
+    "q273_markov_attribution",                # X-77
+    "q278_bfs_distance",                      # X-78
+    "q280_cold_start_coverage",               # X-80
+    "q285_oof_target_encoding",               # X-82
+    "q289_voptimal_segments",                 # X-84
+    "q299_logistic_irls",                     # X-87
+    "q300_offpolicy_ips",                     # X-90
+    "q301_rrf_hybrid_retrieval",              # X-91
+    "q302_median_ci",                         # X-92
+    "q305_quantile_normalization",            # X-95
+    "q307_t_closeness",                       # X-97
+    "q308_newsvendor",                        # X-98
+    "q309_poisson_mixture_em",                # X-99
+    "q411_prefix_filter_join",                # X-136
+    # -- Tier B (r12): backlog fill — never-certified registry queries,
+    # lowest query number first (first-ever driver rows; their IDs are
+    # all covered by newer sibling rows; burns never-certified
+    # 66 -> 51). --
+    "q296_pca_power_iteration",
+    "q297_decision_stump",
+    "q298_naive_bayes",
+    "q304_seasonal_decomposition",
+    "q337_tpch_q17_small_quantity",
+    "q338_ucb1_allocation",
+    "q339_kmv_distinct_sketch",
+    "q340_sequence_pair_support",
+    "q341_hard_negative_mining",
+    "q342_paired_ttest",
+    "q343_schema_drift_matcher",
+    "q344_class_downsample",
+    "q345_label_noise_candidates",
+    "q346_srm_by_segment",
+)
+_WINDOW_PRIORITY_R11 = (
     # -- Tier R (r11): ID-level age-ceiling re-certs — the r6 cohort, 45
     # IDs whose newest row (r6) would breach the 5-round ceiling at r12. --
     "q246_capped_backlog",                    # 2 IDs (T-10, X-50)

@@ -30,7 +30,7 @@ def _specs():
 
 def test_window_is_exact_size_and_duplicate_free():
     window, debt = rotation_plan.plan(current_round=8, slots=50, recert_slots=None, force=[])
-    names = [n for n, _ in window]
+    names = [e["name"] for e in window]
     assert len(names) == 50
     assert len(set(names)) == 50
     assert debt["registry"] >= 410
@@ -40,8 +40,9 @@ def test_forced_entries_lead_the_window():
     window, _ = rotation_plan.plan(
         current_round=8, slots=50, recert_slots=None, force=["q406_pixel_decode"]
     )
-    assert window[0][0] == "q406_pixel_decode"
-    assert "forced" in window[0][1]
+    assert window[0]["name"] == "q406_pixel_decode"
+    assert window[0]["tier"] == "F"
+    assert "forced" in window[0]["why"]
 
 
 def test_recert_tier_zeroes_id_breaches():
@@ -61,10 +62,12 @@ def test_recert_tier_zeroes_id_breaches():
     breaching = {
         t for t, r in id_newest.items() if 8 + 1 - r > rotation_plan.ID_MAX_AGE_ROUNDS
     }
-    for name, why in window:
-        if why.startswith("re-cert"):
-            gained = set(specs[name].tags) & breaching
-            assert gained, f"{name} re-certifies no breaching ID"
+    for e in window:
+        if e["tier"] == "R":
+            gained = set(specs[e["name"]].tags) & breaching
+            assert gained, f"{e['name']} re-certifies no breaching ID"
+            # the entry's own `ids` must be exactly the breaching IDs it gains
+            assert set(e["ids"]) == gained
             breaching -= gained
     assert not breaching
 
@@ -72,15 +75,15 @@ def test_recert_tier_zeroes_id_breaches():
 def test_never_certified_tier_only_contains_uncertified_queries():
     window, _ = rotation_plan.plan(current_round=8, slots=50, recert_slots=None, force=[])
     ledger = rotation_plan.load_ledger()
-    for name, why in window:
-        if why.startswith("never-certified"):
-            assert name not in ledger
+    for e in window:
+        if e["tier"] == "N":
+            assert e["name"] not in ledger
 
 
 def test_backlog_fill_prefers_never_certified_lowest_number():
     window, _ = rotation_plan.plan(current_round=8, slots=50, recert_slots=None, force=[])
     ledger = rotation_plan.load_ledger()
-    fills = [n for n, why in window if why.startswith("backlog fill")]
+    fills = [e["name"] for e in window if e["tier"] == "B"]
     never_fills = [n for n in fills if n not in ledger]
     # never-certified fills come first and ascend by query number
     assert fills[: len(never_fills)] == never_fills
@@ -89,14 +92,27 @@ def test_backlog_fill_prefers_never_certified_lowest_number():
 
 
 def _live_round() -> int:
-    """The round the live window will RUN in: newest CORRECTNESS record + 1."""
+    """The round the live window will RUN in: newest TRACKED CORRECTNESS
+    record + 1.  Tracked-only (git ls-files) so a driver-emitted untracked
+    artifact cannot flip the suite red outside the rotation workflow
+    (ADVICE r11 item 3): the round boundary is now crossed by the explicit
+    round-open commit of the driver artifacts, after which the stale-window
+    test demands the new rotation — the designed, actionable failure.
+    Falls back to a filesystem glob when git is unavailable (e.g. an
+    exported tree)."""
     import glob
     import re
+    import subprocess
 
-    rounds = [
-        int(re.search(r"_r0*(\d+)\.json$", f).group(1))
-        for f in glob.glob(os.path.join(_here, "CORRECTNESS_r*.json"))
-    ]
+    try:
+        out = subprocess.run(
+            ["git", "-C", _here, "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.split()
+    except (OSError, subprocess.SubprocessError):
+        out = []
+    files = out or glob.glob(os.path.join(_here, "CORRECTNESS_r*.json"))
+    rounds = [int(re.search(r"_r0*(\d+)\.json$", f).group(1)) for f in files]
     return max(rounds) + 1
 
 
@@ -114,9 +130,7 @@ def test_live_window_contains_planner_mandatory_tiers():
 
     rnd = _live_round()
     window, _ = rotation_plan.plan(current_round=rnd, slots=50, recert_slots=None, force=[])
-    mandatory = {
-        n for n, why in window if why.startswith(("re-cert", "never-certified"))
-    }
+    mandatory = {e["name"] for e in window if e["tier"] in ("R", "N")}
     assert mandatory, "planner found no mandatory slots — check _live_round()"
     missing = mandatory - set(E._WINDOW_PRIORITY)
     if missing:
@@ -125,9 +139,7 @@ def test_live_window_contains_planner_mandatory_tiers():
         # a set diff — the fix is `rotation_plan.py --round {rnd}` copied
         # into _WINDOW_PRIORITY (the round-open workflow step).
         prev, _ = rotation_plan.plan(current_round=rnd - 1, slots=50, recert_slots=None, force=[])
-        prev_mandatory = {
-            n for n, why in prev if why.startswith(("re-cert", "never-certified"))
-        }
+        prev_mandatory = {e["name"] for e in prev if e["tier"] in ("R", "N")}
         if prev_mandatory <= set(E._WINDOW_PRIORITY):
             raise AssertionError(
                 f"_WINDOW_PRIORITY is round {rnd - 1}'s window; rotate it: run"

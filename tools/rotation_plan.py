@@ -106,17 +106,20 @@ def plan(
     all_ids = {t for s in specs.values() for t in s.tags}
     uncovered = all_ids - set(id_newest)
 
-    window: list[tuple[str, str]] = []  # (name, rationale)
+    # window entries: {"name", "why", "tier" (F/R/N/B), "ids" (the operator
+    # IDs this slot re-certifies or first-covers; [] for backlog fills)}
+    window: list[dict] = []
     used = set()
 
     def scheduled_ids() -> set[str]:
-        return {t for n, _ in window for t in specs[n].tags}
+        return {t for e in window for t in specs[e["name"]].tags}
 
     # tier F: forced (new/modified this round)
     for name in force:
         if name not in specs:
             raise KeyError(f"--force {name!r} not in registry")
-        window.append((name, "forced: added/modified this round"))
+        window.append({"name": name, "why": "forced: added/modified this round",
+                       "tier": "F", "ids": sorted(specs[name].tags)})
         used.add(name)
 
     # tier R: ID-level age-ceiling re-certification.  An ID breaches at
@@ -146,7 +149,9 @@ def plan(
             break
         oldest = min(id_newest[t] for t in gain)
         window.append(
-            (best, f"re-cert: {len(gain)} ID(s) w/ newest row <= r{oldest} breach age {ID_MAX_AGE_ROUNDS} at r{current_round + 1}")
+            {"name": best,
+             "why": f"re-cert: {len(gain)} ID(s) w/ newest row <= r{oldest} breach age {ID_MAX_AGE_ROUNDS} at r{current_round + 1}",
+             "tier": "R", "ids": sorted(gain)}
         )
         used.add(best)
         breaching -= gain
@@ -163,7 +168,8 @@ def plan(
                 best, gain = n, g
         if best is None or not gain:
             break
-        window.append((best, f"never-certified; covers {sorted(gain)}"))
+        window.append({"name": best, "why": f"never-certified; covers {sorted(gain)}",
+                       "tier": "N", "ids": sorted(gain)})
         used.add(best)
         never.remove(best)
         remaining -= gain
@@ -180,7 +186,9 @@ def plan(
             break
         if name in used:
             continue
-        window.append((name, "backlog fill (never-certified, then oldest rows)"))
+        window.append({"name": name,
+                       "why": "backlog fill (never-certified, then oldest rows)",
+                       "tier": "B", "ids": []})
         used.add(name)
 
     # post-window ID age histogram: what the ledger will look like if every
@@ -193,6 +201,12 @@ def plan(
         "registry": len(specs),
         "driver_certified": len(ledger),
         "never_certified": len([n for n in specs if n not in ledger]),
+        # after the window lands green: never-certified entries anywhere in
+        # the window (tier B fills AND any set-cover pick that happens to be
+        # uncertified) earn their first row
+        "never_certified_after_window": len(
+            [n for n in specs if n not in ledger and n not in used]
+        ),
         "ids_total": len(all_ids),
         "ids_driver_covered": len(id_newest),
         "ids_uncovered_after_window": sorted(remaining),
@@ -242,9 +256,47 @@ def project(current_round: int, slots: int, horizon: int) -> list[dict]:
                 ],
             }
         )
-        for name, _ in window:  # assume the window lands green
-            ledger[name] = rnd
+        for e in window:  # assume the window lands green
+            ledger[e["name"]] = rnd
     return out
+
+
+_TIER_HEADERS = {
+    "F": "# -- Tier F (r{rnd}): forced — queries added/modified this round\n"
+         "    # (same-round certification rule). --",
+    "R": "# -- Tier R (r{rnd}): ID-level age-ceiling re-certs — {nids} ID(s) whose\n"
+         "    # newest row would breach the {ceil}-round ceiling at r{nxt}. --",
+    "N": "# -- Tier N (r{rnd}): never-certified operator-ID coverage. --",
+    "B": "# -- Tier B (r{rnd}): backlog fill — never-certified registry queries,\n"
+         "    # lowest query number first (first-ever driver rows; their IDs are\n"
+         "    # all covered by newer sibling rows; burns never-certified\n"
+         "    # {nc} -> {nc_after}). --",
+}
+
+
+def emit_window(window: list[dict], debt: dict, current_round: int) -> str:
+    """Ready-to-paste `_WINDOW_PRIORITY` block for __spark_entry__.py
+    (VERDICT r11 item 6: rotation becomes one copy, not a transcription)."""
+    ctx = {
+        "rnd": current_round,
+        "nxt": current_round + 1,
+        "ceil": ID_MAX_AGE_ROUNDS,
+        "nids": sum(len(e["ids"]) for e in window if e["tier"] == "R"),
+        "nc": debt["never_certified"],
+        "nc_after": debt["never_certified_after_window"],
+    }
+    lines = ["_WINDOW_PRIORITY = ("]
+    prev_tier = None
+    for e in window:
+        if e["tier"] != prev_tier:
+            lines.append("    " + _TIER_HEADERS[e["tier"]].format(**ctx))
+            prev_tier = e["tier"]
+        entry = f'    "{e["name"]}",'
+        if e["ids"]:
+            entry = f'{entry:45s} # {", ".join(e["ids"])}'
+        lines.append(entry)
+    lines.append(")")
+    return "\n".join(lines)
 
 
 def main() -> None:
@@ -259,6 +311,12 @@ def main() -> None:
     )
     ap.add_argument("--force", nargs="*", default=[])
     ap.add_argument(
+        "--emit-window",
+        action="store_true",
+        help="print the ready-to-paste _WINDOW_PRIORITY block for"
+        " __spark_entry__.py instead of the numbered plan + debt report",
+    )
+    ap.add_argument(
         "--project",
         type=int,
         default=4,
@@ -268,8 +326,11 @@ def main() -> None:
     )
     args = ap.parse_args()
     window, debt = plan(args.round, args.slots, args.recert_slots, args.force)
-    for i, (name, why) in enumerate(window, 1):
-        print(f"{i:3d}. {name:40s} # {why}")
+    if args.emit_window:
+        print(emit_window(window, debt, args.round))
+        return
+    for i, e in enumerate(window, 1):
+        print(f"{i:3d}. {e['name']:40s} # {e['why']}")
     print(json.dumps(debt, indent=1))
     if args.project:
         for row in project(args.round, args.slots, args.project):
