@@ -44,7 +44,16 @@ def _netpbm_encode(magic: bytes, width: int, height: int, pixels, maxval: int, s
     if not 0 < maxval < 65536:
         raise ValueError(f"netpbm maxval {maxval} outside the spec range 1..65535")
     n = width * height * spp
-    if maxval <= 255 and isinstance(pixels, (bytes, bytearray, memoryview)):
+    # The bytes fast-path may only take inputs whose len() counts BYTES: a
+    # memoryview over a uint16/int64 array passes len()==n (element count)
+    # but bytes() emits itemsize bytes per sample — the same silently
+    # corrupt raster ADVICE r10 item 3 fixed for plain arrays (ADVICE r11
+    # item 1).  Only itemsize-1 memoryviews qualify; everything else goes
+    # through the numpy normalization branch.
+    is_raw_bytes = isinstance(pixels, (bytes, bytearray)) or (
+        isinstance(pixels, memoryview) and pixels.itemsize == 1
+    )
+    if maxval <= 255 and is_raw_bytes:
         if len(pixels) != n:
             raise ValueError(f"{magic.decode()} needs {n} bytes, got {len(pixels)}")
         raster = bytes(pixels)
@@ -61,7 +70,20 @@ def _netpbm_encode(magic: bytes, width: int, height: int, pixels, maxval: int, s
             raise ValueError(f"{magic.decode()} needs {n} samples, got {samples.size}")
         if samples.min(initial=0) < 0 or samples.max(initial=0) > maxval:
             raise ValueError("netpbm sample outside 0..maxval")
-        raster = samples.astype(np.uint8 if maxval <= 255 else ">u2").tobytes()
+        raster_arr = samples.astype(np.uint8 if maxval <= 255 else ">u2")
+        if not np.issubdtype(samples.dtype, np.integer) and not np.array_equal(
+            raster_arr, samples
+        ):
+            # non-integer inputs must roundtrip EXACTLY: a float raster like
+            # [5.7, ...] passes the range check but astype floors it — a
+            # valid-looking, value-shifted file (ADVICE r11 item 2).  The
+            # same comparison rejects NaN (which sails through the min/max
+            # range check because NaN comparisons are all False).
+            raise ValueError(
+                "netpbm samples of non-integer dtype "
+                f"{samples.dtype} do not roundtrip exactly"
+            )
+        raster = raster_arr.tobytes()
     return magic + b"\n%d %d\n%d\n" % (width, height, maxval) + raster
 
 

@@ -454,6 +454,58 @@ def test_netpbm_encoder_normalizes_array_input_in_byte_branch():
         encode_pgm(2, 2, np.zeros(5, np.uint8))  # size mismatch
 
 
+def test_netpbm_encoder_wide_memoryview_routes_through_numpy():
+    """ADVICE r11 item 1: a memoryview whose itemsize > 1 (e.g. over a
+    uint16/int64 numpy array) must NOT take the raw-bytes fast path —
+    len() counts elements there, so the size check passes while bytes()
+    emits itemsize bytes per sample.  Wide memoryviews normalize through
+    numpy and serialize one byte per sample like any array input."""
+    from bigdata_streaming_absa_vehicle_spark.operators.imagecodec import (
+        decode_image,
+        encode_pgm,
+        encode_ppm,
+    )
+
+    ref = encode_pgm(2, 2, bytes((5, 6, 7, 8)))
+    for dt in (np.uint16, np.int32, np.int64):
+        mv = memoryview(np.array([5, 6, 7, 8], dtype=dt))
+        assert mv.itemsize > 1 and len(mv) == 4  # the trap ADVICE describes
+        assert encode_pgm(2, 2, mv) == ref
+    # itemsize-1 memoryviews still take the fast path byte-for-byte
+    assert encode_pgm(2, 2, memoryview(bytes((5, 6, 7, 8)))) == ref
+    assert encode_pgm(2, 2, memoryview(np.array([5, 6, 7, 8], np.uint8))) == ref
+    # and the widened route roundtrips through the decoder
+    w, h, c, px = decode_image(encode_ppm(1, 2, memoryview(np.arange(6, dtype=np.int64))))
+    assert (w, h, c, px) == (1, 2, 3, bytes(range(6)))
+    # out-of-range values in a wide memoryview are rejected, not truncated
+    with pytest.raises(ValueError):
+        encode_pgm(2, 2, memoryview(np.array([5, 6, 7, 300], np.int64)))
+
+
+def test_netpbm_encoder_rejects_non_integral_samples():
+    """ADVICE r11 item 2: float inputs that do not roundtrip exactly are
+    rejected, not floored — [5.7, ...] passes the 0..maxval range check
+    but astype would silently shift every value.  Exactly-integral floats
+    stay accepted (they roundtrip), as do NaNs -> ValueError (NaN defeats
+    the min/max range check because NaN comparisons are all False)."""
+    from bigdata_streaming_absa_vehicle_spark.operators.imagecodec import encode_pgm
+
+    ref = encode_pgm(2, 2, bytes((5, 6, 7, 8)))
+    assert encode_pgm(2, 2, np.array([5.0, 6.0, 7.0, 8.0])) == ref  # integral floats OK
+    with pytest.raises(ValueError):
+        encode_pgm(2, 2, np.array([5.7, 6.0, 7.0, 8.0]))
+    with pytest.raises(ValueError):
+        encode_pgm(2, 2, [5.5, 6.5, 7.5, 8.5])
+    with pytest.raises(ValueError):
+        encode_pgm(2, 2, np.array([5.0, 6.0, 7.0, float("nan")]))
+    # 2-byte branch holds the same contract
+    assert encode_pgm(2, 2, np.array([300.0, 6.0, 7.0, 8.0]), maxval=4095) == encode_pgm(
+        2, 2, np.array([300, 6, 7, 8]), maxval=4095
+    )
+    with pytest.raises(ValueError):
+        encode_pgm(2, 2, np.array([300.5, 6.0, 7.0, 8.0]), maxval=4095)
+
+
 # ------------------------------------------------------------- fuzzing
 
 
