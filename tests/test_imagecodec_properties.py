@@ -117,6 +117,55 @@ def test_paletted_bmp_decodes_to_lut_expansion(dims, bpp, seed, top_down):
     assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w, 3), expect)
 
 
+# ---- r12: property sweeps for the encoder input-normalization contract ----
+# (ADVICE r11 items 1-2: every in-range integer representation of the same
+# samples encodes byte-identically; non-integral or out-of-range inputs are
+# rejected with ValueError, never floored/truncated into a shifted raster)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    dims=st.tuples(st.integers(1, 16), st.integers(1, 10)),
+    seed=st.integers(0, 10_000),
+    dtype=st.sampled_from(["uint8", "uint16", "int32", "int64", "float64"]),
+    as_memoryview=st.booleans(),
+)
+def test_encoder_representation_invariance(dims, seed, dtype, as_memoryview):
+    """encode_pgm(samples) is invariant to HOW the samples are represented:
+    any integer dtype, exactly-integral floats, lists, and memoryviews of
+    any itemsize all produce the byte raster of the canonical bytes input."""
+    w, h = dims
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 256, w * h, dtype=np.uint8)
+    ref = encode_pgm(w, h, vals.tobytes())
+    arr = vals.astype(dtype)
+    pixels = memoryview(arr) if as_memoryview else arr
+    assert encode_pgm(w, h, pixels) == ref
+    assert encode_pgm(w, h, [int(v) for v in vals]) == ref
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(1, 30),
+    seed=st.integers(0, 10_000),
+    maxval=st.sampled_from([255, 4095, 65535]),
+    bad=st.sampled_from(["frac", "nan", "neg", "over"]),
+)
+def test_encoder_rejects_unfaithful_samples(n, seed, maxval, bad):
+    """Any sample set containing a fractional value, NaN, a negative, or a
+    value above maxval is rejected with ValueError in both the 1-byte and
+    2-byte branches — never silently coerced."""
+    import pytest
+
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, maxval + 1, n).astype(np.float64)
+    i = int(rng.integers(0, n))
+    vals[i] = {"frac": vals[i] + 0.5, "nan": np.nan,
+               "neg": -1.0, "over": maxval + 1.0}[bad]
+    with pytest.raises(ValueError):
+        encode_pgm(n, 1, vals, maxval=maxval)
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     dims=st.tuples(st.integers(1, 16), st.integers(1, 10)),
