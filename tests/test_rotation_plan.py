@@ -91,6 +91,26 @@ def test_backlog_fill_prefers_never_certified_lowest_number():
     assert nums == sorted(nums)
 
 
+def test_emit_window_block_is_executable_and_order_preserving():
+    """--emit-window (r12, VERDICT r11 item 6): the emitted block must be
+    valid Python whose _WINDOW_PRIORITY tuple equals the plan's order
+    exactly — rotation is a copy, not a transcription — with one tier
+    header per tier in plan order."""
+    window, debt = rotation_plan.plan(
+        current_round=8, slots=50, recert_slots=None, force=["q406_pixel_decode"]
+    )
+    block = rotation_plan.emit_window(window, debt, current_round=8)
+    ns: dict = {}
+    exec(block, ns)  # noqa: S102 — our own generated source
+    assert list(ns["_WINDOW_PRIORITY"]) == [e["name"] for e in window]
+    tier_seq = [e["tier"] for e in window]
+    tiers_in_order = [t for i, t in enumerate(tier_seq) if i == 0 or tier_seq[i - 1] != t]
+    assert len(tiers_in_order) == len(set(tiers_in_order))  # tiers contiguous
+    for t in tiers_in_order:
+        assert f"# -- Tier {t} (r8):" in block
+    assert block.count("# -- Tier") == len(tiers_in_order)
+
+
 def _live_round() -> int:
     """The round the live window will RUN in: newest TRACKED CORRECTNESS
     record + 1.  Tracked-only (git ls-files) so a driver-emitted untracked
