@@ -40,50 +40,98 @@ __all__ = [
 ]
 
 
+def _as_u8_raster(pixels, n: int, label: str, maxval: int = 255) -> bytes:
+    """Normalize an encoder's pixel argument to exactly `n` raw 1-byte
+    samples — the ONE input-validation path shared by every 8-bit-sample
+    encoder in the vendored family (netpbm maxval<=255, BMP24, baseline
+    JPEG planes), so the faithfulness contract hardened for netpbm in
+    r11/r12 (ADVICE r10 item 3, ADVICE r11 items 1-2) cannot diverge per
+    format:
+
+    - bytes / bytearray / 1-D itemsize-1 memoryview: `len()` counts bytes,
+      taken (near) zero-copy after an exact size check;
+    - every other input (lists, numpy arrays of any dtype/shape, wide or
+      multi-dimensional memoryviews) is normalized through numpy: exact
+      size, values within 0..maxval, and non-integer dtypes must roundtrip
+      EXACTLY through uint8 (rejecting fractional values and NaN, which
+      defeats min/max range checks);
+    - every rejection raises ValueError — never a foreign exception class —
+      one uniform drop contract for the Arrow-batched workers.
+
+    Before r12 the sibling encoders each did a bare ``len()`` +
+    ``np.frombuffer`` instead: an int8 array full of -1 passed the size
+    check and was reinterpret-cast to 255 (a valid-looking, value-flipped
+    file — the exact corruption shape the netpbm fixes rejected), and
+    lists/str raised TypeError.
+    """
+    if isinstance(pixels, (bytes, bytearray)) or (
+        isinstance(pixels, memoryview) and pixels.format in ("B", "c") and pixels.ndim == 1
+    ):
+        # format must be UNSIGNED byte, not merely itemsize 1: an int8
+        # memoryview also has itemsize 1, but bytes() reinterpret-casts its
+        # negatives to 128..255 — caught by the r12 family fuzz.
+        if len(pixels) != n:
+            raise ValueError(f"{label} needs {n} bytes, got {len(pixels)}")
+        return bytes(pixels)
+    import numpy as np  # noqa: PLC0415
+
+    samples = np.asarray(pixels).reshape(-1)
+    if not (
+        np.issubdtype(samples.dtype, np.integer)
+        or np.issubdtype(samples.dtype, np.floating)
+        or np.issubdtype(samples.dtype, np.bool_)
+    ):
+        raise ValueError(f"{label} pixels have non-numeric dtype {samples.dtype}")
+    if samples.size != n:
+        raise ValueError(f"{label} needs {n} samples, got {samples.size}")
+    # non-integer inputs must roundtrip EXACTLY, checked BEFORE the cast: a
+    # float raster like [5.7, ...] passes the range check but astype floors
+    # it — a valid-looking, value-shifted file (ADVICE r11 item 2) — and
+    # NaN/inf defeat min/max range checks (NaN comparisons are all False)
+    # while warning inside the cast.
+    if np.issubdtype(samples.dtype, np.floating) and (
+        not np.all(np.isfinite(samples)) or not np.array_equal(samples, np.trunc(samples))
+    ):
+        raise ValueError(
+            f"{label} samples of non-integer dtype {samples.dtype} do not roundtrip exactly"
+        )
+    if samples.min(initial=0) < 0 or samples.max(initial=0) > maxval:
+        raise ValueError(f"{label} sample outside 0..{maxval}")
+    return samples.astype(np.uint8).tobytes()
+
+
 def _netpbm_encode(magic: bytes, width: int, height: int, pixels, maxval: int, spp: int) -> bytes:
     if not 0 < maxval < 65536:
         raise ValueError(f"netpbm maxval {maxval} outside the spec range 1..65535")
     n = width * height * spp
-    # The bytes fast-path may only take inputs whose len() counts BYTES: a
-    # memoryview over a uint16/int64 array passes len()==n (element count)
-    # but bytes() emits itemsize bytes per sample — the same silently
-    # corrupt raster ADVICE r10 item 3 fixed for plain arrays (ADVICE r11
-    # item 1).  Only itemsize-1 memoryviews qualify; everything else goes
-    # through the numpy normalization branch.
-    is_raw_bytes = isinstance(pixels, (bytes, bytearray)) or (
-        isinstance(pixels, memoryview) and pixels.itemsize == 1
-    )
-    if maxval <= 255 and is_raw_bytes:
-        if len(pixels) != n:
-            raise ValueError(f"{magic.decode()} needs {n} bytes, got {len(pixels)}")
-        raster = bytes(pixels)
+    if maxval <= 255:
+        raster = _as_u8_raster(pixels, n, magic.decode(), maxval)
     else:
-        # array-likes are normalized through numpy in BOTH branches: a
-        # non-uint8 array passes a bare len() check but bytes() would
-        # serialize its full itemsize per sample — a silently corrupt
-        # raster (ADVICE r10 item 3).  2-byte samples are big-endian per
-        # spec (r10, matching the decoder).
+        # 2-byte samples take any array-like of n samples in 0..maxval,
+        # stored big-endian per spec (r10, matching the decoder); the same
+        # exact-roundtrip faithfulness rules as the 1-byte path apply.
         import numpy as np  # noqa: PLC0415
 
         samples = np.asarray(pixels).reshape(-1)
+        if not (
+            np.issubdtype(samples.dtype, np.integer)
+            or np.issubdtype(samples.dtype, np.floating)
+            or np.issubdtype(samples.dtype, np.bool_)
+        ):
+            raise ValueError(f"{magic.decode()} pixels have non-numeric dtype {samples.dtype}")
         if samples.size != n:
             raise ValueError(f"{magic.decode()} needs {n} samples, got {samples.size}")
-        if samples.min(initial=0) < 0 or samples.max(initial=0) > maxval:
-            raise ValueError("netpbm sample outside 0..maxval")
-        raster_arr = samples.astype(np.uint8 if maxval <= 255 else ">u2")
-        if not np.issubdtype(samples.dtype, np.integer) and not np.array_equal(
-            raster_arr, samples
+        if np.issubdtype(samples.dtype, np.floating) and (
+            not np.all(np.isfinite(samples))
+            or not np.array_equal(samples, np.trunc(samples))
         ):
-            # non-integer inputs must roundtrip EXACTLY: a float raster like
-            # [5.7, ...] passes the range check but astype floors it — a
-            # valid-looking, value-shifted file (ADVICE r11 item 2).  The
-            # same comparison rejects NaN (which sails through the min/max
-            # range check because NaN comparisons are all False).
             raise ValueError(
                 "netpbm samples of non-integer dtype "
                 f"{samples.dtype} do not roundtrip exactly"
             )
-        raster = raster_arr.tobytes()
+        if samples.min(initial=0) < 0 or samples.max(initial=0) > maxval:
+            raise ValueError("netpbm sample outside 0..maxval")
+        raster = samples.astype(">u2").tobytes()
     return magic + b"\n%d %d\n%d\n" % (width, height, maxval) + raster
 
 
@@ -102,18 +150,19 @@ def encode_pgm(width: int, height: int, pixels, maxval: int = 255) -> bytes:
     return _netpbm_encode(b"P5", width, height, pixels, maxval, 1)
 
 
-def encode_bmp24(width: int, height: int, pixels: bytes) -> bytes:
+def encode_bmp24(width: int, height: int, pixels) -> bytes:
     """24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up, BI_RGB).
-    `pixels` is row-major RGB-interleaved top-down — the encoder performs the
-    BMP-mandated BGR swizzle, bottom-up row order, and 4-byte row padding.
-    Vectorized (numpy views, no per-pixel Python) so real frame sizes encode
-    in O(bytes) C time."""
+    `pixels` is row-major RGB-interleaved top-down (``width*height*3`` bytes,
+    or any array-like of that many samples in 0..255 — normalized through
+    the shared :func:`_as_u8_raster` contract, r12) — the encoder performs
+    the BMP-mandated BGR swizzle, bottom-up row order, and 4-byte row
+    padding.  Vectorized (numpy views, no per-pixel Python) so real frame
+    sizes encode in O(bytes) C time."""
     import numpy as np  # noqa: PLC0415
 
-    if len(pixels) != width * height * 3:
-        raise ValueError(f"BMP24 needs {width * height * 3} bytes, got {len(pixels)}")
+    raster8 = _as_u8_raster(pixels, width * height * 3, "BMP24")
     row_size = (3 * width + 3) // 4 * 4
-    bgr = np.frombuffer(pixels, np.uint8).reshape(height, width, 3)[:, :, ::-1]
+    bgr = np.frombuffer(raster8, np.uint8).reshape(height, width, 3)[:, :, ::-1]
     rows = np.zeros((height, row_size), np.uint8)
     rows[:, : 3 * width] = bgr.reshape(height, 3 * width)
     raster = rows[::-1].tobytes()  # bottom-up storage

@@ -217,17 +217,82 @@ def _blocks_of(width: int, height: int, pixels: bytes) -> np.ndarray:
     )
 
 
+def _is_single_plane(planes) -> bool:
+    """True when the `planes` argument of the lossless/extended encoders is
+    ONE plane rather than a sequence of planes: any buffer/array is a plane,
+    and a list/tuple whose elements are all scalars (a flat sample list, the
+    r12 family-wide representation contract) is a plane too — a
+    list/tuple containing buffer/array/sequence elements is a plane LIST."""
+    if isinstance(planes, (bytes, bytearray, memoryview, np.ndarray)):
+        return True
+    return (
+        isinstance(planes, (list, tuple))
+        and bool(planes)
+        and not any(
+            isinstance(p, (bytes, bytearray, memoryview, np.ndarray, list, tuple))
+            for p in planes
+        )
+    )
+
+
+def _as_sample_plane(plane, width: int, height: int, bound: int, label: str, dtype) -> np.ndarray:
+    """Normalize a deep component plane to an ``(height, width)`` array of
+    `dtype` with integer sample values in ``[0, bound)`` — the >8-bit twin
+    of :func:`~.imagecodec._as_u8_raster` (r12), sharing its faithfulness
+    contract: bytes/bytearray/1-D itemsize-1 memoryviews are one byte per
+    sample after an exact size check; any other array-like is normalized
+    through numpy with exact size, non-negative integral values below
+    `bound` (fractional values, NaN/inf — which defeat min/max range
+    checks — and negatives all raise ValueError, never encode).  Before
+    r12 these paths ``astype``d silently: a float plane like ``[5.7, ...]``
+    truncated to 5 inside the LOSSLESS encoder (a valid-looking roundtrip
+    of the wrong values), negatives sailed past the max-only range check
+    into the modulo-2^16 difference coder, and NaN became INT64_MIN."""
+    n = width * height
+    if isinstance(plane, (bytes, bytearray)) or (
+        isinstance(plane, memoryview) and plane.format in ("B", "c") and plane.ndim == 1
+    ):
+        # format must be UNSIGNED byte, not merely itemsize 1: an int8
+        # memoryview also has itemsize 1, but its negatives would
+        # reinterpret-cast to 128..255 (r12 family fuzz).
+        if len(plane) != n:
+            raise ValueError(f"{label} needs {n} bytes, got {len(plane)}")
+        raw = np.frombuffer(bytes(plane), np.uint8)
+    else:
+        raw = np.asarray(plane).reshape(-1)
+        if not (
+            np.issubdtype(raw.dtype, np.integer)
+            or np.issubdtype(raw.dtype, np.floating)
+            or np.issubdtype(raw.dtype, np.bool_)
+        ):
+            raise ValueError(f"{label} samples have non-numeric dtype {raw.dtype}")
+        if raw.size != n:
+            raise ValueError(f"{label} needs {n} samples, got {raw.size}")
+        if np.issubdtype(raw.dtype, np.floating) and (
+            not np.all(np.isfinite(raw)) or not np.array_equal(raw, np.trunc(raw))
+        ):
+            raise ValueError(
+                f"{label} samples of non-integer dtype {raw.dtype} do not roundtrip exactly"
+            )
+    if raw.min(initial=0) < 0 or raw.max(initial=0) >= bound:
+        raise ValueError("sample value out of range for the declared precision")
+    return raw.astype(dtype).reshape(height, width)
+
+
 def encode_jpeg_gray(
     width: int, height: int, pixels: bytes, restart_interval: int = 0
 ) -> bytes:
-    """Encode a grayscale raster (row-major, ``width*height`` bytes) as a
-    baseline sequential JPEG: real forward DCT (vectorized over all blocks),
+    """Encode a grayscale raster (row-major, ``width*height`` bytes, or any
+    array-like of that many samples in 0..255 — the shared
+    :func:`~.imagecodec._as_u8_raster` contract, r12) as a baseline
+    sequential JPEG: real forward DCT (vectorized over all blocks),
     flat-8 quantization, zigzag/RLE/Huffman entropy coding with byte
     stuffing, optional restart markers every `restart_interval` MCUs."""
-    if len(pixels) != width * height:
-        raise ValueError(f"gray raster needs {width * height} bytes, got {len(pixels)}")
+    from .imagecodec import _as_u8_raster  # noqa: PLC0415
+
     if width <= 0 or height <= 0:
         raise ValueError("non-positive JPEG dimensions")
+    pixels = _as_u8_raster(pixels, width * height, "gray raster")
     blocks = _blocks_of(width, height, pixels) - 128.0
     spectra = _A @ blocks @ _A.T  # (n, 8, 8) forward DCT, all blocks at once
     quant = np.rint(spectra.reshape(-1, 64) / _FLAT8).astype(np.int64)
@@ -1082,10 +1147,18 @@ def encode_jpeg_color(
     if width <= 0 or height <= 0:
         raise ValueError("non-positive JPEG dimensions")
     dims, hmax, vmax = _comp_plane_dims(width, height, samp)
-    planes = (y_plane, cb_plane, cr_plane)
-    for (pw, ph), plane, label in zip(dims, planes, "Y Cb Cr".split()):
-        if len(plane) != pw * ph:
-            raise ValueError(f"{label} plane needs {pw * ph} bytes, got {len(plane)}")
+    from .imagecodec import _as_u8_raster  # noqa: PLC0415
+
+    # every plane passes the shared u8 faithfulness contract (r12): bytes
+    # fast-path byte-identical, array-likes normalized, unfaithful inputs
+    # (int8 negatives, fractional floats, NaN, wide memoryviews) raise
+    # ValueError instead of silently reinterpret-casting.
+    planes = tuple(
+        _as_u8_raster(plane, pw * ph, f"{label} plane")
+        for (pw, ph), plane, label in zip(
+            dims, (y_plane, cb_plane, cr_plane), "Y Cb Cr".split()
+        )
+    )
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
 
@@ -1327,9 +1400,7 @@ def encode_jpeg_progressive_gray(
     if width <= 0 or height <= 0:
         raise ValueError("non-positive JPEG dimensions")
     if precision == 12:
-        arr = np.asarray(pixels).astype(np.float64).reshape(height, width)
-        if arr.size and arr.max() >= 4096:
-            raise ValueError("sample value out of range for the declared precision")
+        arr = _as_sample_plane(pixels, width, height, 4096, "gray raster", np.float64)
         ph, pw = -height % 8, -width % 8
         if ph or pw:
             arr = np.pad(arr, ((0, ph), (0, pw)), mode="edge")
@@ -1337,8 +1408,9 @@ def encode_jpeg_progressive_gray(
         blocks = arr.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(hb * wb, 8, 8)
         zz = _encode_plane_blocks(blocks, 2048.0)
     else:
-        if len(pixels) != width * height:
-            raise ValueError(f"gray raster needs {width * height} bytes, got {len(pixels)}")
+        from .imagecodec import _as_u8_raster  # noqa: PLC0415
+
+        pixels = _as_u8_raster(pixels, width * height, "gray raster")
         zz = _encode_plane_blocks(_blocks_of(width, height, pixels))
     dc_code = _canonical_codes(_PROG_DC_BITS, _PROG_DC_VALS)
     ac_code = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
@@ -1391,10 +1463,18 @@ def encode_jpeg_progressive_color(
     if width <= 0 or height <= 0:
         raise ValueError("non-positive JPEG dimensions")
     dims, hmax, vmax = _comp_plane_dims(width, height, samp)
-    planes = (y_plane, cb_plane, cr_plane)
-    for (pw, ph), plane, label in zip(dims, planes, "Y Cb Cr".split()):
-        if len(plane) != pw * ph:
-            raise ValueError(f"{label} plane needs {pw * ph} bytes, got {len(plane)}")
+    from .imagecodec import _as_u8_raster  # noqa: PLC0415
+
+    # every plane passes the shared u8 faithfulness contract (r12): bytes
+    # fast-path byte-identical, array-likes normalized, unfaithful inputs
+    # (int8 negatives, fractional floats, NaN, wide memoryviews) raise
+    # ValueError instead of silently reinterpret-casting.
+    planes = tuple(
+        _as_u8_raster(plane, pw * ph, f"{label} plane")
+        for (pw, ph), plane, label in zip(
+            dims, (y_plane, cb_plane, cr_plane), "Y Cb Cr".split()
+        )
+    )
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
 
@@ -1651,7 +1731,7 @@ def encode_jpeg_lossless(
     transform is applied by the ENCODER before prediction; the decoder
     scales back up).  All components share one DC-class table covering
     SSSS 0-16 and sampling factors 1x1; no restart intervals."""
-    if isinstance(planes, (bytes, bytearray, np.ndarray)):
+    if _is_single_plane(planes):
         planes = [planes]
     if len(planes) not in (1, 3):
         raise ValueError("lossless encode supports 1 or 3 component planes")
@@ -1663,16 +1743,16 @@ def encode_jpeg_lossless(
         raise ValueError("point transform must be below the sample precision")
     if width <= 0 or height <= 0:
         raise ValueError("non-positive JPEG dimensions")
-    arrs = []
-    for plane in planes:
-        arr = (
-            np.frombuffer(plane, np.uint8)
-            if isinstance(plane, (bytes, bytearray))
-            else np.asarray(plane)
-        ).astype(np.int64).reshape(height, width)
-        if arr.size and int(arr.max()) >= (1 << (precision - point_transform)):
-            raise ValueError("sample value out of range for the declared precision")
-        arrs.append(arr)
+    # lossless: faithfulness is the whole contract — every plane goes
+    # through the shared deep-plane normalization (r12), which rejects
+    # fractional floats (previously astype(int64)-truncated into a
+    # valid-looking roundtrip of the WRONG values), negatives (previously
+    # mangled by the modulo-2^16 difference coder), and NaN.
+    bound = 1 << (precision - point_transform)
+    arrs = [
+        _as_sample_plane(plane, width, height, bound, f"component {ci} plane", np.int64)
+        for ci, plane in enumerate(planes)
+    ]
 
     code = _canonical_codes(_LL_DC_BITS, _LL_DC_VALS)
     w = _BitWriter()
@@ -1756,7 +1836,7 @@ def encode_jpeg_extended(
     flat-8), True stores the same table as 16-bit entries (spec-legal
     only at 12-bit precision, B.4.4.1 — useful to exercise the decoder's
     Pq=1 walk)."""
-    if isinstance(planes, (bytes, bytearray, np.ndarray)):
+    if _is_single_plane(planes):
         planes = [planes]
     if len(planes) not in (1, 3):
         raise ValueError("extended encode supports 1 or 3 component planes")
@@ -1768,14 +1848,10 @@ def encode_jpeg_extended(
         raise ValueError("16-bit quant tables require a 12-bit frame (B.4.4.1)")
     level = float(1 << (precision - 1))
     zz = []
-    for plane in planes:
-        arr = (
-            np.frombuffer(plane, np.uint8)
-            if isinstance(plane, (bytes, bytearray))
-            else np.asarray(plane)
-        ).astype(np.float64).reshape(height, width)
-        if arr.size and arr.max() >= (1 << precision):
-            raise ValueError("sample value out of range for the declared precision")
+    for ci, plane in enumerate(planes):
+        arr = _as_sample_plane(
+            plane, width, height, 1 << precision, f"component {ci} plane", np.float64
+        )
         ph, pw = -height % 8, -width % 8
         if ph or pw:
             arr = np.pad(arr, ((0, ph), (0, pw)), mode="edge")
