@@ -7,8 +7,8 @@ gate hash-compares our results against a DuckDB oracle, so every declared
 aggregate over a double column goes through exact decimal arithmetic and is
 cast back to double at the end:
 
-    Spark : sum(cast(x as decimal(28, s)))  -> exact -> cast(double)
-    DuckDB: CAST(SUM(CAST(x AS DECIMAL(28, s))) AS DOUBLE)
+    Spark : sum(cast(x as decimal(18, s)))  -> exact -> cast(double)
+    DuckDB: CAST(SUM(CAST(x AS DECIMAL(18, s))) AS DOUBLE)
 
 Both sides produce the same exact decimal, and decimal->double rounding is
 IEEE round-nearest-even in both engines, so the doubles are bit-identical.
@@ -26,9 +26,20 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: decimal(28, s) leaves 28-s integer digits — at 100 TB a sum of 1e12 rows of
-#: 1e6-magnitude values needs 19 integer digits; 22 (s=6) is comfortable.
-_PRECISION = 28
+#: Input-cast precision. 18 is the widest precision Spark backs with a
+#: primitive long (Decimal.MAX_LONG_DIGITS): cast(double as decimal(18,s))
+#: stays compact in Tungsten rows and the partial-sum buffers, where the old
+#: decimal(28,s) cast forced 16-byte byte-array decimals through every
+#: aggregation buffer — measured 1.03 s -> 0.64 s for one ungrouped sum over
+#: lineitem at sf0.1 (tools/opt_micro_dsum.py), same exact result. Range is
+#: unchanged where it matters: per-VALUE inputs here are <= ~1.1e5 (12
+#: integer digits at s=6 is plenty), and the SUM accumulates in
+#: decimal(p+10, s) per Spark's sum typing (DuckDB: decimal(38, s)) — 22
+#: integer digits at s=6, enough for 1e12 rows of 1e6-magnitude values, the
+#: same 100 TB envelope the old comment argued. Both engines compute the
+#: identical exact decimal either way; only the in-memory representation
+#: narrows.
+_PRECISION = 18
 
 
 def dsum(col: Column | str, scale: int = 2) -> Column:

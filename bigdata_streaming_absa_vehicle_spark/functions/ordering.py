@@ -54,7 +54,10 @@ def stage(df: DataFrame) -> DataFrame:
     a lazy localCheckpoint materializes it once instead of once per branch.
     Honors the same `spark.graft.pin_sorts=false` escape hatch as :func:`pin`
     so plan tests (and manual .explain audits) can see through the boundary —
-    the physical plan beneath is identical either way."""
-    if df.sparkSession.conf.get("spark.graft.pin_sorts", "true") == "false":
+    the physical plan beneath is identical either way. `spark.graft.pin_stages`
+    overrides just this helper (measurement isolation: pin-vs-stage effects
+    are separable without a code edit); unset, it follows pin_sorts."""
+    conf = df.sparkSession.conf
+    if conf.get("spark.graft.pin_stages", conf.get("spark.graft.pin_sorts", "true")) == "false":
         return df
     return df.localCheckpoint(eager=False)

@@ -341,19 +341,60 @@ def q122_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE ungrouped partial+final aggregate produces all 14
     moments (map-side combined, 1 row crosses the exchange); the 6-pair
     matrix explodes from that single row. This is also how you'd compute
-    it incrementally: the moments are A-14-mergeable partials."""
+    it incrementally: the moments are A-14-mergeable partials.
+
+    r12 optimization (guide §1.2 per-task work): the 14 decimal-sum
+    moments ran every row through BigDecimal multiplies and wide-decimal
+    buffers — the aggregate alone measured 1.71 s at sf0.1
+    (tools/opt_micro_dsum.py). The moments are now accumulated as EXACT
+    scaled-integer (cents) long sums: per row, cents_c = round(c * 100)
+    recovers the 2-dp value exactly (every _CORR_COL is a 2-dp decimal
+    stored as its nearest double, so c*100 is within ~1e-9 of the
+    integer — pinned for every row of every SF by
+    tests/test_opt_equivalence.py), and each product cents_a * cents_b
+    (<= ~1.1e14) splits into hi = p >> 23 / lo = p & (2^23 - 1) long
+    sums so the per-moment totals stay inside int64 up to ~8.8e11 rows
+    (max(2^23, 1.1e14 / 2^23) * rows < 2^63 — the 100 TB envelope).
+    The single output row reassembles U = H * 2^23 + L in decimal(38,0)
+    (exact) and divides by the scale factor in decimal (4-dp value,
+    6-dp division scale: exact), so every s_/ss_/sp_ double is
+    bit-identical to the old decimal-sum cast. Measured 0.71 s for the
+    same 14 moments; q122 end to end 1.41 s -> ~0.65 s median."""
     li = load(spark, sf_dir, "lineitem")
-    d = {c: F.col(c).cast("decimal(18,2)") for c in _CORR_COLS}
+    cents = {c: F.round(F.col(c) * 100).cast("long") for c in _CORR_COLS}
+    shift = 23  # balances hi/lo headroom: max rows ~ 2^63 / max(2^23, Pmax/2^23)
+    mask = (1 << shift) - 1
     aggs = [F.count(F.lit(1)).alias("n")]
+    prods = []  # (name, scale_divisor) assembled from hi/lo after the agg
     for c in _CORR_COLS:
-        aggs.append(F.sum(d[c]).cast("double").alias(f"s_{c}"))
-        aggs.append(F.sum(d[c] * d[c]).cast("double").alias(f"ss_{c}"))
+        aggs.append(F.sum(cents[c]).alias(f"S_{c}"))
     pair_list = []
+    for c in _CORR_COLS:
+        prods.append((f"ss_{c}", cents[c] * cents[c]))
     for i, a in enumerate(_CORR_COLS):
         for b in _CORR_COLS[i + 1 :]:
-            aggs.append(F.sum(d[a] * d[b]).cast("double").alias(f"sp_{a}_{b}"))
+            prods.append((f"sp_{a}_{b}", cents[a] * cents[b]))
             pair_list.append((a, b))
-    wide = li.agg(*aggs)
+    for name, p in prods:
+        aggs.append(F.sum(F.shiftright(p, shift)).alias(f"H_{name}"))
+        aggs.append(F.sum(p.bitwiseAND(F.lit(mask))).alias(f"L_{name}"))
+    raw = li.agg(*aggs)
+    # reassemble exact decimals on the single result row: sums of cents have
+    # scale 2, sums of cents-products scale 4; decimal division at Spark's
+    # result scale (6) is exact for both, so the final doubles match the old
+    # decimal-sum casts bit for bit.
+    cols = [F.col("n")]
+    for c in _CORR_COLS:
+        cols.append(
+            (F.col(f"S_{c}").cast("decimal(38,0)") / F.lit(100)).cast("double").alias(f"s_{c}")
+        )
+    for name, _ in prods:
+        u = (
+            F.col(f"H_{name}").cast("decimal(38,0)") * F.lit(1 << shift)
+            + F.col(f"L_{name}")
+        )
+        cols.append((u / F.lit(10000)).cast("double").alias(name))
+    wide = raw.select(*cols)
     n = F.col("n")
     structs = []
     for a, b in pair_list:

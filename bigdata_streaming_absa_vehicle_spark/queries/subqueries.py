@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 from ..tables import load
 from .registry import query
 
-_PRECISION = 28
+# 18 = Spark's widest long-backed decimal (see functions/deterministic.py:
+# same exact sums in both engines — inputs here are <= ~1.1e5, and both
+# engines widen the SUM result type by 10+ digits — with compact primitive
+# decimals instead of byte-array decimals in every aggregation buffer).
+_PRECISION = 18
 
 
 def _run_sql(spark: SparkSession, sf_dir: str, sql: str, tables: tuple[str, ...]) -> DataFrame:
