@@ -39,6 +39,16 @@ from pyspark.sql import functions as F
 #: same 100 TB envelope the old comment argued. Both engines compute the
 #: identical exact decimal either way; only the in-memory representation
 #: narrows.
+#:
+#: FAILURE-MODE ASYMMETRY (ADVICE r12): in non-ANSI Spark,
+#: cast(double as decimal(18,s)) silently NULLs a value whose magnitude
+#: exceeds 10^(18-s) — dropping it from the sum — while the DuckDB oracle
+#: twin RAISES on CAST overflow. A future call site whose inputs can exceed
+#: the per-value envelope would diverge quietly instead of failing loudly.
+#: Any new call site (or scale change: scale=s leaves 10^(18-s) per-value
+#: headroom, so scale=12 caps values at 1e6) must extend the input-domain
+#: pins in tests/test_opt_equivalence.py (test_dsum_inputs_fit_decimal18,
+#: test_dsum_scale12_embedding_components_fit).
 _PRECISION = 18
 
 

@@ -68,15 +68,19 @@ def main() -> None:
     M = 1 << 23
     for c in cols:
         aggs2.append(F.sum(cents[c]))
+    # shiftright/bitwiseAND match the production q122 operator exactly
+    # (ADVICE r12: the earlier (p / M).cast('long') measured IEEE division +
+    # truncation — a different expression, and wrong for negative p)
+    shift, mask = 23, M - 1
     for i, a in enumerate(cols):
         for b in cols[i + 1:]:
             p = cents[a] * cents[b]
-            aggs2.append(F.sum((p / M).cast("long")))
-            aggs2.append(F.sum(p % M))
+            aggs2.append(F.sum(F.shiftright(p, shift)))
+            aggs2.append(F.sum(p.bitwiseAND(F.lit(mask))))
     for c in cols:
         p = cents[c] * cents[c]
-        aggs2.append(F.sum((p / M).cast("long")))
-        aggs2.append(F.sum(p % M))
+        aggs2.append(F.sum(F.shiftright(p, shift)))
+        aggs2.append(F.sum(p.bitwiseAND(F.lit(mask))))
     variants["Q122 long moments hi/lo"] = li.agg(*aggs2)
 
     for name, df in variants.items():
