@@ -42,3 +42,24 @@ def fan_out(df: DataFrame, min_factor: int = 2) -> DataFrame:
     if df.rdd.getNumPartitions() * min_factor <= parallelism:
         return df.repartition(parallelism)
     return df
+
+
+def hold_width(df: DataFrame, *cols) -> DataFrame:
+    """Hash-repartition by `cols` with an EXPLICIT partition count (the
+    session's shuffle-partition ceiling) so the same-key groupBy that
+    follows shares the one exchange (guide §2.4) while AQE's bytes-based
+    coalescing cannot narrow it — explicit-N user repartitions are exempt
+    from coalescing.
+
+    Use when the grouped relation feeds CPU-AMPLIFYING consumers (pair /
+    triple explodes, per-row kernels), usually through a stage()
+    checkpoint: a byte-small grouped result otherwise coalesces to a
+    handful of partitions, the checkpoint materializes that narrow, and
+    every downstream amplifying stage inherits serial parallelism
+    (opt_sqlprof r13: q168's 4M-pair explode ran on 4 tasks, q271's
+    triple explode on 5). Scale note: at sizes where the grouped output
+    is exchange-filling, AQE would not have coalesced it anyway, so this
+    only pins the floor the conf already declares — shuffle bytes are
+    unchanged (same keys, same single exchange)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return df.repartition(n, *cols)
