@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import fan_out
 from ..operators.inference import oracle_absa_pred
 from ..schemas import ABSA_ASPECTS
 from ..streaming.event_time import session_counts, sliding_counts, tumbling_counts
@@ -124,8 +125,14 @@ def q62_vehicle_pipeline_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The vehicle pipeline transform on batch input: events dressed as frame
     envelopes (camera_id, epoch seconds, base64 payload) -> detection struct
     -> vehicle_counts rows (processed_at excluded from the hash — it is
-    processing time by definition, FIXTURES §D4)."""
-    ev = load(spark, sf_dir, "events")
+    processing time by definition, FIXTURES §D4).
+
+    fan_out (guide §2, r13): vehicle_transform runs one md5 per (row,
+    class) before its first exchange, and the sf0.1 events scan is one
+    parquet split — the kernel serialized on one core (opt_sqlprof r13:
+    1 task, 1.58 s of 2.0 s). No-op on a many-split production scan; the
+    streaming path keeps its own micro-batch parallelism untouched."""
+    ev = fan_out(load(spark, sf_dir, "events"))
     envelope = ev.select(
         F.concat(F.lit("CAM_"), (F.col("user_id") % 2).cast("string")).alias("camera_id"),
         F.unix_timestamp("ts").cast("double").alias("timestamp"),

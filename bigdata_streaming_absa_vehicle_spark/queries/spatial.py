@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.ordering import pin, stage
+from ..functions.partitioning import fan_out
 from ..operators.dedup import hash64, oracle_hash64
 from ..tables import load
 from .registry import query
@@ -125,7 +126,11 @@ def q216_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair count is one ungrouped agg broadcast back. Hot cells are
     the q215 readout; at pathological skew the cell key salts exactly
     like any other join key (J-01's q16c)."""
-    p = stage(points(spark, sf_dir))  # feeds both legs of the candidate join
+    # feeds both legs of the candidate join; fan_out first (guide §2, r13):
+    # the checkpoint otherwise materializes at the single-split scan's
+    # parallelism and the 9x explode + cell join + exact d2 filter all ran
+    # as ONE task (opt_sqlprof r13: 0.79 s of the 1.0 s total)
+    p = stage(fan_out(points(spark, sf_dir)))
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))

@@ -16,6 +16,7 @@ from ..functions.deterministic import oracle_dsum as odsum
 from ..tables import load
 from .registry import query
 from ..functions.ordering import pin
+from ..functions.partitioning import fan_out
 
 
 @query(
@@ -131,7 +132,10 @@ def q31_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific)."""
     from pyspark.sql import types as T
 
-    ev = load(spark, sf_dir, "events")
+    # fan_out (guide §2, r13): to_json + from_json is per-row CPU
+    # amplification on a single-split sf0.1 scan (serialized on one core);
+    # no-op on a many-split production scan.
+    ev = fan_out(load(spark, sf_dir, "events"))
     schema = T.StructType(
         [
             T.StructField("event_type", T.StringType()),

@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import fan_out
 from ..streaming.pipelines import VEHICLE_CLASSES, with_detections
 from ..tables import load
 from .registry import query
@@ -133,8 +134,15 @@ def q67_grouped_agg_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _frame_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events dressed as the vehicle frame envelope (q62's input shape)."""
-    ev = load(spark, sf_dir, "events")
+    """events dressed as the vehicle frame envelope (q62's input shape).
+
+    fan_out (guide §2/§2.6, r13): the consumers amplify per-row CPU before
+    any exchange — with_detections runs one md5 per (row, class) and q69
+    adds a per-row Python UDTF — and the sf0.1 events scan is a single
+    parquet split, so that work serialized on one core (opt_sqlprof r13:
+    q69's kernel stage = 1 task, 1.79 s of 2.4 s total). No-op on a
+    many-split production scan."""
+    ev = fan_out(load(spark, sf_dir, "events"))
     return ev.select(
         F.concat(F.lit("CAM_"), (F.col("user_id") % 2).cast("string")).alias("camera_id"),
         F.date_trunc("second", "ts").alias("frame_time"),
@@ -184,6 +192,12 @@ def q69_detections_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as q68 — the two must agree; prefer q68's explode in hot paths
     (UDTFs run row-at-a-time in Python)."""
 
+    # useArrow was MEASURED AND REJECTED here (r13, guide §4.3 caveat):
+    # with the same fan_out in place, useArrow=True cost ~80 core-seconds
+    # for the 100k-row eval vs ~2 with pickled rows (opt_sqlprof r13) —
+    # Spark 4.1's Arrow UDTF path serializes each eval()'s tiny yield set
+    # as its own Arrow batch, so per-row overhead dwarfs the pickle path
+    # for 1-4-row yields. Pickle stays; q68 is the vectorized hot path.
     @F.udtf(returnType="pos int, vehicle string")
     class SplitDetections:
         def eval(self, types_str: str):
