@@ -23,6 +23,7 @@ from ..functions.deterministic import oracle_davg as odavg
 from ..tables import load
 from .registry import query
 from ..functions.ordering import pin, stage
+from ..functions.partitioning import fan_out, hold_width
 
 # ---------------------------------------------------------------------------
 # X-01 exact dedup
@@ -121,7 +122,10 @@ def q42_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-JVM higher-order fold, measured 2.5x faster; see
     dedup.simhash_batched); near-dup candidates are then hamming-distance
     pairs (q42b)."""
-    docs = load(spark, sf_dir, "documents")
+    # fan_out (guide §2/§4, r13): the Arrow-batched shingle+simhash kernel
+    # amplifies per-row CPU on a single-split sf0.1 scan — it serialized on
+    # one core. No-op on a many-split production scan.
+    docs = fan_out(load(spark, sf_dir, "documents"))
     return dd.shingle_simhash_batched(docs, "doc_id", "text", 3, 48).transform(pin).orderBy("doc_id")
 
 
@@ -3860,7 +3864,7 @@ def q411b_ppjoin_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-keyed aggregate applies the full positional filter; only survivors
     meet the token arrays for the exact intersect. No all-pairs stage exists
     on the algorithm path; the candidate count — not n^2 — bounds every
-    stage past the postings. Two measured tuning choices at sf0.1 (5,000
+    stage past the postings. Measured tuning choices at sf0.1 (5,000
     docs / 190,925 true pairs): (1) the pair aggregate's exchange is an
     explicit repartition at 2x spark.sql.shuffle.partitions — AQE's
     bytes-based coalescing squeezed this CPU-bound stage (1.8M candidate
@@ -3868,7 +3872,15 @@ def q411b_ppjoin_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification side of the join broadcasts the deduplicated token-array
     relation, which fits comfortably here — at corpus sizes where it does
     not, the swap to a doc-keyed shuffle join is mechanical and the
-    candidate relation is already hash-partitioned for it.
+    candidate relation is already hash-partitioned for it; (3) r13: tokens
+    are interned as dense ints in the global (dfreq, token) rank order via
+    a broadcast vocabulary map (order-preserving, injective — prefixes and
+    intersect counts provably unchanged), ONE wide-staged doc-keyed
+    int-array relation serves prefix postings and verification (the old
+    shape paid a windowed postings pass plus a second string-array
+    checkpoint, and its candidate join probed from a 1-partition
+    checkpoint: one task generated all 3.16M candidates and wrote the
+    42.5 MiB pair exchange serially — opt_sqlprof r13).
 
     Reference parity: beyond-reference; supersedes q411's benched scope
     (BENCH r7+ measures the full corpus through this query)."""
@@ -3880,16 +3892,37 @@ def q411b_ppjoin_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tok = docs.select("doc_id", F.explode("toks").alias("w"))
     dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
-    wdoc = Window.partitionBy("doc_id").orderBy("dfreq", "w")
-    ranked = tok.join(dfreq, "w").select(
-        "doc_id",
-        "w",
-        F.row_number().over(wdoc).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("s"),
+    # r13 (guide §1.2/§2.3): intern tokens as dense INT ids in the global
+    # (dfreq, w) order. The id map is vocabulary-sized (vocab << corpus; it
+    # broadcasts like the token-encoding vocabulary in q82) and the rank
+    # window runs on that bounded relation only. tid order == (dfreq, w)
+    # order, so per-doc ascending-tid arrays ARE the ppjoin rank order, and
+    # tid is injective, so array_intersect counts are unchanged — while
+    # every downstream compare/hash touches 4-byte ints instead of strings.
+    ids = dfreq.select(
+        "w", F.row_number().over(Window.orderBy("dfreq", "w")).alias("tid")
     )
-    prefix = ranked.filter(
-        F.col("rn") <= F.expr("s - ((19 * s + 19) DIV 20) + 1")
-    ).select("doc_id", "w", "rn", "s").transform(stage)  # both join sides reuse
+    # ONE doc-keyed relation serves both the prefix postings and the verify
+    # arrays (the old shape built them twice: a windowed postings pass plus
+    # a separate token-array checkpoint). hold_width pins the exchange at
+    # the conf ceiling so the checkpoint stays wide for the CPU-bound
+    # candidate join below (the old plan's join probe ran as ONE task that
+    # generated all 3.16M candidates and wrote the 42.5 MiB pair shuffle
+    # serially — opt_sqlprof r13).
+    arr = (
+        hold_width(tok.join(F.broadcast(ids), "w"), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("tid")).alias("tids"))
+        .select("doc_id", "tids", F.size("tids").alias("s"))
+        .transform(stage)
+    )
+    prefix = arr.select(
+        "doc_id",
+        "s",
+        F.posexplode(
+            F.slice(F.col("tids"), 1, F.expr("s - ((19 * s + 19) DIV 20) + 1"))
+        ).alias("p", "tid"),
+    ).select("doc_id", "tid", (F.col("p") + 1).alias("rn"), "s")
     # per-ROW positional bound, valid for any single shared token at ranks
     # (ra, rb): shared tokens globally before it number <= min(ra, rb) - 1
     # + itself, shared tokens after it <= min(sa-ra, sb-rb) — rows whose
@@ -3901,7 +3934,7 @@ def q411b_ppjoin_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix.alias("a")
         .join(
             prefix.alias("b"),
-            (F.col("a.w") == F.col("b.w"))
+            (F.col("a.tid") == F.col("b.tid"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # length filter: implied by J >= 19/20, kills size-mismatched
             # candidates at generation time
@@ -3941,16 +3974,18 @@ def q411b_ppjoin_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("da", "db")
     )
-    arrs = docs.select("doc_id", "toks", F.size("toks").alias("s")).transform(stage)
+    # verification re-reads the SAME staged int-array relation (the old
+    # shape checkpointed a second string-array copy of the corpus); the
+    # exact intersect now hashes 4-byte ints instead of strings
     ver = (
         survivors.join(
             F.broadcast(
-                arrs.select(F.col("doc_id").alias("da"), F.col("toks").alias("ta"),
-                            F.col("s").alias("sa"))), "da")
+                arr.select(F.col("doc_id").alias("da"), F.col("tids").alias("ta"),
+                           F.col("s").alias("sa"))), "da")
         .join(
             F.broadcast(
-                arrs.select(F.col("doc_id").alias("db"), F.col("toks").alias("tb"),
-                            F.col("s").alias("sb"))), "db")
+                arr.select(F.col("doc_id").alias("db"), F.col("tids").alias("tb"),
+                           F.col("s").alias("sb"))), "db")
         .withColumn("n_inter", F.size(F.array_intersect("ta", "tb")).cast("long"))
         .select(
             "da",
