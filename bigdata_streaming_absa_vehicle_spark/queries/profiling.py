@@ -67,24 +67,29 @@ def q113_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, exact distinct count, and typed min/max (numeric columns fill
     min_num/max_num, string/timestamp columns min_str/max_str).
 
-    Scale shape: TWO scans, each with the aggregate strategy it wants.
-    Scan 1 computes counts/nulls/min/max in one ungrouped partial+final
-    aggregate (no Expand, no sort — grouping-free SortAggregate never
-    sorts). Scan 2 computes the 11 exact distinct counts via the
-    multi-distinct Expand rewrite, which stays in HashAggregate because
-    its buffers are pure counts. Mixing them into one aggregate (measured)
-    forces the WHOLE Expand through a grouped SortAggregate — the string
-    min/max buffers disqualify hash aggregation — sorting n_cols x rows:
-    22.5 s vs 2.9 s at sf0.1. The two 1-row results cross-join and explode
-    into the per-column report on the driver-sized relation. At 100 TB
-    swap COUNT(DISTINCT) for approx_count_distinct and scan 2 folds into
-    scan 1 (HLL buffers are hash-aggregable)."""
+    Scale shape (r13, guide §1.2/§2.3/§2.6): ONE wide scan computes
+    counts/nulls/min/max in one ungrouped partial+final aggregate (no
+    Expand, no sort — grouping-free SortAggregate never sorts), and each
+    exact distinct count is its OWN single-column aggregate — a columnar
+    scan reads just that column, the single-distinct rewrite dedups
+    (partial groupBy(c), final count) with no Expand, and the 11 subtrees
+    are independent, so the scheduler runs their stages concurrently
+    (§2.6). The r12 shape ran all 11 distincts through ONE multi-distinct
+    Expand aggregate: every row replicated n_cols+1 times through a
+    12-field grouping key BEFORE the first exchange — 32.6 core-seconds
+    of hashing at sf0.1 (opt_sqlprof r13) vs ~6 for the per-column form,
+    and at 100 TB the Expand multiplies the full fact through one stage
+    while per-column dedups read the same columnar bytes without the
+    x12 row amplification. (The r12 mixing measurement stands: folding
+    distincts into scan 1 forces the whole Expand through a grouped
+    SortAggregate, 22.5 s at sf0.1.) The twelve 1-row results cross-join
+    broadcast and explode into the per-column report on the driver-sized
+    relation. At 100 TB swap COUNT(DISTINCT) for approx_count_distinct
+    and the distincts fold into scan 1 (HLL buffers are hash-aggregable)."""
     li = load(spark, sf_dir, "lineitem")
     aggs = [F.count(F.lit(1)).alias("_n")]
-    dist_aggs = []
     for c, kind in _PROFILE_COLS:
         aggs.append((F.count(F.lit(1)) - F.count(F.col(c))).alias(f"{c}__nn"))
-        dist_aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__nd"))
         if kind == "num":
             aggs.append(F.min(c).cast("double").alias(f"{c}__mn"))
             aggs.append(F.max(c).cast("double").alias(f"{c}__mx"))
@@ -92,12 +97,11 @@ def q113_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             expr = F.col(c).cast("string") if kind == "ts" else F.col(c)
             aggs.append(F.min(expr).alias(f"{c}__ms"))
             aggs.append(F.max(expr).alias(f"{c}__xs"))
-    # Scan 2's Expand multiplies rows x n_cols BEFORE the first exchange,
-    # so its cost is pinned to the scan's split count — fan_out rebalances
-    # the raw rows once when the scan is narrower than the cluster
-    # (measured 2.4 s -> 1.5 s at sf0.1's single-row-group layout; no-op
-    # on a many-split production table).
-    wide = li.agg(*aggs).crossJoin(F.broadcast(fan_out(li).agg(*dist_aggs)))
+    wide = li.agg(*aggs)
+    for c, _ in _PROFILE_COLS:
+        wide = wide.crossJoin(
+            F.broadcast(li.agg(F.count_distinct(F.col(c)).alias(f"{c}__nd")))
+        )
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
     structs = []
@@ -561,8 +565,15 @@ def q138_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # literal words the probe stays a whole-stage-codegen map filter
     # directly on the fact scan. The 60-bit hash is projected ONCE per row
     # (bh); the k positions are byte extractions from it.
-    fact = load(spark, sf_dir, "lineitem").select(
-        "l_suppkey", "l_extendedprice", "l_discount"
+    # fan_out (guide §2, r13): the probe's one-md5-per-row is CPU
+    # amplification on a single-split sf0.1 scan — opt_sqlprof r13 showed
+    # the probe stage as 3 tasks with one 2.1 s straggler doing ~all rows.
+    # Rebalancing the 3 projected columns first spreads the hashing; no-op
+    # on a many-split production scan.
+    fact = fan_out(
+        load(spark, sf_dir, "lineitem").select(
+            "l_suppkey", "l_extendedprice", "l_discount"
+        )
     )
     probed = fact.withColumn(
         "bh",
@@ -1007,11 +1018,16 @@ def q218_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator precisely to avoid that join, and the exact leg drops.
     Sketches ADD across shards (A-14), so per-day sketches estimate any
     day-range join size with no rescan."""
-    ev = load(spark, sf_dir, "events").select(
-        F.col("user_id").cast("string").alias("k")
+    # fan_out (guide §2, r13): cms_cells hashes every row k_CMS times before
+    # its first exchange, and both sf0.1 scans are single splits — the two
+    # sketch builds ran as 1-task stages (opt_sqlprof r13: 0.96 s + 0.80 s
+    # serial). The rebalanced relation feeds both the sketch and exact legs
+    # through one ReusedExchange; no-op on many-split production scans.
+    ev = fan_out(
+        load(spark, sf_dir, "events").select(F.col("user_id").cast("string").alias("k"))
     )
-    orders = load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").cast("string").alias("k")
+    orders = fan_out(
+        load(spark, sf_dir, "orders").select(F.col("o_custkey").cast("string").alias("k"))
     )
     ce = cms_cells(ev, "k")
     co = cms_cells(orders, "k")

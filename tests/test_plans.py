@@ -345,16 +345,18 @@ def test_time_range_window_single_user_shuffle(spark):
     assert "Join" not in plan, plan
 
 
-def test_column_profile_is_two_scans_hash_distinct(spark):
-    """q113: the whole per-column profile costs exactly TWO lineitem scans
-    (never one per column): min/max/nulls in one ungrouped aggregate, the
-    multi-count-distinct Expand in a second — kept separate so the distinct
-    rewrite stays in HashAggregate instead of dragging the whole Expand
-    through a grouped SortAggregate (measured 8x at sf0.1)."""
+def test_column_profile_no_expand_single_column_distincts(spark):
+    """q113 (r13 shape): min/max/nulls in ONE ungrouped wide aggregate and
+    each exact distinct as its OWN single-column aggregate — 12 independent
+    columnar scans, each pruned to just the column it reads, and NO Expand
+    anywhere (the r12 multi-distinct form replicated every row n_cols+1
+    times through one Expand before the first exchange — 32.6 core-s of
+    hashing at sf0.1 vs ~6 for this form; the 12 subtrees run their stages
+    concurrently)."""
     q = all_queries()["q113_column_profile"]
     plan = plan_of(q.fn(spark, SF_DIR), "simple")
-    assert plan.count("Scan parquet") == 2, plan
-    assert plan.count("Expand") == 1, plan
+    assert plan.count("Scan parquet") == 12, plan
+    assert "Expand" not in plan, plan
     assert "HashAggregate" in plan, plan
 
 
