@@ -291,7 +291,9 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
-        "queries": dict(slowest),  # slowest 3 only; full dict in the detail file
+        "queries": dict(slowest),  # slowest 3 first; extended below to fill
+        # the driver's 2000-char stdout-tail budget (r12 verdict item 8:
+        # PERF could compare only the 3 echoed queries; additions-only fix)
         "queries_detail": detail_paths[0],
         "record_run": record_run,
         "streaming_rows_per_sec": stream_stats.get("rows_per_sec"),
@@ -304,6 +306,16 @@ def main() -> None:
         summary["streaming_loadavg_1m_range"] = [
             min(x[0] for x in la), max(x[0] for x in la)
         ]
+    # Extend `queries` (slowest first) while the LINE still fits the
+    # driver's capture: it keeps only the last 2000 chars of stdout and
+    # parses the JSON line inside that window, so a line that outgrows it
+    # makes the whole bench read as parsed=null (the round-1 failure).
+    # 1800 leaves slack for the trailing newline and field-width jitter.
+    for name, secs in sorted(timings.items(), key=lambda kv: -kv[1])[3:]:
+        summary["queries"][name] = secs
+        if len(json.dumps(summary)) > 1800:
+            del summary["queries"][name]
+            break
     print(json.dumps(summary))
     spark.stop()
 
