@@ -20,6 +20,47 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: Logical nodes whose recompute is one cheap columnar scan: a pipeline made
+#: ONLY of these is column-pruned Project/Filter straight over the relation,
+#: so the range-sampler re-running it costs less than checkpointing the full
+#: result to RDD storage (guide §5: never materialize what is cheaper to
+#: recompute). Anything else — Aggregate, Join, Window, Generate,
+#: Repartition, ... — keeps the pin.
+_THIN_LOGICAL = frozenset(("Project", "Filter", "LogicalRelation", "SubqueryAlias"))
+
+#: Physical nodes allowed in a thin pipeline. Python UDFs hide inside
+#: logical Projects but physical planning extracts them into
+#: BatchEvalPython/ArrowEvalPython nodes, so the physical walk rejects them
+#: (re-running a Python kernel for the sample pass would double its cost).
+_THIN_PHYSICAL = frozenset(("Project", "Filter", "ColumnarToRow"))
+
+
+def _thin_map_only(df: DataFrame) -> bool:
+    """True iff the pre-sort pipeline is pure Project/Filter over one scan
+    with no Python eval. Logical walk first (the tree already exists; wide
+    pipelines exit at their first Aggregate/Join/... without ever planning),
+    then a physical walk — only reached for tiny map-only trees, ~ms to
+    plan — to catch extracted *EvalPython nodes."""
+    try:
+        stack = [df._jdf.queryExecution().logical()]
+        while stack:
+            n = stack.pop()
+            if n.nodeName() not in _THIN_LOGICAL:
+                return False
+            ch = n.children()
+            stack.extend(ch.apply(i) for i in range(ch.size()))
+        stack = [df._jdf.queryExecution().sparkPlan()]
+        while stack:
+            n = stack.pop()
+            name = n.nodeName()
+            if name not in _THIN_PHYSICAL and not name.startswith("Scan "):
+                return False
+            ch = n.children()
+            stack.extend(ch.apply(i) for i in range(ch.size()))
+        return True
+    except Exception:  # any plan-introspection surprise: keep the safe pin
+        return False
+
 
 def pin(df: DataFrame) -> DataFrame:
     """Pin the relation ahead of a final orderBy: `df.transform(pin)
@@ -29,6 +70,13 @@ def pin(df: DataFrame) -> DataFrame:
     repartition-before-sort was tried and measured slower — it pays a full
     extra shuffle).
 
+    Thin map-only pipelines (pure Project/Filter over the scan, no Python
+    eval) skip the checkpoint (r13, guide §5): for them the sample pass
+    re-runs one column-pruned codegen scan, which is cheaper than writing
+    the whole result to RDD storage first — q01_projection paid a ~0.7 s
+    materialization floor for a trivial projection. `spark.graft.pin_thin`
+    =true forces the old always-pin behavior (A/B isolation).
+
     Set `spark.graft.pin_sorts=false` to make this a no-op: the checkpoint
     boundary renders as `Scan ExistingRDD` in explain(), so plan inspection
     (tests/test_plans.py, manual .explain audits) disables it to see the
@@ -37,7 +85,10 @@ def pin(df: DataFrame) -> DataFrame:
 
     Do NOT use on streaming DataFrames (checkpointing a stream is the
     engine's job) or anywhere but directly under a final sort."""
-    if df.sparkSession.conf.get("spark.graft.pin_sorts", "true") == "false":
+    conf = df.sparkSession.conf
+    if conf.get("spark.graft.pin_sorts", "true") == "false":
+        return df
+    if conf.get("spark.graft.pin_thin", "false") != "true" and _thin_map_only(df):
         return df
     return df.localCheckpoint(eager=False)
 

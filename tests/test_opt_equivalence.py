@@ -65,3 +65,48 @@ def test_dsum_inputs_fit_decimal18(spark, sf_dir):
     ev = load(spark, sf_dir, "events").agg(F.max(F.abs("value")).alias("v")).first()
     ot = load(spark, sf_dir, "orders").agg(F.max(F.abs("o_totalprice")).alias("t")).first()
     assert max(m["ep"], m["rev"], ev["v"], ot["t"]) < 10**11
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_dsum_scale12_embedding_components_fit(spark, sf_dir):
+    """The scale=12 call site (operators/similarity.exact_centroids sums
+    embedding components through dsum('val', scale=12)) has only 6 integer
+    digits of per-value headroom in decimal(18,12), while its DuckDB oracle
+    twin uses DECIMAL(28,12): a component >= 1e6 would silently NULL out of
+    the Spark sum (non-ANSI cast) but still be summed by the oracle
+    (ADVICE r12 item 1). Pin the data envelope: every embedding component
+    stays far inside 1e6."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.explode(F.col("embedding").cast("array<double>")).alias("val")
+    )
+    mx = emb.agg(F.max(F.abs("val")).alias("m")).first()["m"]
+    assert mx < 10**5, mx  # decimal(18,12) caps at 1e6; keep 10x slack
+
+
+def test_pin_skips_thin_map_only_pipelines(spark):
+    """r13 pin() plan-awareness (guide §5): a pure Project/Filter-over-scan
+    pipeline skips the pre-sort localCheckpoint (the range-sampler's
+    recompute is one cheap columnar scan; materializing the full result is
+    strictly more expensive), while aggregate pipelines and anything with a
+    Python eval keep it. `spark.graft.pin_thin=true` restores always-pin."""
+    from bigdata_streaming_absa_vehicle_spark.functions.ordering import pin
+
+    sf = SF_DIRS[0]
+    li = load(spark, sf, "lineitem")
+    spark.conf.set("spark.graft.pin_sorts", "true")
+    try:
+        thin = li.select("l_orderkey", "l_extendedprice").filter(F.col("l_orderkey") > 0)
+        assert "ExistingRDD" not in pin(thin)._jdf.queryExecution().toString()
+
+        agg = li.groupBy("l_returnflag").count()
+        assert "ExistingRDD" in pin(agg)._jdf.queryExecution().toString()
+
+        pyudf = F.udf(lambda s: s and s.lower())
+        udf_map = li.select(pyudf(F.col("l_returnflag")).alias("x"))
+        assert "ExistingRDD" in pin(udf_map)._jdf.queryExecution().toString()
+
+        spark.conf.set("spark.graft.pin_thin", "true")
+        assert "ExistingRDD" in pin(thin)._jdf.queryExecution().toString()
+    finally:
+        spark.conf.unset("spark.graft.pin_thin")
+        spark.conf.unset("spark.graft.pin_sorts")
