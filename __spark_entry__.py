@@ -127,7 +127,74 @@ def entry(spark: SparkSession) -> DataFrame:
 #     Tier B = the 8 lowest-numbered never-certified backlog queries
 #     (q286-q295).  Planner-reported post-window ID breaches: 0;
 #     never-certified 74 -> 66 when green.
+#   - Round 13 (this file): optimization round 2 of 2, computed by
+#     tools/rotation_plan.py --round 13 --force <the 17 queries this
+#     round's optimizer touched>.  Tier F = forced: the r12 rewrites the
+#     r12 verdict flagged as oracle-unverified at HEAD (q113/q122/q162)
+#     plus every query whose plan this round's optimizer changed
+#     (fan_out/hold_width/token-interning/plan-aware pin).  Tier R = the
+#     28 queries re-certifying the operator IDs whose newest row (<= r8)
+#     breaches the 5-round ceiling at r14.  Tier B = the 2 lowest-numbered
+#     never-certified backlog queries.  Planner-reported post-window ID
+#     breaches: 0; never-certified 51 -> 49 when green.
 _WINDOW_PRIORITY = (
+    # -- Tier F (r13): forced — added/modified this round. --
+    "q113_column_profile",
+    "q122_correlation_matrix",
+    "q162_gains_table",
+    "q411b_ppjoin_full",
+    "q168_basket_pairs",
+    "q271_apriori_triples",
+    "q31_json_roundtrip",
+    "q42_simhash",
+    "q62_vehicle_pipeline_batch",
+    "q68_detections_exploded",
+    "q69_detections_udtf",
+    "q138_bloom_prefilter",
+    "q216_radius_join",
+    "q218_join_size_estimate",
+    "q01_projection",
+    "q02_filter_predicate",
+    "q03_derived_cast",
+    # -- Tier R (r13): ID-level age-ceiling re-certs — IDs whose newest
+    # row (<= r8) breaches the 5-round ceiling at r14. --
+    "q155_training_assembly",
+    "q324_price_whatif",
+    "q329_partition_key_advisor",
+    "q332_neyman_allocation",
+    "q333_systematic_pps_sample",
+    "q406_pixel_decode",
+    "q26u_union_dedup",
+    "q28_normalize_text",
+    "q29_regexp_extract",
+    "q33_string_assembly",
+    "q35_argmax_array",
+    "q72_asof_join",
+    "q83_decontamination",
+    "q311_msprt_monitor",
+    "q312_shapley_attribution",
+    "q315_bellman_ford_sssp",
+    "q316_extractive_summary",
+    "q318_segment_uplift_qini",
+    "q319_xmr_control_chart",
+    "q320_retention_decay_fit",
+    "q321_cost_threshold",
+    "q322_mahalanobis_anomaly",
+    "q323_cross_validated_stump",
+    "q325_erlang_c_staffing",
+    "q327_experiment_health",
+    "q328_join_view_ivm",
+    "q330_dedup_threshold_advisor",
+    "q331_embedding_separation",
+    "q334_consistent_hash_rebalance",
+    "q335_source_keyness",
+    "q336_absorbing_chain_lifetime",
+    # -- Tier B (r13): backlog fill — never-certified, lowest number
+    # first (burns never-certified 51 -> 49). --
+    "q347_rolling_trend",
+    "q348_encoding_advisor",
+)
+_WINDOW_PRIORITY_R12 = (
     # -- Tier R (r12): ID-level age-ceiling re-certs — 39 ID(s) whose
     # newest row would breach the 5-round ceiling at r13. --
     "q01_projection",                         # P-01, S-03
