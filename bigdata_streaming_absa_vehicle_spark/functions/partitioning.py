@@ -36,8 +36,14 @@ def fan_out(df: DataFrame, min_factor: int = 2) -> DataFrame:
 
     The partition probe is plan metadata only (file listing, no job) and
     costs ~80 ms on the driver; the rebalance itself is skipped whenever
-    the scan already fans wide, so production plans keep their shape."""
+    the scan already fans wide, so production plans keep their shape.
+
+    `spark.graft.rebalance=false` turns both fan_out and hold_width into
+    no-ops (A/B measurement isolation; also the production escape hatch
+    if a deployment prefers pure AQE control)."""
     spark = df.sparkSession
+    if spark.conf.get("spark.graft.rebalance", "true") == "false":
+        return df
     parallelism = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * min_factor <= parallelism:
         return df.repartition(parallelism)
@@ -60,6 +66,10 @@ def hold_width(df: DataFrame, *cols) -> DataFrame:
     triple explode on 5). Scale note: at sizes where the grouped output
     is exchange-filling, AQE would not have coalesced it anyway, so this
     only pins the floor the conf already declares — shuffle bytes are
-    unchanged (same keys, same single exchange)."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    unchanged (same keys, same single exchange). Honors the same
+    `spark.graft.rebalance=false` escape hatch as :func:`fan_out`."""
+    conf = df.sparkSession.conf
+    if conf.get("spark.graft.rebalance", "true") == "false":
+        return df
+    n = int(conf.get("spark.sql.shuffle.partitions", "200"))
     return df.repartition(n, *cols)

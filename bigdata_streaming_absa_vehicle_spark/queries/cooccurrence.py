@@ -19,7 +19,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.ordering import pin, stage
-from ..functions.partitioning import hold_width
 from ..tables import load
 from .registry import query
 
@@ -69,11 +68,13 @@ def q168_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        # hold_width (guide §2.4, r13): same single exchange the groupBy
-        # would plan, pinned at the conf ceiling so the checkpoint does not
-        # materialize AQE-narrowed — the B*(B-1)/2 pair explode below ran
-        # on 4 tasks (5.4 core-s serial-ish, opt_sqlprof r13)
-        .transform(lambda d: hold_width(d, "o"))
+        # hold_width was MEASURED AND REJECTED here (r13): pinning the
+        # basket exchange at the conf ceiling so the staged checkpoint
+        # stays wide read as a win in per-stage attribution (the pair
+        # explode ran on 4 tasks), but interleaved A/B at sf0.1 put the
+        # wide variant 1.2x SLOWER end-to-end (2.12s vs 1.75s median of 5,
+        # opt_ab_rebalance r13) — the explode is cheap enough that wide
+        # checkpoint materialization costs more than the serialism it cures
         .groupBy("o")
         .agg(F.array_sort(F.collect_set("p")).alias("ps"))
         .transform(stage)  # reused by pairs, item counts, total
@@ -757,10 +758,11 @@ def q271_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").select("p_partkey", F.col("p_brand").alias("b"))
     baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        # hold_width (guide §2.4, r13): pin the basket exchange at the conf
-        # ceiling — the <=C(B,3) triple explode below otherwise inherits
-        # the AQE-narrowed checkpoint (5 tasks, 12.3 core-s, opt_sqlprof)
-        .transform(lambda d: hold_width(d, "o"))
+        # hold_width was MEASURED AND REJECTED here (r13, same verdict as
+        # q168): interleaved A/B at sf0.1 put the pinned-wide basket
+        # exchange 1.7x SLOWER end-to-end (2.88s vs 1.67s median of 5,
+        # opt_ab_rebalance r13) despite the triple explode profiling as a
+        # 5-task stage — AQE's narrow checkpoint is the right call here
         .groupBy("o")
         .agg(F.array_sort(F.collect_set("b")).alias("bs"))
         .transform(stage)  # triples, pairs, item counts, total all read it

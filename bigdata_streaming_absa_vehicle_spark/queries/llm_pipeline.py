@@ -122,10 +122,12 @@ def q42_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-JVM higher-order fold, measured 2.5x faster; see
     dedup.simhash_batched); near-dup candidates are then hamming-distance
     pairs (q42b)."""
-    # fan_out (guide §2/§4, r13): the Arrow-batched shingle+simhash kernel
-    # amplifies per-row CPU on a single-split sf0.1 scan — it serialized on
-    # one core. No-op on a many-split production scan.
-    docs = fan_out(load(spark, sf_dir, "documents"))
+    # fan_out was MEASURED AND REJECTED here (r13): the Arrow-batched
+    # kernel did serialize on the single-split scan, but interleaved A/B
+    # at sf0.1 measured the rebalanced variant slightly SLOWER (1.09s on
+    # vs 0.97s off, median of 5, opt_ab_rebalance r13) — the batched
+    # kernel is fast enough that the extra exchange dominates.
+    docs = load(spark, sf_dir, "documents")
     return dd.shingle_simhash_batched(docs, "doc_id", "text", 3, 48).transform(pin).orderBy("doc_id")
 
 

@@ -565,15 +565,13 @@ def q138_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # literal words the probe stays a whole-stage-codegen map filter
     # directly on the fact scan. The 60-bit hash is projected ONCE per row
     # (bh); the k positions are byte extractions from it.
-    # fan_out (guide §2, r13): the probe's one-md5-per-row is CPU
-    # amplification on a single-split sf0.1 scan — opt_sqlprof r13 showed
-    # the probe stage as 3 tasks with one 2.1 s straggler doing ~all rows.
-    # Rebalancing the 3 projected columns first spreads the hashing; no-op
-    # on a many-split production scan.
-    fact = fan_out(
-        load(spark, sf_dir, "lineitem").select(
-            "l_suppkey", "l_extendedprice", "l_discount"
-        )
+    # fan_out was MEASURED AND REJECTED here (r13): the probe stage
+    # profiled as 3 tasks with one 2.1 s straggler, but interleaved A/B at
+    # sf0.1 measured the rebalanced variant no faster (1.40s on vs 1.32s
+    # off, median of 5, opt_ab_rebalance r13) — one md5 per row is cheap
+    # enough that the extra exchange cancels the added width.
+    fact = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
     )
     probed = fact.withColumn(
         "bh",
@@ -1018,17 +1016,14 @@ def q218_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator precisely to avoid that join, and the exact leg drops.
     Sketches ADD across shards (A-14), so per-day sketches estimate any
     day-range join size with no rescan."""
-    # fan_out (guide §2, r13): cms_cells hashes every row k_CMS times before
-    # its first exchange, and both sf0.1 scans are single splits — the two
-    # sketch builds ran as 1-task stages (opt_sqlprof r13: 0.96 s + 0.80 s
-    # serial). The rebalanced relation feeds both the sketch and exact legs
-    # through one ReusedExchange; no-op on many-split production scans.
-    ev = fan_out(
-        load(spark, sf_dir, "events").select(F.col("user_id").cast("string").alias("k"))
-    )
-    orders = fan_out(
-        load(spark, sf_dir, "orders").select(F.col("o_custkey").cast("string").alias("k"))
-    )
+    # fan_out was MEASURED AND REJECTED here (r13): the two sketch builds
+    # profiled as 1-task stages (0.96 s + 0.80 s), but interleaved A/B at
+    # sf0.1 measured the rebalanced variant 2.5x SLOWER end-to-end (3.95s
+    # on vs 1.56s off, median of 5, opt_ab_rebalance r13) — the added
+    # exchanges broke the scan reuse between the sketch and exact legs and
+    # cost more than the serial hashing they spread.
+    ev = load(spark, sf_dir, "events").select(F.col("user_id").cast("string").alias("k"))
+    orders = load(spark, sf_dir, "orders").select(F.col("o_custkey").cast("string").alias("k"))
     ce = cms_cells(ev, "k")
     co = cms_cells(orders, "k")
     d0 = "decimal(38,0)"
