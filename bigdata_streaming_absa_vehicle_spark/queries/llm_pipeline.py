@@ -614,6 +614,12 @@ def q406_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle except the presentation sort. At 100 TB the payload column
     streams Arrow-batch by Arrow-batch through the worker with bounded
     memory (batch size x max payload)."""
+    # fan_out was MEASURED AND REJECTED here (r13): unlike q416's entropy
+    # coder (11.8 core-s, where the explicit repartition measured 3-4x),
+    # this gradient kernel is ~0.4 core-s total, and 32-way mapInPandas
+    # task setup costs more than the width buys — interleaved A/B put the
+    # rebalanced variant 1.9x SLOWER (0.98s vs 0.51s median of 5,
+    # opt_ab_rebalance r13).
     docs = load(spark, sf_dir, "documents").select("doc_id")
 
     def encode(batches):
@@ -705,6 +711,12 @@ def q407_pixel_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas chain per partition (plan-asserted for the decode chain);
     the only exchange is the presentation sort. Resample cost is
     O(out pixels), not O(in pixels)."""
+    # fan_out was MEASURED AND REJECTED here (r13): the fused chain is only
+    # ~0.43 core-s total (1 task, opt_sqlprof r13) and the 32-way
+    # mapInPandas task setup outweighs the width — interleaved A/B put the
+    # rebalanced variant 1.7x SLOWER (0.96s vs 0.56s median of 5,
+    # opt_ab_rebalance r13). q416's coder (11.8 core-s) is the shape where
+    # the explicit repartition pays.
     docs = load(spark, sf_dir, "documents").select("doc_id")
 
     def encode(batches):

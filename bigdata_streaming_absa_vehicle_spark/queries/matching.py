@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.ordering import pin, stage
+from ..functions.partitioning import fan_out
 from ..tables import load
 from .registry import query
 
@@ -260,7 +261,12 @@ def q208_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(ROUND(p_retailprice * 100) AS BIGINT) DIV {_PRICE_BAND}").alias(
             "band"
         ),
-    ).transform(stage)  # feeds the 3 u-rollups AND both pair legs
+        # fan_out BEFORE the checkpoint (r13): part is one tiny split, so the
+        # staged relation materialized as 1 partition and the within-block
+        # pair join probed 500k candidate pairs + 6-weight scoring on ONE
+        # task (785ms of the 1.36s total, opt_sqlprof r13) — the q216
+        # explode-over-checkpoint pattern that interleaved A/B kept.
+    ).transform(lambda d: stage(fan_out(d)))  # feeds the 3 u-rollups AND both pair legs
 
     def u_stats(col: str):
         c = base.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
