@@ -102,24 +102,30 @@ ALLOWED_UNPARTITIONED_WINDOW = frozenset(
         "q81_vocabulary",
         "q82_token_ids",
         "q84_sequence_packing",
+        # r13: dense token-id interning over the VOCABULARY relation
+        # (dfreq groupBy output — bounded by distinct tokens, not the
+        # corpus; the per-doc rank window this replaced ran over the full
+        # exploded token relation)
+        "q411b_ppjoin_full",
     }
 )
 
 
 def _empty_partition_windows(df) -> int:
     """Count Window nodes with an empty partitionSpec in the optimized
-    logical plan (py4j tree walk — the logical node, not the physical
-    WindowExec, so AQE/codegen variation cannot hide one)."""
-    n = 0
-    stack = [df._jdf.queryExecution().optimizedPlan()]
-    while stack:
-        node = stack.pop()
-        if node.getClass().getSimpleName() == "Window" and node.partitionSpec().isEmpty():
-            n += 1
-        it = node.children().iterator()
-        while it.hasNext():
-            stack.append(it.next())
-    return n
+    logical plan (the logical node, not the physical WindowExec, so
+    AQE/codegen variation cannot hide one). Implemented as ONE JVM call —
+    TreeNode.toJSON serializes the whole tree, and the JSON is scanned in
+    Python; the previous per-node py4j walk cost ~366 s across the 424
+    registry plans (r13 durations), 6x the next-slowest test."""
+    import json
+
+    nodes = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    return sum(
+        1
+        for n in nodes
+        if n.get("class", "").endswith(".Window") and not n.get("partitionSpec")
+    )
 
 
 def test_no_new_unpartitioned_windows_and_no_stale_allowlist(spark):
