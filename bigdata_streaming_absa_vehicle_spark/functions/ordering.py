@@ -70,12 +70,18 @@ def pin(df: DataFrame) -> DataFrame:
     repartition-before-sort was tried and measured slower — it pays a full
     extra shuffle).
 
-    Thin map-only pipelines (pure Project/Filter over the scan, no Python
-    eval) skip the checkpoint (r13, guide §5): for them the sample pass
-    re-runs one column-pruned codegen scan, which is cheaper than writing
-    the whole result to RDD storage first — q01_projection paid a ~0.7 s
-    materialization floor for a trivial projection. `spark.graft.pin_thin`
-    =true forces the old always-pin behavior (A/B isolation).
+    A thin-skip mode (`spark.graft.pin_thin=false`) makes pin() a no-op
+    for map-only pipelines (pure Project/Filter over the scan, no Python
+    eval), letting the range sampler recompute instead of materializing.
+    It was MEASURED AND REJECTED as the default (r13): interleaved A/B at
+    sf0.1 put the skip 1.2-1.7x SLOWER on the thin cohort (q03 1.22s pin
+    vs 1.50s skip, q28 0.32 vs 0.55, q29 0.15 vs 0.19 — median of 5,
+    ABBA) — even a "thin" JVM projection (regex, date_format, casts)
+    costs more to recompute for the sample pass than the one-shot RDD
+    materialization of the result, and for pure column selects the two
+    arms tie (q01 0.75 vs 0.73). The r12 A/B record suggesting the
+    opposite did not survive re-measurement under arm interleaving.
+    The mode stays as a measurement tool, not the default.
 
     Set `spark.graft.pin_sorts=false` to make this a no-op: the checkpoint
     boundary renders as `Scan ExistingRDD` in explain(), so plan inspection
@@ -88,7 +94,7 @@ def pin(df: DataFrame) -> DataFrame:
     conf = df.sparkSession.conf
     if conf.get("spark.graft.pin_sorts", "true") == "false":
         return df
-    if conf.get("spark.graft.pin_thin", "false") != "true" and _thin_map_only(df):
+    if conf.get("spark.graft.pin_thin", "true") == "false" and _thin_map_only(df):
         return df
     return df.localCheckpoint(eager=False)
 

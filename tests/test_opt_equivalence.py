@@ -83,12 +83,13 @@ def test_dsum_scale12_embedding_components_fit(spark, sf_dir):
     assert mx < 10**5, mx  # decimal(18,12) caps at 1e6; keep 10x slack
 
 
-def test_pin_skips_thin_map_only_pipelines(spark):
-    """r13 pin() plan-awareness (guide §5): a pure Project/Filter-over-scan
-    pipeline skips the pre-sort localCheckpoint (the range-sampler's
-    recompute is one cheap columnar scan; materializing the full result is
-    strictly more expensive), while aggregate pipelines and anything with a
-    Python eval keep it. `spark.graft.pin_thin=true` restores always-pin."""
+def test_pin_thin_skip_classification_and_default(spark):
+    """r13 pin() plan-awareness: by DEFAULT every pin materializes (the
+    thin-skip mode measured 1.2-1.7x slower on the thin cohort and was
+    rejected — see ordering.pin docstring). Under
+    spark.graft.pin_thin=false, the classifier must skip ONLY pure
+    Project/Filter-over-scan pipelines: aggregates and Python-UDF maps
+    (physical planning extracts *EvalPython nodes) keep the checkpoint."""
     from bigdata_streaming_absa_vehicle_spark.functions.ordering import pin
 
     sf = SF_DIRS[0]
@@ -96,6 +97,10 @@ def test_pin_skips_thin_map_only_pipelines(spark):
     spark.conf.set("spark.graft.pin_sorts", "true")
     try:
         thin = li.select("l_orderkey", "l_extendedprice").filter(F.col("l_orderkey") > 0)
+        # default: always pin
+        assert "ExistingRDD" in pin(thin)._jdf.queryExecution().toString()
+
+        spark.conf.set("spark.graft.pin_thin", "false")
         assert "ExistingRDD" not in pin(thin)._jdf.queryExecution().toString()
 
         agg = li.groupBy("l_returnflag").count()
@@ -104,9 +109,6 @@ def test_pin_skips_thin_map_only_pipelines(spark):
         pyudf = F.udf(lambda s: s and s.lower())
         udf_map = li.select(pyudf(F.col("l_returnflag")).alias("x"))
         assert "ExistingRDD" in pin(udf_map)._jdf.queryExecution().toString()
-
-        spark.conf.set("spark.graft.pin_thin", "true")
-        assert "ExistingRDD" in pin(thin)._jdf.queryExecution().toString()
     finally:
         spark.conf.unset("spark.graft.pin_thin")
         spark.conf.unset("spark.graft.pin_sorts")

@@ -1,9 +1,13 @@
-"""Interleaved A/B: registry queries with the fan_out/hold_width rebalance
-exchanges on vs off (`spark.graft.rebalance`), noop sink, ABBA order so
-machine drift cancels. Reports per-arm medians.
+"""Interleaved A/B: registry queries with a boolean session conf toggled
+on vs off, noop sink, ABBA order so machine drift cancels. Reports
+per-arm medians. Default conf is `spark.graft.rebalance` (fan_out /
+hold_width exchanges); `--conf spark.graft.pin_thin --on-value true
+--off-value false` A/Bs the thin-pin skip (note pin_thin=true means
+ALWAYS PIN, i.e. the r12 behavior, so there "on" is the OLD arm).
 
 Usage:
-    python tools/opt_ab_rebalance.py [--sf DIR] [--rounds N] q218_join_size_estimate ...
+    python tools/opt_ab_rebalance.py [--sf DIR] [--rounds N]
+        [--conf KEY] [--on-value V] [--off-value V] q218_join_size_estimate ...
 """
 
 from __future__ import annotations
@@ -31,6 +35,9 @@ def main() -> None:
     ap.add_argument("names", nargs="+")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--conf", default="spark.graft.rebalance")
+    ap.add_argument("--on-value", default="true")
+    ap.add_argument("--off-value", default="false")
     args = ap.parse_args()
 
     spark = get_spark("opt-ab-rebalance")
@@ -48,12 +55,12 @@ def main() -> None:
             # ABBA: on,off / off,on alternating across rounds
             order = ("on", "off") if r % 2 == 0 else ("off", "on")
             for arm in order:
-                spark.conf.set("spark.graft.rebalance", "true" if arm == "on" else "false")
+                spark.conf.set(args.conf, args.on_value if arm == "on" else args.off_value)
                 df = specs[name].fn(spark, args.sf)
                 t0 = time.perf_counter()
                 df.write.mode("overwrite").format("noop").save()
                 arms[arm].append(round(time.perf_counter() - t0, 4))
-        spark.conf.unset("spark.graft.rebalance")
+        spark.conf.unset(args.conf)
         results[name] = {
             "on_median": median(arms["on"]),
             "off_median": median(arms["off"]),
